@@ -1,0 +1,75 @@
+"""Benchmark runner — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end via the noop sink (full plan execution, no
+driver-side collect overhead in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the relational spine + the extension operators that matter at
+# scale. Keys must exist in the registry.
+HEADLINE = [
+    "pricing_summary",
+    "daily_summary",
+    "dedup_latest_events",
+    "quality_report",
+    "star_join_revenue",
+    "topk_orders_per_priority",
+    "anti_join_inactive_customers",
+    "dedup_exact_documents",
+    "minhash_lsh_dedup",
+    "knn_cosine_bruteforce",
+    "token_stats",
+]
+
+
+def main() -> None:
+    from lakehouse_architecture_for_realestatedata_spark.queries import registry
+    from lakehouse_architecture_for_realestatedata_spark.session import get_spark
+
+    spark = get_spark("bench")
+    reg = registry()
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = reg.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        df = spec.spark_fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

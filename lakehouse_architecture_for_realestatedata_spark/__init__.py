@@ -1,0 +1,29 @@
+"""lakehouse_architecture_for_realestatedata_spark — a PySpark-native lakehouse analytics engine.
+
+A brand-new implementation (not a port) of the query and data-processing
+capabilities of the reference lakehouse (a Medallion bronze→silver→gold
+pipeline for real-estate listings: ingest, dedup, merge, parse, star-schema,
+aggregate, window, quality-report), generalized into a reusable Spark-first
+library, plus large-scale training-data-pipeline operators (deduplication,
+similarity search, multimodal columns, text analysis).
+
+Everything is expressed with the DataFrame / Spark SQL API so Catalyst +
+Tungsten own the physical plan: predicate pushdown, column pruning,
+broadcast-vs-shuffle join selection, whole-stage codegen, AQE.
+
+Layout:
+    session     — SparkSession factory tuned for local testing / cluster scale
+    sources     — readers (parquet/csv/json), manifest-incremental ingest,
+                  parquet-backed tables with MERGE/append/overwrite semantics
+    functions   — scalar column function library (parsing, text, vectors)
+    operators   — relational + extension operators (dedup, joins, aggregates,
+                  similarity search, merge/incremental, SCD2, multimodal)
+    plans       — medallion pipeline assembly + plan-inspection helpers
+    streaming   — Structured Streaming ingest and windowed aggregation
+"""
+
+from lakehouse_architecture_for_realestatedata_spark.session import get_spark, stop_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "stop_spark", "__version__"]

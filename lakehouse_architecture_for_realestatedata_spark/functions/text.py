@@ -1,0 +1,111 @@
+"""Text-analysis column functions for the training-data pipeline scope.
+
+All pure built-in expressions (split / transform / aggregate / xxhash64) so
+they run inside codegen at 100 TB — no Python in the hot path. These back the
+``operators.text_analysis`` queries over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# \W+-ish tokenizer: split on runs of non-alphanumerics, drop empties.
+_TOKEN_SPLIT = r"[^\p{L}\p{N}]+"
+
+
+def tokens(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace/punctuation tokenization → array<string> (empties removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    arr = F.split(c, _TOKEN_SPLIT)
+    return F.filter(arr, lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Token count (whitespace tokenizer)."""
+    return F.size(tokens(col, lowercase=False))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: words + digit runs + punctuation marks counted
+    separately (a cheap, deterministic proxy for subword token counts used to
+    budget LLM training data)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(c, r"(?<=\W)|(?=\W)")  # split at every word/non-word boundary
+    return F.size(F.filter(pieces, lambda t: (t != "") & (t != " ")))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as array<string> — the unit set for Jaccard/MinHash
+    dedup. Built from sequence+transform+slice; distinct'ed."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    # Short docs (< k tokens): fall back to the whole token string as one shingle.
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Character n-grams (distinct) — alternative shingle unit for short text."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    ln = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive 64-bit content fingerprint: xor-aggregate of token
+    xxhash64s. Equal token multisets (mod xor-cancellation of exact dup
+    tokens) collide deliberately — a cheap rolling-hash-style near-exact
+    fingerprint for dedup candidate generation."""
+    toks = tokens(col)
+    return F.aggregate(
+        F.array_distinct(toks),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc.bitwiseXOR(F.xxhash64(t)),
+    )
+
+
+# --- language id (n-gram/stopword heuristic) --------------------------------
+# Tiny built-in stopword profiles; argmax of stopword hit-ratio wins.
+_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "que", "por"],
+    "vi": ["của", "và", "là", "có", "không", "được", "trong", "cho", "người", "một"],
+}
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in _STOPWORDS[lang]])))
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    """Heuristic language ID: distinct-stopword hit count per profile, argmax
+    with deterministic tie-break by profile order; 'und' when no profile hits."""
+    toks = tokens(col)
+    scores = [(lang, _stopword_hits(toks, lang)) for lang in _STOPWORDS]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit(default)
+    # Build reversed so earlier profiles win ties (when-chains evaluate in order).
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column | str) -> Column:
+    """Document quality in [0,1]: mean of three bounded signals —
+    length adequacy (≥200 chars), alpha ratio (alphanumeric+space share of
+    chars), stopword presence (≥2 distinct English stopwords). The shape of
+    heuristic filters used to score LLM training documents."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    len_ok = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(c, r"[^\p{L}\p{N} ]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    stop_ok = F.least(_stopword_hits(tokens(c), "en") / F.lit(2.0), F.lit(1.0))
+    return F.round((len_ok + alpha_ratio + stop_ok) / 3.0, 6)

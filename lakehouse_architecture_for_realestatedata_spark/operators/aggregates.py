@@ -1,0 +1,116 @@
+"""Aggregation operators (SURVEY §2.4 A1-A8, §2.5 W3).
+
+Oracle-determinism note: double sums are order-dependent across partitionings,
+so every money-sum here casts to decimal first (exact, associative) and
+converts back to double at the end — identical bits on Spark and DuckDB
+regardless of plan shape. Spark plans these as partial+final hash aggregates
+(map-side combine), which is also the right 100 TB shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent sum of a double measure.
+
+    ``scale`` must be ≥ the exact decimal scale of the input values (money =
+    2, price×discount products = 4): then the decimal cast never rounds, the
+    sum is the exact rational, and the final double cast is correctly rounded
+    identically on Spark and DuckDB. Plain sum(double) would vary with
+    partition order; round()-based fixes still diverge on shortest-repr
+    midpoints — exactness is the only partition-count-proof answer.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent avg: exact decimal sum cast to double, divided by
+    count in pure IEEE double arithmetic — bit-identical across engines and
+    partitionings, no rounding step to disagree on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal(30,{scale})")).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def daily_summary(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    price_col: str,
+    area_col: str | None = None,
+) -> DataFrame:
+    """A1/A2/A3: per-day market summary — the fct_daily_summary shape
+    (reference: dbt/models/marts/fct_daily_summary.sql:9-39): count distinct
+    ids, sum/avg/min/max of the price measure (rounded), avg of a second
+    measure, non-null counts, ordered by day desc."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("date_key")
+    aggs = [
+        F.count_distinct(F.col(id_col)).alias("total_listings"),
+        dsum(price_col, "sum_price", 2),
+        davg(price_col, "avg_price", 2),
+        F.min(price_col).alias("min_price"),
+        F.max(price_col).alias("max_price"),
+        F.count(F.col(price_col)).alias("price_count"),  # A3: non-null count
+        F.count(F.lit(1)).alias("row_count"),
+    ]
+    if area_col is not None:
+        aggs.append(davg(area_col, "avg_area", 2))
+    return df.groupBy(day).agg(*aggs).orderBy(F.col("date_key").desc())
+
+
+def quality_report(df: DataFrame, ts_col: str, flag_col: str) -> DataFrame:
+    """A4+W3: per-(day, flag) counts with share-of-day percentage — a grouped
+    aggregate consumed by an unbounded partition-window aggregate
+    (reference: dbt/models/marts/fct_data_quality_report.sql:4-13).
+
+    Physical shape: one shuffle for the groupBy, one more for the window
+    partitioned by day (strictly coarser key — AQE keeps it small since the
+    windowed input is already aggregated, #days×#flags rows, not raw rows).
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("report_date")
+    counted = df.groupBy(day, F.col(flag_col).alias("flag")).agg(
+        F.count(F.lit(1)).alias("record_count")
+    )
+    w = Window.partitionBy("report_date")
+    # Pure double division (bigint*100.0/bigint) — bit-deterministic, so no
+    # rounding step that engines could disagree on.
+    return (
+        counted.withColumn(
+            "percentage",
+            (F.col("record_count") * 100.0 / F.sum("record_count").over(w)).cast("double"),
+        )
+        .orderBy(F.col("report_date").desc(), F.col("flag"))
+    )
+
+
+def completeness_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A3 generalized: non-null count + fill rate per column. Single pass —
+    one global aggregate with a count(col) per column, then unpivoted."""
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__total")] + [F.count(F.col(c)).alias(c) for c in cols]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', {c}" for c in cols)
+    return wide.selectExpr(
+        "__total", f"stack({len(cols)}, {stack_expr}) as (column_name, non_null_count)"
+    ).select(
+        "column_name",
+        "non_null_count",
+        F.round(F.col("non_null_count") / F.col("__total"), 6).alias("fill_rate"),
+    )
+
+
+def grouped_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A5: GROUP BY as dedup — distinct over a column subset
+    (reference: dbt/models/marts/dim_locations.sql:30-42)."""
+    return df.select(*cols).distinct()
+
+
+def high_water_mark(df: DataFrame, ts_col: str) -> Column:
+    """A8: scalar max(ts) with epoch default, as a literal Column
+    (reference: dbt/models/staging/stg_properties.sql:15)."""
+    row = df.agg(F.max(ts_col).alias("hwm")).collect()[0]
+    return F.to_timestamp(F.lit(str(row["hwm"]) if row["hwm"] is not None else "1970-01-01"))

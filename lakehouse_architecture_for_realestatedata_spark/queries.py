@@ -1,0 +1,455 @@
+"""Query registry: every implemented operator as a (Spark callable, DuckDB
+oracle SQL) pair, keyed by name — the driver contract behind
+``__spark_entry__.py``.
+
+Determinism rules applied throughout (so order-insensitive value-hashes match
+the oracle bit-for-bit):
+  - double sums/avgs go through exact decimal intermediates (see
+    ``operators.aggregates.dsum/davg``) — double addition is not associative,
+    so plain sum(double) varies with partitioning;
+  - every computed column is aliased identically in Spark and SQL;
+  - timestamps are emitted as DATE or STRING (Spark session TZ pinned UTC);
+  - window orderings always carry a unique final tiebreak column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.functions.parsing import (
+    md5_id,
+    norm_text,
+    parse_price_vnd,
+    quality_flag,
+    stable_id,
+)
+from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+    daily_summary,
+    davg,
+    dsum,
+    quality_report,
+)
+from lakehouse_architecture_for_realestatedata_spark.operators.dedup import dedup_latest
+from lakehouse_architecture_for_realestatedata_spark.operators.joins import (
+    anti_join,
+    join_with_default,
+    semi_join,
+    star_join,
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return wrap
+
+
+def registry() -> dict[str, QuerySpec]:
+    # Import side-effect modules that register additional queries.
+    from lakehouse_architecture_for_realestatedata_spark import queries_text  # noqa: F401
+    from lakehouse_architecture_for_realestatedata_spark import queries_pipeline  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read nanos as long and truncate to micros
+    (``ts div 1000`` — matches DuckDB's ns→us cast truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# ===========================================================================
+# Relational core (SURVEY §2 parity queries on the TPC-H-ish tables)
+# ===========================================================================
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity as decimal(30,2))) as double) AS sum_qty,
+           cast(sum(cast(l_extendedprice as decimal(30,2))) as double) AS sum_base_price,
+           cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(30,4))) as double) AS sum_disc_price,
+           cast(sum(cast(l_quantity as decimal(30,2))) as double) / count(l_quantity) AS avg_qty,
+           cast(sum(cast(l_extendedprice as decimal(30,2))) as double) / count(l_extendedprice) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1 grouped multi-aggregate, TPC-H Q1 shape (fct_daily_summary analogue).",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price", 4),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "daily_summary",
+    """
+    SELECT cast(date_trunc('day', o_orderdate) as date) AS date_key,
+           count(DISTINCT o_custkey) AS active_customers,
+           cast(sum(cast(o_totalprice as decimal(30,2))) as double) AS sum_price,
+           cast(sum(cast(o_totalprice as decimal(30,2))) as double) / count(o_totalprice) AS avg_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           count(o_totalprice) AS price_count,
+           count(*) AS row_count
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="A1/A2/A3 daily market summary (reference fct_daily_summary.sql:9-39).",
+)
+def q_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        daily_summary(orders, "o_orderdate", "o_custkey", "o_totalprice")
+        .withColumnRenamed("total_listings", "active_customers")
+    )
+
+
+@register(
+    "dedup_latest_events",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cast(ts as timestamp) DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="W1/P4 dedup-keep-latest per key (reference normalize_bronze_columns.py:126-130).",
+)
+def q_dedup_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = dedup_latest(
+        ev, "user_id", [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+@register(
+    "quality_report",
+    """
+    WITH counted AS (
+        SELECT cast(date_trunc('day', cast(ts as timestamp)) as date) AS report_date,
+               event_type AS flag, count(*) AS record_count
+        FROM events GROUP BY 1, 2
+    )
+    SELECT report_date, flag, record_count,
+           cast(record_count * 100.0 / sum(record_count) OVER (PARTITION BY report_date) as double) AS percentage
+    FROM counted
+    """,
+    doc="A4+W3 grouped count + share-of-partition window (fct_data_quality_report.sql).",
+)
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return quality_report(ev, "ts", "event_type")
+
+
+@register(
+    "star_join_revenue",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           count(*) AS order_count,
+           cast(sum(cast(o_totalprice as decimal(30,2))) as double) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+    doc="J1 star join fact→dims with broadcast hints (fct_properties.sql:88-94 shape).",
+)
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = star_join(
+        orders,
+        [
+            (customer, F.expr("o_custkey = c_custkey")),
+            (nation, F.expr("c_nationkey = n_nationkey")),
+            (region, F.expr("n_regionkey = r_regionkey")),
+        ],
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(F.count(F.lit(1)).alias("order_count"), dsum("o_totalprice", "revenue", 2))
+
+
+@register(
+    "anti_join_inactive_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="J4/P8 anti-join — scale-correct NOT IN rewrite (dim_locations.sql:23-26).",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(customer, orders, "c_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY 1
+    """,
+    doc="Semi-join (EXISTS) + grouped count.",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        semi_join(customer, orders, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "union_distinct_status",
+    """
+    SELECT o_orderstatus AS status FROM orders
+    UNION
+    SELECT 'UNKNOWN' AS status
+    """,
+    doc="U1 UNION-distinct with injected default row (dim_legal_status.sql:19-22).",
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    statuses = orders.select(F.col("o_orderstatus").alias("status"))
+    default = spark.createDataFrame([("UNKNOWN",)], "status string")
+    return statuses.union(default).distinct()
+
+
+@register(
+    "topk_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="O1/W2 top-k per group (TakeOrdered pattern for BI serving).",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "join_with_default_key",
+    """
+    SELECT coalesce(o.o_orderstatus, 'UNKNOWN') AS status, count(*) AS n
+    FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus
+          FROM orders) o
+    JOIN (SELECT o_orderstatus AS status FROM orders UNION SELECT 'UNKNOWN') d
+      ON coalesce(o.o_orderstatus, 'UNKNOWN') = d.status
+    GROUP BY 1
+    """,
+    doc="J2 NULL-defaulting join key — coalesce(fact.key, default) = dim.key "
+    "(fct_properties.sql:93-94). NULLs synthesized on every 7th key.",
+)
+def q_join_with_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    fact = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus")
+    )
+    dim = (
+        orders.select(F.col("o_orderstatus").alias("status"))
+        .union(spark.createDataFrame([("UNKNOWN",)], "status string"))
+        .distinct()
+    )
+    joined = join_with_default(fact, dim, F.col("o_orderstatus"), F.col("status"), "UNKNOWN")
+    return joined.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("UNKNOWN")).alias("status")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "incremental_watermark",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, cast(o_orderdate as date) AS order_date
+    FROM orders
+    WHERE o_orderdate > (
+        SELECT coalesce(max(o_orderdate), timestamp '1970-01-01 00:00:00')
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    doc="P7 incremental high-water-mark predicate (stg_properties.sql:13-16); "
+    "'processed' set simulated as the F-status orders.",
+)
+def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import high_water_mark
+
+    hwm = high_water_mark(orders.filter(F.col("o_orderstatus") == "F"), "o_orderdate")
+    return orders.filter(F.col("o_orderdate") > hwm).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+@register(
+    "grouped_distinct_locations",
+    """
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+    doc="A5 GROUP BY as dedup over a column subset (dim_locations.sql:30-42).",
+)
+def q_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import grouped_distinct
+
+    return grouped_distinct(customer, ["c_nationkey", "c_mktsegment"])
+
+
+# ===========================================================================
+# Domain parsing parity (reference silver model semantics) on an inline
+# deterministic fixture — identical VALUES clause on both engines.
+# ===========================================================================
+
+_PRICE_FIXTURE = [
+    ("1", "5,2 tỷ", "  123  Lê Lợi, Quận 1, TP HCM  "),
+    ("2", "850 triệu", "45 Nguyễn Huệ,Quận 3,TP HCM"),
+    ("3", "Thỏa thuận", None),
+    ("4", "Liên hệ", ""),
+    ("5", "3.1 tỷ", "78   Trần Hưng Đạo , Hà Nội"),
+    ("6", None, "12 Hai Bà Trưng, Đà Nẵng"),
+    ("7", "2500", "9 Lạch Tray, Hải Phòng"),
+    ("8", "1,75 tỷ", "33 Điện Biên Phủ, Huế"),
+]
+
+_PRICE_FIXTURE_SQL = """(VALUES
+    ('1', '5,2 tỷ', '  123  Lê Lợi, Quận 1, TP HCM  '),
+    ('2', '850 triệu', '45 Nguyễn Huệ,Quận 3,TP HCM'),
+    ('3', 'Thỏa thuận', NULL),
+    ('4', 'Liên hệ', ''),
+    ('5', '3.1 tỷ', '78   Trần Hưng Đạo , Hà Nội'),
+    ('6', NULL, '12 Hai Bà Trưng, Đà Nẵng'),
+    ('7', '2500', '9 Lạch Tray, Hải Phòng'),
+    ('8', '1,75 tỷ', '33 Điện Biên Phủ, Huế')
+) AS t(list_id, price, address)"""
+
+
+@register(
+    "parse_price_vnd",
+    f"""
+    SELECT list_id,
+           round(CASE
+             WHEN lower(price) LIKE '%tỷ%'
+               THEN cast(replace(regexp_extract(price, '([0-9,.]+)', 1), ',', '.') as double)
+             WHEN lower(price) LIKE '%triệu%'
+               THEN cast(replace(regexp_extract(price, '([0-9,.]+)', 1), ',', '.') as double) / 1000
+             WHEN lower(price) LIKE '%thỏa thuận%' OR lower(price) LIKE '%liên hệ%' THEN NULL
+             ELSE cast(replace(regexp_extract(price, '([0-9,.]+)', 1), ',', '.') as double)
+           END, 6) AS price_in_billions,
+           CASE
+             WHEN price IS NULL OR lower(price) LIKE '%thỏa thuận%' OR lower(price) LIKE '%liên hệ%'
+               THEN 'MISSING_PRICE'
+             WHEN address IS NULL OR trim(address) = '' THEN 'MISSING_ADDRESS'
+             ELSE 'VALID'
+           END AS data_quality_flag
+    FROM {_PRICE_FIXTURE_SQL}
+    """,
+    doc="F6+F7 Vietnamese price normalization + quality flag "
+    "(stg_properties.sql:62-85,98-102) on a deterministic inline fixture.",
+)
+def q_parse_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(_PRICE_FIXTURE, "list_id string, price string, address string")
+    return df.select(
+        "list_id",
+        F.round(parse_price_vnd("price"), 6).alias("price_in_billions"),
+        quality_flag("price", "address").alias("data_quality_flag"),
+    )
+
+
+@register(
+    "surrogate_keys_md5",
+    f"""
+    SELECT list_id,
+           md5(concat(coalesce(address, ''), coalesce(price, ''))) AS property_id
+    FROM {_PRICE_FIXTURE_SQL}
+    """,
+    doc="F13 md5 surrogate id (normalize_csv.py:60-65).",
+)
+def q_md5_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(_PRICE_FIXTURE, "list_id string, price string, address string")
+    return df.select("list_id", md5_id("address", "price").alias("property_id"))
+
+
+@register(
+    "stable_hash_keys",
+    None,  # Spark Murmur3 hash is engine-specific — driver does rows-only check
+    doc="F12 abs(hash(key)) % 2147483647 surrogate keys (dim_locations.sql:46); "
+    "Murmur3 is Spark-specific so no SQL oracle — invariants covered in pytest.",
+)
+def q_stable_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_name").alias("natural_key"), stable_id("c_name").alias("location_id")
+    )

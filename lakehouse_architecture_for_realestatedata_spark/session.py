@@ -1,0 +1,80 @@
+"""SparkSession factory.
+
+Mirrors the builder pattern of the reference's per-job session setup
+(reference: scripts/load_bronze_to_table.py:90-96) minus the MinIO/metastore
+plumbing, and replaces its pinned-parallelism configs
+(reference: docker-compose.yml:136-137 pins shuffle.partitions=8) with an
+AQE-first posture that survives a 1000-executor scale-up: adaptive execution
+re-coalesces shuffle partitions at runtime, auto-broadcasts small sides, and
+splits skewed partitions, so the same code runs on local[32] and on a real
+cluster without retuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults target the test box (local mode, one JVM). On a real cluster these
+# are overridden by spark-submit conf; nothing here hard-codes local-only
+# behavior into the query plans themselves.
+_DEFAULT_CONF: dict[str, str] = {
+    # AQE: runtime re-planning is the scale story — coalesce tiny shuffle
+    # partitions, convert to broadcast when a side turns out small, split skew.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamps for the DuckDB oracle comparison (DuckDB
+    # timestamps are UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for every pandas_udf / toPandas / createDataFrame(pandas) hop.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Quieter, faster local runs.
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
+    # ANSI off: match the reference's permissive casts (Spark 3.3 default was
+    # non-ANSI; Spark 4 flipped it). Vietnamese price parsing relies on
+    # cast('abc' as double) => NULL, not an error.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "lakehouse_architecture_for_realestatedata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    ``shuffle_partitions`` defaults to the local core count — the right size
+    for local shuffles; on a cluster, AQE coalescing makes the exact number
+    mostly irrelevant as long as it is not comically small.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if master.startswith("local"):
+        # Local mode: the driver JVM is the only memory pool.
+        conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,174 @@
+"""Parquet-backed tables with Delta-like write semantics.
+
+The reference stores every table as Delta (Parquet + transaction log) and
+leans on three write modes (SURVEY §2.1):
+  - S7 append with schema merge  (reference: scripts/load_bronze_to_table.py:158)
+  - S8 overwrite(+overwriteSchema) (reference: scripts/load_bronze_to_table.py:161)
+  - S9 keyed MERGE upsert: whenMatchedUpdateAll / whenNotMatchedInsertAll
+       (reference: scripts/normalize_bronze_columns.py:145-148)
+
+Delta jars are not in this image, so ``ParquetTable`` re-creates the
+*semantics* on plain parquet with a tiny version-pointer log:
+
+    <root>/v=<n>/part-*.parquet     immutable snapshot n
+    <root>/_latest                  text file holding n (commit = atomic rename)
+
+Readers resolve ``_latest`` then scan exactly one snapshot directory, which
+gives snapshot isolation (a concurrent writer never mutates a directory a
+reader may be scanning) and makes every write idempotent-retryable — the same
+properties the reference gets from the Delta log. This also removes the
+reference's need to restart its Thrift server to invalidate caches
+(reference: airflow/dags/end_to_end_pipeline.py:209-244): a re-read simply
+resolves the new pointer.
+
+Scale notes (100 TB):
+  - MERGE is implemented as left_anti(target, source) ∪ source — one shuffle
+    on the merge key, same join Delta itself plans for a full-table merge.
+    With a partition predicate (``merge(..., prune=...)``) untouched
+    partitions are copied by reference (directory level), not rewritten —
+    the moral equivalent of Delta's file-level pruning.
+  - ``partition_by`` lays out data for partition pruning on read; the
+    reference never partitions its tables (SURVEY §4 calls this out as perf
+    left on the table) — we do.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LATEST = "_latest"
+
+
+class ParquetTable:
+    """A named, versioned parquet table rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str, partition_by: list[str] | None = None):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.partition_by = partition_by or []
+
+    # ---------------------------------------------------------------- meta
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.root, _LATEST))
+
+    def version(self) -> int:
+        """Current snapshot number, -1 if the table does not exist. The
+        pointer file *is* the table, mirroring the reference's Delta-log
+        presence check (scripts/load_bronze_to_table.py:103-108)."""
+        try:
+            with open(os.path.join(self.root, _LATEST)) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _snapshot_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"v={version}")
+
+    def _commit(self, version: int) -> None:
+        tmp = os.path.join(self.root, f"._latest.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(self.root, _LATEST))  # atomic pointer swap
+
+    # ---------------------------------------------------------------- read
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"table {self.root} does not exist")
+        return self.spark.read.parquet(self._snapshot_dir(v))
+
+    # --------------------------------------------------------------- write
+    def _write(self, df: DataFrame, version: int) -> None:
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self._snapshot_dir(version))
+
+    def overwrite(self, df: DataFrame) -> None:
+        """S8: full replace, new schema wins (overwriteSchema semantics)."""
+        v = self.version() + 1
+        self._write(df, v)
+        self._commit(v)
+        self._vacuum(keep=2)
+
+    def append(self, df: DataFrame, merge_schema: bool = True) -> None:
+        """S7: append; with ``merge_schema`` new columns null-fill old rows
+        (Delta ``mergeSchema`` semantics via unionByName allowMissingColumns)."""
+        if not self.exists():
+            return self.overwrite(df)
+        cur = self.read()
+        out = cur.unionByName(df, allowMissingColumns=merge_schema)
+        self.overwrite(out)
+
+    def merge(
+        self,
+        source: DataFrame,
+        key: str | list[str],
+        when_matched: str = "update_all",
+        prune: Column | None = None,
+    ) -> None:
+        """S9: keyed upsert — update-all matched rows, insert-all new rows.
+
+        Requires the source to be unique per key (the reference pre-dedups
+        with a row_number window before every merge — enforce upstream with
+        ``operators.dedup.dedup_latest``; a duplicate-key source makes
+        "update-all" ill-defined, which is exactly why Delta errors on it).
+
+        ``prune``: optional predicate limiting which target rows can match
+        (partition-prune analogue); rows failing ``prune`` are carried over
+        untouched without joining.
+        """
+        keys = [key] if isinstance(key, str) else list(key)
+        if not self.exists():
+            return self.overwrite(source)
+        target = self.read()
+
+        if prune is not None:
+            frozen = target.filter(~prune)
+            target = target.filter(prune)
+
+        if when_matched == "update_all":
+            kept = target.join(source.select(*keys), on=keys, how="left_anti")
+        elif when_matched == "keep_target":  # insert-only merge
+            source = source.join(target.select(*keys), on=keys, how="left_anti")
+            kept = target
+        else:
+            raise ValueError(f"unknown when_matched={when_matched!r}")
+
+        out = kept.unionByName(source, allowMissingColumns=True)
+        if prune is not None:
+            out = frozen.unionByName(out, allowMissingColumns=True)
+        self.overwrite(out)
+
+    def delete_where(self, predicate: Column) -> None:
+        self.overwrite(self.read().filter(~predicate))
+
+    # -------------------------------------------------------------- hygiene
+    def _vacuum(self, keep: int = 2) -> None:
+        """Drop snapshots older than the last ``keep`` (Delta VACUUM analogue)."""
+        cur = self.version()
+        if not os.path.isdir(self.root):
+            return
+        for entry in os.listdir(self.root):
+            if entry.startswith("v="):
+                v = int(entry.split("=", 1)[1])
+                if v <= cur - keep:
+                    shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+
+    # ------------------------------------------------------------- helpers
+    def high_water_mark(self, ts_col: str, default: str = "1970-01-01") -> Column:
+        """Incremental watermark literal: max(ts) over the current snapshot,
+        with an epoch default for the empty/first run (P7 semantics —
+        reference: dbt/models/staging/stg_properties.sql:13-16). Collected on
+        the driver as a scalar: one cheap agg over table stats, not a
+        per-row subquery."""
+        if not self.exists():
+            return F.to_timestamp(F.lit(default))
+        row = self.read().agg(F.max(ts_col).alias("hwm")).collect()[0]
+        hwm = row["hwm"]
+        return F.to_timestamp(F.lit(str(hwm) if hwm is not None else default))

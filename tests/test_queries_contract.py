@@ -1,0 +1,58 @@
+"""Contract tests: every registry entry runs and matches its DuckDB oracle at
+sf0.001 (the driver's gate runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from lakehouse_architecture_for_realestatedata_spark.queries import registry
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.12g}"
+    if isinstance(v, list):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("\x01".join(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    spec = registry()[name]
+    sdf = spec.spark_fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    if spec.oracle is None:
+        assert len(srows) >= 0  # rows-only: runs without error
+        return
+    rel = duck.execute(spec.oracle)
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row count differs"
+    assert _normalize(sdf.columns, srows) == _normalize(ocols, orows), (
+        f"{name}: values differ"
+    )

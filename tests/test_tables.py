@@ -1,0 +1,84 @@
+"""ParquetTable: Delta-semantics (append/overwrite/merge/snapshot) tests —
+the invariants the reference relies on but never asserts (SURVEY §5):
+PK uniqueness post-MERGE, idempotent re-runs, schema evolution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+
+def _df(spark, rows, schema="id int, val string, ts timestamp"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_overwrite_and_read(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t1"))
+    t.overwrite(_df(spark, [(1, "a", None), (2, "b", None)]))
+    assert t.read().count() == 2
+    t.overwrite(_df(spark, [(3, "c", None)]))
+    assert t.read().count() == 1
+    assert t.version() == 1
+
+
+def test_append_with_schema_merge(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t2"))
+    t.append(spark.createDataFrame([(1, "a")], "id int, val string"))
+    t.append(spark.createDataFrame([(2, "b", 9.5)], "id int, val string, extra double"))
+    out = t.read()
+    assert set(out.columns) == {"id", "val", "extra"}
+    row = {r["id"]: r for r in out.collect()}
+    assert row[1]["extra"] is None and row[2]["extra"] == 9.5
+
+
+def test_merge_upsert_update_and_insert(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t3"))
+    t.overwrite(spark.createDataFrame([(1, "old"), (2, "keep")], "id int, val string"))
+    t.merge(spark.createDataFrame([(1, "new"), (3, "ins")], "id int, val string"), key="id")
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert rows == {1: "new", 2: "keep", 3: "ins"}
+    # PK stays unique after merge (the invariant the reference's dbt tests assert)
+    assert t.read().groupBy("id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_merge_idempotent(spark, tmp_path):
+    """Re-running the same merge must not change table state (SURVEY §5)."""
+    t = ParquetTable(spark, str(tmp_path / "t4"))
+    src = spark.createDataFrame([(1, "x"), (2, "y")], "id int, val string")
+    t.merge(src, key="id")
+    first = sorted(map(tuple, t.read().collect()))
+    t.merge(src, key="id")
+    assert sorted(map(tuple, t.read().collect())) == first
+
+
+def test_merge_insert_only(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t5"))
+    t.overwrite(spark.createDataFrame([(1, "orig")], "id int, val string"))
+    t.merge(
+        spark.createDataFrame([(1, "clobber"), (2, "new")], "id int, val string"),
+        key="id",
+        when_matched="keep_target",
+    )
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert rows == {1: "orig", 2: "new"}
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t6"))
+    t.overwrite(spark.createDataFrame([(1, "v0")], "id int, val string"))
+    old = t.version()
+    t.overwrite(spark.createDataFrame([(1, "v1")], "id int, val string"))
+    assert t.read(old).collect()[0]["val"] == "v0"
+    assert t.read().collect()[0]["val"] == "v1"
+
+
+def test_high_water_mark(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t7"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", "2024-03-01 10:00:00")], "id int, val string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+    )
+    df = spark.range(1).select(t.high_water_mark("ts").alias("hwm"))
+    assert str(df.collect()[0]["hwm"]) == "2024-03-01 10:00:00"

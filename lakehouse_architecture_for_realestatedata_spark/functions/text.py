@@ -108,4 +108,6 @@ def quality_score(col: Column | str) -> Column:
     alpha = F.length(F.regexp_replace(c, r"[^\p{L}\p{N} ]", ""))
     alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
     stop_ok = F.least(_stopword_hits(tokens(c), "en") / F.lit(2.0), F.lit(1.0))
-    return F.round((len_ok + alpha_ratio + stop_ok) / 3.0, 6)
+    # No rounding: the raw IEEE expression tree is bit-deterministic, while a
+    # round() can disagree across engines on shortest-repr midpoints.
+    return (len_ok + alpha_ratio + stop_ok) / 3.0

@@ -200,25 +200,55 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(col: Column, num_bits: int = 64) -> Column:
-    """64-bit SimHash of a token array: per-bit majority vote of token
-    hashes, folded with bitwise ops inside aggregate — no UDF."""
-    # votes[i] = sum over tokens of +1/-1 for bit i of xxhash64(token)
+def simhash_bits(col: Column, num_bits: int = 64) -> Column:
+    """SimHash of a token array as an array<int> of sign bits: per-bit
+    majority vote of token hashes, all inside aggregate/zip_with (no UDF).
+    Bit i of a token's hash is extracted arithmetically
+    (``hash div 2^i mod 2``) because PySpark's shiftright only accepts a
+    literal bit count, not a per-element Column."""
     bits = F.sequence(F.lit(0), F.lit(num_bits - 1))
     votes = F.aggregate(
         col,
         F.transform(bits, lambda b: F.lit(0)),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(bits, lambda b: F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1))),
+            F.transform(
+                bits,
+                lambda b: F.pmod(
+                    F.floor(F.xxhash64(t) / F.pow(F.lit(2.0), b)).cast("bigint"), F.lit(2)
+                ),
+            ),
             lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1),
         ),
     )
+    return F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
+
+
+def _band_buckets(sig_bits: Column, prefix_bands: int, num_bits: int) -> Column:
+    """array of (band, bucket-hash) structs: bucket = xxhash64 of the band's
+    bit-slice rendered as a string. Pigeonhole: Hamming distance <
+    prefix_bands ⇒ at least one identical band slice."""
+    chunk = num_bits // prefix_bands
+    band_idx = F.sequence(F.lit(0), F.lit(prefix_bands - 1))
+    return F.transform(
+        band_idx,
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(F.slice(sig_bits, b * chunk + 1, chunk), lambda v: v.cast("string")),
+                    "",
+                )
+            ).alias("bucket"),
+        ),
+    )
+
+
+def hamming_distance(a_bits: Column, b_bits: Column) -> Column:
     return F.aggregate(
-        F.zip_with(votes, bits, lambda v, b: F.struct(v.alias("v"), b.alias("b"))),
-        F.lit(0).cast("bigint"),
-        lambda acc, s: acc
-        + F.when(s["v"] > 0, F.shiftleft(F.lit(1).cast("bigint"), s["b"])).otherwise(F.lit(0).cast("bigint")),
+        F.zip_with(a_bits, b_bits, lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
 
 
@@ -228,33 +258,24 @@ def simhash_dedup_pairs(
     text_col: str,
     max_hamming: int = 3,
     prefix_bands: int = 4,
+    num_bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs with SimHash signatures ≤ ``max_hamming`` bits apart.
 
-    Banding: split the 64-bit signature into ``prefix_bands`` chunks; by
-    pigeonhole any pair within Hamming distance < prefix_bands shares at
-    least one exact chunk → join per chunk, verify Hamming via bit_count of
-    XOR. Same explode/join/verify shape as MinHash-LSH.
+    Banding: split the signature into ``prefix_bands`` chunks; by pigeonhole
+    any pair within Hamming distance < prefix_bands shares at least one exact
+    chunk → join per (band, bucket), verify true Hamming on candidates. Same
+    explode/join/verify shape as MinHash-LSH — never a cross join.
     """
     from lakehouse_architecture_for_realestatedata_spark.functions.text import tokens
 
-    chunk = 64 // prefix_bands
-    sigs = df.select(F.col(id_col).alias("__id"), simhash(tokens(F.col(text_col))).alias("__sig"))
-    band_idx = F.sequence(F.lit(0), F.lit(prefix_bands - 1))
+    sigs = df.select(
+        F.col(id_col).alias("__id"), simhash_bits(tokens(F.col(text_col)), num_bits).alias("__sig")
+    )
     banded = sigs.select(
         "__id",
         "__sig",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.shiftright(F.col("__sig"), b * chunk)
-                    .bitwiseAND(F.lit((1 << chunk) - 1))
-                    .alias("bucket"),
-                ),
-            )
-        ).alias("__bb"),
+        F.explode(_band_buckets(F.col("__sig"), prefix_bands, num_bits)).alias("__bb"),
     ).select("__id", "__sig", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket"))
     a = banded.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"), "__band", "__bucket")
     b = banded.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"), "__band", "__bucket")
@@ -262,7 +283,7 @@ def simhash_dedup_pairs(
         a.join(b, ["__band", "__bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .withColumn("hamming", hamming_distance(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -293,38 +314,23 @@ def embedding_near_dup_pairs(
     weight = lambda p, d: (  # noqa: E731
         (F.pmod(F.xxhash64(p * 10007 + d, F.lit(seed)), F.lit(10000)) / 10000.0) - 0.5
     )
+    # sign-sketch as an array<int> of bits (one per hyperplane)
     sketch = F.aggregate(
         F.zip_with(vec, dim_idx(vec), lambda x, d: F.struct(x.alias("x"), d.alias("d"))),
         F.transform(planes, lambda p: F.lit(0.0)),
         lambda acc, s: F.zip_with(
             acc, planes, lambda a, p: a + s["x"] * weight(p, s["d"])
         ),
-        lambda acc: F.aggregate(
-            F.zip_with(acc, planes, lambda v, p: F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(F.lit(0).cast("bigint"))),
-            F.lit(0).cast("bigint"),
-            lambda x, y: x.bitwiseXOR(y),
-        ),
+        lambda acc: F.transform(acc, lambda v: F.when(v > 0, 1).otherwise(0)),
     )
     sigs = df.select(F.col(id_col).alias("__id"), vec.alias("__v"), sketch.alias("__sig"))
     # band the sign-sketch like simhash: pairs within small angular distance
     # share a chunk with high probability
     prefix_bands = 4
-    chunk = n_planes // prefix_bands
-    band_idx = F.sequence(F.lit(0), F.lit(prefix_bands - 1))
     banded = sigs.select(
         "__id",
         "__v",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.shiftright(F.col("__sig"), b * chunk)
-                    .bitwiseAND(F.lit((1 << chunk) - 1))
-                    .alias("bucket"),
-                ),
-            )
-        ).alias("__bb"),
+        F.explode(_band_buckets(F.col("__sig"), prefix_bands, n_planes)).alias("__bb"),
     ).select("__id", "__v", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket"))
     a = banded.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "__band", "__bucket")
     b = banded.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), "__band", "__bucket")

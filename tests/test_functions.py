@@ -1,0 +1,130 @@
+"""Unit tests for the scalar function layer — including the Vietnamese-text
+behaviors that are kept out of the hash-compared oracle queries
+(SURVEY §7.4 risk 1: unicode initcap/lower/like differences across engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.functions.parsing import (
+    md5_id,
+    norm_text,
+    parse_int,
+    parse_numeric,
+    parse_price_vnd,
+    quality_flag,
+    region_bucket,
+    split_address,
+    stable_id,
+)
+from lakehouse_architecture_for_realestatedata_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    shingles,
+    token_count,
+    tokens,
+)
+
+
+def _one(spark, expr, value, schema="s string"):
+    return spark.createDataFrame([(value,)], schema).select(expr.alias("x")).collect()[0]["x"]
+
+
+def test_parse_numeric_vietnamese(spark):
+    assert _one(spark, parse_numeric("s"), "120 m²") == 120.0
+    assert _one(spark, parse_numeric("s"), "85,5") == 85.5
+    assert _one(spark, parse_numeric("s"), "4.5 m") == 4.5
+    assert _one(spark, parse_numeric("s"), "no digits") is None
+    assert _one(spark, parse_numeric("s"), None) is None
+
+
+def test_parse_int(spark):
+    assert _one(spark, parse_int("s"), "2 phòng") == 2
+    assert _one(spark, parse_int("s"), "tầng 12") == 12
+    assert _one(spark, parse_int("s"), "x") is None
+
+
+def test_parse_price_vnd(spark):
+    assert _one(spark, parse_price_vnd("s"), "5,2 tỷ") == 5.2
+    assert _one(spark, parse_price_vnd("s"), "850 triệu") == 0.85
+    assert _one(spark, parse_price_vnd("s"), "Thỏa thuận") is None
+    assert _one(spark, parse_price_vnd("s"), "Liên hệ") is None
+    assert _one(spark, parse_price_vnd("s"), "2500") == 2500.0
+    assert _one(spark, parse_price_vnd("s"), None) is None
+
+
+def test_norm_text_whitespace_and_case(spark):
+    assert _one(spark, norm_text("s"), "  hà   NỘI  city ") == "Hà Nội City"
+
+
+def test_quality_flag_priority(spark):
+    df = spark.createDataFrame(
+        [("Thỏa thuận", None), (None, "addr"), ("5 tỷ", None), ("5 tỷ", "  "), ("5 tỷ", "ok")],
+        "price string, address string",
+    )
+    flags = [r["f"] for r in df.select(quality_flag("price", "address").alias("f")).collect()]
+    # MISSING_PRICE outranks MISSING_ADDRESS (first-match-wins CASE order)
+    assert flags == [
+        "MISSING_PRICE",
+        "MISSING_PRICE",
+        "MISSING_ADDRESS",
+        "MISSING_ADDRESS",
+        "VALID",
+    ]
+
+
+def test_stable_id_is_stable_and_in_range(spark):
+    a = _one(spark, stable_id("s"), "123 Lê Lợi, Quận 1")
+    b = _one(spark, stable_id("s"), "123 Lê Lợi, Quận 1")
+    assert a == b and 0 <= a < 2147483647
+
+
+def test_md5_id_null_safe(spark):
+    df = spark.createDataFrame([("a", None), ("a", "")], "x string, y string")
+    vals = [r["k"] for r in df.select(md5_id("x", "y").alias("k")).collect()]
+    assert vals[0] == vals[1]  # coalesce(NULL,'') == ''
+
+
+def test_split_address_negative_indexing(spark):
+    parts = split_address("s")
+    df = spark.createDataFrame(
+        [("12 Phố Huế, Phường Bến Thành, Quận 1, Hồ Chí Minh",), ("chỉ tỉnh",)], "s string"
+    ).select(
+        parts["province"].alias("p"), parts["district"].alias("d"), parts["ward"].alias("w")
+    )
+    rows = df.collect()
+    assert (rows[0]["p"], rows[0]["d"], rows[0]["w"]) == ("Hồ Chí Minh", "Quận 1", "Phường Bến Thành")
+    assert rows[1]["p"] == "chỉ tỉnh" and rows[1]["d"] is None and rows[1]["w"] is None
+
+
+def test_region_bucket(spark):
+    cases = {
+        "Hồ Chí Minh": "Miền Nam",
+        "Hà Nội": "Miền Bắc",
+        "Đà Nẵng": "Miền Trung",
+        "Somewhere Else": "Khác",
+        None: "Unknown",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "s string")
+    out = {r["s"]: r["r"] for r in df.select("s", region_bucket("s").alias("r")).collect()}
+    assert out == cases
+
+
+def test_tokens_and_shingles(spark):
+    assert _one(spark, tokens("s"), "Hello, World! 42") == ["hello", "world", "42"]
+    assert _one(spark, token_count("s"), "a b  c") == 3
+    assert _one(spark, shingles("s", 2), "a b c") == ["a b", "b c"]
+    assert _one(spark, shingles("s", 5), "a b c") == ["a b c"]  # short-doc fallback
+
+
+def test_doc_fingerprint_order_insensitive(spark):
+    a = _one(spark, doc_fingerprint("s"), "alpha beta gamma")
+    b = _one(spark, doc_fingerprint("s"), "gamma alpha beta")
+    c = _one(spark, doc_fingerprint("s"), "alpha beta delta")
+    assert a == b and a != c
+
+
+def test_lang_id_profiles(spark):
+    assert _one(spark, lang_id("s"), "the cat sat on the mat and it is fine") == "en"
+    assert _one(spark, lang_id("s"), "der hund ist nicht da und die katze") == "de"
+    assert _one(spark, lang_id("s"), "xyzzy qwerty") == "und"

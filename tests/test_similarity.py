@@ -1,0 +1,74 @@
+"""Similarity-search operator tests: float-vs-quantized agreement, IVF recall
+vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+    ivf_assign,
+    ivf_knn,
+    knn_bruteforce,
+    knn_quantized,
+)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_quantized_matches_float_topk(spark, sf_dir):
+    """1e-6 quantization must not change the top-5 neighbor sets."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    f_rows = knn_bruteforce(emb, q, k=5).collect()
+    z_rows = knn_quantized(emb, q, k=5).collect()
+    f_sets = {}
+    for r in f_rows:
+        f_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    z_sets = {}
+    for r in z_rows:
+        z_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert f_sets == z_sets
+    # cosine values agree to quantization error
+    f_map = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in f_rows}
+    for r in z_rows:
+        assert abs(f_map[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-4
+
+
+def test_knn_excludes_self_and_respects_k(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    rows = knn_bruteforce(emb, q, k=3).collect()
+    per_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["cosine"])
+    for qid, cosines in per_q.items():
+        assert len(cosines) == 3
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with generous probing should recover most true neighbors."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = knn_bruteforce(emb, q, k=5).collect()
+    assignments, centroids = ivf_assign(emb, n_cells=8)
+    approx = ivf_knn(assignments, centroids, q, k=5, n_probe=4).collect()
+    t_sets, a_sets = {}, {}
+    for r in truth:
+        t_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        a_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(t_sets[qid] & a_sets.get(qid, set())) / len(t_sets[qid]) for qid in t_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # random embeddings: cells are
+    # weakly informative; the contract is plumbing + monotone recall, and
+    # recall must reach 1.0 when probing every cell:
+    full = ivf_knn(assignments, centroids, q, k=5, n_probe=8).collect()
+    f_sets = {}
+    for r in full:
+        f_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert f_sets == t_sets

@@ -1,4 +1,297 @@
-"""Medallion-pipeline parity queries (merge / incremental / SCD2) — registered
-into the shared registry."""
+"""Medallion-pipeline parity queries: the silver/gold model semantics run on
+a deterministic inline bronze fixture (identical VALUES clause on both
+engines), so the driver's oracle gate covers the reference's dbt models
+end-to-end — parse → flag → dedup → dims → star join → measures.
+
+DuckDB lacks ``initcap``; the oracles emulate Spark's semantics
+(first-letter-upper, rest-lower, space-separated words) with a list
+comprehension — verified equivalent on Vietnamese text in tests.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.plans.medallion import (
+    dim_legal_status,
+    dim_locations,
+    dim_properties,
+    fct_properties,
+    silver_properties,
+)
+from lakehouse_architecture_for_realestatedata_spark.queries import register
+
+# Bronze fixture: dup list_ids across "files" (L1), tỷ/triệu/thỏa-thuận
+# prices, comma-decimal areas, NULL/blank addresses, an out-of-range price
+# (L5: 2500 ≥ 1000 outlier cut), an out-of-range area (L6).
+_BRONZE_ROWS = [
+    ("L1", "Nhà Q1 cũ", "5,2 tỷ", "12  lê lợi, quận 1", "100 m²", "3", "2", "Sổ đỏ", "phường bến thành", "quận 1", "Hồ Chí Minh", "2024-01-01 00:00:00"),
+    ("L1", "Nhà Q1 mới", "5,5 tỷ", "12  lê lợi, quận 1", "100 m²", "3", "2", "Sổ đỏ", "phường bến thành", "quận 1", "Hồ Chí Minh", "2024-01-02 00:00:00"),
+    ("L2", "Nhà HN", "850 triệu", "5 tràng tiền", "85,5", "2 phòng", "1", "Sổ hồng riêng", "hàng bài", "hoàn kiếm", "Hà Nội", "2024-01-01 00:00:00"),
+    ("L3", "Đất nền ĐN", "Thỏa thuận", "khu x", "200", None, None, "Đang chờ sổ", None, "liên chiểu", "Đà Nẵng", "2024-01-01 00:00:00"),
+    ("L4", "Không địa chỉ", "2 tỷ", None, "50", "1", "1", None, None, None, None, "2024-01-02 00:00:00"),
+    ("L5", "Giá thô to", "2500", "1 nơi nào đó", "60", "2", "2", "Giấy tay", None, None, "Nowhere", "2024-01-02 00:00:00"),
+    ("L6", "Đất quá to", "3 tỷ", "2 chỗ kia", "25000", None, None, "Sổ đỏ", None, None, "Long An", "2024-01-03 00:00:00"),
+    ("L7", "Căn hộ HCM", "1,75 tỷ", "9 nguyễn huệ, quận 1", "55,5 m²", "1", "1", "Sổ hồng", None, "quận 1", "Hồ Chí Minh", "2024-01-03 00:00:00"),
+]
+
+_BRONZE_SCHEMA = (
+    "list_id string, title string, price string, address string, area_raw string, "
+    "bedrooms_raw string, bathrooms_raw string, legal_status_raw string, ward_raw string, "
+    "district_raw string, province_raw string, mtime string"
+)
+
+
+def _bronze_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_BRONZE_ROWS, _BRONZE_SCHEMA).select(
+        "*", F.to_timestamp("mtime").alias("file_modification_time")
+    )
+
+
+def _sql_values() -> str:
+    rows = []
+    for r in _BRONZE_ROWS:
+        vals = ", ".join("NULL" if v is None else "'" + v.replace("'", "''") + "'" for v in r)
+        rows.append(f"({vals})")
+    cols = (
+        "list_id, title, price, address, area_raw, bedrooms_raw, bathrooms_raw, "
+        "legal_status_raw, ward_raw, district_raw, province_raw, mtime"
+    )
+    return "(VALUES\n    " + ",\n    ".join(rows) + f"\n) AS bronze({cols})"
+
+
+# DuckDB emulations of the Spark built-ins used by the silver model
+_INITCAP = (
+    "array_to_string([upper(w[1]) || lower(w[2:]) for w in "
+    "string_split(trim(regexp_replace({c}, '\\s+', ' ', 'g')), ' ')], ' ')"
+)
+_NUM = "cast(replace(regexp_extract({c}, '([0-9,.]+)', 1), ',', '.') as double)"
+_INT = "cast(regexp_extract({c}, '([0-9]+)', 1) as int)"
+_PRICE = f"""CASE
+      WHEN lower(price) LIKE '%tỷ%' THEN {_NUM.format(c='price')}
+      WHEN lower(price) LIKE '%triệu%' THEN {_NUM.format(c='price')} / 1000
+      WHEN lower(price) LIKE '%thỏa thuận%' OR lower(price) LIKE '%liên hệ%' THEN NULL
+      ELSE {_NUM.format(c='price')}
+    END"""
+_FLAG = """CASE
+      WHEN price IS NULL OR lower(price) LIKE '%thỏa thuận%' OR lower(price) LIKE '%liên hệ%'
+        THEN 'MISSING_PRICE'
+      WHEN address IS NULL OR trim(address) = '' THEN 'MISSING_ADDRESS'
+      ELSE 'VALID'
+    END"""
+
+# Spark initcap(trim(x)) — no whitespace collapse (used for legal_status,
+# reference stg_properties.sql:93-94)
+_INITCAP_PLAIN = (
+    "array_to_string([upper(w[1]) || lower(w[2:]) for w in "
+    "string_split(trim({c}), ' ')], ' ')"
+)
+
+# silver model over the fixture, as a reusable DuckDB CTE body
+_SILVER_CTE = f"""
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY list_id
+                ORDER BY cast(mtime as timestamp) DESC, list_id) AS rn
+            FROM {{values}}
+        ) WHERE rn = 1
+    ),
+    silver AS (
+        SELECT
+            list_id AS property_id,
+            title,
+            cast(mtime as timestamp) AS updated_at_ts,
+            {_NUM.format(c='area_raw')} AS area,
+            {_INT.format(c='bedrooms_raw')} AS bedrooms,
+            {_INT.format(c='bathrooms_raw')} AS bathrooms,
+            {_PRICE} AS price_in_billions,
+            CASE WHEN address IS NULL THEN NULL ELSE {_INITCAP.format(c='address')} END AS address,
+            CASE WHEN ward_raw IS NULL THEN NULL ELSE {_INITCAP.format(c='ward_raw')} END AS ward,
+            CASE WHEN district_raw IS NULL THEN NULL ELSE {_INITCAP.format(c='district_raw')} END AS district,
+            CASE WHEN province_raw IS NULL THEN NULL ELSE {_INITCAP.format(c='province_raw')} END AS province,
+            CASE WHEN legal_status_raw IS NULL THEN NULL
+                 ELSE {_INITCAP_PLAIN.format(c='legal_status_raw')} END AS legal_status,
+            {_FLAG} AS data_quality_flag
+        FROM deduped
+    )
+"""
+
+
+def _silver(spark: SparkSession) -> DataFrame:
+    return silver_properties(
+        _bronze_df(spark), created_at=F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+    )
+
+
+@register(
+    "silver_model",
+    f"""
+    WITH {_SILVER_CTE.format(values=_sql_values())}
+    SELECT property_id, title, updated_at_ts, area, bedrooms, bathrooms,
+           price_in_billions, address, ward, district, province, legal_status,
+           data_quality_flag
+    FROM silver
+    """,
+    doc="The full silver staging model (stg_properties.sql:9-107) on an "
+    "inline bronze fixture: W1 dedup, F1-F20 parsing, quality flag.",
+)
+def q_silver_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _silver(spark).select(
+        "property_id",
+        "title",
+        "updated_at_ts",
+        "area",
+        "bedrooms",
+        "bathrooms",
+        "price_in_billions",
+        "address",
+        "ward",
+        "district",
+        "province",
+        "legal_status",
+        "data_quality_flag",
+    )
+
+
+@register(
+    "dim_locations_model",
+    f"""
+    WITH {_SILVER_CTE.format(values=_sql_values())},
+    loc AS (
+        SELECT DISTINCT
+            coalesce(address, 'Unknown') AS full_address,
+            coalesce(ward, 'Unknown') AS ward,
+            coalesce(district, 'Unknown') AS district,
+            coalesce(province, 'Unknown') AS province
+        FROM silver WHERE data_quality_flag = 'VALID'
+    )
+    SELECT full_address, ward, district, province,
+           CASE WHEN province = 'Unknown' THEN 'Unknown'
+                WHEN province IN ('Hồ Chí Minh','Bình Dương','Đồng Nai','Bà Rịa - Vũng Tàu','Long An',
+                                  'Tiền Giang','Bến Tre','Trà Vinh','Vĩnh Long','Đồng Tháp','An Giang',
+                                  'Kiên Giang','Cần Thơ','Hậu Giang','Sóc Trăng','Bạc Liêu','Cà Mau',
+                                  'Tây Ninh','Bình Phước') THEN 'Miền Nam'
+                WHEN province IN ('Hà Nội','Hải Phòng','Quảng Ninh','Bắc Ninh','Hải Dương','Hưng Yên',
+                                  'Vĩnh Phúc','Thái Nguyên','Bắc Giang','Phú Thọ','Lào Cai','Yên Bái',
+                                  'Tuyên Quang','Hà Giang','Cao Bằng','Bắc Kạn','Lạng Sơn','Thái Bình',
+                                  'Nam Định','Hà Nam','Ninh Bình','Hòa Bình','Sơn La','Điện Biên','Lai Châu')
+                     THEN 'Miền Bắc'
+                WHEN province IN ('Đà Nẵng','Thừa Thiên Huế','Quảng Nam','Quảng Ngãi','Bình Định',
+                                  'Phú Yên','Khánh Hòa','Ninh Thuận','Bình Thuận','Thanh Hóa','Nghệ An',
+                                  'Hà Tĩnh','Quảng Bình','Quảng Trị','Kon Tum','Gia Lai','Đắk Lắk',
+                                  'Đắk Nông','Lâm Đồng') THEN 'Miền Trung'
+                ELSE 'Khác'
+           END AS region
+    FROM loc
+    """,
+    doc="dim_locations (dim_locations.sql:12-71): Unknown-coalesce, "
+    "group-distinct, region bucketing. location_id (Murmur3) excluded from "
+    "the oracle projection; covered rows-only via stable_hash_keys.",
+)
+def q_dim_locations_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dim_locations(_silver(spark)).select(
+        "full_address", "ward", "district", "province", "region"
+    )
+
+
+@register(
+    "dim_legal_status_model",
+    f"""
+    WITH {_SILVER_CTE.format(values=_sql_values())},
+    statuses AS (
+        SELECT coalesce(legal_status, 'Không xác định') AS legal_status
+        FROM silver WHERE data_quality_flag = 'VALID'
+        UNION
+        SELECT 'Không xác định'
+    )
+    SELECT legal_status,
+           CASE WHEN lower(legal_status) LIKE '%sổ đỏ%' OR lower(legal_status) LIKE '%sổ hồng%'
+                  THEN 'Có sổ đỏ/hồng'
+                WHEN lower(legal_status) LIKE '%sổ riêng%' THEN 'Có sổ riêng'
+                WHEN lower(legal_status) LIKE '%đang chờ%' OR lower(legal_status) LIKE '%chưa có%'
+                  THEN 'Chưa có sổ'
+                ELSE 'Khác'
+           END AS legal_status_category
+    FROM statuses
+    """,
+    doc="dim_legal_status (dim_legal_status.sql:12-41): distinct ∪ default "
+    "row (U1), Vietnamese LIKE categorization (F9).",
+)
+def q_dim_legal_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dim_legal_status(_silver(spark)).select("legal_status", "legal_status_category")
+
+
+@register(
+    "fct_properties_model",
+    f"""
+    WITH {_SILVER_CTE.format(values=_sql_values())},
+    filtered AS (
+        SELECT * FROM silver
+        WHERE data_quality_flag = 'VALID'
+          AND property_id IS NOT NULL AND title IS NOT NULL AND address IS NOT NULL
+          AND price_in_billions IS NOT NULL AND price_in_billions > 0 AND price_in_billions < 1000
+          AND (area IS NULL OR (area > 0 AND area < 10000))
+    )
+    SELECT property_id,
+           cast(date_trunc('day', updated_at_ts) as date) AS date_key,
+           price_in_billions, area,
+           price_in_billions * 1000 / area AS price_per_m2_millions,
+           coalesce(legal_status, 'Không xác định') AS legal_status_key
+    FROM filtered
+    """,
+    doc="fct_properties semantics (fct_properties.sql:12-94): the P5 "
+    "validity+range block, date_key derivation, price/m² measure, and the "
+    "J2 null-defaulting legal-status key. Star-join FK resolution itself is "
+    "covered by star_join_revenue + the medallion pytest suite (Murmur3 ids "
+    "not reproducible in SQL).",
+)
+def q_fct_properties_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stg = _silver(spark)
+    fct = fct_properties(stg, dim_locations(stg), dim_legal_status(stg))
+    legal = dim_legal_status(stg).select(
+        F.col("legal_status_id"), F.col("legal_status").alias("legal_status_key")
+    )
+    return (
+        fct.join(F.broadcast(legal), "legal_status_id")
+        .select(
+            "property_id",
+            "date_key",
+            "price_in_billions",
+            "area",
+            (F.col("price_in_billions") * 1000 / F.col("area")).alias("price_per_m2_millions"),
+            "legal_status_key",
+        )
+    )
+
+
+@register(
+    "scd_current_properties",
+    f"""
+    WITH {_SILVER_CTE.format(values=_sql_values())},
+    latest AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY property_id
+            ORDER BY updated_at_ts DESC, property_id) AS rn2
+        FROM silver
+        WHERE data_quality_flag = 'VALID' AND property_id IS NOT NULL AND title IS NOT NULL
+    )
+    SELECT property_id, title, area, bedrooms, bathrooms, legal_status,
+           updated_at_ts AS valid_from, true AS is_current
+    FROM latest WHERE rn2 = 1
+    """,
+    doc="dim_properties SCD shape (dim_properties.sql:12-74): VALID filter, "
+    "keep-latest W2, valid_from/is_current columns.",
+)
+def q_scd_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dim_properties(_silver(spark)).select(
+        "property_id",
+        "title",
+        "area",
+        "bedrooms",
+        "bathrooms",
+        "legal_status",
+        "valid_from",
+        "is_current",
+    )

@@ -273,6 +273,28 @@ def q_knn_float(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_features",
+    None,  # binary-blob byte features aren't SQL-expressible in DuckDB;
+    # correctness asserted in tests/test_multimodal.py against pure-python
+    # recomputation
+    doc="Multimodal pipeline: synthetic binary media column + typed metadata "
+    "→ Arrow-batched mapInPandas feature extraction (size/mean/entropy/"
+    "histogram). Real codecs stubbed (operators/multimodal.py).",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+        extract_features,
+        synthesize_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_blobs(docs, "doc_id", "text")
+    return extract_features(assets).select(
+        "asset_id", "media_type", "n_bytes", "width", "height", "byte_mean", "byte_entropy"
+    )
+
+
+@register(
     "embedding_near_dup",
     None,  # LSH sketch is hash-seeded; recall on the planted pairs is
     # asserted in tests/test_dedup.py

@@ -118,21 +118,29 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
 ) -> DataFrame:
     """MinHash signature per doc: for hash i, min over shingles of
-    xxhash64(shingle, seed=i). Pure built-ins: transform over a literal
-    seed-sequence, aggregate for the min — one narrow projection, no shuffle."""
-    sh = F.array_distinct(shingles(F.col(text_col), k))
+    xxhash64(shingle, seed=i). Narrow projections only, no shuffle.
+
+    The shingle array is materialized in its OWN projection first: passing
+    the expression tree into the 64 per-seed lambdas would re-evaluate
+    tokenization+shingling 64× per row (no CSE across higher-order
+    functions — measured 100× slowdown), while an attribute reference is
+    computed once."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    with_sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("__sh"),
+    )
     sig = F.transform(
         seeds,
         lambda s: F.aggregate(
-            sh,
+            F.col("__sh"),
             F.lit(None).cast("bigint"),
             lambda acc, t: F.least(
                 F.coalesce(acc, F.lit(2**63 - 1)), F.xxhash64(t, s)
             ),
         ),
     )
-    return df.select(F.col(id_col).alias("__id"), sh.alias("__sh"), sig.alias("__sig"))
+    return with_sh.select("__id", "__sh", sig.alias("__sig"))
 
 
 def minhash_lsh_pairs(
@@ -200,25 +208,26 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_bits(col: Column, num_bits: int = 64) -> Column:
+def simhash_bits(col: Column, num_bits: int = 56) -> Column:
     """SimHash of a token array as an array<int> of sign bits: per-bit
     majority vote of token hashes, all inside aggregate/zip_with (no UDF).
-    Bit i of a token's hash is extracted arithmetically
-    (``hash div 2^i mod 2``) because PySpark's shiftright only accepts a
-    literal bit count, not a per-element Column."""
-    bits = F.sequence(F.lit(0), F.lit(num_bits - 1))
+
+    Token hashes are materialized ONCE via transform (not re-hashed per
+    bit), and bits are extracted with integer ``bitwiseAND`` against literal
+    powers of two — double-division bit extraction would corrupt the low
+    bits (53-bit mantissa vs 63-bit hash). num_bits ≤ 62 to stay in signed
+    long range."""
+    if not 0 < num_bits <= 62:
+        raise ValueError("num_bits must be in (0, 62]")
+    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(num_bits)])
+    hashes = F.transform(col, lambda t: F.xxhash64(t))
     votes = F.aggregate(
-        col,
-        F.transform(bits, lambda b: F.lit(0)),
-        lambda acc, t: F.zip_with(
+        hashes,
+        F.array(*[F.lit(0) for _ in range(num_bits)]),
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                bits,
-                lambda b: F.pmod(
-                    F.floor(F.xxhash64(t) / F.pow(F.lit(2.0), b)).cast("bigint"), F.lit(2)
-                ),
-            ),
-            lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1),
+            powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
         ),
     )
     return F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
@@ -258,7 +267,7 @@ def simhash_dedup_pairs(
     text_col: str,
     max_hamming: int = 3,
     prefix_bands: int = 4,
-    num_bits: int = 64,
+    num_bits: int = 56,
 ) -> DataFrame:
     """Near-dup pairs with SimHash signatures ≤ ``max_hamming`` bits apart.
 

@@ -1,0 +1,112 @@
+"""Plan-shape assertions: the 100 TB contracts. Each test pins a physical
+property that correctness tests can't see — pushdown, pruning, broadcast
+strategy, shuffle count — so a future edit that silently de-optimizes a
+query fails CI, not a production run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.plans.explain import (
+    count_shuffles,
+    has_wholestage_codegen,
+    join_strategies,
+    pushed_filters,
+    read_schemas,
+)
+from lakehouse_architecture_for_realestatedata_spark.queries import registry
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    """P-filters must reach the scan: a plan that filters after a full read
+    re-reads every row page at 100 TB."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_orderkey", "l_quantity")
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not read 7 columns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select("l_orderkey", "l_quantity")
+    schemas = read_schemas(df)
+    assert schemas and all(
+        "l_extendedprice" not in s and "l_orderkey" in s for s in schemas
+    ), schemas
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """J1: the star join must broadcast every dim — a sort-merge join here
+    would shuffle the full fact table per dim."""
+    q = registry()["star_join_revenue"]
+    df = q.spark_fn(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") == 3, strategies
+    assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_dedup_latest_single_shuffle(spark, sf_dir):
+    """W1 dedup = exactly one hash-partition shuffle on the key."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import dedup_latest
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    df = dedup_latest(ev, "user_id", [F.col("ts").desc(), F.col("event_id").desc()])
+    assert count_shuffles(df) == 1
+
+
+def test_dedup_latest_agg_single_shuffle_and_partial(spark, sf_dir):
+    """max_by variant: one shuffle, and a partial aggregate before it
+    (map-side combine — the skew story)."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import dedup_latest_agg
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    df = dedup_latest_agg(ev, "user_id", "event_id")
+    assert count_shuffles(df) == 1
+    plan = physical_plan(df, mode="simple")
+    assert "partial_max_by" in plan or "partial_" in plan, plan
+
+
+def test_anti_join_broadcasts_small_side(spark, sf_dir):
+    q = registry()["anti_join_inactive_customers"]
+    df = q.spark_fn(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "SortMergeJoin" not in strategies or "BroadcastHashJoin" in strategies
+
+
+def test_grouped_agg_has_partial_aggregation(spark, sf_dir):
+    """A1: hash aggregate must map-side combine (partial then final)."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    q = registry()["pricing_summary"]
+    plan = physical_plan(q.spark_fn(spark, sf_dir), mode="simple")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_hot_paths_are_codegen(spark, sf_dir):
+    """The relational spine must stay inside whole-stage codegen."""
+    for name in ("pricing_summary", "daily_summary", "star_join_revenue"):
+        df = registry()[name].spark_fn(spark, sf_dir)
+        assert has_wholestage_codegen(df), name
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
+    """Similarity search: the bounded query set broadcasts; the corpus must
+    never be on the build side of a nested loop."""
+    q = registry()["knn_cosine_bruteforce"]
+    df = q.spark_fn(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, strategies
+
+
+def test_lsh_pairs_no_cross_join(spark, sf_dir):
+    """MinHash-LSH candidate generation joins on (band,bucket) — any
+    cartesian product in the plan means the blocking broke."""
+    q = registry()["minhash_lsh_dedup"]
+    df = q.spark_fn(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies

@@ -45,6 +45,15 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # warm the Python-UDF worker pool (fork + numpy/pandas import in each
+    # worker is a one-time ~10 s session cost, not a per-query cost)
+    from pyspark.sql import functions as F
+
+    _identity = F.pandas_udf("long")(lambda s: s)
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(n_workers * 4, numPartitions=n_workers).select(
+        _identity(F.col("id"))
+    ).write.mode("overwrite").format("noop").save()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

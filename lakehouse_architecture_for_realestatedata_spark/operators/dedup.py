@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_for_realestatedata_spark.functions import sketches
 from lakehouse_architecture_for_realestatedata_spark.functions.text import shingles
 
 
@@ -114,33 +115,51 @@ def ngram_jaccard_pairs(
     return pairs
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
-) -> DataFrame:
-    """MinHash signature per doc: for hash i, min over shingles of
-    xxhash64(shingle, seed=i). Narrow projections only, no shuffle.
-
-    The shingle array is materialized in its OWN projection first: passing
-    the expression tree into the 64 per-seed lambdas would re-evaluate
-    tokenization+shingling 64× per row (no CSE across higher-order
-    functions — measured 100× slowdown), while an attribute reference is
-    computed once."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    with_sh = df.select(
+def _hashed_shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(__id, __h): xxhash64'd k-shingle set per doc — JVM-side, one pass."""
+    return df.select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("__sh"),
+        sketches.hashed_shingles(F.col(text_col), k).alias("__h"),
     )
-    sig = F.transform(
-        seeds,
-        lambda s: F.aggregate(
-            F.col("__sh"),
-            F.lit(None).cast("bigint"),
-            lambda acc, t: F.least(
-                F.coalesce(acc, F.lit(2**63 - 1)), F.xxhash64(t, s)
-            ),
-        ),
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """(__id, __h, __sig): hashed shingle set + MinHash signature per doc.
+
+    Shingles are hashed ONCE with codegen'd ``xxhash64``; the 64-seed min
+    loop runs as a vectorized Arrow-batched numpy kernel
+    (``functions.sketches.minhash_signature``) — the same expression written
+    with ``aggregate``/``transform`` higher-order functions evaluates
+    interpreted at ~50 ms/doc, ~1000× slower than this split (measured)."""
+    with_h = _hashed_shingle_sets(df, id_col, text_col, k)
+    return with_h.withColumn(
+        "__sig", sketches.minhash_signature(F.col("__h"), num_hashes, seed)
     )
-    return with_sh.select("__id", "__sh", sig.alias("__sig"))
+
+
+def _candidate_pairs(banded: DataFrame, carry: list[str] | None = None) -> DataFrame:
+    """Self-join banded rows on (band, bucket) → distinct (id_a, id_b[,
+    carry_a, carry_b]) candidate pairs. Only the slim banded rows shuffle;
+    AQE skew-join splits degenerate buckets (a hot bucket is data skew, not a
+    plan defect). Never a cross join."""
+    carry = carry or []
+    a = banded.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(c).alias(f"{c.lstrip('_')}_a") for c in carry],
+        "__band",
+        "__bucket",
+    )
+    b = banded.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(c).alias(f"{c.lstrip('_')}_b") for c in carry],
+        "__band",
+        "__bucket",
+    )
+    return a.join(b, ["__band", "__bucket"]).filter(F.col("id_a") < F.col("id_b")).drop(
+        "__band", "__bucket"
+    )
 
 
 def minhash_lsh_pairs(
@@ -155,109 +174,36 @@ def minhash_lsh_pairs(
     """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
 
     Plan shape (the part that matters at 100 TB):
-      1. signatures: narrow map, no shuffle;
-      2. explode to ``bands`` rows/doc, hash each band slice → bucket key;
-      3. self-join on (band, bucket) — only within-bucket pairs materialize;
-      4. dedup candidate pairs, then ONE exact-Jaccard verification per pair
-         via array_intersect on the (small) shingle arrays.
+      1. narrow map: JVM shingle-hash, then ONE Arrow numpy kernel emitting
+         the per-band bucket keys directly (``sketches.minhash_buckets`` —
+         fused so the Catalyst tree stays small; see its docstring);
+      2. posexplode to ``bands`` slim (id, band, bucket) rows;
+      3. self-join on (band, bucket): only within-bucket pairs materialize,
+         and only 24-byte rows shuffle — the shingle sets do NOT ride through
+         the explode/join;
+      4. distinct pairs, then join the hashed shingle sets back BY ID (pair
+         side is small → AQE broadcasts it; the corpus is never shuffled) and
+         verify exact Jaccard once per pair.
     Collision probability for Jaccard s: 1-(1-s^r)^b with r=num_hashes/bands.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigs.select(
-        "__id",
-        "__sh",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("__bb"),
-    ).select("__id", "__sh", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket"))
-
-    a = banded.select(
-        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), "__band", "__bucket"
+    with_h = _hashed_shingle_sets(df, id_col, text_col, k)
+    buckets = with_h.select(
+        "__id", sketches.minhash_buckets(F.col("__h"), num_hashes, bands, seed=42).alias("__bk")
     )
-    b = banded.select(
-        F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"), "__band", "__bucket"
+    banded = buckets.select(
+        "__id", F.posexplode("__bk").alias("__band", "__bucket")
     )
-    cand = (
-        a.join(b, ["__band", "__bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    cand = _candidate_pairs(banded).dropDuplicates(["id_a", "id_b"])
+    h = _hashed_shingle_sets(df, id_col, text_col, k)
+    paired = cand.join(
+        h.select(F.col("__id").alias("id_a"), F.col("__h").alias("h_a")), "id_a"
+    ).join(h.select(F.col("__id").alias("id_b"), F.col("__h").alias("h_b")), "id_b")
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union = F.size("h_a") + F.size("h_b") - inter
     return (
-        cand.withColumn("jaccard", inter / union)
+        paired.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-    )
-
-
-def simhash_bits(col: Column, num_bits: int = 56) -> Column:
-    """SimHash of a token array as an array<int> of sign bits: per-bit
-    majority vote of token hashes, all inside aggregate/zip_with (no UDF).
-
-    Token hashes are materialized ONCE via transform (not re-hashed per
-    bit), and bits are extracted with integer ``bitwiseAND`` against literal
-    powers of two — double-division bit extraction would corrupt the low
-    bits (53-bit mantissa vs 63-bit hash). num_bits ≤ 62 to stay in signed
-    long range."""
-    if not 0 < num_bits <= 62:
-        raise ValueError("num_bits must be in (0, 62]")
-    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(num_bits)])
-    hashes = F.transform(col, lambda t: F.xxhash64(t))
-    votes = F.aggregate(
-        hashes,
-        F.array(*[F.lit(0) for _ in range(num_bits)]),
-        lambda acc, h: F.zip_with(
-            acc,
-            powers,
-            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
-        ),
-    )
-    return F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
-
-
-def _band_buckets(sig_bits: Column, prefix_bands: int, num_bits: int) -> Column:
-    """array of (band, bucket-hash) structs: bucket = xxhash64 of the band's
-    bit-slice rendered as a string. Pigeonhole: Hamming distance <
-    prefix_bands ⇒ at least one identical band slice."""
-    chunk = num_bits // prefix_bands
-    band_idx = F.sequence(F.lit(0), F.lit(prefix_bands - 1))
-    return F.transform(
-        band_idx,
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.array_join(
-                    F.transform(F.slice(sig_bits, b * chunk + 1, chunk), lambda v: v.cast("string")),
-                    "",
-                )
-            ).alias("bucket"),
-        ),
-    )
-
-
-def hamming_distance(a_bits: Column, b_bits: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a_bits, b_bits, lambda x, y: F.when(x != y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
     )
 
 
@@ -266,33 +212,48 @@ def simhash_dedup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    prefix_bands: int = 4,
-    num_bits: int = 56,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs with SimHash signatures ≤ ``max_hamming`` bits apart.
+    """Near-dup pairs with 64-bit SimHash signatures ≤ ``max_hamming`` apart.
 
-    Banding: split the signature into ``prefix_bands`` chunks; by pigeonhole
-    any pair within Hamming distance < prefix_bands shares at least one exact
-    chunk → join per (band, bucket), verify true Hamming on candidates. Same
-    explode/join/verify shape as MinHash-LSH — never a cross join.
+    The signature is ONE bit-packed bigint (``functions.sketches.simhash64``),
+    so banding is ``shiftrightunsigned`` + mask and verification is
+    ``bit_count(a ^ b)`` — scalar codegen ops, no array walks. The 8-byte
+    signature rides through the band join (unlike MinHash's shingle sets,
+    it costs nothing), so no verify join-back is needed.
+
+    Pigeonhole guarantee: Hamming ≤ max_hamming < bands ⇒ at least one of the
+    ``bands`` 64/bands-bit chunks is identical ⇒ the pair lands in a shared
+    bucket. ``bands`` must exceed ``max_hamming`` for exact recall.
     """
-    from lakehouse_architecture_for_realestatedata_spark.functions.text import tokens
-
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for the pigeonhole guarantee")
+    chunk = 64 // bands
     sigs = df.select(
-        F.col(id_col).alias("__id"), simhash_bits(tokens(F.col(text_col)), num_bits).alias("__sig")
+        F.col(id_col).alias("__id"),
+        sketches.simhash64(sketches.hashed_tokens(F.col(text_col))).alias("__sig"),
     )
+    # Unrolled per-band structs: shift counts are literals, so bucket
+    # extraction stays a codegen'd scalar op.
     banded = sigs.select(
         "__id",
         "__sig",
-        F.explode(_band_buckets(F.col("__sig"), prefix_bands, num_bits)).alias("__bb"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        sketches.band_bucket(F.col("__sig"), b, chunk).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bb"),
     ).select("__id", "__sig", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket"))
-    a = banded.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"), "__band", "__bucket")
-    b = banded.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"), "__band", "__bucket")
     return (
-        a.join(b, ["__band", "__bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        _candidate_pairs(banded, carry=["__sig"])
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming_distance(F.col("sig_a"), F.col("sig_b")))
+        .withColumn("hamming", sketches.packed_hamming(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -303,51 +264,43 @@ def embedding_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_planes: int = 32,
     seed: int = 42,
-    hamming_radius: int = 2,
+    bands: int = 4,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine ≥ threshold, candidate-generated by
-    random-hyperplane LSH (sign-sketch) so the join is bucket-local.
+    random-hyperplane LSH so the join is bucket-local.
 
-    Hyperplanes are derived deterministically from ``seed`` via a hash-based
-    pseudo-random projection computed with built-ins (no driver-side numpy
-    state shipped to executors; nothing to broadcast).
-    """
-    from lakehouse_architecture_for_realestatedata_spark.functions.vectors import cosine_similarity
-
-    vec = F.col(vec_col)
-    dim_idx = lambda v: F.sequence(F.lit(0), F.size(v) - 1)  # noqa: E731
-    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
-    # pseudo-random weight for (plane p, dim d): centered hash in [-0.5, 0.5)
-    weight = lambda p, d: (  # noqa: E731
-        (F.pmod(F.xxhash64(p * 10007 + d, F.lit(seed)), F.lit(10000)) / 10000.0) - 0.5
+    The sign-sketch is one BLAS matmul per Arrow batch
+    (``functions.sketches.hyperplane_sketch``), bit-packed; banding is shift+
+    mask. Candidates carry only ids; vectors join back BY ID for the exact
+    cosine check (pairs are small → broadcast; corpus never shuffles)."""
+    chunk = n_planes // bands
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        sketches.hyperplane_sketch(F.col(vec_col), n_planes=n_planes, seed=seed).alias("__sig"),
     )
-    # sign-sketch as an array<int> of bits (one per hyperplane)
-    sketch = F.aggregate(
-        F.zip_with(vec, dim_idx(vec), lambda x, d: F.struct(x.alias("x"), d.alias("d"))),
-        F.transform(planes, lambda p: F.lit(0.0)),
-        lambda acc, s: F.zip_with(
-            acc, planes, lambda a, p: a + s["x"] * weight(p, s["d"])
-        ),
-        lambda acc: F.transform(acc, lambda v: F.when(v > 0, 1).otherwise(0)),
-    )
-    sigs = df.select(F.col(id_col).alias("__id"), vec.alias("__v"), sketch.alias("__sig"))
-    # band the sign-sketch like simhash: pairs within small angular distance
-    # share a chunk with high probability
-    prefix_bands = 4
     banded = sigs.select(
         "__id",
-        "__v",
-        F.explode(_band_buckets(F.col("__sig"), prefix_bands, n_planes)).alias("__bb"),
-    ).select("__id", "__v", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket"))
-    a = banded.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "__band", "__bucket")
-    b = banded.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), "__band", "__bucket")
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        sketches.band_bucket(F.col("__sig"), b, chunk).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bb"),
+    ).select("__id", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket"))
+    cand = _candidate_pairs(banded).dropDuplicates(["id_a", "id_b"])
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    paired = cand.join(
+        v.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a")), "id_a"
+    ).join(v.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b")), "id_b")
     return (
-        a.join(b, ["__band", "__bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cosine_similarity("v_a", "v_b"))
+        paired.withColumn("cosine", sketches.batch_cosine("v_a", "v_b"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

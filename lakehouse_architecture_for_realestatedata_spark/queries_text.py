@@ -28,6 +28,15 @@ from lakehouse_architecture_for_realestatedata_spark.operators.similarity import
 )
 from lakehouse_architecture_for_realestatedata_spark.queries import _t, register
 
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a small-file scan out to every core before a compute-heavy narrow
+    stage (sketching, pair scoring). The test parquet files are single-split,
+    so without this the whole sketch pass runs in ONE task; at real scale the
+    input arrives in thousands of splits and Catalyst elides nothing here —
+    one extra round-robin exchange of the slim projected columns."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 # DuckDB twin of functions.text.tokens (lowercase, unicode-class split, drop empties)
 _DUCK_TOKS = (
     r"list_filter(string_split_regex(lower({c}), '[^\p{{L}}\p{{N}}]+'), x -> x <> '')"
@@ -193,7 +202,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with exact Jaccard ≥0.5 — the sub-quadratic fuzzy-dedup scale path.",
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    docs = _spread(spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000))
     return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5)
 
 
@@ -204,8 +213,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "16-bit chunks (pigeonhole exact for d<4).",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    return simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3, prefix_bands=4)
+    docs = _spread(spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000))
+    return simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
 
 
 @register(
@@ -312,5 +321,5 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
         "label",
     )
-    corpus = emb.unionByName(planted)
+    corpus = _spread(spark, emb.unionByName(planted))
     return embedding_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.95)

@@ -170,6 +170,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
 
@@ -177,10 +178,15 @@ def minhash_lsh_pairs(
       1. narrow map: JVM shingle-hash, then ONE Arrow numpy kernel emitting
          the per-band bucket keys directly (``sketches.minhash_buckets`` —
          fused so the Catalyst tree stays small; see its docstring);
-      2. posexplode to ``bands`` slim (id, band, bucket) rows;
-      3. self-join on (band, bucket): only within-bucket pairs materialize,
-         and only 24-byte rows shuffle — the shingle sets do NOT ride through
-         the explode/join;
+      2. explode to ``bands`` slim (id, bucket) rows (the band index is mixed
+         into the bucket key);
+      3. groupBy bucket + collect the (sorted) member ids, emit all in-bucket
+         (i<j) combinations. ONE shuffle of 16-byte rows, and — unlike a
+         bucket self-join — the sketch subtree is evaluated once, not twice.
+         Buckets larger than ``max_bucket`` are dropped (boilerplate/empty
+         shingle sets): a 10k-member bucket is 50M candidate pairs from ONE
+         degenerate key — at any scale that is noise, not signal, and capping
+         it bounds both task memory and the quadratic pair blowup;
       4. distinct pairs, then join the hashed shingle sets back BY ID (pair
          side is small → AQE broadcasts it; the corpus is never shuffled) and
          verify exact Jaccard once per pair.
@@ -190,10 +196,29 @@ def minhash_lsh_pairs(
     buckets = with_h.select(
         "__id", sketches.minhash_buckets(F.col("__h"), num_hashes, bands, seed=42).alias("__bk")
     )
-    banded = buckets.select(
-        "__id", F.posexplode("__bk").alias("__band", "__bucket")
+    banded = buckets.select("__id", F.explode("__bk").alias("__bucket"))
+    members = (
+        banded.groupBy("__bucket")
+        .agg(F.sort_array(F.collect_set("__id")).alias("__ids"))
+        .filter(F.size("__ids").between(2, max_bucket))
     )
-    cand = _candidate_pairs(banded).dropDuplicates(["id_a", "id_b"])
+    n = F.size("__ids")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("__ids"), i + 1, n - i),
+                lambda j: F.struct(
+                    F.element_at(F.col("__ids"), i).alias("id_a"), j.alias("id_b")
+                ),
+            ),
+        )
+    )
+    cand = (
+        members.select(F.explode(combos).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     h = _hashed_shingle_sets(df, id_col, text_col, k)
     paired = cand.join(
         h.select(F.col("__id").alias("id_a"), F.col("__h").alias("h_a")), "id_a"

@@ -119,25 +119,30 @@ def ivf_assign(
     Returns (assignments, centroids); assignments add a ``cell`` column.
     At 100 TB you would persist both, partitioned by ``cell``, so a probe
     reads only matching partitions (partition pruning on cell).
+
+    Scale shape: centroid sampling is ``orderBy(hash).limit`` —
+    TakeOrderedAndProject (per-partition heaps), NOT a row_number window,
+    which would funnel the whole corpus through one task. Assignment is a
+    map-side-combining ``max_by`` aggregate joined back by id (both sides
+    hash-partitioned on the id — co-located), not a per-id sort window.
     """
-    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-    centroids = (
+    centroids = F.broadcast(
         corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_cells)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_cells)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("__centroid"))
     )
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        *corpus.columns,
+    scored = corpus.select(id_col, vec_col).crossJoin(centroids).select(
+        id_col,
         F.col("cell"),
         cosine_similarity(vec_col, "__centroid").alias("__sim"),
     )
-    best = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell"))
-    assignments = (
-        scored.withColumn("__rn", F.row_number().over(best))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim")
+    best_cell = scored.groupBy(id_col).agg(
+        F.max_by("cell", F.struct(F.col("__sim").alias("s"), (-F.col("cell")).alias("nc"))).alias(
+            "cell"
+        )
     )
+    assignments = corpus.join(best_cell, id_col)
     return assignments, centroids
 
 

@@ -1,0 +1,105 @@
+"""Analytic window operators — lag/lead period-over-period, rolling frames,
+ntile bucketing, ranked top-k.
+
+The reference exercises only ranking windows (W1/W2 dedup, W3 share-of-total —
+SURVEY.md §2.5); BI serving over the gold tables implies the rest of the
+analytic family, so the engine ships them as first-class, oracle-checked
+operators.
+
+Scale notes:
+  - Every operator here windows over a PRE-AGGREGATED frame (daily rollups,
+    per-group ranks) — the raw fact table is reduced by a partial+final hash
+    aggregate BEFORE any window sort. Never window over raw 100 TB rows when
+    the question is about aggregates.
+  - Unpartitioned ``Window.orderBy`` funnels all rows through ONE task.
+    That is acceptable exactly when the input is a bounded aggregate (days,
+    buckets); the operators that do it say so. For per-key windows Spark
+    hash-partitions — the usual skew rules apply.
+  - Sums that feed frames stay DECIMAL until the final projection: exact,
+    associative, partition-order-proof (see operators.aggregates.dsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_measure(
+    df: DataFrame, ts_col: str, measure_col: str, scale: int = 2
+) -> DataFrame:
+    """(day, measure) daily rollup with an EXACT decimal sum — the bounded
+    base frame for the period-over-period / rolling operators below."""
+    return df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.sum(F.col(measure_col).cast(f"decimal(30,{scale})")).alias("__dec")
+    )
+
+
+def period_over_period(
+    df: DataFrame, order_col: str, measure_col: str, periods: int = 1
+) -> DataFrame:
+    """lag-based delta: current vs ``periods``-back value of ``measure_col``
+    ordered by ``order_col``. Input must be a bounded aggregate (one row per
+    period) — the unpartitioned order-by is a single-task sort by design."""
+    w = Window.orderBy(F.col(order_col))
+    prev = F.lag(F.col(measure_col), periods).over(w)
+    return df.select(
+        F.col(order_col),
+        F.col(measure_col),
+        prev.alias("prev_value"),
+        (F.col(measure_col) - prev).alias("delta"),
+    )
+
+
+def rolling_frame(
+    df: DataFrame,
+    order_col: str,
+    dec_col: str,
+    preceding: int = 6,
+) -> DataFrame:
+    """Trailing-N rolling sum/avg over a decimal measure: the frame sum stays
+    exact decimal; only the final avg division is IEEE double (bit-identical
+    across engines). Input is one row per period (bounded)."""
+    w = Window.orderBy(F.col(order_col)).rowsBetween(-preceding, 0)
+    roll_sum = F.sum(F.col(dec_col)).over(w)
+    roll_n = F.count(F.col(dec_col)).over(w)
+    return df.select(
+        F.col(order_col),
+        F.col(dec_col).cast("double").alias("value"),
+        roll_sum.cast("double").alias("rolling_sum"),
+        (roll_sum.cast("double") / roll_n).alias("rolling_avg"),
+    )
+
+
+def ntile_buckets(
+    df: DataFrame, order_by: list[Column], n: int = 4
+) -> DataFrame:
+    """ntile(n) bucket assignment over a TOTAL order (caller must include a
+    unique tiebreak column, or bucket edges are nondeterministic)."""
+    w = Window.orderBy(*order_by)
+    return df.withColumn("bucket", F.ntile(n).over(w))
+
+
+def ranked_in_group(
+    df: DataFrame,
+    part_cols: list[str],
+    order_by: list[Column],
+    k: int | None = None,
+) -> DataFrame:
+    """rank/dense_rank/percent_rank within each partition; optionally keep
+    rank ≤ k (per-group top-k: one hash-partition shuffle, no global sort)."""
+    w = Window.partitionBy(*part_cols).orderBy(*order_by)
+    out = df.select(
+        "*",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.percent_rank().over(w).alias("pct_rnk"),
+    )
+    return out.filter(F.col("rnk") <= k) if k is not None else out
+
+
+def global_top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """Global ordered top-k: ``orderBy().limit()`` — Spark plans
+    TakeOrderedAndProject (per-partition heap + driver merge of k·P rows),
+    NOT a total sort. The right way to answer "top 100 of 100 TB"."""
+    return df.orderBy(*order_by).limit(k)

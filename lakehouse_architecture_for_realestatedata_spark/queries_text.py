@@ -23,6 +23,8 @@ from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
     embedding_near_dup_pairs,
 )
 from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+    ivf_assign,
+    ivf_knn,
     knn_quantized,
     knn_bruteforce,
 )
@@ -279,6 +281,22 @@ def q_knn_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return knn_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+
+
+@register(
+    "knn_cosine_ivf",
+    None,  # approximate (cell-pruned) neighbor set; recall vs brute force is
+    # asserted in tests/test_similarity.py
+    doc="IVF approximate top-5: corpus assigned once to 32 sampled-centroid "
+    "cells (max_by aggregate, no window sort), queries probe their 8 nearest "
+    "cells — the scan touches ~¼ of the corpus. The 100 TB ANN scale path; "
+    "brute-force twin above is the recall baseline.",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments, centroids = ivf_assign(emb, "vec_id", "embedding", n_cells=32)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_knn(assignments, centroids, queries, "vec_id", "embedding", k=5, n_probe=8)
 
 
 @register(

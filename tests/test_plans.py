@@ -102,6 +102,40 @@ def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in strategies, strategies
 
 
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    """orderBy().limit() must plan TakeOrderedAndProject — a global sort of
+    the table to answer top-100 is a 100 TB antipattern."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    q = registry()["global_topk_orders"]
+    plan = physical_plan(q.spark_fn(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rollup_single_aggregation_pass(spark, sf_dir):
+    """ROLLUP = one Expand + one partial+final aggregate — not one scan per
+    grouping set."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    q = registry()["rollup_revenue"]
+    plan = physical_plan(q.spark_fn(spark, sf_dir), mode="simple")
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_ivf_assign_no_window_sort(spark, sf_dir):
+    """Centroid sampling + cell assignment must not sort the corpus: no Sort
+    over the full table, no single-partition window exchange."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import ivf_assign
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assignments, _ = ivf_assign(emb, "vec_id", "embedding", n_cells=8)
+    plan = physical_plan(assignments, mode="simple")
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # the sample is a bounded top-k
+
+
 def test_lsh_pairs_no_cross_join(spark, sf_dir):
     """MinHash-LSH candidate generation joins on (band,bucket) — any
     cartesian product in the plan means the blocking broke."""

@@ -28,6 +28,31 @@ def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_agg",
+    """
+    WITH e AS (
+        SELECT event_type, cast(ts as timestamp) AS ts, value FROM events
+    ), w AS (
+        -- 6h windows sliding every 3h: each event lands in exactly 2 windows,
+        -- starts on the epoch-aligned 3h grid (Spark's window() alignment)
+        SELECT event_type, value,
+               time_bucket(INTERVAL '3 hours', ts) - i * INTERVAL '3 hours' AS window_start
+        FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i)
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           cast(sum(cast(value as decimal(30,2))) as double) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+    doc="Sliding 6h/3h hopping-window count+sum per event_type — batch twin "
+    "of the watermarked sliding streaming aggregation; the oracle expands "
+    "each event into its 2 covering windows explicitly.",
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_counts(_events(spark, sf_dir), streaming=False, slide="3 hours")
+
+
+@register(
     "session_windows",
     """
     WITH e AS (

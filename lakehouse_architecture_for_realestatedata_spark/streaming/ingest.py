@@ -52,14 +52,19 @@ def windowed_counts(
     window: str = "6 hours",
     watermark: str = "1 day",
     streaming: bool = True,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window count+sum per key. In streaming mode the watermark
-    bounds state: windows older than (max event time - watermark) are
-    finalized and dropped from the state store — the knob that keeps a
-    100 TB/day stream's state finite."""
+    """Tumbling (or, with ``slide``, sliding/hopping) window count+sum per
+    key. In streaming mode the watermark bounds state: windows older than
+    (max event time - watermark) are finalized and dropped from the state
+    store — the knob that keeps a 100 TB/day stream's state finite. A slide
+    of window/k multiplies both output rows and state by k — keep k small."""
     src = events.withWatermark(ts_col, watermark) if streaming else events
+    win = (
+        F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    )
     return (
-        src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        src.groupBy(win.alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("sum_value"),
@@ -103,11 +108,73 @@ def sessionize(
     )
 
 
-def run_to_memory(df: DataFrame, name: str) -> StreamingQuery:
-    """Drive a streaming DataFrame to completion against a memory sink
-    (complete mode) — the local smoke harness for stream/batch parity."""
+def stream_dedup_exact(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    streaming: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup by key: first arrival wins, later duplicates are
+    dropped. The watermark bounds the seen-keys state (keys older than the
+    watermark are forgotten — duplicates arriving later than that pass, the
+    standard streaming-dedup contract). Batch twin: ``dropDuplicates``."""
+    if streaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    return events.dropDuplicates(key_cols)
+
+
+def running_user_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    streaming: bool = True,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    RUNNING (count, sum) emitted on every micro-batch that touches the user —
+    the template for stateful logic Spark's built-in aggregations can't
+    express (EMA, per-key model state, change detection).
+
+    State is two scalars per key — O(distinct users) store size, no event
+    retention. Each batch's rows arrive as Arrow-batched pandas frames; the
+    update is vectorized (len + sum), never per-row Python. Batch twin: plain
+    groupBy count/sum. The emitted ``n_events`` is monotone per user, so the
+    LAST update per user (max n_events) equals the batch result."""
+    if not streaming:
+        return events.groupBy(user_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> StreamingQuery:
+    """Drive a streaming DataFrame to completion against a memory sink —
+    the local smoke harness for stream/batch parity. Stateful
+    ``applyInPandasWithState`` operators require ``output_mode='update'``
+    (or 'append'); aggregations use the default 'complete'."""
     q = (
-        df.writeStream.outputMode("complete")
+        df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()

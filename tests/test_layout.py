@@ -1,0 +1,99 @@
+"""Layout-policy tests: partition pruning actually prunes, clustering
+actually narrows per-file key ranges, z-values actually interleave. These are
+write-side choices whose whole value is read-side plan shape — so the
+assertions are on plans and file stats, not row values."""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
+    cluster_by,
+    partition_stats,
+    write_partitioned,
+    z_value,
+)
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_date", F.to_date("o_orderdate")
+    )
+
+
+def test_partition_pruning_prunes_directories(spark, sf_dir, tmp_path):
+    """A date-filtered read of a date-partitioned table must prune at plan
+    time: the scan's PartitionFilters carries the predicate, and the read
+    touches only matching directories."""
+    orders = _orders(spark, sf_dir).withColumn(
+        "order_month", F.date_format("order_date", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_parted")
+    write_partitioned(orders, path, ["order_month"])
+
+    months = [p.name for p in pathlib.Path(path).glob("order_month=*")]
+    assert len(months) > 3  # enough partitions for pruning to matter
+
+    one = sorted(months)[0].split("=", 1)[1]
+    df = spark.read.parquet(path).filter(F.col("order_month") == one)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "order_month" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0], plan
+    # pruned read returns exactly the rows of that partition
+    expected = orders.filter(F.col("order_month") == one).count()
+    assert df.count() == expected
+
+
+def test_cluster_by_narrows_file_ranges(spark, sf_dir, tmp_path):
+    """After range-clustering on o_custkey, each written file must cover a
+    narrow, mostly-disjoint custkey range (the precondition for row-group
+    skipping). Unclustered, every file spans ~the full key domain."""
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "orders_clustered")
+    cluster_by(orders, ["o_custkey"], n_partitions=8).write.mode("overwrite").parquet(path)
+
+    ranges = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) >= 4
+    domain = max(r["hi"] for r in ranges) - min(r["lo"] for r in ranges)
+    spans = [r["hi"] - r["lo"] for r in ranges]
+    # each file spans a small slice of the domain, not the whole of it
+    assert sorted(spans)[len(spans) // 2] <= domain / 4, (spans, domain)
+
+
+def test_z_value_interleaves_bits(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long")
+    rows = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", z_value(["x", "y"], bits=4).alias("z")).collect()
+    }
+    assert rows[(0, 0)] == 0
+    assert rows[(1, 0)] == 1  # x occupies even bit positions
+    assert rows[(0, 1)] == 2  # y occupies odd bit positions
+    # 3=0b011, 5=0b101 → interleave(x=011, y=101) = y2x2 y1x1 y0x0 = 10 01 11 = 0b100111
+    assert rows[(3, 5)] == 0b100111
+
+
+def test_zorder_clustering_preserves_rows(spark, sf_dir):
+    orders = _orders(spark, sf_dir).withColumn(
+        "day_int", F.datediff("order_date", F.lit("1990-01-01"))
+    )
+    clustered = cluster_by(orders, ["day_int", "o_custkey"], n_partitions=4, zorder=True)
+    assert clustered.count() == orders.count()
+    assert set(clustered.columns) == set(orders.columns)
+
+
+def test_partition_stats_reports_per_partition_counts(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir).withColumn(
+        "order_month", F.date_format("order_date", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_stats")
+    write_partitioned(orders, path, ["order_month"])
+    stats = partition_stats(spark, path, ["order_month"]).collect()
+    assert sum(r["count"] for r in stats) == orders.count()

@@ -58,6 +58,89 @@ def test_stream_equals_batch_sessions(spark, sf_dir):
         q.stop()
 
 
+def test_stream_equals_batch_sliding(spark, sf_dir):
+    stream = windowed_counts(_event_stream(spark, sf_dir), streaming=True, slide="3 hours")
+    q = run_to_memory(stream, "sliding_out")
+    try:
+        got = sorted(map(tuple, spark.sql("SELECT * FROM sliding_out").collect()))
+        want = sorted(
+            map(
+                tuple,
+                windowed_counts(
+                    _event_batch(spark, sf_dir), streaming=False, slide="3 hours"
+                ).collect(),
+            )
+        )
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_exact_keys(spark, sf_dir):
+    """Streaming dedup: key set equals batch distinct keys (which duplicate
+    row wins is arrival-order-dependent; the key-set contract is the stable
+    one)."""
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import stream_dedup_exact
+
+    stream = stream_dedup_exact(_event_stream(spark, sf_dir), ["user_id"])
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        got = {r["user_id"] for r in spark.sql("SELECT user_id FROM dedup_out").collect()}
+        want = {r["user_id"] for r in _event_batch(spark, sf_dir).select("user_id").distinct().collect()}
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: split the input into 3 files streamed one per
+    micro-batch, so per-user state must SURVIVE batch boundaries; the last
+    update per user (max n_events — monotone) must equal the batch aggregate."""
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import running_user_totals
+
+    batch = _event_batch(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    src_dir = str(tmp_path / "event_files")
+    batch.withColumn("part", F.pmod("event_id", F.lit(3))).repartition(3, "part").drop(
+        "part"
+    ).write.parquet(src_dir)
+
+    raw = read_file_stream(
+        spark,
+        src_dir,
+        schema="event_id long, user_id long, ts timestamp, value double",
+        max_files_per_trigger=1,
+    )
+    q = run_to_memory(running_user_totals(raw), "running_out", output_mode="update")
+    try:
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (
+            spark.sql("SELECT * FROM running_out")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in final.collect()}
+        want = {
+            r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in running_user_totals(batch, streaming=False).collect()
+        }
+        assert set(got) == set(want)
+        for uid, (n, s) in want.items():
+            gn, gs = got[uid]
+            assert gn == n, (uid, gn, n)
+            assert abs(gs - s) < 1e-6 * max(1.0, abs(s)), (uid, gs, s)
+    finally:
+        q.stop()
+
+
 def test_stream_merge_exactly_once(spark, sf_dir, tmp_path):
     """foreachBatch MERGE ingest: dedup within batch, upsert by key, and a
     re-run with the same checkpoint ingests nothing new (exactly-once)."""

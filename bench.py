@@ -54,6 +54,20 @@ def main() -> None:
     spark.range(n_workers * 4, numPartitions=n_workers).select(
         _identity(F.col("id"))
     ).write.mode("overwrite").format("noop").save()
+    # JIT/codegen warmup: run each headline plan once at the smallest SF
+    # (~1/100 of the measured data). The JVM compiles the generated code and
+    # the expression interpreter paths on this pass, so the measured pass
+    # times steady-state query execution, not first-invocation compilation —
+    # standard warm-run benchmark methodology.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        spec = reg.get(name)
+        if spec is None:
+            continue
+        try:
+            spec.spark_fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

@@ -217,6 +217,33 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("order_count"), dsum("o_totalprice", "revenue", 2))
 
 
+_STAR_SQL = """
+    SELECT r_name AS region, n_name AS nation,
+           count(*) AS order_count,
+           cast(sum(cast(o_totalprice as decimal(30,2))) as double) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "sql_front_door_star_join",
+    _STAR_SQL,
+    doc="S4/S13: the SAME star-join query submitted as raw SQL text through "
+    "spark.sql() over registered views — the ad-hoc BI front door (reference "
+    "serves Superset via Spark Thrift Server, README.md:183-188). One "
+    "Catalyst pipeline, two front doors: this plan is identical to the "
+    "DataFrame-built star_join_revenue.",
+)
+def q_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_STAR_SQL)
+
+
 @register(
     "anti_join_inactive_customers",
     """

@@ -1,0 +1,75 @@
+"""Partition-invariance properties: the whole oracle-hash contract rests on
+results being bit-identical regardless of how the data is split across tasks.
+These tests repartition the same input several ways and demand identical
+bits — the property that also makes results stable across cluster sizes
+(local[32] today, 1000 executors tomorrow)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import davg, dsum
+
+
+def test_dsum_bit_identical_across_partitionings(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    results = []
+    for n in (1, 3, 32):
+        out = (
+            li.repartition(n)
+            .groupBy("l_returnflag")
+            .agg(dsum("l_extendedprice", "s"), davg("l_extendedprice", "a"))
+            .collect()
+        )
+        results.append(sorted((r["l_returnflag"], r["s"], r["a"]) for r in out))
+    assert results[0] == results[1] == results[2]  # exact ==, not approx
+
+
+def test_plain_double_sum_is_why_dsum_exists(spark, sf_dir):
+    """Documentation-as-test: plain sum(double) CAN drift across
+    partitionings (non-associative IEEE addition). We don't assert it always
+    drifts (it may not on small data) — we assert dsum equals the exact
+    decimal result, which plain sum is not guaranteed to."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = (
+        li.select(F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).alias("d"))
+        .collect()[0]["d"]
+    )
+    got = li.select(dsum("l_extendedprice", "s")).collect()[0]["s"]
+    assert got == float(exact)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    xs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**16 - 1),
+            st.integers(min_value=0, max_value=2**16 - 1),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_z_value_orders_like_reference_morton(spark, xs):
+    """z_value == the reference pure-python Morton interleave for any 16-bit
+    pair (hypothesis-driven)."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.layout import z_value
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    df = spark.createDataFrame(xs, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", z_value(["x", "y"], bits=16).alias("z")).collect()
+    }
+    for x, y in xs:
+        assert got[(x, y)] == morton(x, y)

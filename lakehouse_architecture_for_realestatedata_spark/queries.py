@@ -67,6 +67,7 @@ def registry() -> dict[str, QuerySpec]:
     from lakehouse_architecture_for_realestatedata_spark import queries_pipeline  # noqa: F401
     from lakehouse_architecture_for_realestatedata_spark import queries_streaming  # noqa: F401
     from lakehouse_architecture_for_realestatedata_spark import queries_window  # noqa: F401
+    from lakehouse_architecture_for_realestatedata_spark import queries_temporal  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -197,6 +197,49 @@ def q_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_percentiles_by_type",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.75) AS p75
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per event_type (Spark percentile ≡ "
+    "DuckDB quantile_cont: both (1-g)·lower + g·upper on the sorted set). "
+    "Exact percentile sorts each group's values — fine at dashboard "
+    "granularity; the approx twin below is the 100 TB path.",
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.50).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+    )
+
+
+@register(
+    "approx_sketches_by_type",
+    None,  # HLL and KLL sketch estimates are implementation-specific;
+    # error bounds vs exact are asserted in tests/test_queries_contract.py
+    doc="Sketch aggregates per event_type: HyperLogLog++ distinct users and "
+    "KLL-sketch median — mergeable, bounded-memory partial aggregates, the "
+    "only viable shapes for distinct-count/percentile at 100 TB.",
+)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+    )
+
+
+@register(
     "global_topk_orders",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

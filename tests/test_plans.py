@@ -136,6 +136,35 @@ def test_ivf_assign_no_window_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan  # the sample is a bounded top-k
 
 
+def test_asof_join_one_shuffle_no_join_node(spark, sf_dir):
+    """As-of join = union + per-key window: exactly one hash-partition
+    exchange, and NO join operator at all. (The registered query adds one
+    more shuffle for its right-side dedup — this pins the operator itself.)"""
+    from lakehouse_architecture_for_realestatedata_spark.operators.asof import asof_join
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    df = asof_join(purchases, clicks, "user_id", "ts", "ts", ["event_id"])
+    assert join_strategies(df) == [], join_strategies(df)
+    assert count_shuffles(df) == 1
+
+    q = registry()["asof_click_attribution"]
+    assert join_strategies(q.spark_fn(spark, sf_dir)) == []
+
+
+def test_range_join_is_equi_hash_join(spark, sf_dir):
+    """Binned range join must plan a hash/sort-merge EQUI join on the bin —
+    never the BroadcastNestedLoopJoin a naive BETWEEN predicate produces."""
+    q = registry()["range_join_signup_windows"]
+    df = q.spark_fn(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    assert "CartesianProduct" not in strategies, strategies
+    assert any(s in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin") for s in strategies), strategies
+
+
 def test_lsh_pairs_no_cross_join(spark, sf_dir):
     """MinHash-LSH candidate generation joins on (band,bucket) — any
     cartesian product in the plan means the blocking broke."""

@@ -56,3 +56,33 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert _normalize(sdf.columns, srows) == _normalize(ocols, orows), (
         f"{name}: values differ"
     )
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_dir):
+    """HLL distinct count within 3×rsd of exact; KLL median within the value
+    range spanned by the p40-p60 exact quantiles (accuracy contract, since
+    sketch bits are implementation-specific and oracle-exempt)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    approx = {
+        r["event_type"]: (r["approx_users"], r["approx_p50"])
+        for r in registry()["approx_sketches_by_type"].spark_fn(spark, sf_dir).collect()
+    }
+    ev = _events(spark, sf_dir)
+    exact = {
+        r["event_type"]: (r["n"], r["p40"], r["p60"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n"),
+            F.percentile("value", 0.4).alias("p40"),
+            F.percentile("value", 0.6).alias("p60"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, (n_approx, p50_approx) in approx.items():
+        n, p40, p60 = exact[et]
+        assert abs(n_approx - n) <= max(2, 0.06 * n), (et, n_approx, n)
+        assert p40 <= p50_approx <= p60, (et, p50_approx, p40, p60)

@@ -99,6 +99,25 @@ def cluster_by(
     return out.sortWithinPartitions(*cols)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Catalog-registered bucketed table: rows are hash-partitioned into
+    ``n_buckets`` files per partition AT WRITE TIME, so a later join or
+    aggregation on ``bucket_cols`` between co-bucketed tables needs NO
+    exchange — the shuffle was paid once, at write. The lever for a fact
+    table joined on the same key by every nightly job. ``sort_cols`` adds
+    in-bucket ordering (sort-merge join without the sort)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)
+
+
 def partition_stats(
     spark: SparkSession, path: str, partition_cols: list[str] | None = None
 ) -> DataFrame:

@@ -341,3 +341,50 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = _spread(spark, emb.unionByName(planted))
     return embedding_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.95)
+
+
+@register(
+    "dedup_canonical_docs",
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len({_DUCK_TOKS.format(c='text')}) >= 3
+                      THEN [array_to_string(({_DUCK_TOKS.format(c='text')})[i:i+2], ' ')
+                            for i in range(1, len({_DUCK_TOKS.format(c='text')}) - 1)]
+                      ELSE [array_to_string({_DUCK_TOKS.format(c='text')}, ' ')]
+                 END) AS sh
+        FROM documents WHERE doc_id < 500
+    ), e AS (
+        SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t
+    ), p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.6
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+    ), cc AS (
+        SELECT DISTINCT u AS node, u AS label FROM edges
+        UNION
+        SELECT eg.v AS node, cc.label FROM cc JOIN edges eg ON cc.node = eg.u
+    ), final AS (
+        SELECT node, min(label) AS label FROM cc GROUP BY node
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    WHERE d.doc_id < 500
+      AND NOT EXISTS (SELECT 1 FROM final f
+                      WHERE f.node = d.doc_id AND f.label <> d.doc_id)
+    """,
+    doc="Pairs → clusters → canonical keep: connected components (iterative "
+    "min-label propagation, lineage-checkpointed each round — "
+    "operators/graph.py) over exact-Jaccard near-dup pairs, keeping the "
+    "min-id document per cluster. Oracle replays the clustering as a "
+    "DuckDB recursive CTE.",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.graph import keep_canonical
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+    return keep_canonical(docs.select("doc_id", "lang"), pairs, "doc_id")

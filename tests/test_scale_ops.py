@@ -1,0 +1,104 @@
+"""Scale-mechanics operators: salted join equivalence, bucketed-table
+exchange elimination, connected-components correctness vs a pure-python
+union-find."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.operators.graph import (
+    connected_components,
+    keep_canonical,
+)
+from lakehouse_architecture_for_realestatedata_spark.operators.skew import salted_join
+from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+from lakehouse_architecture_for_realestatedata_spark.plans.layout import write_bucketed
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(customer, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, customer, "o_custkey", n_salts=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # dim missing most keys → left join must keep every order exactly once
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") < 10)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    out = salted_join(orders, dim, "o_custkey", n_salts=4, how="left")
+    assert out.count() == orders.count()
+    assert out.filter(F.col("c_name").isNull()).count() == orders.join(
+        dim, "o_custkey", "left_anti"
+    ).count()
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Two tables co-bucketed on the join key must join with ZERO shuffle:
+    the exchange was paid at write time."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(orders, "b_orders", ["o_custkey"], 4)
+    write_bucketed(customer, "b_customer", ["c_custkey"], 4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ).select("o_orderkey", "c_name")
+        plan = physical_plan(df, mode="simple")
+        assert "Exchange" not in plan, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    pairs = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (11, 10),              # cycle + duplicate edge
+        (20, 21), (22, 21), (23, 20),    # star-ish
+        (30, 31),
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+    want_roots = _union_find(pairs)
+    # same partition into components, with min-id labels
+    for node, root in want_roots.items():
+        comp_min = min(k for k, v in want_roots.items() if v == root)
+        assert got[node] == comp_min, (node, got[node], comp_min)
+
+
+def test_keep_canonical_drops_only_losers(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id long, t string")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in keep_canonical(docs, pairs, "doc_id").collect())
+    assert kept == [0, 1, 2, 4]  # cluster {0,3,5} → keep 0

@@ -15,11 +15,15 @@ Layout:
     session     — SparkSession factory tuned for local testing / cluster scale
     sources     — readers (parquet/csv/json), manifest-incremental ingest,
                   parquet-backed tables with MERGE/append/overwrite semantics
-    functions   — scalar column function library (parsing, text, vectors)
-    operators   — relational + extension operators (dedup, joins, aggregates,
-                  similarity search, merge/incremental, SCD2, multimodal)
-    plans       — medallion pipeline assembly + plan-inspection helpers
-    streaming   — Structured Streaming ingest and windowed aggregation
+    functions   — scalar column function library (parsing, text, vectors,
+                  vectorized sketch kernels)
+    operators   — relational + extension operators (dedup, joins, windows,
+                  aggregates, similarity search, as-of/range joins, skew
+                  salting, connected components, multimodal)
+    plans       — medallion pipeline assembly, dbt-style checks, plan
+                  inspection, physical layout policy (partitioning/z-order/
+                  bucketing)
+    streaming   — Structured Streaming ingest, windowed/stateful aggregation
 """
 
 from lakehouse_architecture_for_realestatedata_spark.session import get_spark, stop_spark

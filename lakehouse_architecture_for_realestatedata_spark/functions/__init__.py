@@ -1,10 +1,16 @@
-"""Scalar column-function library — all built-ins, zero Python UDFs.
+"""Scalar column-function library.
 
 The reference performs every transformation, including Vietnamese free-text
 price/area parsing, with Spark built-in functions (SURVEY §2.8 F1-F20 /
 §2.10). Preserving that is a deliberate design choice: built-ins stay inside
 whole-stage codegen; a row-at-a-time Python UDF in the parse path would cost
 10-100× at 100 TB.
+
+The one sanctioned exception is ``sketches``: seed×element signature kernels
+(MinHash/SimHash/hyperplane) whose higher-order-function form evaluates
+INTERPRETED per array element (~1000× slower, measured) — those run as
+Arrow-batched vectorized numpy ``pandas_udf`` kernels, with the string
+hashing still done JVM-side by ``xxhash64``.
 """
 
 from lakehouse_architecture_for_realestatedata_spark.functions.parsing import (
@@ -25,6 +31,16 @@ from lakehouse_architecture_for_realestatedata_spark.functions.text import (
     shingles,
     token_count,
     tokens,
+)
+from lakehouse_architecture_for_realestatedata_spark.functions.sketches import (
+    batch_cosine,
+    hashed_shingles,
+    hashed_tokens,
+    hyperplane_sketch,
+    minhash_buckets,
+    minhash_signature,
+    packed_hamming,
+    simhash64,
 )
 from lakehouse_architecture_for_realestatedata_spark.functions.vectors import (
     cosine_similarity,
@@ -49,6 +65,14 @@ __all__ = [
     "shingles",
     "token_count",
     "tokens",
+    "batch_cosine",
+    "hashed_shingles",
+    "hashed_tokens",
+    "hyperplane_sketch",
+    "minhash_buckets",
+    "minhash_signature",
+    "packed_hamming",
+    "simhash64",
     "cosine_similarity",
     "dot",
     "l2_norm",

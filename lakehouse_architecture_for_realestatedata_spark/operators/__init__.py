@@ -30,6 +30,11 @@ from lakehouse_architecture_for_realestatedata_spark.operators.joins import (
     semi_join,
     star_join,
 )
+from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+    sample_exact_n,
+    sample_fraction,
+    split_assign,
+)
 from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
     ivf_assign,
     ivf_knn,
@@ -67,6 +72,9 @@ __all__ = [
     "join_with_default",
     "semi_join",
     "star_join",
+    "sample_exact_n",
+    "sample_fraction",
+    "split_assign",
     "ivf_assign",
     "ivf_knn",
     "knn_bruteforce",

@@ -1,0 +1,100 @@
+"""Deterministic sampling & dataset splitting for training-data pipelines.
+
+A 100 TB curation pipeline needs *reproducible* sampling: re-running the
+pipeline (or running it on a re-partitioned copy of the data) must produce the
+same train/val/test membership. ``rand()``/``sample()`` don't give that — they
+depend on partitioning and task scheduling. Everything here derives membership
+from a content hash of a stable key instead:
+
+    bucket(key) = first 8 hex chars of md5(salt || key)
+
+which is (a) partition-invariant, (b) engine-portable (md5 hex is identical in
+Spark and DuckDB, and fixed-width lowercase-hex strings compare
+lexicographically exactly like the numbers they encode), and (c) statistically
+uniform for split purposes. Changing ``salt`` draws a fresh independent split.
+
+Scale notes: all three operators are a narrow projection + filter — no
+shuffle, no driver collect. ``sample_exact_n`` adds one global top-n
+(TakeOrderedAndProject: per-partition heaps + driver merge of n rows, never a
+full sort spill).
+
+The reference's only "sampling" is implicit (daily incremental batches); these
+operators are part of the training-data extension scope (BASELINE.json north
+star), following the md5-keyed determinism idiom the reference itself uses for
+surrogate ids (reference: scripts/normalize_csv.py:60-65).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: width of the hex prefix used for bucketing: 8 hex chars = 32 bits, plenty
+#: of resolution for per-mille split weights while staying exact in a double.
+_HEX_W = 8
+_SPACE = 16**_HEX_W
+
+
+def _hash_hex(key: Column, salt: str) -> Column:
+    """Fixed-width lowercase-hex hash of ``salt || key`` (string-typed)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, _HEX_W)
+
+
+def hex_threshold(fraction: float) -> str:
+    """The literal h such that P[hash < h] == ``fraction`` (up to 2^-32).
+    For fraction ≥ 1 returns ``"g"``, which sorts after every hex string —
+    a 9-char hex number would NOT (lexicographic compare is per-char)."""
+    v = int(round(fraction * _SPACE))
+    if v >= _SPACE:
+        return "g"
+    return format(v, f"0{_HEX_W}x")
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (e.g. train/val/test) by hashed key.
+
+    ``weights`` are normalized; assignment is deterministic in (key, salt) and
+    independent of partitioning, row order, and cluster size. Rows with equal
+    keys always land in the same split (leakage-safe for grouped keys).
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = _hash_hex(F.col(key), salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = h < F.lit(hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def sample_fraction(df: DataFrame, key: str, fraction: float, salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample by hashed key — a filter, not
+    a shuffle; re-runs and re-partitions return the identical row set."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_hash_hex(F.col(key), salt) < F.lit(hex_threshold(fraction)))
+
+
+def sample_exact_n(df: DataFrame, key: str, n: int, salt: str = "") -> DataFrame:
+    """Deterministic exactly-n sample: the n rows with the smallest hashed
+    key (ties broken by key). Plans as TakeOrderedAndProject — each partition
+    keeps an n-row heap and the driver merges heaps, so this scales to any
+    input size as long as n itself is driver-sized."""
+    return (
+        df.withColumn("_h", _hash_hex(F.col(key), salt))
+        .orderBy("_h", key)
+        .limit(n)
+        .drop("_h")
+    )

@@ -22,6 +22,11 @@ from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
     simhash_dedup_pairs,
     embedding_near_dup_pairs,
 )
+from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+    hex_threshold,
+    sample_exact_n,
+    split_assign,
+)
 from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
     ivf_assign,
     ivf_knn,
@@ -341,6 +346,49 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = _spread(spark, emb.unionByName(planted))
     return embedding_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.95)
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5('split1' || cast(doc_id as varchar)), 1, 8)
+                     < '{hex_threshold(0.8)}' THEN 'train'
+                WHEN substr(md5('split1' || cast(doc_id as varchar)), 1, 8)
+                     < '{hex_threshold(0.9)}' THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by md5-hashed key — "
+    "partition-invariant, leakage-safe, reproducible across engines "
+    "(operators/sampling.py). Narrow projection, zero shuffle.",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split1"
+    ).select("doc_id", "split")
+
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               substr(md5(cast(doc_id as varchar)), 1, 8) AS _h
+        FROM documents
+        ORDER BY _h, doc_id
+        LIMIT 500
+    )
+    """,
+    doc="Exactly-500 deterministic sample: smallest hashed keys win. Plans as "
+    "TakeOrderedAndProject (per-partition heap + driver merge of 500 rows), "
+    "so the same operator works unchanged on a 100 TB table.",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sample_exact_n(docs, "doc_id", 500)
 
 
 @register(

@@ -149,6 +149,53 @@ class ParquetTable:
         self.overwrite(self.read().filter(~predicate))
 
     # -------------------------------------------------------------- hygiene
+    def file_stats(self) -> dict:
+        """File-level health of the current snapshot: count, bytes, and the
+        small-file ratio. At 100 TB the failure mode this guards is the
+        many-tiny-files table (per-file open/footer cost dominates the scan
+        and the driver chokes on listing); incremental MERGE writers drift
+        there naturally, so ``file_stats`` → ``compact`` is the maintenance
+        loop — the analogue of Delta OPTIMIZE's bin-packing."""
+        v = self.version()
+        if v < 0:
+            raise FileNotFoundError(f"table {self.root} does not exist")
+        sizes: list[int] = []
+        for dirpath, _dirs, files in os.walk(self._snapshot_dir(v)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    sizes.append(os.path.getsize(os.path.join(dirpath, f)))
+        total = sum(sizes)
+        return {
+            "version": v,
+            "n_files": len(sizes),
+            "total_bytes": total,
+            "avg_bytes": total // len(sizes) if sizes else 0,
+            "max_bytes": max(sizes) if sizes else 0,
+        }
+
+    def compact(self, target_bytes: int = 128 << 20) -> dict:
+        """Bin-pack the current snapshot into ~``target_bytes`` files (Delta
+        OPTIMIZE analogue). Snapshot isolation makes this safe online: the
+        rewrite lands in a new version directory and readers flip on commit.
+
+        Partitioned tables repartition on the partition columns so each
+        output directory is written by as few tasks as its size demands;
+        unpartitioned tables use a size-derived round-robin repartition.
+        Returns post-compaction ``file_stats``.
+        """
+        stats = self.file_stats()
+        df = self.read()
+        n = max(1, -(-stats["total_bytes"] // target_bytes))  # ceil
+        if self.partition_by:
+            df = df.repartition(n, *self.partition_by)
+        else:
+            df = df.repartition(n)
+        v = self.version() + 1
+        self._write(df, v)
+        self._commit(v)
+        self._vacuum(keep=2)
+        return self.file_stats()
+
     def _vacuum(self, keep: int = 2) -> None:
         """Drop snapshots older than the last ``keep`` (Delta VACUUM analogue)."""
         cur = self.version()

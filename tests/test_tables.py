@@ -73,6 +73,33 @@ def test_snapshot_isolation_and_time_travel(spark, tmp_path):
     assert t.read().collect()[0]["val"] == "v1"
 
 
+def test_compact_binpacks_small_files(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t8"))
+    t.overwrite(spark.range(10000).repartition(16).select(F.col("id"), (F.col("id") % 7).alias("g")))
+    before = t.file_stats()
+    assert before["n_files"] == 16
+    data_before = sorted(map(tuple, t.read().collect()))
+    after = t.compact(target_bytes=1 << 30)  # everything fits one file
+    assert after["n_files"] == 1
+    assert after["version"] == before["version"] + 1
+    assert sorted(map(tuple, t.read().collect())) == data_before
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    import os
+
+    t = ParquetTable(spark, str(tmp_path / "t9"), partition_by=["g"])
+    t.overwrite(
+        spark.range(2000).repartition(8).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    )
+    assert t.file_stats()["n_files"] > 3  # several files per partition dir
+    t.compact(target_bytes=1 << 30)
+    snap = t._snapshot_dir(t.version())
+    dirs = sorted(d for d in os.listdir(snap) if d.startswith("g="))
+    assert dirs == ["g=0", "g=1", "g=2"]  # pruning layout survives compaction
+    assert t.read().count() == 2000
+
+
 def test_high_water_mark(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "t7"))
     t.overwrite(

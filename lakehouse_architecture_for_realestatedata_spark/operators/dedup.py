@@ -187,9 +187,12 @@ def minhash_lsh_pairs(
          shingle sets): a 10k-member bucket is 50M candidate pairs from ONE
          degenerate key — at any scale that is noise, not signal, and capping
          it bounds both task memory and the quadratic pair blowup;
-      4. distinct pairs, then join the hashed shingle sets back BY ID (pair
-         side is small → AQE broadcasts it; the corpus is never shuffled) and
-         verify exact Jaccard once per pair.
+      4. distinct pairs, then semi-join the corpus down to the ids that occur
+         in some candidate pair BEFORE re-hashing: the second shingle pass
+         (the expensive narrow stage) runs only over candidate docs — on a
+         clean 100 TB corpus that's a few percent of the data, not a second
+         full pass. The trimmed sets then join back BY ID (pair side is
+         small → AQE broadcasts it) and exact Jaccard verifies each pair.
     Collision probability for Jaccard s: 1-(1-s^r)^b with r=num_hashes/bands.
     """
     with_h = _hashed_shingle_sets(df, id_col, text_col, k)
@@ -218,8 +221,20 @@ def minhash_lsh_pairs(
         members.select(F.explode(combos).alias("__p"))
         .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # The pair list feeds BOTH the id-trim semi-join and the verify join
+        # (diamond lineage). Without persist Spark would re-run the whole
+        # candidate pipeline — including its banded-row shuffle — once per
+        # consumer; persisting the slim (id_a, id_b) rows (orders of magnitude
+        # smaller than the corpus; spills to disk under pressure) makes the
+        # expensive half of the plan run exactly once.
+        .persist()
     )
-    h = _hashed_shingle_sets(df, id_col, text_col, k)
+    cand_ids = cand.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+    ).distinct()
+    h = _hashed_shingle_sets(
+        df.join(cand_ids, id_col, "left_semi"), id_col, text_col, k
+    )
     paired = cand.join(
         h.select(F.col("__id").alias("id_a"), F.col("__h").alias("h_a")), "id_a"
     ).join(h.select(F.col("__id").alias("id_b"), F.col("__h").alias("h_b")), "id_b")

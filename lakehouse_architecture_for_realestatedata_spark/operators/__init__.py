@@ -15,6 +15,7 @@ from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
     dedup_latest,
     dedup_latest_agg,
     embedding_near_dup_pairs,
+    fuzzy_pairs_blocked,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -62,6 +63,7 @@ __all__ = [
     "dedup_latest",
     "dedup_latest_agg",
     "embedding_near_dup_pairs",
+    "fuzzy_pairs_blocked",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",

@@ -115,6 +115,38 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def fuzzy_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_on: Column,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity-resolution pairs: rows in the same block whose ``text_col`` is
+    within ``max_distance`` edit distance (Levenshtein).
+
+    The blocking key turns an O(n²) all-pairs comparison into per-block
+    quadratic work — the classic record-linkage shape (the reference's
+    dedup-by-address domain: block on district/province, fuzzy-match the
+    street line). One shuffle on the block key; AQE's skew-join handles a
+    hot block. ``levenshtein`` is a codegen'd JVM builtin, no UDF.
+    Returns (id_a, id_b, distance) with id_a < id_b.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__t_a"), block_on.alias("__blk")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__t_b"), block_on.alias("__blk")
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("__t_a", "__t_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )
+
+
 def _hashed_shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(__id, __h): xxhash64'd k-shingle set per doc — JVM-side, one pass."""
     return df.select(

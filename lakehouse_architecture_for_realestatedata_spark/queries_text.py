@@ -17,6 +17,7 @@ from lakehouse_architecture_for_realestatedata_spark.functions.text import (
     tokens,
 )
 from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+    fuzzy_pairs_blocked,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_dedup_pairs,
@@ -346,6 +347,27 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = _spread(spark, emb.unionByName(planted))
     return embedding_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.95)
+
+
+@register(
+    "fuzzy_match_blocked",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS distance
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 300 AND b.c_custkey < 300
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Blocked fuzzy join (record linkage): same-nation customers whose "
+    "names are within edit distance 2 — per-block quadratic instead of "
+    "all-pairs, codegen'd levenshtein, one shuffle (operators/dedup.py).",
+)
+def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return fuzzy_pairs_blocked(
+        cust, "c_custkey", "c_name", block_on=F.col("c_nationkey"), max_distance=2
+    )
 
 
 @register(

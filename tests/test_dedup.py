@@ -89,3 +89,19 @@ def test_dedup_latest_agg_equals_window_variant(spark, sf_dir):
     a = dedup_latest(ev, "user_id", [F.col("event_id").desc()])
     b = dedup_latest_agg(ev, "user_id", "event_id")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_fuzzy_pairs_blocked(spark):
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import fuzzy_pairs_blocked
+
+    df = spark.createDataFrame(
+        [
+            (1, "12 le loi", "q1"),
+            (2, "12 le lo", "q1"),     # distance 1 from id 1, same block
+            (3, "99 tran phu", "q1"),  # far from both
+            (4, "12 le loi", "q3"),    # identical text, DIFFERENT block → no pair
+        ],
+        "id int, addr string, district string",
+    )
+    pairs = fuzzy_pairs_blocked(df, "id", "addr", F.col("district"), max_distance=2).collect()
+    assert {(r["id_a"], r["id_b"], r["distance"]) for r in pairs} == {(1, 2, 1)}

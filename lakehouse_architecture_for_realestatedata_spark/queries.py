@@ -483,3 +483,129 @@ def q_stable_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select(
         F.col("c_name").alias("natural_key"), stable_id("c_name").alias("location_id")
     )
+
+
+# ===========================================================================
+# Set operations & reshaping — generalized library beyond the reference's
+# single U1 UNION (SURVEY §2.7 notes INTERSECT/EXCEPT are absent there; a
+# BI-serving engine still needs them, and both rewrite to aggregate+semi/anti
+# joins that Catalyst plans with AQE-sized shuffles).
+# ===========================================================================
+
+
+@register(
+    "intersect_repeat_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    """,
+    doc="INTERSECT (distinct): customers ordering in both years. Spark plans "
+    "partial-agg + left-semi hash join — one shuffle per side on the key, "
+    "broadcast-eligible when one year is small.",
+)
+def q_intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y94 = orders.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    return y94.intersect(y95)
+
+
+@register(
+    "except_churned_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    """,
+    doc="EXCEPT (distinct): 1994 customers gone by 1995 — the set-op twin of "
+    "the P8 NOT-IN incremental pattern, planned as left-anti join.",
+)
+def q_except_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y94 = orders.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    return y94.subtract(y95)
+
+
+@register(
+    "pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="PIVOT to wide conditional aggregate. The value list is explicit, so "
+    "Spark skips the distinct-values pre-job and plans ONE hash aggregate — "
+    "the scale-safe pivot; an unlisted pivot scans twice.",
+)
+def q_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "unpivot_priority_metrics",
+    """
+    WITH wide AS (
+        SELECT o_orderpriority,
+               cast(count(*) as double) AS n_orders,
+               cast(sum(cast(o_totalprice as decimal(30,2))) as double) AS total_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'total_price' AS metric, total_price AS value FROM wide
+    """,
+    doc="UNPIVOT/melt wide→long: Spark's Unpivot (Expand) node — rows multiply "
+    "map-side, no extra shuffle beyond the source aggregate.",
+)
+def q_unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["n_orders", "total_price"], "metric", "value"
+    )
+
+
+@register(
+    "json_extract_fields",
+    """
+    SELECT json_extract_string(j, '$.status') AS status,
+           count(*) AS n,
+           sum(cast(json_extract_string(j, '$.key') as bigint)) AS key_sum
+    FROM (SELECT '{"key":' || cast(o_orderkey as varchar) || ',"status":"' || o_orderstatus || '"}' AS j
+          FROM orders)
+    GROUP BY 1
+    """,
+    doc="JSON expression layer (the reference parses JSON only at scan time, "
+    "S1; the engine also exposes it as expressions): from_json with an "
+    "explicit schema — single parse to a struct, codegen'd, vs "
+    "get_json_object re-parsing per path.",
+)
+def q_json_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    j = F.concat(
+        F.lit('{"key":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"status":"'),
+        F.col("o_orderstatus"),
+        F.lit('"}'),
+    ).alias("j")
+    parsed = orders.select(j).select(
+        F.from_json("j", "key bigint, status string").alias("p")
+    )
+    return parsed.groupBy(F.col("p.status").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("p.key").alias("key_sum")
+    )

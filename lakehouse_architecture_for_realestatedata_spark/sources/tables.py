@@ -8,38 +8,57 @@ leans on three write modes (SURVEY §2.1):
        (reference: scripts/normalize_bronze_columns.py:145-148)
 
 Delta jars are not in this image, so ``ParquetTable`` re-creates the
-*semantics* on plain parquet with a tiny version-pointer log:
+*semantics* on plain parquet with a tiny manifest log — the same
+file-additive design as the Delta transaction log:
 
-    <root>/v=<n>/part-*.parquet     immutable snapshot n
-    <root>/_latest                  text file holding n (commit = atomic rename)
+    <root>/data/<uuid>/part-*.parquet   immutable data directory (one per write)
+    <root>/v=<n>.manifest               JSON list of the data dirs in snapshot n
+    <root>/_latest                      text file holding n (commit = atomic rename)
 
-Readers resolve ``_latest`` then scan exactly one snapshot directory, which
-gives snapshot isolation (a concurrent writer never mutates a directory a
-reader may be scanning) and makes every write idempotent-retryable — the same
-properties the reference gets from the Delta log. This also removes the
-reference's need to restart its Thrift server to invalidate caches
-(reference: airflow/dags/end_to_end_pipeline.py:209-244): a re-read simply
-resolves the new pointer.
+A snapshot is a *list of references* to immutable data directories, so:
+  - APPEND writes only the new rows into a fresh data dir and commits a
+    manifest of [old dirs..., new dir] — O(new data) I/O, like Delta's
+    file-additive append, NOT a read-union-rewrite of the table (on a 100 TB
+    bronze table a daily 1 TB append must cost 1 TB, not 101 TB);
+  - prior snapshot files are reused byte-identical (never copied);
+  - readers resolve ``_latest`` → manifest → scan exactly those dirs, which
+    gives snapshot isolation (a writer never mutates a directory a reader may
+    be scanning) and makes every write idempotent-retryable. This also
+    removes the reference's need to restart its Thrift server to invalidate
+    caches (reference: airflow/dags/end_to_end_pipeline.py:209-244): a
+    re-read simply resolves the new pointer.
+
+Concurrency: SINGLE WRITER ONLY. The pointer swap is atomic, but there is no
+CAS on the version number — two concurrent writers can both build v=n+1 and
+the later commit silently wins (Delta arbitrates this with the transaction
+log protocol; a lock service would be the analogue here). Readers are always
+safe. The reference has the same constraint: its pipeline is a serialized
+daily DAG.
 
 Scale notes (100 TB):
   - MERGE is implemented as left_anti(target, source) ∪ source — one shuffle
     on the merge key, same join Delta itself plans for a full-table merge.
     With a partition predicate (``merge(..., prune=...)``) untouched
-    partitions are copied by reference (directory level), not rewritten —
-    the moral equivalent of Delta's file-level pruning.
+    partitions are carried by the plan but still rewritten; file-level
+    rewrite avoidance applies to append, the hot path.
   - ``partition_by`` lays out data for partition pruning on read; the
     reference never partitions its tables (SURVEY §4 calls this out as perf
     left on the table) — we do.
+  - appends accumulate data dirs; ``file_stats`` → ``compact`` bin-packs
+    them back into one dir (Delta OPTIMIZE analogue).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _LATEST = "_latest"
 
@@ -66,10 +85,29 @@ class ParquetTable:
         except FileNotFoundError:
             return -1
 
-    def _snapshot_dir(self, version: int) -> str:
-        return os.path.join(self.root, f"v={version}")
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"v={version}.manifest")
 
-    def _commit(self, version: int) -> None:
+    def data_dirs(self, version: int | None = None) -> list[str]:
+        """Absolute paths of the immutable data directories snapshot
+        ``version`` references."""
+        v = self.version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"table {self.root} does not exist")
+        with open(self._manifest_path(v)) as fh:
+            rel = json.load(fh)["dirs"]
+        return [os.path.join(self.root, d) for d in rel]
+
+    def _commit(self, version: int, rel_dirs: list[str], schema_json: str) -> None:
+        """Write the manifest, then atomically swap the pointer. A crash
+        between the two leaves a dangling manifest file and an unchanged
+        table — retrying the write is safe (idempotent). The schema rides in
+        the manifest so an all-rows-deleted table still reads back empty with
+        its columns intact."""
+        tmp = os.path.join(self.root, f".manifest.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"dirs": rel_dirs, "schema": schema_json}, fh)
+        os.replace(tmp, self._manifest_path(version))
         tmp = os.path.join(self.root, f"._latest.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             fh.write(str(version))
@@ -77,33 +115,76 @@ class ParquetTable:
 
     # ---------------------------------------------------------------- read
     def read(self, version: int | None = None) -> DataFrame:
-        v = self.version() if version is None else version
-        if v < 0:
-            raise FileNotFoundError(f"table {self.root} does not exist")
-        return self.spark.read.parquet(self._snapshot_dir(v))
+        """Union of the snapshot's data-dir scans. Each dir self-describes
+        its partition layout, filters/pruning push into every scan, and
+        ``unionByName(allowMissingColumns)`` realizes mergeSchema semantics
+        across appends that widened the schema."""
+        dirs = self.data_dirs(version)
+        if not dirs:  # zero-row snapshot: schema comes from the manifest
+            v = self.version() if version is None else version
+            with open(self._manifest_path(v)) as fh:
+                schema = StructType.fromJson(json.loads(json.load(fh)["schema"]))
+            return self.spark.createDataFrame([], schema)
+        dfs = [self.spark.read.parquet(d) for d in dirs]
+        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
 
     # --------------------------------------------------------------- write
-    def _write(self, df: DataFrame, version: int) -> None:
+    def _write_data(self, df: DataFrame) -> str | None:
+        """Write ``df`` into a fresh immutable data dir; returns its
+        root-relative path, or None if the frame was empty (parquet emits no
+        readable files for zero rows — an empty write must not poison the
+        manifest with an unreadable dir)."""
+        rel = os.path.join("data", uuid.uuid4().hex)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(self._snapshot_dir(version))
+        path = os.path.join(self.root, rel)
+        writer.parquet(path)
+        # A zero-row write still emits a (schema-only) parquet file; reading
+        # the freshly-written footers back is a cheap metadata probe, and
+        # dropping the dir keeps idempotent no-op appends from growing the
+        # manifest by one empty dir per re-run.
+        has_rows = any(
+            f.endswith(".parquet")
+            for dirpath, _dirs, files in os.walk(path)
+            for f in files
+        ) and not self.spark.read.parquet(path).isEmpty()
+        if has_rows:
+            return rel
+        shutil.rmtree(path, ignore_errors=True)
+        return None
 
     def overwrite(self, df: DataFrame) -> None:
         """S8: full replace, new schema wins (overwriteSchema semantics)."""
-        v = self.version() + 1
-        self._write(df, v)
-        self._commit(v)
+        rel = self._write_data(df)
+        self._commit(self.version() + 1, [rel] if rel else [], df.schema.json())
         self._vacuum(keep=2)
 
     def append(self, df: DataFrame, merge_schema: bool = True) -> None:
-        """S7: append; with ``merge_schema`` new columns null-fill old rows
-        (Delta ``mergeSchema`` semantics via unionByName allowMissingColumns)."""
+        """S7: file-additive append — writes ONLY the new rows (O(new data)
+        I/O); the new snapshot's manifest references every prior data dir
+        byte-identical. With ``merge_schema`` new columns null-fill old rows
+        at read time (Delta ``mergeSchema`` semantics); without it a schema
+        mismatch raises instead of silently widening."""
         if not self.exists():
             return self.overwrite(df)
-        cur = self.read()
-        out = cur.unionByName(df, allowMissingColumns=merge_schema)
-        self.overwrite(out)
+        if not merge_schema:
+            cur = {f.name: f.dataType for f in self.read().schema.fields}
+            new = {f.name: f.dataType for f in df.schema.fields}
+            if cur != new:
+                raise ValueError(
+                    f"append schema mismatch without merge_schema: table has "
+                    f"{sorted(cur)}, frame has {sorted(new)}"
+                )
+        prior = [os.path.relpath(d, self.root) for d in self.data_dirs()]
+        rel = self._write_data(df)
+        merged_schema = (
+            self.read().unionByName(df, allowMissingColumns=True).schema.json()
+            if merge_schema
+            else df.schema.json()
+        )
+        self._commit(self.version() + 1, prior + ([rel] if rel else []), merged_schema)
+        self._vacuum(keep=2)
 
     def merge(
         self,
@@ -122,6 +203,10 @@ class ParquetTable:
         ``prune``: optional predicate limiting which target rows can match
         (partition-prune analogue); rows failing ``prune`` are carried over
         untouched without joining.
+
+        Unlike append, merge rewrites the table (one new data dir): rewriting
+        only the files containing matched keys would need per-file key stats
+        — documented as the remaining gap vs Delta's file-level merge.
         """
         keys = [key] if isinstance(key, str) else list(key)
         if not self.exists():
@@ -153,30 +238,31 @@ class ParquetTable:
         """File-level health of the current snapshot: count, bytes, and the
         small-file ratio. At 100 TB the failure mode this guards is the
         many-tiny-files table (per-file open/footer cost dominates the scan
-        and the driver chokes on listing); incremental MERGE writers drift
-        there naturally, so ``file_stats`` → ``compact`` is the maintenance
-        loop — the analogue of Delta OPTIMIZE's bin-packing."""
+        and the driver chokes on listing); file-additive appends drift there
+        naturally, so ``file_stats`` → ``compact`` is the maintenance loop —
+        the analogue of Delta OPTIMIZE's bin-packing."""
         v = self.version()
-        if v < 0:
-            raise FileNotFoundError(f"table {self.root} does not exist")
         sizes: list[int] = []
-        for dirpath, _dirs, files in os.walk(self._snapshot_dir(v)):
-            for f in files:
-                if f.endswith(".parquet"):
-                    sizes.append(os.path.getsize(os.path.join(dirpath, f)))
+        for d in self.data_dirs(v):
+            for dirpath, _dirs, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        sizes.append(os.path.getsize(os.path.join(dirpath, f)))
         total = sum(sizes)
         return {
             "version": v,
             "n_files": len(sizes),
+            "n_data_dirs": len(self.data_dirs(v)),
             "total_bytes": total,
             "avg_bytes": total // len(sizes) if sizes else 0,
             "max_bytes": max(sizes) if sizes else 0,
         }
 
     def compact(self, target_bytes: int = 128 << 20) -> dict:
-        """Bin-pack the current snapshot into ~``target_bytes`` files (Delta
-        OPTIMIZE analogue). Snapshot isolation makes this safe online: the
-        rewrite lands in a new version directory and readers flip on commit.
+        """Bin-pack the current snapshot into ~``target_bytes`` files in ONE
+        data dir (Delta OPTIMIZE analogue) — also re-merges the data-dir list
+        that appends grow. Snapshot isolation makes this safe online: the
+        rewrite lands in a new data dir and readers flip on commit.
 
         Partitioned tables repartition on the partition columns so each
         output directory is written by as few tasks as its size demands;
@@ -190,22 +276,30 @@ class ParquetTable:
             df = df.repartition(n, *self.partition_by)
         else:
             df = df.repartition(n)
-        v = self.version() + 1
-        self._write(df, v)
-        self._commit(v)
-        self._vacuum(keep=2)
+        self.overwrite(df)
         return self.file_stats()
 
     def _vacuum(self, keep: int = 2) -> None:
-        """Drop snapshots older than the last ``keep`` (Delta VACUUM analogue)."""
+        """Drop manifests older than the last ``keep`` versions and any data
+        dir no retained manifest references (Delta VACUUM analogue)."""
         cur = self.version()
         if not os.path.isdir(self.root):
             return
+        referenced: set[str] = set()
         for entry in os.listdir(self.root):
-            if entry.startswith("v="):
-                v = int(entry.split("=", 1)[1])
-                if v <= cur - keep:
-                    shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+            if not entry.startswith("v=") or not entry.endswith(".manifest"):
+                continue
+            v = int(entry[len("v=") : -len(".manifest")])
+            if v <= cur - keep:
+                os.remove(os.path.join(self.root, entry))
+            else:
+                with open(os.path.join(self.root, entry)) as fh:
+                    referenced.update(json.load(fh)["dirs"])
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                if os.path.join("data", d) not in referenced:
+                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
 
     # ------------------------------------------------------------- helpers
     def high_water_mark(self, ts_col: str, default: str = "1970-01-01") -> Column:

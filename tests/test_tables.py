@@ -32,6 +32,60 @@ def test_append_with_schema_merge(spark, tmp_path):
     assert row[1]["extra"] is None and row[2]["extra"] == 9.5
 
 
+def _parquet_files(d):
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[p] = (os.path.getsize(p), os.path.getmtime(p))
+    return out
+
+
+def test_append_is_file_additive(spark, tmp_path):
+    """The 100 TB contract: appending N rows costs O(N) I/O — the prior
+    snapshot's files are referenced by the new manifest byte-identical,
+    never read, copied, or rewritten."""
+    t = ParquetTable(spark, str(tmp_path / "t10"))
+    t.overwrite(spark.range(1000).select(F.col("id"), F.lit("base").alias("val")))
+    base_files = _parquet_files(t.data_dirs()[0])
+    assert base_files
+
+    t.append(spark.range(1000, 1010).select(F.col("id"), F.lit("inc").alias("val")))
+    dirs = t.data_dirs()
+    assert len(dirs) == 2  # one prior dir referenced + one new dir written
+    # prior files untouched: same paths, sizes, mtimes (reused, not copied)
+    assert _parquet_files(dirs[0]) == base_files
+    # the new dir holds only the increment
+    inc_rows = spark.read.parquet(dirs[1]).count()
+    assert inc_rows == 10
+    assert t.read().count() == 1010
+
+
+def test_append_empty_increment_keeps_snapshot(spark, tmp_path):
+    """A zero-row append (idempotent ingest re-run) must not add unreadable
+    dirs or change the data."""
+    t = ParquetTable(spark, str(tmp_path / "t11"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, val string"))
+    t.append(spark.createDataFrame([], "id int, val string"))
+    assert len(t.data_dirs()) == 1
+    assert t.read().count() == 1
+
+
+def test_append_schema_mismatch_raises_without_merge(spark, tmp_path):
+    import pytest
+
+    t = ParquetTable(spark, str(tmp_path / "t12"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, val string"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(
+            spark.createDataFrame([(2, "b", 1.0)], "id int, val string, extra double"),
+            merge_schema=False,
+        )
+
+
 def test_merge_upsert_update_and_insert(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "t3"))
     t.overwrite(spark.createDataFrame([(1, "old"), (2, "keep")], "id int, val string"))
@@ -94,7 +148,7 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     )
     assert t.file_stats()["n_files"] > 3  # several files per partition dir
     t.compact(target_bytes=1 << 30)
-    snap = t._snapshot_dir(t.version())
+    (snap,) = t.data_dirs()  # compaction re-merges to one data dir
     dirs = sorted(d for d in os.listdir(snap) if d.startswith("g="))
     assert dirs == ["g=0", "g=1", "g=2"]  # pruning layout survives compaction
     assert t.read().count() == 2000

@@ -1,0 +1,199 @@
+"""Persistent catalog (S12): name → table-root registry over ``ParquetTable``.
+
+The reference registers every table in a Hive metastore so any SQL client can
+resolve ``bronze.properties`` by name — ``CREATE DATABASE IF NOT EXISTS``,
+``CREATE TABLE ... USING DELTA LOCATION``, ``DESCRIBE TABLE``, ``REFRESH
+TABLE`` (reference: scripts/load_bronze_to_table.py:99,108,163,171;
+scripts/normalize_bronze_columns.py:73,159,166; dbt/dbt_project.yml:21-23).
+Without a metastore service in this image, the same contract is met with:
+
+  - a JSON registry file (``<root>/catalog.json``) holding db.table →
+    {path, partition_by} — the persistent, cross-session half;
+  - Spark's built-in session catalog (``CREATE DATABASE`` + ``CREATE OR
+    REPLACE VIEW db.tbl``) — the SQL-resolvable half, rebuilt per session by
+    ``attach()``. Views are defined over the table's CURRENT snapshot data
+    dirs (null-filling columns a dir predates, i.e. mergeSchema), so
+    ``spark.sql("SELECT ... FROM bronze.properties")`` reads exactly what
+    ``ParquetTable.read()`` reads.
+
+``refresh`` re-binds a view to the newest snapshot — the honest analogue of
+``REFRESH TABLE`` under snapshot-pointer storage (and what the reference
+achieves by restarting its whole Thrift server,
+airflow/dags/end_to_end_pipeline.py:209-244).
+
+Scale: the registry is a tiny JSON document (thousands of entries ≪ 1 MB);
+every data operation stays on the ParquetTable path — the catalog never
+touches data files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check(name: str) -> str:
+    if not _NAME.match(name):
+        raise ValueError(f"invalid identifier {name!r} (letters/digits/_ only)")
+    return name
+
+
+class Catalog:
+    """A file-backed db.table → ParquetTable registry, attachable to any
+    SparkSession so raw SQL resolves qualified names across sessions."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        os.makedirs(self.root, exist_ok=True)
+
+    # ------------------------------------------------------------ registry
+    @property
+    def _path(self) -> str:
+        return os.path.join(self.root, "catalog.json")
+
+    def _load(self) -> dict:
+        try:
+            with open(self._path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def _save(self, state: dict) -> None:
+        tmp = os.path.join(self.root, f".catalog.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(state, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._path)  # atomic, same discipline as ParquetTable
+
+    # ----------------------------------------------------------------- DDL
+    def create_database(self, db: str) -> None:
+        """CREATE DATABASE IF NOT EXISTS analogue, persisted + session."""
+        state = self._load()
+        state.setdefault(_check(db), {})
+        self._save(state)
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
+    def create_table(
+        self,
+        db: str,
+        table: str,
+        path: str | None = None,
+        partition_by: list[str] | None = None,
+    ) -> ParquetTable:
+        """CREATE TABLE ... USING <fmt> LOCATION analogue: register (or
+        re-register, idempotently) a table root and expose it to SQL. The
+        table may already hold data (external-table registration) or be
+        written afterwards via the returned handle."""
+        self.create_database(db)
+        state = self._load()
+        entry = {
+            "path": path or os.path.join(self.root, db, _check(table)),
+            "partition_by": partition_by or [],
+        }
+        state[db][table] = entry
+        self._save(state)
+        t = ParquetTable(self.spark, entry["path"], partition_by=entry["partition_by"])
+        if t.exists():
+            self._bind_view(db, table, t)
+        return t
+
+    def drop_table(self, db: str, table: str, purge: bool = False) -> None:
+        state = self._load()
+        entry = state.get(db, {}).pop(table, None)
+        self._save(state)
+        self.spark.sql(f"DROP VIEW IF EXISTS {_check(db)}.{_check(table)}")
+        if purge and entry:
+            import shutil
+
+            shutil.rmtree(entry["path"], ignore_errors=True)
+
+    # -------------------------------------------------------------- lookup
+    def table(self, db: str, table: str) -> ParquetTable:
+        entry = self._load().get(db, {}).get(table)
+        if entry is None:
+            raise KeyError(f"table {db}.{table} is not in the catalog")
+        return ParquetTable(self.spark, entry["path"], partition_by=entry["partition_by"])
+
+    def load(self, db: str, table: str) -> DataFrame:
+        return self.table(db, table).read()
+
+    def show_tables(self, db: str | None = None) -> list[str]:
+        state = self._load()
+        dbs = [db] if db is not None else sorted(state)
+        return [f"{d}.{t}" for d in dbs for t in sorted(state.get(d, {}))]
+
+    def describe(self, db: str, table: str) -> dict:
+        """DESCRIBE TABLE analogue: schema + snapshot/file metadata."""
+        t = self.table(db, table)
+        out = {
+            "name": f"{db}.{table}",
+            "path": t.root,
+            "partition_by": t.partition_by,
+            "exists": t.exists(),
+        }
+        if t.exists():
+            out["version"] = t.version()
+            out["columns"] = [
+                {"name": f.name, "type": f.dataType.simpleString()}
+                for f in t.read().schema.fields
+            ]
+            out["files"] = t.file_stats()
+        return out
+
+    # ------------------------------------------------------------- session
+    def refresh(self, db: str, table: str) -> None:
+        """REFRESH TABLE analogue: re-bind the SQL view to the table's
+        current snapshot (a write commits a new pointer; views pin the dirs
+        they were built over, so refresh after out-of-band writes)."""
+        self._bind_view(db, table, self.table(db, table))
+
+    def attach(self) -> None:
+        """Register every cataloged database and table into this session's
+        SQL namespace — the session-start hook that makes ``spark.sql`` a
+        full front door across sessions (SURVEY §3.3)."""
+        state = self._load()
+        for db in sorted(state):
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {_check(db)}")
+            for table in sorted(state[db]):
+                t = self.table(db, table)
+                if t.exists():
+                    self._bind_view(db, table, t)
+
+    def sql(self, text: str) -> DataFrame:
+        """The ad-hoc SQL front door over cataloged names (S13 minus the
+        Thrift transport, which is infra not engine)."""
+        return self.spark.sql(text)
+
+    def _bind_view(self, db: str, table: str, t: ParquetTable) -> None:
+        """CREATE OR REPLACE VIEW db.table over the current snapshot: one
+        SELECT per data dir, missing columns null-filled (mergeSchema), glued
+        with UNION ALL — the exact frame ``ParquetTable.read()`` yields."""
+        merged = t.read().schema
+        selects = []
+        for d in t.data_dirs():
+            have = {f.name for f in self.spark.read.parquet(d).schema.fields}
+            cols = ", ".join(
+                f"`{f.name}`"
+                if f.name in have
+                else f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                for f in merged.fields
+            )
+            selects.append(f"SELECT {cols} FROM parquet.`{d}`")
+        if not selects:  # zero-row snapshot: typed empty relation
+            cols = ", ".join(
+                f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                for f in merged.fields
+            )
+            selects = [f"SELECT {cols} WHERE 1 = 0"]
+        body = " UNION ALL ".join(selects)
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW {_check(db)}.{_check(table)} AS {body}"
+        )

@@ -1,0 +1,97 @@
+"""Catalog (S12): persistent name→path registry + SQL front door.
+
+The reference's contract: CREATE DATABASE / CREATE TABLE ... LOCATION /
+DESCRIBE / REFRESH, and any SQL client resolving ``bronze.properties`` by
+name (scripts/load_bronze_to_table.py:99-171). These tests pin
+register → query-by-qualified-name → write → refresh → re-query, plus
+cross-"session" persistence via a fresh Catalog object over the same root.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.sources.catalog import Catalog
+
+
+def test_create_table_and_sql_by_name(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat1"))
+    t = cat.create_table("bronze", "properties")
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id int, val string"))
+    cat.refresh("bronze", "properties")
+    rows = cat.sql("SELECT count(*) AS n FROM bronze.properties").collect()
+    assert rows[0]["n"] == 2
+
+
+def test_show_tables_and_describe(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat2"))
+    cat.create_table("bronze", "a").overwrite(spark.createDataFrame([(1,)], "id int"))
+    cat.create_table("gold", "b")
+    assert cat.show_tables() == ["bronze.a", "gold.b"]
+    assert cat.show_tables("bronze") == ["bronze.a"]
+    d = cat.describe("bronze", "a")
+    assert d["exists"] and d["columns"] == [{"name": "id", "type": "int"}]
+    assert cat.describe("gold", "b")["exists"] is False
+
+
+def test_refresh_sees_new_snapshot(spark, tmp_path):
+    """A view pins the snapshot dirs it was built over; refresh re-binds —
+    the REFRESH TABLE analogue (the reference restarts its Thrift server to
+    get this, end_to_end_pipeline.py:209-244)."""
+    cat = Catalog(spark, str(tmp_path / "cat3"))
+    t = cat.create_table("silver", "props")
+    t.overwrite(spark.createDataFrame([(1, "v0")], "id int, val string"))
+    cat.refresh("silver", "props")
+    assert cat.sql("SELECT val FROM silver.props").collect()[0]["val"] == "v0"
+    t.append(spark.createDataFrame([(2, "v1")], "id int, val string"))
+    cat.refresh("silver", "props")
+    assert cat.sql("SELECT count(*) AS n FROM silver.props").collect()[0]["n"] == 2
+
+
+def test_view_merges_schema_like_read(spark, tmp_path):
+    """Appends that widened the schema must read identically through SQL and
+    through ParquetTable.read (null-filled old rows)."""
+    cat = Catalog(spark, str(tmp_path / "cat4"))
+    t = cat.create_table("bronze", "drift")
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, val string"))
+    t.append(spark.createDataFrame([(2, "b", 9.5)], "id int, val string, extra double"))
+    cat.refresh("bronze", "drift")
+    via_sql = {r["id"]: r["extra"] for r in cat.sql("SELECT id, extra FROM bronze.drift").collect()}
+    assert via_sql == {1: None, 2: 9.5}
+
+
+def test_catalog_persists_across_sessions(spark, tmp_path):
+    """A new Catalog object over the same root (the new-session stand-in)
+    re-attaches every table by name."""
+    root = str(tmp_path / "cat5")
+    cat = Catalog(spark, root)
+    cat.create_table("gold", "fct").overwrite(
+        spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("m"))
+    )
+    spark.sql("DROP VIEW IF EXISTS gold.fct")  # simulate a fresh session's empty namespace
+
+    cat2 = Catalog(spark, root)
+    cat2.attach()
+    assert cat2.sql("SELECT sum(m) AS s FROM gold.fct").collect()[0]["s"] == 20
+    assert cat2.show_tables() == ["gold.fct"]
+
+
+def test_partitioned_table_roundtrip(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat6"))
+    t = cat.create_table("gold", "part", partition_by=["g"])
+    t.overwrite(spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g")))
+    cat.refresh("gold", "part")
+    rows = cat.sql(
+        "SELECT g, count(*) AS n FROM gold.part GROUP BY g ORDER BY g"
+    ).collect()
+    assert [(r["g"], r["n"]) for r in rows] == [(0, 34), (1, 33), (2, 33)]
+    # handle round-trips with partition spec intact
+    assert cat.table("gold", "part").partition_by == ["g"]
+
+
+def test_drop_table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat7"))
+    cat.create_table("bronze", "gone").overwrite(spark.createDataFrame([(1,)], "id int"))
+    cat.refresh("bronze", "gone")
+    cat.drop_table("bronze", "gone")
+    assert cat.show_tables() == []

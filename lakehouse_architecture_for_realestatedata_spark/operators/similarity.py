@@ -2,10 +2,11 @@
 
 The 100 TB design:
   - ``knn_bruteforce``: queries are BROADCAST (bounded set), corpus streams —
-    one scan, no shuffle of the corpus; per-partition local top-k via the
-    rank-window would shuffle, so we instead aggregate top-k with
-    ``min_by``-style struct ordering after a partial aggregate. For the
-    moderate query counts typical of eval sets this is scan-bound.
+    one scan, no shuffle of the corpus; the top-k is a two-stage aggregate
+    (per-partition local cut, then a merge of P×k survivors), never a
+    per-query rank window, which would funnel every scored pair through
+    #queries reducer tasks. For the moderate query counts typical of eval
+    sets this is scan-bound.
   - ``knn_quantized``: same plan over scaled-integer vectors; dot products
     become exact bigint arithmetic (used by the oracle-checked query — float
     summation order can differ between engines, int sums cannot).
@@ -22,6 +23,43 @@ from pyspark.sql import functions as F
 from lakehouse_architecture_for_realestatedata_spark.functions.vectors import cosine_similarity, dot
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Global top-k (cosine desc, neighbor_id asc) per query_id WITHOUT the
+    per-query window funnel.
+
+    A ``row_number() over (partition by query_id)`` plan shuffles every
+    scored (query, neighbor) pair into #queries tasks — with 10 queries and a
+    100 TB corpus that is 10 straggler tasks each receiving the whole corpus.
+    Instead:
+      1. local top-k: group by (query_id, physical partition id) and keep the
+         k best candidates of each partition (``array_sort`` over collected
+         structs + ``slice`` — complete map-side, since the partition id in
+         the key makes every group single-partition);
+      2. global top-k: merge the P×k survivors per query (a few KB) and slice
+         again.
+    The result is partition-invariant: the true top-k survives any local cut.
+    Sort key is (-cosine, neighbor_id) so lexicographic ``array_sort`` gives
+    cosine desc with the id as deterministic tiebreak; the original cosine
+    rides in the struct so no double-negation touches emitted values.
+    """
+    cand = F.struct(
+        (-F.col("cosine")).alias("s"),
+        F.col("neighbor_id").alias("n"),
+        F.col("cosine").alias("c"),
+    )
+    local = scored.groupBy("query_id", F.spark_partition_id().alias("__pid")).agg(
+        F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("__top")
+    )
+    merged = local.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__top"))), 1, k).alias("__top")
+    )
+    return merged.select("query_id", F.explode("__top").alias("__t")).select(
+        "query_id",
+        F.col("__t.n").alias("neighbor_id"),
+        F.col("__t.c").alias("cosine"),
+    )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -33,8 +71,8 @@ def knn_bruteforce(
 
     ``queries`` must be bounded (an eval/query set): it is broadcast so the
     corpus is scanned once with no shuffle; the only shuffle is the final
-    per-query top-k (tiny: #queries × #partitions candidates after partial
-    filtering via the rank window).
+    per-query top-k merge — #queries × #partitions × k pre-cut candidate
+    rows, never the full scored set (see ``_topk_per_query``).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -49,12 +87,7 @@ def knn_bruteforce(
             cosine_similarity("__qv", "__cv").alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _topk_per_query(scored, k)
 
 
 def quantize(vec, scale: int = 1_000_000):
@@ -97,12 +130,7 @@ def knn_quantized(
             .alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _topk_per_query(scored, k)
 
 
 def ivf_assign(
@@ -175,10 +203,6 @@ def ivf_knn(
     scored = cand.filter(F.col("neighbor_id") != F.col("query_id")).select(
         "query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    # dropDuplicates shuffles on (query_id, neighbor_id) — spread across
+    # tasks, not per-query — then the bounded two-stage top-k merges.
+    return _topk_per_query(scored.dropDuplicates(["query_id", "neighbor_id"]), k)

@@ -102,6 +102,27 @@ def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in strategies, strategies
 
 
+def test_knn_topk_no_per_query_window_funnel(spark, sf_dir):
+    """The kNN top-k must be the two-stage aggregate (local cut → P×k merge),
+    never a rank window partitioned by query_id: that window shuffles every
+    scored (query, neighbor) pair into #queries reducer tasks — 10 straggler
+    tasks each receiving the whole corpus at 100 TB."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_quantized,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    for fn in (knn_bruteforce, knn_quantized):
+        plan = physical_plan(fn(emb, q, k=5), mode="simple")
+        assert "Window" not in plan, plan
+        # the local cut's grouping key includes the physical partition id, so
+        # partial aggregation completes map-side before the merge shuffle
+        assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan, plan
+
+
 def test_global_topk_is_take_ordered(spark, sf_dir):
     """orderBy().limit() must plan TakeOrderedAndProject — a global sort of
     the table to answer top-100 is a 100 TB antipattern."""

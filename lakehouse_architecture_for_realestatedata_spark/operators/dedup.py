@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_architecture_for_realestatedata_spark.functions import sketches
 from lakehouse_architecture_for_realestatedata_spark.functions.text import shingles
+from lakehouse_architecture_for_realestatedata_spark.operators.graph import truncate_lineage
 
 
 def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -249,17 +250,19 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    cand = (
+    # The pair list feeds BOTH the id-trim semi-join and the verify join
+    # (diamond lineage). Without materialization Spark would re-run the whole
+    # candidate pipeline — including its banded-row shuffle — once per
+    # consumer; eagerly checkpointing the slim (id_a, id_b) rows (orders of
+    # magnitude smaller than the corpus) makes the expensive half of the plan
+    # run exactly once. truncate_lineage over persist(): the blocks are freed
+    # by the ContextCleaner when the result DataFrame is dereferenced, so a
+    # long-lived session doesn't accumulate pinned cache entries that only an
+    # explicit unpersist() would release.
+    cand = truncate_lineage(
         members.select(F.explode(combos).alias("__p"))
         .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        # The pair list feeds BOTH the id-trim semi-join and the verify join
-        # (diamond lineage). Without persist Spark would re-run the whole
-        # candidate pipeline — including its banded-row shuffle — once per
-        # consumer; persisting the slim (id_a, id_b) rows (orders of magnitude
-        # smaller than the corpus; spills to disk under pressure) makes the
-        # expensive half of the plan run exactly once.
-        .persist()
     )
     cand_ids = cand.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)

@@ -10,17 +10,36 @@ Rounds needed = graph diameter — near-dup clusters are small and dense
 nodes; ``max_iterations`` guards pathological chains.
 
 Scale mechanics per round: one join (labels ⋈ edges, both hash-partitioned on
-the node — co-partitioned, one shuffle) + one min-aggregate. Lineage is
-truncated every round with ``localCheckpoint`` — without it, round k's plan
-contains k nested joins and the DAG (and codegen) blows up exponentially.
-Convergence detection is free: labels only ever DECREASE, so the sum of all
-labels is a strictly decreasing potential; equal sums ⇒ fixpoint.
+the node — co-partitioned, one shuffle) + one count. Lineage is truncated
+every round — without it, round k's plan contains k nested joins and the DAG
+(and codegen) blows up exponentially. Truncation uses ``localCheckpoint``
+(executor-local blocks, fine on local[*]) unless the SparkContext has a
+reliable checkpoint directory configured (``sc.setCheckpointDir``), in which
+case ``checkpoint`` is used so a lost executor doesn't kill the job — set one
+on a real cluster.
+
+Convergence is detected type-agnostically: a round that changes zero labels
+is the fixpoint (labels only ever decrease, so "no change" is stable). The
+changed-row count works for string/md5 node ids too — summing labels as a
+potential does not (``sum`` over strings is NULL, and ``None == None`` would
+declare convergence after one round).
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut lineage: reliable checkpoint when a checkpoint dir is set
+    (cluster), executor-local otherwise (local mode / tests)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -30,20 +49,23 @@ def connected_components(
     max_iterations: int = 25,
 ) -> DataFrame:
     """(node, label) for every node appearing in ``pairs``; ``label`` is the
-    minimum node id of its connected component."""
-    edges = (
+    minimum node id of its connected component. Node ids may be any orderable
+    type (int, string/md5, ...).
+
+    Warns if ``max_iterations`` rounds pass without reaching the fixpoint —
+    the returned labels are then an under-merged approximation (some
+    components still carry more than one label).
+    """
+    edges = truncate_lineage(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = truncate_lineage(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
-    potential = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["node"])
@@ -51,16 +73,24 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nbr"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select("node", F.least("label", F.coalesce("nbr", "label")).alias("label"))
-            .localCheckpoint()
+        stepped = truncate_lineage(
+            labels.join(neighbor_min, "node", "left").select(
+                "node",
+                F.col("label").alias("__old"),
+                F.least("label", F.coalesce("nbr", "label")).alias("label"),
+            )
         )
-        new_potential = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels = new_labels
-        if new_potential == potential:
+        changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        labels = stepped.select("node", "label")
+        if changed == 0:
             break
-        potential = new_potential
+    else:
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds; returned labels are under-merged (raise max_iterations "
+            "or check for pathological long chains)",
+            stacklevel=2,
+        )
     return labels
 
 

@@ -55,19 +55,6 @@ def semi_join(df: DataFrame, other: DataFrame, on: str | list[str]) -> DataFrame
     return df.join(other, on=on, how="left_semi")
 
 
-def salted_join(
-    big: DataFrame,
-    small: DataFrame,
-    key: str,
-    salt_buckets: int = 16,
-) -> DataFrame:
-    """Skew-salted inner equi-join: replicate the small side ``salt_buckets``
-    times, scatter the big side's hot keys uniformly with a random salt, join
-    on (key, salt). Use when AQE skew-split isn't enough (one key ≫ one
-    executor's memory). Row-level result identical to ``big.join(small, key)``.
-    """
-    salted_big = big.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
-    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
-    salted_small = small.select("*", salts)
-    out = salted_big.join(salted_small, on=[key, "__salt"], how="inner")
-    return out.drop("__salt")
+# Skew-salted joins live in operators.skew.salted_join (content-hash salt:
+# deterministic under task retry/speculation, unlike a rand()-drawn salt,
+# which can re-draw on recompute and double- or zero-join a row).

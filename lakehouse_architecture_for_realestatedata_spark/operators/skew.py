@@ -35,7 +35,18 @@ def salted_join(
     The salt is drawn from the row's own bytes (xxhash64 of the key plus a
     uniformly-distributed random column surrogate — ``rand`` is avoided so
     retried tasks recompute the SAME salt and stay exactly-once under
-    speculative execution)."""
+    speculative execution).
+
+    Only ``inner`` and ``left`` are supported: the small side is replicated
+    ``n_salts`` times, so right/full-outer would emit each unmatched
+    small-side row once per replica — silently wrong, hence the ValueError.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: the "
+            "replicated small side would duplicate unmatched rows under "
+            "right/full-outer semantics"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     # salt from all non-key columns' hash: deterministic per row content,
     # uncorrelated with the key

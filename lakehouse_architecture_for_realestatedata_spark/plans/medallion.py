@@ -46,6 +46,7 @@ DEFAULT_RENAME_MAP = {
     "price": "price",
     "images": "images",
     "address": "address",
+    "Địa chỉ": "address",
     "Diện tích": "area_raw",
     "Diện tích sử dụng": "usable_area_raw",
     "Diện tích đất": "land_area_raw",
@@ -100,10 +101,85 @@ def normalize_columns(
         used.add(new)
     out = df.select([F.col(f"`{o}`").alias(n) for o, n in final.items()])
     if dedup_key in out.columns and order_col in out.columns:
-        # Tiebreak beyond the reference's mtime-only ordering so re-runs are
-        # deterministic even for same-file duplicates (SURVEY §7.4).
-        out = dedup_latest(out, dedup_key, [F.col(order_col).desc()])
+        # The reference orders by mtime only (normalize_bronze_columns.py:127)
+        # — nondeterministic when one key carries two rows with equal mtime.
+        # Add a content-hash tiebreak so keep-latest is a pure function of the
+        # input rows (partition- and retry-invariant); on mtime ties the row
+        # with the smallest xxhash64 of its full contents wins.
+        tiebreak = F.xxhash64(*[F.col(c) for c in out.columns])
+        out = dedup_latest(out, dedup_key, [F.col(order_col).desc(), tiebreak.asc()])
     return out
+
+
+# The Kaggle-CSV → bronze column contract (reference: scripts/normalize_csv.py:20-28).
+CSV_SIMPLE_MAPPING = {
+    "Frontage": "Chiều ngang",
+    "Floors": "Tổng số tầng",
+    "Bedrooms": "Số phòng ngủ",
+    "Bathrooms": "Số phòng vệ sinh",
+    "Legal status": "Giấy tờ pháp lý",
+    "House direction": "Hướng cửa chính",
+    "Price": "price",
+}
+
+
+def csv_backfill(df: DataFrame, mtime: Column | None = None) -> DataFrame:
+    """The CSV backfill model (reference: scripts/normalize_csv.py:45-109):
+    one projection turning a raw housing CSV into bronze-shaped rows that
+    the normalize→silver spine consumes like any crawl batch.
+
+      - ``list_id``: md5 over Address+Price+Area (F13 — CSV rows lack a
+        natural key, so the id is a pure content hash: re-importing the same
+        file yields the same ids, which keeps downstream MERGE idempotent);
+      - ``Địa chỉ``/``title`` both carry Address (normalize_csv.py:67-68);
+      - ``file_modification_time``: synthetic mtime — the reference stamps
+        ``current_timestamp()`` (normalize_csv.py:69); pass a literal for
+        deterministic tests/oracles;
+      - ``source_origin = 'csv_import'`` provenance tag (F19);
+      - mapped attribute columns cast to string, absent ones typed-null
+        (normalize_csv.py:73-78) — bronze is stringly-typed by design;
+      - province/district/ward split from the comma-separated Address by
+        negative indexing (F14, normalize_csv.py:81-83);
+      - ``Diện tích``/``Diện tích đất`` mirror Area; ``Diện tích sử dụng``
+        and ``images`` are typed nulls so the batch unions cleanly with
+        crawled bronze (normalize_csv.py:86-94).
+
+    Narrow projection only — no shuffle; appending the result to a bronze
+    ``ParquetTable`` costs O(batch), not O(table).
+    """
+    from lakehouse_architecture_for_realestatedata_spark.functions.parsing import md5_id, split_address
+
+    mtime = mtime if mtime is not None else F.current_timestamp()
+    addr = split_address(F.col("Address"))
+    exprs: list[Column] = [
+        md5_id("Address", "Price", "Area").alias("list_id"),
+        F.col("Address").alias("Địa chỉ"),
+        F.col("Address").alias("title"),
+        mtime.alias("file_modification_time"),
+        F.lit("csv_import").alias("source_origin"),
+    ]
+    for csv_col, bronze_col in CSV_SIMPLE_MAPPING.items():
+        src = (
+            F.col(f"`{csv_col}`").cast("string")
+            if csv_col in df.columns
+            else F.lit(None).cast("string")
+        )
+        exprs.append(src.alias(bronze_col))
+    exprs += [
+        addr["province"].alias("Tỉnh, thành phố"),
+        addr["district"].alias("Quận, Huyện"),
+        addr["ward"].alias("Phường, thị xã, thị trấn"),
+    ]
+    area = (
+        F.col("Area").cast("string") if "Area" in df.columns else F.lit(None).cast("string")
+    )
+    exprs += [
+        area.alias("Diện tích"),
+        area.alias("Diện tích đất"),
+        F.lit(None).cast("string").alias("Diện tích sử dụng"),
+        F.lit(None).cast("array<string>").alias("images"),
+    ]
+    return df.select(*exprs)
 
 
 # ---------------------------------------------------------------------------
@@ -126,8 +202,18 @@ def silver_properties(
     src = bronze
     if high_water_mark is not None:
         src = src.filter(F.col("file_modification_time") > high_water_mark)
+    # Content-hash tiebreak after mtime: the reference's ordering (and a
+    # tiebreak on the partition key itself) leaves same-mtime duplicates
+    # nondeterministic; hashing the full row makes the winner a pure function
+    # of the data. The oracle fixture is tie-free, so this only changes
+    # behavior on inputs the reference itself handles unpredictably.
     deduped = dedup_latest(
-        src, "list_id", [F.col("file_modification_time").desc(), F.col("list_id")]
+        src,
+        "list_id",
+        [
+            F.col("file_modification_time").desc(),
+            F.xxhash64(*[F.col(c) for c in src.columns]).asc(),
+        ],
     )
     created = created_at if created_at is not None else F.current_timestamp()
 

@@ -61,7 +61,13 @@ class ManifestIngest:
             return 0
         df = reader(todo)
         if "_input_file" in df.columns:
-            done = [os.path.abspath(p) for p in self.processed()]
+            # ``_metadata.file_path`` is a URI (file:///…); the manifest holds
+            # plain paths — match both spellings or the guard silently becomes
+            # a no-op (caught by tests/test_ingest_spine.py).
+            done: list[str] = []
+            for p in self.processed():
+                ap = os.path.abspath(p)
+                done += [ap, "file://" + ap, "file:" + ap]
             if done:
                 # Negated membership filter on provenance (P3). The processed
                 # set is driver-side metadata; Catalyst turns isin on a

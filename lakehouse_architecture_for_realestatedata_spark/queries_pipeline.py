@@ -188,7 +188,7 @@ def q_silver_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="dim_locations (dim_locations.sql:12-71): Unknown-coalesce, "
     "group-distinct, region bucketing. location_id (Murmur3) excluded from "
-    "the oracle projection; covered rows-only via stable_hash_keys.",
+    "the oracle projection; its invariants are pinned in tests/test_functions.py.",
 )
 def q_dim_locations_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim_locations(_silver(spark)).select(
@@ -295,3 +295,73 @@ def q_scd_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         "is_current",
     )
+
+
+# CSV backfill fixture: stringly-typed (header-only CSV read), addresses with
+# 3/2/1 comma segments, a NULL address, NULL price/area — every branch of
+# normalize_csv.py's projection. The "House direction" column is deliberately
+# absent to exercise the missing-column typed-null path.
+_CSV_ROWS = [
+    ("12 lê lợi, phường bến thành, quận 1, Hồ Chí Minh", "5,2 tỷ", "100", "5", "3", "3", "2", "Sổ đỏ"),
+    ("5 tràng tiền, Hà Nội", "850 triệu", "85,5", None, "2", "2", "1", "Sổ hồng"),
+    ("Đà Nẵng", "Thỏa thuận", "200", None, None, None, None, None),
+    (None, "2 tỷ", "50", "4", "1", "1", "1", "Giấy tay"),
+    ("9 nguyễn huệ, quận 1, Hồ Chí Minh", None, None, None, None, "1", "1", "Sổ hồng"),
+]
+_CSV_SCHEMA = (
+    'Address string, Price string, Area string, Frontage string, Floors string, '
+    'Bedrooms string, Bathrooms string, `Legal status` string'
+)
+_CSV_MTIME = "2024-05-01 00:00:00"
+
+
+def _csv_values() -> str:
+    rows = []
+    for r in _CSV_ROWS:
+        vals = ", ".join("NULL" if v is None else "'" + v.replace("'", "''") + "'" for v in r)
+        rows.append(f"({vals})")
+    cols = 'Address, Price, Area, Frontage, Floors, Bedrooms, Bathrooms, "Legal status"'
+    return "(VALUES\n    " + ",\n    ".join(rows) + f"\n) AS csv({cols})"
+
+
+@register(
+    "csv_backfill_model",
+    f"""
+    SELECT
+        md5(concat(coalesce(Address, ''), coalesce(Price, ''), coalesce(Area, ''))) AS list_id,
+        Address AS "Địa chỉ",
+        Address AS title,
+        cast('{_CSV_MTIME}' as timestamp) AS file_modification_time,
+        'csv_import' AS source_origin,
+        Frontage AS "Chiều ngang",
+        Floors AS "Tổng số tầng",
+        Bedrooms AS "Số phòng ngủ",
+        Bathrooms AS "Số phòng vệ sinh",
+        "Legal status" AS "Giấy tờ pháp lý",
+        cast(NULL as varchar) AS "Hướng cửa chính",
+        Price AS price,
+        trim(string_split(Address, ',')[-1]) AS "Tỉnh, thành phố",
+        CASE WHEN len(string_split(Address, ',')) >= 2
+             THEN trim(string_split(Address, ',')[-2]) END AS "Quận, Huyện",
+        CASE WHEN len(string_split(Address, ',')) >= 3
+             THEN trim(string_split(Address, ',')[-3]) END AS "Phường, thị xã, thị trấn",
+        Area AS "Diện tích",
+        Area AS "Diện tích đất",
+        cast(NULL as varchar) AS "Diện tích sử dụng"
+    FROM {_csv_values()}
+    """,
+    doc="The composed CSV backfill model (normalize_csv.py:45-109): F13 md5 "
+    "content id, F14 negative-index address split, F19 provenance tag + "
+    "typed nulls, stringly-typed bronze attribute mapping — one narrow "
+    "projection, appendable to bronze at O(batch) cost. The 'House "
+    "direction' column is absent from the fixture, exercising the "
+    "missing-column null fill; images (typed-null array) is excluded from "
+    "the compare projection only because the oracle's NULL list type "
+    "differs, and is pinned in tests/test_medallion.py.",
+)
+def q_csv_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.plans.medallion import csv_backfill
+
+    raw = spark.createDataFrame(_CSV_ROWS, _CSV_SCHEMA)
+    out = csv_backfill(raw, mtime=F.to_timestamp(F.lit(_CSV_MTIME)))
+    return out.drop("images")

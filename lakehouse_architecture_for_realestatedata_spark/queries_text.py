@@ -225,12 +225,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
 
 
-@register(
-    "doc_fingerprint_clusters",
-    None,  # xor-of-xxhash64 fingerprint is Spark-specific
-    doc="Order-insensitive 64-bit content fingerprints: clusters sharing a "
-    "fingerprint (near-exact dup candidates, one narrow pass).",
-)
+# Not registered (rows-only duplicate of the exact-dedup family; fingerprint
+# determinism is pinned in tests/test_text.py) — registry slots go to
+# oracle-bearing queries.
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -268,7 +265,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Brute-force cosine top-5 per query (queries = vec_id<10, broadcast; "
     "corpus streamed). Quantized to scaled-int dot products so the oracle is "
-    "bit-exact; the float variant is knn_cosine_float (rows-only).",
+    "bit-exact; the float variant is pytest-pinned against this one.",
 )
 def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -276,13 +273,8 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_quantized(emb, queries, "vec_id", "embedding", k=5)
 
 
-@register(
-    "knn_cosine_float",
-    None,  # float summation order differs across engines — covered by
-    # tests comparing against the quantized variant
-    doc="Brute-force float cosine top-5 (the production operator; quantized "
-    "twin above is the oracle-checked form).",
-)
+# Not registered (rows-only duplicate of knn_cosine_bruteforce above; float
+# agreement with the quantized twin is asserted in tests/test_similarity.py).
 def q_knn_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)

@@ -464,21 +464,46 @@ class MedallionPipeline:
     Table layout mirrors the reference's databases (SURVEY §1.1): one root
     with bronze/, silver/, gold/ namespaces. Facts are partitioned by
     date_key for pruning (the reference leaves this on the table, SURVEY §4).
+
+    Pass a ``Catalog`` to register every layer by name — after ``run()`` any
+    SQL client resolves ``silver.stg_properties`` / ``gold.fct_properties``
+    etc., the same contract the reference meets by registering Delta tables
+    in its Hive metastore (scripts/load_bronze_to_table.py:99-171) and
+    serving them over Thrift.
     """
 
-    def __init__(self, spark, root: str):
+    # (db, attribute, table name, partition columns)
+    _TABLES = [
+        ("bronze", "bronze", "properties", None),
+        ("silver", "silver", "stg_properties", None),
+        ("gold", "gold_dim_locations", "dim_locations", None),
+        ("gold", "gold_dim_legal", "dim_legal_status", None),
+        ("gold", "gold_dim_properties", "dim_properties", None),
+        ("gold", "gold_fct_properties", "fct_properties", ["date_key"]),
+        ("gold", "gold_fct_daily", "fct_daily_summary", None),
+        ("gold", "gold_fct_quality", "fct_data_quality_report", None),
+    ]
+
+    def __init__(self, spark, root: str, catalog=None):
         self.spark = spark
         self.root = root.rstrip("/")
-        self.bronze = ParquetTable(spark, f"{self.root}/bronze/properties")
-        self.silver = ParquetTable(spark, f"{self.root}/silver/stg_properties")
-        self.gold_dim_locations = ParquetTable(spark, f"{self.root}/gold/dim_locations")
-        self.gold_dim_legal = ParquetTable(spark, f"{self.root}/gold/dim_legal_status")
-        self.gold_dim_properties = ParquetTable(spark, f"{self.root}/gold/dim_properties")
-        self.gold_fct_properties = ParquetTable(
-            spark, f"{self.root}/gold/fct_properties", partition_by=["date_key"]
-        )
-        self.gold_fct_daily = ParquetTable(spark, f"{self.root}/gold/fct_daily_summary")
-        self.gold_fct_quality = ParquetTable(spark, f"{self.root}/gold/fct_data_quality_report")
+        self.catalog = catalog
+        for db, attr, name, part in self._TABLES:
+            path = f"{self.root}/{db}/{name}"
+            if catalog is not None:
+                t = catalog.create_table(db, name, path=path, partition_by=part)
+            else:
+                t = ParquetTable(spark, path, partition_by=part)
+            setattr(self, attr, t)
+
+    def refresh_catalog(self) -> None:
+        """Re-bind every registered view to its table's current snapshot
+        (REFRESH TABLE over the whole pipeline)."""
+        if self.catalog is None:
+            return
+        for db, _attr, name, _part in self._TABLES:
+            if self.catalog.table(db, name).exists():
+                self.catalog.refresh(db, name)
 
     def ingest_bronze(self, raw: DataFrame) -> None:
         """S7 semantics: append with schema merge."""
@@ -516,3 +541,4 @@ class MedallionPipeline:
         self.gold_fct_properties.merge(fct, key="property_id")
         self.gold_fct_daily.overwrite(fct_daily_summary(self.gold_fct_properties.read()))
         self.gold_fct_quality.overwrite(fct_data_quality_report(stg))
+        self.refresh_catalog()

@@ -295,14 +295,22 @@ def q_catalog_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
     """,
-    doc="J4/P8 anti-join — scale-correct NOT IN rewrite (dim_locations.sql:23-26).",
+    doc="J4/P8 anti-join — scale-correct NOT IN rewrite (dim_locations.sql:23-26). "
+    "Scoped to customers inactive in 1995 so the result is non-empty (every "
+    "customer has SOME order in this data — the unscoped variant compared "
+    "empty sets and verified nothing).",
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return anti_join(customer, orders, "c_custkey").select(
+    orders_95 = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join(customer, orders_95, "c_custkey").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 
@@ -539,36 +547,39 @@ def q_stable_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "intersect_repeat_customers",
     """
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
-    INTERSECT
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
     """,
-    doc="INTERSECT (distinct): customers ordering in both years. Spark plans "
-    "partial-agg + left-semi hash join — one shuffle per side on the key, "
+    doc="INTERSECT (distinct): customers ordering in both years (1995/1996 — "
+    "inside the data's 1995-2001 date range, so the result is non-empty and "
+    "the comparison actually exercises values). Spark plans partial-agg + "
+    "left-semi hash join — one shuffle per side on the key, "
     "broadcast-eligible when one year is small.",
 )
 def q_intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    y94 = orders.filter(F.year("o_orderdate") == 1994).select("o_custkey")
     y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
-    return y94.intersect(y95)
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
 
 
 @register(
     "except_churned_customers",
     """
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
-    EXCEPT
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
     """,
-    doc="EXCEPT (distinct): 1994 customers gone by 1995 — the set-op twin of "
-    "the P8 NOT-IN incremental pattern, planned as left-anti join.",
+    doc="EXCEPT (distinct): 1995 customers gone by 1996 (non-vacuous years — "
+    "see intersect twin) — the set-op twin of the P8 NOT-IN incremental "
+    "pattern, planned as left-anti join.",
 )
 def q_except_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    y94 = orders.filter(F.year("o_orderdate") == 1994).select("o_custkey")
     y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
-    return y94.subtract(y95)
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)
 
 
 @register(

@@ -89,6 +89,47 @@ def test_partitioned_table_roundtrip(spark, tmp_path):
     assert cat.table("gold", "part").partition_by == ["g"]
 
 
+def test_medallion_pipeline_registers_all_layers(spark, tmp_path):
+    """The reference's full contract: after a pipeline run every layer is
+    SQL-addressable by database-qualified name (bronze.properties →
+    silver.stg_properties → gold.*), like its metastore + Thrift serving
+    (load_bronze_to_table.py:99-171)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.plans.medallion import MedallionPipeline
+    from lakehouse_architecture_for_realestatedata_spark.queries_pipeline import _bronze_df
+
+    cat = Catalog(spark, str(tmp_path / "cat8"))
+    pipe = MedallionPipeline(spark, str(tmp_path / "lake"), catalog=cat)
+    pipe.ingest_bronze(_bronze_df(spark))
+    pipe.run(created_at=F.to_timestamp(F.lit("2024-02-01 00:00:00")))
+
+    assert cat.show_tables("gold") == [
+        "gold.dim_legal_status",
+        "gold.dim_locations",
+        "gold.dim_properties",
+        "gold.fct_daily_summary",
+        "gold.fct_data_quality_report",
+        "gold.fct_properties",
+    ]
+    assert cat.sql("SELECT count(*) AS n FROM bronze.properties").collect()[0]["n"] == 8
+    assert cat.sql(
+        "SELECT count(*) AS n FROM silver.stg_properties WHERE data_quality_flag = 'VALID'"
+    ).collect()[0]["n"] > 0
+    # star query over catalog-resolved gold names
+    rows = cat.sql(
+        """
+        SELECT l.region, count(*) AS n
+        FROM gold.fct_properties f
+        JOIN gold.dim_locations l ON f.location_id = l.location_id
+        GROUP BY l.region
+        """
+    ).collect()
+    assert sum(r["n"] for r in rows) == cat.sql(
+        "SELECT count(*) AS n FROM gold.fct_properties"
+    ).collect()[0]["n"]
+
+
 def test_drop_table(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "cat7"))
     cat.create_table("bronze", "gone").overwrite(spark.createDataFrame([(1,)], "id int"))

@@ -13,6 +13,7 @@ from lakehouse_architecture_for_realestatedata_spark.plans.explain import physic
 from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
     cluster_by,
     partition_stats,
+    write_bucketed,
     write_partitioned,
     z_value,
 )
@@ -87,6 +88,44 @@ def test_zorder_clustering_preserves_rows(spark, sf_dir):
     clustered = cluster_by(orders, ["day_int", "o_custkey"], n_partitions=4, zorder=True)
     assert clustered.count() == orders.count()
     assert set(clustered.columns) == set(orders.columns)
+
+
+def test_cobucketed_join_needs_no_exchange(spark, sf_dir):
+    """The bucketing contract: two tables bucketed on the join key with the
+    same bucket count join with ZERO runtime shuffle — the shuffle was paid
+    once at write time. At 100 TB this turns every nightly fact⋈fact join
+    from a full-table exchange into a local per-bucket merge."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import count_shuffles
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        4,
+        sort_cols=["o_orderkey"],
+    )
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        # force the shuffle-sensitive path: no broadcast fallback
+        joined = bo.hint("merge").join(bl, "o_orderkey")
+        assert count_shuffles(joined) == 0, physical_plan(joined, mode="simple")
+        # and the join still answers correctly
+        n = joined.count()
+        plain = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert n == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
 def test_partition_stats_reports_per_partition_counts(spark, sf_dir, tmp_path):

@@ -69,22 +69,25 @@ def main() -> None:
         except Exception:
             pass
 
-    # best-of-2 per query: the min filters transient scheduler/GC noise
-    # (observed: identical plans swinging 1.2 s ↔ 16 s under background load)
-    # while still timing one full end-to-end execution.
+    # Best-of-3 with INTERLEAVED passes (run the whole list, three times,
+    # min per query). The host steals CPU in multi-second bursts (observed:
+    # identical plans swinging 1.2 s ↔ 16 s, and back-to-back best-of-2
+    # reporting 24 s for a 1.8 s query when a burst spanned both attempts);
+    # interleaving puts a query's attempts minutes apart so a localized
+    # burst can contaminate at most one of them.
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = reg.get(name)
-        if spec is None:
-            continue
-        best = None
-        for _ in range(2):
+    for _ in range(3):
+        for name in HEADLINE:
+            spec = reg.get(name)
+            if spec is None:
+                continue
             t0 = time.time()
             df = spec.spark_fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
             elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        per_query[name] = round(best, 3)
+            if name not in per_query or elapsed < per_query[name]:
+                per_query[name] = elapsed
+    per_query = {k: round(v, 3) for k, v in per_query.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(per_query.values()), 3)

@@ -28,12 +28,18 @@ A snapshot is a *list of references* to immutable data directories, so:
     caches (reference: airflow/dags/end_to_end_pipeline.py:209-244): a
     re-read simply resolves the new pointer.
 
-Concurrency: SINGLE WRITER ONLY. The pointer swap is atomic, but there is no
-CAS on the version number — two concurrent writers can both build v=n+1 and
-the later commit silently wins (Delta arbitrates this with the transaction
-log protocol; a lock service would be the analogue here). Readers are always
-safe. The reference has the same constraint: its pipeline is a serialized
-daily DAG.
+Concurrency: optimistic, Delta-style. A commit CLAIMS its version by
+hard-linking the manifest into place — ``link(2)`` is create-exclusive, so
+exactly one writer wins ``v=n+1`` and every loser gets
+``ConcurrentCommitError`` (the same protocol as Delta's
+put-if-absent ``n.json``). Blind writes rebase and retry automatically:
+append re-reads the winner's file list (its own data dir is already on
+disk, so the retry is a metadata-only recommit), overwrite just claims the
+next slot. Read-modify-write ops (merge / delete_where / compact) CANNOT
+silently rebase — their output was computed against a snapshot that is no
+longer latest — so they abort with ``ConcurrentCommitError`` for the caller
+to re-run, exactly Delta's ConcurrentAppendException contract. Readers are
+always safe (they only ever see fully-committed manifests).
 
 Scale notes (100 TB):
   - MERGE is implemented as left_anti(target, source) ∪ source — one shuffle
@@ -61,6 +67,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LATEST = "_latest"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the version this transaction targeted.
+
+    Raised by read-modify-write ops (merge, delete_where, compact) whose
+    computed output is stale — re-run them against the new snapshot. Blind
+    append/overwrite never surface this: they rebase and retry internally.
+    """
 
 
 class ParquetTable:
@@ -98,20 +113,49 @@ class ParquetTable:
             rel = json.load(fh)["dirs"]
         return [os.path.join(self.root, d) for d in rel]
 
+    def _next_version(self) -> int:
+        """First unclaimed version slot: one past the max of the pointer and
+        any manifest already on disk. Scanning manifests (not just the
+        pointer) lets a loser make progress even in the window where the
+        winner has linked its manifest but not yet swapped the pointer."""
+        latest = self.version()
+        if os.path.isdir(self.root):
+            for entry in os.listdir(self.root):
+                if entry.startswith("v=") and entry.endswith(".manifest"):
+                    latest = max(latest, int(entry[len("v=") : -len(".manifest")]))
+        return latest + 1
+
     def _commit(self, version: int, rel_dirs: list[str], schema_json: str) -> None:
-        """Write the manifest, then atomically swap the pointer. A crash
-        between the two leaves a dangling manifest file and an unchanged
-        table — retrying the write is safe (idempotent). The schema rides in
-        the manifest so an all-rows-deleted table still reads back empty with
-        its columns intact."""
+        """Claim ``version`` with create-exclusive semantics, then advance
+        the pointer. The manifest is written to a temp name and hard-linked
+        to its final name: link(2) fails with EEXIST if another writer
+        already owns the slot → ConcurrentCommitError, nothing clobbered.
+        A crash between link and pointer swap leaves a claimed-but-unpointed
+        manifest; the next writer's _next_version skips past it. The schema
+        rides in the manifest so an all-rows-deleted table still reads back
+        empty with its columns intact."""
+        os.makedirs(self.root, exist_ok=True)
         tmp = os.path.join(self.root, f".manifest.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump({"dirs": rel_dirs, "schema": schema_json}, fh)
-        os.replace(tmp, self._manifest_path(version))
-        tmp = os.path.join(self.root, f"._latest.{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, os.path.join(self.root, _LATEST))  # atomic pointer swap
+        try:
+            os.link(tmp, self._manifest_path(version))  # CAS: exactly one winner
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} of {self.root} was committed by another "
+                f"writer"
+            ) from None
+        finally:
+            os.remove(tmp)
+        # Monotonic pointer advance: never move _latest backwards even if an
+        # earlier writer's swap lands after a later writer's. A momentarily
+        # stale pointer is harmless — readers see the previous snapshot,
+        # which is exactly snapshot isolation.
+        if self.version() < version:
+            tmp = os.path.join(self.root, f"._latest.{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                fh.write(str(version))
+            os.replace(tmp, os.path.join(self.root, _LATEST))  # atomic swap
 
     # ---------------------------------------------------------------- read
     def read(self, version: int | None = None) -> DataFrame:
@@ -155,9 +199,16 @@ class ParquetTable:
         return None
 
     def overwrite(self, df: DataFrame) -> None:
-        """S8: full replace, new schema wins (overwriteSchema semantics)."""
+        """S8: full replace, new schema wins (overwriteSchema semantics).
+        A blind write: on commit conflict it just claims the next slot —
+        the data dir is already on disk, so a retry is metadata-only."""
         rel = self._write_data(df)
-        self._commit(self.version() + 1, [rel] if rel else [], df.schema.json())
+        while True:
+            try:
+                self._commit(self._next_version(), [rel] if rel else [], df.schema.json())
+                break
+            except ConcurrentCommitError:
+                continue
         self._vacuum(keep=2)
 
     def append(self, df: DataFrame, merge_schema: bool = True) -> None:
@@ -176,14 +227,38 @@ class ParquetTable:
                     f"append schema mismatch without merge_schema: table has "
                     f"{sorted(cur)}, frame has {sorted(new)}"
                 )
-        prior = [os.path.relpath(d, self.root) for d in self.data_dirs()]
         rel = self._write_data(df)
-        merged_schema = (
-            self.read().unionByName(df, allowMissingColumns=True).schema.json()
-            if merge_schema
-            else df.schema.json()
-        )
-        self._commit(self.version() + 1, prior + ([rel] if rel else []), merged_schema)
+        while True:
+            # Rebase onto whatever snapshot is newest RIGHT NOW: carry its
+            # file list plus our (already-written) data dir. Losing the CAS
+            # race costs one metadata re-read, never a data rewrite.
+            base = self._next_version() - 1
+            prior = [os.path.relpath(d, self.root) for d in self.data_dirs(base)]
+            merged_schema = (
+                self.read(base).unionByName(df, allowMissingColumns=True).schema.json()
+                if merge_schema
+                else df.schema.json()
+            )
+            try:
+                self._commit(base + 1, prior + ([rel] if rel else []), merged_schema)
+                break
+            except ConcurrentCommitError:
+                continue
+        self._vacuum(keep=2)
+
+    def _overwrite_expecting(self, df: DataFrame, base: int) -> None:
+        """Commit ``df`` as ``base + 1`` or abort. For read-modify-write ops:
+        ``df`` was computed against snapshot ``base``, so if any other writer
+        has claimed ``base + 1`` the output is stale — surface
+        ConcurrentCommitError (Delta's ConcurrentAppendException analogue)
+        instead of silently dropping the other writer's rows."""
+        rel = self._write_data(df)
+        try:
+            self._commit(base + 1, [rel] if rel else [], df.schema.json())
+        except ConcurrentCommitError:
+            if rel:  # drop the orphaned output dir before re-raising
+                shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+            raise
         self._vacuum(keep=2)
 
     def merge(
@@ -211,7 +286,8 @@ class ParquetTable:
         keys = [key] if isinstance(key, str) else list(key)
         if not self.exists():
             return self.overwrite(source)
-        target = self.read()
+        base = self._next_version() - 1
+        target = self.read(base)
 
         if prune is not None:
             frozen = target.filter(~prune)
@@ -228,10 +304,11 @@ class ParquetTable:
         out = kept.unionByName(source, allowMissingColumns=True)
         if prune is not None:
             out = frozen.unionByName(out, allowMissingColumns=True)
-        self.overwrite(out)
+        self._overwrite_expecting(out, base)
 
     def delete_where(self, predicate: Column) -> None:
-        self.overwrite(self.read().filter(~predicate))
+        base = self._next_version() - 1
+        self._overwrite_expecting(self.read(base).filter(~predicate), base)
 
     # -------------------------------------------------------------- hygiene
     def file_stats(self) -> dict:
@@ -270,36 +347,45 @@ class ParquetTable:
         Returns post-compaction ``file_stats``.
         """
         stats = self.file_stats()
-        df = self.read()
+        base = self._next_version() - 1
+        df = self.read(base)
         n = max(1, -(-stats["total_bytes"] // target_bytes))  # ceil
         if self.partition_by:
             df = df.repartition(n, *self.partition_by)
         else:
             df = df.repartition(n)
-        self.overwrite(df)
+        # Abort-on-conflict: a concurrent append between our read and commit
+        # would otherwise be silently dropped by the rewritten snapshot.
+        self._overwrite_expecting(df, base)
         return self.file_stats()
 
     def _vacuum(self, keep: int = 2) -> None:
-        """Drop manifests older than the last ``keep`` versions and any data
-        dir no retained manifest references (Delta VACUUM analogue)."""
+        """Drop manifests older than the last ``keep`` versions and the data
+        dirs that only those dropped manifests referenced (Delta VACUUM
+        analogue). Deliberately GCs ONLY dirs some expired manifest
+        referenced: a dir referenced by NO manifest may be another writer's
+        in-flight write that has not committed yet — deleting it would break
+        the optimistic-concurrency protocol (Delta's tombstone-based vacuum
+        has the same never-touch-unknown-files rule; its retention window
+        covers crashed-writer orphans, which we leave in place)."""
         cur = self.version()
         if not os.path.isdir(self.root):
             return
         referenced: set[str] = set()
+        expired: set[str] = set()
         for entry in os.listdir(self.root):
             if not entry.startswith("v=") or not entry.endswith(".manifest"):
                 continue
             v = int(entry[len("v=") : -len(".manifest")])
+            with open(os.path.join(self.root, entry)) as fh:
+                dirs = json.load(fh)["dirs"]
             if v <= cur - keep:
+                expired.update(dirs)
                 os.remove(os.path.join(self.root, entry))
             else:
-                with open(os.path.join(self.root, entry)) as fh:
-                    referenced.update(json.load(fh)["dirs"])
-        data_root = os.path.join(self.root, "data")
-        if os.path.isdir(data_root):
-            for d in os.listdir(data_root):
-                if os.path.join("data", d) not in referenced:
-                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                referenced.update(dirs)
+        for rel in expired - referenced:
+            shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
 
     # ------------------------------------------------------------- helpers
     def high_water_mark(self, ts_col: str, default: str = "1970-01-01") -> Column:

@@ -163,3 +163,69 @@ def test_high_water_mark(spark, tmp_path):
     )
     df = spark.range(1).select(t.high_water_mark("ts").alias("hwm"))
     assert str(df.collect()[0]["hwm"]) == "2024-03-01 10:00:00"
+
+
+# ---------------------------------------------------------------- concurrency
+# Optimistic CAS (hard-link-exclusive manifest claim). The interleaved writer
+# is injected between _write_data and _commit — the exact race window.
+
+
+def _race(table, spark, root, racing_df):
+    """Monkeypatch ``table`` so a competing writer commits an append in the
+    middle of ``table``'s next write transaction."""
+    orig = table._write_data
+
+    def write_then_lose_race(df):
+        rel = orig(df)
+        ParquetTable(spark, root).append(racing_df)
+        table._write_data = orig  # race once, not on the rebase retry
+        return rel
+
+    table._write_data = write_then_lose_race
+
+
+def test_append_race_rebases_and_keeps_both(spark, tmp_path):
+    root = str(tmp_path / "race1")
+    t = ParquetTable(spark, root)
+    t.overwrite(_df(spark, [(1, "base", None)]))
+    _race(t, spark, root, _df(spark, [(2, "racer", None)]))
+    t.append(_df(spark, [(3, "mine", None)]))
+    vals = {r["val"] for r in t.read().collect()}
+    assert vals == {"base", "racer", "mine"}  # nobody's write was lost
+
+
+def test_merge_race_aborts_not_clobbers(spark, tmp_path):
+    import pytest
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
+        ConcurrentCommitError,
+    )
+
+    root = str(tmp_path / "race2")
+    t = ParquetTable(spark, root)
+    t.overwrite(_df(spark, [(1, "base", None)]))
+    _race(t, spark, root, _df(spark, [(2, "racer", None)]))
+    with pytest.raises(ConcurrentCommitError):
+        t.merge(_df(spark, [(1, "merged", None)]), key="id")
+    # the interleaved append survives; the stale merge output never landed
+    vals = {r["val"] for r in t.read().collect()}
+    assert vals == {"base", "racer"}
+
+
+def test_crashed_claim_is_skipped(spark, tmp_path):
+    """A manifest linked by a writer that died before the pointer swap must
+    not wedge the table: the next commit claims the slot after it."""
+    import json
+    import os
+
+    root = str(tmp_path / "race3")
+    t = ParquetTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a", None)]))
+    with open(t._manifest_path(0)) as fh:
+        m = json.load(fh)
+    with open(t._manifest_path(1), "w") as fh:  # orphan claim, pointer still 0
+        json.dump(m, fh)
+    assert t.version() == 0
+    t.append(_df(spark, [(2, "b", None)]))
+    assert t.version() == 2  # skipped the orphaned v=1
+    assert t.read().count() == 2

@@ -44,9 +44,11 @@ always safe (they only ever see fully-committed manifests).
 Scale notes (100 TB):
   - MERGE is implemented as left_anti(target, source) ∪ source — one shuffle
     on the merge key, same join Delta itself plans for a full-table merge.
-    With a partition predicate (``merge(..., prune=...)``) untouched
-    partitions are carried by the plan but still rewritten; file-level
-    rewrite avoidance applies to append, the hot path.
+    Like Delta's file-pruned merge, the per-dir min/max stats in the
+    manifest are used to REWRITE ONLY the data dirs whose key range
+    overlaps the source's: on a time-keyed 100 TB table an upsert of one
+    day's keys touches one day's files, not the table. ``delete_where``
+    with ``(col, op, value)`` conditions prunes the same way.
   - ``partition_by`` lays out data for partition pruning on read; the
     reference never partitions its tables (SURVEY §4 calls this out as perf
     left on the table) — we do.
@@ -125,7 +127,17 @@ class ParquetTable:
                     latest = max(latest, int(entry[len("v=") : -len(".manifest")]))
         return latest + 1
 
-    def _commit(self, version: int, rel_dirs: list[str], schema_json: str) -> None:
+    def _manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def _commit(
+        self,
+        version: int,
+        rel_dirs: list[str],
+        schema_json: str,
+        stats: dict | None = None,
+    ) -> None:
         """Claim ``version`` with create-exclusive semantics, then advance
         the pointer. The manifest is written to a temp name and hard-linked
         to its final name: link(2) fails with EEXIST if another writer
@@ -133,11 +145,16 @@ class ParquetTable:
         A crash between link and pointer swap leaves a claimed-but-unpointed
         manifest; the next writer's _next_version skips past it. The schema
         rides in the manifest so an all-rows-deleted table still reads back
-        empty with its columns intact."""
+        empty with its columns intact; per-dir min/max column stats ride
+        alongside for data skipping (``read_where``)."""
         os.makedirs(self.root, exist_ok=True)
         tmp = os.path.join(self.root, f".manifest.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
-            json.dump({"dirs": rel_dirs, "schema": schema_json}, fh)
+            json.dump(
+                {"dirs": rel_dirs, "schema": schema_json, "stats": stats or {}},
+                fh,
+                default=str,
+            )
         try:
             os.link(tmp, self._manifest_path(version))  # CAS: exactly one winner
         except FileExistsError:
@@ -172,6 +189,116 @@ class ParquetTable:
         dfs = [self.spark.read.parquet(d) for d in dirs]
         return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
 
+    @staticmethod
+    def _coerce(stored, like):
+        """Parse a JSON-round-tripped stat value back into ``like``'s type
+        family so comparisons are meaningful."""
+        import datetime
+        import decimal
+
+        if stored is None:
+            return None
+        if isinstance(like, bool):
+            return None  # bools: no pruning — min/max of a flag is useless
+        if isinstance(like, (int, float, decimal.Decimal)):
+            return float(stored)
+        if isinstance(like, datetime.datetime):
+            return datetime.datetime.fromisoformat(str(stored))
+        if isinstance(like, datetime.date):
+            parsed = datetime.datetime.fromisoformat(str(stored))
+            return parsed.date() if isinstance(parsed, datetime.datetime) else parsed
+        return str(stored)
+
+    @classmethod
+    def _dir_may_match(cls, stats: dict, col: str, op: str, value) -> bool:
+        """Conservative zonemap test: False only when [min,max] PROVES no row
+        in the dir can satisfy ``col op value``. Missing stats → True."""
+        if col not in stats:
+            return True
+        like = value[0] if op == "between" else value
+        if isinstance(like, bool):
+            return True
+        lo = cls._coerce(stats[col][0], like)
+        hi = cls._coerce(stats[col][1], like)
+        if lo is None and hi is None:
+            return False  # all-NULL dir: no comparison ever matches
+        if lo is None or hi is None:
+            return True
+        if isinstance(like, (int, float)):
+            value = (
+                tuple(float(v) for v in value) if op == "between" else float(value)
+            )
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+        if op == "between":
+            a, b = value
+            return not (hi < a or lo > b)
+        raise ValueError(f"unsupported op {op!r}")
+
+    def read_where(self, *conds: tuple) -> DataFrame:
+        """Data-skipping scan (Delta zonemap analogue): each condition is a
+        ``(col, op, value)`` tuple with op in ``= < <= > >= between``
+        (between takes a ``(lo, hi)`` value), combined with AND.
+
+        Data dirs whose manifest min/max stats PROVE the conjunction empty
+        are dropped before Spark ever lists them — at 100 TB a
+        time-range query over an append-mostly table (each append covers a
+        narrow time slice) touches only the dirs that overlap it, on top of
+        the parquet row-group pruning that still applies inside survivors.
+        The same conditions are applied as real filters, so results are
+        identical to ``read().filter(...)`` — skipping is purely a scan
+        reduction. Conditions on columns without stats simply don't prune.
+        """
+        v = self.version()
+        m = self._manifest(v)
+        kept = self._matching_dirs(m, conds)
+        df = self._read_rel_dirs(m, kept)
+        return df.filter(self._conds_filter(conds))
+
+    def _matching_dirs(self, manifest: dict, conds) -> list[str]:
+        """Rel dirs the zonemaps CANNOT prove empty for the AND of ``conds``
+        — the dirs a scan (or a rewrite of matching rows) must touch."""
+        stats = manifest.get("stats", {})
+        return [
+            rel
+            for rel in manifest["dirs"]
+            if all(
+                self._dir_may_match(stats.get(rel, {}), col, op, value)
+                for col, op, value in conds
+            )
+        ]
+
+    def _read_rel_dirs(self, manifest: dict, rels: list[str]) -> DataFrame:
+        """Scan of exactly ``rels`` (mergeSchema union); empty list → empty
+        frame with the manifest's schema."""
+        if not rels:
+            schema = StructType.fromJson(json.loads(manifest["schema"]))
+            return self.spark.createDataFrame([], schema)
+        dfs = [self.spark.read.parquet(os.path.join(self.root, d)) for d in rels]
+        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+    @staticmethod
+    def _conds_filter(conds) -> Column:
+        """AND of ``(col, op, value)`` conditions as a real Column filter."""
+        out = F.lit(True)
+        for col, op, value in conds:
+            c = F.col(col)
+            out = out & (
+                c.between(*value)
+                if op == "between"
+                else {"=": c == value, "<": c < value, "<=": c <= value,
+                      ">": c > value, ">=": c >= value}[op]
+            )
+        return out
+
     # --------------------------------------------------------------- write
     def _write_data(self, df: DataFrame) -> str | None:
         """Write ``df`` into a fresh immutable data dir; returns its
@@ -198,14 +325,42 @@ class ParquetTable:
         shutil.rmtree(path, ignore_errors=True)
         return None
 
+    _STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double",
+                    "string", "date") # + timestamp*, decimal* by prefix
+
+    def _dir_stats(self, rel: str) -> dict:
+        """Zonemap for a freshly-written data dir: ``{col: [min, max]}`` over
+        every orderable scalar column — the write-time stats Delta stores in
+        its log for data skipping. One narrow agg over the new dir only
+        (O(new data), amortized into the write); parquet row-group stats
+        still apply below this, zonemaps let ``read_where`` drop whole dirs
+        without opening a single footer."""
+        df = self.spark.read.parquet(os.path.join(self.root, rel))
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() in self._STATS_TYPES
+            or f.dataType.simpleString().startswith(("timestamp", "decimal"))
+        ]
+        if not cols:
+            return {}
+        row = df.agg(
+            *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+            *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+        ).collect()[0]
+        return {c: [row[f"__lo_{i}"], row[f"__hi_{i}"]] for i, c in enumerate(cols)}
+
     def overwrite(self, df: DataFrame) -> None:
         """S8: full replace, new schema wins (overwriteSchema semantics).
         A blind write: on commit conflict it just claims the next slot —
         the data dir is already on disk, so a retry is metadata-only."""
         rel = self._write_data(df)
+        stats = {rel: self._dir_stats(rel)} if rel else {}
         while True:
             try:
-                self._commit(self._next_version(), [rel] if rel else [], df.schema.json())
+                self._commit(
+                    self._next_version(), [rel] if rel else [], df.schema.json(), stats
+                )
                 break
             except ConcurrentCommitError:
                 continue
@@ -228,6 +383,7 @@ class ParquetTable:
                     f"{sorted(cur)}, frame has {sorted(new)}"
                 )
         rel = self._write_data(df)
+        new_stats = {rel: self._dir_stats(rel)} if rel else {}
         while True:
             # Rebase onto whatever snapshot is newest RIGHT NOW: carry its
             # file list plus our (already-written) data dir. Losing the CAS
@@ -239,8 +395,9 @@ class ParquetTable:
                 if merge_schema
                 else df.schema.json()
             )
+            stats = {**self._manifest(base).get("stats", {}), **new_stats}
             try:
-                self._commit(base + 1, prior + ([rel] if rel else []), merged_schema)
+                self._commit(base + 1, prior + ([rel] if rel else []), merged_schema, stats)
                 break
             except ConcurrentCommitError:
                 continue
@@ -253,8 +410,9 @@ class ParquetTable:
         ConcurrentCommitError (Delta's ConcurrentAppendException analogue)
         instead of silently dropping the other writer's rows."""
         rel = self._write_data(df)
+        stats = {rel: self._dir_stats(rel)} if rel else {}
         try:
-            self._commit(base + 1, [rel] if rel else [], df.schema.json())
+            self._commit(base + 1, [rel] if rel else [], df.schema.json(), stats)
         except ConcurrentCommitError:
             if rel:  # drop the orphaned output dir before re-raising
                 shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
@@ -279,15 +437,25 @@ class ParquetTable:
         (partition-prune analogue); rows failing ``prune`` are carried over
         untouched without joining.
 
-        Unlike append, merge rewrites the table (one new data dir): rewriting
-        only the files containing matched keys would need per-file key stats
-        — documented as the remaining gap vs Delta's file-level merge.
+        File-pruned like Delta's merge: the distinct source keys (or the
+        per-column envelope for multi-key/huge sources) are tested against
+        each data dir's manifest zonemap, and dirs that cannot contain a
+        source key are carried into the new snapshot BY REFERENCE — only
+        overlapping dirs are read, anti-joined, and rewritten. A target row matching a source key necessarily lives in
+        an overlapping dir, so the join over just those dirs is exact (for
+        insert-only mode too: the source-vs-target anti-join only needs the
+        dirs that could hold a matching key). An upsert of one day's keys
+        into a date-keyed 100 TB table rewrites one day's files.
         """
         keys = [key] if isinstance(key, str) else list(key)
         if not self.exists():
             return self.overwrite(source)
         base = self._next_version() - 1
-        target = self.read(base)
+        m = self._manifest(base)
+
+        touched = self._dirs_overlapping_keys(m, keys, source)
+        untouched = [rel for rel in m["dirs"] if rel not in set(touched)]
+        target = self._read_rel_dirs(m, touched)
 
         if prune is not None:
             frozen = target.filter(~prune)
@@ -304,11 +472,123 @@ class ParquetTable:
         out = kept.unionByName(source, allowMissingColumns=True)
         if prune is not None:
             out = frozen.unionByName(out, allowMissingColumns=True)
-        self._overwrite_expecting(out, base)
+        # Full post-merge schema: every target column (from the manifest,
+        # untouched dirs included) plus any new source columns.
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        merged_schema = (
+            self.spark.createDataFrame([], schema)
+            .unionByName(out.limit(0), allowMissingColumns=True)
+            .schema
+        )
+        self._commit_rewrite(base, m, untouched, out, merged_schema.json())
 
-    def delete_where(self, predicate: Column) -> None:
+    def delete_where(self, predicate: Column | tuple, *more: tuple) -> None:
+        """Delete matching rows (Delta DELETE analogue). With a Column
+        predicate every data dir is rewritten; with ``(col, op, value)``
+        condition tuples (AND-combined, ``read_where`` grammar) the manifest
+        zonemaps prove most dirs untouched and only dirs that may hold a
+        matching row are rewritten — a retention delete on a time-keyed
+        table costs O(expired slice), not O(table)."""
         base = self._next_version() - 1
-        self._overwrite_expecting(self.read(base).filter(~predicate), base)
+        if isinstance(predicate, Column):
+            self._overwrite_expecting(self.read(base).filter(~predicate), base)
+            return
+        conds = [predicate, *more]
+        m = self._manifest(base)
+        touched = self._matching_dirs(m, conds)
+        if not touched:
+            return  # zonemaps prove no row matches: nothing to do
+        untouched = [rel for rel in m["dirs"] if rel not in set(touched)]
+        survivors = self._read_rel_dirs(m, touched).filter(
+            ~self._conds_filter(conds)
+        )
+        self._commit_rewrite(base, m, untouched, survivors, m["schema"])
+
+    _KEY_PRUNE_CAP = 100_000  # collected distinct keys; beyond → envelope
+
+    def _dirs_overlapping_keys(
+        self, m: dict, keys: list[str], source: DataFrame
+    ) -> list[str]:
+        """Data dirs whose zonemap may hold a source key — the dirs a keyed
+        MERGE must read/rewrite. Single-key merges collect the distinct
+        source keys (capped driver-side — merge sources are the small side
+        by construction) and test each dir's [min,max] against the actual
+        key set, so an upsert of {day-1 keys, one fresh key far away} does
+        not smear into an envelope covering the whole table. Multi-key or
+        over-cap sources fall back to the per-column min/max envelope
+        (conservative, still exact). NULL keys never equi-join → all-NULL
+        dirs and NULL source keys are ignored."""
+        import bisect
+
+        stats = m.get("stats", {})
+        if len(keys) == 1:
+            k = keys[0]
+            rows = (
+                source.select(k)
+                .where(F.col(k).isNotNull())
+                .distinct()
+                .limit(self._KEY_PRUNE_CAP + 1)
+                .collect()
+            )
+            vals = sorted(r[0] for r in rows)
+            if not vals:
+                return []  # no non-null source key → pure insert
+            if len(vals) <= self._KEY_PRUNE_CAP and not isinstance(vals[0], bool):
+                out = []
+                for rel in m["dirs"]:
+                    st = stats.get(rel, {})
+                    if k not in st:
+                        out.append(rel)  # no stats → must assume overlap
+                        continue
+                    lo = self._coerce(st[k][0], vals[0])
+                    hi = self._coerce(st[k][1], vals[0])
+                    if lo is None and hi is None:
+                        continue  # all-NULL dir: equi-join can't match
+                    if lo is None or hi is None:
+                        out.append(rel)
+                        continue
+                    i = bisect.bisect_left(vals, lo)
+                    if i < len(vals) and vals[i] <= hi:
+                        out.append(rel)
+                return out
+        bounds = source.agg(
+            *[F.min(k).alias(f"__lo_{i}") for i, k in enumerate(keys)],
+            *[F.max(k).alias(f"__hi_{i}") for i, k in enumerate(keys)],
+        ).collect()[0]
+        conds = [
+            (k, "between", (bounds[f"__lo_{i}"], bounds[f"__hi_{i}"]))
+            for i, k in enumerate(keys)
+        ]
+        if any(lo is None and hi is None for _, _, (lo, hi) in conds):
+            return []
+        return self._matching_dirs(m, conds)
+
+    def _commit_rewrite(
+        self,
+        base: int,
+        manifest: dict,
+        untouched: list[str],
+        rewritten: DataFrame,
+        schema_json: str,
+    ) -> None:
+        """Commit a partial rewrite: carry ``untouched`` dirs (and their
+        stats) by reference, write ``rewritten`` as one new dir. Aborts with
+        ConcurrentCommitError on conflict (read-modify-write cannot rebase)
+        and GCs its orphaned output dir, like ``_overwrite_expecting``."""
+        rel = self._write_data(rewritten)
+        old_stats = manifest.get("stats", {})
+        stats = {r: old_stats[r] for r in untouched if r in old_stats}
+        if rel:
+            stats[rel] = self._dir_stats(rel)
+        try:
+            self._commit(
+                base + 1, untouched + ([rel] if rel else []), schema_json, stats
+            )
+        except ConcurrentCommitError:
+            if rel:
+                shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+            raise
+        self._vacuum(keep=2)
 
     # -------------------------------------------------------------- hygiene
     def file_stats(self) -> dict:

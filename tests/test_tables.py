@@ -229,3 +229,139 @@ def test_crashed_claim_is_skipped(spark, tmp_path):
     t.append(_df(spark, [(2, "b", None)]))
     assert t.version() == 2  # skipped the orphaned v=1
     assert t.read().count() == 2
+
+
+# ------------------------------------------------------------- data skipping
+
+
+def test_read_where_skips_disjoint_dirs(spark, tmp_path):
+    """Zonemap pruning: three appends with disjoint id ranges; a range scan
+    must (a) return exactly the matching rows and (b) not even list the
+    files of provably-disjoint dirs."""
+    t = ParquetTable(spark, str(tmp_path / "zm1"))
+    t.append(_df(spark, [(i, "lo", None) for i in range(0, 10)]))
+    t.append(_df(spark, [(i, "mid", None) for i in range(100, 110)]))
+    t.append(_df(spark, [(i, "hi", None) for i in range(200, 210)]))
+
+    out = t.read_where(("id", "between", (100, 109)))
+    assert {r["val"] for r in out.collect()} == {"mid"}
+    # only the mid dir's files were scanned
+    scanned = {"/" + f.split(":", 1)[1].lstrip("/") for f in out.inputFiles()}
+    all_dirs = t.data_dirs()
+    touched = {d for d in all_dirs if any(f.startswith(d + "/") for f in scanned)}
+    assert len(touched) == 1
+
+    # result identical to the unpruned filter
+    assert out.count() == t.read().filter("id between 100 and 109").count()
+
+
+def test_read_where_ops_and_strings(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "zm2"))
+    t.append(_df(spark, [(1, "apple", None), (2, "banana", None)]))
+    t.append(_df(spark, [(3, "yak", None), (4, "zebra", None)]))
+    assert t.read_where(("val", ">=", "yak")).count() == 2
+    assert len(t.read_where(("val", ">=", "yak")).inputFiles()) < len(t.read().inputFiles())
+    assert t.read_where(("id", "<", 2)).count() == 1
+    assert t.read_where(("id", ">", 100)).count() == 0
+    assert t.read_where(("val", "=", "banana")).count() == 1
+
+
+def test_read_where_schema_drift_and_nulls(spark, tmp_path):
+    """Dirs written before a column existed have no stats for it — they must
+    be kept (and null-filtered), never wrongly skipped; an all-NULL dir is
+    provably skippable for any comparison."""
+    t = ParquetTable(spark, str(tmp_path / "zm3"))
+    t.append(_df(spark, [(1, "old", None)]))
+    t.append(
+        spark.createDataFrame([(2, "new", None, 7.5)], "id int, val string, ts timestamp, score double")
+    )
+    out = t.read_where(("score", ">", 5.0))
+    assert [r["val"] for r in out.collect()] == ["new"]
+    # all-null dir: skipped outright
+    t2 = ParquetTable(spark, str(tmp_path / "zm4"))
+    t2.append(spark.createDataFrame([(1, None)], "id int, score double"))
+    t2.append(spark.createDataFrame([(2, 9.0)], "id int, score double"))
+    out2 = t2.read_where(("score", ">=", 0.0))
+    assert out2.count() == 1
+    assert len(out2.inputFiles()) < len(t2.read().inputFiles())
+
+
+# ------------------------------------------------- file-pruned merge/delete
+
+
+def _three_band_table(spark, tmp_path, name):
+    """Three appends with disjoint id ranges → three zonemapped data dirs."""
+    t = ParquetTable(spark, str(tmp_path / name))
+    t.append(_df(spark, [(i, "lo", None) for i in range(0, 10)]))
+    t.append(_df(spark, [(i, "mid", None) for i in range(100, 110)]))
+    t.append(_df(spark, [(i, "hi", None) for i in range(200, 210)]))
+    return t
+
+
+def test_merge_rewrites_only_overlapping_dirs(spark, tmp_path):
+    """An upsert whose keys land in one dir's range must carry the other
+    dirs by reference (same paths, bytes untouched) and still produce the
+    exact full-table merge result."""
+    t = _three_band_table(spark, tmp_path, "pm1")
+    before = set(t.data_dirs())
+    t.merge(_df(spark, [(105, "UPD", None), (300, "NEW", None)]), key="id")
+    after = set(t.data_dirs())
+    assert len(before & after) == 2  # lo + hi dirs reused by reference
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert len(rows) == 31
+    assert rows[105] == "UPD" and rows[300] == "NEW"
+    assert rows[0] == "lo" and rows[200] == "hi" and rows[100] == "mid"
+
+
+def test_merge_insert_only_pruned(spark, tmp_path):
+    t = _three_band_table(spark, tmp_path, "pm2")
+    before = set(t.data_dirs())
+    t.merge(
+        _df(spark, [(105, "CLOBBER", None), (106, "NEW", None)]),
+        key="id",
+        when_matched="keep_target",
+    )
+    assert len(before & set(t.data_dirs())) == 2
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert rows[105] == "mid"  # existing row kept
+    assert rows[106] == "mid"  # key existed → source row dropped
+    assert len(rows) == 30
+
+
+def test_merge_all_null_source_keys_is_pure_insert(spark, tmp_path):
+    t = _three_band_table(spark, tmp_path, "pm3")
+    before = set(t.data_dirs())
+    t.merge(_df(spark, [(None, "nullkey", None)]), key="id")
+    assert before <= set(t.data_dirs())  # every dir carried by reference
+    assert t.read().count() == 31
+
+
+def test_delete_where_conds_prunes_dirs(spark, tmp_path):
+    t = _three_band_table(spark, tmp_path, "pd1")
+    before = set(t.data_dirs())
+    t.delete_where(("id", "between", (100, 104)))
+    after = set(t.data_dirs())
+    assert len(before & after) == 2  # lo + hi untouched
+    assert t.read().count() == 25
+    assert t.read().filter("id between 100 and 104").count() == 0
+    # provably-no-match delete is a metadata no-op: no new version
+    v = t.version()
+    t.delete_where(("id", ">", 100000))
+    assert t.version() == v
+    # Column-predicate path still works (full rewrite)
+    t.delete_where(F.col("val") == "hi")
+    assert t.read().count() == 15
+
+
+def test_merge_schema_widening_survives_pruning(spark, tmp_path):
+    """Source with a new column: untouched dirs lack it; the manifest schema
+    and read() must still surface it (NULL for untouched rows)."""
+    t = _three_band_table(spark, tmp_path, "pm4")
+    src = spark.createDataFrame(
+        [(105, "UPD", None, 9.9)], "id int, val string, ts timestamp, score double"
+    )
+    t.merge(src, key="id")
+    out = t.read()
+    assert "score" in out.columns
+    got = {r["id"]: r["score"] for r in out.collect() if r["id"] in (0, 105)}
+    assert got[105] == 9.9 and got[0] is None

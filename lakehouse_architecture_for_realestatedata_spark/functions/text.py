@@ -97,6 +97,63 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
     return expr
 
 
+def lines(col: Column | str) -> Column:
+    """Non-empty trimmed lines of a document → array<string>. The unit for
+    Gopher-style repetition filters (duplicate-line fraction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.split(c, r"\n")
+    # NB: F.transform(arr, F.trim) would pass the element INDEX as trim's
+    # optional trimStr argument — wrap in a single-arg lambda.
+    return F.filter(F.transform(arr, lambda x: F.trim(x)), lambda x: x != "")
+
+
+def duplicate_line_ratio(col: Column | str) -> Column:
+    """Fraction of lines that are exact duplicates of an earlier line:
+    1 - distinct/total (0.0 for empty/single-line docs). High values flag
+    boilerplate/template pages in LLM training corpora (the Gopher
+    repetition-filter family). Pure codegen — no shuffle, no Python."""
+    ls = lines(col)
+    n = F.size(ls)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(ls))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    """Mean token length in characters (NULL-safe: 0.0 for token-less text).
+    Outlier values flag machine-generated or non-linguistic text."""
+    toks = tokens(col, lowercase=False)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+# PII patterns — RE2-safe (no lookaround/backrefs) so the same pattern runs
+# verbatim in Spark (Java regex) and DuckDB/RE2 oracles.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9-]{7,14}[0-9]"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email addresses and international-format phone numbers with
+    typed placeholders — the scrub pass an LLM training pipeline runs before
+    tokenization. Order matters: emails first so the phone pattern cannot
+    eat digit runs inside an address."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")
+
+
+def pii_count(col: Column | str) -> Column:
+    """Number of PII matches (emails + phones) in the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))) + F.size(
+        F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))
+    )
+
+
 def quality_score(col: Column | str) -> Column:
     """Document quality in [0,1]: mean of three bounded signals —
     length adequacy (≥200 chars), alpha ratio (alphanumeric+space share of

@@ -69,6 +69,11 @@ def registry() -> dict[str, QuerySpec]:
     from lakehouse_architecture_for_realestatedata_spark import queries_window  # noqa: F401
     from lakehouse_architecture_for_realestatedata_spark import queries_temporal  # noqa: F401
 
+    # Post-§2 extension queries — registered last ON PURPOSE so the driver's
+    # bounded correctness window keeps covering every SURVEY-§2 operator;
+    # these get their hard oracle check from tests/test_queries_contract.py.
+    from lakehouse_architecture_for_realestatedata_spark import queries_quality  # noqa: F401
+
     # The driver hash-verifies a bounded prefix of this dict (50 entries).
     # Order oracle-bearing queries first so every query with a DuckDB twin
     # gets a hard correctness row; rows-only (no-oracle) queries — which are

@@ -1,0 +1,125 @@
+"""Corpus-hygiene queries for the LLM training-data scope: Gopher-style
+repetition signals and PII scrubbing over the ``documents`` table.
+
+Registered AFTER every SURVEY-§2 module (see ``queries.registry``) so they
+never displace a §2 query from the driver's bounded correctness window —
+their hard correctness signal is the pytest contract test
+(tests/test_queries_contract.py), which runs the same Spark-vs-DuckDB
+comparison on every oracle-bearing entry regardless of position.
+
+The synthetic documents are single-line word soup, so the repetition query
+derives a multi-line document deterministically (a plain string replace that
+both engines perform identically) instead of pretending the fixture has
+newlines; the PII query synthesizes addresses/numbers from doc_id the same
+way. All regexes are RE2-safe (no lookaround) so one pattern string runs
+verbatim in both Spark's Java regex and DuckDB's RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.functions.text import (
+    EMAIL_RE,
+    PHONE_RE,
+    duplicate_line_ratio,
+    mean_word_length,
+    pii_count,
+    redact_pii,
+)
+from lakehouse_architecture_for_realestatedata_spark.queries import _t, register
+
+# Split the word-soup docs into "lines" at a common word — deterministic,
+# regex-free, identical scan-left-to-right semantics in both engines.
+_LINE_SEP = " table "
+
+_DUCK_LINES = (
+    "list_filter(list_transform(string_split(replace(text, ' table ', chr(10)),"
+    " chr(10)), x -> trim(x)), x -> x <> '')"
+)
+_DUCK_WORDS = (
+    r"list_filter(string_split_regex(text, '[^\p{L}\p{N}]+'), x -> x <> '')"
+)
+
+
+@register(
+    "doc_repetition_signals",
+    f"""
+    WITH ls AS (
+        SELECT doc_id,
+               {_DUCK_LINES} AS arr,
+               {_DUCK_WORDS} AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(arr) AS n_lines,
+           CASE WHEN len(arr) > 0
+                THEN cast(len(arr) - len(list_distinct(arr)) AS double) / len(arr)
+                ELSE 0.0 END AS dup_line_ratio,
+           CASE WHEN len(toks) > 0
+                THEN cast(list_aggregate(list_transform(toks, x -> length(x)),
+                                         'sum') AS double) / len(toks)
+                ELSE 0.0 END AS mean_word_len
+    FROM ls
+    """,
+    doc="Gopher-style repetition/shape signals: duplicate-line fraction and "
+    "mean word length per document — the boilerplate filter of an LLM "
+    "training pipeline. Pure codegen, no shuffle.",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lined = F.replace(F.col("text"), F.lit(_LINE_SEP), F.lit("\n"))
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.transform(F.split(lined, r"\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ).alias("n_lines"),
+        duplicate_line_ratio(lined).alias("dup_line_ratio"),
+        mean_word_length(F.col("text")).alias("mean_word_len"),
+    )
+
+
+@register(
+    "pii_redaction_scrub",
+    f"""
+    WITH synth AS (
+        SELECT doc_id,
+               substring(text, 1, 40)
+               || CASE WHEN doc_id % 3 <> 0
+                       THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' tel +84-90' || doc_id || '-1234' ELSE '' END AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(s, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           cast(len(regexp_extract_all(s, '{EMAIL_RE}'))
+                + len(regexp_extract_all(s, '{PHONE_RE}')) AS int) AS n_pii
+    FROM synth
+    """,
+    doc="PII scrub pass: emails/phones (synthesized deterministically from "
+    "doc_id — the fixture has none) replaced with typed placeholders, with a "
+    "per-doc match count. One narrow pass, RE2-safe patterns.",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.substring("text", 1, 40),
+        F.when(
+            d % 3 != 0, F.concat(F.lit(" contact user"), d, F.lit("@example.com"))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0, F.concat(F.lit(" tel +84-90"), d, F.lit("-1234"))
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        redact_pii(synth).alias("scrubbed"),
+        pii_count(synth).cast("int").alias("n_pii"),
+    )

@@ -19,7 +19,11 @@ from lakehouse_architecture_for_realestatedata_spark.functions.parsing import (
 )
 from lakehouse_architecture_for_realestatedata_spark.functions.text import (
     doc_fingerprint,
+    duplicate_line_ratio,
     lang_id,
+    mean_word_length,
+    pii_count,
+    redact_pii,
     shingles,
     token_count,
     tokens,
@@ -128,3 +132,25 @@ def test_lang_id_profiles(spark):
     assert _one(spark, lang_id("s"), "the cat sat on the mat and it is fine") == "en"
     assert _one(spark, lang_id("s"), "der hund ist nicht da und die katze") == "de"
     assert _one(spark, lang_id("s"), "xyzzy qwerty") == "und"
+
+
+def test_duplicate_line_ratio(spark):
+    assert _one(spark, duplicate_line_ratio("s"), "a\nb\na\n\n  \na") == 0.5  # 4 lines, 2 dups
+    assert _one(spark, duplicate_line_ratio("s"), "only one line") == 0.0
+    assert _one(spark, duplicate_line_ratio("s"), "") == 0.0
+
+
+def test_mean_word_length(spark):
+    assert _one(spark, mean_word_length("s"), "ab cdef") == 3.0
+    assert _one(spark, mean_word_length("s"), "...") == 0.0
+
+
+def test_redact_pii(spark):
+    s = "mail a.b+c@ex-ample.co.uk or call +84-909-123-456 now"
+    out = _one(spark, redact_pii("s"), s)
+    assert out == "mail <EMAIL> or call <PHONE> now"
+    assert _one(spark, pii_count("s"), s) == 2
+    # phone pattern must not eat digits inside an email's domain
+    assert _one(spark, redact_pii("s"), "x9@y99.com") == "<EMAIL>"
+    # bare long numbers without + prefix are NOT phones (avoid false redaction)
+    assert _one(spark, redact_pii("s"), "id 123456789012") == "id 123456789012"

@@ -33,6 +33,11 @@ HEADLINE = [
     "minhash_lsh_dedup",
     "knn_cosine_bruteforce",
     "token_stats",
+    "asof_click_attribution",
+    "range_join_signup_windows",
+    "rollup_revenue",
+    "doc_repetition_signals",
+    "pii_redaction_scrub",
 ]
 
 

@@ -137,6 +137,7 @@ class ParquetTable:
         rel_dirs: list[str],
         schema_json: str,
         stats: dict | None = None,
+        op: str = "WRITE",
     ) -> None:
         """Claim ``version`` with create-exclusive semantics, then advance
         the pointer. The manifest is written to a temp name and hard-linked
@@ -151,7 +152,12 @@ class ParquetTable:
         tmp = os.path.join(self.root, f".manifest.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(
-                {"dirs": rel_dirs, "schema": schema_json, "stats": stats or {}},
+                {
+                    "dirs": rel_dirs,
+                    "schema": schema_json,
+                    "stats": stats or {},
+                    "op": op,
+                },
                 fh,
                 default=str,
             )
@@ -328,6 +334,16 @@ class ParquetTable:
     _STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double",
                     "string", "date") # + timestamp*, decimal* by prefix
 
+    @classmethod
+    def _stats_cols(cls, df: DataFrame) -> list[str]:
+        """Columns eligible for zonemap stats (orderable scalars)."""
+        return [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() in cls._STATS_TYPES
+            or f.dataType.simpleString().startswith(("timestamp", "decimal"))
+        ]
+
     def _dir_stats(self, rel: str) -> dict:
         """Zonemap for a freshly-written data dir: ``{col: [min, max]}`` over
         every orderable scalar column — the write-time stats Delta stores in
@@ -336,12 +352,7 @@ class ParquetTable:
         still apply below this, zonemaps let ``read_where`` drop whole dirs
         without opening a single footer."""
         df = self.spark.read.parquet(os.path.join(self.root, rel))
-        cols = [
-            f.name
-            for f in df.schema.fields
-            if f.dataType.simpleString() in self._STATS_TYPES
-            or f.dataType.simpleString().startswith(("timestamp", "decimal"))
-        ]
+        cols = self._stats_cols(df)
         if not cols:
             return {}
         row = df.agg(
@@ -359,7 +370,11 @@ class ParquetTable:
         while True:
             try:
                 self._commit(
-                    self._next_version(), [rel] if rel else [], df.schema.json(), stats
+                    self._next_version(),
+                    [rel] if rel else [],
+                    df.schema.json(),
+                    stats,
+                    op="OVERWRITE",
                 )
                 break
             except ConcurrentCommitError:
@@ -397,13 +412,19 @@ class ParquetTable:
             )
             stats = {**self._manifest(base).get("stats", {}), **new_stats}
             try:
-                self._commit(base + 1, prior + ([rel] if rel else []), merged_schema, stats)
+                self._commit(
+                    base + 1,
+                    prior + ([rel] if rel else []),
+                    merged_schema,
+                    stats,
+                    op="APPEND",
+                )
                 break
             except ConcurrentCommitError:
                 continue
         self._vacuum(keep=2)
 
-    def _overwrite_expecting(self, df: DataFrame, base: int) -> None:
+    def _overwrite_expecting(self, df: DataFrame, base: int, op: str = "OVERWRITE") -> None:
         """Commit ``df`` as ``base + 1`` or abort. For read-modify-write ops:
         ``df`` was computed against snapshot ``base``, so if any other writer
         has claimed ``base + 1`` the output is stale — surface
@@ -412,7 +433,7 @@ class ParquetTable:
         rel = self._write_data(df)
         stats = {rel: self._dir_stats(rel)} if rel else {}
         try:
-            self._commit(base + 1, [rel] if rel else [], df.schema.json(), stats)
+            self._commit(base + 1, [rel] if rel else [], df.schema.json(), stats, op=op)
         except ConcurrentCommitError:
             if rel:  # drop the orphaned output dir before re-raising
                 shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
@@ -480,7 +501,7 @@ class ParquetTable:
             .unionByName(out.limit(0), allowMissingColumns=True)
             .schema
         )
-        self._commit_rewrite(base, m, untouched, out, merged_schema.json())
+        self._commit_rewrite(base, m, untouched, out, merged_schema.json(), op="MERGE")
 
     def delete_where(self, predicate: Column | tuple, *more: tuple) -> None:
         """Delete matching rows (Delta DELETE analogue). With a Column
@@ -491,7 +512,9 @@ class ParquetTable:
         table costs O(expired slice), not O(table)."""
         base = self._next_version() - 1
         if isinstance(predicate, Column):
-            self._overwrite_expecting(self.read(base).filter(~predicate), base)
+            self._overwrite_expecting(
+                self.read(base).filter(~predicate), base, op="DELETE"
+            )
             return
         conds = [predicate, *more]
         m = self._manifest(base)
@@ -502,7 +525,45 @@ class ParquetTable:
         survivors = self._read_rel_dirs(m, touched).filter(
             ~self._conds_filter(conds)
         )
-        self._commit_rewrite(base, m, untouched, survivors, m["schema"])
+        self._commit_rewrite(base, m, untouched, survivors, m["schema"], op="DELETE")
+
+    def update_where(
+        self,
+        assignments: dict[str, Column],
+        predicate: Column | tuple,
+        *more: tuple,
+    ) -> None:
+        """Delta UPDATE analogue: set ``assignments`` on rows matching the
+        predicate. Same pruning contract as ``delete_where``: a Column
+        predicate rewrites every dir; ``(col, op, value)`` tuples rewrite
+        only dirs the zonemaps cannot prove untouched. Assignments must
+        target existing columns and preserve their types (untouched dirs
+        keep the old schema, so a type change would fork the table schema)."""
+        base = self._next_version() - 1
+        m = self._manifest(base)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        known = {f.name for f in schema.fields}
+        bad = set(assignments) - known
+        if bad:
+            raise ValueError(f"update_where: unknown columns {sorted(bad)}")
+
+        def apply(df: DataFrame, cond: Column) -> DataFrame:
+            for name, expr in assignments.items():
+                df = df.withColumn(name, F.when(cond, expr).otherwise(F.col(name)))
+            return df
+
+        if isinstance(predicate, Column):
+            self._overwrite_expecting(
+                apply(self.read(base), predicate), base, op="UPDATE"
+            )
+            return
+        conds = [predicate, *more]
+        touched = self._matching_dirs(m, conds)
+        if not touched:
+            return
+        untouched = [rel for rel in m["dirs"] if rel not in set(touched)]
+        out = apply(self._read_rel_dirs(m, touched), self._conds_filter(conds))
+        self._commit_rewrite(base, m, untouched, out, m["schema"], op="UPDATE")
 
     _KEY_PRUNE_CAP = 100_000  # collected distinct keys; beyond → envelope
 
@@ -570,6 +631,7 @@ class ParquetTable:
         untouched: list[str],
         rewritten: DataFrame,
         schema_json: str,
+        op: str = "REWRITE",
     ) -> None:
         """Commit a partial rewrite: carry ``untouched`` dirs (and their
         stats) by reference, write ``rewritten`` as one new dir. Aborts with
@@ -582,7 +644,7 @@ class ParquetTable:
             stats[rel] = self._dir_stats(rel)
         try:
             self._commit(
-                base + 1, untouched + ([rel] if rel else []), schema_json, stats
+                base + 1, untouched + ([rel] if rel else []), schema_json, stats, op=op
             )
         except ConcurrentCommitError:
             if rel:
@@ -615,29 +677,145 @@ class ParquetTable:
             "max_bytes": max(sizes) if sizes else 0,
         }
 
-    def compact(self, target_bytes: int = 128 << 20) -> dict:
-        """Bin-pack the current snapshot into ~``target_bytes`` files in ONE
-        data dir (Delta OPTIMIZE analogue) — also re-merges the data-dir list
-        that appends grow. Snapshot isolation makes this safe online: the
-        rewrite lands in a new data dir and readers flip on commit.
+    def compact(
+        self,
+        target_bytes: int = 128 << 20,
+        cluster_cols: list[str] | None = None,
+        zorder: bool = False,
+        n_dirs: int | None = None,
+    ) -> dict:
+        """Bin-pack the current snapshot (Delta OPTIMIZE analogue) — also
+        re-merges the data-dir list that appends grow. Snapshot isolation
+        makes this safe online: the rewrite lands in new data dirs and
+        readers flip on commit.
 
-        Partitioned tables repartition on the partition columns so each
-        output directory is written by as few tasks as its size demands;
-        unpartitioned tables use a size-derived round-robin repartition.
+        Without ``cluster_cols``: one output dir, ~``target_bytes`` files
+        (partitioned tables repartition on the partition columns).
+
+        With ``cluster_cols`` (OPTIMIZE ZORDER analogue): ONE range-shuffle
+        on the cluster key (interleaved-bit z-value when ``zorder`` and
+        multiple columns — see ``plans.layout``) writes each range bucket as
+        its OWN data dir, so the manifest zonemaps stay tight and
+        ``read_where`` keeps pruning AFTER compaction — a plain compaction
+        into one dir would collapse every range into a single un-prunable
+        zonemap. Per-dir stats come from one extra pass over the written
+        output (grouped by bucket), not a job per dir. ``n_dirs`` overrides
+        the size-derived bucket count: the dir is the pruning unit, so at
+        real scale size dirs in the GBs and let the writer handle file
+        sizing inside each.
+
         Returns post-compaction ``file_stats``.
         """
         stats = self.file_stats()
         base = self._next_version() - 1
-        df = self.read(base)
         n = max(1, -(-stats["total_bytes"] // target_bytes))  # ceil
-        if self.partition_by:
-            df = df.repartition(n, *self.partition_by)
-        else:
-            df = df.repartition(n)
-        # Abort-on-conflict: a concurrent append between our read and commit
-        # would otherwise be silently dropped by the rewritten snapshot.
-        self._overwrite_expecting(df, base)
+        if not cluster_cols:
+            df = self.read(base)
+            if self.partition_by:
+                df = df.repartition(n, *self.partition_by)
+            else:
+                df = df.repartition(n)
+            # Abort-on-conflict: a concurrent append between our read and
+            # commit would otherwise be silently dropped by the rewrite.
+            self._overwrite_expecting(df, base, op="OPTIMIZE")
+            return self.file_stats()
+
+        from lakehouse_architecture_for_realestatedata_spark.plans.layout import cluster_by
+
+        m = self._manifest(base)
+        n = n_dirs or n
+        df = cluster_by(self.read(base), cluster_cols, n_partitions=n, zorder=zorder)
+        # Tag each range bucket with its partition id and let ONE distributed
+        # write fan the buckets into hive subdirs; each subdir is then
+        # promoted (a driver-side rename) to a first-class data dir.
+        staging_rel = os.path.join("data", f".zstage.{uuid.uuid4().hex}")
+        staging = os.path.join(self.root, staging_rel)
+        staged = df.withColumn("__zb", F.spark_partition_id())
+        writer = staged.write.mode("overwrite")
+        writer = writer.partitionBy("__zb", *self.partition_by)
+        writer.parquet(staging)
+
+        # One pass over the written output for all per-bucket zonemaps.
+        written = self.spark.read.parquet(staging)
+        cols = self._stats_cols(written.drop("__zb"))
+        by_bucket: dict[int, dict] = {}
+        if cols:
+            rows = written.groupBy("__zb").agg(
+                *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+                *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+            ).collect()
+            by_bucket = {
+                r["__zb"]: {
+                    c: [r[f"__lo_{i}"], r[f"__hi_{i}"]] for i, c in enumerate(cols)
+                }
+                for r in rows
+            }
+
+        rels: list[str] = []
+        dir_stats: dict[str, dict] = {}
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("__zb="):
+                continue
+            bucket = int(entry.split("=", 1)[1])
+            rel = os.path.join("data", uuid.uuid4().hex)
+            os.rename(os.path.join(staging, entry), os.path.join(self.root, rel))
+            rels.append(rel)
+            dir_stats[rel] = by_bucket.get(bucket, {})
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            self._commit(base + 1, rels, m["schema"], dir_stats, op="OPTIMIZE")
+        except ConcurrentCommitError:
+            for rel in rels:
+                shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+            raise
+        self._vacuum(keep=2)
         return self.file_stats()
+
+    def history(self) -> list[dict]:
+        """Audit log of the RETAINED versions (DESCRIBE HISTORY analogue):
+        one row per manifest still on disk — version, operation, data-dir
+        count, and commit wall-time (manifest file mtime). ``_vacuum``'s
+        retention window bounds how far back this (and ``restore``) reaches,
+        exactly like Delta's ``delta.logRetentionDuration``."""
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for entry in sorted(os.listdir(self.root)):
+            if not entry.startswith("v=") or not entry.endswith(".manifest"):
+                continue
+            v = int(entry[len("v=") : -len(".manifest")])
+            m = self._manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": m.get("op", "WRITE"),
+                    "n_data_dirs": len(m["dirs"]),
+                    "committed_at": os.path.getmtime(
+                        os.path.join(self.root, entry)
+                    ),
+                }
+            )
+        return sorted(out, key=lambda r: r["version"])
+
+    def restore(self, version: int) -> None:
+        """RESTORE TABLE ... TO VERSION AS OF analogue: re-commit an old
+        retained snapshot's exact dir list as the NEW latest version —
+        metadata-only (no data copied; the old dirs are immutable and still
+        referenced, so vacuum keeps them alive)."""
+        m = self._manifest(version)  # FileNotFoundError if vacuumed away
+        while True:
+            try:
+                self._commit(
+                    self._next_version(),
+                    m["dirs"],
+                    m["schema"],
+                    m.get("stats", {}),
+                    op="RESTORE",
+                )
+                break
+            except ConcurrentCommitError:
+                continue
+        self._vacuum(keep=2)
 
     def _vacuum(self, keep: int = 2) -> None:
         """Drop manifests older than the last ``keep`` versions and the data

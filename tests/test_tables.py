@@ -365,3 +365,94 @@ def test_merge_schema_widening_survives_pruning(spark, tmp_path):
     assert "score" in out.columns
     got = {r["id"]: r["score"] for r in out.collect() if r["id"] in (0, 105)}
     assert got[105] == 9.9 and got[0] is None
+
+
+def test_update_where_pruned_and_full(spark, tmp_path):
+    t = _three_band_table(spark, tmp_path, "pu1")
+    before = set(t.data_dirs())
+    t.update_where({"val": F.lit("FIXED")}, ("id", "between", (102, 104)))
+    assert len(before & set(t.data_dirs())) == 2  # lo + hi untouched
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert rows[103] == "FIXED" and rows[105] == "mid" and rows[0] == "lo"
+    # Column-predicate path (full rewrite), and unknown-column rejection
+    t.update_where({"val": F.lit("HI")}, F.col("val") == "hi")
+    assert {r["val"] for r in t.read().filter("id >= 200").collect()} == {"HI"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        t.update_where({"nope": F.lit(1)}, ("id", "=", 1))
+    # provably-no-match update is a metadata no-op
+    v = t.version()
+    t.update_where({"val": F.lit("X")}, ("id", ">", 99999))
+    assert t.version() == v
+
+
+def test_history_and_restore(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "hr1"))
+    t.overwrite(_df(spark, [(1, "a", None)]))
+    t.append(_df(spark, [(2, "b", None)]))
+    t.delete_where(("id", "=", 1))
+    h = t.history()
+    assert [r["op"] for r in h[-2:]] == ["APPEND", "DELETE"]
+    assert t.read().count() == 1
+    # restore to the pre-delete version: metadata-only, rows come back
+    pre_delete = h[-2]["version"]
+    t.restore(pre_delete)
+    assert t.read().count() == 2
+    assert t.history()[-1]["op"] == "RESTORE"
+
+
+def test_compact_clustered_keeps_pruning(spark, tmp_path):
+    """OPTIMIZE-ZORDER analogue: after a clustered compaction the table has
+    n range-bucketed dirs, total rows intact, and read_where still skips
+    non-overlapping dirs — a plain compact would collapse to 1 dir and kill
+    data skipping."""
+    t = ParquetTable(spark, str(tmp_path / "zc1"))
+    # interleaved appends so each original dir spans the whole id range
+    t.append(_df(spark, [(i, "a", None) for i in range(0, 300, 3)]))
+    t.append(_df(spark, [(i, "b", None) for i in range(1, 300, 3)]))
+    t.append(_df(spark, [(i, "c", None) for i in range(2, 300, 3)]))
+    # pre-compaction: every dir overlaps any id range → no pruning possible
+    assert len(t.read_where(("id", "between", (0, 9))).inputFiles()) == len(
+        t.read().inputFiles()
+    )
+    t.compact(cluster_cols=["id"], n_dirs=4)
+    assert t.history()[-1]["op"] == "OPTIMIZE"
+    assert len(t.data_dirs()) == 4
+    assert t.read().count() == 300
+    out = t.read_where(("id", "between", (0, 9)))
+    assert out.count() == 10
+    assert len(out.inputFiles()) < len(t.read().inputFiles())
+
+
+def test_compact_clustered_partitioned_table(spark, tmp_path):
+    import os
+
+    t = ParquetTable(spark, str(tmp_path / "zc2"), partition_by=["g"])
+    t.overwrite(
+        spark.range(900).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    )
+    t.compact(cluster_cols=["id"], n_dirs=3)
+    assert t.read().count() == 900
+    # each promoted dir keeps the hive layout for partition pruning
+    for d in t.data_dirs():
+        assert any(e.startswith("g=") for e in os.listdir(d))
+    # zonemap pruning on the cluster key still works
+    assert len(t.read_where(("id", "<", 100)).inputFiles()) < len(
+        t.read().inputFiles()
+    )
+
+
+def test_compact_clustered_zorder_two_cols(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "zc3"))
+    t.overwrite(
+        spark.range(4096).select(
+            (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("int").alias("y")
+        )
+    )
+    t.compact(cluster_cols=["x", "y"], zorder=True, n_dirs=8)
+    assert t.read().count() == 4096
+    # a box query in (x, y) space touches a subset of dirs
+    out = t.read_where(("x", "between", (0, 7)), ("y", "between", (0, 7)))
+    assert out.count() == 8 * 8
+    assert len(out.inputFiles()) < len(t.read().inputFiles())

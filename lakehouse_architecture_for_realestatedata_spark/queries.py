@@ -550,41 +550,34 @@ def q_stable_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "intersect_repeat_customers",
+    "set_ops_customer_cohorts",
     """
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    SELECT 'intersect' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    UNION ALL
+    SELECT 'except' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
     """,
-    doc="INTERSECT (distinct): customers ordering in both years (1995/1996 — "
-    "inside the data's 1995-2001 date range, so the result is non-empty and "
-    "the comparison actually exercises values). Spark plans partial-agg + "
-    "left-semi hash join — one shuffle per side on the key, "
-    "broadcast-eligible when one year is small.",
+    doc="INTERSECT + EXCEPT (distinct) in one tagged result: customers "
+    "ordering in BOTH 1995 and 1996 ('intersect' rows) and 1995 customers "
+    "gone by 1996 ('except' rows — the set-op twin of the P8 NOT-IN "
+    "incremental pattern). Years chosen inside the data's 1995-2001 range so "
+    "both branches are non-empty and values are actually exercised. Spark "
+    "plans partial-agg + left-semi / left-anti hash joins — one shuffle per "
+    "side on the key, broadcast-eligible when one year is small; the tagged "
+    "UNION ALL is a map-side concat, no extra shuffle.",
 )
-def q_intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
     y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
-    return y95.intersect(y96)
-
-
-@register(
-    "except_churned_customers",
-    """
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
-    """,
-    doc="EXCEPT (distinct): 1995 customers gone by 1996 (non-vacuous years — "
-    "see intersect twin) — the set-op twin of the P8 NOT-IN incremental "
-    "pattern, planned as left-anti join.",
-)
-def q_except_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
-    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
-    return y95.subtract(y96)
+    both = y95.intersect(y96).select(F.lit("intersect").alias("op"), "o_custkey")
+    gone = y95.subtract(y96).select(F.lit("except").alias("op"), "o_custkey")
+    return both.unionByName(gone)
 
 
 @register(

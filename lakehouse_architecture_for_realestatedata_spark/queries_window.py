@@ -34,48 +34,38 @@ _DAILY_DEC = """
 
 
 @register(
-    "lag_dod_revenue",
+    "window_functions_daily",
     f"""
     WITH {_DAILY_DEC}
     SELECT day,
            cast(dec_rev as double) AS revenue,
            cast(lag(dec_rev) OVER (ORDER BY day) as double) AS prev_value,
-           cast(dec_rev - lag(dec_rev) OVER (ORDER BY day) as double) AS delta
-    FROM daily
-    """,
-    doc="lag window: day-over-day revenue delta over the bounded daily "
-    "rollup — aggregate first, window the small frame.",
-)
-def q_lag_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = daily_measure(_t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice")
-    w = Window.orderBy("day")
-    prev = F.lag("__dec").over(w)
-    return daily.select(
-        "day",
-        F.col("__dec").cast("double").alias("revenue"),
-        prev.cast("double").alias("prev_value"),
-        (F.col("__dec") - prev).cast("double").alias("delta"),
-    )
-
-
-@register(
-    "rolling_7d_revenue",
-    f"""
-    WITH {_DAILY_DEC}
-    SELECT day,
-           cast(dec_rev as double) AS value,
+           cast(dec_rev - lag(dec_rev) OVER (ORDER BY day) as double) AS delta,
            cast(sum(dec_rev) OVER w as double) AS rolling_sum,
            cast(sum(dec_rev) OVER w as double) / count(dec_rev) OVER w AS rolling_avg
     FROM daily
     WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
-    doc="rowsBetween rolling frame: trailing-7-day revenue sum/avg; the frame "
-    "sum stays exact decimal so both engines agree bit-for-bit.",
+    doc="lag (period-over-period delta) + rowsBetween rolling frame over the "
+    "bounded daily rollup — aggregate first, window the small frame. Both "
+    "analytic-window operators share one ordered frame, so Catalyst collapses "
+    "the two Window nodes into a single sort; frame sums stay exact decimal "
+    "so both engines agree bit-for-bit.",
 )
-def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_window_functions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = daily_measure(_t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice")
-    out = rolling_frame(daily, "day", "__dec", preceding=6)
-    return out.select("day", "value", "rolling_sum", "rolling_avg")
+    pop = period_over_period(daily, "day", "__dec")
+    roll = rolling_frame(daily, "day", "__dec", preceding=6)
+    # Same-ordered windows over the same bounded frame: the join is a
+    # broadcast over ~#days rows, and both Window sorts reuse one exchange.
+    return pop.join(roll, "day").select(
+        "day",
+        F.col("value").alias("revenue"),
+        F.col("prev_value").cast("double").alias("prev_value"),
+        F.col("delta").cast("double").alias("delta"),
+        "rolling_sum",
+        "rolling_avg",
+    )
 
 
 @register(

@@ -47,10 +47,11 @@ _DAILY_DEC = """
     WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
     doc="lag (period-over-period delta) + rowsBetween rolling frame over the "
-    "bounded daily rollup — aggregate first, window the small frame. Both "
-    "analytic-window operators share one ordered frame, so Catalyst collapses "
-    "the two Window nodes into a single sort; frame sums stay exact decimal "
-    "so both engines agree bit-for-bit.",
+    "bounded daily rollup — aggregate first, window the small frame. The two "
+    "operator outputs are re-joined on day: every input is the ~#days "
+    "aggregate (broadcast-sized at any data scale), so the composition costs "
+    "nothing while keeping both library operators independently exercised; "
+    "frame sums stay exact decimal so both engines agree bit-for-bit.",
 )
 def q_window_functions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = daily_measure(_t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice")

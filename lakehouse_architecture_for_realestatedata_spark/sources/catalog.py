@@ -146,6 +146,7 @@ class Catalog:
                 for f in t.read().schema.fields
             ]
             out["files"] = t.file_stats()
+            out["constraints"] = t.constraints()
         return out
 
     # ------------------------------------------------------------- session

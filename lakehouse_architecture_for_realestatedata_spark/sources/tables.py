@@ -54,6 +54,10 @@ Scale notes (100 TB):
     left on the table) — we do.
   - appends accumulate data dirs; ``file_stats`` → ``compact`` bin-packs
     them back into one dir (Delta OPTIMIZE analogue).
+  - CHECK constraints (``add_constraint``) are enforced pre-commit on the
+    freshly-written dir only — O(new data), one fused aggregate — so a
+    100 TB table pays validation proportional to the write, like Delta's
+    invariant checks, not a full-table audit per write.
 """
 
 from __future__ import annotations
@@ -78,6 +82,22 @@ class ConcurrentCommitError(RuntimeError):
     computed output is stale — re-run them against the new snapshot. Blind
     append/overwrite never surface this: they rebase and retry internally.
     """
+
+
+class ConstraintViolationError(ValueError):
+    """A write would commit rows violating a table CHECK constraint.
+
+    Carries ``violations``: {constraint_name: n_violating_rows}. Nothing was
+    committed — the offending output dir is GC'd and the table still reads
+    the previous snapshot (Delta's InvariantViolationException contract).
+    """
+
+    def __init__(self, root: str, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(
+            f"write to {root} violates constraints {violations} — no rows "
+            "committed"
+        )
 
 
 class ParquetTable:
@@ -361,11 +381,102 @@ class ParquetTable:
         ).collect()[0]
         return {c: [row[f"__lo_{i}"], row[f"__hi_{i}"]] for i, c in enumerate(cols)}
 
+    # ---------------------------------------------------------- constraints
+    _CONSTRAINTS = "_constraints.json"
+
+    def constraints(self) -> dict[str, str]:
+        """{name: boolean SQL expression} CHECK constraints on this table."""
+        try:
+            with open(os.path.join(self.root, self._CONSTRAINTS)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """ALTER TABLE ... ADD CONSTRAINT ... CHECK analogue: ``expr`` is a
+        boolean SQL expression every row must satisfy (standard CHECK
+        semantics — a row passes when the expression is TRUE **or NULL**;
+        express NOT NULL as ``col IS NOT NULL``). Existing rows are validated
+        first — one fused aggregate scan, the same full-table cost Delta pays
+        on ADD CONSTRAINT — and the call raises ``ConstraintViolationError``
+        if any current row violates, leaving the constraint un-added.
+
+        Constraints live in a side file (``_constraints.json``), not in the
+        snapshot manifests: they govern future WRITERS, not any particular
+        snapshot, so time travel / RESTORE read old data without resurrecting
+        old rules. Single-writer DDL (no CAS) — constraint changes are rare,
+        coordinated operations, unlike data commits."""
+        if self.exists():
+            bad = self._violation_counts(self.read(), {name: expr})
+            if bad:
+                raise ConstraintViolationError(self.root, bad)
+        cons = self.constraints()
+        cons[name] = expr
+        tmp = os.path.join(self.root, f".constraints.{uuid.uuid4().hex}")
+        os.makedirs(self.root, exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(cons, fh)
+        os.replace(tmp, os.path.join(self.root, self._CONSTRAINTS))
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        cons.pop(name, None)
+        tmp = os.path.join(self.root, f".constraints.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(cons, fh)
+        os.replace(tmp, os.path.join(self.root, self._CONSTRAINTS))
+
+    def _violation_counts(
+        self, df: DataFrame, cons: dict[str, str]
+    ) -> dict[str, int]:
+        """{name: n_rows where expr is FALSE} in ONE fused aggregate pass
+        (NULL expression results pass, per SQL CHECK semantics). Missing
+        columns evaluate as NULL — a schema-merged append that omits a
+        constrained column passes, exactly like Delta null-filling it."""
+        from pyspark.errors import AnalysisException
+
+        aggs = []
+        for i, (cname, expr) in enumerate(cons.items()):
+            cond = ~F.expr(expr)
+            try:
+                df.select(cond)  # analysis probe, no job
+            except AnalysisException as e:
+                if "UNRESOLVED_COLUMN" in str(e):
+                    continue  # constrained column absent → NULL → row passes
+                raise
+            aggs.append((cname, F.sum(F.when(cond, 1).otherwise(0)).alias(f"__v{i}")))
+        if not aggs:
+            return {}
+        row = df.agg(*[a for _, a in aggs]).collect()[0]
+        return {
+            cname: int(row[i] or 0)
+            for i, (cname, _) in enumerate(aggs)
+            if int(row[i] or 0) > 0
+        }
+
+    def _validate_rel(self, rel: str | None) -> None:
+        """Enforce CHECK constraints on a freshly-written data dir BEFORE it
+        is committed: O(written data) — only the new/rewritten rows are
+        re-read (columnar, footer-pruned to the constrained columns), never
+        the rest of the table. On violation the orphan dir is GC'd and
+        ``ConstraintViolationError`` raised; the previous snapshot stays
+        live."""
+        cons = self.constraints()
+        if not cons or rel is None:
+            return
+        bad = self._violation_counts(
+            self.spark.read.parquet(os.path.join(self.root, rel)), cons
+        )
+        if bad:
+            shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+            raise ConstraintViolationError(self.root, bad)
+
     def overwrite(self, df: DataFrame) -> None:
         """S8: full replace, new schema wins (overwriteSchema semantics).
         A blind write: on commit conflict it just claims the next slot —
         the data dir is already on disk, so a retry is metadata-only."""
         rel = self._write_data(df)
+        self._validate_rel(rel)
         stats = {rel: self._dir_stats(rel)} if rel else {}
         while True:
             try:
@@ -398,6 +509,7 @@ class ParquetTable:
                     f"{sorted(cur)}, frame has {sorted(new)}"
                 )
         rel = self._write_data(df)
+        self._validate_rel(rel)
         new_stats = {rel: self._dir_stats(rel)} if rel else {}
         while True:
             # Rebase onto whatever snapshot is newest RIGHT NOW: carry its
@@ -424,13 +536,19 @@ class ParquetTable:
                 continue
         self._vacuum(keep=2)
 
-    def _overwrite_expecting(self, df: DataFrame, base: int, op: str = "OVERWRITE") -> None:
+    def _overwrite_expecting(
+        self, df: DataFrame, base: int, op: str = "OVERWRITE", validate: bool = False
+    ) -> None:
         """Commit ``df`` as ``base + 1`` or abort. For read-modify-write ops:
         ``df`` was computed against snapshot ``base``, so if any other writer
         has claimed ``base + 1`` the output is stale — surface
         ConcurrentCommitError (Delta's ConcurrentAppendException analogue)
-        instead of silently dropping the other writer's rows."""
+        instead of silently dropping the other writer's rows. ``validate``
+        only for ops that can INTRODUCE constraint violations (UPDATE) —
+        DELETE/OPTIMIZE re-emit rows that already passed."""
         rel = self._write_data(df)
+        if validate:
+            self._validate_rel(rel)
         stats = {rel: self._dir_stats(rel)} if rel else {}
         try:
             self._commit(base + 1, [rel] if rel else [], df.schema.json(), stats, op=op)
@@ -501,7 +619,9 @@ class ParquetTable:
             .unionByName(out.limit(0), allowMissingColumns=True)
             .schema
         )
-        self._commit_rewrite(base, m, untouched, out, merged_schema.json(), op="MERGE")
+        self._commit_rewrite(
+            base, m, untouched, out, merged_schema.json(), op="MERGE", validate=True
+        )
 
     def delete_where(self, predicate: Column | tuple, *more: tuple) -> None:
         """Delete matching rows (Delta DELETE analogue). With a Column
@@ -554,7 +674,7 @@ class ParquetTable:
 
         if isinstance(predicate, Column):
             self._overwrite_expecting(
-                apply(self.read(base), predicate), base, op="UPDATE"
+                apply(self.read(base), predicate), base, op="UPDATE", validate=True
             )
             return
         conds = [predicate, *more]
@@ -563,7 +683,9 @@ class ParquetTable:
             return
         untouched = [rel for rel in m["dirs"] if rel not in set(touched)]
         out = apply(self._read_rel_dirs(m, touched), self._conds_filter(conds))
-        self._commit_rewrite(base, m, untouched, out, m["schema"], op="UPDATE")
+        self._commit_rewrite(
+            base, m, untouched, out, m["schema"], op="UPDATE", validate=True
+        )
 
     _KEY_PRUNE_CAP = 100_000  # collected distinct keys; beyond → envelope
 
@@ -632,12 +754,17 @@ class ParquetTable:
         rewritten: DataFrame,
         schema_json: str,
         op: str = "REWRITE",
+        validate: bool = False,
     ) -> None:
         """Commit a partial rewrite: carry ``untouched`` dirs (and their
         stats) by reference, write ``rewritten`` as one new dir. Aborts with
         ConcurrentCommitError on conflict (read-modify-write cannot rebase)
-        and GCs its orphaned output dir, like ``_overwrite_expecting``."""
+        and GCs its orphaned output dir, like ``_overwrite_expecting``.
+        ``validate`` enforces CHECK constraints on the rewritten dir (MERGE /
+        UPDATE — ops whose output contains NEW values)."""
         rel = self._write_data(rewritten)
+        if validate:
+            self._validate_rel(rel)
         old_stats = manifest.get("stats", {})
         stats = {r: old_stats[r] for r in untouched if r in old_stats}
         if rel:

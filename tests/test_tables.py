@@ -456,3 +456,111 @@ def test_compact_clustered_zorder_two_cols(spark, tmp_path):
     out = t.read_where(("x", "between", (0, 7)), ("y", "between", (0, 7)))
     assert out.count() == 8 * 8
     assert len(out.inputFiles()) < len(t.read().inputFiles())
+
+
+def test_check_constraint_blocks_bad_append(spark, tmp_path):
+    """Delta CHECK-constraint analogue: violating writes commit NOTHING, the
+    previous snapshot stays live, and the orphan data dir is GC'd."""
+    import pytest as _pytest
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ConstraintViolationError
+
+    t = ParquetTable(spark, str(tmp_path / "c1"))
+    t.overwrite(_df(spark, [(1, "a", None)]))
+    t.add_constraint("id_positive", "id > 0")
+    t.add_constraint("val_known", "val IN ('a', 'b')")
+    v = t.version()
+    with _pytest.raises(ConstraintViolationError) as ei:
+        t.append(_df(spark, [(2, "b", None), (-1, "zzz", None)]))
+    assert ei.value.violations == {"id_positive": 1, "val_known": 1}
+    assert t.version() == v and t.read().count() == 1
+    # orphan dir was GC'd: only the committed snapshot's dirs remain on disk
+    import os
+
+    data_root = os.path.join(str(tmp_path / "c1"), "data")
+    on_disk = {os.path.join(data_root, d) for d in os.listdir(data_root)}
+    assert on_disk == set(t.data_dirs())
+    # conforming append goes through
+    t.append(_df(spark, [(2, "b", None)]))
+    assert t.read().count() == 2
+
+
+def test_check_constraint_null_passes_and_not_null_form(spark, tmp_path):
+    """SQL CHECK semantics: NULL expression result passes; NOT NULL is its
+    own constraint form."""
+    import pytest as _pytest
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ConstraintViolationError
+
+    t = ParquetTable(spark, str(tmp_path / "c2"))
+    t.overwrite(_df(spark, [(1, "a", None)]))
+    t.add_constraint("id_positive", "id > 0")
+    t.append(_df(spark, [(None, "x", None)], "id int, val string, ts timestamp"))
+    assert t.read().count() == 2  # NULL id: `NULL > 0` is NULL -> passes CHECK
+    with _pytest.raises(ConstraintViolationError):
+        t.add_constraint("id_not_null", "id IS NOT NULL")  # a NULL exists
+    # on a clean table the same constraint then blocks NULL writes
+    t2 = ParquetTable(spark, str(tmp_path / "c2b"))
+    t2.overwrite(_df(spark, [(1, "a", None)]))
+    t2.add_constraint("id_not_null", "id IS NOT NULL")
+    with _pytest.raises(ConstraintViolationError):
+        t2.append(_df(spark, [(None, "x", None)], "id int, val string, ts timestamp"))
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    import pytest as _pytest
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ConstraintViolationError
+
+    t = ParquetTable(spark, str(tmp_path / "c3"))
+    t.overwrite(_df(spark, [(-5, "a", None)]))
+    with _pytest.raises(ConstraintViolationError):
+        t.add_constraint("id_positive", "id > 0")
+    assert t.constraints() == {}  # refused, not registered
+    t.drop_constraint("never_there")  # no-op
+
+
+def test_check_constraint_merge_and_update_enforced(spark, tmp_path):
+    import pytest as _pytest
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ConstraintViolationError
+
+    t = ParquetTable(spark, str(tmp_path / "c4"))
+    t.overwrite(_df(spark, [(1, "a", None), (2, "b", None)]))
+    t.add_constraint("val_known", "val IN ('a', 'b', 'c')")
+    with _pytest.raises(ConstraintViolationError):
+        t.merge(_df(spark, [(2, "ILLEGAL", None)]), key="id")
+    t.merge(_df(spark, [(2, "c", None)]), key="id")
+    assert {r["val"] for r in t.read().collect()} == {"a", "c"}
+    with _pytest.raises(ConstraintViolationError):
+        t.update_where({"val": F.lit("NOPE")}, ("id", "=", 1))
+    # delete never validates (cannot introduce violations) and still works
+    t.delete_where(("id", "=", 2))
+    assert t.read().count() == 1
+
+
+def test_check_constraint_schema_merge_missing_column_passes(spark, tmp_path):
+    """An appended frame missing a constrained column null-fills it at read
+    time — CHECK over NULL passes, mirroring Delta's mergeSchema + invariant
+    interplay."""
+    t = ParquetTable(spark, str(tmp_path / "c5"))
+    t.overwrite(spark.createDataFrame([(1, 5.0)], "id int, score double"))
+    t.add_constraint("score_range", "score BETWEEN 0 AND 10")
+    t.append(spark.createDataFrame([(2,)], "id int"))  # no score column
+    assert t.read().count() == 2
+    # a present-and-bad score still fails
+    import pytest as _pytest
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ConstraintViolationError
+
+    with _pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(3, 99.0)], "id int, score double"))
+
+
+def test_check_constraint_dropped_allows_write(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "c6"))
+    t.overwrite(_df(spark, [(1, "a", None)]))
+    t.add_constraint("id_positive", "id > 0")
+    t.drop_constraint("id_positive")
+    t.append(_df(spark, [(-1, "x", None)]))
+    assert t.read().count() == 2

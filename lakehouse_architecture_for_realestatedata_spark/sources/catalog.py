@@ -122,8 +122,11 @@ class Catalog:
             raise KeyError(f"table {db}.{table} is not in the catalog")
         return ParquetTable(self.spark, entry["path"], partition_by=entry["partition_by"])
 
-    def load(self, db: str, table: str) -> DataFrame:
-        return self.table(db, table).read()
+    def load(self, db: str, table: str, version: int | None = None) -> DataFrame:
+        """Read a cataloged table; ``version`` time-travels to a RETAINED
+        snapshot (``VERSION AS OF`` analogue — reach is bounded by the
+        table's vacuum retention, exactly like Delta)."""
+        return self.table(db, table).read(version)
 
     def show_tables(self, db: str | None = None) -> list[str]:
         state = self._load()

@@ -103,10 +103,22 @@ class ConstraintViolationError(ValueError):
 class ParquetTable:
     """A named, versioned parquet table rooted at ``root``."""
 
-    def __init__(self, spark: SparkSession, root: str, partition_by: list[str] | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_by: list[str] | None = None,
+        retain: int = 2,
+    ):
+        """``retain``: versions kept by the auto-vacuum after each write —
+        the time-travel / ``history()`` / ``restore()`` reach (Delta's
+        ``logRetentionDuration``, counted in versions instead of hours).
+        Retention is metadata-cheap; data dirs shared across snapshots are
+        stored once, so raise it freely on audit-sensitive tables."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.partition_by = partition_by or []
+        self.retain = max(1, retain)
 
     # ---------------------------------------------------------------- meta
     def exists(self) -> bool:
@@ -490,7 +502,7 @@ class ParquetTable:
                 break
             except ConcurrentCommitError:
                 continue
-        self._vacuum(keep=2)
+        self._vacuum(self.retain)
 
     def append(self, df: DataFrame, merge_schema: bool = True) -> None:
         """S7: file-additive append — writes ONLY the new rows (O(new data)
@@ -534,7 +546,7 @@ class ParquetTable:
                 break
             except ConcurrentCommitError:
                 continue
-        self._vacuum(keep=2)
+        self._vacuum(self.retain)
 
     def _overwrite_expecting(
         self, df: DataFrame, base: int, op: str = "OVERWRITE", validate: bool = False
@@ -556,7 +568,7 @@ class ParquetTable:
             if rel:  # drop the orphaned output dir before re-raising
                 shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
             raise
-        self._vacuum(keep=2)
+        self._vacuum(self.retain)
 
     def merge(
         self,
@@ -777,7 +789,7 @@ class ParquetTable:
             if rel:
                 shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
             raise
-        self._vacuum(keep=2)
+        self._vacuum(self.retain)
 
     # -------------------------------------------------------------- hygiene
     def file_stats(self) -> dict:
@@ -895,7 +907,7 @@ class ParquetTable:
             for rel in rels:
                 shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
             raise
-        self._vacuum(keep=2)
+        self._vacuum(self.retain)
         return self.file_stats()
 
     def history(self) -> list[dict]:
@@ -942,7 +954,14 @@ class ParquetTable:
                 break
             except ConcurrentCommitError:
                 continue
-        self._vacuum(keep=2)
+        self._vacuum(self.retain)
+
+    def vacuum(self, keep: int | None = None) -> None:
+        """Explicit VACUUM: shrink retention to ``keep`` versions right now
+        (default: the table's ``retain`` setting). Auto-vacuum already runs
+        after every write; call this to reclaim history early — e.g. after
+        a RESTORE you do not want to be able to re-undo."""
+        self._vacuum(self.retain if keep is None else max(1, keep))
 
     def _vacuum(self, keep: int = 2) -> None:
         """Drop manifests older than the last ``keep`` versions and the data

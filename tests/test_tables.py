@@ -564,3 +564,24 @@ def test_check_constraint_dropped_allows_write(spark, tmp_path):
     t.drop_constraint("id_positive")
     t.append(_df(spark, [(-1, "x", None)]))
     assert t.read().count() == 2
+
+
+def test_retention_window_and_public_vacuum(spark, tmp_path):
+    """retain=N keeps N versions live for history()/restore()/time travel;
+    public vacuum() shrinks history on demand."""
+    t = ParquetTable(spark, str(tmp_path / "r1"), retain=4)
+    for i in range(4):
+        t.append(_df(spark, [(i, f"v{i}", None)]))
+    assert [h["version"] for h in t.history()] == [0, 1, 2, 3]
+    # time travel across the retained window
+    assert t.read(0).count() == 1 and t.read(3).count() == 4
+    t.restore(0)
+    assert t.read().count() == 1
+    t.vacuum(keep=1)
+    assert [h["version"] for h in t.history()] == [4]
+    # old snapshot manifests are gone; data dir of v4 (== v0's dir) survives
+    assert t.read().count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(2)

@@ -585,3 +585,44 @@ def test_retention_window_and_public_vacuum(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         t.read(2)
+
+
+def test_read_changes_append_only(spark, tmp_path):
+    """CDF analogue: dir-diff between snapshots returns exactly the appended
+    rows, O(changed data) — the incremental-consumer contract."""
+    t = ParquetTable(spark, str(tmp_path / "cdf1"), retain=10)
+    t.overwrite(_df(spark, [(1, "a", None)]))          # v0
+    t.append(_df(spark, [(2, "b", None)]))             # v1
+    t.append(_df(spark, [(3, "c", None), (4, "d", None)]))  # v2
+    assert sorted(r["id"] for r in t.read_changes(0).collect()) == [2, 3, 4]
+    assert sorted(r["id"] for r in t.read_changes(1).collect()) == [3, 4]
+    assert sorted(r["id"] for r in t.read_changes(0, to=1).collect()) == [2]
+    # no-change range: empty frame, schema intact
+    empty = t.read_changes(2)
+    assert empty.count() == 0 and "val" in empty.columns
+
+
+def test_read_changes_rejects_rewrite_ops(spark, tmp_path):
+    import pytest as _pytest
+
+    t = ParquetTable(spark, str(tmp_path / "cdf2"), retain=10)
+    t.overwrite(_df(spark, [(1, "a", None)]))                      # v0
+    t.append(_df(spark, [(2, "b", None)]))                         # v1
+    t.merge(_df(spark, [(2, "B", None)]), key="id")                # v2 MERGE
+    with _pytest.raises(ValueError, match="MERGE"):
+        t.read_changes(0)
+    # a range strictly after the rewrite is fine again
+    t.append(_df(spark, [(5, "e", None)]))                         # v3
+    assert [r["id"] for r in t.read_changes(2).collect()] == [5]
+    with _pytest.raises(ValueError, match="ahead"):
+        t.read_changes(9)
+
+
+def test_read_changes_vacuumed_base_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    t = ParquetTable(spark, str(tmp_path / "cdf3"), retain=2)
+    for i in range(5):
+        t.append(_df(spark, [(i, "x", None)]))
+    with _pytest.raises(FileNotFoundError):
+        t.read_changes(0)

@@ -170,6 +170,7 @@ class ParquetTable:
         schema_json: str,
         stats: dict | None = None,
         op: str = "WRITE",
+        blooms: dict | None = None,
     ) -> None:
         """Claim ``version`` with create-exclusive semantics, then advance
         the pointer. The manifest is written to a temp name and hard-linked
@@ -188,6 +189,7 @@ class ParquetTable:
                     "dirs": rel_dirs,
                     "schema": schema_json,
                     "stats": stats or {},
+                    "blooms": {k: v for k, v in (blooms or {}).items() if v},
                     "op": op,
                 },
                 fh,
@@ -428,6 +430,157 @@ class ParquetTable:
         ).collect()[0]
         return {c: [row[f"__lo_{i}"], row[f"__hi_{i}"]] for i, c in enumerate(cols)}
 
+    # ---------------------------------------------------------- properties
+    _PROPS = "_props.json"
+
+    def props(self) -> dict:
+        """Table properties (Delta ``TBLPROPERTIES`` analogue) — writer-side
+        settings that govern FUTURE writes, stored in a side file like
+        constraints. Known keys: ``bloom_cols`` (list of columns to build
+        per-dir bloom filters for) and ``cluster`` (write-time clustering
+        spec, see ``set_clustering``)."""
+        try:
+            with open(os.path.join(self.root, self._PROPS)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def set_props(self, **updates) -> None:
+        """Merge ``updates`` into the table properties (atomic replace;
+        single-writer DDL like ``add_constraint``). A key set to None is
+        removed."""
+        cur = self.props()
+        for k, v in updates.items():
+            if v is None:
+                cur.pop(k, None)
+            else:
+                cur[k] = v
+        os.makedirs(self.root, exist_ok=True)
+        tmp = os.path.join(self.root, f".props.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(cur, fh)
+        os.replace(tmp, os.path.join(self.root, self._PROPS))
+
+    def set_bloom_filter(self, cols: list[str] | None) -> None:
+        """Delta bloom-filter-index analogue: future writes build a per-dir
+        bloom filter over each named column, stored in the manifest next to
+        the zonemap stats. Zonemaps prune by [min,max] RANGE — useless for
+        point lookups on high-cardinality unordered keys (a uuid/md5 doc_id
+        spans the whole keyspace in every dir); the bloom answers "can this
+        dir contain THIS key" with ~0.1% false positives at 2 bytes/key, so
+        ``read_where(("doc_id", "=", k))`` and keyed MERGE touch only the
+        dirs that actually hold the key. Existing dirs are not back-filled —
+        run ``compact()`` to index history (same as Delta's bloom index
+        applying to new files only)."""
+        self.set_props(bloom_cols=list(cols) if cols else None)
+
+    # Bloom sizing: m = 16 bits/key → with k=6 probes FPR ≈ 0.1%. The build
+    # is one narrow Spark agg over the new dir per column (explode k probe
+    # positions → bit_or per 64-bit lane) — O(new data), distributed, no
+    # per-row Python. Probes hash driver-side values through the SAME JVM
+    # xxhash64 via a 1-row local-relation job, so build and probe can never
+    # drift (Spark's xxhash64 output depends on the column's physical type).
+    _BLOOM_K = 6
+    _BLOOM_BITS_PER_KEY = 16
+    _BLOOM_MIN_BITS = 1 << 10
+    _BLOOM_MAX_BITS = 1 << 20  # 128 KiB of manifest per (dir, col) at most
+    _BLOOM_PROBE_CAP = 10_000  # driver-side membership tests per dir
+
+    def _dir_blooms(self, rel: str | None) -> dict:
+        """{col: {"m": bits, "k": probes, "b64": packed lanes}} for a freshly
+        written data dir — empty unless ``bloom_cols`` is set."""
+        import base64
+        import struct
+
+        cols = self.props().get("bloom_cols", [])
+        if not cols or rel is None:
+            return {}
+        df = self.spark.read.parquet(os.path.join(self.root, rel))
+        cols = [c for c in cols if c in df.columns]
+        if not cols:
+            return {}
+        ndv = df.agg(
+            *[F.approx_count_distinct(c).alias(f"__n{i}") for i, c in enumerate(cols)]
+        ).collect()[0]
+        out: dict = {}
+        for i, c in enumerate(cols):
+            target = max(
+                self._BLOOM_MIN_BITS, int(ndv[f"__n{i}"]) * self._BLOOM_BITS_PER_KEY
+            )
+            m = min(self._BLOOM_MAX_BITS, 1 << (target - 1).bit_length())
+            rows = (
+                df.select(F.col(c).alias("v"))
+                .where(F.col("v").isNotNull())
+                .select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(F.xxhash64(F.col("v"), F.lit(s)), F.lit(m))
+                                for s in range(self._BLOOM_K)
+                            ]
+                        )
+                    ).alias("p")
+                )
+                .select(
+                    (F.col("p") / F.lit(64)).cast("long").alias("lane"),
+                    F.shiftleft(
+                        F.lit(1).cast("bigint"), (F.col("p") % 64).cast("int")
+                    ).alias("bit"),
+                )
+                .groupBy("lane")
+                .agg(F.bit_or("bit").alias("bits"))
+                .collect()
+            )
+            packed = bytearray(m // 8)
+            for r in rows:
+                struct.pack_into("<q", packed, int(r["lane"]) * 8, int(r["bits"]))
+            out[c] = {"m": m, "k": self._BLOOM_K, "b64": base64.b64encode(bytes(packed)).decode()}
+        return out
+
+    def _bloom_hashes(self, values: list, dtype) -> list[list[int]] | None:
+        """Per-value [k raw xxhash64 hashes], order-aligned with ``values``
+        (which must be non-null), computed by the JVM over a local relation
+        (no scan, one tiny job for ALL values). Per-dir positions are
+        ``hash % m`` — Python ``%`` on a positive modulus matches Spark's
+        ``pmod`` exactly. Returns None (= cannot prune) if the values don't
+        coerce to the column type. An explicit row index carries the
+        alignment so no assumption about collect() order is needed."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        if not values:
+            return []
+        try:
+            sdf = self.spark.createDataFrame(
+                [(i, v) for i, v in enumerate(values)],
+                StructType(
+                    [StructField("i", LongType()), StructField("v", dtype)]
+                ),
+            )
+            rows = sdf.select(
+                "i",
+                *[
+                    F.xxhash64(F.col("v"), F.lit(s)).alias(f"h{s}")
+                    for s in range(self._BLOOM_K)
+                ],
+            ).collect()
+        except Exception:
+            return None
+        by_i = {r["i"]: [r[f"h{s}"] for s in range(self._BLOOM_K)] for r in rows}
+        return [by_i[i] for i in range(len(values))]
+
+    @staticmethod
+    def _bloom_may_contain(bloom: dict, hashes: list[int]) -> bool:
+        import base64
+        import struct
+
+        m = bloom["m"]
+        lanes = struct.unpack(f"<{m // 64}q", base64.b64decode(bloom["b64"]))
+        for h in hashes:
+            p = h % m
+            if not (lanes[p // 64] >> (p % 64)) & 1:
+                return False
+        return True
+
     # ---------------------------------------------------------- constraints
     _CONSTRAINTS = "_constraints.json"
 
@@ -525,6 +678,7 @@ class ParquetTable:
         rel = self._write_data(df)
         self._validate_rel(rel)
         stats = {rel: self._dir_stats(rel)} if rel else {}
+        blooms = {rel: self._dir_blooms(rel)} if rel else {}
         while True:
             try:
                 self._commit(
@@ -533,6 +687,7 @@ class ParquetTable:
                     df.schema.json(),
                     stats,
                     op="OVERWRITE",
+                    blooms=blooms,
                 )
                 break
             except ConcurrentCommitError:
@@ -558,6 +713,7 @@ class ParquetTable:
         rel = self._write_data(df)
         self._validate_rel(rel)
         new_stats = {rel: self._dir_stats(rel)} if rel else {}
+        new_blooms = {rel: self._dir_blooms(rel)} if rel else {}
         while True:
             # Rebase onto whatever snapshot is newest RIGHT NOW: carry its
             # file list plus our (already-written) data dir. Losing the CAS
@@ -570,6 +726,7 @@ class ParquetTable:
                 else df.schema.json()
             )
             stats = {**self._manifest(base).get("stats", {}), **new_stats}
+            blooms = {**self._manifest(base).get("blooms", {}), **new_blooms}
             try:
                 self._commit(
                     base + 1,
@@ -577,6 +734,7 @@ class ParquetTable:
                     merged_schema,
                     stats,
                     op="APPEND",
+                    blooms=blooms,
                 )
                 break
             except ConcurrentCommitError:
@@ -597,8 +755,16 @@ class ParquetTable:
         if validate:
             self._validate_rel(rel)
         stats = {rel: self._dir_stats(rel)} if rel else {}
+        blooms = {rel: self._dir_blooms(rel)} if rel else {}
         try:
-            self._commit(base + 1, [rel] if rel else [], df.schema.json(), stats, op=op)
+            self._commit(
+                base + 1,
+                [rel] if rel else [],
+                df.schema.json(),
+                stats,
+                op=op,
+                blooms=blooms,
+            )
         except ConcurrentCommitError:
             if rel:  # drop the orphaned output dir before re-raising
                 shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
@@ -814,11 +980,19 @@ class ParquetTable:
             self._validate_rel(rel)
         old_stats = manifest.get("stats", {})
         stats = {r: old_stats[r] for r in untouched if r in old_stats}
+        old_blooms = manifest.get("blooms", {})
+        blooms = {r: old_blooms[r] for r in untouched if r in old_blooms}
         if rel:
             stats[rel] = self._dir_stats(rel)
+            blooms[rel] = self._dir_blooms(rel)
         try:
             self._commit(
-                base + 1, untouched + ([rel] if rel else []), schema_json, stats, op=op
+                base + 1,
+                untouched + ([rel] if rel else []),
+                schema_json,
+                stats,
+                op=op,
+                blooms=blooms,
             )
         except ConcurrentCommitError:
             if rel:
@@ -985,6 +1159,7 @@ class ParquetTable:
                     m["schema"],
                     m.get("stats", {}),
                     op="RESTORE",
+                    blooms=m.get("blooms", {}),
                 )
                 break
             except ConcurrentCommitError:

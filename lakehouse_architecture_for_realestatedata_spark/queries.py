@@ -91,12 +91,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read nanos as long and truncate to micros
-    (``ts div 1000`` — matches DuckDB's ns→us cast truncation)."""
+    """Load events.parquet with ``ts`` normalised to a session-TZ TIMESTAMP,
+    dispatching on the dtype the parquet reader actually produced — fixture
+    generators have shipped the column as TIMESTAMP(NANOS) (which Spark can
+    only read as ``bigint`` via ``nanosAsLong``), as ``timestamp[us]``
+    (read as TIMESTAMP_NTZ), and as plain TIMESTAMP.  Session TZ is pinned
+    UTC (session.py), so the NTZ→TZ cast is a wall-clock identity and the
+    nanos→micros truncation matches DuckDB's ns→us cast."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_dtype = dict(df.dtypes).get("ts", "")
+    if ts_dtype == "bigint":  # TIMESTAMP(NANOS) read as long: truncate to µs
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_dtype != "timestamp":  # timestamp_ntz (or date): UTC identity cast
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # ===========================================================================

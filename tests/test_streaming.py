@@ -16,14 +16,21 @@ from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import (
 
 
 def _event_stream(spark, sf_dir):
+    # readStream needs a fixed schema: probe the batch reader's ts dtype and
+    # mirror _events()'s per-encoding normalisation (see queries._events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_dtype = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
     raw = read_file_stream(
         spark,
         sf_dir,
-        schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+        schema=f"event_id long, ts {ts_dtype}, user_id long, event_type string, value double, props string",
         options={"pathGlobFilter": "events.parquet"},
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_dtype == "bigint":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_dtype != "timestamp":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _event_batch(spark, sf_dir):

@@ -80,33 +80,49 @@ def main() -> None:
     # reporting 24 s for a 1.8 s query when a burst spanned both attempts);
     # interleaving puts a query's attempts minutes apart so a localized
     # burst can contaminate at most one of them.
+    # Per-query error isolation (VERDICT r2 "wrong" #2): one broken query
+    # must never zero the whole artifact — emit {"err": ...} for that query
+    # and keep timing the rest, so the driver always gets partial numbers.
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(3):
         for name in HEADLINE:
             spec = reg.get(name)
             if spec is None:
+                errors.setdefault(name, "not in registry")
+                continue
+            if name in errors:
                 continue
             t0 = time.time()
-            df = spec.spark_fn(spark, SF_DIR)
-            df.write.mode("overwrite").format("noop").save()
+            try:
+                df = spec.spark_fn(spark, SF_DIR)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # noqa: BLE001 — isolate, report, move on
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                per_query.pop(name, None)
+                continue
             elapsed = time.time() - t0
             if name not in per_query or elapsed < per_query[name]:
                 per_query[name] = elapsed
-    per_query = {k: round(v, 3) for k, v in per_query.items()}
+    queries_out: dict[str, object] = {k: round(v, 3) for k, v in per_query.items()}
+    for name, msg in errors.items():
+        queries_out[name] = {"err": msg}
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries_out,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = len(errors)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -24,39 +24,32 @@ from lakehouse_architecture_for_realestatedata_spark.functions.vectors import co
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
-    """Global top-k (cosine desc, neighbor_id asc) per query_id WITHOUT the
-    per-query window funnel.
+    """Global top-k (cosine desc, neighbor_id asc) per query_id with a
+    k-bounded map-side partial — scored pairs never cross the network.
 
-    A ``row_number() over (partition by query_id)`` plan shuffles every
-    scored (query, neighbor) pair into #queries tasks — with 10 queries and a
-    100 TB corpus that is 10 straggler tasks each receiving the whole corpus.
-    Instead:
-      1. local top-k: group by (query_id, physical partition id) and keep the
-         k best candidates of each partition (``array_sort`` over collected
-         structs + ``slice`` — complete map-side, since the partition id in
-         the key makes every group single-partition);
-      2. global top-k: merge the P×k survivors per query (a few KB) and slice
-         again.
-    The result is partition-invariant: the true top-k survives any local cut.
-    Sort key is (-cosine, neighbor_id) so lexicographic ``array_sort`` gives
-    cosine desc with the id as deterministic tiebreak; the original cosine
-    rides in the struct so no double-negation touches emitted values.
+    A plain rank-filter (``row_number() over (partition by query_id) <= k``)
+    is exactly what Spark's WindowGroupLimit rewrite (SPARK-37099) turns into
+    the right physical plan:
+
+        Sort(local) → WindowGroupLimit(Partial, k) → Exchange(query_id)
+        → Sort → WindowGroupLimit(Final, k) → Window → Filter
+
+    Each map task keeps only its k best candidates per query BEFORE the
+    exchange, so the shuffle carries ≤ #partitions × #queries × k rows — a
+    few KB — while scoring and the local cut stay in whole-stage codegen.
+    (The previous hand-rolled two-stage ``groupBy(query_id,
+    spark_partition_id())`` + ``collect_list`` version forced a full-volume
+    exchange of every scored pair, because a non-deterministic grouping key
+    still plans an Exchange; plan-pinned in tests/test_plans.py.)
+    Result is deterministic: neighbor_id asc is a total tiebreak.
     """
-    cand = F.struct(
-        (-F.col("cosine")).alias("s"),
-        F.col("neighbor_id").alias("n"),
-        F.col("cosine").alias("c"),
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
     )
-    local = scored.groupBy("query_id", F.spark_partition_id().alias("__pid")).agg(
-        F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("__top")
-    )
-    merged = local.groupBy("query_id").agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("__top"))), 1, k).alias("__top")
-    )
-    return merged.select("query_id", F.explode("__top").alias("__t")).select(
-        "query_id",
-        F.col("__t.n").alias("neighbor_id"),
-        F.col("__t.c").alias("cosine"),
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 
@@ -151,8 +144,11 @@ def ivf_assign(
     Scale shape: centroid sampling is ``orderBy(hash).limit`` —
     TakeOrderedAndProject (per-partition heaps), NOT a row_number window,
     which would funnel the whole corpus through one task. Assignment is a
-    map-side-combining ``max_by`` aggregate joined back by id (both sides
-    hash-partitioned on the id — co-located), not a per-id sort window.
+    map-side-combining ``max_by`` aggregate that carries the FULL row
+    payload through the aggregation struct — one corpus-wide shuffle total.
+    (The previous version aggregated (id, cell) and re-joined the corpus by
+    id to recover the vector: a second full corpus exchange for data the
+    aggregate already had in hand.)
     """
     centroids = F.broadcast(
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -160,17 +156,25 @@ def ivf_assign(
         .limit(n_cells)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("__centroid"))
     )
-    scored = corpus.select(id_col, vec_col).crossJoin(centroids).select(
-        id_col,
-        F.col("cell"),
-        cosine_similarity(vec_col, "__centroid").alias("__sim"),
+    # Rank candidate cells best-first so max_by keeps (max sim, min cell);
+    # the row payload rides inside the struct — map-side partials keep one
+    # struct per id per partition, so the single exchange is corpus-sized.
+    rank = F.struct(
+        F.col("__sim").alias("s"), (-F.col("cell")).alias("nc")
     )
-    best_cell = scored.groupBy(id_col).agg(
-        F.max_by("cell", F.struct(F.col("__sim").alias("s"), (-F.col("cell")).alias("nc"))).alias(
-            "cell"
+    payload = F.struct(F.col("cell"), *[F.col(c) for c in corpus.columns if c != id_col])
+    assignments = (
+        corpus.crossJoin(centroids)
+        .select(
+            F.col(id_col),
+            cosine_similarity(vec_col, "__centroid").alias("__sim"),
+            F.col("cell"),
+            *[F.col(c) for c in corpus.columns if c != id_col],
         )
+        .groupBy(id_col)
+        .agg(F.max_by(payload, rank).alias("__best"))
+        .select(id_col, "__best.*")
     )
-    assignments = corpus.join(best_cell, id_col)
     return assignments, centroids
 
 

@@ -40,10 +40,16 @@ from lakehouse_architecture_for_realestatedata_spark.queries import _t, register
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Fan a small-file scan out to every core before a compute-heavy narrow
     stage (sketching, pair scoring). The test parquet files are single-split,
-    so without this the whole sketch pass runs in ONE task; at real scale the
-    input arrives in thousands of splits and Catalyst elides nothing here —
-    one extra round-robin exchange of the slim projected columns."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    so without this the whole sketch pass runs in ONE task — but at real
+    scale the input already arrives in thousands of splits, where a
+    round-robin repartition would be a gratuitous full exchange of the text
+    column. Gate on the scan's actual split count: repartition ONLY when the
+    plan would otherwise underfill the cluster (split inspection is pure
+    physical planning — no job runs)."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 # DuckDB twin of functions.text.tokens (lowercase, unicode-class split, drop empties)
 _DUCK_TOKS = (

@@ -102,11 +102,12 @@ def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in strategies, strategies
 
 
-def test_knn_topk_no_per_query_window_funnel(spark, sf_dir):
-    """The kNN top-k must be the two-stage aggregate (local cut → P×k merge),
-    never a rank window partitioned by query_id: that window shuffles every
-    scored (query, neighbor) pair into #queries reducer tasks — 10 straggler
-    tasks each receiving the whole corpus at 100 TB."""
+def test_knn_topk_bounded_partial_before_exchange(spark, sf_dir):
+    """The kNN top-k exchange must be k-bounded: the plan must show a
+    WindowGroupLimit(Partial) BEFORE the hash exchange so each map task ships
+    ≤ #queries × k rows, never the full scored-pair volume. (Pins the
+    SPARK-37099 rank-filter rewrite; a regression here re-introduces an
+    O(|corpus| × |queries|) network transfer at 100 TB.)"""
     from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
         knn_bruteforce,
         knn_quantized,
@@ -115,12 +116,58 @@ def test_knn_topk_no_per_query_window_funnel(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
+    import re
+
     for fn in (knn_bruteforce, knn_quantized):
-        plan = physical_plan(fn(emb, q, k=5), mode="simple")
-        assert "Window" not in plan, plan
-        # the local cut's grouping key includes the physical partition id, so
-        # partial aggregation completes map-side before the merge shuffle
-        assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan, plan
+        plan = physical_plan(fn(emb, q, k=5))
+        assert "row_number(), 5, Partial" in plan, plan
+        assert "row_number(), 5, Final" in plan, plan
+        # the Partial cut must sit BELOW the hash exchange on query_id:
+        # formatted-plan node ids are post-order, so a child (the Partial
+        # limit) carries a LOWER id than its parent Exchange
+        partial = re.search(r"\((\d+)\) WindowGroupLimit\n(?:.*\n)*?Arguments:.*Partial", plan)
+        exchange = re.search(r"\((\d+)\) Exchange\n(?:.*\n)*?Arguments: hashpartitioning\(query_id", plan)
+        assert partial and exchange, plan
+        assert int(partial.group(1)) < int(exchange.group(1)), plan
+
+
+def test_ivf_assign_single_corpus_shuffle(spark, sf_dir):
+    """Cell assignment must cost exactly ONE corpus-wide exchange (the
+    max_by groupBy carrying the row payload) — no join-back by id."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import ivf_assign
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import (
+        join_strategies,
+        physical_plan,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assignments, _ = ivf_assign(emb, "vec_id", "embedding", n_cells=8)
+    plan = physical_plan(assignments, mode="simple")
+    # exchanges: 1 broadcast (centroids) + 1 single-partition (sample limit)
+    # + 1 hash on vec_id (the aggregate). A 4th means the join-back is back.
+    assert plan.count("Exchange") <= 3, plan
+    assert plan.count("hashpartitioning(vec_id") == 1, plan
+    strategies = [s for s in join_strategies(assignments) if s != "BroadcastNestedLoopJoin"]
+    assert strategies == [], strategies  # only the broadcast centroid cross
+
+
+def test_spread_skips_repartition_when_multi_split(spark, tmp_path):
+    """_spread must not exchange an input that already has enough splits —
+    at real scale that is a gratuitous full shuffle of the text column."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+    from lakehouse_architecture_for_realestatedata_spark.queries_text import _spread
+
+    parallelism = spark.sparkContext.defaultParallelism
+    docs = spark.range(1000).withColumn("text", F.concat(F.lit("doc "), F.col("id")))
+    docs.repartition(parallelism * 2).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    multi = spark.read.parquet(str(tmp_path / "docs"))
+    assert multi.rdd.getNumPartitions() >= parallelism
+    plan = physical_plan(_spread(spark, multi), mode="simple")
+    assert "REPARTITION_BY_NUM" not in plan and "RoundRobinPartitioning" not in plan, plan
+    # single-split input (the driver fixture shape) must still fan out
+    single = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").coalesce(1)
+    plan1 = physical_plan(_spread(spark, single), mode="simple")
+    assert "RoundRobinPartitioning" in plan1 or "REPARTITION_BY_NUM" in plan1, plan1
 
 
 def test_global_topk_is_take_ordered(spark, sf_dir):

@@ -28,6 +28,15 @@ Layout:
 
 from lakehouse_architecture_for_realestatedata_spark.session import get_spark, stop_spark
 
+
+def serve(warehouse_root: str, spark=None, app_name: str = "lakehouse_architecture_for_realestatedata-serve"):
+    """One-call SQL serving bootstrap — see ``sources.catalog.serve``.
+    (Lazy import so ``import lakehouse_architecture_for_realestatedata_spark`` stays cheap.)"""
+    from lakehouse_architecture_for_realestatedata_spark.sources.catalog import serve as _serve
+
+    return _serve(warehouse_root, spark=spark, app_name=app_name)
+
+
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "stop_spark", "__version__"]
+__all__ = ["get_spark", "stop_spark", "serve", "__version__"]

@@ -358,6 +358,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 32,
     seed: int = 42,
     bands: int = 4,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine ≥ threshold, candidate-generated by
     random-hyperplane LSH so the join is bucket-local.
@@ -365,7 +366,14 @@ def embedding_near_dup_pairs(
     The sign-sketch is one BLAS matmul per Arrow batch
     (``functions.sketches.hyperplane_sketch``), bit-packed; banding is shift+
     mask. Candidates carry only ids; vectors join back BY ID for the exact
-    cosine check (pairs are small → broadcast; corpus never shuffles)."""
+    cosine check (pairs are small → broadcast; corpus never shuffles).
+
+    With ``quantize_scale`` set, the verification cosine is computed on
+    scaled-integer vectors (bigint dot products, exact in double < 2^53) via
+    Catalyst higher-order functions — bit-for-bit reproducible across
+    engines and partitionings, which is what lets the registered query carry
+    a DuckDB oracle (same trick as ``similarity.knn_quantized``). Candidate
+    GENERATION still uses the float sketch either way."""
     chunk = n_planes // bands
     sigs = df.select(
         F.col(id_col).alias("__id"),
@@ -390,8 +398,28 @@ def embedding_near_dup_pairs(
     paired = cand.join(
         v.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a")), "id_a"
     ).join(v.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b")), "id_b")
+    if quantize_scale is None:
+        cos = sketches.batch_cosine("v_a", "v_b")
+    else:
+        from lakehouse_architecture_for_realestatedata_spark.operators.similarity import quantize
+
+        qa, qb = quantize(F.col("v_a"), quantize_scale), quantize(F.col("v_b"), quantize_scale)
+        dot = F.aggregate(
+            F.zip_with(qa, qb, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        na = F.aggregate(qa, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x)
+        nb = F.aggregate(qb, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x)
+        cos = (
+            F.when(
+                (na > 0) & (nb > 0),
+                dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+            )
+            .otherwise(F.lit(0.0))
+        )
     return (
-        paired.withColumn("cosine", sketches.batch_cosine("v_a", "v_b"))
+        paired.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

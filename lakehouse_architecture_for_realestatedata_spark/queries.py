@@ -79,10 +79,21 @@ def registry() -> dict[str, QuerySpec]:
     # gets a hard correctness row; rows-only (no-oracle) queries — which are
     # additionally covered by strict pytest recall/property tests — fill the
     # remaining slots in registration order.
+    #
+    # _DEFERRED holds oracle-bearing queries pushed past the 50-row window
+    # when it is oversubscribed: deterministic_sample is the hex_threshold
+    # twin of train_val_test_split (same md5-keyed sampling family, which
+    # keeps a green driver row via the split query), so its slot goes to
+    # embedding_near_dup — the last LLM-pipeline headline operator that is
+    # SQL-expressible. Deferred queries keep their hard oracle check in
+    # tests/test_queries_contract.py.
+    deferred = {"deterministic_sample"}
     specs = list(_REGISTRY.values())
-    ordered = [s for s in specs if s.oracle is not None] + [
-        s for s in specs if s.oracle is None
-    ]
+    ordered = (
+        [s for s in specs if s.oracle is not None and s.name not in deferred]
+        + [s for s in specs if s.oracle is not None and s.name in deferred]
+        + [s for s in specs if s.oracle is None]
+    )
     return {s.name: s for s in ordered}
 
 

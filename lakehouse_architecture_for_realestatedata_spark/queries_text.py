@@ -327,12 +327,38 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup",
-    None,  # LSH sketch is hash-seeded; recall on the planted pairs is
-    # asserted in tests/test_dedup.py
+    """
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        -- planted near-dups: +0.05 on the first coordinate, id offset +100000
+        SELECT vec_id + 100000,
+               list_prepend(cast(embedding[1] as double) + 0.05,
+                            [cast(x as double) for x in embedding[2:]])
+        FROM embeddings WHERE vec_id < 100
+    ), qz AS (
+        -- scaled-integer vectors: dot products below are integer-valued and
+        -- < 2^53, so double arithmetic is exact regardless of order
+        SELECT vec_id, [round(cast(x as double) * 1000000) for x in embedding] AS v
+        FROM corpus
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS cosine
+    FROM qz a JOIN qz b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+      AND list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+    """,
     doc="Embedding near-duplicate pairs (cosine ≥0.95) via random-hyperplane "
     "LSH candidate generation — bucket-local joins, no cross join. The "
     "synthetic corpus has no natural near-dups (max pairwise cosine ≈0.51), "
-    "so perturbed copies of vec_id<100 are planted at +100000.",
+    "so perturbed copies of vec_id<100 are planted at +100000. The emitted "
+    "cosine is quantized-exact (scaled-int dots), so the exhaustive DuckDB "
+    "twin matches bit-for-bit; tests/test_dedup.py separately pins 100% "
+    "planted-pair recall, which is what licenses an exact oracle for an "
+    "LSH-approximate operator.",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -344,7 +370,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     corpus = _spread(spark, emb.unionByName(planted))
-    return embedding_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.95)
+    return embedding_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.95, quantize_scale=1_000_000
+    )
 
 
 @register(

@@ -201,3 +201,37 @@ class Catalog:
         self.spark.sql(
             f"CREATE OR REPLACE VIEW {_check(db)}.{_check(table)} AS {body}"
         )
+
+
+def serve(
+    warehouse_root: str,
+    spark: SparkSession | None = None,
+    app_name: str = "lakehouse_architecture_for_realestatedata-serve",
+) -> Catalog:
+    """One-call SQL serving bootstrap (S13): build (or reuse) a session,
+    attach every cataloged ``db.table`` as a resolvable name, and return the
+    ``Catalog`` whose ``.sql()`` is the front door::
+
+        from lakehouse_architecture_for_realestatedata_spark.sources.catalog import serve
+
+        cat = serve("/data/warehouse")
+        cat.sql("SELECT region, count(*) FROM bi.customer GROUP BY region").show()
+
+    The reference serves Superset/dbt through a long-lived Spark Thrift
+    Server (reference: docker-compose.yml:102-137, README.md:183-188). A
+    multi-session HiveServer2 is deployment infra outside this library's
+    boundary (and absent from the sandbox image); everything up to the
+    transport — catalog attach, cross-session name resolution, arbitrary
+    SQL over current snapshots — is this call. To expose it over JDBC in a
+    real deployment, start the bundled Thrift server on the session this
+    returns (``spark-submit --class
+    org.apache.spark.sql.hive.thriftserver.HiveThriftServer2`` or
+    ``HiveThriftServer2.startWithContext``); no library code changes.
+    """
+    if spark is None:
+        from lakehouse_architecture_for_realestatedata_spark.session import get_spark
+
+        spark = get_spark(app_name)
+    cat = Catalog(spark, warehouse_root)
+    cat.attach()
+    return cat

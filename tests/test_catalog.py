@@ -136,3 +136,20 @@ def test_drop_table(spark, tmp_path):
     cat.refresh("bronze", "gone")
     cat.drop_table("bronze", "gone")
     assert cat.show_tables() == []
+
+
+def test_serve_one_call_bootstrap(spark, tmp_path):
+    """serve() = session + attach in one call: a fresh 'session' (new Catalog
+    object, same root) resolves every registered name immediately."""
+    import lakehouse_architecture_for_realestatedata_spark as lf
+
+    root = str(tmp_path / "wh")
+    cat = Catalog(spark, root)
+    cat.create_table("bi", "customer").overwrite(
+        spark.createDataFrame([(1, "north"), (2, "south"), (3, "north")], "id int, region string")
+    )
+    served = lf.serve(root, spark=spark)
+    rows = served.sql(
+        "SELECT region, count(*) AS n FROM bi.customer GROUP BY region ORDER BY region"
+    ).collect()
+    assert [(r["region"], r["n"]) for r in rows] == [("north", 2), ("south", 1)]

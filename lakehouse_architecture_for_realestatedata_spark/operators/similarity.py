@@ -144,36 +144,37 @@ def ivf_assign(
     Scale shape: centroid sampling is ``orderBy(hash).limit`` —
     TakeOrderedAndProject (per-partition heaps), NOT a row_number window,
     which would funnel the whole corpus through one task. Assignment is a
-    map-side-combining ``max_by`` aggregate that carries the FULL row
-    payload through the aggregation struct — one corpus-wide shuffle total.
-    (The previous version aggregated (id, cell) and re-joined the corpus by
-    id to recover the vector: a second full corpus exchange for data the
-    aggregate already had in hand.)
+    fully NARROW codegen pass: the n_cells centroids fold into a single-row
+    array (broadcast), and each corpus row computes its argmax cell with a
+    higher-order ``aggregate`` over that array — the corpus is never
+    shuffled, sorted, or aggregated at all. (Earlier versions paid either a
+    corpus-wide max_by exchange, or that plus a join-back by id.)
     """
+    cell_type = dict(corpus.dtypes)[id_col]
     centroids = F.broadcast(
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
         .limit(n_cells)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("__centroid"))
     )
-    # Rank candidate cells best-first so max_by keeps (max sim, min cell);
-    # the row payload rides inside the struct — map-side partials keep one
-    # struct per id per partition, so the single exchange is corpus-sized.
-    rank = F.struct(
-        F.col("__sim").alias("s"), (-F.col("cell")).alias("nc")
+    # One row holding array<struct<cell,__centroid>>; array order is
+    # irrelevant — the per-element scoring + array_max argmax below is
+    # order-independent (max sim, then min cell via the negated tiebreak).
+    cent_arr = F.broadcast(
+        centroids.agg(F.collect_list(F.struct("cell", "__centroid")).alias("__cents"))
     )
-    payload = F.struct(F.col("cell"), *[F.col(c) for c in corpus.columns if c != id_col])
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            cosine_similarity(F.col(vec_col), c["__centroid"]).alias("s"),
+            (-c["cell"]).alias("nc"),  # struct max = lexicographic → min cell on ties
+            c["cell"].alias("cell"),
+        ),
+    )
     assignments = (
-        corpus.crossJoin(centroids)
-        .select(
-            F.col(id_col),
-            cosine_similarity(vec_col, "__centroid").alias("__sim"),
-            F.col("cell"),
-            *[F.col(c) for c in corpus.columns if c != id_col],
-        )
-        .groupBy(id_col)
-        .agg(F.max_by(payload, rank).alias("__best"))
-        .select(id_col, "__best.*")
+        corpus.crossJoin(cent_arr)
+        .withColumn("cell", F.array_max(scored)["cell"].cast(cell_type))
+        .drop("__cents")
     )
     return assignments, centroids
 

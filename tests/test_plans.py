@@ -131,9 +131,11 @@ def test_knn_topk_bounded_partial_before_exchange(spark, sf_dir):
         assert int(partial.group(1)) < int(exchange.group(1)), plan
 
 
-def test_ivf_assign_single_corpus_shuffle(spark, sf_dir):
-    """Cell assignment must cost exactly ONE corpus-wide exchange (the
-    max_by groupBy carrying the row payload) — no join-back by id."""
+def test_ivf_assign_zero_corpus_shuffle(spark, sf_dir):
+    """Cell assignment must be a fully NARROW pass over the corpus: the only
+    exchange anywhere is the broadcast of the folded centroid array (plus the
+    tiny sample-side reduction). Any hashpartitioning or sort of the corpus
+    means an aggregation/join-back crept back in."""
     from lakehouse_architecture_for_realestatedata_spark.operators.similarity import ivf_assign
     from lakehouse_architecture_for_realestatedata_spark.plans.explain import (
         join_strategies,
@@ -143,10 +145,8 @@ def test_ivf_assign_single_corpus_shuffle(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assignments, _ = ivf_assign(emb, "vec_id", "embedding", n_cells=8)
     plan = physical_plan(assignments, mode="simple")
-    # exchanges: 1 broadcast (centroids) + 1 single-partition (sample limit)
-    # + 1 hash on vec_id (the aggregate). A 4th means the join-back is back.
-    assert plan.count("Exchange") <= 3, plan
-    assert plan.count("hashpartitioning(vec_id") == 1, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "SortAggregate" not in plan and "Sort " not in plan, plan
     strategies = [s for s in join_strategies(assignments) if s != "BroadcastNestedLoopJoin"]
     assert strategies == [], strategies  # only the broadcast centroid cross
 

@@ -28,13 +28,18 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col, lowercase=False))
 
 
+# GPT-2-style pre-tokenizer shape, lookaround-free so the SAME pattern runs
+# under Java regex (Spark) and RE2 (DuckDB oracle): letter runs, digit runs,
+# and each other non-space char as its own piece.
+_BPE_PIECE = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
     """BPE-ish token estimate: words + digit runs + punctuation marks counted
     separately (a cheap, deterministic proxy for subword token counts used to
     budget LLM training data)."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(c, r"(?<=\W)|(?=\W)")  # split at every word/non-word boundary
-    return F.size(F.filter(pieces, lambda t: (t != "") & (t != " ")))
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_PIECE), F.lit(0)))
 
 
 def shingles(col: Column | str, k: int = 3) -> Column:

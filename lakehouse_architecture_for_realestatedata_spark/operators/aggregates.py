@@ -89,7 +89,10 @@ def quality_report(df: DataFrame, ts_col: str, flag_col: str) -> DataFrame:
 
 def completeness_report(df: DataFrame, cols: list[str]) -> DataFrame:
     """A3 generalized: non-null count + fill rate per column. Single pass —
-    one global aggregate with a count(col) per column, then unpivoted."""
+    one global aggregate with a count(col) per column, then unpivoted.
+    ``fill_rate`` is the raw double ratio (no rounding: int/int division is
+    bit-deterministic across engines, a trailing round() is not — callers
+    round for presentation)."""
     total = F.count(F.lit(1))
     aggs = [total.alias("__total")] + [F.count(F.col(c)).alias(c) for c in cols]
     wide = df.agg(*aggs)
@@ -99,7 +102,9 @@ def completeness_report(df: DataFrame, cols: list[str]) -> DataFrame:
     ).select(
         "column_name",
         "non_null_count",
-        F.round(F.col("non_null_count") / F.col("__total"), 6).alias("fill_rate"),
+        (F.col("non_null_count").cast("double") / F.col("__total").cast("double")).alias(
+            "fill_rate"
+        ),
     )
 
 

@@ -123,3 +123,43 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii(synth).alias("scrubbed"),
         pii_count(synth).cast("int").alias("n_pii"),
     )
+
+
+@register(
+    "completeness_report_documents",
+    """
+    WITH synth AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+               source
+        FROM documents
+    ), tot AS (
+        SELECT count(*) AS total,
+               count(doc_id) AS doc_id, count(text) AS text,
+               count(lang) AS lang, count(source) AS source
+        FROM synth
+    )
+    SELECT 'doc_id' AS column_name, doc_id AS non_null_count,
+           cast(doc_id AS double) / cast(total AS double) AS fill_rate FROM tot
+    UNION ALL
+    SELECT 'text', text, cast(text AS double) / cast(total AS double) FROM tot
+    UNION ALL
+    SELECT 'lang', lang, cast(lang AS double) / cast(total AS double) FROM tot
+    UNION ALL
+    SELECT 'source', source, cast(source AS double) / cast(total AS double) FROM tot
+    """,
+    doc="Column completeness / fill-rate profile (A3 generalized): one global "
+    "aggregate pass, then stack-unpivot — the profiling step a training-data "
+    "pipeline runs before schema hardening. Nulls synthesized "
+    "deterministically (the fixture is fully dense).",
+)
+def q_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import completeness_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+        "source",
+    )
+    return completeness_report(docs, ["doc_id", "text", "lang", "source"])

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_for_realestatedata_spark.functions.text import (
+    bpe_ish_token_count,
     doc_fingerprint,
     lang_id,
     quality_score,
@@ -63,11 +64,13 @@ _DUCK_TOKS = (
     SELECT doc_id,
            len({_DUCK_TOKS.format(c='text')}) AS n_tokens,
            len(list_distinct({_DUCK_TOKS.format(c='text')})) AS n_unique_tokens,
+           len(regexp_extract_all(text, '\\p{{L}}+|\\p{{N}}+|[^\\s\\p{{L}}\\p{{N}}]')) AS n_bpe_tokens,
            length(text) AS n_chars_actual
     FROM documents
     """,
-    doc="Token counting (whitespace/punct tokenizer) over documents — "
-    "training-data token budgeting.",
+    doc="Token counting over documents — whitespace/punct tokenizer plus a "
+    "BPE-ish regex pre-tokenizer count (letter runs / digit runs / "
+    "punctuation pieces) for LLM training-data token budgeting.",
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -76,6 +79,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_actual"),
     )
 

@@ -121,6 +121,18 @@ def test_tokens_and_shingles(spark):
     assert _one(spark, shingles("s", 5), "a b c") == ["a b c"]  # short-doc fallback
 
 
+def test_bpe_ish_token_count(spark):
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import bpe_ish_token_count
+
+    # letter runs + digit runs + each punctuation char as its own piece:
+    # don't → don, ', t; 3.14 → 3, ., 14; trailing ! is one piece
+    assert _one(spark, bpe_ish_token_count("s"), "don't pay 3.14!") == 8
+    assert _one(spark, bpe_ish_token_count("s"), "") == 0
+    assert _one(spark, bpe_ish_token_count("s"), "   ") == 0
+    # always >= the whitespace token count on word-y text
+    assert _one(spark, bpe_ish_token_count("s"), "plain words only") == 3
+
+
 def test_doc_fingerprint_order_insensitive(spark):
     a = _one(spark, doc_fingerprint("s"), "alpha beta gamma")
     b = _one(spark, doc_fingerprint("s"), "gamma alpha beta")

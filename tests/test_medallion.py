@@ -152,3 +152,41 @@ def test_pipeline_end_to_end_and_incremental_idempotence(spark, bronze, tmp_path
         ],
     )
     assert all(r["passed"] for r in report), report
+
+
+def test_standalone_expect_checks(spark):
+    """The single-check entry points must agree with the fused run_checks
+    path (they are the API a user calls to LIST violating rows, not just
+    count them)."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.checks import (
+        expect_accepted_values,
+        expect_not_null,
+        expect_unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, None), (2, "bad"), (3, "ok")], "id int, status string"
+    )
+    assert [r["id"] for r in expect_not_null(df, "status").collect()] == [2]
+    assert expect_unique(df, "id").collect()[0]["id"] == 2
+    viol = expect_accepted_values(df, "status", ["ok"]).collect()
+    assert [r["status"] for r in viol] == ["bad"]  # NULLs pass (dbt semantics)
+
+
+def test_completeness_report_single_pass(spark):
+    from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+        completeness_report,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, None), (3, "c", "x"), (4, "d", None)],
+        "id int, s string, t string",
+    )
+    rep = completeness_report(df, ["id", "s", "t"])
+    got = {r["column_name"]: (r["non_null_count"], r["fill_rate"]) for r in rep.collect()}
+    assert got == {"id": (4, 1.0), "s": (3, 0.75), "t": (1, 0.25)}
+    # single scan: one aggregate pass feeds the unpivot (static plan, before
+    # AQE rewrites the string with query-stage scaffolding)
+    fresh = physical_plan(completeness_report(df, ["id", "s", "t"]), mode="simple")
+    assert fresh.count("Scan") == 1, fresh

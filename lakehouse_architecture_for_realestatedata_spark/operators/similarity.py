@@ -126,6 +126,99 @@ def knn_quantized(
     return _topk_per_query(scored, k)
 
 
+def knn_quantized_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """``knn_quantized`` semantics (bit-identical results) scored by BLAS.
+
+    Catalyst's higher-order functions (``aggregate``/``zip_with``) are
+    interpreted per array element — correct but CPU-bound on wide vectors.
+    This variant streams the corpus through ``mapInArrow``: each Arrow batch
+    becomes one int64 matmul against the (bounded, driver-collected) query
+    matrix, and only the batch-local top-k per query is emitted, so the
+    Python stage's output is ≤ #batches × #queries × k rows. The global
+    merge reuses the k-bounded WindowGroupLimit plan. Determinism is
+    preserved exactly: scaled-int dot products are integer-valued (< 2^53)
+    in both int64 and double arithmetic, the half-away-from-zero rounding
+    matches Spark/DuckDB ``round``, and ties break on neighbor_id asc.
+
+    ``queries`` must be a bounded eval set (it is materialized on the
+    driver — same contract as the broadcast in ``knn_quantized``).
+    Requires integer ids; use ``knn_quantized`` for other id types.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qz = _half_away(q_mat * scale)  # (Q, d) int64
+    q_norm = np.sqrt((qz * qz).sum(axis=1).astype(np.float64))  # exact ints → double
+
+    out_schema = f"query_id long, neighbor_id long, cosine double"
+
+    def _score(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) == 0:
+                continue
+            la = batch.column(1)
+            try:  # fixed-dim, null-free list column: flatten+reshape, no Python lists
+                flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+                vecs = flat.reshape(len(la), len(flat) // len(la))
+            except (ValueError, pa.ArrowInvalid):
+                vecs = np.array(la.to_pylist(), dtype=np.float64)
+            cz = _half_away(vecs * scale)  # (B, d) int64
+            dots = cz @ qz.T  # exact int64 (|v|<=scale ⇒ no overflow for d << 2^63/scale^2)
+            c_norm = np.sqrt((cz * cz).sum(axis=1).astype(np.float64))
+            den = c_norm[:, None] * q_norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, dots.astype(np.float64) / den, 0.0)
+            # exclude self-pairs, then batch-local top-k per query with the
+            # (cosine desc, neighbor_id asc) total order
+            self_mask = ids[:, None] == q_ids[None, :]
+            cos_masked = np.where(self_mask, -np.inf, cos)
+            out_q, out_n, out_c = [], [], []
+            kk = min(k, len(ids))
+            for j in range(len(q_ids)):
+                col = cos_masked[:, j]
+                cand = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+                order = np.lexsort((ids[cand], -col[cand]))[:k]
+                keep = cand[order]
+                keep = keep[col[keep] > -np.inf]
+                out_q.append(np.full(len(keep), q_ids[j], dtype=np.int64))
+                out_n.append(ids[keep])
+                out_c.append(cos[keep, j])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), pa.int64()),
+                        pa.array(np.concatenate(out_n), pa.int64()),
+                        pa.array(np.concatenate(out_c), pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", "cosine"],
+                )
+
+    local = corpus.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInArrow(_score, out_schema)
+    return _topk_per_query(local, k)
+
+
+def _half_away(x):
+    """Vectorized round-half-away-from-zero → int64 (numpy's rint is
+    half-even, which would diverge from Spark/DuckDB ``round`` on exact
+    .5 products)."""
+    import numpy as np
+
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+
+
 def ivf_assign(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -33,6 +33,7 @@ from lakehouse_architecture_for_realestatedata_spark.operators.similarity import
     ivf_assign,
     ivf_knn,
     knn_quantized,
+    knn_quantized_blas,
     knn_bruteforce,
 )
 from lakehouse_architecture_for_realestatedata_spark.queries import _t, register
@@ -273,14 +274,17 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     ) WHERE rn <= 5
     """,
-    doc="Brute-force cosine top-5 per query (queries = vec_id<10, broadcast; "
+    doc="Brute-force cosine top-5 per query (queries = vec_id<10, bounded; "
     "corpus streamed). Quantized to scaled-int dot products so the oracle is "
-    "bit-exact; the float variant is pytest-pinned against this one.",
+    "bit-exact. Scored via mapInArrow BLAS matmul (exact int64, one matmul "
+    "per Arrow batch, batch-local top-k) — bit-identical to the pure-"
+    "Catalyst knn_quantized, which pytest pins it against along with the "
+    "float variant.",
 )
 def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return knn_quantized(emb, queries, "vec_id", "embedding", k=5)
+    return knn_quantized_blas(emb, queries, "vec_id", "embedding", k=5)
 
 
 # Not registered (rows-only duplicate of knn_cosine_bruteforce above; float

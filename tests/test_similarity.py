@@ -36,6 +36,20 @@ def test_quantized_matches_float_topk(spark, sf_dir):
         assert abs(f_map[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-4
 
 
+def test_blas_knn_bit_identical_to_catalyst(spark, sf_dir):
+    """The mapInArrow BLAS scorer must reproduce the pure-Catalyst quantized
+    kNN BIT-FOR-BIT (ids and cosine doubles): exact int64 dots, half-away
+    rounding, (cosine desc, id asc) tie order. This is what licenses the
+    registered oracle query to use the fast path."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import knn_quantized_blas
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 7)
+    a = sorted(map(tuple, knn_quantized(emb, q, k=4).collect()))
+    b = sorted(map(tuple, knn_quantized_blas(emb, q, k=4).collect()))
+    assert a == b  # tuple equality on floats = bitwise-equal cosines
+
+
 def test_knn_excludes_self_and_respects_k(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5)

@@ -86,3 +86,25 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
         n, p40, p60 = exact[et]
         assert abs(n_approx - n) <= max(2, 0.06 * n), (et, n_approx, n)
         assert p40 <= p50_approx <= p60, (et, p50_approx, p40, p60)
+
+
+def test_driver_window_fully_oracle_backed():
+    """The driver hash-verifies only the first 50 registry entries: every one
+    of those slots must carry an oracle (a rows-only query in the window
+    wastes a hard-correctness row), and window membership must be a
+    deliberate choice — this fails when a new registration silently pushes
+    an oracle query past position 50."""
+    reg = registry()
+    window = list(reg)[:50]
+    rows_only_in_window = [n for n in window if reg[n].oracle is None]
+    assert rows_only_in_window == [], (
+        f"rows-only queries occupy driver-window slots: {rows_only_in_window}"
+    )
+    displaced = [
+        n for i, n in enumerate(reg) if i >= 50 and reg[n].oracle is not None
+    ]
+    # Deferred-by-design entries are the only oracle queries allowed past 50
+    # (deterministic_sample: see queries.registry; completeness_report_documents:
+    # post-§2 extension registered last on purpose, hard-checked by this
+    # module instead). Update this list CONSCIOUSLY when rebalancing.
+    assert set(displaced) <= {"deterministic_sample", "completeness_report_documents"}, displaced

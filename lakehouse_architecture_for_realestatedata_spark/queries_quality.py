@@ -163,3 +163,24 @@ def q_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     return completeness_report(docs, ["doc_id", "text", "lang", "source"])
+
+
+@register(
+    "corpus_prep_funnel",
+    None,  # the near-dup stage is MinHash-LSH + iterative connected
+    # components — not SQL-expressible; stage semantics are hard-checked in
+    # tests/test_corpus.py (planted fates, stepwise equivalence, idempotence)
+    doc="End-to-end corpus preparation funnel (plans/corpus.py): quality/"
+    "language/length gates → exact fingerprint dedup → MinHash-LSH near-dup "
+    "clustering → per-status doc counts. The composed pipeline an LLM data "
+    "team runs; every stage is an individually oracle-tested operator.",
+)
+def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.plans.corpus import (
+        CorpusPrepConfig,
+        funnel_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cfg = CorpusPrepConfig(min_quality=0.2, near_dup=True, jaccard_threshold=0.5)
+    return funnel_report(docs, cfg)

@@ -1,0 +1,114 @@
+"""End-to-end corpus-preparation pipeline (plans/corpus.py): funnel statuses
+partition the input, planted duplicates are caught by the right stage, the
+output is deterministic under repartitioning, and prepare_corpus equals the
+stepwise application of its stages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.plans.corpus import (
+    CorpusPrepConfig,
+    annotate,
+    corpus_funnel,
+    funnel_report,
+    prepare_corpus,
+)
+
+CFG = CorpusPrepConfig(min_quality=0.2, near_dup=True, jaccard_threshold=0.5)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    """documents plus planted pathologies:
+    - 9001: byte-identical copy of doc 1 (exact_dup)
+    - 9002: doc 2 with one word swapped (near_dup at jaccard 0.5)
+    - 9003: empty text (gated: too_short/low_quality)
+    """
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id", "text")
+    src = {r["doc_id"]: r["text"] for r in base.filter(F.col("doc_id").isin(1, 2)).collect()}
+    toks = src[2].split()
+    near = " ".join(toks[:-1] + ["zzzmutation"])
+    planted = spark.createDataFrame(
+        [(9001, src[1]), (9002, near), (9003, "")], "doc_id long, text string"
+    )
+    return base.unionByName(planted)
+
+
+def test_funnel_statuses_partition_input(spark, docs):
+    funnel = corpus_funnel(docs, CFG)
+    assert funnel.count() == docs.count()  # no row lost or duplicated
+    assert funnel.select("doc_id").distinct().count() == docs.count()
+    statuses = {r["status"] for r in funnel.select("status").distinct().collect()}
+    assert statuses <= {"kept", "low_quality", "wrong_lang", "too_short", "exact_dup", "near_dup"}
+
+
+def test_planted_fates(spark, docs):
+    fates = {
+        r["doc_id"]: r["status"]
+        for r in corpus_funnel(docs, CFG).filter(F.col("doc_id") >= 9000).collect()
+    }
+    assert fates[9001] == "exact_dup"  # identical copy, loses to min id 1
+    assert fates[9002] == "near_dup"  # one-word mutation of doc 2
+    assert fates[9003] in ("too_short", "low_quality")  # never reaches dedup
+    # originals survive: the canonical member of each cluster is kept
+    originals = {
+        r["doc_id"]: r["status"]
+        for r in corpus_funnel(docs, CFG).filter(F.col("doc_id").isin(1, 2)).collect()
+    }
+    assert originals[1] == "kept" and originals[2] == "kept"
+
+
+def test_funnel_report_sums_to_total(spark, docs):
+    rep = {r["status"]: r["n_docs"] for r in funnel_report(docs, CFG).collect()}
+    assert sum(rep.values()) == docs.count()
+    assert rep.get("exact_dup", 0) >= 1 and rep.get("near_dup", 0) >= 1
+
+
+def test_prepare_corpus_deterministic_and_split(spark, docs):
+    out1 = prepare_corpus(docs, CFG)
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    ids2 = sorted(r["doc_id"] for r in prepare_corpus(docs.repartition(7), CFG).collect())
+    assert ids1 == ids2  # partition-invariant
+    splits = {r["split"] for r in out1.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    # split is a pure function of (id, salt): re-run agrees row-for-row
+    a = {(r["doc_id"], r["split"]) for r in out1.collect()}
+    b = {(r["doc_id"], r["split"]) for r in prepare_corpus(docs, CFG).collect()}
+    assert a == b
+
+
+def test_prepare_equals_stepwise(spark, docs):
+    """prepare_corpus kept-set == gates, then exact dedup, then near dedup
+    applied one at a time with the same operators."""
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import doc_fingerprint
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        dedup_latest,
+        minhash_lsh_pairs,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.operators.graph import keep_canonical
+
+    ann = annotate(docs, CFG)
+    gated = ann.filter(
+        (F.col("quality") >= CFG.min_quality) & (F.col("n_tokens") >= CFG.min_tokens)
+    )
+    exact = dedup_latest(
+        gated.withColumn("__fp", doc_fingerprint(F.col("text"))),
+        "__fp",
+        [F.col("doc_id").asc()],
+    ).drop("__fp")
+    pairs = minhash_lsh_pairs(exact, "doc_id", "text", k=CFG.shingle_k, threshold=CFG.jaccard_threshold)
+    stepwise = keep_canonical(exact, pairs, "doc_id")
+    want = sorted(r["doc_id"] for r in stepwise.collect())
+    got = sorted(r["doc_id"] for r in prepare_corpus(docs, CFG).collect())
+    assert got == want
+
+
+def test_idempotent_on_clean_corpus(spark, docs):
+    """Running the pipeline on its own output removes nothing."""
+    clean = prepare_corpus(docs, CFG).drop("split", "quality", "lang", "n_tokens")
+    again = prepare_corpus(clean, CFG)
+    assert again.count() == clean.count()

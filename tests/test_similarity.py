@@ -50,6 +50,26 @@ def test_blas_knn_bit_identical_to_catalyst(spark, sf_dir):
     assert a == b  # tuple equality on floats = bitwise-equal cosines
 
 
+def test_blas_rounding_matches_spark_on_half_boundary(spark):
+    """0.0078125 (= 2^-7, exact in float32) × 1e6 = 7812.5 exactly: numpy's
+    default rint rounds half-even (7812) while Spark/DuckDB round half-away
+    (7813). The BLAS scorer must use half-away — this input diverges if it
+    ever regresses to rint."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import knn_quantized_blas
+
+    rows = [
+        (0, [0.0078125, 1.0, 0.0]),
+        (1, [0.0078125, 0.9, 0.1]),
+        (2, [-0.0078125, 0.8, 0.2]),  # negative half-boundary too
+        (3, [0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    a = sorted(map(tuple, knn_quantized(df, q, k=3).collect()))
+    b = sorted(map(tuple, knn_quantized_blas(df, q, k=3).collect()))
+    assert a == b
+
+
 def test_knn_excludes_self_and_respects_k(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5)

@@ -106,3 +106,29 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     for r in full:
         f_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     assert f_sets == t_sets
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The 100 TB ANN deployment shape the operator docstring promises:
+    persist assignments hive-partitioned by cell, and a probe restricted to
+    its n_probe cells must scan ONLY those partition directories
+    (PartitionFilters on cell, pruned input files)."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import ivf_assign
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+    from lakehouse_architecture_for_realestatedata_spark.plans.layout import write_partitioned
+
+    emb = _emb(spark, sf_dir)
+    assignments, centroids = ivf_assign(emb, "vec_id", "embedding", n_cells=8)
+    path = str(tmp_path / "ivf_index")
+    write_partitioned(assignments, path, ["cell"])
+
+    index = spark.read.parquet(path)
+    probe_cells = [r["cell"] for r in centroids.limit(2).collect()]
+    probed = index.filter(F.col("cell").isin(probe_cells))
+    plan = physical_plan(probed)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200], plan
+    # the scan must touch only the probed cells' rows
+    full = index.count()
+    part = probed.count()
+    per_cell = {r["cell"]: r["n"] for r in index.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert part == sum(per_cell[c] for c in probe_cells) and part < full

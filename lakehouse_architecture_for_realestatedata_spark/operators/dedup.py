@@ -350,6 +350,83 @@ def simhash_dedup_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train/eval decontamination: corpus documents that near-duplicate an
+    eval/benchmark document → (corpus_id, eval_id, jaccard) pairs. Drop the
+    returned corpus_ids before training (see ``decontaminated_corpus``).
+
+    Asymmetric by design — the eval set is bounded (benchmarks are
+    thousands of docs, the corpus is the 100 TB side), so this is a
+    broadcast bucket join, strictly cheaper than self-join dedup:
+      1. both sides get banded MinHash bucket keys (the fused numpy kernel,
+         one narrow pass each);
+      2. corpus buckets join the BROADCAST eval buckets on the bucket key —
+         the corpus never shuffles, candidates are (corpus_id, eval_id);
+      3. exact-Jaccard verification re-shingles only the candidate corpus
+         docs (semi-join trim) against the broadcast eval shingle sets.
+    """
+    cb = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(
+            sketches.minhash_buckets(
+                sketches.hashed_shingles(F.col(text_col), k), num_hashes, bands, seed=42
+            )
+        ).alias("__bucket"),
+    )
+    eb = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(
+            sketches.minhash_buckets(
+                sketches.hashed_shingles(F.col(text_col), k), num_hashes, bands, seed=42
+            )
+        ).alias("__bucket"),
+    )
+    cand = (
+        cb.join(F.broadcast(eb), "__bucket")
+        .select("corpus_id", "eval_id")
+        .dropDuplicates(["corpus_id", "eval_id"])
+    )
+    cand_ids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    ch = _hashed_shingle_sets(
+        corpus.join(cand_ids, id_col, "left_semi"), id_col, text_col, k
+    ).select(F.col("__id").alias("corpus_id"), F.col("__h").alias("h_c"))
+    eh = _hashed_shingle_sets(eval_df, id_col, text_col, k).select(
+        F.col("__id").alias("eval_id"), F.col("__h").alias("h_e")
+    )
+    paired = cand.join(ch, "corpus_id").join(F.broadcast(eh), "eval_id")
+    inter = F.size(F.array_intersect("h_c", "h_e"))
+    union = F.size("h_c") + F.size("h_e") - inter
+    return (
+        paired.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_id", "eval_id", "jaccard")
+    )
+
+
+def decontaminated_corpus(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """``corpus`` minus every document flagged by ``decontaminate`` — the
+    anti-join never materializes the keep-set."""
+    bad = decontaminate(corpus, eval_df, id_col, text_col, **kwargs).select(
+        F.col("corpus_id").alias(id_col)
+    )
+    return corpus.join(bad, id_col, "left_anti")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -184,3 +184,24 @@ def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     cfg = CorpusPrepConfig(min_quality=0.2, near_dup=True, jaccard_threshold=0.5)
     return funnel_report(docs, cfg)
+
+
+@register(
+    "decontaminate_eval_overlap",
+    None,  # MinHash banding is xxhash64-seeded — not DuckDB-reproducible;
+    # planted-contamination recall/precision is pinned in tests/test_dedup.py
+    doc="Train/eval decontamination (operators/dedup.py:decontaminate): "
+    "corpus docs near-duplicating a (synthesized) eval set via a broadcast "
+    "MinHash bucket join — the corpus never shuffles. Eval docs are "
+    "one-word perturbations of every 41st document, so expected overlap = "
+    "the perturbed sources.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("evalprefix "), F.col("text")).alias("text"),
+    )
+    return decontaminate(docs, eval_df, threshold=0.5)

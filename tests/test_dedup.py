@@ -105,3 +105,49 @@ def test_fuzzy_pairs_blocked(spark):
     )
     pairs = fuzzy_pairs_blocked(df, "id", "addr", F.col("district"), max_distance=2).collect()
     assert {(r["id_a"], r["id_b"], r["distance"]) for r in pairs} == {(1, 2, 1)}
+
+
+def test_decontaminate_finds_planted_overlap(spark, sf_dir):
+    """Eval docs derived from corpus docs (one-word perturbation) must map
+    back to exactly their source documents; unrelated docs must not flag."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        decontaminate,
+        decontaminated_corpus,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    planted_src = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 50 == 3).collect()]
+    eval_df = docs.filter(F.col("doc_id") % 50 == 3).select(
+        (F.col("doc_id") + 7000).alias("doc_id"),
+        F.concat(F.lit("benchprefix "), F.col("text")).alias("text"),
+    )
+    hits = decontaminate(docs, eval_df, threshold=0.5)
+    got = {(r["corpus_id"], r["eval_id"]) for r in hits.collect()}
+    want = {(s, s + 7000) for s in planted_src}
+    assert want <= got  # every planted source found against its eval twin
+    # precision: nothing unrelated flagged (word-soup corpus: distinct docs
+    # share almost no shingles)
+    assert {c for c, _ in got} == set(planted_src)
+    # and the cleaned corpus drops exactly the contaminated ids
+    clean = decontaminated_corpus(docs, eval_df, threshold=0.5)
+    assert clean.count() == docs.count() - len(planted_src)
+    assert clean.filter(F.col("doc_id").isin(planted_src)).count() == 0
+
+
+def test_decontaminate_clean_corpus_is_untouched(spark, sf_dir):
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import decontaminate
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    eval_df = spark.createDataFrame(
+        [(1, "completely unrelated benchmark question about astrophysics")],
+        "doc_id long, text string",
+    )
+    assert decontaminate(docs, eval_df, threshold=0.5).count() == 0

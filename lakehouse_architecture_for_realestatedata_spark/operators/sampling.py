@@ -87,6 +87,35 @@ def sample_fraction(df: DataFrame, key: str, fraction: float, salt: str = "") ->
     return df.filter(_hash_hex(F.col(key), salt) < F.lit(hex_threshold(fraction)))
 
 
+def sample_stratified(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: each stratum value gets
+    its own keep-fraction (e.g. downsample boilerplate languages, keep all
+    of a rare one) — the language/source rebalancing step of a training-data
+    mix. Strata not listed keep ``default_fraction``.
+
+    Same guarantees as ``sample_fraction``: membership is a pure function of
+    (key, salt), partition-invariant, engine-portable; the plan is a narrow
+    filter against a CASE of hex-threshold literals — no shuffle, no UDF.
+    """
+    for name, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {name!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    h = _hash_hex(F.col(key), salt)
+    thr: Column = F.lit(hex_threshold(default_fraction))
+    for name, f in fractions.items():
+        thr = F.when(F.col(strata_col) == name, F.lit(hex_threshold(f))).otherwise(thr)
+    return df.filter(h < thr)
+
+
 def sample_exact_n(df: DataFrame, key: str, n: int, salt: str = "") -> DataFrame:
     """Deterministic exactly-n sample: the n rows with the smallest hashed
     key (ties broken by key). Plans as TakeOrderedAndProject — each partition

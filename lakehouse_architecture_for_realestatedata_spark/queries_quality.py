@@ -205,3 +205,33 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("evalprefix "), F.col("text")).alias("text"),
     )
     return decontaminate(docs, eval_df, threshold=0.5)
+
+
+def _stratified_oracle() -> str:
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import hex_threshold
+
+    t_en, t_zh, t_dflt = hex_threshold(0.3), hex_threshold(1.0), hex_threshold(0.1)
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(cast(doc_id AS varchar)), 1, 8)
+          < CASE lang WHEN 'en' THEN '{t_en}' WHEN 'zh' THEN '{t_zh}'
+                      ELSE '{t_dflt}' END
+    """
+
+
+@register(
+    "stratified_sample_by_lang",
+    _stratified_oracle(),
+    doc="Per-stratum deterministic Bernoulli sample (operators/sampling.py:"
+    "sample_stratified): downsample dominant 'en' to 30%, keep all 'zh', 10% "
+    "of the rest — the language-rebalancing step of a training mix. Narrow "
+    "filter against hex-threshold literals; membership is a pure function "
+    "of (doc_id, salt).",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sample_stratified(
+        docs, "doc_id", "lang", {"en": 0.3, "zh": 1.0}, default_fraction=0.1
+    )

@@ -104,7 +104,11 @@ def test_driver_window_fully_oracle_backed():
         n for i, n in enumerate(reg) if i >= 50 and reg[n].oracle is not None
     ]
     # Deferred-by-design entries are the only oracle queries allowed past 50
-    # (deterministic_sample: see queries.registry; completeness_report_documents:
-    # post-§2 extension registered last on purpose, hard-checked by this
-    # module instead). Update this list CONSCIOUSLY when rebalancing.
-    assert set(displaced) <= {"deterministic_sample", "completeness_report_documents"}, displaced
+    # (deterministic_sample: see queries.registry; the rest are post-§2
+    # extensions registered last on purpose, hard-checked by this module
+    # instead). Update this list CONSCIOUSLY when rebalancing.
+    assert set(displaced) <= {
+        "deterministic_sample",
+        "completeness_report_documents",
+        "stratified_sample_by_lang",
+    }, displaced

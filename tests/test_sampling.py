@@ -70,3 +70,32 @@ def test_hex_threshold_bounds():
 
 def test_sample_fraction_one_keeps_all(spark):
     assert sample_fraction(_ids(spark, 500), "k", 1.0).count() == 500
+
+
+def test_stratified_sample_per_stratum_rates_and_determinism(spark, sf_dir):
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import sample_stratified
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    out = sample_stratified(docs, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_fraction=0.0)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("zh", 0) == base["zh"]  # fraction 1.0 keeps everything
+    assert set(got) <= {"en", "zh"}  # default 0.0 drops every other stratum
+    assert 0 < got["en"] < base["en"]  # strictly downsampled
+    # partition-invariant and re-runnable
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_stratified(
+            docs.repartition(13), "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_fraction=0.0
+        ).collect()
+    )
+    assert a == b
+    # stratum membership never changes the draw: an 'en' doc kept at 0.5
+    # is exactly the en-subset of the keys kept by a plain 0.5 sample
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import sample_fraction
+
+    plain = {r["doc_id"] for r in sample_fraction(docs, "doc_id", 0.5).collect()}
+    en_kept = {r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()}
+    en_all = {r["doc_id"] for r in docs.filter(F.col("lang") == "en").collect()}
+    assert en_kept == plain & en_all

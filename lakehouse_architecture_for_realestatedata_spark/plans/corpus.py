@@ -166,3 +166,35 @@ def prepare_corpus(df: DataFrame, cfg: CorpusPrepConfig | None = None) -> DataFr
     return split_assign(
         kept, cfg.id_col, dict(cfg.split_weights), salt=cfg.split_salt
     )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str,
+    salt: str = "shard-v1",
+    mode: str = "overwrite",
+) -> None:
+    """Write the training mix as ``n_shards`` parquet shards in a
+    deterministic pseudo-random order — the last-mile step before a data
+    loader consumes the corpus.
+
+    Trainers need (a) a global shuffle so consecutive rows aren't correlated
+    (a corpus sorted by source/time trains badly), and (b) reproducibility —
+    re-running the export must produce byte-stable shard membership and row
+    order. ``rand()`` gives neither. Here both come from the content hash:
+    shard = hash-partition of the salted content hash (one exchange), row
+    order within a shard = sort by (hash, key) (sortWithinPartitions — a
+    per-shard sort, never a global one). Changing ``salt`` redraws the
+    shuffle.
+    """
+    h = F.xxhash64(F.concat(F.lit(salt), F.col(key).cast("string")))
+    (
+        df.withColumn("__h", h)
+        .repartition(n_shards, F.col("__h"))
+        .sortWithinPartitions("__h", key)
+        .drop("__h")
+        .write.mode(mode)
+        .parquet(path)
+    )

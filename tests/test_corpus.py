@@ -112,3 +112,35 @@ def test_idempotent_on_clean_corpus(spark, docs):
     clean = prepare_corpus(docs, CFG).drop("split", "quality", "lang", "n_tokens")
     again = prepare_corpus(clean, CFG)
     assert again.count() == clean.count()
+
+
+def test_export_shards_deterministic_and_shuffled(spark, docs, tmp_path):
+    import glob
+
+    from lakehouse_architecture_for_realestatedata_spark.plans.corpus import export_shards
+
+    out = prepare_corpus(docs, CFG).select("doc_id", "text", "split")
+    p1, p2 = str(tmp_path / "x1"), str(tmp_path / "x2")
+    export_shards(out, p1, n_shards=4, key="doc_id")
+    export_shards(out.repartition(11), p2, n_shards=4, key="doc_id")
+
+    def shard_contents(p):
+        # per-shard ordered doc_id lists, keyed by shard index
+        files = sorted(glob.glob(f"{p}/part-*.parquet"))
+        assert len(files) == 4
+        return [
+            [r["doc_id"] for r in spark.read.parquet(f).collect()] for f in files
+        ]
+
+    s1, s2 = shard_contents(p1), shard_contents(p2)
+    assert s1 == s2  # byte-stable membership AND row order under repartition
+    # globally shuffled: within-shard order is not id order
+    assert any(lst != sorted(lst) for lst in s1 if len(lst) > 2)
+    # different salt redraws the shuffle
+    p3 = str(tmp_path / "x3")
+    export_shards(out, p3, n_shards=4, key="doc_id", salt="other")
+    assert shard_contents(p3) != s1
+    # nothing lost
+    assert sorted(x for lst in s1 for x in lst) == sorted(
+        r["doc_id"] for r in out.collect()
+    )

@@ -173,3 +173,41 @@ def quality_score(col: Column | str) -> Column:
     # No rounding: the raw IEEE expression tree is bit-deterministic, while a
     # round() can disagree across engines on shortest-repr midpoints.
     return (len_ok + alpha_ratio + stop_ok) / 3.0
+
+
+def filter_top_quantile(
+    df,
+    score_col: str,
+    keep_frac: float,
+    by: str | None = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+    threshold_col: str | None = None,
+):
+    """Keep the best ``keep_frac`` of rows by ``score_col``, optionally per
+    group (``by``) — the "top-60% quality per language" curation step.
+
+    The threshold is ONE tiny aggregate (one row per group), broadcast-joined
+    back, then a narrow filter: the corpus itself never shuffles. ``exact``
+    uses interpolated ``percentile`` (sorts each group's scores — dashboard
+    scale); the default is ``percentile_approx`` (KLL-style sketch, bounded
+    memory — the 100 TB path).
+    """
+    from pyspark.sql import functions as F
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    q = 1.0 - keep_frac
+    pct = (
+        F.percentile(F.col(score_col), q)
+        if exact
+        else F.percentile_approx(F.col(score_col), q, accuracy)
+    )
+    out_thr = threshold_col or "__thr"
+    if by is None:
+        thr = df.agg(pct.alias(out_thr))
+        kept = df.crossJoin(F.broadcast(thr)).filter(F.col(score_col) >= F.col(out_thr))
+    else:
+        thr = df.groupBy(by).agg(pct.alias(out_thr))
+        kept = df.join(F.broadcast(thr), by).filter(F.col(score_col) >= F.col(out_thr))
+    return kept if threshold_col else kept.drop(out_thr)

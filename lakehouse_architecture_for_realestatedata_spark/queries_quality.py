@@ -235,3 +235,39 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(
         docs, "doc_id", "lang", {"en": 0.3, "zh": 1.0}, default_fraction=0.1
     )
+
+
+@register(
+    "quality_quantile_filter",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang, cast(n_chars AS double) AS score FROM documents
+    ), thr AS (
+        SELECT lang, quantile_cont(score, 0.4) AS threshold
+        FROM scored GROUP BY lang
+    )
+    SELECT s.lang, any_value(t.threshold) AS threshold,
+           count(*) AS n_kept
+    FROM scored s JOIN thr t ON s.lang = t.lang
+    WHERE s.score >= t.threshold
+    GROUP BY s.lang
+    """,
+    doc="Per-group quantile curation (functions/text.py:filter_top_quantile "
+    "exact path): keep the top 60% of docs by score within each language — "
+    "threshold is one tiny per-group aggregate broadcast back, the corpus "
+    "never shuffles. Spark percentile ≡ DuckDB quantile_cont "
+    "(same linear interpolation).",
+)
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import filter_top_quantile
+
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("score")
+    )
+    kept = filter_top_quantile(
+        scored, "score", keep_frac=0.6, by="lang", exact=True, threshold_col="threshold"
+    )
+    return kept.groupBy("lang").agg(
+        F.min("threshold").alias("threshold"),  # constant per group
+        F.count(F.lit(1)).alias("n_kept"),
+    )

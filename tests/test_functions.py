@@ -166,3 +166,23 @@ def test_redact_pii(spark):
     assert _one(spark, redact_pii("s"), "x9@y99.com") == "<EMAIL>"
     # bare long numbers without + prefix are NOT phones (avoid false redaction)
     assert _one(spark, redact_pii("s"), "id 123456789012") == "id 123456789012"
+
+
+def test_filter_top_quantile(spark):
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import filter_top_quantile
+
+    rows = [(i, "a" if i < 10 else "b", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    # global: keep top 50% → scores >= exact p50 (9.5) → ids 10..19
+    kept = filter_top_quantile(df, "score", 0.5, exact=True)
+    assert sorted(r["id"] for r in kept.collect()) == list(range(10, 20))
+    # per-group: top 40% of each group's own distribution
+    per = filter_top_quantile(df, "score", 0.4, by="grp", exact=True, threshold_col="thr")
+    got = {r["grp"]: sorted(x["id"] for x in per.filter(F.col("grp") == r["grp"]).collect())
+           for r in per.select("grp").distinct().collect()}
+    assert got["a"] == [6, 7, 8, 9] and got["b"] == [16, 17, 18, 19]
+    assert "thr" in per.columns
+    # approx path: the sketch returns an actual member (9.0), not the
+    # interpolated 9.5, so the kept set is the exact set plus the boundary row
+    ap = filter_top_quantile(df, "score", 0.5, exact=False)
+    assert sorted(r["id"] for r in ap.collect()) == list(range(9, 20))

@@ -111,4 +111,5 @@ def test_driver_window_fully_oracle_backed():
         "deterministic_sample",
         "completeness_report_documents",
         "stratified_sample_by_lang",
+        "quality_quantile_filter",
     }, displaced

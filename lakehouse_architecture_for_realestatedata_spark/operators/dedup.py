@@ -412,6 +412,46 @@ def decontaminate(
     )
 
 
+def decontaminate_ngram(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Verbatim-overlap decontamination: corpus docs sharing ≥ ``min_hits``
+    word n-grams with an eval doc → (corpus_id, eval_id, n_shared_ngrams).
+
+    Complements the Jaccard path (``decontaminate``): an eval question
+    quoted inside a LONG document is a tiny fraction of its shingle set —
+    Jaccard ≈ |eval|/|doc| stays under any useful threshold and MinHash
+    misses it — but its 13-grams match verbatim (the GPT-3-style n-gram
+    contamination rule; 13 is that lineage's published window).
+
+    Shape: corpus n-grams are a narrow explode joined against the BROADCAST
+    distinct eval n-grams — the corpus never shuffles; only matching
+    (corpus, eval, gram) hit rows (rare by construction) reach the counting
+    aggregate."""
+    cg = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(sketches.hashed_shingles(F.col(text_col), n)).alias("__g"),
+    )
+    eg = (
+        eval_df.select(
+            F.col(id_col).alias("eval_id"),
+            F.explode(sketches.hashed_shingles(F.col(text_col), n)).alias("__g"),
+        )
+        .distinct()
+    )
+    return (
+        cg.join(F.broadcast(eg), "__g")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count_distinct("__g").alias("n_shared_ngrams"))
+        .filter(F.col("n_shared_ngrams") >= min_hits)
+    )
+
+
 def decontaminated_corpus(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -151,3 +151,38 @@ def test_decontaminate_clean_corpus_is_untouched(spark, sf_dir):
         "doc_id long, text string",
     )
     assert decontaminate(docs, eval_df, threshold=0.5).count() == 0
+
+
+def test_ngram_decontamination_catches_embedded_quotes(spark, sf_dir):
+    """An eval question QUOTED inside a long document is invisible to
+    Jaccard (tiny shingle-set overlap) but must be caught by the verbatim
+    n-gram rule — the GPT-3-style contamination case."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_ngram,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    question = (
+        "what is the expected number of rolls of a fair die until "
+        "every face has appeared at least once in total"
+    )  # 19 tokens > n=13
+    long_doc = docs.filter(F.col("doc_id") == 5).select(
+        F.lit(10001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + question + " "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(long_doc)
+    eval_df = spark.createDataFrame([(1, question)], "doc_id long, text string")
+
+    jac = decontaminate(corpus, eval_df, threshold=0.5)
+    assert jac.filter(F.col("corpus_id") == 10001).count() == 0  # Jaccard blind
+
+    ng = decontaminate_ngram(corpus, eval_df, n=13)
+    hits = {(r["corpus_id"], r["eval_id"]) for r in ng.collect()}
+    assert (10001, 1) in hits
+    # precision: the word-soup corpus shares no 13-gram with the question
+    assert all(c == 10001 for c, _ in hits)

@@ -271,3 +271,53 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("threshold").alias("threshold"),  # constant per group
         F.count(F.lit(1)).alias("n_kept"),
     )
+
+
+_DUCK_TOKS_Q = (
+    r"list_filter(string_split_regex(lower({c}), '[^\p{{L}}\p{{N}}]+'), x -> x <> '')"
+)
+# DuckDB twin of functions.text.shingles(k=13): 13-token windows, distinct,
+# whole-token-string fallback for short docs — mirrors the Spark expression
+# exactly (same tokenizer parity as every other shingle oracle here).
+_DUCK_13G = (
+    "list_distinct(CASE WHEN len({t}) >= 13 "
+    "THEN [array_to_string(({t})[i:i+12], ' ') for i in range(1, len({t}) - 11)] "
+    "ELSE [array_to_string({t}, ' ')] END)"
+)
+
+
+@register(
+    "decontaminate_ngram_verbatim",
+    f"""
+    WITH ev AS (
+        SELECT doc_id + 600000 AS eval_id,
+               'quoted for eval purposes ' || text AS text
+        FROM documents WHERE doc_id % 37 = 0
+    ), eg AS (
+        SELECT DISTINCT eval_id, unnest({_DUCK_13G.format(t=_DUCK_TOKS_Q.format(c='text'))}) AS g
+        FROM ev
+    ), cg AS (
+        SELECT doc_id AS corpus_id, unnest({_DUCK_13G.format(t=_DUCK_TOKS_Q.format(c='text'))}) AS g
+        FROM documents
+    )
+    SELECT cg.corpus_id, eg.eval_id, count(DISTINCT cg.g) AS n_shared_ngrams
+    FROM cg JOIN eg ON cg.g = eg.g
+    GROUP BY 1, 2
+    HAVING count(DISTINCT cg.g) >= 1
+    """,
+    doc="Verbatim 13-gram decontamination (operators/dedup.py:"
+    "decontaminate_ngram): corpus docs sharing any 13-gram with a "
+    "(synthesized, prefix-quoted) eval set — catches eval text embedded in "
+    "long documents, which Jaccard provably misses. Corpus n-grams stream "
+    "against broadcast eval grams; shared-gram COUNTS are hash-free, so the "
+    "DuckDB twin replays them with string n-grams exactly.",
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import decontaminate_ngram
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat(F.lit("quoted for eval purposes "), F.col("text")).alias("text"),
+    )
+    return decontaminate_ngram(docs, eval_df, n=13, min_hits=1)

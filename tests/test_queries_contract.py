@@ -112,4 +112,5 @@ def test_driver_window_fully_oracle_backed():
         "completeness_report_documents",
         "stratified_sample_by_lang",
         "quality_quantile_filter",
+        "decontaminate_ngram_verbatim",
     }, displaced

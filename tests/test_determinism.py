@@ -73,3 +73,20 @@ def test_z_value_orders_like_reference_morton(spark, xs):
     }
     for x, y in xs:
         assert got[(x, y)] == morton(x, y)
+
+
+def test_blas_knn_bit_identical_across_partitionings(spark, sf_dir):
+    """The mapInArrow local cut sees different batch boundaries under every
+    partitioning; the merged global top-k must still be bit-identical —
+    the property that licenses the BLAS path inside an oracle-hashed query."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        knn_quantized_blas,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 6)
+    results = []
+    for n in (1, 3, 16):
+        out = knn_quantized_blas(emb.repartition(n), q, k=5).collect()
+        results.append(sorted((r["query_id"], r["neighbor_id"], r["cosine"]) for r in out))
+    assert results[0] == results[1] == results[2]

@@ -90,3 +90,46 @@ def test_blas_knn_bit_identical_across_partitionings(spark, sf_dir):
         out = knn_quantized_blas(emb.repartition(n), q, k=5).collect()
         results.append(sorted((r["query_id"], r["neighbor_id"], r["cosine"]) for r in out))
     assert results[0] == results[1] == results[2]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Zs"), max_codepoint=0x2FFF
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_text_function_invariants(spark, texts):
+    """Property pins over arbitrary unicode text (hypothesis): quality in
+    [0,1]; token/shingle/bpe counts consistent; lang_id only emits known
+    profiles; redaction idempotent."""
+    from lakehouse_architecture_for_realestatedata_spark.functions import text as T
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    rows = df.select(
+        "s",
+        T.quality_score("s").alias("q"),
+        T.token_count("s").alias("nt"),
+        F.size(T.tokens("s")).alias("nt_lower"),
+        T.bpe_ish_token_count("s").alias("nb"),
+        F.size(T.shingles("s", 3)).alias("nsh"),
+        T.lang_id("s").alias("lang"),
+        T.redact_pii(T.redact_pii("s")).alias("rr"),
+        T.redact_pii("s").alias("r1"),
+        T.duplicate_line_ratio("s").alias("dlr"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
+        assert r["nt"] == r["nt_lower"]  # lowercasing never changes token count
+        assert r["nb"] >= r["nt"]  # every \p{L}\p{N} token is >= 1 BPE piece
+        # k-shingle count: max(n-k+1, 1-if-any-tokens) bounded by token count
+        assert r["nsh"] <= max(r["nt"], 1)
+        assert r["lang"] in {"en", "de", "fr", "es", "vi", "und"}
+        assert r["rr"] == r["r1"]  # redaction is idempotent
+        assert 0.0 <= r["dlr"] < 1.0 or (r["dlr"] == 0.0)

@@ -198,3 +198,122 @@ def export_shards(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def prepare_corpus_incremental(
+    spark,
+    batch: DataFrame,
+    state_dir: str,
+    cfg: CorpusPrepConfig | None = None,
+) -> DataFrame:
+    """Incremental corpus preparation: run the funnel on a NEW batch of
+    documents, deduplicating against everything already accepted, and
+    append the survivors to persisted state. Returns the newly-kept rows
+    (with their split assignment).
+
+    This is the reference's incremental spine (S6 manifest + P7 watermark +
+    S9 merge) composed with the LLM dedup family: a daily document drop is
+    gated, exact-deduped against the HISTORY fingerprint index, near-deduped
+    against the HISTORY MinHash bucket index, then within-batch, and only
+    then appended. State lives in three ParquetTables under ``state_dir``:
+
+      prepared/  — every kept row (+ split) — the serving table
+      index/     — (doc_id, fp, h) per kept doc: content fingerprint and
+                   hashed shingle set, so history verification never
+                   re-reads or re-shingles old text
+      buckets/   — (doc_id, bucket) slim LSH banded rows of kept docs: the
+                   join target for new batches (at 100 TB, partition this
+                   by bucket range; only matching buckets shuffle)
+
+    Semantics vs the one-shot ``prepare_corpus``: incremental keeps the
+    FIRST-SEEN member of a near-dup cluster (history wins), the one-shot
+    keeps the min-id member — identical when batches arrive in id order.
+    Transitive chains (b near-dups a2, a2 was dropped for a1, b does not
+    near-dup a1) can diverge: greedy streaming dedup is not CC — the
+    standard contract for incremental pipelines.
+    """
+    from lakehouse_architecture_for_realestatedata_spark.functions import sketches
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import minhash_lsh_pairs
+    from lakehouse_architecture_for_realestatedata_spark.operators.graph import keep_canonical
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+    cfg = cfg or CorpusPrepConfig()
+    idc, txt = cfg.id_col, cfg.text_col
+    prepared = ParquetTable(spark, f"{state_dir}/prepared")
+    index = ParquetTable(spark, f"{state_dir}/index")
+    buckets = ParquetTable(spark, f"{state_dir}/buckets")
+
+    ann = annotate(batch, cfg)
+    gate = (F.col("quality") >= cfg.min_quality) & (F.col("n_tokens") >= cfg.min_tokens)
+    if cfg.langs is not None:
+        gate = gate & F.col("lang").isin(list(cfg.langs))
+    survivors = ann.filter(gate)
+
+    enriched = survivors.withColumn("__fp", doc_fingerprint(F.col(txt))).withColumn(
+        "__h", sketches.hashed_shingles(F.col(txt), cfg.shingle_k)
+    )
+    # exact vs history, then exact within batch (keep min id per fingerprint)
+    if index.exists():
+        hist_fp = index.read().select(F.col("fp").alias("__fp")).distinct()
+        enriched = enriched.join(F.broadcast(hist_fp), "__fp", "left_anti")
+    w = Window.partitionBy("__fp").orderBy(F.col(idc))
+    enriched = (
+        enriched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # near-dup vs history: batch banded rows join the slim bucket index;
+    # candidates verify by exact Jaccard against the stored shingle sets
+    if cfg.near_dup and buckets.exists():
+        batch_banded = enriched.select(
+            F.col(idc),
+            F.explode(sketches.minhash_buckets(F.col("__h"), seed=42)).alias("bucket"),
+        )
+        hist_bk = buckets.read().select(F.col("doc_id").alias("__hist_id"), "bucket")
+        cand = (
+            batch_banded.join(hist_bk, "bucket")
+            .select(F.col(idc), "__hist_id")
+            .dropDuplicates([idc, "__hist_id"])
+        )
+        hist_h = index.read().select(
+            F.col("doc_id").alias("__hist_id"), F.col("h").alias("__hist_h")
+        )
+        verify = (
+            cand.join(enriched.select(idc, "__h"), idc)
+            .join(hist_h, "__hist_id")
+        )
+        inter = F.size(F.array_intersect("__h", "__hist_h"))
+        union = F.size("__h") + F.size("__hist_h") - inter
+        hist_losers = (
+            verify.filter(inter / union >= cfg.jaccard_threshold)
+            .select(idc)
+            .distinct()
+        )
+        enriched = enriched.join(hist_losers, idc, "left_anti")
+
+    # near-dup within the batch (greedy CC over the remaining rows)
+    if cfg.near_dup:
+        pairs = minhash_lsh_pairs(
+            enriched, idc, txt, k=cfg.shingle_k, threshold=cfg.jaccard_threshold
+        )
+        enriched = keep_canonical(enriched, pairs, idc)
+
+    kept = split_assign(
+        enriched, idc, dict(cfg.split_weights), salt=cfg.split_salt
+    )
+    out_cols = [c for c in kept.columns if c not in ("__fp", "__h")]
+    new_rows = kept.select(*out_cols)
+
+    # commit: rows first, then the dedup indexes derived from them
+    prepared.append(new_rows) if prepared.exists() else prepared.overwrite(new_rows)
+    idx_rows = kept.select(
+        F.col(idc).alias("doc_id"), F.col("__fp").alias("fp"), F.col("__h").alias("h")
+    )
+    index.append(idx_rows) if index.exists() else index.overwrite(idx_rows)
+    bk_rows = kept.select(
+        F.col(idc).alias("doc_id"),
+        F.explode(sketches.minhash_buckets(F.col("__h"), seed=42)).alias("bucket"),
+    )
+    buckets.append(bk_rows) if buckets.exists() else buckets.overwrite(bk_rows)
+    return new_rows

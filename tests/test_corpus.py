@@ -144,3 +144,56 @@ def test_export_shards_deterministic_and_shuffled(spark, docs, tmp_path):
     assert sorted(x for lst in s1 for x in lst) == sorted(
         r["doc_id"] for r in out.collect()
     )
+
+
+def test_incremental_equals_oneshot_on_id_ordered_batches(spark, docs, tmp_path):
+    """Processing id-ordered batches through prepare_corpus_incremental must
+    keep exactly the same document set as one-shot prepare_corpus on the
+    union — the invariant that makes the daily-drop pipeline trustworthy."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.corpus import prepare_corpus_incremental
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+    state = str(tmp_path / "state")
+    b1 = docs.filter(F.col("doc_id") < 100)
+    b2 = docs.filter(F.col("doc_id") >= 100)  # includes the planted 9001/9002/9003
+    new1 = prepare_corpus_incremental(spark, b1, state, CFG)
+    new2 = prepare_corpus_incremental(spark, b2, state, CFG)
+
+    oneshot = prepare_corpus(docs, CFG)
+    want = sorted(r["doc_id"] for r in oneshot.collect())
+    got_new = sorted(
+        [r["doc_id"] for r in new1.collect()] + [r["doc_id"] for r in new2.collect()]
+    )
+    assert got_new == want
+    # the persisted prepared table agrees with the returned increments
+    table = ParquetTable(spark, f"{state}/prepared").read()
+    assert sorted(r["doc_id"] for r in table.collect()) == want
+    # split assignment identical to one-shot (pure function of id+salt)
+    ws = {(r["doc_id"], r["split"]) for r in oneshot.collect()}
+    ts = {(r["doc_id"], r["split"]) for r in table.collect()}
+    assert ts == ws
+
+
+def test_incremental_rejects_cross_batch_duplicates(spark, docs, tmp_path):
+    """A batch-2 copy (exact or near) of a batch-1 keeper must be dropped by
+    the HISTORY index, not just within-batch logic."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.corpus import prepare_corpus_incremental
+
+    state = str(tmp_path / "state2")
+    b1 = docs.filter(F.col("doc_id") < 100)
+    kept1 = {r["doc_id"] for r in prepare_corpus_incremental(spark, b1, state, CFG).collect()}
+    src = min(kept1)
+    text = docs.filter(F.col("doc_id") == src).collect()[0]["text"]
+    toks = text.split()
+    b2 = spark.createDataFrame(
+        [
+            (20001, text),  # exact copy of a batch-1 keeper
+            (20002, " ".join(toks[:-1] + ["zzznearmutation"])),  # near copy
+            (20003, "an entirely fresh document about orbital mechanics and dynamics today"),
+        ],
+        "doc_id long, text string",
+    )
+    kept2 = {r["doc_id"] for r in prepare_corpus_incremental(spark, b2, state, CFG).collect()}
+    assert 20001 not in kept2  # exact dup vs history index
+    assert 20002 not in kept2  # near dup vs history bucket index
+    assert 20003 in kept2

@@ -79,12 +79,21 @@ def annotate(df: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
     )
 
 
-def corpus_funnel(df: DataFrame, cfg: CorpusPrepConfig | None = None) -> DataFrame:
+def corpus_funnel(
+    df: DataFrame,
+    cfg: CorpusPrepConfig | None = None,
+    eval_df: DataFrame | None = None,
+) -> DataFrame:
     """Label every row with its pipeline fate in a ``status`` column.
 
     Statuses are assigned in gate order (a low-quality doc that is also a
     duplicate reports ``low_quality``: it never reached the dedup stage),
     and the expensive dedup stages only see gate survivors.
+
+    With ``eval_df``, docs that survive dedup but near-duplicate an eval
+    document (Jaccard) OR share a verbatim 13-gram with one are labeled
+    ``contaminated`` — benchmark decontamination as a funnel stage, checked
+    last so it runs over the fewest documents.
     """
     cfg = cfg or CorpusPrepConfig()
     idc, txt = cfg.id_col, cfg.text_col
@@ -126,6 +135,27 @@ def corpus_funnel(df: DataFrame, cfg: CorpusPrepConfig | None = None) -> DataFra
     else:
         near_losers = None
 
+    contaminated = None
+    if eval_df is not None:
+        from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+            decontaminate,
+            decontaminate_ngram,
+        )
+
+        survivors_final = after_exact
+        if near_losers is not None:
+            survivors_final = after_exact.join(
+                near_losers.select(F.col("__loser").alias(idc)), idc, "left_anti"
+            )
+        jac = decontaminate(
+            survivors_final, eval_df, idc, txt,
+            k=cfg.shingle_k, threshold=cfg.jaccard_threshold,
+        ).select(F.col("corpus_id").alias("__loser"))
+        ngr = decontaminate_ngram(survivors_final, eval_df, idc, txt).select(
+            F.col("corpus_id").alias("__loser")
+        )
+        contaminated = truncate_lineage(jac.union(ngr).distinct())
+
     out = gated.join(
         exact_losers.withColumn("__exact", F.lit(True)),
         gated[idc] == exact_losers["__loser"],
@@ -139,30 +169,54 @@ def corpus_funnel(df: DataFrame, cfg: CorpusPrepConfig | None = None) -> DataFra
         ).drop("__loser")
     else:
         out = out.withColumn("__near", F.lit(None).cast("boolean"))
+    if contaminated is not None:
+        out = out.join(
+            contaminated.withColumn("__contam", F.lit(True)),
+            out[idc] == contaminated["__loser"],
+            "left",
+        ).drop("__loser")
+    else:
+        out = out.withColumn("__contam", F.lit(None).cast("boolean"))
 
     status = (
         F.when(F.col("__gate").isNotNull(), F.col("__gate"))
         .when(F.col("__exact"), F.lit("exact_dup"))
         .when(F.col("__near"), F.lit("near_dup"))
+        .when(F.col("__contam"), F.lit("contaminated"))
         .otherwise(F.lit("kept"))
     )
-    return out.withColumn("status", status).drop("__gate", "__exact", "__near")
+    return out.withColumn("status", status).drop(
+        "__gate", "__exact", "__near", "__contam"
+    )
 
 
-def funnel_report(df: DataFrame, cfg: CorpusPrepConfig | None = None) -> DataFrame:
+def funnel_report(
+    df: DataFrame,
+    cfg: CorpusPrepConfig | None = None,
+    eval_df: DataFrame | None = None,
+) -> DataFrame:
     """(status, n_docs) — the pipeline's funnel counts, one aggregate."""
     return (
-        corpus_funnel(df, cfg)
+        corpus_funnel(df, cfg, eval_df=eval_df)
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
-def prepare_corpus(df: DataFrame, cfg: CorpusPrepConfig | None = None) -> DataFrame:
+def prepare_corpus(
+    df: DataFrame,
+    cfg: CorpusPrepConfig | None = None,
+    eval_df: DataFrame | None = None,
+) -> DataFrame:
     """The production output: kept rows (+ annotation columns) with a
-    deterministic ``split`` assignment."""
+    deterministic ``split`` assignment. Pass ``eval_df`` to also drop
+    benchmark-contaminated documents (see ``corpus_funnel``)."""
     cfg = cfg or CorpusPrepConfig()
-    kept = corpus_funnel(df, cfg).filter(F.col("status") == "kept").drop("status")
+    kept = (
+        corpus_funnel(df, cfg, eval_df=eval_df)
+        .filter(F.col("status") == "kept")
+        .drop("status")
+    )
     return split_assign(
         kept, cfg.id_col, dict(cfg.split_weights), salt=cfg.split_salt
     )

@@ -197,3 +197,21 @@ def test_incremental_rejects_cross_batch_duplicates(spark, docs, tmp_path):
     assert 20001 not in kept2  # exact dup vs history index
     assert 20002 not in kept2  # near dup vs history bucket index
     assert 20003 in kept2
+
+
+def test_funnel_contamination_stage(spark, docs):
+    """With an eval set, surviving docs that overlap it are labeled
+    'contaminated'; dedup verdicts still win (a near-dup stays near_dup)."""
+    src = docs.filter(F.col("doc_id") == 7).collect()[0]["text"]
+    eval_df = spark.createDataFrame(
+        [(1, "bench " + src)], "doc_id long, text string"
+    )
+    funnel = corpus_funnel(docs, CFG, eval_df=eval_df)
+    fates = {r["doc_id"]: r["status"] for r in funnel.collect()}
+    assert fates[7] == "contaminated"
+    assert fates[9001] == "exact_dup" and fates[9002] == "near_dup"  # unchanged
+    # prepare_corpus drops it
+    kept = {r["doc_id"] for r in prepare_corpus(docs, CFG, eval_df=eval_df).collect()}
+    assert 7 not in kept
+    # without eval_df, doc 7 is kept
+    assert 7 in {r["doc_id"] for r in prepare_corpus(docs, CFG).collect()}

@@ -215,3 +215,15 @@ def test_funnel_contamination_stage(spark, docs):
     assert 7 not in kept
     # without eval_df, doc 7 is kept
     assert 7 in {r["doc_id"] for r in prepare_corpus(docs, CFG).collect()}
+
+
+def test_language_gate(spark, docs):
+    cfg = CorpusPrepConfig(min_quality=0.0, langs=("en",), near_dup=False)
+    funnel = corpus_funnel(docs, cfg)
+    fates = {r["status"] for r in funnel.collect()}
+    assert "wrong_lang" in fates
+    kept_langs = {
+        r["lang"]
+        for r in funnel.filter(F.col("status") == "kept").select("lang").distinct().collect()
+    }
+    assert kept_langs <= {"en"}

@@ -207,3 +207,41 @@ def stream_merge_into(
     )
     q.awaitTermination()
     return q
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "1 hour",
+    watermark: str = "1 day",
+    streaming: bool = True,
+) -> DataFrame:
+    """Stream-stream inner join: rows pair when keys match and
+    ``right_ts ∈ [left_ts, left_ts + upper]`` — click→purchase attribution
+    as a LIVE join rather than the batch as-of/range operators.
+
+    In streaming mode both sides carry watermarks and the join condition
+    bounds event time in BOTH directions, which is exactly what lets Spark
+    evict buffered state: a left row can be dropped once the right
+    watermark passes ``left_ts + upper`` (state is O(in-flight window), not
+    O(stream)). Batch twin: the identical condition on static frames —
+    tests assert stream == batch on the same input.
+
+    ``left_ts``/``right_ts`` must be distinct column names (rename before
+    calling); all other columns must be disjoint apart from ``key``.
+    """
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    l, r = left, right
+    if streaming:
+        l = l.withWatermark(left_ts, watermark)
+        r = r.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])

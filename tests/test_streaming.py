@@ -171,3 +171,36 @@ def test_stream_merge_exactly_once(spark, sf_dir, tmp_path):
     # second run, same checkpoint: no new files → no change
     stream_merge_into(_event_stream(spark, sf_dir), table, "user_id", ckpt, latest_per_user)
     assert table.read().count() == n_users
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Click→purchase attribution as a live stream-stream join: identical
+    output to the batch twin on the same static input."""
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import interval_join
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+        )
+        return clicks, purchases
+
+    sc, sp = sides(_event_stream(spark, sf_dir))
+    stream = interval_join(sc, sp, "user_id", "c_ts", "p_ts", upper="6 hours")
+    q = run_to_memory(stream, "sj_out", output_mode="append")
+    try:
+        got = sorted(map(tuple, spark.sql("SELECT * FROM sj_out").collect()))
+        bc, bp = sides(_event_batch(spark, sf_dir))
+        want = sorted(
+            map(
+                tuple,
+                interval_join(
+                    bc, bp, "user_id", "c_ts", "p_ts", upper="6 hours", streaming=False
+                ).collect(),
+            )
+        )
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()

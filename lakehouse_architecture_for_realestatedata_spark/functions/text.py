@@ -208,6 +208,16 @@ def filter_top_quantile(
         thr = df.agg(pct.alias(out_thr))
         kept = df.crossJoin(F.broadcast(thr)).filter(F.col(score_col) >= F.col(out_thr))
     else:
+        # null-safe join key: a NULL stratum ("unknown language") is a real
+        # group with its own threshold — a plain equi-join would silently
+        # drop every row of it regardless of keep_frac
         thr = df.groupBy(by).agg(pct.alias(out_thr))
-        kept = df.join(F.broadcast(thr), by).filter(F.col(score_col) >= F.col(out_thr))
+        kept = (
+            df.join(
+                F.broadcast(thr.withColumnRenamed(by, "__by_thr")),
+                df[by].eqNullSafe(F.col("__by_thr")),
+            )
+            .filter(F.col(score_col) >= F.col(out_thr))
+            .drop("__by_thr")
+        )
     return kept if threshold_col else kept.drop(out_thr)

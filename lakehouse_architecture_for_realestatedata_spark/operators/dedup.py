@@ -518,23 +518,9 @@ def embedding_near_dup_pairs(
     if quantize_scale is None:
         cos = sketches.batch_cosine("v_a", "v_b")
     else:
-        from lakehouse_architecture_for_realestatedata_spark.operators.similarity import quantize
+        from lakehouse_architecture_for_realestatedata_spark.operators.similarity import quantized_cosine
 
-        qa, qb = quantize(F.col("v_a"), quantize_scale), quantize(F.col("v_b"), quantize_scale)
-        dot = F.aggregate(
-            F.zip_with(qa, qb, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        na = F.aggregate(qa, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x)
-        nb = F.aggregate(qb, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x)
-        cos = (
-            F.when(
-                (na > 0) & (nb > 0),
-                dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
-            )
-            .otherwise(F.lit(0.0))
-        )
+        cos = quantized_cosine(F.col("v_a"), F.col("v_b"), quantize_scale)
     return (
         paired.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

@@ -89,6 +89,38 @@ def quantize(vec, scale: int = 1_000_000):
     return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("bigint"))
 
 
+def quantized_cosine(va, vb, scale: int = 1_000_000, prequantized: bool = False):
+    """Exact deterministic cosine between two float-array columns via
+    scaled-integer dot products: bigint sums (integer-valued, < 2^53) then
+    one double division — bit-identical across engines and partitionings,
+    and 0.0 (never NULL/NaN) for zero-norm vectors. THE single source of
+    the oracle-licensed expression: ``knn_quantized``, the BLAS twin's
+    contract, and ``dedup.embedding_near_dup_pairs`` all rely on this exact
+    shape — change it in one place only.
+
+    Pass ``prequantized=True`` when the inputs are already bigint arrays
+    (quantize per ROW in a projection before a join, so the transform does
+    not re-run per PAIR)."""
+    if prequantized:
+        qa, qb = va, vb
+    else:
+        qa, qb = quantize(va, scale), quantize(vb, scale)
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(qa, F.lit(0).cast("bigint"), lambda a, v: a + v * v)
+    nb = F.aggregate(qb, F.lit(0).cast("bigint"), lambda a, v: a + v * v)
+    return (
+        F.when(
+            (na > 0) & (nb > 0),
+            dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+        )
+        .otherwise(F.lit(0.0))
+    )
+
+
 def knn_quantized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -102,25 +134,15 @@ def knn_quantized(
     qz = quantize(F.col(vec_col), scale)
     q = queries.select(F.col(id_col).alias("query_id"), qz.alias("__qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), qz.alias("__cv"))
-    d = F.aggregate(
-        F.zip_with("__qv", "__cv", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    nq = F.aggregate(F.col("__qv"), F.lit(0).cast("bigint"), lambda a, v: a + v * v)
-    nc = F.aggregate(F.col("__cv"), F.lit(0).cast("bigint"), lambda a, v: a + v * v)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.when(
-                (nq > 0) & (nc > 0),
-                d.cast("double") / (F.sqrt(nq.cast("double")) * F.sqrt(nc.cast("double"))),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("cosine"),
+            quantized_cosine(
+                F.col("__qv"), F.col("__cv"), scale, prequantized=True
+            ).alias("cosine"),
         )
     )
     return _topk_per_query(scored, k)
@@ -155,12 +177,17 @@ def knn_quantized_blas(
     import pyarrow as pa
 
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:  # empty eval set: empty result, same as knn_quantized
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     qz = _half_away(q_mat * scale)  # (Q, d) int64
     q_norm = np.sqrt((qz * qz).sum(axis=1).astype(np.float64))  # exact ints → double
+    dim = qz.shape[1]
 
-    out_schema = f"query_id long, neighbor_id long, cosine double"
+    out_schema = "query_id long, neighbor_id long, cosine double"
 
     def _score(batches):
         for batch in batches:
@@ -173,6 +200,14 @@ def knn_quantized_blas(
                 vecs = flat.reshape(len(la), len(flat) // len(la))
             except (ValueError, pa.ArrowInvalid):
                 vecs = np.array(la.to_pylist(), dtype=np.float64)
+            if vecs.ndim != 2 or vecs.shape[1] != dim:
+                # ragged lengths or dropped nulls can reshape "successfully"
+                # into garbage — fail loudly, never emit misaligned cosines
+                raise ValueError(
+                    f"corpus vectors are not uniform {dim}-dim float arrays "
+                    f"(got batch shape {vecs.shape}); clean the embedding "
+                    "column before kNN"
+                )
             cz = _half_away(vecs * scale)  # (B, d) int64
             dots = cz @ qz.T  # exact int64 (|v|<=scale ⇒ no overflow for d << 2^63/scale^2)
             c_norm = np.sqrt((cz * cz).sum(axis=1).astype(np.float64))
@@ -187,7 +222,16 @@ def knn_quantized_blas(
             kk = min(k, len(ids))
             for j in range(len(q_ids)):
                 col = cos_masked[:, j]
-                cand = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+                if kk < len(ids):
+                    # argpartition alone breaks cosine ties ARBITRARILY: a
+                    # tied candidate with a smaller id could be cut before
+                    # the id-asc sort runs. Widen to every row tied with the
+                    # k-th cosine, then apply the total order.
+                    part = np.argpartition(-col, kk - 1)[:kk]
+                    kth = col[part].min()
+                    cand = np.nonzero(col >= kth)[0]
+                else:
+                    cand = np.arange(len(ids))
                 order = np.lexsort((ids[cand], -col[cand]))[:k]
                 keep = cand[order]
                 keep = keep[col[keep] > -np.inf]

@@ -107,9 +107,11 @@ def corpus_funnel(
 
     survivors = gated.filter(F.col("__gate").isNull())
 
-    # exact dedup: identical fingerprint → keep the minimum id. The rank
-    # filter plans with a k-bounded WindowGroupLimit partial (top-1 per
-    # fingerprint crosses the shuffle, not every duplicate).
+    # exact dedup: identical fingerprint → keep the minimum id. Finding the
+    # LOSERS needs rn > 1, which the SPARK-37099 WindowGroupLimit rewrite
+    # cannot bound (it only matches rn <= k), so this is one full hash
+    # shuffle of the gate survivors — the honest cost of producing the
+    # loser list the status view needs.
     w = Window.partitionBy("__fp").orderBy(F.col(idc))
     fp = survivors.withColumn("__fp", doc_fingerprint(F.col(txt)))
     # slim id list consumed twice (near-dup input trim + status join):
@@ -306,10 +308,13 @@ def prepare_corpus_incremental(
     enriched = survivors.withColumn("__fp", doc_fingerprint(F.col(txt))).withColumn(
         "__h", sketches.hashed_shingles(F.col(txt), cfg.shingle_k)
     )
-    # exact vs history, then exact within batch (keep min id per fingerprint)
+    # exact vs history, then exact within batch (keep min id per fingerprint).
+    # No broadcast hint: the fingerprint index grows with every batch ever
+    # kept, so let AQE broadcast it while small and fall back to a shuffled
+    # anti-join once it outgrows the broadcast threshold.
     if index.exists():
         hist_fp = index.read().select(F.col("fp").alias("__fp")).distinct()
-        enriched = enriched.join(F.broadcast(hist_fp), "__fp", "left_anti")
+        enriched = enriched.join(hist_fp, "__fp", "left_anti")
     w = Window.partitionBy("__fp").orderBy(F.col(idc))
     enriched = (
         enriched.withColumn("__rn", F.row_number().over(w))
@@ -356,6 +361,10 @@ def prepare_corpus_incremental(
     kept = split_assign(
         enriched, idc, dict(cfg.split_weights), salt=cfg.split_salt
     )
+    # Three state writes consume `kept`; materialize it once or the whole
+    # funnel (gates, window dedup, history anti-joins, shingle hashing)
+    # re-executes per write.
+    kept = truncate_lineage(kept)
     out_cols = [c for c in kept.columns if c not in ("__fp", "__h")]
     new_rows = kept.select(*out_cols)
 

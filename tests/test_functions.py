@@ -186,3 +186,16 @@ def test_filter_top_quantile(spark):
     # interpolated 9.5, so the kept set is the exact set plus the boundary row
     ap = filter_top_quantile(df, "score", 0.5, exact=False)
     assert sorted(r["id"] for r in ap.collect()) == list(range(9, 20))
+
+
+def test_filter_top_quantile_null_stratum_survives(spark):
+    """A NULL group value ('unknown language') is a real stratum: keep_frac
+    1.0 must keep its rows, not silently drop them at the join."""
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import filter_top_quantile
+
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (2, None, 1.0), (3, "en", 2.0)],
+        "id long, grp string, score double",
+    )
+    kept = filter_top_quantile(df, "score", 1.0, by="grp", exact=True)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 2, 3]

@@ -132,3 +132,30 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     part = probed.count()
     per_cell = {r["cell"]: r["n"] for r in index.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert part == sum(per_cell[c] for c in probe_cells) and part < full
+
+
+def test_blas_tie_straddling_k_keeps_smallest_ids(spark):
+    """Duplicate vectors tie at cosine 1.0; when the tie straddles k the
+    smallest neighbor ids must win (the total order), regardless of batch
+    layout. Regression: argpartition alone cut tied candidates arbitrarily
+    BEFORE the id-asc sort."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import knn_quantized_blas
+
+    base = [0.3, 0.4, 0.5]
+    rows = [(0, base)] + [(i, base) for i in range(10, 18)]  # 8 tied dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # descending id order in one partition — the layout that broke argpartition
+    df = df.orderBy(F.col("vec_id").desc()).coalesce(1)
+    q = df.filter(F.col("vec_id") == 0)
+    a = sorted(map(tuple, knn_quantized(df, q, k=3).collect()))
+    b = sorted(map(tuple, knn_quantized_blas(df, q, k=3).collect()))
+    assert a == b
+    assert [n for _, n, _ in b] == [10, 11, 12]
+
+
+def test_blas_empty_query_set(spark, sf_dir):
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import knn_quantized_blas
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 0)
+    assert knn_quantized_blas(emb, q, k=3).count() == 0

@@ -126,7 +126,10 @@ def test_text_function_invariants(spark, texts):
     ).collect()
     for r in rows:
         assert 0.0 <= r["q"] <= 1.0
-        assert r["nt"] == r["nt_lower"]  # lowercasing never changes token count
+        # Lowercasing can SPLIT a token but never merge two: e.g. 'İ'
+        # (U+0130) lowercases to 'i' + combining dot (\p{M}, a splitter).
+        # Hypothesis found this; equality is NOT an invariant.
+        assert r["nt_lower"] >= r["nt"]
         assert r["nb"] >= r["nt"]  # every \p{L}\p{N} token is >= 1 BPE piece
         # k-shingle count: max(n-k+1, 1-if-any-tokens) bounded by token count
         assert r["nsh"] <= max(r["nt"], 1)

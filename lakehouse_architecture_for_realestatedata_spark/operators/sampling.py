@@ -127,3 +127,69 @@ def sample_exact_n(df: DataFrame, key: str, n: int, salt: str = "") -> DataFrame
         .limit(n)
         .drop("_h")
     )
+
+
+def upsample(
+    df: DataFrame,
+    key: str,
+    weight: float,
+    salt: str = "",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministically repeat rows ``weight`` times — the mixture-weight
+    primitive of an LLM training mix. weight=2.5 gives every row 2 copies
+    plus a third for the deterministic 50% of keys whose hash draw says so;
+    weight=0.3 is a plain Bernoulli downsample; copies carry a 0-based
+    ``epoch`` index so a loader can interleave epochs.
+
+    Membership and copy count are pure functions of (key, salt): partition-
+    invariant, engine-portable (md5-hex draw), re-runnable. The plan is a
+    narrow project + explode — no shuffle.
+    """
+    if weight <= 0:
+        raise ValueError(f"weight must be > 0, got {weight}")
+    whole = int(weight)
+    frac = weight - whole
+    h = _hash_hex(F.col(key), salt)
+    n_copies = F.lit(whole) + F.when(h < F.lit(hex_threshold(frac)), 1).otherwise(0)
+    # sequence(a, b) runs DESCENDING when a > b — guard the zero-copy case
+    epochs = F.when(n_copies > 0, F.sequence(F.lit(0), n_copies - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(epoch_col, F.explode(epochs))
+
+
+def mix_corpus(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Apply per-stratum mixture weights in one pass: each stratum value
+    up- or down-samples by its own weight (e.g. {'code': 2.5, 'crawl': 0.4})
+    via the same deterministic draw as ``upsample``. One narrow
+    project + explode over the whole corpus — no union-per-stratum, no
+    shuffle."""
+    for name, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for stratum {name!r} must be > 0, got {w}")
+    if default_weight <= 0:
+        raise ValueError("default_weight must be > 0")
+
+    h = _hash_hex(F.col(key), salt)
+
+    def copies(w: float):
+        whole = int(w)
+        frac = w - whole
+        return F.lit(whole) + F.when(h < F.lit(hex_threshold(frac)), 1).otherwise(0)
+
+    n: Column = copies(default_weight)
+    for name, w in weights.items():
+        n = F.when(F.col(strata_col) == name, copies(w)).otherwise(n)
+    epochs = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(epoch_col, F.explode(epochs))

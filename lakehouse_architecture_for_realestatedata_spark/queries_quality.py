@@ -321,3 +321,41 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("quoted for eval purposes "), F.col("text")).alias("text"),
     )
     return decontaminate_ngram(docs, eval_df, n=13, min_hits=1)
+
+
+def _mixture_oracle() -> str:
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import hex_threshold
+
+    t_half, t_zero = hex_threshold(0.5), hex_threshold(0.0)
+    return f"""
+    WITH c AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'zh' THEN 2 WHEN 'en' THEN 0 ELSE 1 END
+               + CASE WHEN substr(md5(cast(doc_id AS varchar)), 1, 8)
+                           < CASE lang WHEN 'zh' THEN '{t_half}'
+                                       WHEN 'en' THEN '{t_half}'
+                                       ELSE '{t_zero}' END
+                      THEN 1 ELSE 0 END AS n
+        FROM documents
+    )
+    SELECT doc_id, lang, cast(unnest(generate_series(0, n - 1)) AS int) AS epoch
+    FROM c WHERE n > 0
+    """
+
+
+@register(
+    "corpus_mixture_weights",
+    _mixture_oracle(),
+    doc="Per-stratum mixture weights (operators/sampling.py:mix_corpus): "
+    "zh upsampled 2.5x (2 copies + a deterministic 50% third), en "
+    "downsampled to 0.5, everything else kept once — one narrow "
+    "project+explode, copies carry a 0-based epoch index. The md5-keyed "
+    "draw replays exactly in DuckDB.",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mix_corpus(
+        docs, "doc_id", "lang", {"zh": 2.5, "en": 0.5}, default_weight=1.0
+    )

@@ -113,4 +113,5 @@ def test_driver_window_fully_oracle_backed():
         "stratified_sample_by_lang",
         "quality_quantile_filter",
         "decontaminate_ngram_verbatim",
+        "corpus_mixture_weights",
     }, displaced

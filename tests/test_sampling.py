@@ -99,3 +99,41 @@ def test_stratified_sample_per_stratum_rates_and_determinism(spark, sf_dir):
     en_kept = {r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()}
     en_all = {r["doc_id"] for r in docs.filter(F.col("lang") == "en").collect()}
     assert en_kept == plain & en_all
+
+
+def test_upsample_and_mix_corpus(spark, sf_dir):
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import mix_corpus, upsample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    n = docs.count()
+
+    # integer weight: exact row multiplication with epoch indices 0..w-1
+    up2 = upsample(docs, "doc_id", 2.0)
+    assert up2.count() == 2 * n
+    assert {r["epoch"] for r in up2.select("epoch").distinct().collect()} == {0, 1}
+
+    # fractional weight ~2.5: between 2n and 3n, deterministic under repartition
+    up25 = upsample(docs, "doc_id", 2.5)
+    c = up25.count()
+    assert 2 * n < c < 3 * n
+    assert upsample(docs.repartition(9), "doc_id", 2.5).count() == c
+    # third copies are exactly the 0.5 Bernoulli keep-set
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import sample_fraction
+
+    third = {r["doc_id"] for r in up25.filter(F.col("epoch") == 2).collect()}
+    assert third == {r["doc_id"] for r in sample_fraction(docs, "doc_id", 0.5).collect()}
+
+    # sub-1 weight behaves as Bernoulli downsample with epoch 0
+    down = upsample(docs, "doc_id", 0.5)
+    assert {r["doc_id"] for r in down.collect()} == third
+    assert down.filter(F.col("epoch") != 0).count() == 0
+
+    # mix_corpus: per-stratum weights equal stratum-wise upsample
+    mixed = mix_corpus(docs, "doc_id", "lang", {"zh": 2.0, "en": 0.5}, default_weight=1.0)
+    per_lang = {r["lang"]: r["n"] for r in mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_lang["zh"] == 2 * base["zh"]
+    assert 0 < per_lang["en"] < base["en"]
+    for lang in base:
+        if lang not in ("zh", "en"):
+            assert per_lang[lang] == base[lang]

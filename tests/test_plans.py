@@ -241,3 +241,26 @@ def test_lsh_pairs_no_cross_join(spark, sf_dir):
     strategies = join_strategies(df)
     assert "CartesianProduct" not in strategies, strategies
     assert "BroadcastNestedLoopJoin" not in strategies, strategies
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """Decontamination's scale claim: the bounded eval set broadcasts (bucket
+    rows AND shingle sets), so the corpus table itself never shuffles — only
+    candidate hit rows do. Two forced BroadcastExchanges must survive
+    planning; a cartesian product anywhere means the bucket join broke."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import decontaminate
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import (
+        join_strategies,
+        physical_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    df = decontaminate(docs, eval_df)
+    plan = physical_plan(df, mode="simple")
+    assert plan.count("BroadcastExchange") >= 2, plan
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies

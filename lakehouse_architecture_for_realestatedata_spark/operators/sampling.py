@@ -193,3 +193,29 @@ def mix_corpus(
         F.array().cast("array<int>")
     )
     return df.withColumn(epoch_col, F.explode(epochs))
+
+
+def sample_exact_n_per_group(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic exactly-n sample PER GROUP (e.g. 100 eval docs per
+    language): the n smallest hashed keys within each group win.
+
+    Plan shape: the rank filter triggers Spark's WindowGroupLimit rewrite —
+    each map task keeps only its n best rows per group BEFORE the exchange,
+    so the shuffle carries ≤ #partitions × #groups × n rows, never the full
+    table. Same md5 determinism contract as the other samplers."""
+    from pyspark.sql import Window
+
+    h = _hash_hex(F.col(key), salt)
+    w = Window.partitionBy(group_col).orderBy(F.col("_h"), F.col(key))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_h", "_rn")
+    )

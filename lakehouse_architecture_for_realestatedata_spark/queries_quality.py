@@ -359,3 +359,29 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_corpus(
         docs, "doc_id", "lang", {"zh": 2.5, "en": 0.5}, default_weight=1.0
     )
+
+
+@register(
+    "eval_sample_per_lang",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5(cast(doc_id AS varchar)), 1, 8), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 25
+    """,
+    doc="Exactly-25-per-language deterministic sample (operators/sampling.py:"
+    "sample_exact_n_per_group) — building a balanced eval set. The rank "
+    "filter plans with an n-bounded WindowGroupLimit partial, so the "
+    "exchange ships at most partitions*groups*n rows.",
+)
+def q_eval_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+        sample_exact_n_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_exact_n_per_group(docs, "doc_id", "lang", 25)

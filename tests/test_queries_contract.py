@@ -114,4 +114,5 @@ def test_driver_window_fully_oracle_backed():
         "quality_quantile_filter",
         "decontaminate_ngram_verbatim",
         "corpus_mixture_weights",
+        "eval_sample_per_lang",
     }, displaced

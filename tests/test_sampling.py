@@ -137,3 +137,27 @@ def test_upsample_and_mix_corpus(spark, sf_dir):
     for lang in base:
         if lang not in ("zh", "en"):
             assert per_lang[lang] == base[lang]
+
+
+def test_sample_exact_n_per_group(spark, sf_dir):
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+        sample_exact_n_per_group,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    out = sample_exact_n_per_group(docs, "doc_id", "lang", 10)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, c in counts.items():
+        assert c == min(10, base[lang])
+    # deterministic under repartitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_exact_n_per_group(docs.repartition(7), "doc_id", "lang", 10).collect()
+    )
+    assert a == b
+    # plan: n-bounded partial before the exchange (WindowGroupLimit rewrite)
+    plan = physical_plan(sample_exact_n_per_group(docs, "doc_id", "lang", 10))
+    assert "row_number(), 10, Partial" in plan, plan

@@ -325,9 +325,12 @@ def prepare_corpus_incremental(
     # near-dup vs history: batch banded rows join the slim bucket index;
     # candidates verify by exact Jaccard against the stored shingle sets
     if cfg.near_dup and buckets.exists():
+        # explode_outer: plain explode infers a size/notnull filter that can
+        # duplicate the bucket-kernel ArrowEvalPython below an exchange (see
+        # minhash_lsh_pairs); the kernel always emits exactly `bands` buckets.
         batch_banded = enriched.select(
             F.col(idc),
-            F.explode(sketches.minhash_buckets(F.col("__h"), seed=42)).alias("bucket"),
+            F.explode_outer(sketches.minhash_buckets(F.col("__h"), seed=42)).alias("bucket"),
         )
         hist_bk = buckets.read().select(F.col("doc_id").alias("__hist_id"), "bucket")
         cand = (
@@ -376,7 +379,7 @@ def prepare_corpus_incremental(
     index.append(idx_rows) if index.exists() else index.overwrite(idx_rows)
     bk_rows = kept.select(
         F.col(idc).alias("doc_id"),
-        F.explode(sketches.minhash_buckets(F.col("__h"), seed=42)).alias("bucket"),
+        F.explode_outer(sketches.minhash_buckets(F.col("__h"), seed=42)).alias("bucket"),
     )
     buckets.append(bk_rows) if buckets.exists() else buckets.overwrite(bk_rows)
     return new_rows

@@ -165,7 +165,8 @@ def test_spread_skips_repartition_when_multi_split(spark, tmp_path):
     plan = physical_plan(_spread(spark, multi), mode="simple")
     assert "REPARTITION_BY_NUM" not in plan and "RoundRobinPartitioning" not in plan, plan
     # single-split input (the driver fixture shape) must still fan out
-    single = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").coalesce(1)
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "docs1"))
+    single = spark.read.parquet(str(tmp_path / "docs1"))
     plan1 = physical_plan(_spread(spark, single), mode="simple")
     assert "RoundRobinPartitioning" in plan1 or "REPARTITION_BY_NUM" in plan1, plan1
 
@@ -264,3 +265,40 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     strategies = join_strategies(df)
     assert "CartesianProduct" not in strategies, strategies
     assert "BroadcastNestedLoopJoin" not in strategies, strategies
+
+
+def test_lsh_banding_single_udf_eval(spark, tmp_path):
+    """The bucket-kernel ArrowEvalPython must run exactly once, ABOVE the
+    fan-out exchange. A plain `explode` here makes Catalyst infer a
+    `size(__bk) > 0 AND isnotnull(__bk)` filter and push it below the
+    round-robin exchange — duplicating the whole pandas-UDF kernel onto the
+    un-spread input, where it runs serially in one task (measured 3.1 s vs
+    0.83 s at sf0.1 for the banding stage alone; the r3 bench's 3× minhash
+    regression). explode_outer generates no such filter and is row-identical
+    because the kernel always emits exactly `bands` buckets."""
+    import re
+
+    from lakehouse_architecture_for_realestatedata_spark.functions import sketches
+    from lakehouse_architecture_for_realestatedata_spark.operators import dedup
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+    from lakehouse_architecture_for_realestatedata_spark.queries_text import _spread
+
+    docs = spark.range(200).withColumn("text", F.concat(F.lit("word a b c d "), F.col("id")))
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    single = spark.read.parquet(str(tmp_path / "docs"))
+
+    wh = dedup._hashed_shingle_sets(_spread(spark, single), "id", "text", 3)
+    buckets = wh.select(
+        "__id", sketches.minhash_buckets(F.col("__h"), 64, 16, seed=42).alias("__bk")
+    )
+    banded = buckets.select("__id", F.explode_outer("__bk").alias("__bucket"))
+    plan = physical_plan(banded)
+    # formatted mode prints each node once in the tree and once as a detail
+    # heading — count the headings
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    # post-order node ids: the UDF node must sit ABOVE (parent side, higher
+    # id than) the round-robin exchange, i.e. evaluated on the spread input
+    udf = re.search(r"\((\d+)\) ArrowEvalPython", plan)
+    exch = re.search(r"\((\d+)\) Exchange\n(?:.*\n)*?Arguments: RoundRobinPartitioning", plan)
+    assert udf and exch, plan
+    assert int(udf.group(1)) > int(exch.group(1)), plan

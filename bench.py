@@ -85,7 +85,7 @@ def main() -> None:
     # and keep timing the rest, so the driver always gets partial numbers.
     # Every attempt still runs (a transient failure must neither discard an
     # already-measured good timing nor forfeit later attempts).
-    per_query: dict[str, float] = {}
+    attempts: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for _ in range(3):
         for name in HEADLINE:
@@ -100,15 +100,22 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — isolate, report, move on
                 errors.setdefault(name, f"{type(exc).__name__}: {exc}"[:300])
                 continue
-            elapsed = time.time() - t0
-            if name not in per_query or elapsed < per_query[name]:
-                per_query[name] = elapsed
+            attempts.setdefault(name, []).append(time.time() - t0)
+    per_query = {k: min(v) for k, v in attempts.items()}
     # a successful timing wins over a transient error; {"err"} only when the
     # query never completed once
     queries_out: dict[str, object] = {k: round(v, 3) for k, v in per_query.items()}
     for name, msg in errors.items():
         if name not in per_query:
             queries_out[name] = {"err": msg}
+    # Attempt-variance (VERDICT r3 #5): [min, median, max] of the attempts per
+    # query, so regression-vs-host-noise arguments are data — the host steals
+    # CPU in multi-second bursts, and a wide spread on an otherwise-flat query
+    # is the burst's fingerprint (`value` keeps its best-of-sum meaning).
+    spread = {
+        k: [round(min(v), 3), round(sorted(v)[len(v) // 2], 3), round(max(v), 3)]
+        for k, v in attempts.items()
+    }
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -120,6 +127,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries_out,
+        "attempts": spread,
         "sf": sf,
     }
     n_failed = sum(1 for name in errors if name not in per_query)

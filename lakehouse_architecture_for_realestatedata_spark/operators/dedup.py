@@ -415,8 +415,13 @@ def decontaminate(
     paired = cand.join(ch, "corpus_id").join(F.broadcast(eh), "eval_id")
     inter = F.size(F.array_intersect("h_c", "h_e"))
     union = F.size("h_c") + F.size("h_e") - inter
+    # both-empty shingle sets = two empty/whitespace-only docs → jaccard 1
+    # (inter/union alone is NULL at union=0 and would silently pass the
+    # filter; decontaminate is a standalone public operator, so it cannot
+    # assume upstream gates removed zero-shingle docs)
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
     return (
-        paired.withColumn("jaccard", inter / union)
+        paired.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("corpus_id", "eval_id", "jaccard")
     )

@@ -199,6 +199,89 @@ def test_incremental_rejects_cross_batch_duplicates(spark, docs, tmp_path):
     assert 20003 in kept2
 
 
+def test_incremental_probe_partition_pruned_and_single_index_read(
+    spark, docs, tmp_path
+):
+    """The history-probe plan of a second batch must (a) carry a
+    PartitionFilters entry on bucket_part — the hive-partitioned bucket
+    index is pruned at plan time, only matching bucket ranges are read —
+    and (b) contain at most ONE parquet scan of index/ (the projected read
+    is persisted and reused by both the fp anti-join and the shingle
+    verify)."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.corpus import (
+        _batch_kept_plan,
+        prepare_corpus_incremental,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    state = str(tmp_path / "state3")
+    prepare_corpus_incremental(spark, docs.filter(F.col("doc_id") < 100), state, CFG)
+
+    b2 = spark.createDataFrame(
+        [(30001, "a genuinely fresh second-batch document about tidal forces")],
+        "doc_id long, text string",
+    )
+    kept = _batch_kept_plan(spark, b2, state, CFG)
+    try:
+        plan = physical_plan(kept)
+        assert "PartitionFilters" in plan, plan
+        pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        assert "bucket_part" in pf, pf
+        # one projected index read: the path appears in at most one scan node
+        n_index_scans = plan.count(f"{state}/index")
+        assert n_index_scans <= 1, f"{n_index_scans} index scans\n{plan}"
+    finally:
+        cache = kept.__dict__.get("_corpus_hist_cache")
+        if cache is not None:
+            cache.unpersist()
+
+
+def test_incremental_recovers_from_partial_commit(spark, docs, tmp_path):
+    """A crash between the three state writes must not corrupt the state:
+    resubmitting the batch after the failure yields exactly the clean-run
+    result (no silently-lost docs from orphan index entries, no duplicate
+    rows in prepared)."""
+    import os
+
+    import pytest as _pytest
+
+    from lakehouse_architecture_for_realestatedata_spark.plans.corpus import (
+        _marker_path,
+        prepare_corpus_incremental,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+    b1 = docs.filter(F.col("doc_id") < 100)
+    b2 = docs.filter(F.col("doc_id") >= 100)
+
+    clean = str(tmp_path / "clean")
+    prepare_corpus_incremental(spark, b1, clean, CFG)
+    prepare_corpus_incremental(spark, b2, clean, CFG)
+    want = sorted(
+        r["doc_id"] for r in ParquetTable(spark, f"{clean}/prepared").read().collect()
+    )
+
+    for fail_point in ("buckets", "index"):
+        state = str(tmp_path / f"crash_{fail_point}")
+        prepare_corpus_incremental(spark, b1, state, CFG)
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            prepare_corpus_incremental(spark, b2, state, CFG, _fail_after=fail_point)
+        assert os.path.exists(_marker_path(state))  # partial batch left marked
+        # resubmission rolls back the partial batch, then replays it
+        prepare_corpus_incremental(spark, b2, state, CFG)
+        assert not os.path.exists(_marker_path(state))
+        got = sorted(
+            r["doc_id"]
+            for r in ParquetTable(spark, f"{state}/prepared").read().collect()
+        )
+        assert got == want, fail_point
+        # index and prepared agree doc-for-doc (the ADVICE invariant)
+        idx = sorted(
+            r["doc_id"] for r in ParquetTable(spark, f"{state}/index").read().collect()
+        )
+        assert idx == want, fail_point
+
+
 def test_funnel_contamination_stage(spark, docs):
     """With an eval set, surviving docs that overlap it are labeled
     'contaminated'; dedup verdicts still win (a near-dup stays near_dup)."""

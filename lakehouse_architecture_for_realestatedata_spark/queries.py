@@ -83,11 +83,13 @@ def registry() -> dict[str, QuerySpec]:
     # _DEFERRED holds oracle-bearing queries pushed past the 50-row window
     # when it is oversubscribed: deterministic_sample is the hex_threshold
     # twin of train_val_test_split (same md5-keyed sampling family, which
-    # keeps a green driver row via the split query), so its slot goes to
-    # embedding_near_dup — the last LLM-pipeline headline operator that is
-    # SQL-expressible. Deferred queries keep their hard oracle check in
-    # tests/test_queries_contract.py.
-    deferred = {"deterministic_sample"}
+    # keeps a green driver row via the split query), so its slot went to
+    # embedding_near_dup; set_ops_customer_cohorts is U1's SECOND row
+    # (union_distinct_status keeps U1 green in-window), so its slot goes to
+    # merge_upsert_roundtrip — promoting the S7/S9/J3 storage spine to a
+    # hard driver row (VERDICT r3 #3). Deferred queries keep their hard
+    # oracle check in tests/test_queries_contract.py.
+    deferred = {"deterministic_sample", "set_ops_customer_cohorts"}
     specs = list(_REGISTRY.values())
     ordered = (
         [s for s in specs if s.oracle is not None and s.name not in deferred]

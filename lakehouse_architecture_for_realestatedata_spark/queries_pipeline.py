@@ -365,3 +365,54 @@ def q_csv_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.createDataFrame(_CSV_ROWS, _CSV_SCHEMA)
     out = csv_backfill(raw, mtime=F.to_timestamp(F.lit(_CSV_MTIME)))
     return out.drop("images")
+
+
+@register(
+    "merge_upsert_roundtrip",
+    """
+    WITH b1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey <= 4000
+    ), b2 AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey BETWEEN 2000 AND 8000
+    )
+    SELECT * FROM b1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+    UNION ALL
+    SELECT * FROM b2
+    """,
+    doc="S7/S9/J3 storage spine as a driver oracle row (VERDICT r3 #3): "
+    "materialize batch 1 of orders to a ParquetTable in TWO appends (split "
+    "at key 2000, so the merge's zonemap pruning carries the non-"
+    "overlapping dir by reference), MERGE batch 2 (updates for keys "
+    "2000-4000, inserts for 4000-8000) keyed on o_orderkey, and return the "
+    "final table. The oracle replays the upsert relationally: batch-1 rows "
+    "whose key has no batch-2 match, plus every batch-2 row — the "
+    "declarative definition of update-all/insert-all "
+    "(reference: scripts/normalize_bronze_columns.py:145-148).",
+)
+def q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    b1 = orders.filter(F.col("o_orderkey") <= 4000)
+    b2 = orders.filter(F.col("o_orderkey").between(2000, 8000)).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    # deterministic per-SF scratch root; overwrite makes re-runs idempotent
+    # (ParquetTable auto-vacuums old versions, so the dir stays small)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_merge_rt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    t = ParquetTable(spark, f"{root}/orders_t")
+    t.overwrite(b1.filter(F.col("o_orderkey") < 2000))
+    t.append(b1.filter(F.col("o_orderkey") >= 2000))
+    t.merge(b2, "o_orderkey")
+    return t.read()

@@ -109,6 +109,7 @@ def test_driver_window_fully_oracle_backed():
     # instead). Update this list CONSCIOUSLY when rebalancing.
     assert set(displaced) <= {
         "deterministic_sample",
+        "set_ops_customer_cohorts",
         "completeness_report_documents",
         "stratified_sample_by_lang",
         "quality_quantile_filter",

@@ -7,10 +7,11 @@ Design for 100 TB multimodal training data:
   - decode / feature-extract / resize / frame-sample run as Arrow-batched
     ``mapInPandas`` operators: Python is unavoidable for codecs, so the
     plumbing keeps it batch-wise (one FFI hop per ~10k rows, not per row);
-  - real codecs (PIL/ffmpeg) are NOT in this container: ``decode_image``
-    raises NotImplementedError behind an import-try, and a deterministic
-    fake decoder exercises the identical schema/batch path so every piece of
-    Spark-side plumbing is tested.
+  - codecs: PNG decodes FOR REAL via a pure-stdlib path (``decode_png`` —
+    zlib inflate + filter reconstruction; tested against a spec-exact
+    reference encoder), the synthetic MMV1 format has a deterministic fake
+    codec, and other formats (JPEG/WebP/video) dispatch to Pillow when the
+    deployment installs it — honest NotImplementedError here otherwise.
 
 Synthetic blob format (deterministic, schema 'MMv1'):
     bytes 0-3   magic b'MMV1'
@@ -61,18 +62,143 @@ def synthesize_blobs(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
     )
 
 
-def decode_image(blob: bytes):  # pragma: no cover - real-codec path
-    """Real decode — requires an image library not present in this
-    container. The Spark-side operators below never call this in tests; the
-    fake decoder exercises the same interface."""
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (palette/16-bit/interlaced are out of scope —
+# a production deployment adds Pillow for those; the optional-import branch
+# below picks it up automatically when present)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(blob: bytes) -> Iterator[tuple[bytes, bytes]]:
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        yield ctype, blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def decode_png(blob: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib PNG decode (RFC 2083): IHDR parse, IDAT zlib inflate,
+    per-scanline filter reconstruction (types 0-4) for 8-bit depth.
+    Returns (width, height, raw pixel bytes, row-major, channel-interleaved).
+
+    Exists because this container has no image library: the PNG container
+    is zlib + five byte-filters, both stdlib-expressible, so the common
+    training-data format gets a REAL decode path with zero dependencies.
+    The per-scanline loop is Python, but scanlines are long and the numpy
+    inner ops vectorize the common filters — fine for feature extraction;
+    swap in Pillow via ``decode_image`` for pixel-heavy production work."""
+    import numpy as np
+    import zlib
+
+    if blob[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr = next(data for ctype, data in _png_chunks(blob) if ctype == b"IHDR")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG variant not supported without an image library "
+            f"(bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace})"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(
+        b"".join(data for ctype, data in _png_chunks(blob) if ctype == b"IDAT")
+    )
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    bpp = channels  # bytes per pixel at bit depth 8
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            recon = cur
+        elif ftype == 2:  # Up
+            recon = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            recon = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = recon[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 1:
+                    recon[i] = (cur[i] + a) & 0xFF
+                elif ftype == 3:
+                    recon[i] = (cur[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    recon[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return width, height, out.tobytes()
+
+
+def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> bytes:
+    """Minimal PNG encoder (filter 0, one IDAT) — the test-side twin of
+    ``decode_png`` and a real writer for small derived artifacts
+    (thumbnails, debug dumps). ``pixels``: row-major channel-interleaved
+    8-bit bytes matching ``color_type``."""
+    import binascii
+    import zlib
+
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = binascii.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(blob: bytes) -> tuple[int, int, bytes]:
+    """Format-sniffing decode → (width, height, raw payload bytes).
+
+    PNG decodes for real via the stdlib path above; the synthetic MMV1
+    format uses its fake codec; anything else (JPEG, WebP, ...) needs
+    Pillow — picked up through an optional import when the deployment
+    installs it, honestly NotImplementedError here otherwise."""
+    if blob[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(blob)
+    if blob[:4] == MAGIC:
+        return fake_decode(blob)
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "image codecs not available in this environment; "
-            "use fake_decode for the synthetic MMV1 format"
+            "only PNG and MMV1 decode without an image library; install "
+            "Pillow for JPEG/WebP/..."
         ) from e
-    raise NotImplementedError("plug a real decoder here when PIL is available")
+    import io
+
+    img = Image.open(io.BytesIO(blob))  # pragma: no cover - needs Pillow
+    return img.width, img.height, img.tobytes()  # pragma: no cover
 
 
 def fake_decode(blob: bytes) -> tuple[int, int, bytes]:
@@ -97,7 +223,7 @@ def extract_features(assets: DataFrame, batch_hint: int = 10_000) -> DataFrame:
             for asset_id, mtype, blob in zip(
                 pdf["asset_id"], pdf["media_type"], pdf["blob"]
             ):
-                width, height, payload = fake_decode(bytes(blob))
+                width, height, payload = decode_image(bytes(blob))
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 hist, _ = np.histogram(arr, bins=16, range=(0, 256))
                 p = hist / max(len(arr), 1)
@@ -141,7 +267,7 @@ def sample_frames(assets: DataFrame, n_frames: int = 4, frame_bytes: int = 32) -
         for pdf in batches:
             rows = []
             for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
-                _, _, payload = fake_decode(bytes(blob))
+                _, _, payload = decode_image(bytes(blob))
                 if not payload:
                     continue
                 step = max(len(payload) // n_frames, 1)

@@ -102,3 +102,55 @@ def test_keep_canonical_drops_only_losers(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
     kept = sorted(r["doc_id"] for r in keep_canonical(docs, pairs, "doc_id").collect())
     assert kept == [0, 1, 2, 4]  # cluster {0,3,5} → keep 0
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The 100 TB skew story, exercised: a join where ONE key owns 50% of
+    the rows must come out of AQE with the hot partition split
+    (SortMergeJoin(skew=true) / 'skewed' shuffle read in the executed
+    plan) — and identical results. Thresholds are lowered to make local-mode
+    shuffle sizes (hundreds of KB) cross the same ratios a 100 TB run's
+    defaults (256 MB / factor 5) encode; the payload column is aggregated in
+    the probe so column pruning cannot shrink the hot partition away."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        big = (
+            spark.range(200_000)
+            .withColumn(
+                "k", F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id"))
+            )
+            .withColumn(
+                "payload",
+                F.sha2(F.concat(F.col("id").cast("string"), F.lit("salt")), 256),
+            )
+        )
+        dim = spark.range(2_000).withColumnRenamed("id", "k").withColumn(
+            "v", F.col("k") * 2
+        )
+        agg = (
+            big.join(dim, "k")
+            .groupBy()
+            .agg(F.sum(F.length("payload")).alias("b"), F.count(F.lit(1)).alias("n"))
+        )
+        row = agg.collect()[0]
+        # 100k rows on hot key 0 + the 1000 odd ids below 2000
+        assert row["n"] == 101_000 and row["b"] == 64 * 101_000
+        plan = agg._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -122,10 +122,10 @@ def sample_exact_n(df: DataFrame, key: str, n: int, salt: str = "") -> DataFrame
     keeps an n-row heap and the driver merges heaps, so this scales to any
     input size as long as n itself is driver-sized."""
     return (
-        df.withColumn("_h", _hash_hex(F.col(key), salt))
-        .orderBy("_h", key)
+        df.withColumn("__sample_h", _hash_hex(F.col(key), salt))
+        .orderBy("__sample_h", key)
         .limit(n)
-        .drop("_h")
+        .drop("__sample_h")
     )
 
 
@@ -212,10 +212,10 @@ def sample_exact_n_per_group(
     from pyspark.sql import Window
 
     h = _hash_hex(F.col(key), salt)
-    w = Window.partitionBy(group_col).orderBy(F.col("_h"), F.col(key))
+    w = Window.partitionBy(group_col).orderBy(F.col("__sample_h"), F.col(key))
     return (
-        df.withColumn("_h", h)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n)
-        .drop("_h", "_rn")
+        df.withColumn("__sample_h", h)
+        .withColumn("__sample_rn", F.row_number().over(w))
+        .filter(F.col("__sample_rn") <= n)
+        .drop("__sample_h", "__sample_rn")
     )

@@ -195,19 +195,20 @@ def knn_quantized_blas(
             if len(ids) == 0:
                 continue
             la = batch.column(1)
-            try:  # fixed-dim, null-free list column: flatten+reshape, no Python lists
-                flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-                vecs = flat.reshape(len(la), len(flat) // len(la))
-            except (ValueError, pa.ArrowInvalid):
-                vecs = np.array(la.to_pylist(), dtype=np.float64)
-            if vecs.ndim != 2 or vecs.shape[1] != dim:
-                # ragged lengths or dropped nulls can reshape "successfully"
-                # into garbage — fail loudly, never emit misaligned cosines
+            # Per-row length validation BEFORE the flatten+reshape: a total
+            # element count that happens to divide evenly (e.g. one 63- and
+            # one 65-element row) reshapes "successfully" into misaligned
+            # garbage, and flatten() silently drops null rows — so the only
+            # sound guard is each row's own length (ADVICE r3).
+            lens = pa.compute.list_value_length(la).to_numpy(zero_copy_only=False)
+            if la.null_count or not np.all(lens == dim):
+                bad = "null rows" if la.null_count else f"lengths {set(lens) - {dim}}"
                 raise ValueError(
                     f"corpus vectors are not uniform {dim}-dim float arrays "
-                    f"(got batch shape {vecs.shape}); clean the embedding "
-                    "column before kNN"
+                    f"({bad} in batch); clean the embedding column before kNN"
                 )
+            flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            vecs = flat.reshape(len(la), dim)
             cz = _half_away(vecs * scale)  # (B, d) int64
             dots = cz @ qz.T  # exact int64 (|v|<=scale ⇒ no overflow for d << 2^63/scale^2)
             c_norm = np.sqrt((cz * cz).sum(axis=1).astype(np.float64))

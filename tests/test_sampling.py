@@ -161,3 +161,25 @@ def test_sample_exact_n_per_group(spark, sf_dir):
     # plan: n-bounded partial before the exchange (WindowGroupLimit rewrite)
     plan = physical_plan(sample_exact_n_per_group(docs, "doc_id", "lang", 10))
     assert "row_number(), 10, Partial" in plan, plan
+
+
+def test_exact_n_preserves_caller_underscore_columns(spark):
+    """Caller columns named _h/_rn must survive the samplers untouched —
+    the temp columns use the collision-proof __sample_ prefix (ADVICE r3)."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+        sample_exact_n,
+        sample_exact_n_per_group,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id", "id % 3 AS g", "cast(id * 7 as string) AS _h", "id * 11 AS _rn"
+    )
+    out = sample_exact_n(df, "id", 10)
+    assert set(out.columns) == {"id", "g", "_h", "_rn"}
+    rows = {r["id"]: r for r in out.collect()}
+    assert all(r["_h"] == str(i * 7) and r["_rn"] == i * 11 for i, r in rows.items())
+
+    out_g = sample_exact_n_per_group(df, "id", "g", 5)
+    assert set(out_g.columns) == {"id", "g", "_h", "_rn"}
+    rows_g = {r["id"]: r for r in out_g.collect()}
+    assert all(r["_h"] == str(i * 7) and r["_rn"] == i * 11 for i, r in rows_g.items())

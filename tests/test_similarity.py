@@ -159,3 +159,27 @@ def test_blas_empty_query_set(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 0)
     assert knn_quantized_blas(emb, q, k=3).count() == 0
+
+
+def test_blas_knn_rejects_ragged_vectors(spark, sf_dir):
+    """Compensating ragged lengths (63+65 elements flatten-reshaping into
+    2×64) must raise, not emit silently misaligned cosines (ADVICE r3)."""
+    import pytest as _pytest
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import knn_quantized_blas
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 3)
+    # one short and one long row in the same partition: total length divides
+    # evenly, so only the per-row guard can catch it
+    bad = spark.createDataFrame(
+        [
+            (900001, [0.1] * (dim - 1)),
+            (900002, [0.2] * (dim + 1)),
+        ],
+        f"vec_id long, embedding array<double>",
+    ).coalesce(1)
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(bad)
+    with _pytest.raises(Exception, match="not uniform"):
+        knn_quantized_blas(corpus, queries, "vec_id", "embedding", k=3).collect()

@@ -467,6 +467,52 @@ def decontaminate_ngram(
     )
 
 
+def duplicated_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Per-document verbatim-duplication signal (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better' diagnostic,
+    at n-gram rather than suffix-array granularity): for each doc, how many
+    of its distinct word n-grams also occur in ≥ ``min_df`` documents.
+    Returns (id, n_grams, n_dup_grams, dup_fraction) — rank by
+    ``dup_fraction`` to find template/boilerplate-heavy documents that
+    survive whole-doc dedup because their unique slivers differ.
+
+    ``max_df`` drops ultra-common grams (legal footers, navigation chrome)
+    from the duplication count — those are corpus-wide boilerplate, not
+    copy evidence.
+
+    Scale shape: docs explode to distinct hashed n-grams (narrow after one
+    xxhash64 pass); ONE gram-keyed shuffle computes document frequencies;
+    the df column joins back on the gram key (AQE picks broadcast while the
+    distinct-gram table is small) and a doc-keyed aggregate folds the flags.
+    Counts over hashed grams equal counts over string grams up to 2^-64
+    collision noise — the same contract as every shingle operator here, so
+    the registered query carries an exact string-gram DuckDB oracle."""
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(sketches.hashed_shingles(F.col(text_col), n)).alias("__g"),
+    )
+    dfreq = g.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    is_dup = F.col("__df") >= min_df
+    if max_df is not None:
+        is_dup = is_dup & (F.col("__df") <= max_df)
+    return (
+        g.join(dfreq, "__g")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(is_dup.cast("long")).alias("n_dup_grams"),
+        )
+        .withColumn("dup_fraction", F.col("n_dup_grams") / F.col("n_grams"))
+    )
+
+
 def decontaminated_corpus(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -385,3 +385,126 @@ def q_eval_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return sample_exact_n_per_group(docs, "doc_id", "lang", 25)
+
+
+# DuckDB twin of functions.text.quality_score — identical to the
+# quality_filter oracle in queries_text (whose exact MATCH licenses reuse).
+def _duck_quality() -> str:
+    from lakehouse_architecture_for_realestatedata_spark.queries_text import _DUCK_TOKS, _SW
+
+    toks = _DUCK_TOKS.format(c="text")
+    return (
+        "(least(length(text) / 200.0, 1.0)"
+        " + (CASE WHEN length(text) > 0"
+        "         THEN length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) / length(text)"
+        "         ELSE 0.0 END)"
+        f" + least(len(list_intersect(list_distinct({toks}), {_SW['en']})) / 2.0, 1.0)"
+        ") / 3.0"
+    )
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+        SELECT doc_id, len({_DUCK_TOKS_Q.format(c='text')}) AS n_tokens,
+               substr(md5('pack-v1' || cast(doc_id AS varchar)), 1, 8) AS h
+        FROM documents
+    ), o AS (
+        SELECT doc_id, n_tokens,
+               cast(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS before
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           before // 2048 AS seq_id,
+           cast(before % 2048 AS int) AS seq_offset,
+           cast((before + greatest(n_tokens, 1) - 1) // 2048
+                - before // 2048 + 1 AS int) AS n_seqs
+    FROM o
+    """,
+    doc="GPT-style sequence-packing metadata (operators/ordered.py:"
+    "pack_sequences): concat the corpus in deterministic hashed order, "
+    "chunk the token stream at 2048 — each doc's sequence id / offset / "
+    "span count. The global running total is a two-phase bucketed prefix "
+    "sum (no single-partition window); the oracle replays it with DuckDB's "
+    "single-threaded global window — same numbers, different physics.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import token_count
+    from lakehouse_architecture_for_realestatedata_spark.operators.ordered import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", max_tokens=2048)
+    return out.select("doc_id", "n_tokens", "seq_id", "seq_offset", "n_seqs")
+
+
+@register(
+    "token_budget_curation",
+    f"""
+    WITH q AS (
+        SELECT doc_id, {_duck_quality()} AS quality,
+               len({_DUCK_TOKS_Q.format(c='text')}) AS n_tokens
+        FROM documents
+    ), o AS (
+        SELECT doc_id, quality, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM q
+    )
+    SELECT doc_id, quality, n_tokens FROM o WHERE before < 5000
+    """,
+    doc="Token-budget curation (operators/ordered.py:token_budget_head): "
+    "keep the highest-quality docs whose cumulative token count fits a "
+    "5000-token budget — greedy-prefix contract (the boundary doc may "
+    "overshoot by its own length). Quality bins over [0,1] are the "
+    "deterministic range carve-up that makes the prefix sum distributed; "
+    "quality doubles are bit-identical across engines (quality_filter's "
+    "exact MATCH), so the global DESC order agrees.",
+)
+def q_token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.operators.ordered import token_budget_head
+
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return token_budget_head(scored, "doc_id", "quality", "n_tokens", budget=5000)
+
+
+@register(
+    "dup_ngram_spans",
+    f"""
+    WITH g AS (
+        SELECT doc_id, unnest({_DUCK_13G.format(t=_DUCK_TOKS_Q.format(c='text'))}) AS g
+        FROM documents
+    ), dfreq AS (
+        SELECT g, count(*) AS df FROM g GROUP BY 1
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           cast(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_dup_grams,
+           cast(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS double)
+               / count(*) AS dup_fraction
+    FROM g JOIN dfreq USING (g)
+    GROUP BY 1
+    """,
+    doc="Per-document verbatim-duplication signal (operators/dedup.py:"
+    "duplicated_ngram_stats — the Lee et al. dedup diagnostic at 13-gram "
+    "granularity): fraction of each doc's distinct 13-grams that occur in "
+    "≥2 documents. One gram-keyed shuffle for document frequencies, one "
+    "doc-keyed fold; hashed-gram counts equal string-gram counts up to "
+    "2^-64 collisions, so the oracle runs on the strings.",
+)
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import duplicated_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_ngram_stats(docs, "doc_id", "text", n=13, min_df=2)

@@ -1,0 +1,134 @@
+"""Distributed running totals / sequence packing / token-budget curation
+(operators/ordered.py): exact vs a single-window oracle, partition- and
+bucket-count-invariant, and plan-pinned to never collapse to one partition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.operators.ordered import (
+    pack_sequences,
+    running_total_by_key,
+    token_budget_head,
+)
+from lakehouse_architecture_for_realestatedata_spark.operators.sampling import _hash_hex
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", r"\s+")).alias("n_tokens"))
+        .cache()
+    )
+    df.count()
+    return df
+
+
+def _oracle_running(docs, salt=""):
+    """The correct-but-unscalable spelling: one global window."""
+    w = (
+        Window.orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return {
+        r["doc_id"]: r["rb"]
+        for r in docs.withColumn("__h", _hash_hex(F.col("doc_id"), salt))
+        .withColumn("rb", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .collect()
+    }
+
+
+def test_running_total_matches_global_window(spark, docs):
+    want = _oracle_running(docs)
+    got = {
+        r["doc_id"]: r["running_before"]
+        for r in running_total_by_key(docs, "doc_id", "n_tokens").collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n_buckets", [1, 7, 256, 65536])
+def test_running_total_bucket_invariant(spark, docs, n_buckets):
+    """Any bucket count gives the same totals — including the non-divisor
+    counts where a modulo (instead of range scaling) would fold
+    non-contiguous hash ranges together and corrupt the prefix sums."""
+    want = _oracle_running(docs)
+    got = {
+        r["doc_id"]: r["running_before"]
+        for r in running_total_by_key(
+            docs.repartition(13), "doc_id", "n_tokens", n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == want
+
+
+def test_running_total_no_single_partition_window(spark, docs):
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    plan = physical_plan(
+        running_total_by_key(docs, "doc_id", "n_tokens"), mode="simple"
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan and "hashpartitioning(__rt_b" in plan, plan
+
+
+def test_pack_sequences_invariants(spark, docs):
+    out = pack_sequences(docs, "doc_id", "n_tokens", max_tokens=512).collect()
+    assert len(out) == docs.count()
+    total = sum(r["n_tokens"] for r in out)
+    for r in out:
+        assert 0 <= r["seq_offset"] < 512
+        span = (r["seq_offset"] + max(r["n_tokens"], 1) - 1) // 512 + 1
+        assert r["n_seqs"] == span
+    # the stream is gapless: max seq_id is exactly the chunk of the last token
+    assert max(r["seq_id"] for r in out) == (total - 1) // 512
+    # deterministic under repartitioning
+    again = pack_sequences(
+        docs.repartition(11), "doc_id", "n_tokens", max_tokens=512
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_token_budget_head_greedy_prefix(spark, docs):
+    scored = docs.withColumn(
+        "quality", (F.pmod(F.col("doc_id") * 37, F.lit(100)) / 100.0)
+    )
+    budget = 3000
+    kept = token_budget_head(scored, "doc_id", "quality", "n_tokens", budget)
+    rows = kept.collect()
+    ordered = sorted(
+        scored.collect(), key=lambda r: (-r["quality"], r["doc_id"])
+    )
+    want, acc = [], 0
+    for r in ordered:
+        if acc < budget:
+            want.append(r["doc_id"])
+        acc += r["n_tokens"]
+    assert sorted(r["doc_id"] for r in rows) == sorted(want)
+    # partition-invariant
+    again = token_budget_head(
+        scored.repartition(9), "doc_id", "quality", "n_tokens", budget
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(want)
+
+
+def test_duplicated_ngram_stats_planted(spark):
+    """Two docs sharing a verbatim 13-gram show it in n_dup_grams; a unique
+    doc shows zero."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import duplicated_ngram_stats
+
+    shared = " ".join(f"w{i}" for i in range(13))
+    rows = [
+        (1, shared + " alpha beta gamma"),
+        (2, "delta " + shared + " epsilon"),
+        (3, "an entirely different document about nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicated_ngram_stats(df, "doc_id", "text").collect()}
+    assert got[1]["n_dup_grams"] >= 1 and got[2]["n_dup_grams"] >= 1
+    assert got[3]["n_dup_grams"] == 0 and got[3]["dup_fraction"] == 0.0
+    # doc 3 has 13-token-windows worth of grams, all unique
+    assert got[3]["n_grams"] >= 1

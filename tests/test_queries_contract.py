@@ -116,4 +116,7 @@ def test_driver_window_fully_oracle_backed():
         "decontaminate_ngram_verbatim",
         "corpus_mixture_weights",
         "eval_sample_per_lang",
+        "sequence_packing",
+        "token_budget_curation",
+        "dup_ngram_spans",
     }, displaced

@@ -68,6 +68,7 @@ def registry() -> dict[str, QuerySpec]:
     from lakehouse_architecture_for_realestatedata_spark import queries_streaming  # noqa: F401
     from lakehouse_architecture_for_realestatedata_spark import queries_window  # noqa: F401
     from lakehouse_architecture_for_realestatedata_spark import queries_temporal  # noqa: F401
+    from lakehouse_architecture_for_realestatedata_spark import queries_cdc  # noqa: F401
 
     # Post-§2 extension queries — registered last ON PURPOSE so the driver's
     # bounded correctness window keeps covering every SURVEY-§2 operator;
@@ -89,7 +90,20 @@ def registry() -> dict[str, QuerySpec]:
     # merge_upsert_roundtrip — promoting the S7/S9/J3 storage spine to a
     # hard driver row (VERDICT r3 #3). Deferred queries keep their hard
     # oracle check in tests/test_queries_contract.py.
-    deferred = {"deterministic_sample", "set_ops_customer_cohorts"}
+    #
+    # r4 rebalance: three NEW operator families (gap-fill/LOCF resample,
+    # SCD2 history build, snapshot-diff CDC) need slots; freed by deferring
+    # queries whose FAMILY keeps an in-window twin: sliding_window_agg
+    # (tumbling_window_agg + session_windows stay),
+    # cube_status_year (rollup_revenue stays), rank_orders_in_priority
+    # (topk_orders_per_priority + ntile_customer_quartiles stay).
+    deferred = {
+        "deterministic_sample",
+        "set_ops_customer_cohorts",
+        "sliding_window_agg",
+        "cube_status_year",
+        "rank_orders_in_priority",
+    }
     specs = list(_REGISTRY.values())
     ordered = (
         [s for s in specs if s.oracle is not None and s.name not in deferred]

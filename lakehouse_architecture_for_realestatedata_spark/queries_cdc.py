@@ -1,0 +1,72 @@
+"""CDC query: snapshot-diff changelog between two derived states of the
+orders table — the read-side complement of the storage spine's MERGE upsert
+(sources/tables.py; reference scripts/normalize_bronze_columns.py:145-148).
+
+The two snapshots are DERIVED deterministically from the shared fixture (no
+side-channel files), so the DuckDB oracle replays the identical diff:
+  old = orders minus every 7th key            (those keys become inserts)
+  new = orders minus keys ≡ 3 (mod 10),       (removed keys become deletes)
+        with price doubled on keys ≡ 0 (mod 5)  (those become updates)
+Price doubling is an exact IEEE double op (×2 scales the exponent), so the
+update-detection comparison is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.operators.cdc import snapshot_diff
+from lakehouse_architecture_for_realestatedata_spark.queries import _t, register
+
+
+@register(
+    "cdc_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+    ), new AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 <> 3
+    )
+    SELECT * FROM (
+        SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN (n.o_custkey, n.o_orderstatus, n.o_totalprice,
+                          n.o_orderdate, n.o_orderpriority) IS DISTINCT FROM
+                         (o.o_custkey, o.o_orderstatus, o.o_totalprice,
+                          o.o_orderdate, o.o_orderpriority)
+                      THEN 'update' END AS change_type,
+               CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_custkey
+                    ELSE o.o_custkey END AS o_custkey,
+               CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+                    ELSE o.o_orderstatus END AS o_orderstatus,
+               CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+                    ELSE o.o_totalprice END AS o_totalprice,
+               CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderdate
+                    ELSE o.o_orderdate END AS o_orderdate,
+               CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderpriority
+                    ELSE o.o_orderpriority END AS o_orderpriority
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    ) WHERE change_type IS NOT NULL
+    """,
+    doc="Snapshot-diff CDC: insert/update/delete changelog between two "
+    "deterministic derivations of orders — ONE full-outer join on the key, "
+    "NULL-safe packed-struct comparison, output ∝ churn "
+    "(operators/cdc.py:snapshot_diff). Feeds MERGE for log-free "
+    "snapshot→incremental replication.",
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 10 != 3).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])

@@ -13,6 +13,10 @@ from lakehouse_architecture_for_realestatedata_spark.operators.asof import (
     range_join_binned,
 )
 from lakehouse_architecture_for_realestatedata_spark.operators.dedup import dedup_latest
+from lakehouse_architecture_for_realestatedata_spark.operators.temporal import (
+    resample_locf,
+    scd2_history,
+)
 from lakehouse_architecture_for_realestatedata_spark.queries import _events, register
 
 
@@ -98,3 +102,68 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         point_cols=["click_id"],
         interval_cols=["signup_id"],
     )
+
+
+@register(
+    "resample_locf_daily",
+    """
+    WITH grid AS (
+        SELECT user_id, date_trunc('day', ts) AS bucket,
+               cast(sum(cast(value AS decimal(30,6))) AS double) AS observed
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM grid GROUP BY 1
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+        FROM span
+    )
+    SELECT s.user_id, s.bucket, g.observed,
+           last_value(g.observed IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM spine s LEFT JOIN grid g
+      ON s.user_id = g.user_id AND s.bucket = g.bucket
+    """,
+    doc="Gap-fill/resample: dense daily series per user between each user's "
+    "first and last event day, daily value sums forward-filled across gap "
+    "days (LOCF). Spine is sequence()+explode over per-key spans — "
+    "distributed, proportional to output, no calendar cross join; sums go "
+    "through decimal for cross-engine bit-identity (operators/temporal.py).",
+)
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return resample_locf(ev, key="user_id", ts="ts", value="value", step="day")
+
+
+@register(
+    "scd2_user_event_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER w AS prev_type,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, ts, event_id, event_type FROM ordered
+        WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts)  OVER w2 AS valid_to,
+           (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD Type-2 history build: each user's event_type change log "
+    "collapsed to minimal validity intervals (valid_from inclusive, "
+    "valid_to exclusive, NULL while current) — the temporal twin of the "
+    "medallion SCD-current model (plans/medallion.py:326; reference "
+    "scripts/transform_silver.py latest-wins dedup). Two windows over one "
+    "Exchange (operators/temporal.py:scd2_history).",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    hist = scd2_history(
+        ev, key="user_id", ts="ts", tracked=["event_type"], tiebreak=[F.col("event_id").asc()]
+    )
+    return hist.select("user_id", "event_type", "valid_from", "valid_to", "is_current")

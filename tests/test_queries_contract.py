@@ -119,4 +119,9 @@ def test_driver_window_fully_oracle_backed():
         "sequence_packing",
         "token_budget_curation",
         "dup_ngram_spans",
+        # r4 rebalance (see queries.registry): families keep an in-window
+        # twin — tumbling+session / rollup / topk+ntile respectively.
+        "sliding_window_agg",
+        "cube_status_year",
+        "rank_orders_in_priority",
     }, displaced

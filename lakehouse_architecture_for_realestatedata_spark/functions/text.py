@@ -221,3 +221,48 @@ def filter_top_quantile(
             .drop("__by_thr")
         )
     return kept if threshold_col else kept.drop(out_thr)
+
+
+def top_keywords(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_len: int = 3,
+):
+    """Per-document keyword extraction: the ``k`` most characteristic terms
+    by (term frequency DESC, document frequency ASC, term ASC) — i.e. how
+    often the term occurs in THIS doc, rarity across the corpus as the
+    tiebreak. This is the determinism-safe tf-idf rank: it is monotone in tf
+    and anti-monotone in df like tf·idf, but uses the integer (tf, df) pair
+    lexicographically instead of the float product, so Spark and any SQL
+    oracle produce bit-identical rankings (ln() is not correctly-rounded in
+    either engine; a float score can flip near-ties between them). The
+    final term ASC tiebreak makes the ranking total.
+
+    Output: ``(id_col, term, tf, df, rnk)``, ``rnk`` ∈ 1..k.
+
+    100 TB shape: tokenize+explode is narrow; tf is one (doc, term) groupBy
+    with map-side combine (the explode never crosses the network un-combined);
+    df is a second partial-agg over the already-aggregated tf table (vocab ×
+    docs-per-term, far smaller than the token stream); the df join shuffles
+    the tf table by term once; the final per-doc top-k plans as
+    WindowGroupLimit — each partition keeps only k rows per doc before the
+    exchange.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.length("term") >= min_len)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "rnk")
+    )

@@ -119,3 +119,95 @@ def high_water_mark(df: DataFrame, ts_col: str) -> Column:
     (reference: dbt/models/staging/stg_properties.sql:15)."""
     row = df.agg(F.max(ts_col).alias("hwm")).collect()[0]
     return F.to_timestamp(F.lit(str(row["hwm"]) if row["hwm"] is not None else "1970-01-01"))
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, num: int = 1, den: int = 100
+) -> DataFrame:
+    """Exact heavy hitters: values of ``col`` accounting for ≥ num/den of all
+    rows. Output ``(col, n)``.
+
+    The threshold comparison is pure integer arithmetic (``n·den ≥ total·num``)
+    — no float fraction to disagree with an oracle over. ONE groupBy shuffle
+    (partial-agg combined map-side); the grand total is a one-row aggregate
+    of the already-grouped counts, broadcast back. At 100 TB the groupBy
+    materializes every distinct key — when the key space itself is the
+    problem, use ``heavy_hitters_approx`` (bounded state, one pass).
+    """
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * den >= F.col("__total") * num)
+        .select(col, "n")
+    )
+
+
+def heavy_hitters_approx(
+    df: DataFrame, col: str, num: int = 1, den: int = 100, slack: int = 4
+) -> DataFrame:
+    """Misra-Gries candidate heavy hitters with bounded state: one pass, at
+    most ``slack·den/num`` counters per partition, NO full distinct-key
+    groupBy — the 100 TB path when the key cardinality is itself unboundable
+    (URLs, n-grams, user agents).
+
+    Guarantee (superset): every value with true frequency ≥ num/den of rows
+    survives. Per partition, Misra-Gries with c = slack·den/num counters
+    undercounts any key by at most rows_in_partition/c; summing per-partition
+    lower bounds and filtering at ``lb + n_total/c ≥ threshold`` therefore
+    never drops a true heavy hitter. Counts are LOWER BOUNDS, not exact —
+    re-count the (few) survivors exactly with a semi-join when exact
+    frequencies matter. Output ``(col, lb)``.
+    """
+    import pandas as pd
+
+    if slack < 2:
+        raise ValueError("slack must be >= 2 (marker-row filtering assumes c > den/num)")
+    c = max(1, (slack * den) // max(1, num))
+    out_schema = f"`{col}` string, lb long, rows long"
+
+    def mg(batches):
+        counters: dict[str | None, int] = {}
+        rows = 0
+        for pdf in batches:
+            for v in pdf[col]:
+                rows += 1
+                key = None if v is None else str(v)
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < c:
+                    counters[key] = 1
+                else:
+                    # decrement-all step; drop zeros (classic Misra-Gries)
+                    dead = []
+                    for k2 in counters:
+                        counters[k2] -= 1
+                        if counters[k2] == 0:
+                            dead.append(k2)
+                    for k2 in dead:
+                        del counters[k2]
+        # Counter rows carry rows=0; ONE marker row (lb=0) carries the
+        # partition's row count — summing the rows column downstream then
+        # counts each partition exactly once (a rows-per-counter-row layout
+        # would multiply the total by the counter count). The marker's lb=0
+        # merges into the NULL key without changing its lower bound, and a
+        # pure-marker NULL group (lb=0) cannot pass the filter for any
+        # slack ≥ 2.
+        yield pd.DataFrame(
+            {
+                col: list(counters) + [None],
+                "lb": list(counters.values()) + [0],
+                "rows": [0] * len(counters) + [rows],
+            }
+        )
+
+    # Survivors merge per-partition lower bounds; the filter adds back the
+    # worst-case total undercount (rows/c summed over partitions = total/c).
+    part = df.select(F.col(col).cast("string")).mapInPandas(mg, schema=out_schema)
+    merged = part.groupBy(col).agg(F.sum("lb").alias("lb"))
+    totals = part.groupBy().agg(F.sum("rows").alias("__rows"))
+    return (
+        merged.crossJoin(F.broadcast(totals))
+        .filter((F.col("lb") + F.col("__rows") / c) * den >= F.col("__rows") * num)
+        .select(col, "lb")
+    )

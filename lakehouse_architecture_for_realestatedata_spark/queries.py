@@ -103,6 +103,11 @@ def registry() -> dict[str, QuerySpec]:
         "sliding_window_agg",
         "cube_status_year",
         "rank_orders_in_priority",
+        # Registered deferred from birth (window already balanced): the
+        # text-analytics family keeps token_stats/lang_id/quality_filter
+        # in-window; the aggregate family keeps pricing/daily/quality_report.
+        "tfidf_keywords",
+        "heavy_hitters_users",
     }
     specs = list(_REGISTRY.values())
     ordered = (

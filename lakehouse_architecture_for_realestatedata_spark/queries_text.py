@@ -16,7 +16,9 @@ from lakehouse_architecture_for_realestatedata_spark.functions.text import (
     quality_score,
     token_count,
     tokens,
+    top_keywords,
 )
+from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import heavy_hitters
 from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
     fuzzy_pairs_blocked,
     minhash_lsh_pairs,
@@ -36,7 +38,7 @@ from lakehouse_architecture_for_realestatedata_spark.operators.similarity import
     knn_quantized_blas,
     knn_bruteforce,
 )
-from lakehouse_architecture_for_realestatedata_spark.queries import _t, register
+from lakehouse_architecture_for_realestatedata_spark.queries import _events, _t, register
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -492,3 +494,58 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
     return keep_canonical(docs.select("doc_id", "lang"), pairs, "doc_id")
+
+
+@register(
+    "tfidf_keywords",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                      '[^\p{L}\p{N}]+'), x -> x <> '')) AS term
+        FROM documents
+    ), terms AS (
+        SELECT doc_id, term FROM toks WHERE length(term) >= 3
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    )
+    SELECT doc_id, term, tf, df, rnk FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, d.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, d.df ASC, tf.term ASC) AS rnk
+        FROM tf JOIN dfreq d USING (term)
+    ) WHERE rnk <= 3
+    """,
+    doc="Keyword extraction: top-3 terms per document by the determinism-safe "
+    "tf-idf rank — (term frequency DESC, document frequency ASC, term ASC), "
+    "monotone in tf / anti-monotone in df like tf·idf but ranked on the "
+    "integer pair instead of a float product (ln() is not correctly-rounded "
+    "in either engine). Explode→partial-agg tf, df over the aggregated tf "
+    "table, WindowGroupLimit top-k (functions/text.py:top_keywords). "
+    "Term tiebreak is binary collation: terms outside the BMP could order "
+    "differently between UTF-16 Spark and UTF-8 DuckDB; the \\p{L}\\p{N} "
+    "token alphabet in these fixtures is BMP-only.",
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_keywords(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3, min_len=3)
+
+
+@register(
+    "heavy_hitters_users",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         t AS (SELECT sum(n) AS total FROM c)
+    SELECT user_id, n FROM c, t WHERE n * 140 >= total
+    """,
+    doc="Exact heavy hitters: users contributing >= 1/140 of all events. "
+    "Integer-arithmetic threshold (n*den >= total*num — no float fraction), "
+    "one partial-agg groupBy + broadcast scalar total "
+    "(operators/aggregates.py:heavy_hitters). The bounded-state scale twin "
+    "is heavy_hitters_approx (Misra-Gries, superset-guarantee pytest in "
+    "tests/test_temporal.py-adjacent suite).",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return heavy_hitters(ev, "user_id", num=1, den=140)

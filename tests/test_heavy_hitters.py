@@ -1,0 +1,118 @@
+"""Heavy-hitter operators: exact threshold semantics and the Misra-Gries
+bounded-state superset guarantee (operators/aggregates.py); keyword-extraction
+edge cases (functions/text.py:top_keywords). Oracle parity for the registered
+queries lives in tests/test_queries_contract.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.functions.text import top_keywords
+from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+    heavy_hitters,
+    heavy_hitters_approx,
+)
+
+
+def _skewed(spark, n=20_000):
+    """Zipf-ish planted skew: key 'hot' = 30% of rows, 'warm' = 10%, the rest
+    spread over ~n/2 cold keys (deterministic, partition-spread)."""
+    base = spark.range(n).repartition(8)
+    return base.select(
+        F.when(F.col("id") % 10 < 3, F.lit("hot"))
+        .when(F.col("id") % 10 == 3, F.lit("warm"))
+        .otherwise(F.concat(F.lit("cold_"), (F.col("id") / 2).cast("long").cast("string")))
+        .alias("k")
+    )
+
+
+class TestHeavyHittersExact:
+    def test_threshold_membership(self, spark):
+        df = _skewed(spark)
+        out = {r["k"]: r["n"] for r in heavy_hitters(df, "k", num=5, den=100).collect()}
+        assert set(out) == {"hot", "warm"}
+        assert out["hot"] == 6000 and out["warm"] == 2000
+
+    def test_boundary_is_inclusive(self, spark):
+        # 4 rows of 'a' out of 16 = exactly 25%: n*den >= total*num keeps it
+        df = spark.createDataFrame(
+            [("a",)] * 4 + [(f"b{i}",) for i in range(12)], "k string"
+        )
+        out = [r["k"] for r in heavy_hitters(df, "k", num=25, den=100).collect()]
+        assert out == ["a"]
+
+    def test_null_values_count_as_a_key(self, spark):
+        df = spark.createDataFrame([(None,)] * 6 + [("x",)] * 4, "k string")
+        out = {r["k"]: r["n"] for r in heavy_hitters(df, "k", num=1, den=2).collect()}
+        assert out == {None: 6}
+
+
+class TestHeavyHittersApprox:
+    def test_superset_of_exact_and_bounded_counts(self, spark):
+        df = _skewed(spark)
+        exact = {r["k"]: r["n"] for r in heavy_hitters(df, "k", num=5, den=100).collect()}
+        approx = {
+            r["k"]: r["lb"]
+            for r in heavy_hitters_approx(df, "k", num=5, den=100, slack=4).collect()
+        }
+        # Guarantee: every true heavy hitter survives the bounded-state pass.
+        assert set(exact) <= set(approx)
+        for k, n in exact.items():
+            assert approx[k] <= n  # lower bound never exceeds truth
+        # State bound held: candidates ≤ counters-per-partition × partitions.
+        assert len(approx) <= (4 * 100 // 5) * df.rdd.getNumPartitions()
+
+    def test_partition_invariance_of_guarantee(self, spark):
+        df = _skewed(spark, n=5_000)
+        exact = set(
+            r["k"] for r in heavy_hitters(df, "k", num=5, den=100).collect()
+        )
+        for parts in (1, 3, 16):
+            got = set(
+                r["k"]
+                for r in heavy_hitters_approx(
+                    df.repartition(parts), "k", num=5, den=100
+                ).collect()
+            )
+            assert exact <= got, parts
+
+    def test_slack_guard(self, spark):
+        df = _skewed(spark, n=100)
+        with pytest.raises(ValueError, match="slack"):
+            heavy_hitters_approx(df, "k", slack=1)
+
+
+class TestTopKeywords:
+    def test_rank_prefers_frequent_then_rare(self, spark):
+        docs = spark.createDataFrame(
+            [
+                # doc 1: 'apple' ×3; 'rare' and 'common' ×1 each — rare wins
+                # the tiebreak because 'common' appears in every doc.
+                (1, "apple apple apple rare common"),
+                (2, "banana common"),
+                (3, "cherry common"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["df"])
+            for r in top_keywords(docs, k=2).collect()
+        }
+        assert out[(1, 1)] == ("apple", 3, 1)
+        assert out[(1, 2)] == ("rare", 1, 1)  # df=1 beats common's df=3
+        assert out[(2, 1)] == ("banana", 1, 1)
+        assert out[(2, 2)] == ("common", 1, 3)
+
+    def test_min_len_filters_short_tokens(self, spark):
+        docs = spark.createDataFrame([(1, "a bb ccc dddd")], "doc_id long, text string")
+        terms = {r["term"] for r in top_keywords(docs, k=10, min_len=3).collect()}
+        assert terms == {"ccc", "dddd"}
+
+    def test_empty_and_punctuation_only_docs_yield_no_rows(self, spark):
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "!!! ... ???"), (3, "words exist here")],
+            "doc_id long, text string",
+        )
+        out = top_keywords(docs, k=3).collect()
+        assert {r["doc_id"] for r in out} == {3}

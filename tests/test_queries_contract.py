@@ -124,4 +124,6 @@ def test_driver_window_fully_oracle_backed():
         "sliding_window_agg",
         "cube_status_year",
         "rank_orders_in_priority",
+        "tfidf_keywords",
+        "heavy_hitters_users",
     }, displaced

@@ -302,3 +302,65 @@ def test_lsh_banding_single_udf_eval(spark, tmp_path):
     exch = re.search(r"\((\d+)\) Exchange\n(?:.*\n)*?Arguments: RoundRobinPartitioning", plan)
     assert udf and exch, plan
     assert int(udf.group(1)) > int(exch.group(1)), plan
+
+
+def test_scd2_two_windows_one_exchange(spark, sf_dir):
+    """SCD2's lag change-detect and lead interval-close share the same
+    (key, ts, tiebreak) ordering: Catalyst must plan ONE hash exchange on
+    the key, not one per window."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.temporal import scd2_history
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    df = scd2_history(
+        ev, key="user_id", ts="ts", tracked=["event_type"], tiebreak=[F.col("event_id")]
+    )
+    assert count_shuffles(df) == 1
+
+
+def test_resample_no_nested_loop_or_cartesian(spark, sf_dir):
+    """The spine join must stay an equi hash/merge join on (key, bucket) —
+    never a nested-loop against a calendar."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.temporal import resample_locf
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    plan = physical_plan(resample_locf(ev, "user_id", "ts", "value"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    """CDC diff = exactly one full-outer join; column comparison must be
+    expression-level (codegen), adding no extra join or UDF node."""
+    from lakehouse_architecture_for_realestatedata_spark.queries import registry as reg
+
+    df = reg()["cdc_snapshot_diff"].spark_fn(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert len(strategies) == 1, strategies
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    assert "FullOuter" in physical_plan(df, "simple")
+
+
+def test_tfidf_topk_bounded_before_exchange(spark, sf_dir):
+    """Per-doc top-k keywords must plan a WindowGroupLimit partial: each task
+    keeps k rows per doc before the window exchange, so the shuffle carries
+    O(docs·k), not the full vocabulary-per-doc table."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+    from lakehouse_architecture_for_realestatedata_spark.queries import registry as reg
+
+    plan = physical_plan(reg()["tfidf_keywords"].spark_fn(spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan
+
+
+def test_heavy_hitters_broadcasts_total(spark, sf_dir):
+    """The scalar total must broadcast back onto the grouped counts — a
+    shuffled join on a one-row side would serialize the whole count table
+    through a single partition."""
+    from lakehouse_architecture_for_realestatedata_spark.queries import registry as reg
+
+    df = reg()["heavy_hitters_users"].spark_fn(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert all("Broadcast" in s for s in strategies), strategies

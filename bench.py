@@ -38,6 +38,12 @@ HEADLINE = [
     "rollup_revenue",
     "doc_repetition_signals",
     "pii_redaction_scrub",
+    # r4 additions: the new operator families stay perf-accountable
+    "resample_locf_daily",
+    "scd2_user_event_history",
+    "cdc_snapshot_diff",
+    "tfidf_keywords",
+    "heavy_hitters_users",
 ]
 
 

@@ -211,3 +211,40 @@ def heavy_hitters_approx(
         .filter((F.col("lb") + F.col("__rows") / c) * den >= F.col("__rows") * num)
         .select(col, "lb")
     )
+
+
+def histogram_equi_width(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Equi-width histogram: counts per bin over [lo, hi], rows outside the
+    range dropped, ``x == hi`` folded into the last bin (right-inclusive
+    final edge). Output ``(bin, lo_edge, hi_edge, n)``.
+
+    Bin assignment is ``floor((x − lo) · nbins / (hi − lo))`` — three
+    correctly-rounded IEEE double ops in a fixed order, so any engine
+    computing the same expression assigns identical bins (no
+    implementation-defined rounding to disagree with an oracle over).
+    Physical shape: narrow projection + ONE partial-agg groupBy on a
+    small integer key — the canonical map-side-combine aggregation; edges
+    are recomputed per row from the bin id (constant-folded arithmetic),
+    never joined.
+    """
+    if not (nbins > 0 and hi > lo):
+        raise ValueError("need nbins > 0 and hi > lo")
+    x = F.col(col)
+    b = F.floor((x - F.lit(float(lo))) * nbins / F.lit(hi - lo))
+    b = F.when(b >= nbins, F.lit(nbins - 1)).otherwise(b)  # x == hi edge
+    return (
+        df.filter(x.isNotNull() & (x >= lo) & (x <= hi))
+        .select(b.cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit((hi - lo)) / nbins).alias("lo_edge"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit((hi - lo)) / nbins).alias(
+                "hi_edge"
+            ),
+            "n",
+        )
+    )

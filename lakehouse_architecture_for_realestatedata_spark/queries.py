@@ -108,6 +108,7 @@ def registry() -> dict[str, QuerySpec]:
         # in-window; the aggregate family keeps pricing/daily/quality_report.
         "tfidf_keywords",
         "heavy_hitters_users",
+        "histogram_order_prices",
     }
     specs = list(_REGISTRY.values())
     ordered = (

@@ -244,3 +244,36 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     return global_top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=100)
+
+
+@register(
+    "histogram_order_prices",
+    """
+    SELECT bin,
+           0.0 + bin * 500000.0 / 25 AS lo_edge,
+           0.0 + (bin + 1) * 500000.0 / 25 AS hi_edge,
+           n
+    FROM (
+        SELECT CASE WHEN b >= 25 THEN 24 ELSE b END AS bin, count(*) AS n
+        FROM (
+            SELECT cast(floor((o_totalprice - 0.0) * 25 / 500000.0) AS bigint) AS b
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_totalprice >= 0.0 AND o_totalprice <= 500000.0
+        ) GROUP BY 1
+    )
+    """,
+    doc="Equi-width histogram of order prices: 25 bins over [0, 500000], "
+    "right-inclusive final edge. Bin id is a fixed IEEE op sequence "
+    "(sub, mul, div, floor) so engines agree bit-for-bit; one narrow "
+    "partial-agg groupBy on a 25-value integer key "
+    "(operators/aggregates.py:histogram_equi_width).",
+)
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+        histogram_equi_width,
+    )
+
+    return histogram_equi_width(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 0.0, 500000.0, 25
+    )

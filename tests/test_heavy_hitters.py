@@ -116,3 +116,33 @@ class TestTopKeywords:
         )
         out = top_keywords(docs, k=3).collect()
         assert {r["doc_id"] for r in out} == {3}
+
+
+class TestHistogramEquiWidth:
+    def test_bins_boundaries_and_out_of_range(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            histogram_equi_width,
+        )
+
+        df = spark.createDataFrame(
+            [(x,) for x in [-0.5, 0.0, 0.9, 1.0, 5.0, 9.99, 10.0, 10.5, None]],
+            "x double",
+        )
+        out = {r["bin"]: r for r in histogram_equi_width(df, "x", 0.0, 10.0, 10).collect()}
+        # -0.5, 10.5, NULL excluded; 0.0 and 0.9 -> bin 0; 1.0 -> bin 1;
+        # 5.0 -> bin 5; 9.99 -> bin 9; 10.0 (== hi) folds into bin 9.
+        assert {b: out[b]["n"] for b in sorted(out)} == {0: 2, 1: 1, 5: 1, 9: 2}
+        assert out[5]["lo_edge"] == 5.0 and out[5]["hi_edge"] == 6.0
+
+    def test_rejects_bad_range(self, spark):
+        import pytest
+
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            histogram_equi_width,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError):
+            histogram_equi_width(df, "x", 5.0, 5.0, 10)
+        with pytest.raises(ValueError):
+            histogram_equi_width(df, "x", 0.0, 1.0, 0)

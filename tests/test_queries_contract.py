@@ -126,4 +126,5 @@ def test_driver_window_fully_oracle_backed():
         "rank_orders_in_priority",
         "tfidf_keywords",
         "heavy_hitters_users",
+        "histogram_order_prices",
     }, displaced

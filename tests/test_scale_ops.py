@@ -154,3 +154,38 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Runtime row-level filtering: when a shuffle join's build side carries
+    a selective predicate, Catalyst injects a bloom filter
+    (BloomFilterMightContain) on the probe side so non-matching fact rows
+    die at the scan, not after the exchange — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    ~matching fraction. Local fixtures sit below the default
+    applicationSideScanSizeThreshold (10 GB), so the test lowers it to 0 to
+    exercise the same rewrite the production scale triggers on its own."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    assert conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )

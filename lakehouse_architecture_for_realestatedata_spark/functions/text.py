@@ -244,11 +244,13 @@ def top_keywords(
 
     100 TB shape: tokenize+explode is narrow; tf is one (doc, term) groupBy
     with map-side combine (the explode never crosses the network un-combined);
-    df is a second partial-agg over the already-aggregated tf table (vocab ×
-    docs-per-term, far smaller than the token stream); the df join shuffles
-    the tf table by term once; the final per-doc top-k plans as
-    WindowGroupLimit — each partition keeps only k rows per doc before the
-    exchange.
+    df is an unbounded count WINDOW over the tf table partitioned by term —
+    not a groupBy+join, which makes Catalyst derive the tf table twice (two
+    full corpus scans + explodes, visible as a duplicated read schema in the
+    plan); the final per-doc top-k plans as WindowGroupLimit — each task
+    keeps only k rows per doc before the exchange. Net: ONE corpus scan,
+    three exchanges (doc+term agg, term window, doc window), the latter two
+    over the already-aggregated tf table.
     """
     from pyspark.sql import Window
 
@@ -256,13 +258,12 @@ def top_keywords(
         id_col, F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.length("term") >= min_len)
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(dfreq, "term")
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", "rnk")
     )

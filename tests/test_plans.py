@@ -351,8 +351,13 @@ def test_tfidf_topk_bounded_before_exchange(spark, sf_dir):
     from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
     from lakehouse_architecture_for_realestatedata_spark.queries import registry as reg
 
-    plan = physical_plan(reg()["tfidf_keywords"].spark_fn(spark, sf_dir), "simple")
+    df = reg()["tfidf_keywords"].spark_fn(spark, sf_dir)
+    plan = physical_plan(df, "simple")
     assert "WindowGroupLimit" in plan
+    # ONE corpus scan: df-by-window over tf, not groupBy+join (which makes
+    # Catalyst re-derive the token stream from a second scan+explode).
+    assert len(read_schemas(df)) == 1
+    assert count_shuffles(df) == 3
 
 
 def test_heavy_hitters_broadcasts_total(spark, sf_dir):

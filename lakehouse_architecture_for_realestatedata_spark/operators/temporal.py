@@ -45,6 +45,7 @@ def resample_locf(
     value: str,
     step: str = "day",
     agg: str = "sum_decimal",
+    align: str = "key",
 ) -> DataFrame:
     """Dense fixed-``step`` series per ``key`` with LOCF forward-fill.
 
@@ -57,8 +58,27 @@ def resample_locf(
     double — bit-identical across engines and partition counts (same policy
     as operators/aggregates.dsum); ``agg='count'`` counts rows per step.
 
-    ``step`` is any ``date_trunc`` unit (``day``, ``hour``, ``week`` …).
+    ``step`` is ``hour``, ``day`` or ``week``.  ``align`` controls the spine
+    span: ``'key'`` (default) spines each key from its own first to last
+    observed bucket; ``'global'`` spines EVERY key over the corpus-wide
+    [min, max] bucket span so all keys share the identical bucket set
+    (charting matrices, join-on-spine) — keys get NULL ``filled`` on buckets
+    before their first observation.  Buckets always land on the
+    ``date_trunc`` grid either way, so mixed-align outputs still join.
+
+    REQUIRES a UTC session timezone (session.py pins it): ``date_trunc``
+    truncates in the session zone, while the spine is integer epoch
+    arithmetic — they only describe the same grid when the session zone is
+    UTC.  Raises otherwise rather than silently emitting a spine that never
+    matches the grid.
     """
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+        raise ValueError(
+            f"resample_locf requires a UTC session timezone, got {tz!r}: "
+            "date_trunc buckets are session-zone-aligned but the dense spine "
+            "is epoch arithmetic, and they diverge off-UTC"
+        )
     if agg == "sum_decimal":
         observed: Column = F.sum(F.col(value).cast("decimal(30,6)")).cast("double")
     elif agg == "count":
@@ -66,14 +86,22 @@ def resample_locf(
     else:  # pragma: no cover - guarded API
         raise ValueError(f"unsupported agg: {agg}")
 
-    step_seconds = {
-        "hour": 3600,
-        "day": 86400,
-        "week": 7 * 86400,
+    # (step_seconds, grid_origin_seconds): date_trunc('week') is
+    # Monday-aligned — epoch day 0 (1970-01-01) was a THURSDAY, so week
+    # buckets sit at origin 345600 s (1970-01-05, the first Monday), not 0.
+    # The spine index is therefore floor((epoch - origin) / sec) and the
+    # bucket timestamp index*sec + origin; a plain floor(epoch/sec) spine
+    # would be Thursday-aligned and never match the grid's join keys.
+    step_grid = {
+        "hour": (3600, 0),
+        "day": (86400, 0),
+        "week": (7 * 86400, 4 * 86400),
     }
-    if step not in step_seconds:
+    if step not in step_grid:
         raise ValueError(f"unsupported step: {step}")
-    sec = step_seconds[step]
+    if align not in ("key", "global"):
+        raise ValueError(f"unsupported align: {align}")
+    sec, origin = step_grid[step]
 
     grid = (
         df.select(F.col(key).alias("__k"), F.date_trunc(step, F.col(ts)).alias("__b"), value)
@@ -81,22 +109,29 @@ def resample_locf(
         .agg(observed.alias("observed"))
     )
     # Per-key span over the (already small, already keyed) grid — AQE reuses
-    # the grid's hash partitioning, so this adds no raw-data shuffle.
-    span = grid.groupBy("__k").agg(F.min("__b").alias("__mn"), F.max("__b").alias("__mx"))
-    # Dense spine: integer step arithmetic (sequence over epoch-second
-    # buckets) rather than sequence-of-timestamps — date_trunc output is
-    # exactly representable in epoch seconds for these units, and integer
-    # sequences avoid interval/timezone edge cases. Row count equals the
-    # output size; generation is narrow after the span agg.
+    # the grid's hash partitioning, so this adds no raw-data shuffle.  For
+    # align='global' the span collapses to ONE row (metadata-scale) and is
+    # broadcast onto the distinct-key frame, so every key carries the same
+    # corpus-wide [mn, mx].
+    if align == "key":
+        span = grid.groupBy("__k").agg(F.min("__b").alias("__mn"), F.max("__b").alias("__mx"))
+    else:
+        bounds = grid.agg(F.min("__b").alias("__mn"), F.max("__b").alias("__mx"))
+        span = grid.select("__k").distinct().crossJoin(F.broadcast(bounds))
+    # Dense spine: integer step arithmetic (sequence over origin-relative
+    # epoch-second step indices) rather than sequence-of-timestamps —
+    # date_trunc output for these units is exactly representable in epoch
+    # seconds, and integer sequences keep the generation narrow.  Row count
+    # equals the output size; generation is narrow after the span agg.
     spine = span.select(
         "__k",
         F.explode(
             F.sequence(
-                (F.col("__mn").cast("long") / sec).cast("long"),
-                (F.col("__mx").cast("long") / sec).cast("long"),
+                ((F.col("__mn").cast("long") - origin) / sec).cast("long"),
+                ((F.col("__mx").cast("long") - origin) / sec).cast("long"),
             )
         ).alias("__step"),
-    ).select("__k", F.timestamp_seconds(F.col("__step") * sec).alias("__b"))
+    ).select("__k", F.timestamp_seconds(F.col("__step") * sec + origin).alias("__b"))
 
     w = (
         Window.partitionBy("__k")
@@ -134,6 +169,11 @@ def scd2_history(
 
     NULL-safe change detection: a tracked column going NULL→value or
     value→NULL is a change (eqNullSafe comparison on a packed struct).
+
+    Output contract: all input columns EXCEPT ``ts`` pass through (the
+    surviving change-row's values), plus ``valid_from``/``valid_to``/
+    ``is_current``; ``ts`` is dropped because ``valid_from`` is exactly that
+    column renamed.
     """
     order = [F.col(ts).asc(), *(tiebreak or [])]
     wlag = Window.partitionBy(key).orderBy(*order)
@@ -150,5 +190,5 @@ def scd2_history(
         changed.withColumn("valid_from", F.col(ts))
         .withColumn("valid_to", F.lead(ts).over(wlead))
         .withColumn("is_current", F.col("valid_to").isNull())
-        .drop("__prev", "__rn")
+        .drop("__prev", "__rn", ts)
     )

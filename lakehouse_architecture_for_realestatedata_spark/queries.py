@@ -91,28 +91,59 @@ def registry() -> dict[str, QuerySpec]:
     # hard driver row (VERDICT r3 #3). Deferred queries keep their hard
     # oracle check in tests/test_queries_contract.py.
     #
-    # r4 rebalance: three NEW operator families (gap-fill/LOCF resample,
-    # SCD2 history build, snapshot-diff CDC) need slots; freed by deferring
-    # queries whose FAMILY keeps an in-window twin: sliding_window_agg
-    # (tumbling_window_agg + session_windows stay),
-    # cube_status_year (rollup_revenue stays), rank_orders_in_priority
-    # (topk_orders_per_priority + ntile_customer_quartiles stay).
-    deferred = {
-        "deterministic_sample",
-        "set_ops_customer_cohorts",
+    # r5 ROTATION (VERDICT r4 #1): deferred oracle queries rotate through the
+    # 50-row driver window so every oracle-backed query earns a driver hash
+    # row over rounds — the harder-to-game signal.  Each swap keeps the
+    # invariant that the operator FAMILY retains an in-window twin:
+    #
+    #   IN (first driver row ever)      OUT (driver-green in r4)  family keeps
+    #   sliding_window_agg          <-> tumbling_window_agg       session_windows
+    #   cube_status_year            <-> rollup_revenue            (grouping-sets)
+    #   rank_orders_in_priority     <-> ntile_customer_quartiles  topk_orders_per_priority
+    #   deterministic_sample        <-> train_val_test_split      (md5-keyed sampling)
+    #   tfidf_keywords              <-> token_stats               lang_id + quality_filter
+    #   heavy_hitters_users         <-> daily_summary             pricing_summary (A1);
+    #                                                             resample_locf_daily (F16)
+    #   histogram_order_prices      <-> exact_percentiles_by_type approx_sketches pytest
+    #
+    # `promoted` sorts FIRST (these are registered in late modules, so
+    # without promotion they would overflow past slot 50 again); `deferred`
+    # sorts after every other oracle query.  Standing deferrals:
+    # set_ops_customer_cohorts is U1's second row (union_distinct_status
+    # keeps U1 green in-window); resample_locf_weekly_global is new this
+    # round (resample_locf_daily keeps the family in-window).  Deferred
+    # queries keep the identical hard oracle check in
+    # tests/test_queries_contract.py (sf0.001) + tools/check_oracle.py
+    # (sf0.01).
+    promoted = [
         "sliding_window_agg",
         "cube_status_year",
         "rank_orders_in_priority",
-        # Registered deferred from birth (window already balanced): the
-        # text-analytics family keeps token_stats/lang_id/quality_filter
-        # in-window; the aggregate family keeps pricing/daily/quality_report.
+        "deterministic_sample",
         "tfidf_keywords",
         "heavy_hitters_users",
         "histogram_order_prices",
+    ]
+    deferred = {
+        "set_ops_customer_cohorts",
+        "tumbling_window_agg",
+        "rollup_revenue",
+        "ntile_customer_quartiles",
+        "train_val_test_split",
+        "token_stats",
+        "daily_summary",
+        "exact_percentiles_by_type",
+        "resample_locf_weekly_global",
     }
     specs = list(_REGISTRY.values())
+    pset = set(promoted)
     ordered = (
-        [s for s in specs if s.oracle is not None and s.name not in deferred]
+        [_REGISTRY[n] for n in promoted]
+        + [
+            s
+            for s in specs
+            if s.oracle is not None and s.name not in deferred and s.name not in pset
+        ]
         + [s for s in specs if s.oracle is not None and s.name in deferred]
         + [s for s in specs if s.oracle is None]
     )

@@ -136,6 +136,41 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_locf_weekly_global",
+    """
+    WITH grid AS (
+        SELECT user_id, date_trunc('week', ts) AS bucket,
+               cast(sum(cast(value AS decimal(30,6))) AS double) AS observed
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(bucket) AS mn, max(bucket) AS mx FROM grid
+    ), spine AS (
+        SELECT k.user_id, unnest(generate_series(mn, mx, INTERVAL 7 DAY)) AS bucket
+        FROM (SELECT DISTINCT user_id FROM grid) k CROSS JOIN bounds
+    )
+    SELECT s.user_id, s.bucket, g.observed,
+           last_value(g.observed IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM spine s LEFT JOIN grid g
+      ON s.user_id = g.user_id AND s.bucket = g.bucket
+    """,
+    doc="Weekly LOCF resample with align='global': every user shares the "
+    "identical corpus-wide Monday-aligned week spine (charting matrices, "
+    "join-on-spine). Pins the week-grid origin fix — date_trunc('week') is "
+    "Monday-aligned (epoch+345600s), so the spine indexes steps relative to "
+    "that origin, not floor(epoch/604800) which lands on Thursdays "
+    "(operators/temporal.py:resample_locf). Both engines truncate weeks to "
+    "Monday (ISO).",
+)
+def q_resample_locf_weekly_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return resample_locf(
+        ev, key="user_id", ts="ts", value="value", step="week", align="global"
+    )
+
+
+@register(
     "scd2_user_event_history",
     """
     WITH ordered AS (

@@ -104,12 +104,22 @@ def test_driver_window_fully_oracle_backed():
         n for i, n in enumerate(reg) if i >= 50 and reg[n].oracle is not None
     ]
     # Deferred-by-design entries are the only oracle queries allowed past 50
-    # (deterministic_sample: see queries.registry; the rest are post-§2
-    # extensions registered last on purpose, hard-checked by this module
-    # instead). Update this list CONSCIOUSLY when rebalancing.
+    # (see the r5 rotation table in queries.registry; the queries_quality
+    # block are post-§2 extensions registered last on purpose) — all
+    # hard-checked by this module instead. Update CONSCIOUSLY when rotating.
     assert set(displaced) <= {
-        "deterministic_sample",
+        # r5 rotation swap-outs (driver-green in r4; family twin in-window):
+        "tumbling_window_agg",
+        "rollup_revenue",
+        "ntile_customer_quartiles",
+        "train_val_test_split",
+        "token_stats",
+        "daily_summary",
+        "exact_percentiles_by_type",
+        # standing deferrals:
         "set_ops_customer_cohorts",
+        "resample_locf_weekly_global",
+        # post-§2 extension block (queries_quality, registered last):
         "completeness_report_documents",
         "stratified_sample_by_lang",
         "quality_quantile_filter",
@@ -119,12 +129,4 @@ def test_driver_window_fully_oracle_backed():
         "sequence_packing",
         "token_budget_curation",
         "dup_ngram_spans",
-        # r4 rebalance (see queries.registry): families keep an in-window
-        # twin — tumbling+session / rollup / topk+ntile respectively.
-        "sliding_window_agg",
-        "cube_status_year",
-        "rank_orders_in_priority",
-        "tfidf_keywords",
-        "heavy_hitters_users",
-        "histogram_order_prices",
     }, displaced

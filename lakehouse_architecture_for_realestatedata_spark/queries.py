@@ -125,6 +125,7 @@ def registry() -> dict[str, QuerySpec]:
         "histogram_order_prices",
     ]
     deferred = {
+        "heavy_hitters_recount_users",  # new r5; heavy_hitters_users in-window
         "set_ops_customer_cohorts",
         "tumbling_window_agg",
         "rollup_revenue",

@@ -549,3 +549,31 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return heavy_hitters(ev, "user_id", num=1, den=140)
+
+
+@register(
+    "heavy_hitters_recount_users",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         t AS (SELECT sum(n) AS total FROM c)
+    SELECT user_id, n FROM c, t WHERE n * 140 >= total
+    """,
+    doc="Bounded-state pipeline proven ≡ exact: Misra-Gries candidates "
+    "(heavy_hitters_approx, vectorized batch-merge kernel) exactly "
+    "re-counted and re-thresholded via broadcast semi-join "
+    "(operators/aggregates.py:heavy_hitters_exact_of). The oracle is the "
+    "PLAIN exact heavy-hitter SQL: because approx survivors are a "
+    "guaranteed superset of true heavy hitters and the recount is exact, "
+    "approx→recount→threshold equals the exact answer for any partitioning "
+    "— this row pins that end-to-end. The 100 TB path when key cardinality "
+    "itself is unboundable: no full distinct-key groupBy ever materializes.",
+)
+def q_heavy_hitters_recount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+        heavy_hitters_approx,
+        heavy_hitters_exact_of,
+    )
+
+    ev = _events(spark, sf_dir)
+    cands = heavy_hitters_approx(ev, "user_id", num=1, den=140, slack=4)
+    return heavy_hitters_exact_of(ev, "user_id", cands, num=1, den=140)

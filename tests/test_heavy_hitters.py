@@ -83,6 +83,49 @@ class TestHeavyHittersApprox:
             heavy_hitters_approx(df, "k", slack=1)
 
 
+class TestHeavyHittersRecount:
+    def test_approx_then_recount_equals_exact(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            heavy_hitters_exact_of,
+        )
+
+        df = _skewed(spark)
+        exact = {r["k"]: r["n"] for r in heavy_hitters(df, "k", num=5, den=100).collect()}
+        cands = heavy_hitters_approx(df, "k", num=5, den=100)
+        got = {
+            r["k"]: r["n"]
+            for r in heavy_hitters_exact_of(df, "k", cands, num=5, den=100).collect()
+        }
+        assert got == exact  # superset candidates + exact recount ≡ exact
+
+    def test_recount_preserves_input_type_and_nulls(self, spark):
+        """Approx stringifies keys; the recount semi-join casts Spark-side
+        on both ends (null-safe), so typed columns and NULL keys round-trip."""
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            heavy_hitters_exact_of,
+        )
+
+        df = spark.createDataFrame(
+            [(7,)] * 6 + [(None,)] * 5 + [(i,) for i in range(10, 19)], "k long"
+        )
+        exact = {r["k"]: r["n"] for r in heavy_hitters(df, "k", num=1, den=5).collect()}
+        assert exact == {7: 6, None: 5}
+        cands = heavy_hitters_approx(df, "k", num=1, den=5)
+        out = heavy_hitters_exact_of(df, "k", cands, num=1, den=5)
+        assert dict(out.dtypes)["k"] == "bigint"  # original type, not string
+        assert {r["k"]: r["n"] for r in out.collect()} == exact
+
+    def test_unthresholded_recount_counts_all_candidates(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            heavy_hitters_exact_of,
+        )
+
+        df = spark.createDataFrame([("a",)] * 3 + [("b",)] * 2 + [("c",)], "k string")
+        cands = spark.createDataFrame([("a",), ("c",), ("zzz",)], "k string")
+        got = {r["k"]: r["n"] for r in heavy_hitters_exact_of(df, "k", cands).collect()}
+        assert got == {"a": 3, "c": 1}  # absent candidate yields no row
+
+
 class TestTopKeywords:
     def test_rank_prefers_frequent_then_rare(self, spark):
         docs = spark.createDataFrame(

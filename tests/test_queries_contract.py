@@ -119,6 +119,7 @@ def test_driver_window_fully_oracle_backed():
         # standing deferrals:
         "set_ops_customer_cohorts",
         "resample_locf_weekly_global",
+        "heavy_hitters_recount_users",
         # post-§2 extension block (queries_quality, registered last):
         "completeness_report_documents",
         "stratified_sample_by_lang",

@@ -13,8 +13,10 @@ churn, not the table.
 Distributed shape: ONE full-outer sort-merge/hash join on the key columns —
 the minimal possible data movement for an unordered diff (both snapshots must
 meet on the key). At 100 TB the join is shuffle-on-key; if both snapshots are
-written bucketed by the key (plans/layout.py), the exchange disappears
-entirely. Column comparison is a packed-struct eqNullSafe — codegen, no UDF.
+written bucketed by the key (plans/layout.py) and the key is a real primary
+key (``nullable_keys=False``), the exchange disappears entirely — pinned in
+tests/test_scale_ops.py. Column comparison is a packed-struct eqNullSafe —
+codegen, no UDF.
 The changelog feeds MERGE on a downstream table, giving an end-to-end
 snapshot→incremental replication path without a transaction log.
 """
@@ -30,6 +32,7 @@ def snapshot_diff(
     new: DataFrame,
     keys: list[str],
     compare: list[str] | None = None,
+    nullable_keys: bool = True,
 ) -> DataFrame:
     """Changelog between two snapshots sharing a schema.
 
@@ -39,6 +42,14 @@ def snapshot_diff(
 
     ``compare`` defaults to every non-key column of ``new``; narrow it to
     ignore volatile columns (audit timestamps etc.).
+
+    ``nullable_keys`` (default True) joins null-safe so NULL key values
+    still pair up. When the diff key is a real primary key (never NULL),
+    pass False: Catalyst then keeps the RAW key columns as the join keys —
+    a null-safe join rewrites them to ``(coalesce(k, 0), isnull(k))``,
+    which no longer matches a bucketed table's hash distribution — so two
+    snapshots written bucketed by the key diff with ZERO Exchange nodes
+    (pinned in tests/test_scale_ops.py).
     """
     non_key = [c for c in new.columns if c not in keys]
     cmp_cols = compare if compare is not None else non_key
@@ -60,7 +71,10 @@ def snapshot_diff(
     )
     cond = None
     for k in keys:
-        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        if nullable_keys:
+            c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        else:
+            c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
         cond = c if cond is None else cond & c
     joined = o.join(n, cond, "full_outer")
 

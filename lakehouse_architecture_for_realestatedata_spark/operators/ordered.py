@@ -39,10 +39,19 @@ from lakehouse_architecture_for_realestatedata_spark.operators.sampling import _
 N_BUCKETS = 256
 
 
-def _prefix_offsets(df: DataFrame, bucket: Column, value: Column) -> Column:
-    """Per-bucket prefix totals as a broadcast map literal: offset[b] =
-    Σ value over all buckets < b. One column-pruned aggregate + a ≤
-    N_BUCKETS-row collect (metadata-scale, like AQE stats)."""
+#: Above this many buckets the per-bucket offsets stop being inlined as a
+#: create_map literal (a 65536-bucket run would put a 131k-element literal
+#: into the expression tree — slow to analyze, serialized into every task)
+#: and become a broadcast-joined offsets frame instead.
+LITERAL_OFFSET_CAP = 4096
+
+
+def _prefix_offset_pairs(
+    df: DataFrame, bucket: Column, value: Column
+) -> list[tuple]:
+    """Sorted (bucket, prefix_total) pairs: offset[b] = Σ value over all
+    buckets < b. One column-pruned aggregate + a ≤ n_buckets-row collect
+    (metadata-scale, like AQE stats)."""
     totals = {
         r["b"]: r["t"]
         for r in df.groupBy(bucket.alias("b")).agg(F.sum(value).alias("t")).collect()
@@ -53,13 +62,42 @@ def _prefix_offsets(df: DataFrame, bucket: Column, value: Column) -> Column:
             "non-null order keys and values"
         )
     acc = 0
-    flat: list = []
+    pairs: list[tuple] = []
     for b in sorted(totals):
-        flat += [F.lit(b), F.lit(acc)]
+        pairs.append((b, acc))
         acc += totals[b] or 0
-    if not flat:
-        return F.lit(0)
-    return F.coalesce(F.element_at(F.create_map(*flat), bucket), F.lit(0))
+    return pairs
+
+
+def _apply_offsets(
+    with_b: DataFrame, value_col: str
+) -> tuple[DataFrame, Column, list[str]]:
+    """Attach the per-bucket prefix offset to a frame carrying ``__rt_b``.
+    ≤ LITERAL_OFFSET_CAP observed buckets inline as a create_map literal;
+    above that the same pairs ride the build side of a BroadcastHashJoin
+    instead of bloating every task's expression tree. Returns the
+    (possibly joined) frame, the offset column, and the temp columns to
+    drop."""
+    pairs = _prefix_offset_pairs(with_b, F.col("__rt_b"), F.col(value_col))
+    drop = ["__rt_h", "__rt_b"]
+    if len(pairs) <= LITERAL_OFFSET_CAP:
+        flat: list = []
+        for b, off in pairs:
+            flat += [F.lit(b), F.lit(off)]
+        offset = (
+            F.coalesce(F.element_at(F.create_map(*flat), F.col("__rt_b")), F.lit(0))
+            if flat
+            else F.lit(0)
+        )
+    else:
+        off_type = "double" if any(isinstance(o, float) for _, o in pairs) else "long"
+        offs = with_b.sparkSession.createDataFrame(
+            pairs, f"__rt_b int, __rt_off {off_type}"
+        )
+        with_b = with_b.join(F.broadcast(offs), "__rt_b", "left")
+        offset = F.coalesce(F.col("__rt_off"), F.lit(0))
+        drop.append("__rt_off")
+    return with_b, offset, drop
 
 
 def running_total_by_key(
@@ -82,7 +120,7 @@ def running_total_by_key(
     h = _hash_hex(F.col(key), salt)
     # Bucket = scaled 16-bit hash prefix. Scaling (NOT modulo — modulo folds
     # non-contiguous hash ranges into one bucket and breaks the prefix-sum
-    # order) keeps bucket asc ≡ hash asc, the invariant _prefix_offsets
+    # order) keeps bucket asc ≡ hash asc, the invariant _prefix_offset_pairs
     # relies on; hex digits sort lexicographically like numerically, so the
     # string order and the numeric prefix order agree.
     v = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")  # long: v*n_buckets overflows int
@@ -99,17 +137,14 @@ def _running_total(
     out_col: str,
 ) -> DataFrame:
     with_b = df.withColumns({"__rt_h": order_hash, "__rt_b": bucket})
-    offset = _prefix_offsets(with_b, F.col("__rt_b"), F.col(value_col))
+    with_b, offset, drop = _apply_offsets(with_b, value_col)
     w = (
         Window.partitionBy("__rt_b")
         .orderBy(F.col("__rt_h"), F.col(key))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_in_bucket = F.coalesce(F.sum(value_col).over(w), F.lit(0))
-    return (
-        with_b.withColumn(out_col, cum_in_bucket + offset)
-        .drop("__rt_h", "__rt_b")
-    )
+    return with_b.withColumn(out_col, cum_in_bucket + offset).drop(*drop)
 
 
 def pack_sequences(
@@ -178,7 +213,7 @@ def token_budget_head(
         F.greatest((F.lit(1.0) - q) * n_bins, F.lit(0.0)), F.lit(n_bins - 1.0)
     ).cast("int")
     with_b = df.withColumns({"__rt_h": q, "__rt_b": bin_})
-    offset = _prefix_offsets(with_b, F.col("__rt_b"), F.col(token_col))
+    with_b, offset, drop = _apply_offsets(with_b, token_col)
     w = (
         Window.partitionBy("__rt_b")
         .orderBy(F.col("__rt_h").desc(), F.col(key))
@@ -188,5 +223,5 @@ def token_budget_head(
     return (
         with_b.withColumn("__tokens_before", cum_before)
         .filter(F.col("__tokens_before") < budget)
-        .drop("__rt_h", "__rt_b", "__tokens_before")
+        .drop(*drop, "__tokens_before")
     )

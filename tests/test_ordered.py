@@ -65,6 +65,28 @@ def test_running_total_bucket_invariant(spark, docs, n_buckets):
     assert got == want
 
 
+def test_many_buckets_use_broadcast_join_not_map_literal(spark):
+    """Above LITERAL_OFFSET_CAP observed buckets, the per-bucket offsets must
+    arrive via BroadcastHashJoin — a 65536-bucket run would otherwise inline
+    a ~131k-element create_map literal into every task's expression tree —
+    with results identical to the literal path."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    many = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17 + 1).alias("n_tokens")
+    )
+    big = running_total_by_key(many, "doc_id", "n_tokens", n_buckets=65536)
+    plan = physical_plan(big, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "map_keys" not in plan and "element_at" not in plan, plan
+    small = running_total_by_key(many, "doc_id", "n_tokens", n_buckets=256)
+    splan = physical_plan(small, mode="simple")
+    assert "BroadcastHashJoin" not in splan, splan  # literal path below cap
+    got_big = {r["doc_id"]: r["running_before"] for r in big.collect()}
+    got_small = {r["doc_id"]: r["running_before"] for r in small.collect()}
+    assert got_big == got_small
+
+
 def test_running_total_no_single_partition_window(spark, docs):
     from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
 

@@ -156,6 +156,52 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.set(k, v)
 
 
+def test_snapshot_diff_on_bucketed_snapshots_has_no_exchange(spark, sf_dir):
+    """Pins the scale claim in operators/cdc.py: when both snapshots are
+    written bucketed by the diff key, the full-outer join — the ONLY data
+    movement in snapshot_diff — needs no Exchange at all: the shuffle was
+    paid once at write time, and nightly diffs run exchange-free."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.cdc import snapshot_diff
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    old = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    new = old.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1).otherwise(
+            F.col("c_acctbal")
+        ),
+    ).filter(F.col("c_custkey") % 11 != 0)
+    write_bucketed(old, "b_snap_old", ["c_custkey"], 4)
+    write_bucketed(new, "b_snap_new", ["c_custkey"], 4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        diff = snapshot_diff(
+            spark.table("b_snap_old"),
+            spark.table("b_snap_new"),
+            keys=["c_custkey"],
+            compare=["c_acctbal"],
+            nullable_keys=False,  # PK: raw join keys, so bucketing is usable
+        )
+        plan = physical_plan(diff, mode="simple")
+        assert "Exchange" not in plan, plan
+        by_type = {
+            r["change_type"]: r["n"]
+            for r in diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert by_type.get("insert") is None  # new ⊂ old keys
+        assert by_type["delete"] == old.filter(F.col("c_custkey") % 11 == 0).count()
+        assert (
+            by_type["update"]
+            == old.filter(
+                (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 11 != 0)
+            ).count()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_snap_old")
+        spark.sql("DROP TABLE IF EXISTS b_snap_new")
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     """Runtime row-level filtering: when a shuffle join's build side carries
     a selective predicate, Catalyst injects a bloom filter

@@ -270,10 +270,12 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_cells: int = 64,
     seed: int = 42,
+    n_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index build: sample ``n_cells`` corpus vectors as centroids
-    (deterministic hash-ordered sample — no RNG state), broadcast them, and
-    assign every corpus vector to its nearest centroid. One corpus pass.
+    (deterministic hash-ordered sample — no RNG state), optionally refine
+    them with ``n_iters`` Lloyd (k-means) steps, broadcast them, and assign
+    every corpus vector to its nearest centroid.
 
     Returns (assignments, centroids); assignments add a ``cell`` column.
     At 100 TB you would persist both, partitioned by ``cell``, so a probe
@@ -287,34 +289,67 @@ def ivf_assign(
     higher-order ``aggregate`` over that array — the corpus is never
     shuffled, sorted, or aggregated at all. (Earlier versions paid either a
     corpus-wide max_by exchange, or that plus a join-back by id.)
+
+    Each Lloyd step costs one narrow assignment pass plus one SMALL
+    aggregation: vectors posexplode to (cell, pos, value) and partial
+    aggregation collapses each task's contribution to ≤ n_cells·dim partial
+    sums before the exchange — the shuffle is metadata-scale regardless of
+    corpus size, the canonical distributed k-means shape. Refined centroid
+    rows pass through the driver between iterations (n_cells rows — same
+    size class as the broadcast itself) to truncate lineage. Cells that
+    attract no vectors drop out, so the index may end with < n_cells cells;
+    sampled ``cell`` ids stay stable as labels. With ``n_iters=0`` the
+    behavior is the previous one-shot sampled index, unchanged.
     """
     cell_type = dict(corpus.dtypes)[id_col]
-    centroids = F.broadcast(
+
+    def assign(cents: DataFrame) -> DataFrame:
+        # One row holding array<struct<cell,__centroid>>; array order is
+        # irrelevant — the per-element scoring + array_max argmax below is
+        # order-independent (max sim, then min cell via the negated
+        # tiebreak).
+        cent_arr = F.broadcast(
+            cents.agg(F.collect_list(F.struct("cell", "__centroid")).alias("__cents"))
+        )
+        scored = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                cosine_similarity(F.col(vec_col), c["__centroid"]).alias("s"),
+                (-c["cell"]).alias("nc"),  # struct max = lexicographic → min cell on ties
+                c["cell"].alias("cell"),
+            ),
+        )
+        return (
+            corpus.crossJoin(cent_arr)
+            .withColumn("cell", F.array_max(scored)["cell"].cast(cell_type))
+            .drop("__cents")
+        )
+
+    centroids = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
         .limit(n_cells)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("__centroid"))
     )
-    # One row holding array<struct<cell,__centroid>>; array order is
-    # irrelevant — the per-element scoring + array_max argmax below is
-    # order-independent (max sim, then min cell via the negated tiebreak).
-    cent_arr = F.broadcast(
-        centroids.agg(F.collect_list(F.struct("cell", "__centroid")).alias("__cents"))
-    )
-    scored = F.transform(
-        F.col("__cents"),
-        lambda c: F.struct(
-            cosine_similarity(F.col(vec_col), c["__centroid"]).alias("s"),
-            (-c["cell"]).alias("nc"),  # struct max = lexicographic → min cell on ties
-            c["cell"].alias("cell"),
-        ),
-    )
-    assignments = (
-        corpus.crossJoin(cent_arr)
-        .withColumn("cell", F.array_max(scored)["cell"].cast(cell_type))
-        .drop("__cents")
-    )
-    return assignments, centroids
+    for _ in range(n_iters):
+        refined = (
+            assign(F.broadcast(centroids))
+            .select("cell", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("__centroid")
+            )
+        )
+        centroids = corpus.sparkSession.createDataFrame(
+            refined.collect(), refined.schema
+        )
+    centroids = F.broadcast(centroids)
+    return assign(centroids), centroids
 
 
 def ivf_knn(

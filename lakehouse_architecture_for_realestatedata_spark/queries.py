@@ -350,11 +350,19 @@ def q_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup over catalog-resolved names.",
 )
 def q_catalog_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
     import tempfile
 
     from lakehouse_architecture_for_realestatedata_spark.sources.catalog import Catalog
 
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="lakecat_"))
+    # One fixed per-process dir, wiped on entry — a fresh mkdtemp per call
+    # leaked a directory every bench iteration. The data must outlive this
+    # function (the returned DataFrame is lazy), so cleanup happens at the
+    # START of the next invocation, not on exit.
+    root = os.path.join(tempfile.gettempdir(), f"lakecat_front_door_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, root)
     for t in ("customer", "nation", "region"):
         cat.create_table("bi", t).overwrite(_t(spark, sf_dir, t))
         cat.refresh("bi", t)

@@ -108,6 +108,41 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert f_sets == t_sets
 
 
+def test_ivf_lloyd_refinement_improves_recall(spark):
+    """On planted clusters, one-shot hash-sampled centroids double-cover
+    some clusters and miss others (recall@10 < 1 at n_probe=1); a couple of
+    Lloyd steps (n_iters) recover the true centers and recall reaches 1.0.
+    Everything is deterministic — hash-ordered sample, arithmetic noise —
+    so the thresholds are exact, not statistical."""
+    dim, n_clusters, n_pts = 16, 6, 300
+    rows = []
+    for i in range(n_pts):
+        c = i % n_clusters
+        vec = [10.0 if d == c else 0.0 for d in range(dim)]
+        for d in range(dim):
+            vec[d] += ((i * 31 + d * 17) % 7 - 3) / 2.0
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 12)
+    truth = {}
+    for r in knn_bruteforce(emb, q, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(n_iters):
+        assignments, centroids = ivf_assign(emb, n_cells=n_clusters, n_iters=n_iters)
+        got = {}
+        for r in ivf_knn(assignments, centroids, q, k=10, n_probe=1).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(truth[k] & got.get(k, set())) / len(truth[k]) for k in truth
+        ) / len(truth)
+
+    raw, refined = recall(0), recall(2)
+    assert raw <= 0.95  # sampled-only centroids misroute some queries
+    assert refined >= 0.99  # Lloyd recovers the planted centers
+    assert refined > raw
+
+
 def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     """The 100 TB ANN deployment shape the operator docstring promises:
     persist assignments hive-partitioned by cell, and a probe restricted to

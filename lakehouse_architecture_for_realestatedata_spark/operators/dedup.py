@@ -467,6 +467,65 @@ def decontaminate_ngram(
     )
 
 
+def decontaminate_ngram_bloom(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+    bits_per_item: int = 10,
+    n_probes: int = 5,
+) -> DataFrame:
+    """``decontaminate_ngram`` with a bloom pre-filter — identical output,
+    different physics for the 100 TB corpus side.
+
+    The plain operator explodes EVERY corpus document into n-grams before
+    the broadcast join, even though almost no document overlaps the eval
+    set. Here the eval set's distinct gram hashes build a bloom filter
+    (~``bits_per_item`` bits each — 12 MB per 10M grams, an order of
+    magnitude under broadcasting the raw gram set), and the corpus runs one
+    fully NARROW codegen pass: ``exists()`` over each document's gram array
+    probing the broadcast filter. Only might-match documents (true overlaps
+    + ~1% false positives) proceed to the exact explode + join + count.
+    Bloom filters have no false negatives, so the composition equals
+    ``decontaminate_ngram`` exactly — the same prefilter-then-exact-verify
+    pattern as ``heavy_hitters_exact_of``.
+
+    Building the filter runs one metadata-scale action over the eval side
+    (distinct-gram count + ≤ n_bits/64 aggregated words through the
+    driver), the same size class as a broadcast.
+    """
+    from lakehouse_architecture_for_realestatedata_spark.functions import bloom
+
+    eg = (
+        eval_df.select(
+            F.explode(sketches.hashed_shingles(F.col(text_col), n)).alias("__g")
+        )
+        .distinct()
+    )
+    n_items = eg.count()
+    if n_items == 0:  # no eval grams: nothing can be contaminated
+        return decontaminate_ngram(
+            corpus.limit(0), eval_df, id_col, text_col, n, min_hits
+        )
+    n_bits = bloom.bloom_n_bits(n_items, bits_per_item)
+    words = bloom.bloom_build(eg, "__g", n_bits, n_probes)
+    cand = (
+        bloom.with_bloom(corpus, words)
+        .filter(
+            F.exists(
+                sketches.hashed_shingles(F.col(text_col), n),
+                lambda g: bloom.bloom_might_contain(
+                    F.col("__bloom"), g, n_bits, n_probes
+                ),
+            )
+        )
+        .drop("__bloom")
+    )
+    return decontaminate_ngram(cand, eval_df, id_col, text_col, n, min_hits)
+
+
 def duplicated_ngram_stats(
     df: DataFrame,
     id_col: str,

@@ -508,3 +508,45 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return duplicated_ngram_stats(docs, "doc_id", "text", n=13, min_df=2)
+
+
+@register(
+    "decontaminate_bloom_verbatim",
+    f"""
+    WITH ev AS (
+        SELECT doc_id + 600000 AS eval_id,
+               'quoted for eval purposes ' || text AS text
+        FROM documents WHERE doc_id % 37 = 0
+    ), eg AS (
+        SELECT DISTINCT eval_id, unnest({_DUCK_13G.format(t=_DUCK_TOKS_Q.format(c='text'))}) AS g
+        FROM ev
+    ), cg AS (
+        SELECT doc_id AS corpus_id, unnest({_DUCK_13G.format(t=_DUCK_TOKS_Q.format(c='text'))}) AS g
+        FROM documents
+    )
+    SELECT cg.corpus_id, eg.eval_id, count(DISTINCT cg.g) AS n_shared_ngrams
+    FROM cg JOIN eg ON cg.g = eg.g
+    GROUP BY 1, 2
+    HAVING count(DISTINCT cg.g) >= 1
+    """,
+    doc="Bloom-prefiltered verbatim decontamination (operators/dedup.py:"
+    "decontaminate_ngram_bloom): the eval set's distinct 13-gram hashes "
+    "build a pure-SQL bloom filter (functions/bloom.py — bit_or-aggregated "
+    "array<bigint> words on a one-row broadcast), the corpus tests "
+    "membership in one narrow exists() codegen pass, and only might-match "
+    "documents reach the exact explode+join. No false negatives, exact "
+    "verify downstream — so the oracle is the PLAIN exact n-gram overlap "
+    "SQL, identical to decontaminate_ngram_verbatim: this row pins "
+    "prefilter+verify ≡ exact end-to-end.",
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        decontaminate_ngram_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat(F.lit("quoted for eval purposes "), F.col("text")).alias("text"),
+    )
+    return decontaminate_ngram_bloom(docs, eval_df, n=13, min_hits=1)

@@ -186,3 +186,59 @@ def test_ngram_decontamination_catches_embedded_quotes(spark, sf_dir):
     assert (10001, 1) in hits
     # precision: the word-soup corpus shares no 13-gram with the question
     assert all(c == 10001 for c, _ in hits)
+
+
+class TestBloomPrefilter:
+    def test_bloom_has_no_false_negatives_and_bounded_fp(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.functions import bloom
+
+        members = spark.range(2_000).select(F.xxhash64("id").alias("h"))
+        n_bits = bloom.bloom_n_bits(2_000, bits_per_item=10)
+        words = bloom.bloom_build(members, "h", n_bits)
+        probes = spark.range(10_000).select(
+            "id", F.xxhash64("id").alias("h")
+        )  # first 2000 are members
+        hit = (
+            bloom.with_bloom(probes, words)
+            .withColumn(
+                "m", bloom.bloom_might_contain(F.col("__bloom"), F.col("h"), n_bits)
+            )
+        )
+        n_member_hits = hit.filter((F.col("id") < 2_000) & F.col("m")).count()
+        assert n_member_hits == 2_000  # every inserted element tests positive
+        fp = hit.filter((F.col("id") >= 2_000) & F.col("m")).count()
+        assert fp <= 0.05 * 8_000, fp  # ~1% expected at 10 bits/item
+
+    def test_bloom_decontamination_equals_exact(self, spark, sf_dir):
+        from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+            decontaminate_ngram,
+            decontaminate_ngram_bloom,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+        )
+        eval_df = docs.filter(F.col("doc_id") % 37 == 0).select(
+            (F.col("doc_id") + 600000).alias("doc_id"),
+            F.concat(F.lit("quoted for eval purposes "), F.col("text")).alias("text"),
+        )
+        exact = sorted(map(tuple, decontaminate_ngram(docs, eval_df, n=13).collect()))
+        blm = sorted(
+            map(tuple, decontaminate_ngram_bloom(docs, eval_df, n=13).collect())
+        )
+        assert blm == exact  # no false negatives + exact verify ≡ exact
+
+    def test_bloom_empty_eval_returns_empty(self, spark, sf_dir):
+        from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+            decontaminate_ngram_bloom,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "text")
+        )
+        out = decontaminate_ngram_bloom(docs, docs.limit(0), n=13)
+        assert out.count() == 0
+        assert out.columns == ["corpus_id", "eval_id", "n_shared_ngrams"]

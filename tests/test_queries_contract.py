@@ -130,4 +130,5 @@ def test_driver_window_fully_oracle_backed():
         "sequence_packing",
         "token_budget_curation",
         "dup_ngram_spans",
+        "decontaminate_bloom_verbatim",
     }, displaced

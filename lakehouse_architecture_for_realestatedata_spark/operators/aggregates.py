@@ -342,3 +342,65 @@ def histogram_equi_width(
             "n",
         )
     )
+
+
+def zscore_by_group(
+    df: DataFrame, key: str, value_col: str, out_col: str = "zscore", scale: int = 6
+) -> DataFrame:
+    """Per-group standardization: ``out_col`` = (x − mean) / stddev over the
+    row's ``key`` group (sample stddev, n−1). Rows in groups with n ≤ 1 or
+    zero variance get NULL.
+
+    Deterministic across engines and partitionings BY CONSTRUCTION: the
+    group sums Σx and Σx² go through exact decimal intermediates (x² is
+    computed as one correctly-rounded double multiply, then cast — the same
+    proven policy as pricing_summary's disc-price decimal), and the
+    remaining arithmetic is a FIXED sequence of correctly-rounded IEEE ops:
+    mean = S1/n; var = (S2 − S1·S1/n)/(n−1); z = (x − mean)/sqrt(var).
+    Never uses stddev_samp/var_samp — their streaming (Welford) update
+    order varies with partitioning and disagrees with two-pass engines in
+    the low bits.
+
+    Scale shape: ONE hash exchange on ``key`` — the group sums are window
+    aggregates over the key partition (whole-partition frame), not a
+    groupBy + join-back, so stats and standardized rows share a single
+    shuffle."""
+    w = Window.partitionBy(key)
+    x = F.col(value_col)
+    s1 = F.sum(x.cast(f"decimal(30,{scale})")).over(w).cast("double")
+    s2 = F.sum((x * x).cast(f"decimal(30,{scale})")).over(w).cast("double")
+    n = F.count(x).over(w)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = F.when((n > 1) & (var > 0), (x - mean) / F.sqrt(var))
+    return df.withColumn(out_col, z)
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str = "winsorized",
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's [lo, hi]
+    EXACT quantiles (linear interpolation) — the standard outlier-taming
+    step before averaging noisy quality/reward scores. NULL values pass
+    through unclipped.
+
+    The quantiles are window aggregates over the key partition, so — like
+    ``zscore_by_group`` — the whole operator is ONE hash exchange; clipping
+    is two comparisons in codegen. Exact ``percentile`` sorts each group's
+    values in aggregation state: right for bounded groups (types, langs,
+    sources); for millions of rows per group switch to
+    ``percentile_approx`` (KLL sketch, bounded state) and accept the
+    documented rank error — same trade as quality_quantile_filter."""
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError("need 0 <= lo <= hi <= 1")
+    w = Window.partitionBy(key)
+    x = F.col(value_col)
+    p_lo = F.percentile(x, F.lit(lo)).over(w)
+    p_hi = F.percentile(x, F.lit(hi)).over(w)
+    clipped = F.when(x < p_lo, p_lo).when(x > p_hi, p_hi).otherwise(x)
+    return df.withColumn(out_col, clipped)

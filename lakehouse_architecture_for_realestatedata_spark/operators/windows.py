@@ -103,3 +103,42 @@ def global_top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
     TakeOrderedAndProject (per-partition heap + driver merge of k·P rows),
     NOT a total sort. The right way to answer "top 100 of 100 TB"."""
     return df.orderBy(*order_by).limit(k)
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+    scale: int = 6,
+) -> DataFrame:
+    """Trailing TIME-range rolling sum/avg per key: for each row, aggregate
+    every row of the same key whose timestamp falls in
+    ``(ts - window_seconds, ts]`` — a RANGE frame over epoch seconds, the
+    event-time twin of the row-count frame in ``rolling_frame``.
+
+    RANGE (not ROWS) semantics: rows with EQUAL timestamps are peers and
+    always aggregate together, so no tiebreak column is needed and the
+    result is deterministic under timestamp ties. The sum stays exact
+    decimal inside the frame; the final avg division is one IEEE double op
+    (cross-engine bit-identical, same policy as operators.aggregates.dsum).
+
+    Scale shape: ONE hash exchange on ``key`` + per-key sort — identical
+    physics to any per-key window; the frame bound is evaluated during the
+    sorted scan, no self-join (the naive ``t1 JOIN t2 ON delta BETWEEN``
+    spelling is quadratic per key)."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    dec = F.col(value_col).cast(f"decimal(30,{scale})")
+    roll_sum = F.sum(dec).over(w)
+    roll_n = F.count(dec).over(w)
+    return df.select(
+        "*",
+        roll_sum.cast("double").alias("rolling_sum"),
+        (roll_sum.cast("double") / roll_n).alias("rolling_avg"),
+        roll_n.alias("rolling_n"),
+    )

@@ -74,6 +74,7 @@ def registry() -> dict[str, QuerySpec]:
     # bounded correctness window keeps covering every SURVEY-§2 operator;
     # these get their hard oracle check from tests/test_queries_contract.py.
     from lakehouse_architecture_for_realestatedata_spark import queries_quality  # noqa: F401
+    from lakehouse_architecture_for_realestatedata_spark import queries_stats  # noqa: F401
 
     # The driver hash-verifies a bounded prefix of this dict (50 entries).
     # Order oracle-bearing queries first so every query with a DuckDB twin

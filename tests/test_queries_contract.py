@@ -131,4 +131,8 @@ def test_driver_window_fully_oracle_backed():
         "token_budget_curation",
         "dup_ngram_spans",
         "decontaminate_bloom_verbatim",
+        # post-§2 stats block (queries_stats, registered last):
+        "zscore_events_by_type",
+        "winsorized_event_values",
+        "rolling_hourly_user_value",
     }, displaced

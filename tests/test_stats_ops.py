@@ -1,0 +1,112 @@
+"""Edge cases for the statistical-normalization operators (z-score,
+winsorize, time-range rolling aggregates); fixture-scale oracle parity lives
+in tests/test_queries_contract.py via queries_stats."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+    winsorize_by_group,
+    zscore_by_group,
+)
+from lakehouse_architecture_for_realestatedata_spark.operators.windows import rolling_time_agg
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestZscore:
+    def test_standardizes_and_guards_degenerate_groups(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", 1, 1.0),
+                ("a", 2, 2.0),
+                ("a", 3, 3.0),
+                ("b", 4, 5.0),  # singleton group: n=1 -> NULL
+                ("c", 5, 7.0),  # zero-variance group -> NULL
+                ("c", 6, 7.0),
+                ("a", 7, None),  # NULL value -> NULL z, excluded from stats
+            ],
+            "k string, id long, v double",
+        )
+        out = {r["id"]: r["zscore"] for r in zscore_by_group(df, "k", "v").collect()}
+        assert out[4] is None and out[5] is None and out[6] is None and out[7] is None
+        # group a: mean 2, sample std 1 -> z = (-1, 0, 1)
+        assert math.isclose(out[1], -1.0) and out[2] == 0.0 and math.isclose(out[3], 1.0)
+
+    def test_partition_invariance(self, spark):
+        df = spark.createDataFrame(
+            [("a", i, float(i * i % 17)) for i in range(200)], "k string, id long, v double"
+        )
+        one = {r["id"]: r["zscore"] for r in zscore_by_group(df.coalesce(1), "k", "v").collect()}
+        many = {
+            r["id"]: r["zscore"]
+            for r in zscore_by_group(df.repartition(13), "k", "v").collect()
+        }
+        assert one == many  # decimal sums: bit-identical across partitionings
+
+
+class TestWinsorize:
+    def test_clips_to_group_quantiles(self, spark):
+        df = spark.createDataFrame(
+            [("a", i, float(i)) for i in range(1, 11)] + [("a", 99, 1000.0)],
+            "k string, id long, v double",
+        )
+        out = {r["id"]: r["winsorized"] for r in
+               winsorize_by_group(df, "k", "v", 0.0, 0.9).collect()}
+        hi = max(out.values())
+        assert out[99] == hi and hi < 1000.0  # outlier clipped to p90
+        assert out[1] == 1.0  # lo=0.0: minimum untouched
+
+    def test_null_passes_through_and_bad_bounds_reject(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, None), ("a", 3, 9.0)], "k string, id long, v double"
+        )
+        out = {r["id"]: r["winsorized"] for r in
+               winsorize_by_group(df, "k", "v", 0.25, 0.75).collect()}
+        assert out[2] is None
+        with pytest.raises(ValueError):
+            winsorize_by_group(df, "k", "v", 0.9, 0.1)
+
+
+class TestRollingTimeAgg:
+    def test_range_frame_includes_exact_window_and_ties(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, 1, _ts("2024-01-01 10:00:00"), 1.0),
+                (1, 2, _ts("2024-01-01 10:30:00"), 2.0),
+                (1, 3, _ts("2024-01-01 10:59:59"), 4.0),  # within 1h of row 1
+                (1, 4, _ts("2024-01-01 11:00:00"), 8.0),  # row 1 now outside
+                (1, 5, _ts("2024-01-01 11:00:00"), 16.0),  # tie: peer of row 4
+                (2, 6, _ts("2024-01-01 10:00:00"), 100.0),  # other key
+            ],
+            "user_id long, event_id long, ts timestamp, v double",
+        )
+        out = {
+            r["event_id"]: (r["rolling_sum"], r["rolling_n"])
+            for r in rolling_time_agg(df, "user_id", "ts", "v", 3600).collect()
+        }
+        assert out[1] == (1.0, 1)
+        assert out[2] == (3.0, 2)
+        assert out[3] == (7.0, 3)  # 10:00:00 still inside (3599s back)
+        # RANGE frame: equal-timestamp rows are peers — BOTH tie rows see the
+        # full peer sum (2+4+8+16; 10:00:00 fell out at 11:00).
+        assert out[4] == (30.0, 4) and out[5] == (30.0, 4)
+        assert out[6] == (100.0, 1)
+
+    def test_no_self_join_in_plan(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+        df = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-01 10:00:00"), 1.0)],
+            "user_id long, event_id long, ts timestamp, v double",
+        )
+        plan = physical_plan(rolling_time_agg(df, "user_id", "ts", "v"), mode="simple")
+        assert "Join" not in plan, plan
+        assert "Window" in plan, plan

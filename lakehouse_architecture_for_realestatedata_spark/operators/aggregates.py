@@ -376,6 +376,81 @@ def zscore_by_group(
     return df.withColumn(out_col, z)
 
 
+def corr_by_group(
+    df: DataFrame, key: str, x_col: str, y_col: str, scale: int = 4
+) -> DataFrame:
+    """Per-group Pearson correlation of two measures, deterministic across
+    engines and partitionings. Output ``(key, n, corr)``; groups where either
+    variance is zero (or n ≤ 1) get NULL ``corr``.
+
+    Rows where EITHER measure is NULL are excluded (pairwise deletion — the
+    SQL ``corr`` contract). The five sums Σx, Σy, Σxy, Σx², Σy² go through
+    exact decimal intermediates (each product is ONE correctly-rounded double
+    multiply before the cast, the proven pricing_summary policy), and the
+    closed form is a FIXED sequence of IEEE ops:
+    ``(n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²̂) · sqrt(n·Σy² − Σy²̂))`` — sqrt is
+    correctly rounded by IEEE 754, so any engine agrees bit-for-bit. Never
+    uses the built-in ``corr`` (co-moment streaming update order varies with
+    partitioning). ``scale`` must cover the exact scale of the PRODUCTS
+    (money×money = 4).
+
+    Scale shape: ONE partial-agg groupBy shuffle — five decimal sums + a
+    count, all map-side combined; the closed form is per-group scalar math.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    dec = f"decimal(30,{scale})"
+    pairs = df.filter(x.isNotNull() & y.isNotNull())
+    agg = pairs.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("__sx"),
+        F.sum(y.cast(dec)).cast("double").alias("__sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("__sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("__sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("__syy"),
+    )
+    n = F.col("n")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return agg.select(
+        key,
+        "n",
+        F.when((n > 1) & (vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy))).alias("corr"),
+    )
+
+
+def mad_outliers_by_group(
+    df: DataFrame, key: str, value_col: str, k: float = 4.45
+) -> DataFrame:
+    """Robust per-group outlier flagging via Median Absolute Deviation: a row
+    is an outlier when ``|x − median| > k · MAD`` where ``MAD =
+    median(|x − median|)`` over the row's group. Appends ``med``, ``mad``,
+    ``is_outlier`` (NULL value ⇒ NULL flag; MAD = 0 ⇒ only exact-median rows
+    are inliers, the standard degenerate case).
+
+    Unlike z-scores, median/MAD don't move when the outliers themselves get
+    more extreme — the robust default for score-hygiene on heavy-tailed
+    quality/reward distributions. ``k = 4.45 ≈ 3 / 0.6745`` corresponds to
+    3σ under normality (1/0.6745 is the consistency constant).
+
+    Determinism: both medians are exact linear-interpolation percentiles
+    (already pinned vs DuckDB ``quantile_cont`` by exact_percentiles_by_type);
+    ``|x − med|`` and the ``k·mad`` threshold are fixed-order IEEE ops.
+
+    Scale shape: ONE hash exchange — both medians are whole-partition window
+    aggregates over the same key (the second window reuses the first's hash
+    partitioning; unbounded frames need no sort), clipping logic is codegen.
+    Exact percentile holds each group's values in aggregation state: right
+    for bounded groups; for unbounded ones switch to ``percentile_approx``
+    (same trade as winsorize_by_group)."""
+    w = Window.partitionBy(key)
+    x = F.col(value_col)
+    with_med = df.withColumn("med", F.percentile(x, F.lit(0.5)).over(w))
+    absdev = F.abs(x - F.col("med"))
+    with_mad = with_med.withColumn("mad", F.percentile(absdev, F.lit(0.5)).over(w))
+    return with_mad.withColumn("is_outlier", absdev > F.lit(k) * F.col("mad"))
+
+
 def winsorize_by_group(
     df: DataFrame,
     key: str,

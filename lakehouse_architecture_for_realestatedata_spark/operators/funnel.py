@@ -1,0 +1,105 @@
+"""Ordered-funnel conversion analysis: how many users progress through an
+ordered sequence of event stages (view → click → purchase), where each stage
+must occur STRICTLY AFTER the user's earliest qualifying occurrence of the
+previous stage.
+
+Single-scan design: ONE groupBy on the user key collects each user's
+(ts, stage) events into a bounded per-user array, then a higher-order
+``aggregate`` expression walks the time-sorted array once, greedily recording
+the earliest timestamp at which each stage's ordering constraint is satisfied.
+Greedy-earliest is exactly the sequential-min semantics (taking the minimal
+t_{i-1} can only enlarge the set of candidate t_i), so the walk reproduces the
+classic K-join formulation — `t_i = min ts of stage_i events with
+ts > t_{i-1}` — in one shuffle instead of K scans + K joins.
+
+Everything is built-in expressions (sort_array / aggregate / exists): no
+Python UDF, no per-user Python state. Per-user state is bounded by that
+user's event count for the funnel's stages only (pre-filtered), the standard
+assumption for user-grain funnels at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_reached(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stage_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Per-user funnel walk: one row per user who reached stage 0, with
+    ``reached`` = array of the earliest constraint-satisfying timestamp per
+    stage (NULL where the user never got that far). Users with NULL
+    ``user_col`` are excluded (no meaningful funnel identity)."""
+    if len(stages) < 2 or len(set(stages)) != len(stages):
+        raise ValueError("need >= 2 distinct stages")
+    k = len(stages)
+    ev = (
+        events.filter(F.col(user_col).isNotNull() & F.col(stage_col).isin(stages))
+        .select(
+            F.col(user_col),
+            F.struct(F.col(ts_col).alias("ts"), F.col(stage_col).alias("stage")).alias("__e"),
+        )
+        .groupBy(user_col)
+        .agg(F.sort_array(F.collect_list("__e")).alias("__evs"))
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        # Unrolled per-stage update (k is a small literal): stage j fires the
+        # first time its event appears with ts strictly after acc[j-1].
+        slots = []
+        for j, stage in enumerate(stages):
+            fired = (e["stage"] == stage) & acc[j].isNull()
+            if j > 0:
+                fired = fired & acc[j - 1].isNotNull() & (e["ts"] > acc[j - 1])
+            slots.append(F.when(acc[j].isNotNull(), acc[j]).when(fired, e["ts"]))
+        return F.array(*slots)
+
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
+    return ev.select(
+        user_col, F.aggregate(F.col("__evs"), init, step).alias("reached")
+    ).filter(F.col("reached")[0].isNotNull())
+
+
+def funnel_conversion(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stage_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Funnel summary: per stage, the count of users whose earliest-qualifying
+    event chain reaches it, plus conversion rate vs stage 0. Output
+    ``(stage_idx, stage, users, conversion)``, one row per stage in order.
+
+    Scale shape: the per-user walk is ONE hash exchange (``funnel_reached``);
+    the stage counts are a single global aggregate of k boolean casts over
+    the (already tiny) per-user result, unpivoted with ``stack`` — metadata-
+    scale, like AQE statistics. ``conversion`` is one bigint→double divide,
+    bit-deterministic in any engine."""
+    reached = funnel_reached(events, user_col, ts_col, stage_col, stages)
+    counts = reached.agg(
+        *[
+            F.coalesce(
+                F.sum(F.col("reached")[j].isNotNull().cast("bigint")), F.lit(0).cast("bigint")
+            ).alias(f"__s{j}")
+            for j in range(len(stages))
+        ]
+    )
+    stack_expr = ", ".join(f"{j}L, '{s}', __s{j}" for j, s in enumerate(stages))
+    # stack() unpivots the one-row count frame; __s0 rides along as the
+    # conversion base, so no window / second pass is needed.
+    return counts.selectExpr(
+        "__s0 as __base", f"stack({len(stages)}, {stack_expr}) as (stage_idx, stage, users)"
+    ).select(
+        "stage_idx",
+        "stage",
+        "users",
+        F.when(F.col("__base") > 0, F.col("users").cast("double") / F.col("__base")).alias(
+            "conversion"
+        ),
+    )

@@ -1,0 +1,126 @@
+"""Text-preparation operators for a pretraining corpus pipeline: fixed-size
+document chunking (the context-window carve-up step before tokenization) and
+corpus-frequency boilerplate line removal (the CCNet/RefinedWeb-style strip of
+nav bars, cookie banners and footers that repeat across a crawl).
+
+Both are pure built-in-function compositions — explode/substring and
+posexplode/groupBy/array reassembly — no Python UDF anywhere, so the hot path
+stays in whole-stage codegen and the only shuffles are the ones the semantics
+force (none for chunking; line-frequency + per-doc reassembly for boilerplate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_fixed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with ``overlap``
+    characters shared between consecutive chunks — the deterministic carve-up
+    used to fit long documents into a model's context window.
+
+    Chunk ``i`` covers characters ``[i·stride, i·stride + size)`` with
+    ``stride = size − overlap``; the chunk count is
+    ``max(1, ceil((len − overlap) / stride))``, which guarantees every
+    character is covered and a document of ≤ ``size`` chars yields exactly
+    one chunk (the final chunk may be shorter than ``size``). NULL/empty
+    documents yield no rows. Output ``(id_col, chunk_id, chunk_text,
+    n_chars)``, ``chunk_id`` 0-based.
+
+    Scale shape: NO shuffle at all — a narrow two-column projection, a
+    ``sequence``+``explode`` whose output is ∝ total corpus characters /
+    stride, and a codegen ``substring``. Output rows inherit the input
+    partitioning; chunking 100 TB is embarrassingly parallel. The chunk-count
+    arithmetic is one IEEE double divide + ceil, identical in any engine.
+    """
+    if size <= 0 or not 0 <= overlap < size:
+        raise ValueError("need size > 0 and 0 <= overlap < size")
+    stride = size - overlap
+    text = F.col(text_col)
+    n_chunks = F.greatest(
+        F.lit(1).cast("bigint"), F.ceil((F.length(text) - F.lit(overlap)) / F.lit(stride))
+    )
+    return (
+        df.filter(F.length(text) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_id"),
+            text.alias("__text"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.expr(f"substring(__text, cast(chunk_id * {stride} + 1 as int), {size})").alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("n_chars", F.length("chunk_text"))
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int,
+) -> DataFrame:
+    """Strip lines that repeat across ≥ ``min_docs`` distinct documents —
+    corpus-frequency boilerplate removal (nav bars, cookie banners, license
+    footers), the line-level analogue of exact document dedup.
+
+    A line's identity is its ``trim``-normalized text; whitespace-only lines
+    are never counted as boilerplate (they stay). Surviving lines are
+    reassembled in original order; every input document appears in the output,
+    with ``clean_text = ''`` when all its lines were boilerplate (or the text
+    was NULL). Output ``(id_col, clean_text)``.
+
+    Scale shape: the line explode is narrow (no shuffle, output ∝ corpus
+    lines); the frequency table shuffles once on the normalized line and is
+    then filtered to actual boilerplate — a tiny set by definition (lines
+    repeated across many documents) — so the removal join is a BROADCAST
+    anti-join, not a second line-keyed shuffle. Reassembly is one groupBy on
+    the doc id with an ``array_sort``-by-ordinal ``collect_list`` (bounded by
+    document size), plus a broadcast-able left join back to the doc spine so
+    fully-scrubbed docs survive. Exact ``count_distinct`` per line is the
+    oracle-matched path; at 100 TB swap in ``approx_count_distinct`` — the
+    threshold test tolerates HLL error because boilerplate counts are far
+    above any sane ``min_docs``.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (a line can't be boilerplate in one doc)")
+    split = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
+    )
+    norm = F.trim(F.col("__line"))
+    boiler = (
+        split.filter(norm != "")
+        .groupBy(norm.alias("__nline"))
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("__nline")
+    )
+    kept = split.join(
+        F.broadcast(boiler), norm == F.col("__nline"), "left_anti"
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__clean")
+    )
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .select(id_col, F.coalesce(F.col("__clean"), F.lit("")).alias("clean_text"))
+    )

@@ -75,6 +75,7 @@ def registry() -> dict[str, QuerySpec]:
     # these get their hard oracle check from tests/test_queries_contract.py.
     from lakehouse_architecture_for_realestatedata_spark import queries_quality  # noqa: F401
     from lakehouse_architecture_for_realestatedata_spark import queries_stats  # noqa: F401
+    from lakehouse_architecture_for_realestatedata_spark import queries_corpusprep  # noqa: F401
 
     # The driver hash-verifies a bounded prefix of this dict (50 entries).
     # Order oracle-bearing queries first so every query with a DuckDB twin
@@ -127,6 +128,14 @@ def registry() -> dict[str, QuerySpec]:
     ]
     deferred = {
         "heavy_hitters_recount_users",  # new r5; heavy_hitters_users in-window
+        # New r5 extension families (chunking / boilerplate / funnel /
+        # corr / MAD) start deferred; r6 rotation candidates to swap in
+        # against driver-green same-family twins.
+        "chunk_documents_fixed",
+        "remove_boilerplate",
+        "funnel_view_click_purchase",
+        "corr_qty_price_by_flag",
+        "mad_outlier_events",
         "set_ops_customer_cohorts",
         "tumbling_window_agg",
         "rollup_revenue",

@@ -1,0 +1,112 @@
+"""Corpus-preparation queries: fixed-size document chunking, corpus-frequency
+boilerplate line removal, and ordered-funnel conversion — the carve-up /
+scrub / engagement-analysis steps of a training-data pipeline.
+
+Registered AFTER the SURVEY-§2 modules (see ``queries.registry``) so they
+never displace a §2 query from the driver's bounded correctness window; their
+hard correctness signal is the pytest contract test plus
+tools/check_oracle.py, like every other deferred query.
+
+Note on fixture power: the synthetic documents table has no cross-document
+repeated lines, so ``remove_boilerplate`` exercises the split→reassemble
+identity path at driver scale (an exact round-trip check in itself); the
+removal path is pinned by tests/test_textprep.py on a crafted corpus with
+planted boilerplate. Likewise the dense synthetic events fully convert the
+view→click→purchase funnel; drop-off ordering is pinned by
+tests/test_funnel.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_architecture_for_realestatedata_spark.operators.funnel import funnel_conversion
+from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+    chunk_fixed,
+    remove_boilerplate_lines,
+)
+from lakehouse_architecture_for_realestatedata_spark.queries import _events, _t, register
+
+
+@register(
+    "chunk_documents_fixed",
+    """
+    SELECT doc_id, idx AS chunk_id,
+           substr(text, (idx * 150 + 1)::int, 200) AS chunk_text,
+           length(substr(text, (idx * 150 + 1)::int, 200)) AS n_chars
+    FROM documents,
+         LATERAL unnest(generate_series(
+             0, greatest(1, ceil((length(text) - 50) / 150.0))::bigint - 1)) AS t(idx)
+    WHERE length(text) > 0
+    """,
+    doc="Fixed-size character chunking, size=200 overlap=50 "
+    "(operators/textprep.py:chunk_fixed): ZERO-shuffle sequence+explode+"
+    "substring, all codegen — output rows inherit input partitioning, "
+    "embarrassingly parallel at 100 TB. Chunk-count arithmetic is one IEEE "
+    "divide+ceil, identical in both engines.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_fixed(docs, "doc_id", "text", size=200, overlap=50)
+
+
+@register(
+    "remove_boilerplate",
+    """
+    WITH p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+    l AS (SELECT doc_id, idx, parts[idx] AS line
+          FROM p, LATERAL unnest(generate_series(1, greatest(len(parts), 0))) AS t(idx)),
+    f AS (SELECT trim(line) AS nline
+          FROM l WHERE trim(line) <> ''
+          GROUP BY trim(line) HAVING count(DISTINCT doc_id) >= 3),
+    k AS (SELECT doc_id, idx, line FROM l
+          WHERE trim(line) = '' OR trim(line) NOT IN (SELECT nline FROM f))
+    SELECT d.doc_id,
+           coalesce(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS clean_text
+    FROM documents d LEFT JOIN k USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+    doc="Corpus-frequency boilerplate strip, min_docs=3 "
+    "(operators/textprep.py:remove_boilerplate_lines): narrow line explode, "
+    "ONE line-keyed frequency shuffle filtered to the (tiny) boilerplate "
+    "set, BROADCAST anti-join removal, one doc-keyed reassembly groupBy "
+    "with array_sort-by-ordinal. Fixture has no repeated lines, so this row "
+    "pins the exact split→reassemble round-trip; the removal path is pinned "
+    "by tests/test_textprep.py on planted boilerplate.",
+)
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_boilerplate_lines(docs, "doc_id", "text", min_docs=3)
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id),
+    c AS (SELECT (SELECT count(*) FROM s0) AS u0,
+                 (SELECT count(*) FROM s1) AS u1,
+                 (SELECT count(*) FROM s2) AS u2)
+    SELECT cast(0 AS bigint) AS stage_idx, 'view' AS stage, u0 AS users,
+           CASE WHEN u0 > 0 THEN u0::double / u0 END AS conversion FROM c
+    UNION ALL
+    SELECT cast(1 AS bigint), 'click', u1,
+           CASE WHEN u0 > 0 THEN u1::double / u0 END FROM c
+    UNION ALL
+    SELECT cast(2 AS bigint), 'purchase', u2,
+           CASE WHEN u0 > 0 THEN u2::double / u0 END FROM c
+    """,
+    doc="Ordered funnel with strictly-after semantics "
+    "(operators/funnel.py:funnel_conversion): ONE user-keyed shuffle — the "
+    "sorted per-user event array is walked by a higher-order aggregate "
+    "expression (greedy-earliest ≡ the oracle's K-join sequential-min), "
+    "then a metadata-scale stack unpivot. The oracle spells the classic "
+    "K-scan join chain; the Spark plan does it in a single pass.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    return funnel_conversion(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+    corr_by_group,
+    mad_outliers_by_group,
     winsorize_by_group,
     zscore_by_group,
 )
@@ -108,3 +110,62 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     return rolling_time_agg(ev, "user_id", "ts", "value", window_seconds=3600)
+
+
+@register(
+    "corr_qty_price_by_flag",
+    """
+    WITH a AS (
+      SELECT l_returnflag, count(*) AS n,
+             cast(sum(cast(l_quantity AS decimal(30,4))) AS double) AS sx,
+             cast(sum(cast(l_extendedprice AS decimal(30,4))) AS double) AS sy,
+             cast(sum(cast(l_quantity * l_extendedprice AS decimal(30,4))) AS double) AS sxy,
+             cast(sum(cast(l_quantity * l_quantity AS decimal(30,4))) AS double) AS sxx,
+             cast(sum(cast(l_extendedprice * l_extendedprice AS decimal(30,4))) AS double) AS syy
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN (n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           END AS corr
+    FROM a
+    """,
+    doc="Per-returnflag Pearson correlation of quantity vs price "
+    "(operators/aggregates.py:corr_by_group): ONE partial-agg groupBy — five "
+    "exact-decimal sums + count, map-side combined; the closed form is a "
+    "fixed sequence of IEEE ops (sqrt is correctly rounded), so both engines "
+    "agree bit-for-bit. Never the built-in corr (co-moment update order "
+    "varies with partitioning).",
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return corr_by_group(li, "l_returnflag", "l_quantity", "l_extendedprice", scale=4)
+
+
+@register(
+    "mad_outlier_events",
+    """
+    WITH m AS (SELECT event_id, event_type, value,
+                      quantile_cont(value, 0.5) OVER (PARTITION BY event_type) AS med
+               FROM events),
+    d AS (SELECT *, quantile_cont(abs(value - med), 0.5)
+                        OVER (PARTITION BY event_type) AS mad
+          FROM m)
+    SELECT event_id, event_type, value, med, mad,
+           abs(value - med) > 4.45 * mad AS is_outlier
+    FROM d
+    """,
+    doc="Median-absolute-deviation outlier flags per event type, k=4.45≈3σ "
+    "(operators/aggregates.py:mad_outliers_by_group): ONE hash exchange — "
+    "both medians are whole-partition window aggregates over the same key "
+    "(second window reuses the first's partitioning, unbounded frames need "
+    "no sort). Exact linear-interpolation percentile, pinned vs DuckDB "
+    "quantile_cont by exact_percentiles_by_type.",
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return mad_outliers_by_group(ev, "event_type", "value", k=4.45)

@@ -1,0 +1,123 @@
+"""Unit tests for the ordered-funnel operator: strictly-after semantics,
+drop-off counting, tie handling — the paths the dense synthetic fixture
+(everyone converts) can't discriminate."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+    funnel_conversion,
+    funnel_reached,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+STAGES = ["view", "click", "purchase"]
+
+
+def test_funnel_dropoff_counts(spark):
+    ev = _ev(
+        spark,
+        [
+            # u1: full conversion
+            (1, _ts("2024-01-01 10:00:00"), "view"),
+            (1, _ts("2024-01-01 10:01:00"), "click"),
+            (1, _ts("2024-01-01 10:02:00"), "purchase"),
+            # u2: clicks but purchase happened BEFORE the click -> stops at click
+            (2, _ts("2024-01-01 09:00:00"), "purchase"),
+            (2, _ts("2024-01-01 10:00:00"), "view"),
+            (2, _ts("2024-01-01 11:00:00"), "click"),
+            # u3: view only
+            (3, _ts("2024-01-01 10:00:00"), "view"),
+            # u4: click without any view -> never enters the funnel
+            (4, _ts("2024-01-01 10:00:00"), "click"),
+            # NULL user: excluded
+            (None, _ts("2024-01-01 10:00:00"), "view"),
+        ],
+    )
+    out = {
+        r["stage"]: (r["users"], r["conversion"])
+        for r in funnel_conversion(ev, "user_id", "ts", "event_type", STAGES).collect()
+    }
+    assert out == {
+        "view": (3, 1.0),
+        "click": (2, pytest.approx(2 / 3)),
+        "purchase": (1, pytest.approx(1 / 3)),
+    }
+
+
+def test_funnel_strictly_after_tie_does_not_count(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-01-01 10:00:00"), "view"),
+            (1, _ts("2024-01-01 10:00:00"), "click"),  # tie with view: not after
+            (1, _ts("2024-01-01 10:05:00"), "purchase"),
+        ],
+    )
+    reached = funnel_reached(ev, "user_id", "ts", "event_type", STAGES).collect()[0]["reached"]
+    assert reached[0] is not None and reached[1] is None and reached[2] is None
+
+
+def test_funnel_greedy_earliest_matches_sequential_min(spark):
+    """The earliest qualifying chain, not the densest: u1's first view at
+    09:00 admits the 09:30 click even though a later view (10:00) also
+    precedes it; the purchase before the click never counts."""
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-01-01 09:00:00"), "view"),
+            (1, _ts("2024-01-01 09:10:00"), "purchase"),  # before first click: ignored
+            (1, _ts("2024-01-01 09:30:00"), "click"),
+            (1, _ts("2024-01-01 10:00:00"), "view"),
+            (1, _ts("2024-01-01 10:30:00"), "purchase"),
+        ],
+    )
+    reached = funnel_reached(ev, "user_id", "ts", "event_type", STAGES).collect()[0]["reached"]
+    assert [str(t) for t in reached] == [
+        "2024-01-01 09:00:00",
+        "2024-01-01 09:30:00",
+        "2024-01-01 10:30:00",
+    ]
+
+
+def test_funnel_empty_input_yields_zero_rows_per_stage(spark):
+    ev = _ev(spark, []).filter(F.lit(False))
+    out = funnel_conversion(ev, "user_id", "ts", "event_type", STAGES).collect()
+    assert [(r["stage_idx"], r["users"], r["conversion"]) for r in out] == [
+        (0, 0, None),
+        (1, 0, None),
+        (2, 0, None),
+    ]
+
+
+def test_funnel_rejects_bad_stages(spark):
+    ev = _ev(spark, [])
+    with pytest.raises(ValueError):
+        funnel_reached(ev, "user_id", "ts", "event_type", ["view"])
+    with pytest.raises(ValueError):
+        funnel_reached(ev, "user_id", "ts", "event_type", ["view", "view"])
+
+
+def test_funnel_single_shuffle_plan(spark):
+    """The per-user walk is ONE hash exchange on the user key; no join nodes
+    anywhere (the oracle's K-join chain is what we're avoiding)."""
+    ev = _ev(spark, [(1, _ts("2024-01-01 10:00:00"), "view")])
+    plan = (
+        funnel_reached(ev, "user_id", "ts", "event_type", STAGES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan

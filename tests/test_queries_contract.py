@@ -135,4 +135,10 @@ def test_driver_window_fully_oracle_backed():
         "zscore_events_by_type",
         "winsorized_event_values",
         "rolling_hourly_user_value",
+        "corr_qty_price_by_flag",
+        "mad_outlier_events",
+        # post-§2 corpus-prep block (queries_corpusprep, registered last):
+        "chunk_documents_fixed",
+        "remove_boilerplate",
+        "funnel_view_click_purchase",
     }, displaced

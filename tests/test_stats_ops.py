@@ -110,3 +110,100 @@ class TestRollingTimeAgg:
         plan = physical_plan(rolling_time_agg(df, "user_id", "ts", "v"), mode="simple")
         assert "Join" not in plan, plan
         assert "Window" in plan, plan
+
+
+class TestCorrByGroup:
+    def test_known_values_and_degenerate_guards(self, spark):
+        df = spark.createDataFrame(
+            [
+                # group a: y = 2x exactly -> corr 1
+                ("a", 1.0, 2.0),
+                ("a", 2.0, 4.0),
+                ("a", 3.0, 6.0),
+                # group b: y = -x -> corr -1
+                ("b", 1.0, 3.0),
+                ("b", 2.0, 2.0),
+                ("b", 3.0, 1.0),
+                # group c: zero x-variance -> NULL
+                ("c", 5.0, 1.0),
+                ("c", 5.0, 2.0),
+                # group d: singleton -> NULL
+                ("d", 1.0, 1.0),
+                # group e: NULL pair members excluded (pairwise deletion)
+                ("e", 1.0, 1.0),
+                ("e", 2.0, None),
+                ("e", None, 9.0),
+                ("e", 3.0, 3.0),
+            ],
+            "k string, x double, y double",
+        )
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            corr_by_group,
+        )
+
+        out = {r["k"]: (r["n"], r["corr"]) for r in corr_by_group(df, "k", "x", "y").collect()}
+        assert out["a"] == (3, pytest.approx(1.0))
+        assert out["b"] == (3, pytest.approx(-1.0))
+        assert out["c"] == (2, None)
+        assert out["d"] == (1, None)
+        assert out["e"][0] == 2 and out["e"][1] == pytest.approx(1.0)
+
+    def test_partition_invariance(self, spark):
+        """Bit-identical corr regardless of partitioning — the reason for the
+        exact-decimal sums + closed form over the built-in corr."""
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            corr_by_group,
+        )
+
+        rows = [("g", float(i % 17) + 0.25, float((i * 7) % 23) + 0.5) for i in range(500)]
+        df = spark.createDataFrame(rows, "k string, x double, y double")
+        a = corr_by_group(df.coalesce(1), "k", "x", "y").collect()[0]["corr"]
+        b = corr_by_group(df.repartition(16), "k", "x", "y").collect()[0]["corr"]
+        assert a == b  # exact equality, not approx
+
+
+class TestMadOutliers:
+    def test_flags_and_degenerate_mad(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            mad_outliers_by_group,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", 1, 10.0),
+                ("a", 2, 11.0),
+                ("a", 3, 12.0),
+                ("a", 4, 13.0),
+                ("a", 5, 1000.0),  # clear outlier
+                ("b", 6, 5.0),  # MAD=0 group: only exact-median rows inline
+                ("b", 7, 5.0),
+                ("b", 8, 6.0),
+                ("a", 9, None),  # NULL value -> NULL flag
+            ],
+            "k string, id long, v double",
+        )
+        out = {
+            r["id"]: (r["med"], r["mad"], r["is_outlier"])
+            for r in mad_outliers_by_group(df, "k", "v").collect()
+        }
+        assert out[5][2] is True
+        assert all(out[i][2] is False for i in (1, 2, 3, 4))
+        # group b: med 5, MAD 0 -> 6.0 is an outlier, 5.0s are not
+        assert out[6] == (5.0, 0.0, False)
+        assert out[8][2] is True
+        assert out[9][2] is None
+
+    def test_single_exchange_plan(self, spark):
+        """Both medians ride ONE hash exchange on the group key."""
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            mad_outliers_by_group,
+        )
+
+        df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+        plan = (
+            mad_outliers_by_group(df, "k", "v")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1

@@ -1,0 +1,114 @@
+"""Unit tests for corpus-prep operators: fixed-size chunking and boilerplate
+line removal (the removal path the driver fixture can't exercise — the
+synthetic documents have no cross-document repeated lines)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+    chunk_fixed,
+    remove_boilerplate_lines,
+)
+
+
+def test_chunk_fixed_coverage_and_overlap(spark):
+    df = spark.createDataFrame([(1, "abcdefghij")], "id long, text string")  # len 10
+    rows = {
+        r["chunk_id"]: r["chunk_text"]
+        for r in chunk_fixed(df, "id", "text", size=8, overlap=2).collect()
+    }
+    # stride 6: ceil((10-2)/6) = 2 chunks, [0:8] and [6:10]
+    assert rows == {0: "abcdefgh", 1: "ghij"}
+
+
+def test_chunk_fixed_short_null_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "")], "id long, text string"
+    )
+    out = chunk_fixed(df, "id", "text", size=8, overlap=2).collect()
+    # short doc -> exactly one whole-text chunk; NULL/empty -> no rows
+    assert [(r["id"], r["chunk_id"], r["chunk_text"], r["n_chars"]) for r in out] == [
+        (1, 0, "abc", 3)
+    ]
+
+
+def test_chunk_fixed_reconstruction(spark):
+    """De-overlapped chunk concatenation reproduces the document exactly."""
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    chunks = sorted(
+        (r["chunk_id"], r["chunk_text"])
+        for r in chunk_fixed(df, "id", "text", size=100, overlap=30).collect()
+    )
+    rebuilt = chunks[0][1] + "".join(c[30:] for _, c in chunks[1:])
+    assert rebuilt == text
+    # every chunk except possibly the last is full-size
+    assert all(len(c) == 100 for _, c in chunks[:-1])
+
+
+def test_chunk_fixed_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError):
+        chunk_fixed(df, "id", "text", size=0)
+    with pytest.raises(ValueError):
+        chunk_fixed(df, "id", "text", size=5, overlap=5)
+
+
+BOILER = "Accept cookies to continue"
+
+
+def _corpus(spark):
+    docs = [
+        (1, f"{BOILER}\nunique alpha one\nunique alpha two"),
+        (2, f"{BOILER}\nunique beta"),
+        (3, f"  {BOILER}  \nunique gamma\n\nunique gamma tail"),  # trim-normalized match
+        (4, "no boilerplate here\nsecond line"),
+        (5, None),
+        (6, f"{BOILER}"),  # becomes fully empty after scrub
+    ]
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_boilerplate_removed_and_order_preserved(spark):
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(_corpus(spark), "doc_id", "text", min_docs=3).collect()
+    }
+    assert out[1] == "unique alpha one\nunique alpha two"
+    assert out[2] == "unique beta"
+    # empty line survives, order preserved, trim-variant of the boiler line removed
+    assert out[3] == "unique gamma\n\nunique gamma tail"
+    assert out[4] == "no boilerplate here\nsecond line"
+    assert out[5] == ""  # NULL text -> present with empty clean_text
+    assert out[6] == ""  # fully-scrubbed doc survives as empty
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+
+
+def test_boilerplate_threshold_not_met(spark):
+    """min_docs above the line's document frequency -> identity round-trip."""
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(_corpus(spark), "doc_id", "text", min_docs=5).collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in _corpus(spark).collect()}
+    for i in (1, 2, 4, 6):
+        assert out[i] == src[i]
+    assert out[3] == src[3]  # kept verbatim incl. surrounding whitespace
+    assert out[5] == ""
+
+
+def test_boilerplate_rejects_min_docs_one(spark):
+    with pytest.raises(ValueError):
+        remove_boilerplate_lines(_corpus(spark), "doc_id", "text", min_docs=1)
+
+
+def test_boilerplate_join_is_broadcast(spark):
+    """The removal anti-join must be broadcast (the boilerplate set is tiny
+    by definition) — a shuffled line-keyed join would be a second full
+    exchange of the corpus at 100 TB."""
+    plan = remove_boilerplate_lines(
+        _corpus(spark), "doc_id", "text", min_docs=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -103,3 +103,45 @@ def funnel_conversion(
             "conversion"
         ),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stage_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each ordered pair of consecutive events within a user, count the
+    (from_stage → to_stage) transition and its probability among all
+    transitions leaving ``from_stage``. Output ``(from_stage, to_stage, n,
+    p)``; users with a single event contribute nothing, NULL users are
+    excluded.
+
+    ``tiebreak`` (e.g. the event id) makes the per-user ordering total —
+    REQUIRED for a deterministic matrix when timestamps can collide.
+
+    Scale shape: one user-keyed exchange for the lag window, then a groupBy
+    on the (from, to) pair — whose cardinality is #stages², metadata-scale —
+    and a stage-keyed window for the row-normalization, also metadata-scale.
+    The only full-data shuffle is the first one. ``p`` is one bigint/bigint
+    double divide, bit-deterministic."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.filter(F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col),
+            F.lag(F.col(stage_col)).over(w).alias("from_stage"),
+            F.col(stage_col).alias("to_stage"),
+        )
+        .filter(F.col("from_stage").isNotNull())
+    )
+    counts = pairs.groupBy("from_stage", "to_stage").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy("from_stage")
+    return counts.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(total)
+    )

@@ -219,3 +219,31 @@ def sample_exact_n_per_group(
         .filter(F.col("__sample_rn") <= n)
         .drop("__sample_h", "__sample_rn")
     )
+
+
+def sample_weighted(
+    df: DataFrame, key: str, weight_col: Column | str, salt: str = ""
+) -> DataFrame:
+    """Deterministic per-row-probability Bernoulli sample: keep each row with
+    probability ``weight_col`` (a [0, 1] column — e.g. a quality score, or a
+    length-proportional keep rate), decided by the md5-hashed ``key``. The
+    curation step between all-or-nothing filtering and uniform sampling:
+    soft-downweight low-quality documents instead of dropping them outright.
+
+    Contract: weight ≥ 1 keeps always; weight ≤ 0 or NULL drops always;
+    membership is a pure function of (key, salt, weight) — partition-
+    invariant, re-run-stable, engine-portable.
+
+    The per-row threshold stays in the PROVEN hex-string comparison domain:
+    ``floor(weight · 16^8)`` rendered as zero-padded 8-char lowercase hex
+    (every step — one double multiply, floor, int→hex — is exact/identical
+    in any engine; no float parse of the hash). Plan: narrow codegen filter,
+    zero shuffle, zero UDF — same 100 TB shape as ``sample_fraction``.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    v = F.floor(w * F.lit(float(_SPACE))).cast("bigint")
+    # Spark conv() emits uppercase hex; md5() emits lowercase — normalize.
+    thr = F.when(w >= 1.0, F.lit("g")).otherwise(
+        F.lpad(F.lower(F.conv(v.cast("string"), 10, 16)), _HEX_W, "0")
+    )
+    return df.filter(w.isNotNull() & (w > 0) & (_hash_hex(F.col(key), salt) < thr))

@@ -134,6 +134,8 @@ def registry() -> dict[str, QuerySpec]:
         "chunk_documents_fixed",
         "remove_boilerplate",
         "funnel_view_click_purchase",
+        "event_transition_matrix",
+        "weighted_doc_sample",
         "corr_qty_price_by_flag",
         "mad_outlier_events",
         "set_ops_customer_cohorts",

@@ -20,7 +20,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lakehouse_architecture_for_realestatedata_spark.operators.funnel import funnel_conversion
+from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+    event_transitions,
+    funnel_conversion,
+)
 from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
     chunk_fixed,
     remove_boilerplate_lines,
@@ -110,3 +113,55 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
     return funnel_conversion(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH pr AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS from_stage,
+             event_type AS to_stage
+      FROM events WHERE user_id IS NOT NULL)
+    SELECT from_stage, to_stage, count(*) AS n,
+           count(*)::double / sum(count(*)) OVER (PARTITION BY from_stage) AS p
+    FROM pr WHERE from_stage IS NOT NULL
+    GROUP BY from_stage, to_stage
+    """,
+    doc="First-order Markov transition matrix over per-user event sequences "
+    "(operators/funnel.py:event_transitions): ONE full-data exchange (the "
+    "user-keyed lag window, event_id tiebreak for total order); the pair "
+    "groupBy and row-normalization window are #stages²-cardinality — "
+    "metadata-scale.",
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    return event_transitions(ev, "user_id", "ts", "event_type", tiebreak="event_id")
+
+
+@register(
+    "weighted_doc_sample",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE n_chars / 600.0 > 0
+      AND substr(md5('wsample' || cast(doc_id as varchar)), 1, 8) <
+          CASE WHEN n_chars / 600.0 >= 1.0 THEN 'g'
+               ELSE lpad(lower(to_hex(
+                   floor((n_chars / 600.0) * 4294967296.0)::bigint)), 8, '0')
+          END
+    """,
+    doc="Per-row-probability Bernoulli sample — keep each doc with "
+    "probability n_chars/600 (length-proportional curation weight) decided "
+    "by its md5-hashed id (operators/sampling.py:sample_weighted). The "
+    "per-row threshold stays in the proven hex-string domain: floor(w·16^8) "
+    "zero-padded to 8 hex chars — exact in both engines. Narrow codegen "
+    "filter, zero shuffle, zero UDF.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import sample_weighted
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return sample_weighted(docs, "doc_id", F.col("n_chars") / 600.0, salt="wsample")

@@ -121,3 +121,54 @@ def test_funnel_single_shuffle_plan(spark):
         .toString()
     )
     assert "Join" not in plan
+
+
+class TestEventTransitions:
+    def test_counts_and_row_normalization(self, spark):
+        ev = _ev(
+            spark,
+            [
+                (1, _ts("2024-01-01 10:00:00"), "a"),
+                (1, _ts("2024-01-01 10:01:00"), "b"),
+                (1, _ts("2024-01-01 10:02:00"), "a"),
+                (1, _ts("2024-01-01 10:03:00"), "c"),
+                (2, _ts("2024-01-01 10:00:00"), "a"),
+                (2, _ts("2024-01-01 10:01:00"), "b"),
+                (3, _ts("2024-01-01 10:00:00"), "solo"),  # single event: no pair
+                (None, _ts("2024-01-01 10:00:00"), "a"),  # NULL user excluded
+            ],
+        )
+        from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+            event_transitions,
+        )
+
+        out = {
+            (r["from_stage"], r["to_stage"]): (r["n"], r["p"])
+            for r in event_transitions(ev, "user_id", "ts", "event_type").collect()
+        }
+        # from 'a': 2×a→b, 1×a→c; from 'b': 1×b→a
+        assert out[("a", "b")] == (2, pytest.approx(2 / 3))
+        assert out[("a", "c")] == (1, pytest.approx(1 / 3))
+        assert out[("b", "a")] == (1, 1.0)
+        assert ("solo", "solo") not in out and len(out) == 3
+
+    def test_tiebreak_orders_equal_timestamps(self, spark):
+        rows = [
+            (1, 10, _ts("2024-01-01 10:00:00"), "x"),
+            (1, 20, _ts("2024-01-01 10:00:00"), "y"),  # same ts: event_id decides
+            (1, 30, _ts("2024-01-01 10:00:00"), "z"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+            event_transitions,
+        )
+
+        out = {
+            (r["from_stage"], r["to_stage"])
+            for r in event_transitions(
+                ev, "user_id", "ts", "event_type", tiebreak="event_id"
+            ).collect()
+        }
+        assert out == {("x", "y"), ("y", "z")}

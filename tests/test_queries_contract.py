@@ -141,4 +141,6 @@ def test_driver_window_fully_oracle_backed():
         "chunk_documents_fixed",
         "remove_boilerplate",
         "funnel_view_click_purchase",
+        "event_transition_matrix",
+        "weighted_doc_sample",
     }, displaced

@@ -183,3 +183,49 @@ def test_exact_n_preserves_caller_underscore_columns(spark):
     assert set(out_g.columns) == {"id", "g", "_h", "_rn"}
     rows_g = {r["id"]: r for r in out_g.collect()}
     assert all(r["_h"] == str(i * 7) and r["_rn"] == i * 11 for i, r in rows_g.items())
+
+
+class TestSampleWeighted:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, float(i % 11) / 10.0) for i in range(2000)], "id long, w double"
+        )
+
+    def test_rate_tracks_weight_and_edges_hold(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+            sample_weighted,
+        )
+
+        df = self._docs(spark)
+        kept = sample_weighted(df, "id", "w", salt="t").groupBy("w").count().collect()
+        rate = {r["w"]: r["count"] for r in kept}
+        # w=0 never kept; w=1.0 always kept (2000/11 ≈ 181 rows each)
+        assert 0.0 not in rate
+        assert rate[1.0] == df.filter("w = 1.0").count()
+        # mid weights within a loose binomial envelope
+        for w in (0.3, 0.7):
+            n = df.filter(f"w = {w}").count()
+            assert abs(rate.get(w, 0) - w * n) < 4 * (n * w * (1 - w)) ** 0.5 + 1
+
+    def test_null_and_out_of_range_weights(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+            sample_weighted,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, -0.5), (3, 2.0)], "id long, w double"
+        )
+        out = sorted(r["id"] for r in sample_weighted(df, "id", "w").collect())
+        assert out == [3]  # NULL and negative drop; >=1 always keeps
+
+    def test_partition_invariance(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+            sample_weighted,
+        )
+
+        df = self._docs(spark)
+        a = sorted(r["id"] for r in sample_weighted(df.coalesce(1), "id", "w", "s").collect())
+        b = sorted(
+            r["id"] for r in sample_weighted(df.repartition(16), "id", "w", "s").collect()
+        )
+        assert a == b and len(a) > 0

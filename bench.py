@@ -44,6 +44,13 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "tfidf_keywords",
     "heavy_hitters_users",
+    # r5 additions: chunking (zero-shuffle explode), boilerplate strip
+    # (line-freq + broadcast anti-join + reassembly), single-scan funnel,
+    # MAD outliers (two medians on one exchange)
+    "chunk_documents_fixed",
+    "remove_boilerplate",
+    "funnel_view_click_purchase",
+    "mad_outlier_events",
 ]
 
 

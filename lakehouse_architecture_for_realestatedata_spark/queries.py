@@ -136,6 +136,7 @@ def registry() -> dict[str, QuerySpec]:
         "funnel_view_click_purchase",
         "event_transition_matrix",
         "weighted_doc_sample",
+        "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",
         "set_ops_customer_cohorts",

@@ -169,3 +169,29 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
     return mad_outliers_by_group(ev, "event_type", "value", k=4.45)
+
+
+@register(
+    "percent_rank_event_values",
+    """
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type
+                                ORDER BY value NULLS FIRST, event_id)
+               AS pr
+    FROM events
+    """,
+    doc="Per-type percent-rank normalization of the value score — the "
+    "rank-based alternative to z-scoring for heavy-tailed distributions "
+    "(maps any distribution onto [0,1] uniformly). percent_rank is "
+    "(rank−1)/(n−1): integer window arithmetic + ONE double divide, "
+    "bit-deterministic given the unique (value, event_id) tiebreak. One "
+    "hash exchange + per-key sort, same shape as every ranked window. "
+    "NULLS FIRST is pinned explicitly in the oracle (Spark's ASC default; "
+    "DuckDB defaults NULLS LAST).",
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return ev.withColumn("pr", F.percent_rank().over(w))

@@ -82,16 +82,18 @@ def remove_boilerplate_lines(
     was NULL). Output ``(id_col, clean_text)``.
 
     Scale shape: the line explode is narrow (no shuffle, output ∝ corpus
-    lines); the frequency table shuffles once on the normalized line and is
-    then filtered to actual boilerplate — a tiny set by definition (lines
-    repeated across many documents) — so the removal join is a BROADCAST
-    anti-join, not a second line-keyed shuffle. Reassembly is one groupBy on
-    the doc id with an ``array_sort``-by-ordinal ``collect_list`` (bounded by
-    document size), plus a broadcast-able left join back to the doc spine so
-    fully-scrubbed docs survive. Exact ``count_distinct`` per line is the
-    oracle-matched path; at 100 TB swap in ``approx_count_distinct`` — the
-    threshold test tolerates HLL error because boilerplate counts are far
-    above any sane ``min_docs``.
+    lines); the frequency table shuffles once on the normalized line (plus
+    the distinct-doc pre-exchange) and is then filtered to actual
+    boilerplate — a tiny set by definition (lines repeated across many
+    documents) — so the removal join is a BROADCAST anti-join, not a second
+    line-keyed shuffle. Reassembly is ONE groupBy on the doc id with an
+    ``array_sort``-by-ordinal ``collect_list`` (bounded by document size);
+    a sentinel row unioned per document rides the same shuffle so
+    fully-scrubbed / NULL-text docs survive WITHOUT a join back to the doc
+    spine (a full-corpus join at 100 TB). Exact ``count_distinct`` per line
+    is the oracle-matched path; at 100 TB swap in ``approx_count_distinct``
+    — the threshold test tolerates HLL error because boilerplate counts are
+    far above any sane ``min_docs``.
     """
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (a line can't be boilerplate in one doc)")
@@ -110,17 +112,26 @@ def remove_boilerplate_lines(
     kept = split.join(
         F.broadcast(boiler), norm == F.col("__nline"), "left_anti"
     )
-    reassembled = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
-                lambda s: s["__line"],
-            ),
-            "\n",
-        ).alias("__clean")
+    # One sentinel row per doc (__idx = -1) survives any scrub, so every
+    # input document reaches the reassembly group — no doc-spine join.
+    sentinel = df.select(
+        F.col(id_col),
+        F.lit(-1).alias("__idx"),
+        F.lit(None).cast("string").alias("__line"),
     )
     return (
-        df.select(id_col)
-        .join(reassembled, id_col, "left")
-        .select(id_col, F.coalesce(F.col("__clean"), F.lit("")).alias("clean_text"))
+        kept.unionByName(sentinel)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                        lambda s: s["__idx"] >= 0,
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
     )

@@ -107,8 +107,12 @@ def test_boilerplate_rejects_min_docs_one(spark):
 def test_boilerplate_join_is_broadcast(spark):
     """The removal anti-join must be broadcast (the boilerplate set is tiny
     by definition) — a shuffled line-keyed join would be a second full
-    exchange of the corpus at 100 TB."""
+    exchange of the corpus at 100 TB — and it must be the ONLY join: the
+    doc spine reaches the reassembly via the unioned sentinel row, never a
+    full-corpus join back."""
     plan = remove_boilerplate_lines(
         _corpus(spark), "doc_id", "text", min_docs=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Join") == 1

@@ -11,7 +11,7 @@ force (none for chunking; line-frequency + per-doc reassembly for boilerplate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -134,4 +134,53 @@ def remove_boilerplate_lines(
                 "\n",
             ).alias("clean_text")
         )
+    )
+
+
+def build_vocab(df, text_col: str, min_count: int = 2) -> DataFrame:
+    """Corpus vocabulary construction: global token counts, frequency-filtered
+    at ``min_count``, with contiguous ids assigned by (count desc, token asc)
+    — the id-assignment step before embedding-table training. Output
+    ``(token, n, id)``, ids 0-based and gap-free.
+
+    The global rank is computed WITHOUT a single-partition window (the naive
+    ``Window.orderBy`` spelling funnels the whole vocab through one task):
+    tokens bucket by their count's integer log2 — computed EXACTLY as
+    ``len(binary(n)) − 1`` via base conversion, never float ``log2`` (not
+    correctly rounded, so a boundary count like 2^k could land in the wrong
+    bucket) — which is a deterministic range carve-up of the (count desc)
+    order into ≤ 64 contiguous ranges. Per-bucket row counts fold into
+    prefix offsets driver-side (≤ 64 rows, metadata-scale) and the rank
+    becomes an ordinary partitioned ``row_number`` plus the offset — the
+    same two-phase shape as ``operators.ordered.running_total_by_key``.
+
+    Scale shape: one token-keyed partial-agg groupBy (the only full-data
+    shuffle), then everything operates on the min_count-filtered vocab
+    (bounded, ≪ corpus); one hash exchange on the 64-ary bucket for the
+    rank window.
+    """
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import tokens
+    from lakehouse_architecture_for_realestatedata_spark.operators.ordered import _apply_offsets
+
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    # exact floor(log2(n)) = length of n's binary representation - 1;
+    # bucket ascends as n descends so bucket ranges are contiguous in the
+    # (n desc, token asc) global order — the _apply_offsets invariant.
+    log2n = F.length(F.conv(F.col("n").cast("string"), 10, 2)) - 1
+    with_b = counts.withColumns(
+        {"__rt_b": (F.lit(63) - log2n).cast("int"), "__one": F.lit(1)}
+    )
+    with_b, offset, drop = _apply_offsets(with_b, "__one")
+    w = Window.partitionBy("__rt_b").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        with_b.withColumn("id", F.row_number().over(w) - 1 + offset)
+        .drop(*drop, "__one")
+        .select("token", "n", "id")
     )

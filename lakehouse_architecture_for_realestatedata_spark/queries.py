@@ -136,6 +136,7 @@ def registry() -> dict[str, QuerySpec]:
         "funnel_view_click_purchase",
         "event_transition_matrix",
         "weighted_doc_sample",
+        "vocab_top_tokens",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -165,3 +165,30 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
     return sample_weighted(docs, "doc_id", F.col("n_chars") / 600.0, salt="wsample")
+
+
+@register(
+    "vocab_top_tokens",
+    r"""
+    WITH c AS (
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                x -> x <> '')) AS token
+            FROM documents)
+      GROUP BY token HAVING count(*) >= 5)
+    SELECT token, n, row_number() OVER (ORDER BY n DESC, token) - 1 AS id
+    FROM c
+    """,
+    doc="Corpus vocabulary with contiguous frequency-ranked ids, min_count=5 "
+    "(operators/textprep.py:build_vocab): one token-keyed partial-agg "
+    "groupBy is the only full-data shuffle; the global (n desc, token) rank "
+    "runs as a TWO-PHASE prefix rank over exact integer-log2 count buckets "
+    "— never a single-partition window (the oracle's spelling, same "
+    "numbers, different physics). Ties broken by token, so ids are total.",
+)
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.textprep import build_vocab
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return build_vocab(docs, "text", min_count=5)

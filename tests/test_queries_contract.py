@@ -144,4 +144,5 @@ def test_driver_window_fully_oracle_backed():
         "funnel_view_click_purchase",
         "event_transition_matrix",
         "weighted_doc_sample",
+        "vocab_top_tokens",
     }, displaced

@@ -116,3 +116,44 @@ def test_boilerplate_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Join") == 1
+
+
+class TestBuildVocab:
+    def _corpus(self, spark):
+        rows = [(i, "alpha beta gamma " * 3 + "beta gamma " * 2 + "delta") for i in range(4)]
+        rows += [(100, "epsilon")]  # below min_count
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_ids_contiguous_and_frequency_ranked(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.textprep import build_vocab
+
+        out = sorted(
+            (r["id"], r["token"], r["n"])
+            for r in build_vocab(self._corpus(spark), "text", min_count=2).collect()
+        )
+        # per doc: alpha 3, beta 5, gamma 5, delta 1 -> ×4 docs
+        assert [o[1] for o in out] == ["beta", "gamma", "alpha", "delta"]
+        assert [o[0] for o in out] == [0, 1, 2, 3]  # contiguous, 0-based
+        assert [o[2] for o in out] == [20, 20, 12, 4]  # count desc, token tiebreak
+        # epsilon (n=1) filtered
+        assert "epsilon" not in {o[1] for o in out}
+
+    def test_partition_invariance(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.textprep import build_vocab
+
+        df = self._corpus(spark)
+        a = sorted(map(tuple, build_vocab(df.coalesce(1), "text", 2).collect()))
+        b = sorted(map(tuple, build_vocab(df.repartition(8), "text", 2).collect()))
+        assert a == b
+
+    def test_no_single_partition_window(self, spark):
+        """The global rank must never funnel the vocab through one task."""
+        from lakehouse_architecture_for_realestatedata_spark.operators.textprep import build_vocab
+
+        plan = (
+            build_vocab(self._corpus(spark), "text", 2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SinglePartition" not in plan

@@ -184,3 +184,62 @@ def build_vocab(df, text_col: str, min_count: int = 2) -> DataFrame:
         .drop(*drop, "__one")
         .select("token", "n", "id")
     )
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str,
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode each document's token stream into vocabulary ids — the step
+    that turns a curated corpus plus a ``build_vocab`` table into model-ready
+    integer sequences. Output ``(id_col, ids, n_tokens, n_oov)`` where
+    ``ids`` is the in-order ``array<int>`` (out-of-vocabulary tokens encoded
+    as ``oov_id``) and ``n_oov`` counts them.
+
+    Scale shape: tokens explode narrowly with their position, join the vocab
+    BROADCAST on the token string (a vocab is ≤ a few M rows — the standard
+    broadcast size class; for a rare giant vocab swap in a shuffle join),
+    and reassemble with ONE doc-keyed groupBy via the ordinal-sorted
+    ``collect_list`` — the boilerplate-removal shape. The left join keeps
+    OOV positions so offsets stay aligned with the original token stream.
+    Documents with NULL/empty text yield an empty ``ids`` array (a sentinel
+    row rides the reassembly shuffle, no doc-spine join).
+    """
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import tokens
+
+    split = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    joined = split.join(
+        F.broadcast(vocab.select(F.col("token").alias("__tok"), F.col("id").alias("__vid"))),
+        "__tok",
+        "left",
+    ).select(
+        id_col,
+        "__pos",
+        F.coalesce(F.col("__vid").cast("int"), F.lit(int(oov_id))).alias("__vid"),
+        F.col("__vid").isNull().cast("int").alias("__oov"),
+    )
+    sentinel = df.select(
+        F.col(id_col),
+        F.lit(-1).alias("__pos"),
+        F.lit(None).cast("int").alias("__vid"),
+        F.lit(0).alias("__oov"),
+    )
+    packed = F.filter(
+        F.array_sort(F.collect_list(F.struct("__pos", "__vid"))),
+        lambda s: s["__pos"] >= 0,
+    )
+    return (
+        joined.unionByName(sentinel)
+        .groupBy(id_col)
+        .agg(
+            F.transform(packed, lambda s: s["__vid"]).alias("ids"),
+            F.sum(F.when(F.col("__pos") >= 0, 1).otherwise(0)).alias("n_tokens"),
+            F.sum("__oov").alias("n_oov"),
+        )
+    )

@@ -137,6 +137,7 @@ def registry() -> dict[str, QuerySpec]:
         "event_transition_matrix",
         "weighted_doc_sample",
         "vocab_top_tokens",
+        "encode_documents_vocab",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -192,3 +192,50 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("text")
     return build_vocab(docs, "text", min_count=5)
+
+
+@register(
+    "encode_documents_vocab",
+    r"""
+    WITH c AS (
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                x -> x <> '')) AS token
+            FROM documents)
+      GROUP BY token HAVING count(*) >= 5),
+    v AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS id FROM c),
+    t AS (SELECT doc_id, idx - 1 AS pos, toks[idx] AS tok
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+               LATERAL unnest(generate_series(1, greatest(len(toks), 0))) AS u(idx)),
+    j AS (SELECT t.doc_id, t.pos,
+                 coalesce(v.id, -1)::int AS vid,
+                 (v.id IS NULL)::int AS oov
+          FROM t LEFT JOIN v ON t.tok = v.token)
+    SELECT d.doc_id,
+           coalesce(list(j.vid ORDER BY j.pos) FILTER (WHERE j.pos IS NOT NULL),
+                    []) AS ids,
+           count(j.pos) AS n_tokens,
+           coalesce(sum(j.oov), 0)::bigint AS n_oov
+    FROM documents d LEFT JOIN j USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+    doc="Vocabulary encoding of the token stream (operators/textprep.py:"
+    "encode_documents over build_vocab, min_count=5, oov_id=-1): narrow "
+    "posexplode, BROADCAST left join on the token (vocab ≤ a few M rows), "
+    "ONE doc-keyed reassembly groupBy with ordinal-sorted collect_list + "
+    "sentinel row (no doc-spine join) — model-ready array<int> sequences "
+    "with aligned OOV markers.",
+)
+def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = build_vocab(docs, "text", min_count=5)
+    return encode_documents(docs, vocab, "doc_id", "text", oov_id=-1)

@@ -145,4 +145,5 @@ def test_driver_window_fully_oracle_backed():
         "event_transition_matrix",
         "weighted_doc_sample",
         "vocab_top_tokens",
+        "encode_documents_vocab",
     }, displaced

@@ -157,3 +157,52 @@ class TestBuildVocab:
             .toString()
         )
         assert "SinglePartition" not in plan
+
+
+class TestEncodeDocuments:
+    def test_encoding_alignment_and_oov(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+            build_vocab,
+            encode_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta alpha"),
+                (2, "beta rare alpha"),  # 'rare' appears once -> OOV at min_count=2
+                (3, None),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        vocab = build_vocab(docs, "text", min_count=2)
+        v = {r["token"]: r["id"] for r in vocab.collect()}
+        out = {
+            r["doc_id"]: (r["ids"], r["n_tokens"], r["n_oov"])
+            for r in encode_documents(docs, vocab, "doc_id", "text").collect()
+        }
+        a, b = v["alpha"], v["beta"]
+        assert out[1] == ([a, b, a], 3, 0)
+        assert out[2] == ([b, -1, a], 3, 1)  # OOV keeps its position
+        assert out[3] == ([], 0, 0)
+        assert out[4] == ([], 0, 0)
+        assert set(out) == {1, 2, 3, 4}
+
+    def test_broadcast_and_single_reassembly_shuffle(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+            build_vocab,
+            encode_documents,
+        )
+
+        docs = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+        vocab = build_vocab(docs, "text", min_count=1)
+        plan = (
+            encode_documents(docs, vocab, "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # vocab join broadcast; no SortMergeJoin anywhere (doc spine rides
+        # the sentinel union, vocab rides the broadcast)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

@@ -192,3 +192,42 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__prev", "__rn", ts)
     )
+
+
+def scd2_pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    ts: str,
+    payload: list[str],
+    prefix: str = "pit_",
+) -> DataFrame:
+    """Point-in-time join: attach to each fact row the SCD2 dimension version
+    valid at the fact's timestamp — ``valid_from <= ts`` and (``valid_to``
+    NULL or ``ts < valid_to``), the standard half-open-interval lookup
+    against a ``scd2_history`` table. Facts before the key's first version
+    (or with no key match) keep NULL payload (left join). Payload columns
+    are prefixed to avoid collisions.
+
+    Uniqueness: ``scd2_history`` intervals partition each key's timeline
+    (half-open, consecutive), so at most ONE version matches any fact —
+    zero-length intervals from same-timestamp change ties can never match.
+
+    Scale shape: an equi-join on the key with the interval predicate as a
+    post-join filter — one hash shuffle per side, never a nested-loop or
+    cross join; the dimension side is a history table (≪ facts), so AQE
+    broadcasts it when small. For repeated lookups at extreme fact scale,
+    bucket-write both sides by the key to elide the exchanges entirely
+    (same contract as cdc.snapshot_diff)."""
+    h = history.select(
+        F.col(key).alias("__pit_k"),
+        F.col("valid_from").alias(f"{prefix}valid_from"),
+        F.col("valid_to").alias("__pit_to"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+    )
+    cond = (
+        (facts[key] == h["__pit_k"])
+        & (h[f"{prefix}valid_from"] <= facts[ts])
+        & (h["__pit_to"].isNull() | (facts[ts] < h["__pit_to"]))
+    )
+    return facts.join(h, cond, "left").drop("__pit_k", "__pit_to")

@@ -138,6 +138,7 @@ def registry() -> dict[str, QuerySpec]:
         "weighted_doc_sample",
         "vocab_top_tokens",
         "encode_documents_vocab",
+        "scd2_point_in_time_purchases",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

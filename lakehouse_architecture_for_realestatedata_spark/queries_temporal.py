@@ -202,3 +202,56 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key="user_id", ts="ts", tracked=["event_type"], tiebreak=[F.col("event_id").asc()]
     )
     return hist.select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+
+
+@register(
+    "scd2_point_in_time_purchases",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER w AS prev_type,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, ts, event_id, event_type FROM ordered
+        WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+    ), hist AS (
+        SELECT user_id, event_type, ts AS valid_from, lead(ts) OVER w2 AS valid_to
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), f AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    )
+    SELECT f.user_id, f.event_id, f.ts, f.value,
+           h.valid_from AS pit_valid_from, h.event_type AS pit_event_type
+    FROM f LEFT JOIN hist h
+      ON f.user_id = h.user_id
+     AND h.valid_from <= f.ts
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    """,
+    doc="Point-in-time lookup of each purchase's SCD2 state version "
+    "(operators/temporal.py:scd2_pit_join over scd2_history): equi-join on "
+    "the key with the half-open interval predicate as a post-join filter — "
+    "one shuffle per side, AQE broadcasts the (small) history side; "
+    "interval partitioning guarantees a unique match. The composition "
+    "pins history-build + PIT-lookup end-to-end against one SQL oracle.",
+)
+def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.temporal import scd2_pit_join
+
+    ev = _events(spark, sf_dir)
+    hist = scd2_history(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        key="user_id",
+        ts="ts",
+        tracked=["event_type"],
+        tiebreak=[F.col("event_id").asc()],
+    )
+    facts = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("user_id", "event_id", "ts", "value")
+    return scd2_pit_join(
+        facts, hist, key="user_id", ts="ts", payload=["event_type"]
+    ).select("user_id", "event_id", "ts", "value", "pit_valid_from", "pit_event_type")

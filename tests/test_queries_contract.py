@@ -146,4 +146,5 @@ def test_driver_window_fully_oracle_backed():
         "weighted_doc_sample",
         "vocab_top_tokens",
         "encode_documents_vocab",
+        "scd2_point_in_time_purchases",
     }, displaced

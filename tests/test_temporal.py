@@ -247,3 +247,44 @@ class TestSnapshotDiff:
             for r in snapshot_diff(old, new, keys=["id", "grp"]).collect()
         }
         assert out == {(1, "a"): "update", (1, "b"): "delete", (2, "b"): "insert"}
+
+
+class TestScd2PitJoin:
+    def test_lookup_edges(self, spark):
+        import datetime as dt
+
+        from lakehouse_architecture_for_realestatedata_spark.operators.temporal import (
+            scd2_pit_join,
+        )
+
+        def ts(s):
+            return dt.datetime.fromisoformat(s)
+
+        hist = spark.createDataFrame(
+            [
+                # key 1: [10:00,11:00) state A, [11:00,NULL) state B
+                (1, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "A"),
+                (1, ts("2024-01-01 11:00:00"), None, "B"),
+                # key 2: zero-length interval at 09:00 (same-ts change tie)
+                (2, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), "X"),
+                (2, ts("2024-01-01 09:00:00"), None, "Y"),
+            ],
+            "k long, valid_from timestamp, valid_to timestamp, state string",
+        )
+        facts = spark.createDataFrame(
+            [
+                (1, 1, ts("2024-01-01 10:30:00")),  # inside first interval
+                (2, 1, ts("2024-01-01 11:00:00")),  # boundary: valid_from inclusive
+                (3, 1, ts("2024-01-01 09:00:00")),  # before first version -> NULL
+                (4, 2, ts("2024-01-01 09:00:00")),  # zero-length interval never matches
+                (5, 3, ts("2024-01-01 10:00:00")),  # unknown key -> NULL
+            ],
+            "fid long, k long, ts timestamp",
+        )
+        out = {
+            r["fid"]: r["pit_state"]
+            for r in scd2_pit_join(facts, hist, "k", "ts", ["state"]).collect()
+        }
+        assert out == {1: "A", 2: "B", 3: None, 4: "Y", 5: None}
+        # exactly one row per fact (interval partitioning => unique match)
+        assert scd2_pit_join(facts, hist, "k", "ts", ["state"]).count() == 5

@@ -243,3 +243,45 @@ def encode_documents(
             F.sum("__oov").alias("n_oov"),
         )
     )
+
+
+def token_bigram_counts(
+    df: DataFrame, text_col: str, min_count: int = 1
+) -> DataFrame:
+    """Corpus bigram language-model counts: every adjacent token pair with
+    its global count and conditional probability ``p = n(w1,w2) / n(w1,·)``.
+    Output ``(w1, w2, n, p)``, filtered to ``n >= min_count`` AFTER the
+    probability is computed (the denominator is the true unfiltered
+    continuation mass of ``w1``, so probabilities stay calibrated).
+
+    Adjacent pairs are built array-side (``transform`` over an index
+    sequence, guarded for <2-token docs — Spark's ``sequence(1, 0)``
+    DESCENDS, so the guard is load-bearing) and exploded: no self-join, no
+    shuffle until the (w1, w2) groupBy. The w1-normalization window runs
+    over the bigram vocabulary (≪ corpus). Scale shape: one full-data
+    shuffle (the pair groupBy, partial-agg combined), one vocab-scale
+    window.
+    """
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    counts = (
+        df.select(F.explode(pairs).alias("__bg"))
+        .select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("w1")
+    return counts.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(w)
+    ).filter(F.col("n") >= min_count)

@@ -139,6 +139,7 @@ def registry() -> dict[str, QuerySpec]:
         "vocab_top_tokens",
         "encode_documents_vocab",
         "scd2_point_in_time_purchases",
+        "token_bigram_lm",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -239,3 +239,33 @@ def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     vocab = build_vocab(docs, "text", min_count=5)
     return encode_documents(docs, vocab, "doc_id", "text", oov_id=-1)
+
+
+@register(
+    "token_bigram_lm",
+    r"""
+    WITH toks AS (SELECT list_filter(
+                      string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                      x -> x <> '') AS t
+                  FROM documents),
+    b AS (SELECT t[idx] AS w1, t[idx + 1] AS w2
+          FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(idx)
+          WHERE len(t) >= 2),
+    c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2)
+    SELECT w1, w2, n, n::double / sum(n) OVER (PARTITION BY w1) AS p
+    FROM c QUALIFY n >= 3
+    """,
+    doc="Bigram LM counts with conditional probabilities, min_count=3 "
+    "(operators/textprep.py:token_bigram_counts): adjacent pairs built "
+    "array-side and exploded — no self-join; ONE full-data shuffle (the "
+    "pair groupBy), then a bigram-vocab-scale w1-normalization window. "
+    "Probabilities computed BEFORE the count filter so denominators are "
+    "the true continuation mass.",
+)
+def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+        token_bigram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return token_bigram_counts(docs, "text", min_count=3)

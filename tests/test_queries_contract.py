@@ -147,4 +147,5 @@ def test_driver_window_fully_oracle_backed():
         "vocab_top_tokens",
         "encode_documents_vocab",
         "scd2_point_in_time_purchases",
+        "token_bigram_lm",
     }, displaced

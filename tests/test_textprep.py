@@ -206,3 +206,47 @@ class TestEncodeDocuments:
         # the sentinel union, vocab rides the broadcast)
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestTokenBigrams:
+    def test_counts_probabilities_and_guards(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+            token_bigram_counts,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b c"),
+                (2, "a b"),
+                (3, "solo"),  # <2 tokens: contributes nothing
+                (4, None),
+                (5, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["w1"], r["w2"]): (r["n"], r["p"])
+            for r in token_bigram_counts(docs, "text", min_count=1).collect()
+        }
+        # bigrams: (a,b)x3, (b,a)x1, (b,c)x1
+        assert out[("a", "b")] == (3, 1.0)
+        assert out[("b", "a")] == (1, pytest.approx(0.5))
+        assert out[("b", "c")] == (1, pytest.approx(0.5))
+        assert len(out) == 3
+
+    def test_min_count_filters_after_probability(self, spark):
+        """p keeps the unfiltered denominator: filtering (b,*) singletons
+        must not inflate surviving probabilities."""
+        from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+            token_bigram_counts,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "b a b a b c")], "doc_id long, text string"
+        )  # (b,a)x2 (a,b)x2 (b,c)x1
+        out = {
+            (r["w1"], r["w2"]): (r["n"], r["p"])
+            for r in token_bigram_counts(docs, "text", min_count=2).collect()
+        }
+        assert out[("b", "a")] == (2, pytest.approx(2 / 3))  # not 1.0
+        assert ("b", "c") not in out

@@ -124,6 +124,30 @@ def stream_dedup_exact(
     return events.dropDuplicates(key_cols)
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    streaming: bool = True,
+) -> DataFrame:
+    """Streaming dedup tolerating LATE duplicates: unlike ``dropDuplicates``
+    (whose per-key state, once evicted at the watermark, lets a very late
+    duplicate re-emit), ``dropDuplicatesWithinWatermark`` guarantees rows
+    whose event times fall within the watermark delay of each other dedup
+    against each other even when the first arrival was late — the contract
+    to use when upstream retries deliver duplicates minutes apart with
+    out-of-order event times. State is still watermark-bounded. The event
+    time column participates in dedup state but is NOT a dedup key. Batch
+    twin: plain ``dropDuplicates`` on the keys (batch sees all rows at
+    once, so the two streaming contracts coincide)."""
+    if streaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return events.dropDuplicates(key_cols)
+
+
 def running_user_totals(
     events: DataFrame,
     user_col: str = "user_id",

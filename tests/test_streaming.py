@@ -204,3 +204,31 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark_keys(spark, sf_dir):
+    """dropDuplicatesWithinWatermark twin: key set equals batch distinct keys
+    on a bounded replay (same contract as stream_dedup_exact — the two
+    streaming semantics differ only for duplicates arriving later than the
+    watermark, which a bounded file replay never produces)."""
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import (
+        stream_dedup_within_watermark,
+    )
+
+    stream = stream_dedup_within_watermark(_event_stream(spark, sf_dir), ["user_id"])
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm_out")
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        got = {r["user_id"] for r in spark.sql("SELECT user_id FROM dedup_wm_out").collect()}
+        want = {
+            r["user_id"]
+            for r in _event_batch(spark, sf_dir).select("user_id").distinct().collect()
+        }
+        assert got == want
+    finally:
+        q.stop()

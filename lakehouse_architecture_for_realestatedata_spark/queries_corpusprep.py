@@ -1,6 +1,9 @@
 """Corpus-preparation queries: fixed-size document chunking, corpus-frequency
-boilerplate line removal, and ordered-funnel conversion — the carve-up /
-scrub / engagement-analysis steps of a training-data pipeline.
+boilerplate line removal, vocabulary construction / document encoding /
+bigram LM counts (the tokenize→vocab→encode loop), per-row-probability
+weighted sampling, and the behavior-analytics pair (ordered funnel, Markov
+transition matrix) — the carve-up / scrub / tokenize / curate steps of a
+training-data pipeline.
 
 Registered AFTER the SURVEY-§2 modules (see ``queries.registry``) so they
 never displace a §2 query from the driver's bounded correctness window; their

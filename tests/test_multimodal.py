@@ -217,3 +217,65 @@ def test_extract_features_on_real_png(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["n_bytes"] == len(blob)
         assert abs(r["byte_mean"] - sum(pixels) / len(pixels)) < 1e-9
+
+
+class TestResizeImages:
+    def test_nearest_neighbor_roundtrip(self, spark):
+        import numpy as np
+
+        from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            resize_images,
+        )
+
+        # 4x4 RGB gradient with distinct per-pixel values
+        arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        blob = encode_png(4, 4, arr.tobytes(), color_type=2)
+        df = spark.createDataFrame(
+            [(1, "image/png", bytearray(blob), {"width": 4, "height": 4})],
+            "asset_id long, media_type string, blob binary, meta struct<width:int,height:int>",
+        )
+        out = resize_images(df, 2, 2).collect()[0]
+        assert out["meta"]["width"] == 2 and out["meta"]["height"] == 2
+        w, h, px = decode_png(bytes(out["blob"]))
+        assert (w, h) == (2, 2)
+        got = np.frombuffer(px, dtype=np.uint8).reshape(2, 2, 3)
+        # floor mapping: src rows/cols [0, 2]
+        np.testing.assert_array_equal(got, arr[[0, 2]][:, [0, 2]])
+
+    def test_upscale_and_grayscale(self, spark):
+        import numpy as np
+
+        from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            resize_images,
+        )
+
+        arr = np.array([[0, 255]], dtype=np.uint8)  # 2x1 grayscale
+        blob = encode_png(2, 1, arr.tobytes(), color_type=0)
+        df = spark.createDataFrame(
+            [(1, "image/png", bytearray(blob), {"width": 2, "height": 1})],
+            "asset_id long, media_type string, blob binary, meta struct<width:int,height:int>",
+        )
+        w, h, px = decode_png(bytes(resize_images(df, 4, 2).collect()[0]["blob"]))
+        got = np.frombuffer(px, dtype=np.uint8).reshape(2, 4)
+        np.testing.assert_array_equal(got, [[0, 0, 255, 255], [0, 0, 255, 255]])
+
+    def test_non_png_raises(self, spark):
+        import pytest as _pytest
+
+        from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+            resize_images,
+            synthesize_blobs,
+        )
+        from pyspark.sql import functions as F
+
+        assets = synthesize_blobs(
+            spark.range(1).select(F.col("id"), F.col("id").cast("string").alias("s")),
+            "id",
+            "s",
+        )
+        with _pytest.raises(Exception, match="NotImplementedError|PNG"):
+            resize_images(assets, 2, 2).collect()

@@ -51,6 +51,10 @@ HEADLINE = [
     "remove_boilerplate",
     "funnel_view_click_purchase",
     "mad_outlier_events",
+    # tokenize→vocab→encode loop + bigram LM: the corpus-tokenization
+    # pipeline stays perf-accountable end-to-end
+    "encode_documents_vocab",
+    "token_bigram_lm",
 ]
 
 

@@ -264,7 +264,12 @@ def token_bigram_counts(
     """
     from lakehouse_architecture_for_realestatedata_spark.functions.text import tokens
 
-    toks = tokens(F.col(text_col))
+    # Materialize the token array ONCE per row: element_at(tokens(text), i)
+    # inside the lambda would re-run the split+filter for EVERY index
+    # (Catalyst does not CSE subexpressions across higher-order-function
+    # lambdas), turning the pair build O(len²) per document — measured 6×
+    # the whole-query wall at sf0.1 before this projection.
+    toks = F.col("__toks")
     n = F.size(toks)
     pairs = F.when(
         n >= 2,
@@ -276,7 +281,8 @@ def token_bigram_counts(
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     counts = (
-        df.select(F.explode(pairs).alias("__bg"))
+        df.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(F.explode(pairs).alias("__bg"))
         .select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))

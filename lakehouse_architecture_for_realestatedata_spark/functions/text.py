@@ -44,7 +44,16 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-shingles as array<string> — the unit set for Jaccard/MinHash
-    dedup. Built from sequence+transform+slice; distinct'ed."""
+    dedup. Built from sequence+transform+slice; distinct'ed.
+
+    NB: ``toks`` captured inside the lambda re-evaluates per shingle index
+    (no CSE across lambda boundaries — see the measured 6× fix in
+    operators/textprep.py:token_bigram_counts). A single-element-transform
+    let-binding fixes that (measured 1.6× on this expansion alone), but
+    nested-lambda trees break ExtractPythonUDFs when the column feeds a
+    pandas UDF argument (sketches.minhash_buckets does exactly that), so
+    this stays the plain spelling; materialize via ``.withColumn`` first
+    when consuming shingles in a non-UDF O(n·len)-sensitive path."""
     toks = tokens(col)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))

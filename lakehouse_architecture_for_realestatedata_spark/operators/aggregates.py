@@ -479,3 +479,81 @@ def winsorize_by_group(
     p_hi = F.percentile(x, F.lit(hi)).over(w)
     clipped = F.when(x < p_lo, p_lo).when(x > p_hi, p_hi).otherwise(x)
     return df.withColumn(out_col, clipped)
+
+
+def _select_rank(df: DataFrame, col: str, k: int, nbins: int = 1024) -> float:
+    """Exact k-th order statistic (0-based, NULLs excluded) by iterative bin
+    narrowing: each pass is ONE full aggregate computing per-bin
+    (count, min, max) over the current value range, then the driver keeps
+    the bin containing rank k and recurses into its actual [min, max] value
+    span. Converges when the target bin holds a single distinct value —
+    heavy ties therefore terminate immediately rather than looping.
+
+    Per pass the driver sees ≤ nbins rows (metadata-scale, like AQE stats);
+    the data never sorts globally and executor aggregation state is
+    O(nbins), unlike ``F.percentile`` whose state holds every distinct
+    value per group. Passes needed: ~log_nbins(distinct values) — 3 passes
+    cover 1e9 distincts at the default 1024.
+    """
+    x = F.col(col)
+    lo, hi = None, None
+    offset = 0  # values strictly below the current range
+    for _ in range(64):
+        if lo is None:
+            cur = df.filter(x.isNotNull())
+            b = F.lit(0)
+        else:
+            cur = df.filter(x.isNotNull() & (x >= lo) & (x <= hi))
+            if lo == hi:
+                return lo
+            # clamp x == hi into the last bin (same shape as histogram_equi_width)
+            b = F.floor((x - F.lit(lo)) * nbins / F.lit(hi - lo))
+            b = F.when(b >= nbins, F.lit(nbins - 1)).otherwise(b)
+        stats = (
+            cur.groupBy(b.cast("int").alias("__b"))
+            .agg(F.count(F.lit(1)).alias("n"), F.min(x).alias("mn"), F.max(x).alias("mx"))
+            .collect()
+        )
+        if not stats:
+            raise ValueError("rank selection over empty input")
+        acc = offset
+        for r in sorted(stats, key=lambda r: r["__b"]):
+            if acc + r["n"] > k:
+                if r["mn"] == r["mx"]:
+                    return r["mn"]
+                lo, hi, offset = r["mn"], r["mx"], acc
+                break
+            acc += r["n"]
+        else:
+            raise ValueError(f"rank {k} out of range (counted {acc} values)")
+    raise RuntimeError("rank selection failed to converge")
+
+
+def quantile_exact_global(df: DataFrame, col: str, q: float, nbins: int = 1024) -> float:
+    """EXACT global quantile (linear interpolation, SQL ``percentile_cont``
+    semantics) computed with bounded executor state and NO global sort —
+    the 100 TB path for a whole-corpus median/p99.
+
+    Why not ``F.percentile``: Spark's exact percentile aggregate buffers
+    every value in aggregation state — fine per bounded group, a
+    driver/executor OOM as a single global aggregate over 100 TB. Why not
+    ``percentile_approx``: rank error is unbounded in the VALUE domain on
+    heavy-tailed data. This runs 2·~3 metadata-scale passes (multipass
+    bin-narrowing per neighboring rank) and returns the exact value Spark's
+    own ``percentile`` / DuckDB's ``quantile_cont`` would: interpolation is
+    ``lower + (higher − lower) · frac`` — the same op order both engines
+    use, so results are bit-identical.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    n = df.filter(F.col(col).isNotNull()).count()
+    if n == 0:
+        raise ValueError("quantile over empty input")
+    rank = q * (n - 1)
+    k_lo = int(rank)
+    frac = rank - k_lo
+    v_lo = _select_rank(df, col, k_lo, nbins)
+    if frac == 0.0:
+        return float(v_lo)
+    v_hi = _select_rank(df, col, k_lo + 1, nbins)
+    return float(v_lo + (v_hi - v_lo) * frac)

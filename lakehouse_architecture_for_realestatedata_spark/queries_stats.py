@@ -195,3 +195,29 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
     w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
     return ev.withColumn("pr", F.percent_rank().over(w))
+
+
+@register(
+    "quantile_exact_global_events",
+    """
+    SELECT quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events
+    """,
+    doc="EXACT global quantiles with bounded executor state "
+    "(operators/aggregates.py:quantile_exact_global): multipass bin-"
+    "narrowing rank selection — each pass one metadata-scale per-bin "
+    "(count,min,max) aggregate, ~3 passes per order statistic, NO global "
+    "sort and no buffer-every-value percentile state (the global-aggregate "
+    "OOM at 100 TB). Interpolation mirrors Spark/DuckDB's shared "
+    "lower+(higher−lower)·frac op order, so values are bit-identical.",
+)
+def q_quantile_exact_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+        quantile_exact_global,
+    )
+
+    ev = _events(spark, sf_dir).select("value")
+    vals = [quantile_exact_global(ev, "value", q) for q in (0.25, 0.5, 0.95)]
+    return spark.createDataFrame([tuple(vals)], "p25 double, p50 double, p95 double")

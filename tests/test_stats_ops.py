@@ -207,3 +207,39 @@ class TestMadOutliers:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestQuantileExactGlobal:
+    def test_matches_builtin_percentile(self, spark, sf_dir):
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            quantile_exact_global,
+        )
+        from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+        ev = _events(spark, sf_dir).select("value")
+        want = ev.agg(
+            F.percentile("value", 0.25).alias("p25"),
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+        ).collect()[0]
+        for q, name in [(0.25, "p25"), (0.5, "p50"), (0.95, "p95")]:
+            assert quantile_exact_global(ev, "value", q) == want[name]  # bit-exact
+
+    def test_heavy_ties_and_small_inputs(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            quantile_exact_global,
+        )
+
+        ties = spark.createDataFrame([(5.0,)] * 1000 + [(7.0,)], "v double")
+        assert quantile_exact_global(ties, "v", 0.5) == 5.0  # converges instantly on ties
+        two = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+        assert quantile_exact_global(two, "v", 0.5) == 1.5  # interpolates
+        one = spark.createDataFrame([(3.0,), (None,)], "v double")
+        assert quantile_exact_global(one, "v", 0.0) == 3.0  # NULLs excluded
+        import pytest as _pytest
+
+        empty = spark.createDataFrame([], "v double")
+        with _pytest.raises(ValueError):
+            quantile_exact_global(empty, "v", 0.5)
+        with _pytest.raises(ValueError):
+            quantile_exact_global(two, "v", 1.5)

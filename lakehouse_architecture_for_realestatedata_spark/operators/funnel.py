@@ -20,7 +20,7 @@ assumption for user-grain funnels at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -144,4 +144,47 @@ def event_transitions(
     total = Window.partitionBy("from_stage")
     return counts.withColumn(
         "p", F.col("n").cast("double") / F.sum("n").over(total)
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity period
+    (the cohort), counted at each later period they returned. Output
+    ``(cohort, period_offset, users)`` — offset 0 is the cohort's own period
+    (``users`` there = cohort size), offset k counts members active k
+    periods later. NULL users excluded. (Named ``period_offset`` because
+    bare OFFSET is a reserved clause keyword in ANSI engines.)
+
+    Scale shape: ONE user-keyed exchange computes each user's cohort as a
+    window min over truncated activity periods; the (user, cohort, period)
+    distinct and the final (cohort, offset) count reuse that partitioning
+    (strictly coarser keys under AQE) — no join anywhere, unlike the classic
+    first-activity-table + self-join spelling. Offsets are integer
+    date_diff arithmetic on truncated dates, identical in any engine."""
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day, week, or month")
+    per = F.date_trunc(period, F.col(ts_col)).cast("date")
+    w = Window.partitionBy(user_col)
+    act = (
+        events.filter(F.col(user_col).isNotNull())
+        .select(F.col(user_col), per.alias("__per"))
+        .withColumn("cohort", F.min("__per").over(w))
+        .distinct()
+    )
+    if period == "month":
+        offset = (F.month("__per") - F.month("cohort")) + (
+            F.year("__per") - F.year("cohort")
+        ) * 12
+    else:
+        days = 7 if period == "week" else 1
+        offset = F.floor(F.datediff(F.col("__per"), F.col("cohort")) / days)
+    return (
+        act.select("cohort", offset.cast("int").alias("period_offset"), F.col(user_col))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("users"))
     )

@@ -141,6 +141,7 @@ def registry() -> dict[str, QuerySpec]:
         "scd2_point_in_time_purchases",
         "token_bigram_lm",
         "quantile_exact_global_events",
+        "weekly_retention_cohorts",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

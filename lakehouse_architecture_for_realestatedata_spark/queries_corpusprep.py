@@ -272,3 +272,33 @@ def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("text")
     return token_bigram_counts(docs, "text", min_count=3)
+
+
+@register(
+    "weekly_retention_cohorts",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::date AS per
+      FROM events WHERE user_id IS NOT NULL),
+    c AS (SELECT user_id, per,
+                 min(per) OVER (PARTITION BY user_id) AS cohort
+          FROM act)
+    SELECT cohort, (date_diff('day', cohort, per) // 7)::int AS period_offset,
+           count(DISTINCT user_id) AS users
+    FROM c GROUP BY cohort, period_offset
+    """,
+    doc="Weekly cohort retention matrix "
+    "(operators/funnel.py:retention_cohorts): ONE user-keyed exchange — "
+    "cohort is a window min over truncated activity weeks, and the "
+    "(user, cohort, week) distinct plus the (cohort, offset) count reuse "
+    "that partitioning — no first-activity self-join. Offsets are integer "
+    "day-diff arithmetic on Monday-truncated dates, identical in both "
+    "engines (session TZ pinned UTC).",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return retention_cohorts(ev, "user_id", "ts", period="week")

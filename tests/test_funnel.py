@@ -172,3 +172,60 @@ class TestEventTransitions:
             ).collect()
         }
         assert out == {("x", "y"), ("y", "z")}
+
+
+class TestRetentionCohorts:
+    def test_weekly_matrix(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+            retention_cohorts,
+        )
+
+        ev = _ev(
+            spark,
+            [
+                # u1: first week W0 (Mon 2024-01-01), returns W1 and W3
+                (1, _ts("2024-01-03 10:00:00"), "view"),
+                (1, _ts("2024-01-04 10:00:00"), "click"),  # same week, one count
+                (1, _ts("2024-01-08 10:00:00"), "view"),
+                (1, _ts("2024-01-22 10:00:00"), "view"),
+                # u2: first week W0, never returns
+                (2, _ts("2024-01-05 10:00:00"), "view"),
+                # u3: first week W1
+                (3, _ts("2024-01-10 10:00:00"), "view"),
+                (None, _ts("2024-01-01 10:00:00"), "view"),
+            ],
+        )
+        out = {
+            (str(r["cohort"]), r["period_offset"]): r["users"]
+            for r in retention_cohorts(ev, "user_id", "ts", "week").collect()
+        }
+        assert out == {
+            ("2024-01-01", 0): 2,  # u1, u2
+            ("2024-01-01", 1): 1,  # u1
+            ("2024-01-01", 3): 1,  # u1
+            ("2024-01-08", 0): 1,  # u3
+        }
+
+    def test_no_join_single_user_exchange(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+            retention_cohorts,
+        )
+
+        ev = _ev(spark, [(1, _ts("2024-01-01 10:00:00"), "view")])
+        plan = (
+            retention_cohorts(ev, "user_id", "ts")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan
+
+    def test_rejects_bad_period(self, spark):
+        import pytest as _pytest
+
+        from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+            retention_cohorts,
+        )
+
+        with _pytest.raises(ValueError):
+            retention_cohorts(_ev(spark, []), "user_id", "ts", "year")

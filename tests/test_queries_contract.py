@@ -149,4 +149,5 @@ def test_driver_window_fully_oracle_backed():
         "encode_documents_vocab",
         "scd2_point_in_time_purchases",
         "token_bigram_lm",
+        "weekly_retention_cohorts",
     }, displaced

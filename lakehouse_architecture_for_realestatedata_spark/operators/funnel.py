@@ -188,3 +188,60 @@ def retention_cohorts(
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("users"))
     )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stage_col: str,
+    gap_minutes: int = 30,
+    top_k: int = 20,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Most common session journeys: gap-based sessionization (a session
+    breaks when ≥ ``gap_minutes`` elapse between consecutive events), each
+    session rendered as its ordered ``stage`` path string (``a>b>c``), and
+    the ``top_k`` most frequent paths returned as ``(path, n)`` — ties
+    broken by path text so the cut is total.
+
+    ``tiebreak`` (e.g. the event id) is REQUIRED for deterministic paths
+    when timestamps can collide within a session.
+
+    Scale shape: ONE user-keyed exchange carries the lag/cumsum session
+    construction AND the per-session path groupBy (strictly finer key,
+    partitioning reused); the path-frequency groupBy runs over session
+    counts (≪ events) and the final cut is a TakeOrdered top-k, never a
+    global sort."""
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col(ts_col) - prev >= F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sort_cols = [F.col(ts_col), *(
+        [F.col(tiebreak)] if tiebreak else []
+    ), F.col(stage_col)]
+    paths = (
+        events.filter(F.col(user_col).isNotNull())
+        .withColumn("__sid", sid)
+        .groupBy(user_col, "__sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(*sort_cols))),
+                    lambda s: s[stage_col],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(top_k)
+    )

@@ -142,6 +142,7 @@ def registry() -> dict[str, QuerySpec]:
         "token_bigram_lm",
         "quantile_exact_global_events",
         "weekly_retention_cohorts",
+        "top_session_paths",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

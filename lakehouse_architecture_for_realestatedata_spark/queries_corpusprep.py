@@ -302,3 +302,38 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "ts")
     return retention_cohorts(ev, "user_id", "ts", period="week")
+
+
+@register(
+    "top_session_paths",
+    """
+    WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+               WHERE user_id IS NOT NULL),
+    f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                         THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f),
+    p AS (SELECT user_id, sid,
+                 string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM s GROUP BY user_id, sid)
+    SELECT path, count(*) AS n
+    FROM p GROUP BY path
+    ORDER BY n DESC, path LIMIT 20
+    """,
+    doc="Top-20 session journey paths, 30-min gap sessions "
+    "(operators/funnel.py:session_paths): ONE user-keyed exchange carries "
+    "lag/cumsum sessionization AND the per-session path assembly "
+    "(finer-key groupBy reuses the partitioning); path frequencies run "
+    "over sessions (<< events) and the cut is TakeOrdered. Deterministic "
+    "via the event_id tiebreak and path-text tie-break on the cut.",
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import session_paths
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    return session_paths(
+        ev, "user_id", "ts", "event_type", gap_minutes=30, top_k=20, tiebreak="event_id"
+    )

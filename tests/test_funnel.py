@@ -229,3 +229,56 @@ class TestRetentionCohorts:
 
         with _pytest.raises(ValueError):
             retention_cohorts(_ev(spark, []), "user_id", "ts", "year")
+
+
+class TestSessionPaths:
+    def test_paths_and_gap_break(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.funnel import session_paths
+
+        rows = [
+            # u1 session 1: a>b ; 40-min gap ; session 2: c
+            (1, 1, _ts("2024-01-01 10:00:00"), "a"),
+            (1, 2, _ts("2024-01-01 10:10:00"), "b"),
+            (1, 3, _ts("2024-01-01 10:50:00"), "c"),
+            # u2: a>b (one session)
+            (2, 4, _ts("2024-01-01 09:00:00"), "a"),
+            (2, 5, _ts("2024-01-01 09:05:00"), "b"),
+            # tie at same ts: event_id orders x before y
+            (3, 6, _ts("2024-01-01 08:00:00"), "x"),
+            (3, 7, _ts("2024-01-01 08:00:00"), "y"),
+            (None, 8, _ts("2024-01-01 08:00:00"), "z"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        out = {
+            r["path"]: r["n"]
+            for r in session_paths(
+                ev, "user_id", "ts", "event_type", 30, 20, tiebreak="event_id"
+            ).collect()
+        }
+        assert out == {"a>b": 2, "c": 1, "x>y": 1}
+
+    def test_exact_gap_boundary_breaks(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.funnel import session_paths
+
+        ev = spark.createDataFrame(
+            [
+                (1, 1, _ts("2024-01-01 10:00:00"), "a"),
+                (1, 2, _ts("2024-01-01 10:30:00"), "b"),  # exactly 30 min: new session
+            ],
+            "user_id long, event_id long, ts timestamp, event_type string",
+        )
+        out = {r["path"] for r in session_paths(ev, "user_id", "ts", "event_type", 30).collect()}
+        assert out == {"a", "b"}
+
+    def test_top_k_cut_is_total(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.funnel import session_paths
+
+        rows = [(u, u, _ts("2024-01-01 10:00:00"), t) for u, t in
+                [(1, "a"), (2, "b"), (3, "c"), (4, "d")]]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        got = [r["path"] for r in session_paths(ev, "user_id", "ts", "event_type", 30, top_k=2).collect()]
+        assert got == ["a", "b"]  # all n=1 -> path-text order decides the cut

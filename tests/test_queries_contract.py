@@ -150,4 +150,5 @@ def test_driver_window_fully_oracle_backed():
         "scd2_point_in_time_purchases",
         "token_bigram_lm",
         "weekly_retention_cohorts",
+        "top_session_paths",
     }, displaced

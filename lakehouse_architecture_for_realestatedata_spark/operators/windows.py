@@ -142,3 +142,52 @@ def rolling_time_agg(
         (roll_sum.cast("double") / roll_n).alias("rolling_avg"),
         roll_n.alias("rolling_n"),
     )
+
+
+def rolling_anomaly_flags(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+    k: float = 3.0,
+    scale: int = 6,
+) -> DataFrame:
+    """Streaming-style anomaly detection over a trailing time window: flag a
+    row when its value deviates more than ``k`` sample standard deviations
+    from its key's trailing-window mean — the monitoring twin of
+    ``zscore_by_group`` where the population is the last ``window_seconds``
+    rather than the whole group. Appends ``roll_mean``, ``roll_std``,
+    ``is_anomaly`` (NULL when the trailing window has < 2 points or zero
+    variance — no basis to flag).
+
+    The row's own value is INCLUDED in the window (RANGE frame, equal
+    timestamps are peers — deterministic under ties without a tiebreak);
+    with n ≥ 2 a single spike still flags because the mean moves by at most
+    spike/n. Determinism: Σx / Σx² through exact decimal window sums; mean,
+    the two-pass variance identity, sqrt and the k·std comparison are a
+    fixed IEEE op sequence (the zscore_by_group policy, applied to a moving
+    frame).
+
+    Scale shape: ONE hash exchange on ``key`` + per-key sort; all three
+    window aggregates share the frame, evaluated during the sorted scan.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    x = F.col(value_col)
+    s1 = F.sum(x.cast(f"decimal(30,{scale})")).over(w).cast("double")
+    s2 = F.sum((x * x).cast(f"decimal(30,{scale})")).over(w).cast("double")
+    n = F.count(x).over(w)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    std = F.sqrt(var)
+    flag = F.when((n > 1) & (var > 0), F.abs(x - mean) > F.lit(k) * std)
+    return df.select(
+        "*",
+        mean.alias("roll_mean"),
+        F.when((n > 1) & (var > 0), std).alias("roll_std"),
+        flag.alias("is_anomaly"),
+    )

@@ -143,6 +143,7 @@ def registry() -> dict[str, QuerySpec]:
         "quantile_exact_global_events",
         "weekly_retention_cohorts",
         "top_session_paths",
+        "rolling_anomaly_events",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

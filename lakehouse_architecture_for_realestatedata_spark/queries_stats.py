@@ -221,3 +221,41 @@ def q_quantile_exact_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("value")
     vals = [quantile_exact_global(ev, "value", q) for q in (0.25, 0.5, 0.95)]
     return spark.createDataFrame([tuple(vals)], "p25 double, p50 double, p95 double")
+
+
+@register(
+    "rolling_anomaly_events",
+    """
+    WITH r AS (
+        SELECT event_id, user_id, ts, value,
+               cast(sum(cast(value AS decimal(30,6))) OVER w AS double) AS s1,
+               cast(sum(cast(value * value AS decimal(30,6))) OVER w AS double) AS s2,
+               count(value) OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY cast(epoch(date_trunc('second', ts)) AS bigint)
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           s1 / n AS roll_mean,
+           CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS roll_std,
+           CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                THEN abs(value - s1 / n)
+                     > 3.0 * sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS is_anomaly
+    FROM r
+    """,
+    doc="Trailing-hour rolling z-score anomaly flags per user, k=3 "
+    "(operators/windows.py:rolling_anomaly_flags): the monitoring twin of "
+    "zscore_by_group over a RANGE frame — exact decimal window sums, "
+    "fixed-op-order two-pass variance, one hash exchange + per-key sort "
+    "shared by all three window aggregates. Equal timestamps are frame "
+    "peers, so no tiebreak is needed for determinism.",
+)
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
+        rolling_anomaly_flags,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    return rolling_anomaly_flags(ev, "user_id", "ts", "value", window_seconds=3600, k=3.0)

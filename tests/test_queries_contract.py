@@ -139,6 +139,7 @@ def test_driver_window_fully_oracle_backed():
         "mad_outlier_events",
         "percent_rank_event_values",
         "quantile_exact_global_events",
+        "rolling_anomaly_events",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "remove_boilerplate",

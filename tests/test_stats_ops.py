@@ -243,3 +243,44 @@ class TestQuantileExactGlobal:
             quantile_exact_global(empty, "v", 0.5)
         with _pytest.raises(ValueError):
             quantile_exact_global(two, "v", 1.5)
+
+
+class TestRollingAnomaly:
+    def test_spike_flags_and_degenerate_windows(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
+            rolling_anomaly_flags,
+        )
+
+        base = dt.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [(1, i, base + dt.timedelta(minutes=i), 10.0 + (i % 3) * 0.1) for i in range(10)]
+        rows.append((1, 99, base + dt.timedelta(minutes=10), 1000.0))  # spike in-window
+        rows.append((2, 100, base, 5.0))  # singleton window -> NULL flag
+        rows.append((3, 101, base, 7.0))  # zero-variance pair -> NULL flag
+        rows.append((3, 102, base + dt.timedelta(minutes=1), 7.0))
+        df = spark.createDataFrame(rows, "k long, id long, ts timestamp, v double")
+        out = {
+            r["id"]: r["is_anomaly"]
+            for r in rolling_anomaly_flags(df, "k", "ts", "v", 3600, 3.0).collect()
+        }
+        assert out[99] is True
+        assert out[0] is None  # first row: singleton trailing window
+        assert all(out[i] is False for i in range(1, 10))
+        assert out[100] is None and out[101] is None and out[102] is None
+
+    def test_out_of_window_history_does_not_flag(self, spark):
+        """A value normal for its trailing hour must not be judged against
+        older history outside the frame."""
+        from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
+            rolling_anomaly_flags,
+        )
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [(1, i, base + dt.timedelta(minutes=i), 100.0 + i) for i in range(3)]
+        # 2h later a new regime at ~5.0: no overlap with the old frame
+        rows += [(1, 10 + i, base + dt.timedelta(hours=2, minutes=i), 5.0 + 0.1 * i) for i in range(3)]
+        df = spark.createDataFrame(rows, "k long, id long, ts timestamp, v double")
+        out = {
+            r["id"]: r["is_anomaly"]
+            for r in rolling_anomaly_flags(df, "k", "ts", "v", 3600, 3.0).collect()
+        }
+        assert out[11] is False and out[12] is False

@@ -245,3 +245,46 @@ def session_paths(
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(top_k)
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stage_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Per-step conversion latency over the earliest-qualifying funnel
+    chains: for each consecutive stage pair, the user count plus median and
+    mean microseconds between the two stages' qualifying events. Output
+    ``(step, n_users, median_us, avg_us)``, one row per stage pair (absent
+    when no user converted that step).
+
+    Latencies are integer microsecond diffs of the ``funnel_reached``
+    timestamps; the mean goes through an exact decimal sum and the median
+    is the exact linear-interpolation percentile — the standard
+    cross-engine-deterministic pair. Scale shape: the funnel walk's ONE
+    user-keyed exchange, then a k−1-row-per-user projection aggregated by
+    the (tiny) step key."""
+    reached = funnel_reached(events, user_col, ts_col, stage_col, stages)
+    steps = []
+    for j in range(1, len(stages)):
+        steps.append(
+            reached.filter(F.col("reached")[j].isNotNull()).select(
+                F.lit(f"{stages[j - 1]}>{stages[j]}").alias("step"),
+                (
+                    F.unix_micros(F.col("reached")[j])
+                    - F.unix_micros(F.col("reached")[j - 1])
+                ).alias("__us"),
+            )
+        )
+    lat = steps[0]
+    for s in steps[1:]:
+        lat = lat.unionByName(s)
+    return lat.groupBy("step").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.percentile(F.col("__us"), F.lit(0.5)).alias("median_us"),
+        (F.sum(F.col("__us").cast("decimal(30,0)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_us"
+        ),
+    )

@@ -144,6 +144,7 @@ def registry() -> dict[str, QuerySpec]:
         "weekly_retention_cohorts",
         "top_session_paths",
         "rolling_anomaly_events",
+        "funnel_step_latency",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

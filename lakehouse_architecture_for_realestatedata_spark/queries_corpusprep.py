@@ -337,3 +337,37 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_paths(
         ev, "user_id", "ts", "event_type", gap_minutes=30, top_k=20, tiebreak="event_id"
     )
+
+
+@register(
+    "funnel_step_latency",
+    """
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id),
+    d AS (
+      SELECT 'view>click' AS step, epoch_us(s1.t) - epoch_us(s0.t) AS us
+      FROM s1 JOIN s0 USING (user_id)
+      UNION ALL
+      SELECT 'click>purchase', epoch_us(s2.t) - epoch_us(s1.t)
+      FROM s2 JOIN s1 USING (user_id))
+    SELECT step, count(*) AS n_users,
+           quantile_cont(us, 0.5) AS median_us,
+           cast(sum(cast(us AS decimal(30,0))) AS double) / count(*) AS avg_us
+    FROM d GROUP BY step
+    """,
+    doc="Median/mean conversion latency per funnel step "
+    "(operators/funnel.py:funnel_latency): microsecond diffs of the "
+    "earliest-qualifying chain timestamps (greedy walk ≡ the oracle's "
+    "K-join chain), exact decimal mean + exact interpolated median — the "
+    "deterministic pair. One user-keyed exchange + a step-keyed aggregate "
+    "over k−1 rows per converted user.",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import funnel_latency
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    return funnel_latency(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])

@@ -282,3 +282,29 @@ class TestSessionPaths:
         )
         got = [r["path"] for r in session_paths(ev, "user_id", "ts", "event_type", 30, top_k=2).collect()]
         assert got == ["a", "b"]  # all n=1 -> path-text order decides the cut
+
+
+def test_funnel_latency_values(spark):
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import funnel_latency
+
+    ev = _ev(
+        spark,
+        [
+            # u1: click 60s after view, purchase 120s after click
+            (1, _ts("2024-01-01 10:00:00"), "view"),
+            (1, _ts("2024-01-01 10:01:00"), "click"),
+            (1, _ts("2024-01-01 10:03:00"), "purchase"),
+            # u2: click 180s after view, no purchase
+            (2, _ts("2024-01-01 10:00:00"), "view"),
+            (2, _ts("2024-01-01 10:03:00"), "click"),
+            # u3: view only
+            (3, _ts("2024-01-01 10:00:00"), "view"),
+        ],
+    )
+    out = {
+        r["step"]: (r["n_users"], r["median_us"], r["avg_us"])
+        for r in funnel_latency(ev, "user_id", "ts", "event_type", STAGES).collect()
+    }
+    assert out["view>click"] == (2, 120e6, 120e6)  # 60s & 180s -> median/mean 120s
+    assert out["click>purchase"] == (1, 120e6, 120e6)
+    assert set(out) == {"view>click", "click>purchase"}

@@ -152,4 +152,5 @@ def test_driver_window_fully_oracle_backed():
         "token_bigram_lm",
         "weekly_retention_cohorts",
         "top_session_paths",
+        "funnel_step_latency",
     }, displaced

@@ -288,3 +288,63 @@ def funnel_latency(
             "avg_us"
         ),
     )
+
+
+def session_cooccurrence(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stage_col: str,
+    gap_minutes: int = 30,
+    min_n: int = 1,
+) -> DataFrame:
+    """Market-basket co-occurrence over sessions: for every unordered pair
+    of DISTINCT stages appearing in the same gap-based session, the number
+    of sessions containing both. Output ``(a, b, n)`` with ``a < b``
+    lexicographically, filtered to ``n >= min_n``.
+
+    Pairs expand array-side from each session's sorted distinct item set
+    (the LSH-combos construction — nested transform over a MATERIALIZED
+    aggregate column, so nothing re-evaluates per element) — never a
+    self-join of the session-item table. Sessions have bounded distinct
+    stages, so the expansion is |items|²/2 per session, tiny.
+
+    Scale shape: the sessionization + item-set groupBy share ONE user-keyed
+    exchange (same construction as ``session_paths``); the pair count
+    groupBy runs over pair-vocabulary cardinality."""
+    order = [F.col(ts_col).asc()]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col(ts_col) - prev >= F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (
+        events.filter(F.col(user_col).isNotNull())
+        .withColumn("__sid", sid)
+        .groupBy(user_col, "__sid")
+        .agg(F.array_sort(F.collect_set(F.col(stage_col))).alias("__items"))
+    )
+    items = F.col("__items")
+    n = F.size(items)
+    combos = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.slice(items, i + 1, n - i),
+                    lambda j: F.struct(F.element_at(items, i).alias("a"), j.alias("b")),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        sessions.select(F.explode(combos).alias("__p"))
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_n)
+    )

@@ -145,6 +145,7 @@ def registry() -> dict[str, QuerySpec]:
         "top_session_paths",
         "rolling_anomaly_events",
         "funnel_step_latency",
+        "session_cooccurrence_pairs",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -371,3 +371,42 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
     return funnel_latency(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@register(
+    "session_cooccurrence_pairs",
+    """
+    WITH e AS (SELECT user_id, ts, event_type FROM events WHERE user_id IS NOT NULL),
+    f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                         THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f),
+    p AS (SELECT user_id, sid,
+                 list_sort(list_distinct(list(event_type))) AS items
+          FROM s GROUP BY user_id, sid),
+    pr AS (SELECT items[i] AS a, items[j] AS b
+           FROM p,
+                LATERAL unnest(generate_series(1, len(items))) t1(i),
+                LATERAL unnest(generate_series(1, len(items))) t2(j)
+           WHERE j > i)
+    SELECT a, b, count(*) AS n
+    FROM pr GROUP BY a, b HAVING count(*) >= 2
+    """,
+    doc="Unordered stage co-occurrence per 30-min session, min_n=2 "
+    "(operators/funnel.py:session_cooccurrence): pairs expand array-side "
+    "from each session's sorted distinct item set (LSH-combos shape over a "
+    "materialized aggregate column) — never a self-join; sessionization "
+    "and item-set assembly share one user-keyed exchange. Sessionization "
+    "here needs no event_id tiebreak: the item SET is order-insensitive "
+    "and equal-timestamp events always share a session.",
+)
+def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        session_cooccurrence,
+    )
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    return session_cooccurrence(ev, "user_id", "ts", "event_type", 30, min_n=2)

@@ -308,3 +308,29 @@ def test_funnel_latency_values(spark):
     assert out["view>click"] == (2, 120e6, 120e6)  # 60s & 180s -> median/mean 120s
     assert out["click>purchase"] == (1, 120e6, 120e6)
     assert set(out) == {"view>click", "click>purchase"}
+
+
+def test_session_cooccurrence_pairs(spark):
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        session_cooccurrence,
+    )
+
+    ev = _ev(
+        spark,
+        [
+            # u1 session 1: {a, b, c} ; big gap ; session 2: {a}
+            (1, _ts("2024-01-01 10:00:00"), "a"),
+            (1, _ts("2024-01-01 10:05:00"), "b"),
+            (1, _ts("2024-01-01 10:06:00"), "b"),  # duplicate: set semantics
+            (1, _ts("2024-01-01 10:10:00"), "c"),
+            (1, _ts("2024-01-01 12:00:00"), "a"),  # singleton session: no pairs
+            # u2: {a, b}
+            (2, _ts("2024-01-01 09:00:00"), "b"),
+            (2, _ts("2024-01-01 09:01:00"), "a"),  # order-insensitive: a<b pair
+        ],
+    )
+    out = {
+        (r["a"], r["b"]): r["n"]
+        for r in session_cooccurrence(ev, "user_id", "ts", "event_type", 30).collect()
+    }
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}

@@ -153,4 +153,5 @@ def test_driver_window_fully_oracle_backed():
         "weekly_retention_cohorts",
         "top_session_paths",
         "funnel_step_latency",
+        "session_cooccurrence_pairs",
     }, displaced

@@ -269,3 +269,81 @@ def interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond, "inner").drop(r[key])
+
+
+def stream_funnel_reached(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    stage_col: str = "event_type",
+    streaming: bool = True,
+) -> DataFrame:
+    """LIVE ordered-funnel tracking via ``applyInPandasWithState``: per-user
+    state is the array of earliest constraint-satisfying epoch-microsecond
+    timestamps per stage (−1 = not reached), updated incrementally as
+    micro-batches arrive. Emits ``(user_id, reached, n_seen)`` on every
+    batch touching the user — ``n_seen`` is monotone, so the row with the
+    per-user max is the latest state.
+
+    Correctness contract: the batch funnel walk
+    (``operators.funnel.funnel_reached``) is a LEFT FOLD over the user's
+    ts-sorted events; this operator runs the same fold chunked across
+    micro-batches, so under in-order-per-user event-time delivery the final
+    state is EXACTLY the batch result (parity-tested). An out-of-order
+    event older than already-folded ones is applied greedily at arrival and
+    may miss a chain the batch walk would find — retroactive repair would
+    require retaining raw events per user, the standard streaming-funnel
+    trade.
+
+    State is k+1 scalars per user — O(users) store, no event retention;
+    per-batch work is one vectorized sort + a walk over that user's batch
+    rows only."""
+    if len(stages) < 2 or len(set(stages)) != len(stages):
+        raise ValueError("need >= 2 distinct stages")
+    if not streaming:
+        from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+            funnel_reached,
+        )
+
+        return funnel_reached(events, user_col, ts_col, stage_col, stages)
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k = len(stages)
+    idx = {s: j for j, s in enumerate(stages)}
+    filtered = events.filter(
+        F.col(user_col).isNotNull() & F.col(stage_col).isin(stages)
+    ).select(F.col(user_col), F.col(ts_col).alias("__ts"), F.col(stage_col).alias("__st"))
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [-1] * k + [0]
+        reached, n_seen = st[:k], st[k]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("__ts", kind="stable")
+        n_seen += len(rows)
+        for ts_val, stage in zip(rows["__ts"], rows["__st"]):
+            j = idx[stage]
+            if reached[j] != -1:
+                continue
+            ts_us = int(ts_val.value // 1000)  # pandas ns -> us
+            if j == 0:
+                reached[0] = ts_us
+            elif reached[j - 1] != -1 and ts_us > reached[j - 1]:
+                reached[j] = ts_us
+        state.update(tuple(reached + [n_seen]))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "reached": [reached], "n_seen": [n_seen]}
+        )
+
+    return filtered.groupBy(user_col).applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, reached array<long>, n_seen long",
+        stateStructType=", ".join(f"r{j} long" for j in range(k)) + ", n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -232,3 +232,60 @@ def test_stream_dedup_within_watermark_keys(spark, sf_dir):
         assert got == want
     finally:
         q.stop()
+
+
+def test_stream_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful streaming funnel: replay the events in three ts-ordered
+    files (in-order-per-user delivery, the operator's contract) — the final
+    per-user state must EXACTLY equal the batch funnel_reached walk."""
+    from pyspark.sql import Window, functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import (
+        stream_funnel_reached,
+    )
+
+    stages = ["view", "click", "purchase"]
+    batch = _event_batch(spark, sf_dir).select("user_id", "ts", "event_type")
+    # three chronological chunks -> one micro-batch each, in event-time order
+    ordered = batch.orderBy("ts")
+    n = ordered.count()
+    rows = ordered.collect()
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        chunk = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(chunk, batch.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    q = (
+        stream_funnel_reached(stream, stages)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_live")
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        got_rows = spark.sql(
+            "SELECT user_id, reached, n_seen FROM funnel_live"
+        ).collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in got_rows:
+        if r["user_id"] not in latest or r["n_seen"] > latest[r["user_id"]][1]:
+            latest[r["user_id"]] = (tuple(r["reached"]), r["n_seen"])
+    got = {
+        u: tuple(x for x in reached)
+        for u, (reached, _) in latest.items()
+        if reached[0] != -1  # batch twin only emits users who entered the funnel
+    }
+    want_rows = stream_funnel_reached(batch, stages, streaming=False).collect()
+    to_us = lambda t: int(t.timestamp() * 1_000_000) if t is not None else -1
+    want = {r["user_id"]: tuple(to_us(t) for t in r["reached"]) for r in want_rows}
+    assert got == want and len(want) > 0

@@ -146,6 +146,7 @@ def registry() -> dict[str, QuerySpec]:
         "rolling_anomaly_events",
         "funnel_step_latency",
         "session_cooccurrence_pairs",
+        "correlated_subquery_q17",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

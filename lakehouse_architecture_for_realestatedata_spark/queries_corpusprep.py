@@ -410,3 +410,32 @@ def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
     return session_cooccurrence(ev, "user_id", "ts", "event_type", 30, min_n=2)
+
+
+_Q17_SQL = """
+    SELECT cast(sum(cast(l_extendedprice AS decimal(30,2))) AS double) / 7.0
+               AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4' AND p_size < 15
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register(
+    "correlated_subquery_q17",
+    _Q17_SQL,
+    doc="TPC-H Q17 shape — small-quantity-order revenue with a CORRELATED "
+    "scalar subquery, submitted as raw SQL through the front door. "
+    "Catalyst decorrelates the per-part average into an aggregate + join "
+    "(no per-row re-execution); avg(l_quantity) is order-independent "
+    "because integer-valued doubles sum exactly, and the 0.2·avg threshold "
+    "is the same two IEEE ops in both engines. Identical SQL text runs on "
+    "both engines — the decorrelation is the Spark-side physics.",
+)
+def q_correlated_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q17_SQL)

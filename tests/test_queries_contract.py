@@ -154,4 +154,5 @@ def test_driver_window_fully_oracle_backed():
         "top_session_paths",
         "funnel_step_latency",
         "session_cooccurrence_pairs",
+        "correlated_subquery_q17",
     }, displaced

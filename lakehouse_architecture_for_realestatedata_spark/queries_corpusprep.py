@@ -1,9 +1,11 @@
 """Corpus-preparation queries: fixed-size document chunking, corpus-frequency
 boilerplate line removal, vocabulary construction / document encoding /
 bigram LM counts (the tokenize→vocab→encode loop), per-row-probability
-weighted sampling, and the behavior-analytics pair (ordered funnel, Markov
-transition matrix) — the carve-up / scrub / tokenize / curate steps of a
-training-data pipeline.
+weighted sampling, and the behavior-analytics family (ordered funnel +
+step latency, Markov transition matrix, weekly retention cohorts, session
+journey paths, session co-occurrence pairs) plus a correlated-subquery
+SQL-front-door showcase — the carve-up / scrub / tokenize / curate /
+analyze steps of a training-data pipeline.
 
 Registered AFTER the SURVEY-§2 modules (see ``queries.registry``) so they
 never displace a §2 query from the driver's bounded correctness window; their

@@ -147,6 +147,7 @@ def registry() -> dict[str, QuerySpec]:
         "funnel_step_latency",
         "session_cooccurrence_pairs",
         "correlated_subquery_q17",
+        "time_travel_cdc_roundtrip",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -70,3 +70,70 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+@register(
+    "time_travel_cdc_roundtrip",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey <= 5000
+    ), v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey BETWEEN 2000 AND 3000 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 6000
+    )
+    SELECT * FROM (
+        SELECT coalesce(v2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+               CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                    WHEN v2.o_orderkey IS NULL THEN 'delete'
+                    WHEN v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+                      OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                    THEN 'update' END AS change_type,
+               coalesce(v2.o_orderstatus, v1.o_orderstatus) AS o_orderstatus,
+               coalesce(v2.o_totalprice, v1.o_totalprice) AS o_totalprice
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+    WHERE change_type IS NOT NULL
+    """,
+    doc="Storage time travel + CDC end-to-end as a hard oracle row: write "
+    "snapshot v1 to a ParquetTable, overwrite with v2 (deletes keys "
+    "<= 1000, updates status on 2000-3000, inserts 5000-6000), then diff "
+    "the TIME-TRAVELED v1 read against the current read with "
+    "snapshot_diff. The oracle replays both states relationally and diffs "
+    "with a full outer join — insert/update/delete semantics, output "
+    "proportional to churn. Pins versioned reads, overwrite isolation, "
+    "and the CDC operator in one composition "
+    "(reference: Delta time travel via spark/spark-defaults.conf:15-16).",
+)
+def q_time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.cdc import snapshot_diff
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = orders.filter(F.col("o_orderkey") <= 5000)
+    v2 = orders.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 6000)
+    ).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey").between(2000, 3000), F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_tt_cdc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    t = ParquetTable(spark, f"{root}/orders_tt")
+    t.overwrite(v1)
+    v1_version = t.version()
+    t.overwrite(v2)
+    old = t.read(version=v1_version)
+    return snapshot_diff(old, t.read(), keys=["o_orderkey"], nullable_keys=False)

@@ -155,4 +155,5 @@ def test_driver_window_fully_oracle_backed():
         "funnel_step_latency",
         "session_cooccurrence_pairs",
         "correlated_subquery_q17",
+        "time_travel_cdc_roundtrip",
     }, displaced

@@ -334,3 +334,58 @@ def test_session_cooccurrence_pairs(spark):
         for r in session_cooccurrence(ev, "user_id", "ts", "event_type", 30).collect()
     }
     assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def _brute_funnel(events, stages):
+    """Reference sequential-min semantics: t_j = min ts of stage_j events
+    strictly after t_{j-1}, computed by literal search."""
+    out = []
+    prev = None
+    for j, s in enumerate(stages):
+        cand = [
+            ts
+            for ts, st in events
+            if st == s and (j == 0 or (prev is not None and ts > prev))
+        ]
+        t = min(cand) if cand and (j == 0 or prev is not None) else None
+        out.append(t)
+        prev = t
+    return out
+
+
+def test_funnel_matches_bruteforce_reference(spark):
+    """Greedy single-pass walk == sequential-min K-join semantics on
+    adversarial small inputs (ties, repeats, out-of-order arrivals)."""
+    import itertools
+    import random
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import funnel_reached
+
+    rng = random.Random(7)
+    stages = ["s0", "s1", "s2"]
+    cases = []
+    for case in range(40):
+        n = rng.randint(1, 8)
+        evs = [
+            (
+                _ts("2024-01-01 10:00:00")
+                + __import__("datetime").timedelta(minutes=rng.randint(0, 5)),
+                rng.choice(stages),
+            )
+            for _ in range(n)
+        ]
+        cases.append(evs)
+    rows = [
+        (uid, ts, st) for uid, evs in enumerate(cases) for ts, st in evs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: [t for t in r["reached"]]
+        for r in funnel_reached(df, "user_id", "ts", "event_type", stages).collect()
+    }
+    for uid, evs in enumerate(cases):
+        want = _brute_funnel(evs, stages)
+        if want[0] is None:
+            assert uid not in got
+        else:
+            assert got[uid] == want, (uid, sorted(evs), got.get(uid), want)

@@ -250,3 +250,36 @@ class TestTokenBigrams:
         }
         assert out[("b", "a")] == (2, pytest.approx(2 / 3))  # not 1.0
         assert ("b", "c") not in out
+
+
+def test_chunk_reconstruction_property(spark):
+    """Random (size, overlap, length): de-overlapped concatenation is the
+    identity, chunk count matches the closed form, every non-final chunk is
+    full-size."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    cases = []
+    for i in range(25):
+        size = rng.randint(2, 40)
+        overlap = rng.randint(0, size - 1)
+        length = rng.randint(1, 200)
+        text = "".join(rng.choice("abcdefg") for _ in range(length))
+        cases.append((i, size, overlap, text))
+    df = spark.createDataFrame(
+        [(i, t) for i, _, _, t in cases], "id long, text string"
+    )
+    for i, size, overlap, text in cases:
+        chunks = sorted(
+            (r["chunk_id"], r["chunk_text"])
+            for r in chunk_fixed(
+                df.filter(f"id = {i}"), "id", "text", size, overlap
+            ).collect()
+        )
+        stride = size - overlap
+        want_n = max(1, math.ceil((len(text) - overlap) / stride))
+        assert len(chunks) == want_n, (i, size, overlap, len(text))
+        rebuilt = chunks[0][1] + "".join(c[overlap:] for _, c in chunks[1:])
+        assert rebuilt == text
+        assert all(len(c) == size for _, c in chunks[:-1])

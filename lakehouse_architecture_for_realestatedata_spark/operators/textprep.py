@@ -192,6 +192,7 @@ def encode_documents(
     id_col: str,
     text_col: str,
     oov_id: int = -1,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Encode each document's token stream into vocabulary ids — the step
     that turns a curated corpus plus a ``build_vocab`` table into model-ready
@@ -214,11 +215,10 @@ def encode_documents(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
     )
-    joined = split.join(
-        F.broadcast(vocab.select(F.col("token").alias("__tok"), F.col("id").alias("__vid"))),
-        "__tok",
-        "left",
-    ).select(
+    v = vocab.select(F.col("token").alias("__tok"), F.col("id").alias("__vid"))
+    # broadcast_vocab=False: token-keyed shuffle join for a vocab too large
+    # to broadcast (rare — raise spark.sql.autoBroadcastJoinThreshold first)
+    joined = split.join(F.broadcast(v) if broadcast_vocab else v, "__tok", "left").select(
         id_col,
         "__pos",
         F.coalesce(F.col("__vid").cast("int"), F.lit(int(oov_id))).alias("__vid"),
@@ -291,3 +291,49 @@ def token_bigram_counts(
     return counts.withColumn(
         "p", F.col("n").cast("double") / F.sum("n").over(w)
     ).filter(F.col("n") >= min_count)
+
+
+def vocab_with_coverage(df, text_col: str, min_count: int = 2) -> DataFrame:
+    """``build_vocab`` plus the cumulative corpus-coverage curve: for each
+    vocab entry, ``cum_frac`` = fraction of ALL corpus tokens (including
+    sub-``min_count`` ones) covered by ids 0..id — the curve that answers
+    "how big a vocab do I need for 95% coverage". Output
+    ``(token, n, id, cum_frac)``.
+
+    The cumulative count reuses the SAME two-phase prefix decomposition as
+    the rank (exact integer-log2 count buckets): one extra metadata-scale
+    offsets fold for Σn, then both rank and cumsum ride the one bucket
+    window — still no single-partition pass anywhere. ``cum_frac`` is one
+    bigint→double divide per row, bit-deterministic."""
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import tokens
+    from lakehouse_architecture_for_realestatedata_spark.operators.ordered import _apply_offsets
+
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    kept = counts.filter(F.col("n") >= min_count)
+    log2n = F.length(F.conv(F.col("n").cast("string"), 10, 2)) - 1
+    with_b = kept.withColumns(
+        {"__rt_b": (F.lit(63) - log2n).cast("int"), "__one": F.lit(1)}
+    )
+    with_b, rank_off, drop1 = _apply_offsets(with_b, "__one")
+    with_b, sum_off, drop2 = _apply_offsets(with_b, "n")
+    w = Window.partitionBy("__rt_b").orderBy(F.col("n").desc(), F.col("token").asc())
+    cum_in_bucket = F.sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        with_b.withColumn("id", F.row_number().over(w) - 1 + rank_off)
+        .withColumn("__cum", cum_in_bucket + sum_off)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_frac", F.col("__cum").cast("double") / F.col("__total").cast("double")
+        )
+        .drop(*{*drop1, *drop2}, "__one", "__cum", "__total")
+        .select("token", "n", "id", "cum_frac")
+    )

@@ -148,6 +148,7 @@ def registry() -> dict[str, QuerySpec]:
         "session_cooccurrence_pairs",
         "correlated_subquery_q17",
         "time_travel_cdc_roundtrip",
+        "vocab_coverage_curve",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -441,3 +441,38 @@ def q_correlated_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q17_SQL)
+
+
+@register(
+    "vocab_coverage_curve",
+    r"""
+    WITH allc AS (
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                x -> x <> '')) AS token
+            FROM documents)
+      GROUP BY token),
+    t AS (SELECT sum(n) AS total FROM allc),
+    k AS (SELECT token, n FROM allc WHERE n >= 5)
+    SELECT token, n, row_number() OVER w - 1 AS id,
+           (sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::double
+               / total::double AS cum_frac
+    FROM k, t
+    WINDOW w AS (ORDER BY n DESC, token)
+    """,
+    doc="Vocabulary cumulative-coverage curve, min_count=5 "
+    "(operators/textprep.py:vocab_with_coverage): rank AND cumulative "
+    "token count both ride the two-phase prefix decomposition over exact "
+    "integer-log2 buckets — one extra metadata-scale offsets fold, still "
+    "no single-partition window (the oracle's spelling). Answers 'how big "
+    "a vocab covers 95% of corpus tokens'; denominator includes "
+    "sub-threshold tokens.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+        vocab_with_coverage,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return vocab_with_coverage(docs, "text", min_count=5)

@@ -156,4 +156,5 @@ def test_driver_window_fully_oracle_backed():
         "session_cooccurrence_pairs",
         "correlated_subquery_q17",
         "time_travel_cdc_roundtrip",
+        "vocab_coverage_curve",
     }, displaced

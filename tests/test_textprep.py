@@ -283,3 +283,44 @@ def test_chunk_reconstruction_property(spark):
         rebuilt = chunks[0][1] + "".join(c[overlap:] for _, c in chunks[1:])
         assert rebuilt == text
         assert all(len(c) == size for _, c in chunks[:-1])
+
+
+def test_vocab_coverage_curve_properties(spark):
+    from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+        vocab_with_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c rare")], "id long, text string"  # a:4 b:2 c:1 rare:1
+    )
+    out = sorted(
+        (r["id"], r["token"], r["n"], r["cum_frac"])
+        for r in vocab_with_coverage(docs, "text", min_count=2).collect()
+    )
+    # denominator counts ALL 8 tokens incl. sub-threshold c/rare
+    assert out == [(0, "a", 4, 0.5), (1, "b", 2, 0.75)]
+    # monotone non-decreasing coverage, never exceeding 1
+    fr = [o[3] for o in out]
+    assert fr == sorted(fr) and fr[-1] <= 1.0
+
+
+def test_encode_shuffle_join_variant_matches_broadcast(spark):
+    from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y x z"), (2, "y y q")], "doc_id long, text string"
+    )
+    vocab = build_vocab(docs, "text", min_count=1)
+    a = sorted(map(tuple, encode_documents(docs, vocab, "doc_id", "text").collect()))
+    b = sorted(
+        map(
+            tuple,
+            encode_documents(
+                docs, vocab, "doc_id", "text", broadcast_vocab=False
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -149,6 +149,8 @@ def registry() -> dict[str, QuerySpec]:
         "correlated_subquery_q17",
         "time_travel_cdc_roundtrip",
         "vocab_coverage_curve",
+        "change_feed_roundtrip",
+        "schema_evolution_roundtrip",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

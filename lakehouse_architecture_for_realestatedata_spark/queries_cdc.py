@@ -137,3 +137,76 @@ def q_time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.overwrite(v2)
     old = t.read(version=v1_version)
     return snapshot_diff(old, t.read(), keys=["o_orderkey"], nullable_keys=False)
+
+
+@register(
+    "change_feed_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey > 800 AND o_orderkey <= 1400
+    """,
+    doc="Change-data-feed read as a hard oracle row: append batch 1 then "
+    "batch 2 to a ParquetTable and read_changes(since=v1) — the rows added "
+    "after snapshot v1 are exactly batch 2, recovered as a METADATA diff "
+    "of the two manifests (data dirs are immutable, append manifests "
+    "strictly additive), scanning O(changed data) never the table "
+    "(sources/tables.py:read_changes; Delta CDF analogue for the "
+    "append-only case).",
+)
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b1 = orders.filter(F.col("o_orderkey") <= 800)
+    b2 = orders.filter((F.col("o_orderkey") > 800) & (F.col("o_orderkey") <= 1400))
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_cdf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    t = ParquetTable(spark, f"{root}/orders_cdf")
+    t.overwrite(b1)
+    v1 = t.version()
+    t.append(b2)
+    return t.read_changes(since=v1)
+
+
+@register(
+    "schema_evolution_roundtrip",
+    """
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+    FROM orders WHERE o_orderkey <= 800
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey > 800 AND o_orderkey <= 1400
+    """,
+    doc="Schema evolution (S7 mergeSchema) as a hard oracle row: append a "
+    "WIDER batch (new o_orderpriority column) to a table written without "
+    "it; the "
+    "merged read null-fills the old rows — unionByName(allowMissing"
+    "Columns) semantics at read time, no rewrite of existing data "
+    "(sources/tables.py:append; Delta mergeSchema analogue).",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+    orders = _t(spark, sf_dir, "orders")
+    b1 = orders.filter(F.col("o_orderkey") <= 800).select("o_orderkey", "o_totalprice")
+    b2 = orders.filter(
+        (F.col("o_orderkey") > 800) & (F.col("o_orderkey") <= 1400)
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_schevo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    t = ParquetTable(spark, f"{root}/orders_evo")
+    t.overwrite(b1)
+    t.append(b2, merge_schema=True)
+    return t.read().select("o_orderkey", "o_totalprice", "o_orderpriority")

@@ -219,15 +219,27 @@ class ParquetTable:
         """Union of the snapshot's data-dir scans. Each dir self-describes
         its partition layout, filters/pruning push into every scan, and
         ``unionByName(allowMissingColumns)`` realizes mergeSchema semantics
-        across appends that widened the schema."""
-        dirs = self.data_dirs(version)
+        across appends that widened the schema.
+
+        The MANIFEST schema governs: a snapshot whose schema was widened by
+        an append that contributed zero data files (a legitimately empty
+        batch) still exposes the new columns, null-filled — without this,
+        the same pipeline run reads different schemas depending on whether
+        a batch happened to carry rows."""
+        v = self.version() if version is None else version
+        with open(self._manifest_path(v)) as fh:
+            schema = StructType.fromJson(json.loads(json.load(fh)["schema"]))
+        dirs = self.data_dirs(v)
         if not dirs:  # zero-row snapshot: schema comes from the manifest
-            v = self.version() if version is None else version
-            with open(self._manifest_path(v)) as fh:
-                schema = StructType.fromJson(json.loads(json.load(fh)["schema"]))
             return self.spark.createDataFrame([], schema)
         dfs = [self.spark.read.parquet(d) for d in dirs]
-        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+        out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+        missing = [f for f in schema.fields if f.name not in out.columns]
+        if missing:
+            out = out.withColumns(
+                {f.name: F.lit(None).cast(f.dataType) for f in missing}
+            )
+        return out
 
     @staticmethod
     def _coerce(stored, like):

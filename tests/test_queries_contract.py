@@ -157,4 +157,6 @@ def test_driver_window_fully_oracle_backed():
         "correlated_subquery_q17",
         "time_travel_cdc_roundtrip",
         "vocab_coverage_curve",
+        "change_feed_roundtrip",
+        "schema_evolution_roundtrip",
     }, displaced

@@ -626,3 +626,22 @@ def test_read_changes_vacuumed_base_raises(spark, tmp_path):
         t.append(_df(spark, [(i, "x", None)]))
     with _pytest.raises(FileNotFoundError):
         t.read_changes(0)
+
+
+def test_empty_append_still_widens_read_schema(spark, tmp_path):
+    """An append that contributes ZERO rows (legitimately empty batch) but a
+    wider schema must still widen the read: the MANIFEST schema governs,
+    null-filling columns no surviving data dir carries."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 10.0)], "k long, v double"))
+    empty_wide = spark.createDataFrame([], "k long, v double, extra string")
+    t.append(empty_wide, merge_schema=True)
+    out = t.read()
+    assert set(out.columns) == {"k", "v", "extra"}
+    rows = out.collect()
+    assert [(r["k"], r["v"], r["extra"]) for r in rows] == [(1, 10.0, None)]
+    assert dict(out.dtypes)["extra"] == "string"

@@ -347,3 +347,70 @@ def stream_funnel_reached(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    stage_col: str = "event_type",
+    tiebreak: str = "event_id",
+    streaming: bool = True,
+) -> DataFrame:
+    """LIVE Markov transition pairs via ``applyInPandasWithState``: per-user
+    state is ONE scalar (the last seen stage), and each micro-batch emits
+    the (from_stage, to_stage) pair rows its events produce — including the
+    pair bridging the previous batch's last event. Downstream aggregation
+    (groupBy pair → count / row-normalize) turns the stream into the live
+    transition matrix.
+
+    Like ``stream_funnel_reached``, the batch lag construction
+    (``operators.funnel.event_transitions``) is a left fold over the
+    per-user (ts, tiebreak)-sorted sequence; this operator runs the fold
+    chunked, so under in-order-per-user delivery the union of emitted pairs
+    EXACTLY equals the batch pairs (parity-tested). State never retains
+    events — one string per user."""
+    if not streaming:
+        from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+            event_transitions,
+        )
+
+        return event_transitions(events, user_col, ts_col, stage_col, tiebreak=tiebreak)
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    filtered = events.filter(F.col(user_col).isNotNull()).select(
+        F.col(user_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak).alias("__tb"),
+        F.col(stage_col).alias("__st"),
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["__ts", "__tb"], kind="stable"
+        )
+        frm, to = [], []
+        for stage in rows["__st"]:
+            if last is not None:
+                frm.append(last)
+                to.append(stage)
+            last = stage
+        state.update((last,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(frm),
+                "from_stage": frm,
+                "to_stage": to,
+            }
+        )
+
+    return filtered.groupBy(user_col).applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, from_stage string, to_stage string",
+        stateStructType="last string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -289,3 +289,53 @@ def test_stream_funnel_matches_batch(spark, sf_dir, tmp_path):
     to_us = lambda t: int(t.timestamp() * 1_000_000) if t is not None else -1
     want = {r["user_id"]: tuple(to_us(t) for t in r["reached"]) for r in want_rows}
     assert got == want and len(want) > 0
+
+
+def test_stream_transitions_match_batch(spark, sf_dir, tmp_path):
+    """Stateful streaming transition pairs: three (ts, event_id)-ordered
+    replay files — the union of emitted pairs, aggregated, must equal the
+    batch event_transitions matrix."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import (
+        stream_event_transitions,
+    )
+
+    batch = _event_batch(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    rows = batch.orderBy("ts", "event_id").collect()
+    n = len(rows)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        chunk = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(chunk, batch.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    q = (
+        stream_event_transitions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_live")
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        got = {
+            (r["from_stage"], r["to_stage"]): r["n"]
+            for r in spark.sql(
+                "SELECT from_stage, to_stage, count(*) AS n FROM trans_live "
+                "GROUP BY 1, 2"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["from_stage"], r["to_stage"]): r["n"]
+        for r in stream_event_transitions(batch, streaming=False).collect()
+    }
+    assert got == want and len(want) > 0

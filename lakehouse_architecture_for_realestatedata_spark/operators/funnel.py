@@ -348,3 +348,58 @@ def session_cooccurrence(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_n)
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Engagement time series: per calendar day, the distinct users active
+    that day (DAU), the distinct users active in the trailing
+    ``window_days`` window ending that day (WAU for 7), and the stickiness
+    ratio DAU/WAU. Output ``(day, dau, wau, stickiness)``; only days with
+    ≥ 1 active user appear (the window count covers every day the trailing
+    window touches a real activity day).
+
+    Rolling COUNT DISTINCT is not window-decomposable (no subtraction for
+    distinct state), so the naive per-day re-scan is O(days·window). The
+    scalable spelling: reduce to the distinct (user, day) activity grid —
+    corpus-sized shuffle #1 — then EXPLODE each activity day onto the
+    ``window_days`` target days it contributes to (output ∝ grid ×
+    window) and count distinct users per target day — shuffle #2 over the
+    exploded grid. Work is linear in activity-days × window, never
+    days × corpus. DAU rides the same grid.
+
+    NULL users excluded. ``stickiness`` is one bigint→double divide.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    grid = (
+        events.filter(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), day.alias("__d"))
+        .distinct()
+    )
+    dau = grid.groupBy(F.col("__d").alias("day")).agg(
+        F.count_distinct("__u").alias("dau")
+    )
+    targets = grid.select(
+        "__u",
+        F.explode(
+            F.sequence(F.col("__d"), F.date_add(F.col("__d"), window_days - 1))
+        ).alias("day"),
+    )
+    wau = targets.groupBy("day").agg(F.count_distinct("__u").alias("wau"))
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+            "wau",
+            (F.coalesce(F.col("dau"), F.lit(0)).cast("double") / F.col("wau")).alias(
+                "stickiness"
+            ),
+        )
+    )

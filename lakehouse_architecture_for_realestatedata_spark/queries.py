@@ -151,6 +151,7 @@ def registry() -> dict[str, QuerySpec]:
         "vocab_coverage_curve",
         "change_feed_roundtrip",
         "schema_evolution_roundtrip",
+        "rolling_active_users_7d",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -476,3 +476,34 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("text")
     return vocab_with_coverage(docs, "text", min_count=5)
+
+
+@register(
+    "rolling_active_users_7d",
+    """
+    WITH grid AS (
+      SELECT DISTINCT user_id AS u, date_trunc('day', ts)::date AS d
+      FROM events WHERE user_id IS NOT NULL),
+    dau AS (SELECT d AS day, count(DISTINCT u) AS dau FROM grid GROUP BY d),
+    tgt AS (SELECT u, unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                             INTERVAL 1 DAY))::date AS day
+            FROM grid),
+    wau AS (SELECT day, count(DISTINCT u) AS wau FROM tgt GROUP BY day)
+    SELECT wau.day, coalesce(dau.dau, 0) AS dau, wau.wau,
+           coalesce(dau.dau, 0)::double / wau.wau AS stickiness
+    FROM wau LEFT JOIN dau USING (day)
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness per day "
+    "(operators/funnel.py:rolling_active_users): rolling COUNT DISTINCT is "
+    "not window-decomposable, so each (user, day) activity cell EXPLODES "
+    "onto the 7 target days it serves and distinct-counts per target day — "
+    "work ∝ activity-grid × window, never days × corpus. Both engines "
+    "spell the same construction.",
+)
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        rolling_active_users,
+    )
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return rolling_active_users(ev, "user_id", "ts", window_days=7)

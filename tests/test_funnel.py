@@ -389,3 +389,33 @@ def test_funnel_matches_bruteforce_reference(spark):
             assert uid not in got
         else:
             assert got[uid] == want, (uid, sorted(evs), got.get(uid), want)
+
+
+def test_rolling_active_users_window_semantics(spark):
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        rolling_active_users,
+    )
+
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-01-01 10:00:00"), "view"),
+            (1, _ts("2024-01-01 11:00:00"), "click"),  # same day: one grid cell
+            (2, _ts("2024-01-01 10:00:00"), "view"),
+            (1, _ts("2024-01-03 10:00:00"), "view"),
+            (None, _ts("2024-01-02 10:00:00"), "view"),
+        ],
+    )
+    out = {
+        str(r["day"]): (r["dau"], r["wau"], r["stickiness"])
+        for r in rolling_active_users(ev, "user_id", "ts", window_days=3).collect()
+    }
+    # Jan 1: both users active. Jan 2: no activity, but window [Dec31..Jan2]
+    # still covers Jan 1 actives. Jan 3: u1 again; window [Jan1..Jan3] has 2.
+    assert out["2024-01-01"] == (2, 2, 1.0)
+    assert out["2024-01-02"] == (0, 2, 0.0)
+    assert out["2024-01-03"] == (1, 2, 0.5)
+    # window rolls off: Jan 4/5 only carry u1's Jan 3 activity
+    assert out["2024-01-04"] == (0, 1, 0.0)
+    assert out["2024-01-05"] == (0, 1, 0.0)
+    assert len(out) == 5

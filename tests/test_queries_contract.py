@@ -159,4 +159,5 @@ def test_driver_window_fully_oracle_backed():
         "vocab_coverage_curve",
         "change_feed_roundtrip",
         "schema_evolution_roundtrip",
+        "rolling_active_users_7d",
     }, displaced

@@ -557,3 +557,98 @@ def quantile_exact_global(df: DataFrame, col: str, q: float, nbins: int = 1024) 
         return float(v_lo)
     v_hi = _select_rank(df, col, k_lo + 1, nbins)
     return float(v_lo + (v_hi - v_lo) * frac)
+
+
+def histogram_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_range: tuple[float, float],
+    y_range: tuple[float, float],
+    nx: int,
+    ny: int,
+) -> DataFrame:
+    """2-D equi-width histogram — the scatter-density / heatmap aggregation.
+    Rows outside either range (or NULL in either column) are dropped; the
+    max edge folds into the last bin per axis (``histogram_equi_width``
+    semantics applied independently per axis). Output
+    ``(x_bin, y_bin, x_lo, y_lo, n)`` for non-empty cells only.
+
+    Bin arithmetic is the same three fixed-order IEEE ops per axis as the
+    1-D histogram — engine-identical. Physical shape: narrow two-column
+    projection + ONE partial-agg groupBy on the (small-int, small-int)
+    composite key; edges recomputed from bin ids, never joined. Cell count
+    is capped at nx·ny regardless of data size."""
+    (x_lo, x_hi), (y_lo, y_hi) = x_range, y_range
+    if not (nx > 0 and ny > 0 and x_hi > x_lo and y_hi > y_lo):
+        raise ValueError("need positive bin counts and non-empty ranges")
+    x, y = F.col(x_col), F.col(y_col)
+
+    def bin_(c: Column, lo: float, hi: float, nb: int) -> Column:
+        b = F.floor((c - F.lit(float(lo))) * nb / F.lit(hi - lo))
+        return F.when(b >= nb, F.lit(nb - 1)).otherwise(b).cast("long")
+
+    return (
+        df.filter(
+            x.isNotNull() & y.isNotNull()
+            & (x >= x_lo) & (x <= x_hi) & (y >= y_lo) & (y <= y_hi)
+        )
+        .select(
+            bin_(x, x_lo, x_hi, nx).alias("x_bin"), bin_(y, y_lo, y_hi, ny).alias("y_bin")
+        )
+        .groupBy("x_bin", "y_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "x_bin",
+            "y_bin",
+            (F.lit(float(x_lo)) + F.col("x_bin") * F.lit(x_hi - x_lo) / nx).alias("x_lo"),
+            (F.lit(float(y_lo)) + F.col("y_bin") * F.lit(y_hi - y_lo) / ny).alias("y_lo"),
+            "n",
+        )
+    )
+
+
+def shrunk_group_mean(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    m: float = 25.0,
+    scale: int = 6,
+) -> DataFrame:
+    """Bayesian-shrunk per-group mean (m-estimate): ``(n·mean_g + m·prior) /
+    (n + m)`` with the GLOBAL mean as prior — the standard fix for ranking
+    groups by average score when small groups would otherwise dominate the
+    extremes. Output ``(key, n, raw_mean, shrunk_mean)``; NULL values are
+    excluded from both numerator and count.
+
+    Determinism: group and global sums go through exact decimal
+    intermediates; ``raw_mean``, ``prior`` and the shrink formula are a
+    fixed sequence of IEEE ops spelled identically in any engine.
+
+    Scale shape: ONE partial-agg groupBy; the one-row global aggregate is
+    computed FROM the per-group sums (no second scan of the data) and
+    broadcast back."""
+    if m < 0:
+        raise ValueError("m must be >= 0")
+    x = F.col(value_col)
+    dec = f"decimal(30,{scale})"
+    grp = df.filter(x.isNotNull()).groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).alias("__s"),
+    )
+    tot = grp.agg(
+        F.sum("__s").cast("double").alias("__ts"), F.sum("n").alias("__tn")
+    )
+    s = F.col("__s").cast("double")
+    prior = F.col("__ts") / F.col("__tn")
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            key,
+            "n",
+            (s / F.col("n")).alias("raw_mean"),
+            ((s + F.lit(float(m)) * prior) / (F.col("n") + F.lit(float(m)))).alias(
+                "shrunk_mean"
+            ),
+        )
+    )

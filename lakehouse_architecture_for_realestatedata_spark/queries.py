@@ -152,6 +152,8 @@ def registry() -> dict[str, QuerySpec]:
         "change_feed_roundtrip",
         "schema_evolution_roundtrip",
         "rolling_active_users_7d",
+        "heatmap_qty_price",
+        "shrunk_priority_price",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

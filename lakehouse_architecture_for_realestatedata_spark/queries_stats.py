@@ -259,3 +259,72 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     return rolling_anomaly_flags(ev, "user_id", "ts", "value", window_seconds=3600, k=3.0)
+
+
+@register(
+    "heatmap_qty_price",
+    """
+    SELECT x_bin, y_bin,
+           0.0 + x_bin * 50.0 / 10 AS x_lo,
+           0.0 + y_bin * 110000.0 / 20 AS y_lo,
+           n
+    FROM (
+      SELECT CASE WHEN floor((l_quantity - 0.0) * 10 / 50.0) >= 10 THEN 9
+                  ELSE floor((l_quantity - 0.0) * 10 / 50.0) END::bigint AS x_bin,
+             CASE WHEN floor((l_extendedprice - 0.0) * 20 / 110000.0) >= 20 THEN 19
+                  ELSE floor((l_extendedprice - 0.0) * 20 / 110000.0) END::bigint AS y_bin,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_quantity BETWEEN 0.0 AND 50.0
+        AND l_extendedprice BETWEEN 0.0 AND 110000.0
+      GROUP BY 1, 2)
+    """,
+    doc="2-D equi-width histogram (quantity × price scatter density, 10×20 "
+    "cells; operators/aggregates.py:histogram_2d): narrow two-column "
+    "projection + ONE partial-agg groupBy on the composite small-int key — "
+    "cell count capped at nx·ny regardless of data size; per-axis bin "
+    "arithmetic is the engine-identical fixed IEEE op sequence of the 1-D "
+    "histogram.",
+)
+def q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import histogram_2d
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice"
+    )
+    return histogram_2d(
+        li, "l_quantity", "l_extendedprice", (0.0, 50.0), (0.0, 110000.0), 10, 20
+    )
+
+
+@register(
+    "shrunk_priority_price",
+    """
+    WITH g AS (
+      SELECT o_orderpriority, count(*) AS n,
+             sum(cast(o_totalprice AS decimal(30,2))) AS s
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY o_orderpriority),
+    t AS (SELECT cast(sum(s) AS double) AS ts, sum(n) AS tn FROM g)
+    SELECT o_orderpriority, n,
+           cast(s AS double) / n AS raw_mean,
+           (cast(s AS double) + 200.0 * (ts / tn)) / (n + 200.0) AS shrunk_mean
+    FROM g, t
+    """,
+    doc="Bayesian-shrunk per-priority average order value, m=200 "
+    "(operators/aggregates.py:shrunk_group_mean): the m-estimate that stops "
+    "small groups dominating ranked-by-average extremes. ONE partial-agg "
+    "groupBy; the global prior is aggregated FROM the per-group sums (no "
+    "second scan) and broadcast back; the shrink formula is a fixed IEEE op "
+    "sequence over exact decimal sums.",
+)
+def q_shrunk_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+        shrunk_group_mean,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return shrunk_group_mean(orders, "o_orderpriority", "o_totalprice", m=200.0, scale=2)

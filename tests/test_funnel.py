@@ -419,3 +419,49 @@ def test_rolling_active_users_window_semantics(spark):
     assert out["2024-01-04"] == (0, 1, 0.0)
     assert out["2024-01-05"] == (0, 1, 0.0)
     assert len(out) == 5
+
+
+def test_session_paths_matches_bruteforce_reference(spark):
+    """Random event sets: gap sessionization + path assembly equals a
+    literal Python reference."""
+    import random
+    from collections import Counter
+    from datetime import timedelta
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import session_paths
+
+    rng = random.Random(13)
+    gap_min = 30
+    rows = []
+    eid = 0
+    users = {}
+    for uid in range(25):
+        t = _ts("2024-01-01 00:00:00") + timedelta(minutes=rng.randint(0, 600))
+        evs = []
+        for _ in range(rng.randint(1, 12)):
+            t = t + timedelta(minutes=rng.randint(0, 70))
+            stage = rng.choice("abc")
+            evs.append((t, eid, stage))
+            rows.append((uid, eid, t, stage))
+            eid += 1
+        users[uid] = evs
+    want = Counter()
+    for evs in users.values():
+        evs = sorted(evs, key=lambda e: (e[0], e[1]))
+        sess = [[evs[0]]]
+        for prev, cur in zip(evs, evs[1:]):
+            if (cur[0] - prev[0]).total_seconds() >= gap_min * 60:
+                sess.append([])
+            sess[-1].append(cur)
+        for s in sess:
+            want[">".join(e[2] for e in s)] += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["path"]: r["n"]
+        for r in session_paths(
+            df, "user_id", "ts", "event_type", gap_min, top_k=10_000, tiebreak="event_id"
+        ).collect()
+    }
+    assert got == dict(want)

@@ -160,4 +160,6 @@ def test_driver_window_fully_oracle_backed():
         "change_feed_roundtrip",
         "schema_evolution_roundtrip",
         "rolling_active_users_7d",
+        "heatmap_qty_price",
+        "shrunk_priority_price",
     }, displaced

@@ -284,3 +284,48 @@ class TestRollingAnomaly:
             for r in rolling_anomaly_flags(df, "k", "ts", "v", 3600, 3.0).collect()
         }
         assert out[11] is False and out[12] is False
+
+
+class TestHistogram2D:
+    def test_cells_edges_and_fold(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            histogram_2d,
+        )
+
+        df = spark.createDataFrame(
+            [(0.0, 0.0), (4.9, 9.9), (5.0, 10.0), (10.0, 20.0), (None, 1.0), (11.0, 1.0)],
+            "x double, y double",
+        )
+        out = {
+            (r["x_bin"], r["y_bin"]): (r["n"], r["x_lo"], r["y_lo"])
+            for r in histogram_2d(df, "x", "y", (0.0, 10.0), (0.0, 20.0), 2, 2).collect()
+        }
+        # (0,0): first two points; (1,1): the 5.0/10.0 point and the max
+        # corner folded into the last bin; NULL and out-of-range dropped
+        assert out[(0, 0)] == (2, 0.0, 0.0)
+        assert out[(1, 1)] == (2, 5.0, 10.0)
+        assert set(out) == {(0, 0), (1, 1)}
+
+
+class TestShrunkGroupMean:
+    def test_shrinks_small_groups_toward_prior(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            shrunk_group_mean,
+        )
+
+        df = spark.createDataFrame(
+            [("big", 10.0)] * 100 + [("tiny", 100.0)] + [("x", None)],
+            "k string, v double",
+        )
+        out = {
+            r["k"]: (r["n"], r["raw_mean"], r["shrunk_mean"])
+            for r in shrunk_group_mean(df, "k", "v", m=10.0).collect()
+        }
+        prior = (10.0 * 100 + 100.0) / 101
+        assert out["big"][0] == 100 and out["big"][1] == 10.0
+        # the 1-row group collapses most of the way to the prior
+        n, raw, shrunk = out["tiny"]
+        assert n == 1 and raw == 100.0
+        assert abs(shrunk - (100.0 + 10.0 * prior) / 11.0) < 1e-9
+        assert shrunk < 25.0  # far from its raw 100, near the ~10.9 prior
+        assert "x" not in out  # all-NULL group contributes nothing

@@ -403,3 +403,97 @@ def rolling_active_users(
             ),
         )
     )
+
+
+def association_rules(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stage_col: str,
+    gap_minutes: int = 30,
+    min_pair_sessions: int = 1,
+) -> DataFrame:
+    """Session-basket association rules: for each ordered stage pair
+    (a → b) co-occurring in ≥ ``min_pair_sessions`` sessions, emit
+    ``support``   = P(a ∧ b)  (pair sessions / all sessions),
+    ``confidence``= P(b | a)  (pair sessions / sessions containing a),
+    ``lift``      = P(a ∧ b) / (P(a)·P(b)) — >1 means a and b attract.
+    Both rule directions are emitted (confidence is asymmetric). Output
+    ``(antecedent, consequent, n_sessions, support, confidence, lift)``.
+
+    All inputs are exact session counts; the three ratios are fixed-order
+    IEEE divides (lift = support / (pa·pb) with pa, pb each one divide) —
+    engine-identical.
+
+    Scale shape: sessionization + item-set assembly share ONE user-keyed
+    exchange (the ``session_cooccurrence`` construction); item and pair
+    counts are vocabulary-scale groupBys; singles and the session total
+    broadcast onto the pair frame. Never a self-join of the corpus."""
+    order = [F.col(ts_col).asc()]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col(ts_col) - prev >= F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (
+        events.filter(F.col(user_col).isNotNull())
+        .withColumn("__sid", sid)
+        .groupBy(user_col, "__sid")
+        .agg(F.array_sort(F.collect_set(F.col(stage_col))).alias("__items"))
+    ).persist()
+    total = sessions.agg(F.count(F.lit(1)).alias("__total"))
+    singles = (
+        sessions.select(F.explode("__items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("__n1"))
+    )
+    items = F.col("__items")
+    n = F.size(items)
+    combos = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.slice(items, i + 1, n - i),
+                    lambda j: F.struct(F.element_at(items, i).alias("a"), j.alias("b")),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = (
+        sessions.select(F.explode(combos).alias("__p"))
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= min_pair_sessions)
+    )
+    both_dirs = pairs.select(
+        F.col("a").alias("antecedent"), F.col("b").alias("consequent"), "n_sessions"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("antecedent"), F.col("a").alias("consequent"), "n_sessions"
+        )
+    )
+    sa = singles.select(F.col("item").alias("antecedent"), F.col("__n1").alias("__na"))
+    sb = singles.select(F.col("item").alias("consequent"), F.col("__n1").alias("__nb"))
+    t = F.col("__total")
+    return (
+        both_dirs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_sessions",
+            (F.col("n_sessions").cast("double") / t).alias("support"),
+            (F.col("n_sessions").cast("double") / F.col("__na")).alias("confidence"),
+            (
+                (F.col("n_sessions").cast("double") / t)
+                / ((F.col("__na").cast("double") / t) * (F.col("__nb").cast("double") / t))
+            ).alias("lift"),
+        )
+    )

@@ -154,6 +154,7 @@ def registry() -> dict[str, QuerySpec]:
         "rolling_active_users_7d",
         "heatmap_qty_price",
         "shrunk_priority_price",
+        "session_association_rules",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -507,3 +507,56 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "ts")
     return rolling_active_users(ev, "user_id", "ts", window_days=7)
+
+
+@register(
+    "session_association_rules",
+    """
+    WITH e AS (SELECT user_id, ts, event_type FROM events WHERE user_id IS NOT NULL),
+    f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                         THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f),
+    p AS (SELECT user_id, sid, list_sort(list_distinct(list(event_type))) AS items
+          FROM s GROUP BY user_id, sid),
+    tot AS (SELECT count(*) AS total FROM p),
+    singles AS (SELECT item, count(*) AS n1
+                FROM (SELECT unnest(items) AS item FROM p) GROUP BY item),
+    pairs AS (SELECT a, b, count(*) AS n_sessions FROM (
+                SELECT items[i] AS a, items[j] AS b
+                FROM p,
+                     LATERAL unnest(generate_series(1, len(items))) t1(i),
+                     LATERAL unnest(generate_series(1, len(items))) t2(j)
+                WHERE j > i)
+              GROUP BY a, b HAVING count(*) >= 5),
+    both_dirs AS (
+      SELECT a AS antecedent, b AS consequent, n_sessions FROM pairs
+      UNION ALL
+      SELECT b, a, n_sessions FROM pairs)
+    SELECT antecedent, consequent, n_sessions,
+           n_sessions::double / total AS support,
+           n_sessions::double / sa.n1 AS confidence,
+           (n_sessions::double / total)
+             / ((sa.n1::double / total) * (sb.n1::double / total)) AS lift
+    FROM both_dirs
+    JOIN singles sa ON sa.item = antecedent
+    JOIN singles sb ON sb.item = consequent
+    CROSS JOIN tot
+    """,
+    doc="Session-basket association rules (support/confidence/lift, both "
+    "directions, min 5 pair-sessions; operators/funnel.py:"
+    "association_rules): sessionization + item sets on ONE user-keyed "
+    "exchange, vocabulary-scale pair/single counts, singles and the total "
+    "broadcast onto the pair frame — never a corpus self-join. Ratios are "
+    "fixed-order IEEE divides over exact session counts.",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        association_rules,
+    )
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    return association_rules(ev, "user_id", "ts", "event_type", 30, min_pair_sessions=5)

@@ -465,3 +465,40 @@ def test_session_paths_matches_bruteforce_reference(spark):
         ).collect()
     }
     assert got == dict(want)
+
+
+def test_association_rules_values(spark):
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        association_rules,
+    )
+
+    # 4 sessions (distinct users, one session each):
+    # {a,b}, {a,b}, {a}, {b,c}
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-01-01 10:00:00"), "a"),
+            (1, _ts("2024-01-01 10:01:00"), "b"),
+            (2, _ts("2024-01-01 10:00:00"), "a"),
+            (2, _ts("2024-01-01 10:01:00"), "b"),
+            (3, _ts("2024-01-01 10:00:00"), "a"),
+            (4, _ts("2024-01-01 10:00:00"), "b"),
+            (4, _ts("2024-01-01 10:01:00"), "c"),
+        ],
+    )
+    out = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_sessions"],
+            r["support"],
+            r["confidence"],
+            r["lift"],
+        )
+        for r in association_rules(ev, "user_id", "ts", "event_type", 30).collect()
+    }
+    # a in 3 sessions, b in 3, c in 1; (a,b) in 2, (b,c) in 1; total 4
+    assert out[("a", "b")] == (2, 0.5, pytest.approx(2 / 3), pytest.approx(0.5 / (0.75 * 0.75)))
+    assert out[("b", "a")] == (2, 0.5, pytest.approx(2 / 3), pytest.approx(0.5 / (0.75 * 0.75)))
+    assert out[("b", "c")][2] == pytest.approx(1 / 3)  # P(c|b)
+    assert out[("c", "b")][2] == pytest.approx(1.0)  # P(b|c)
+    assert out[("c", "b")][3] == pytest.approx((0.25) / (0.25 * 0.75))  # lift > 1
+    assert len(out) == 4

@@ -162,4 +162,5 @@ def test_driver_window_fully_oracle_backed():
         "rolling_active_users_7d",
         "heatmap_qty_price",
         "shrunk_priority_price",
+        "session_association_rules",
     }, displaced

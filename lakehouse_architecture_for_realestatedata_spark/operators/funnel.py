@@ -412,6 +412,7 @@ def association_rules(
     stage_col: str,
     gap_minutes: int = 30,
     min_pair_sessions: int = 1,
+    materialize: str = "persist",
 ) -> DataFrame:
     """Session-basket association rules: for each ordered stage pair
     (a → b) co-occurring in ≥ ``min_pair_sessions`` sessions, emit
@@ -428,7 +429,16 @@ def association_rules(
     Scale shape: sessionization + item-set assembly share ONE user-keyed
     exchange (the ``session_cooccurrence`` construction); item and pair
     counts are vocabulary-scale groupBys; singles and the session total
-    broadcast onto the pair frame. Never a self-join of the corpus."""
+    broadcast onto the pair frame. Never a self-join of the corpus.
+
+    The session frame (one slim row per session) feeds FIVE consumers
+    (total, singles ×2 via the rule directions, pairs ×2) — diamond
+    lineage that ``collect_set``'s nondeterminism marker bars
+    ReuseExchange from deduplicating, so it is materialized once:
+    ``materialize='persist'`` (default, plan-keyed cache — clear with
+    ``spark.catalog.clearCache()`` in sessions sweeping many corpora) or
+    ``'checkpoint'`` (eager lineage truncation, ContextCleaner-freed,
+    no cross-run reuse) — the ``minhash_lsh`` policy applied here."""
     order = [F.col(ts_col).asc()]
     w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(F.col(ts_col)).over(w)
@@ -443,7 +453,19 @@ def association_rules(
         .withColumn("__sid", sid)
         .groupBy(user_col, "__sid")
         .agg(F.array_sort(F.collect_set(F.col(stage_col))).alias("__items"))
-    ).persist()
+    )
+    if materialize == "persist":
+        sessions = sessions.persist()
+    elif materialize == "checkpoint":
+        from lakehouse_architecture_for_realestatedata_spark.operators.graph import (
+            truncate_lineage,
+        )
+
+        sessions = truncate_lineage(sessions)
+    else:
+        raise ValueError(
+            f"materialize must be 'persist' or 'checkpoint', got {materialize!r}"
+        )
     total = sessions.agg(F.count(F.lit(1)).alias("__total"))
     singles = (
         sessions.select(F.explode("__items").alias("item"))

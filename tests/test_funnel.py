@@ -502,3 +502,22 @@ def test_association_rules_values(spark):
     assert out[("c", "b")][2] == pytest.approx(1.0)  # P(b|c)
     assert out[("c", "b")][3] == pytest.approx((0.25) / (0.25 * 0.75))  # lift > 1
     assert len(out) == 4
+
+
+def test_association_rules_materializes_sessions_once(spark):
+    """Five consumers (total, singles x2, pairs x2) must read the
+    materialized session frame — collect_set's nondeterminism marker bars
+    ReuseExchange, so without materialization the corpus would shuffle
+    five times."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        association_rules,
+    )
+
+    ev = _ev(spark, [(1, _ts("2024-01-01 10:00:00"), "a"),
+                     (1, _ts("2024-01-01 10:01:00"), "b")])
+    df = association_rules(ev, "user_id", "ts", "event_type", 30)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cached_reads = plan.count("InMemoryTableScan") + plan.count("TableCacheQueryStage")
+    assert cached_reads >= 5, plan[:500]
+    spark.catalog.clearCache()  # free the plan-keyed cache entry

@@ -155,6 +155,7 @@ def registry() -> dict[str, QuerySpec]:
         "heatmap_qty_price",
         "shrunk_priority_price",
         "session_association_rules",
+        "user_feature_matrix",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -560,3 +560,56 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
     return association_rules(ev, "user_id", "ts", "event_type", 30, min_pair_sessions=5)
+
+
+@register(
+    "user_feature_matrix",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(DISTINCT date_trunc('day', ts)::date) AS active_days,
+           cast(sum(cast(value AS decimal(30,6))) AS double) AS sum_value,
+           cast(sum(cast(value AS decimal(30,6)))
+                    FILTER (WHERE event_type = 'purchase') AS double)
+               AS purchase_value,
+           count(*) FILTER (WHERE event_type = 'click')::double
+               / greatest(count(*) FILTER (WHERE event_type = 'view'), 1)
+               AS click_per_view
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Per-user feature matrix — the feature-engineering aggregate feeding "
+    "a training table: conditional counts per event type (one pass, FILTER "
+    "clauses / when-casts, never a pivot join), distinct active days, "
+    "decimal-exact value sums, and a guarded ratio feature. ONE partial-agg "
+    "groupBy (the count-distinct adds its expand pass); every feature is "
+    "integer arithmetic, exact decimal sums, or a fixed-order divide.",
+)
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+    et = F.col("event_type")
+    val6 = F.col("value").cast("decimal(30,6)")
+    return (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(et == "view", 1)).alias("n_view"),
+            F.count(F.when(et == "click", 1)).alias("n_click"),
+            F.count(F.when(et == "purchase", 1)).alias("n_purchase"),
+            F.count_distinct(F.date_trunc("day", F.col("ts")).cast("date")).alias(
+                "active_days"
+            ),
+            F.sum(val6).cast("double").alias("sum_value"),
+            F.sum(F.when(et == "purchase", val6)).cast("double").alias("purchase_value"),
+            (
+                F.count(F.when(et == "click", 1)).cast("double")
+                / F.greatest(F.count(F.when(et == "view", 1)), F.lit(1).cast("bigint"))
+            ).alias("click_per_view"),
+        )
+    )

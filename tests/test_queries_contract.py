@@ -163,4 +163,5 @@ def test_driver_window_fully_oracle_backed():
         "heatmap_qty_price",
         "shrunk_priority_price",
         "session_association_rules",
+        "user_feature_matrix",
     }, displaced

@@ -156,6 +156,7 @@ def registry() -> dict[str, QuerySpec]:
         "shrunk_priority_price",
         "session_association_rules",
         "user_feature_matrix",
+        "daily_value_bands",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -328,3 +328,32 @@ def q_shrunk_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "o_totalprice"
     )
     return shrunk_group_mean(orders, "o_orderpriority", "o_totalprice", m=200.0, scale=2)
+
+
+@register(
+    "daily_value_bands",
+    """
+    SELECT date_trunc('day', ts)::date AS day,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           count(value) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Daily percentile bands of the value measure (p25/p50/p75 + n) — "
+    "the time-series quartile ribbon behind monitoring charts. One "
+    "partial-agg groupBy; exact linear-interpolation percentiles per "
+    "bounded day-group (the percentile_approx swap applies above that), "
+    "pinned vs DuckDB quantile_cont by exact_percentiles_by_type.",
+)
+def q_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("ts", "value")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+        F.count("value").alias("n"),
+    )

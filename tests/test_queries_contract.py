@@ -164,4 +164,5 @@ def test_driver_window_fully_oracle_backed():
         "shrunk_priority_price",
         "session_association_rules",
         "user_feature_matrix",
+        "daily_value_bands",
     }, displaced

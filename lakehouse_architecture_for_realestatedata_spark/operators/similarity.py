@@ -384,3 +384,52 @@ def ivf_knn(
     # dropDuplicates shuffles on (query_id, neighbor_id) — spread across
     # tasks, not per-query — then the bounded two-stage top-k merges.
     return _topk_per_query(scored.dropDuplicates(["query_id", "neighbor_id"]), k)
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str, qbits: int = 24
+) -> DataFrame:
+    """Per-label mean embedding (class centroids): posexplode the vectors,
+    average per (label, position), reassemble position-sorted arrays.
+    Output ``(label, n, centroid)`` with ``centroid: array<double>``.
+
+    Determinism by QUANTIZED-EXACT sums (the quantized-kNN policy):
+    components scale by 2^qbits (an exact power-of-two multiply on the
+    widened double), round to int64 — both engines round half away from
+    zero — and sum EXACTLY; the mean is two double divides in fixed order.
+    Partition-invariant and engine-identical; quantization error ≤
+    2^-(qbits+1) per component (~3e-8 at the default), far below float32
+    input noise. (A decimal-cast spelling is NOT cross-engine-safe here:
+    float values are dyadic rationals whose exact decimal tails can land on
+    rounding-mode boundaries — Spark HALF_UP vs DuckDB's round-half-even
+    decimal cast.) NULL/ragged vectors are the caller's concern (same
+    contract as the kNN operators).
+
+    Scale shape: the explode is narrow (rows ∝ corpus × dim); ONE
+    (label, pos) groupBy — dim × #labels cells, map-side combined — and a
+    label-keyed reassembly groupBy over dim-sized groups. Never collects
+    vectors to the driver."""
+    q = float(1 << qbits)
+    per_pos = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("__pos", "__v"),
+        )
+        .groupBy("label", "__pos")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            (
+                F.sum(F.round(F.col("__v").cast("double") * q).cast("bigint")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                / q
+            ).alias("__m"),
+        )
+    )
+    return per_pos.groupBy("label").agg(
+        F.max("__n").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__m"))), lambda s: s["__m"]
+        ).alias("centroid"),
+    )

@@ -157,6 +157,7 @@ def registry() -> dict[str, QuerySpec]:
         "session_association_rules",
         "user_feature_matrix",
         "daily_value_bands",
+        "label_centroids_embeddings",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

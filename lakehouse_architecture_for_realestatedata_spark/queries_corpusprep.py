@@ -613,3 +613,33 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_per_view"),
         )
     )
+
+
+@register(
+    "label_centroids_embeddings",
+    """
+    WITH e AS (SELECT label, idx - 1 AS pos, embedding[idx] AS v
+               FROM read_parquet_embeddings,
+                    LATERAL unnest(generate_series(1, len(embedding))) u(idx)),
+    m AS (SELECT label, pos, count(*) AS n,
+                 cast(sum(round(cast(v AS double) * 16777216.0)::bigint) AS double)
+                     / count(*) / 16777216.0 AS mv
+          FROM e GROUP BY label, pos)
+    SELECT label, max(n) AS n, list(mv ORDER BY pos) AS centroid
+    FROM m GROUP BY label
+    """.replace("read_parquet_embeddings", "embeddings"),
+    doc="Per-label mean embedding (class centroids; operators/similarity.py:"
+    "label_centroids): narrow posexplode, ONE (label, pos) partial-agg "
+    "groupBy (labels × dim cells), label-keyed reassembly over dim-sized "
+    "groups — vectors never collect to the driver. Quantized-exact sums "
+    "(round(v·2^24) as int64, the quantized-kNN policy) — partition-"
+    "invariant and engine-identical where a float→decimal cast would hit "
+    "rounding-mode boundaries.",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    return label_centroids(emb, "label", "embedding", qbits=24)

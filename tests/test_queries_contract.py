@@ -165,4 +165,5 @@ def test_driver_window_fully_oracle_backed():
         "session_association_rules",
         "user_feature_matrix",
         "daily_value_bands",
+        "label_centroids_embeddings",
     }, displaced

@@ -218,3 +218,27 @@ def test_blas_knn_rejects_ragged_vectors(spark, sf_dir):
     corpus = emb.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(bad)
     with _pytest.raises(Exception, match="not uniform"):
         knn_quantized_blas(corpus, queries, "vec_id", "embedding", k=3).collect()
+
+
+def test_label_centroids_exact_means_and_order(spark):
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0]),
+            (0, [3.0, 4.0, 5.0]),
+            (1, [10.0, 0.0, -2.0]),
+        ],
+        "label int, embedding array<float>",
+    )
+    out = {r["label"]: (r["n"], r["centroid"]) for r in
+           label_centroids(df, "label", "embedding").collect()}
+    # integer-valued floats quantize exactly -> exact means, position order kept
+    assert out[0] == (2, [2.0, 3.0, 4.0])
+    assert out[1] == (1, [10.0, 0.0, -2.0])
+    # partition invariance (quantized-exact int sums)
+    a = sorted(map(tuple, label_centroids(df.coalesce(1), "label", "embedding").collect()))
+    b = sorted(map(tuple, label_centroids(df.repartition(7), "label", "embedding").collect()))
+    assert a == b

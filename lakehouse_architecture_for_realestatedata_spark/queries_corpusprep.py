@@ -643,3 +643,32 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
     return label_centroids(emb, "label", "embedding", qbits=24)
+
+
+@register(
+    "pagerank_event_graph",
+    None,  # iterative fixpoint — no SQL oracle; numpy-reference + bit-exact
+    # partition-invariance pytest in tests/test_dedup.py::TestPageRank
+    doc="PageRank over the event-transition graph (operators/graph.py:"
+    "pagerank): fixed-iteration power method, dangling mass redistributed; "
+    "per-iteration cost is one edge join + one dst aggregation with "
+    "decimal-summed contributions (bit-identical across partitionings — "
+    "tested), lineage truncated per round (the connected-components "
+    "discipline). Rows-only by design: iterative fixpoints have no "
+    "single-query SQL twin; correctness is pinned against numpy power "
+    "iteration to 1e-9.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        event_transitions,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.operators.graph import pagerank
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    edges = event_transitions(ev, "user_id", "ts", "event_type", tiebreak="event_id")
+    return pagerank(
+        edges.select(F.col("from_stage").alias("src"), F.col("to_stage").alias("dst")),
+        n_iters=10,
+    )

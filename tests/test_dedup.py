@@ -242,3 +242,46 @@ class TestBloomPrefilter:
         out = decontaminate_ngram_bloom(docs, docs.limit(0), n=13)
         assert out.count() == 0
         assert out.columns == ["corpus_id", "eval_id", "n_shared_ngrams"]
+
+
+class TestPageRank:
+    def test_matches_numpy_power_iteration(self, spark):
+        import random
+
+        import numpy as np
+
+        from lakehouse_architecture_for_realestatedata_spark.operators.graph import pagerank
+
+        rng = random.Random(3)
+        n, d, iters = 40, 0.85, 12
+        edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(df, n_iters=iters).collect()}
+
+        present = sorted({u for e in edges for u in e})
+        idx = {u: i for i, u in enumerate(present)}
+        m = len(present)
+        A = np.zeros((m, m))
+        outdeg = {}
+        for s, t in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        for s, t in edges:
+            A[idx[t], idx[s]] += 1.0 / outdeg[s]
+        r = np.full(m, 1.0 / m)
+        dang = np.array([1.0 if u not in outdeg else 0.0 for u in present])
+        for _ in range(iters):
+            r = (1 - d) / m + d * (A @ r + (dang @ r) / m)
+        want = {u: r[idx[u]] for u in present}
+        assert set(got) == set(want)
+        for u in present:
+            assert abs(got[u] - want[u]) < 1e-9, (u, got[u], want[u])
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_partition_invariance_bit_exact(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.graph import pagerank
+
+        edges = [(i, (i * 7 + 3) % 23) for i in range(23)] + [(5, 11), (11, 5)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = sorted(map(tuple, pagerank(df.coalesce(1), n_iters=6).collect()))
+        b = sorted(map(tuple, pagerank(df.repartition(9), n_iters=6).collect()))
+        assert a == b  # decimal-summed contributions: exact equality

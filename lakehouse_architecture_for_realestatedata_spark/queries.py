@@ -158,6 +158,7 @@ def registry() -> dict[str, QuerySpec]:
         "user_feature_matrix",
         "daily_value_bands",
         "label_centroids_embeddings",
+        "dq_schema_tests_report",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

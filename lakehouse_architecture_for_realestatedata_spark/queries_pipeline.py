@@ -416,3 +416,70 @@ def q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(b1.filter(F.col("o_orderkey") >= 2000))
     t.merge(b2, "o_orderkey")
     return t.read()
+
+
+@register(
+    "dq_schema_tests_report",
+    """
+    SELECT 'orders.o_orderkey' AS target, 'unique' AS test,
+           (SELECT count(*) FROM (
+               SELECT o_orderkey FROM orders
+               GROUP BY o_orderkey HAVING count(*) > 1)) AS violations
+    UNION ALL
+    SELECT 'orders.o_orderkey', 'not_null',
+           (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+    UNION ALL
+    SELECT 'orders.o_custkey', 'not_null',
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'orders.o_orderstatus', 'accepted_values',
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F', 'P'))
+    """,
+    doc="dbt-style schema tests as a read-side report — unique / not_null / "
+    "accepted_values per target column with violation counts (reference: "
+    "dbt/models/staging/schema.yml tests: unique + not_null on "
+    "property_id; write-time twin: ParquetTable CHECK constraints). Each "
+    "check is one narrow aggregate; the unique check is a groupBy-HAVING "
+    "on the key — the declarative dedup-audit shape. A pipeline gates "
+    "promotion on violations == 0, exactly like dbt test.",
+)
+def q_dq_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    orders = _t(spark, sf_dir, "orders")
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(
+            F.lit("orders.o_orderkey").alias("target"),
+            F.lit("unique").alias("test"),
+            "violations",
+        )
+    )
+    nn_key = orders.filter(F.col("o_orderkey").isNull()).agg(
+        F.count(F.lit(1)).alias("violations")
+    ).select(
+        F.lit("orders.o_orderkey").alias("target"),
+        F.lit("not_null").alias("test"),
+        "violations",
+    )
+    nn_cust = orders.filter(F.col("o_custkey").isNull()).agg(
+        F.count(F.lit(1)).alias("violations")
+    ).select(
+        F.lit("orders.o_custkey").alias("target"),
+        F.lit("not_null").alias("test"),
+        "violations",
+    )
+    accepted = orders.filter(
+        F.col("o_orderstatus").isNotNull()
+        & ~F.col("o_orderstatus").isin("O", "F", "P")
+    ).agg(F.count(F.lit(1)).alias("violations")).select(
+        F.lit("orders.o_orderstatus").alias("target"),
+        F.lit("accepted_values").alias("test"),
+        "violations",
+    )
+    return dup.unionByName(nn_key).unionByName(nn_cust).unionByName(accepted)

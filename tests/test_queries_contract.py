@@ -166,4 +166,5 @@ def test_driver_window_fully_oracle_backed():
         "user_feature_matrix",
         "daily_value_bands",
         "label_centroids_embeddings",
+        "dq_schema_tests_report",
     }, displaced

@@ -1,0 +1,81 @@
+"""Incremental materialized-view maintenance: keep a daily-summary table
+current by recomputing ONLY the days a new batch touched — the
+delta-driven-partial-recompute pattern that replaces the reference's
+rebuild-the-summary-every-run (dbt full rebuild of fct_daily_summary;
+plans/medallion.py mirrors it as S11).
+
+Why touched-day recompute instead of additive delta-merge: counts and
+decimal sums ARE additive, but count-distinct and min/max-under-deletion
+are not — recomputing whole touched days from the base table is the
+contract that stays correct for every aggregate shape, while still reading
+O(touched days), not the table (the change feed identifies the days as a
+metadata diff; the zonemap-pruned ``read_where`` drops every data dir
+whose stats exclude the span before Spark lists it).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+
+def _daily_agg(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    return df.groupBy(day).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def refresh_daily_summary(
+    base: ParquetTable,
+    summary: ParquetTable,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    since_version: int | None = None,
+) -> int:
+    """Bring ``summary`` (day, n_events, n_users, sum_value) up to date with
+    ``base`` and return the base version the summary now reflects.
+
+    ``since_version`` None (or no existing summary) → full rebuild.
+    Otherwise: the rows ADDED since ``since_version`` come from the
+    append-only change feed (a manifest metadata diff), their distinct days
+    are collected (metadata-scale — a batch touches few days), whole
+    touched days are re-aggregated from a zonemap-pruned ``read_where``
+    span scan filtered to exactly those days, and the recomputed day rows
+    MERGE into the summary keyed on ``day``. Includes count-distinct —
+    correct because touched days recompute wholly (an additive delta-merge
+    could not maintain it).
+    """
+    current = base.version()
+    if since_version is None or not summary.exists():
+        summary.overwrite(_daily_agg(base.read(), ts_col, value_col))
+        return current
+    if current == since_version:
+        return current
+    delta = base.read_changes(since=since_version, to=current)
+    days = [
+        r["day"]
+        for r in delta.select(
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not days:
+        return current
+    lo, hi = min(days), max(days)
+    span = base.read_where(
+        (ts_col, "between", (dt.datetime.combine(lo, dt.time.min),
+                             dt.datetime.combine(hi + dt.timedelta(days=1), dt.time.min)))
+    )
+    touched = span.filter(
+        F.date_trunc("day", F.col(ts_col)).cast("date").isin(days)
+    )
+    summary.merge(_daily_agg(touched, ts_col, value_col), key="day")
+    return current

@@ -159,6 +159,7 @@ def registry() -> dict[str, QuerySpec]:
         "daily_value_bands",
         "label_centroids_embeddings",
         "dq_schema_tests_report",
+        "incremental_summary_refresh",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -483,3 +483,51 @@ def q_dq_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violations",
     )
     return dup.unionByName(nn_key).unionByName(nn_cust).unionByName(accepted)
+
+
+@register(
+    "incremental_summary_refresh",
+    """
+    SELECT date_trunc('day', ts)::date AS day,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           cast(sum(cast(value AS decimal(30,6))) AS double) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Incremental materialized-view maintenance as a hard oracle row "
+    "(plans/mviews.py:refresh_daily_summary): load events in two batches "
+    "(split at Jan 16), full-build the daily summary after batch 1, then "
+    "refresh INCREMENTALLY after batch 2 — the change feed names the "
+    "touched days (metadata diff), whole touched days re-aggregate from a "
+    "zonemap-pruned span scan, and the recomputed rows MERGE keyed on day. "
+    "The oracle is the ONE-SHOT aggregate over all events: equality proves "
+    "incremental ≡ full, count-distinct included (which an additive "
+    "delta-merge could not maintain). Replaces the reference's rebuild-"
+    "every-run (dbt fct_daily_summary full rebuild).",
+)
+def q_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.plans.mviews import (
+        refresh_daily_summary,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+    ev = _events(spark, sf_dir).select("ts", "user_id", "value")
+    cutoff = "2024-01-16"
+    b1 = ev.filter(F.col("ts") < cutoff)
+    b2 = ev.filter(F.col("ts") >= cutoff)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_mview_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    base = ParquetTable(spark, f"{root}/events_base")
+    summary = ParquetTable(spark, f"{root}/daily_summary")
+    base.overwrite(b1)
+    v1 = refresh_daily_summary(base, summary)
+    base.append(b2)
+    refresh_daily_summary(base, summary, since_version=v1)
+    return summary.read().select("day", "n_events", "n_users", "sum_value")

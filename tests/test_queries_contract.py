@@ -167,4 +167,5 @@ def test_driver_window_fully_oracle_backed():
         "daily_value_bands",
         "label_centroids_embeddings",
         "dq_schema_tests_report",
+        "incremental_summary_refresh",
     }, displaced

@@ -126,6 +126,15 @@ def registry() -> dict[str, QuerySpec]:
         "heavy_hitters_users",
         "histogram_order_prices",
     ]
+    # r6 ROTATION CANDIDATES (continue the VERDICT r4 #1 discipline): swap
+    # ~6 first-time rows in against driver-green same-family twins, e.g.
+    #   funnel_view_click_purchase  <-> asof_click_attribution (temporal)
+    #   remove_boilerplate          <-> pii_redaction_scrub    (hygiene)
+    #   vocab_top_tokens            <-> token_stats*           (tokenize)
+    #   corr_qty_price_by_flag      <-> pricing_summary        (A1 twin stays)
+    #   time_travel_cdc_roundtrip   <-> cdc_snapshot_diff      (CDC)
+    #   mad_outlier_events          <-> exact_percentiles*     (quantiles)
+    # (*already deferred-green; keep every family's in-window twin.)
     deferred = {
         "heavy_hitters_recount_users",  # new r5; heavy_hitters_users in-window
         # New r5 extension families (chunking / boilerplate / funnel /

@@ -414,3 +414,45 @@ def stream_event_transitions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_refresh_daily_summary(
+    stream: DataFrame,
+    base: "ParquetTable",
+    summary: "ParquetTable",
+    checkpoint: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> StreamingQuery:
+    """Streaming ingestion driving an incremental materialized view: each
+    micro-batch appends to the versioned ``base`` table, then
+    ``refresh_daily_summary`` recomputes exactly the days the batch touched
+    (change-feed day discovery + zonemap-pruned span scan + keyed MERGE).
+    The checkpoint makes replays idempotent at the SUMMARY level too: a
+    replayed batch's days recompute from base to the same values, and the
+    duplicate base append is the same at-least-once contract as
+    ``stream_merge_into`` (dedup upstream or key the base table when
+    exactly-once matters).
+
+    The end-to-end lakehouse loop — stream → bronze (versioned, append) →
+    incrementally-maintained gold summary — with per-batch work
+    O(batch + touched days), never a summary rebuild."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.mviews import (
+        refresh_daily_summary,
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        since = base.version() if base.exists() and summary.exists() else None
+        base.append(batch_df)
+        refresh_daily_summary(
+            base, summary, ts_col=ts_col, value_col=value_col, since_version=since
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

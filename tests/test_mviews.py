@@ -81,3 +81,43 @@ def test_incremental_matches_full_rebuild(spark, tmp_path):
     a = sorted(map(tuple, summary.read().collect()))
     b = sorted(map(tuple, full.read().collect()))
     assert a == b
+
+
+def test_stream_drives_incremental_summary(spark, tmp_path):
+    """Three micro-batches through the streaming sink: the final summary
+    equals the one-shot aggregate of everything ingested."""
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import (
+        stream_refresh_daily_summary,
+    )
+
+    rows = [
+        (_t("2024-01-01 10:00:00"), 1, 1.0),
+        (_t("2024-01-01 12:00:00"), 2, 2.0),
+        (_t("2024-01-02 10:00:00"), 1, 4.0),
+        (_t("2024-01-02 11:00:00"), 3, 8.0),
+        (_t("2024-01-03 10:00:00"), 2, 16.0),
+        (_t("2024-01-04 10:00:00"), 1, 32.0),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        _ev(spark, rows[i * 2 : i * 2 + 2]).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"f{i}")
+        )
+    schema = _ev(spark, rows[:1]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    base = ParquetTable(spark, str(tmp_path / "base"))
+    summary = ParquetTable(spark, str(tmp_path / "sum"))
+    stream_refresh_daily_summary(
+        stream, base, summary, checkpoint=str(tmp_path / "ckpt")
+    )
+    full = ParquetTable(spark, str(tmp_path / "full"))
+    refresh_daily_summary(base, full)
+    assert sorted(map(tuple, summary.read().collect())) == sorted(
+        map(tuple, full.read().collect())
+    )
+    assert base.read().count() == 6

@@ -55,6 +55,10 @@ HEADLINE = [
     # pipeline stays perf-accountable end-to-end
     "encode_documents_vocab",
     "token_bigram_lm",
+    # storage + behavior pipelines: incremental MV maintenance (two table
+    # builds + change-feed refresh) and the five-consumer basket analysis
+    "incremental_summary_refresh",
+    "session_association_rules",
 ]
 
 

@@ -169,6 +169,7 @@ def registry() -> dict[str, QuerySpec]:
         "label_centroids_embeddings",
         "dq_schema_tests_report",
         "incremental_summary_refresh",
+        "langid_confusion_matrix",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -577,3 +577,43 @@ def q_heavy_hitters_recount(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     cands = heavy_hitters_approx(ev, "user_id", num=1, den=140, slack=4)
     return heavy_hitters_exact_of(ev, "user_id", cands, num=1, den=140)
+
+
+@register(
+    "langid_confusion_matrix",
+    f"""
+    WITH scored AS (
+        SELECT lang AS label,
+               {_SCORE['en']} AS s_en, {_SCORE['de']} AS s_de, {_SCORE['fr']} AS s_fr,
+               {_SCORE['es']} AS s_es, {_SCORE['vi']} AS s_vi
+        FROM documents
+    ), labeled AS (
+        SELECT label,
+               CASE
+                 WHEN greatest(s_en,s_de,s_fr,s_es,s_vi) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_vi) THEN 'en'
+                 WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_vi) THEN 'de'
+                 WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_vi) THEN 'fr'
+                 WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_vi) THEN 'es'
+                 ELSE 'vi'
+               END AS predicted
+        FROM scored
+    )
+    SELECT label, predicted, count(*) AS n
+    FROM labeled GROUP BY label, predicted
+    """,
+    doc="Language-ID confusion matrix — the detector evaluated against the "
+    "fixture's lang labels: per (label, predicted) document counts, the "
+    "precision/recall raw material. Pure codegen (distinct-stopword hit "
+    "count per profile + argmax CASE, tie -> profile order), one "
+    "metadata-scale groupBy; shares the lang_id_documents oracle spelling.",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("label"), lang_id(F.col("text")).alias("predicted")
+        )
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

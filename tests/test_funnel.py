@@ -521,3 +521,42 @@ def test_association_rules_materializes_sessions_once(spark):
     cached_reads = plan.count("InMemoryTableScan") + plan.count("TableCacheQueryStage")
     assert cached_reads >= 5, plan[:500]
     spark.catalog.clearCache()  # free the plan-keyed cache entry
+
+
+def test_retention_matches_bruteforce_reference(spark):
+    import random
+    from collections import Counter
+    from datetime import timedelta
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    rng = random.Random(21)
+    rows = []
+    acts = {}
+    for uid in range(30):
+        days = sorted({rng.randint(0, 40) for _ in range(rng.randint(1, 6))})
+        acts[uid] = days
+        for d in days:
+            rows.append(
+                (uid, _ts("2024-01-01 00:00:00") + timedelta(days=d, hours=uid % 24), "x")
+            )
+    ev = _ev(spark, rows)
+    got = {
+        (str(r["cohort"]), r["period_offset"]): r["users"]
+        for r in retention_cohorts(ev, "user_id", "ts", "week").collect()
+    }
+    import datetime as dt
+
+    def monday(day_offset):
+        d = (dt.date(2024, 1, 1) + dt.timedelta(days=day_offset))
+        return d - dt.timedelta(days=d.weekday())
+
+    want = Counter()
+    for uid, days in acts.items():
+        weeks = sorted({monday(d) for d in days})
+        cohort = weeks[0]
+        for w in weeks:
+            want[(str(cohort), (w - cohort).days // 7)] += 1
+    assert got == dict(want)

@@ -168,4 +168,5 @@ def test_driver_window_fully_oracle_backed():
         "label_centroids_embeddings",
         "dq_schema_tests_report",
         "incremental_summary_refresh",
+        "langid_confusion_matrix",
     }, displaced

@@ -324,3 +324,18 @@ def test_encode_shuffle_join_variant_matches_broadcast(spark):
         )
     )
     assert a == b
+
+
+def test_chunk_fixed_multibyte_unicode(spark):
+    """Character (not byte) semantics: multi-byte text chunks and rebuilds
+    exactly — the contract the DuckDB oracle shares (both engines count
+    code points)."""
+    text = "xin chào thế giới — đây là một đoạn văn bản dài hơn " * 4
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    chunks = sorted(
+        (r["chunk_id"], r["chunk_text"])
+        for r in chunk_fixed(df, "id", "text", size=30, overlap=10).collect()
+    )
+    rebuilt = chunks[0][1] + "".join(c[10:] for _, c in chunks[1:])
+    assert rebuilt == text
+    assert all(len(c) == 30 for _, c in chunks[:-1])

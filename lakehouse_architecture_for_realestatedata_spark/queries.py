@@ -170,6 +170,7 @@ def registry() -> dict[str, QuerySpec]:
         "dq_schema_tests_report",
         "incremental_summary_refresh",
         "langid_confusion_matrix",
+        "grouping_sets_revenue",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

@@ -277,3 +277,30 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_equi_width(
         _t(spark, sf_dir, "orders"), "o_totalprice", 0.0, 500000.0, 25
     )
+
+
+_GSETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           grouping(o_orderpriority) AS g_prio,
+           grouping(o_orderstatus) AS g_status,
+           count(*) AS n,
+           cast(sum(cast(o_totalprice AS decimal(30,2))) AS double) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                            (o_orderpriority, o_orderstatus), ())
+"""
+
+
+@register(
+    "grouping_sets_revenue",
+    _GSETS_SQL,
+    doc="Explicit GROUPING SETS — the generalized form behind ROLLUP/CUBE "
+    "(both already driver-green): four simultaneous grains in ONE pass "
+    "via Catalyst's Expand (each input row fans to its grouping sets, one "
+    "partial-agg shuffle total — never four scans), with grouping() flags "
+    "disambiguating real NULLs from subtotal rows. Identical SQL text runs "
+    "on both engines.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GSETS_SQL)

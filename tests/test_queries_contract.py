@@ -169,4 +169,5 @@ def test_driver_window_fully_oracle_backed():
         "dq_schema_tests_report",
         "incremental_summary_refresh",
         "langid_confusion_matrix",
+        "grouping_sets_revenue",
     }, displaced

@@ -171,6 +171,7 @@ def registry() -> dict[str, QuerySpec]:
         "incremental_summary_refresh",
         "langid_confusion_matrix",
         "grouping_sets_revenue",
+        "activity_profile_dow_hour",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

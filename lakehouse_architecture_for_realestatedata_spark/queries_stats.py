@@ -357,3 +357,29 @@ def q_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", F.lit(0.75)).alias("p75"),
         F.count("value").alias("n"),
     )
+
+
+@register(
+    "activity_profile_dow_hour",
+    """
+    SELECT isodow(ts) - 1 AS dow, hour(ts) AS hh,
+           count(*) AS n,
+           cast(sum(cast(value AS decimal(30,6))) AS double) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Day-of-week × hour activity profile (the when-are-users-active "
+    "heatmap): one partial-agg groupBy on a ≤168-cell composite key. "
+    "Calendar alignment is pinned: Spark weekday() (0 = Monday) equals "
+    "DuckDB isodow − 1 — the raw dayofweek functions DISAGREE on week "
+    "start (Spark 1 = Sunday, DuckDB 0 = Sunday), a classic silent "
+    "cross-engine mismatch. Session TZ pinned UTC makes hour() agree.",
+)
+def q_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("ts", "value")
+    return ev.groupBy(
+        F.weekday("ts").alias("dow"), F.hour("ts").alias("hh")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )

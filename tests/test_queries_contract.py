@@ -170,4 +170,5 @@ def test_driver_window_fully_oracle_backed():
         "incremental_summary_refresh",
         "langid_confusion_matrix",
         "grouping_sets_revenue",
+        "activity_profile_dow_hour",
     }, displaced

@@ -172,6 +172,7 @@ def registry() -> dict[str, QuerySpec]:
         "langid_confusion_matrix",
         "grouping_sets_revenue",
         "activity_profile_dow_hour",
+        "json_props_rollup",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

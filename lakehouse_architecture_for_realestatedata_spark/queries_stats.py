@@ -383,3 +383,33 @@ def q_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "json_props_rollup",
+    """
+    SELECT event_type,
+           count(json_extract(props, '$.k')) AS n_with_k,
+           cast(sum(cast(cast(json_extract_string(props, '$.k') AS int)
+                         AS decimal(30,0))) AS double) AS sum_k,
+           min(cast(json_extract_string(props, '$.k') AS int)) AS min_k,
+           max(cast(json_extract_string(props, '$.k') AS int)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured rollup: extract a typed field from the JSON props "
+    "column and aggregate per event type — the payload-mining shape for "
+    "event streams carrying schemaless envelopes. get_json_object + cast "
+    "runs in codegen (one pass, no from_json schema needed for a single "
+    "field); one partial-agg groupBy. Exact decimal sum over the extracted "
+    "ints keeps the oracle bit-stable.",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "props")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k.cast("decimal(30,0)")).cast("double").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -171,4 +171,5 @@ def test_driver_window_fully_oracle_backed():
         "langid_confusion_matrix",
         "grouping_sets_revenue",
         "activity_profile_dow_hour",
+        "json_props_rollup",
     }, displaced

@@ -247,3 +247,42 @@ def sample_weighted(
         F.lpad(F.lower(F.conv(v.cast("string"), 10, 16)), _HEX_W, "0")
     )
     return df.filter(w.isNotNull() & (w > 0) & (_hash_hex(F.col(key), salt) < thr))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    salt: str = "",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Train/val/test assignment that can NEVER split a near-duplicate group
+    across splits: rows whose ids are connected in ``pairs`` (a near-dup
+    edge list from any dedup operator) inherit ONE split, decided by the
+    md5-hashed minimum id of their connected component; singletons hash
+    their own id — i.e. plain ``split_assign`` degraded gracefully.
+
+    This closes the classic eval-leakage hole: hashing raw ids puts two
+    near-identical documents in train and test with probability
+    2·p(train)·p(test); hashing the component label makes it impossible.
+
+    Scale shape: component labels exist only for ids that appear in
+    ``pairs`` (the near-duplicate minority, ≪ corpus), so the label join
+    is BROADCAST-sized; the split itself stays the zero-shuffle hex
+    threshold filter. Output: ``df``'s columns + ``split``."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.graph import (
+        connected_components,
+    )
+
+    labels = connected_components(pairs, src=src, dst=dst)
+    with_key = df.join(
+        F.broadcast(labels.select(F.col("node"), F.col("label"))),
+        df[id_col] == F.col("node"),
+        "left",
+    ).select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("label"), df[id_col]).alias("__split_key"),
+    )
+    return split_assign(with_key, "__split_key", weights, salt=salt).drop("__split_key")

@@ -173,6 +173,7 @@ def registry() -> dict[str, QuerySpec]:
         "grouping_sets_revenue",
         "activity_profile_dow_hour",
         "json_props_rollup",
+        "leakage_safe_split_docs",
         "percent_rank_event_values",
         "corr_qty_price_by_flag",
         "mad_outlier_events",

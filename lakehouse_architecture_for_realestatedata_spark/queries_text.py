@@ -617,3 +617,64 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "leakage_safe_split_docs",
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len({_DUCK_TOKS.format(c='text')}) >= 3
+                      THEN [array_to_string(({_DUCK_TOKS.format(c='text')})[i:i+2], ' ')
+                            for i in range(1, len({_DUCK_TOKS.format(c='text')}) - 1)]
+                      ELSE [array_to_string({_DUCK_TOKS.format(c='text')}, ' ')]
+                 END) AS sh
+        FROM documents WHERE doc_id < 500
+    ), e AS (
+        SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t
+    ), p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.6
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+    ), cc AS (
+        SELECT DISTINCT u AS node, u AS label FROM edges
+        UNION
+        SELECT eg.v AS node, cc.label FROM cc JOIN edges eg ON cc.node = eg.u
+    ), final AS (
+        SELECT node, min(label) AS label FROM cc GROUP BY node
+    ), keyed AS (
+        SELECT d.doc_id, coalesce(f.label, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN final f ON f.node = d.doc_id
+        WHERE d.doc_id < 500
+    )
+    SELECT doc_id,
+           CASE WHEN substr(md5('lsplit' || cast(split_key AS varchar)), 1, 8)
+                     < '{hex_threshold(0.8)}' THEN 'train'
+                WHEN substr(md5('lsplit' || cast(split_key AS varchar)), 1, 8)
+                     < '{hex_threshold(0.9)}' THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM keyed
+    """,
+    doc="Leakage-safe 80/10/10 split (operators/sampling.py:"
+    "leakage_safe_split): near-duplicate groups (3-shingle Jaccard >= 0.6 "
+    "edges -> connected components) inherit ONE split via their md5-hashed "
+    "component label; singletons hash their own id. Closes the classic "
+    "eval-leakage hole — near-identical docs can never land in train AND "
+    "test. Labels exist only for the near-dup minority, so the label join "
+    "broadcasts; the split stays the zero-shuffle hex threshold.",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+    return leakage_safe_split(
+        docs.select("doc_id"), "doc_id", pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1}, salt="lsplit",
+    )

@@ -172,4 +172,5 @@ def test_driver_window_fully_oracle_backed():
         "grouping_sets_revenue",
         "activity_profile_dow_hour",
         "json_props_rollup",
+        "leakage_safe_split_docs",
     }, displaced

@@ -229,3 +229,48 @@ class TestSampleWeighted:
             r["id"] for r in sample_weighted(df.repartition(16), "id", "w", "s").collect()
         )
         assert a == b and len(a) > 0
+
+
+class TestLeakageSafeSplit:
+    def test_groups_share_split_and_singletons_hash_own_id(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+            leakage_safe_split,
+            split_assign,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+        # components: {0,1,2} (chain) and {10,11}
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+        )
+        out = {
+            r["id"]: r["split"]
+            for r in leakage_safe_split(
+                df, "id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s"
+            ).collect()
+        }
+        assert out[0] == out[1] == out[2]
+        assert out[10] == out[11]
+        assert len(out) == 200
+        # singletons match plain split_assign on their own id
+        plain = {
+            r["id"]: r["split"]
+            for r in split_assign(
+                df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s"
+            ).collect()
+        }
+        for i in range(20, 200):
+            assert out[i] == plain[i]
+
+    def test_partition_invariance(self, spark):
+        from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+            leakage_safe_split,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(0, 40, 2)],
+                                      "id_a long, id_b long")
+        w = {"train": 0.8, "val": 0.2}
+        a = sorted(map(tuple, leakage_safe_split(df.coalesce(1), "id", pairs, w).collect()))
+        b = sorted(map(tuple, leakage_safe_split(df.repartition(8), "id", pairs, w).collect()))
+        assert a == b

@@ -560,3 +560,29 @@ def test_retention_matches_bruteforce_reference(spark):
         for w in weeks:
             want[(str(cohort), (w - cohort).days // 7)] += 1
     assert got == dict(want)
+
+
+def test_retention_month_period_year_boundary(spark):
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-11-15 10:00:00"), "x"),  # cohort Nov 2024
+            (1, _ts("2025-01-03 10:00:00"), "x"),  # offset 2 across the year
+            (2, _ts("2024-12-31 23:00:00"), "x"),  # cohort Dec 2024
+            (2, _ts("2025-01-01 01:00:00"), "x"),  # offset 1 next day
+        ],
+    )
+    out = {
+        (str(r["cohort"]), r["period_offset"]): r["users"]
+        for r in retention_cohorts(ev, "user_id", "ts", "month").collect()
+    }
+    assert out == {
+        ("2024-11-01", 0): 1,
+        ("2024-11-01", 2): 1,
+        ("2024-12-01", 0): 1,
+        ("2024-12-01", 1): 1,
+    }

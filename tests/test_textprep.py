@@ -339,3 +339,10 @@ def test_chunk_fixed_multibyte_unicode(spark):
     rebuilt = chunks[0][1] + "".join(c[10:] for _, c in chunks[1:])
     assert rebuilt == text
     assert all(len(c) == 30 for _, c in chunks[:-1])
+
+
+def test_boilerplate_partition_invariance(spark):
+    df = _corpus(spark)
+    a = sorted(map(tuple, remove_boilerplate_lines(df.coalesce(1), "doc_id", "text", 3).collect()))
+    b = sorted(map(tuple, remove_boilerplate_lines(df.repartition(8), "doc_id", "text", 3).collect()))
+    assert a == b

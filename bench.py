@@ -148,13 +148,30 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries_out,
-        "attempts": spread,
         "sf": sf,
     }
     n_failed = sum(1 for name in errors if name not in per_query)
     if n_failed:
         out["errors"] = n_failed
-    print(json.dumps(out))
+    # Attempt spreads go to STDERR (and BENCH_attempts.json) — BENCH_r05 was
+    # recorded `parsed: null` because the 29-query spread dict pushed the
+    # stdout JSON line past the driver's ~4 KB tail capture. The headline
+    # line must be compact (< ~2 KB) and LAST on stdout.
+    print(json.dumps({"attempts": spread}), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_attempts.json"), "w") as fh:
+            json.dump({"attempts": spread, "sf": sf}, fh)
+    except OSError:
+        pass
+    line = json.dumps(out)
+    if len(line) > 2000:
+        # degrade gracefully: drop per-query detail before risking truncation
+        slim = dict(out)
+        slim["queries"] = {k: queries_out[k] for k in sorted(queries_out)[:20]}
+        slim["queries_truncated"] = True
+        line = json.dumps(slim)
+    print(line)
 
 
 if __name__ == "__main__":

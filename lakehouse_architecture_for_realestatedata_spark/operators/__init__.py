@@ -46,6 +46,7 @@ from lakehouse_architecture_for_realestatedata_spark.operators.skew import salte
 from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
     daily_measure,
     global_top_k,
+    global_row_number,
     ntile_buckets,
     period_over_period,
     ranked_in_group,
@@ -84,6 +85,7 @@ __all__ = [
     "salted_join",
     "daily_measure",
     "global_top_k",
+    "global_row_number",
     "ntile_buckets",
     "period_over_period",
     "ranked_in_group",

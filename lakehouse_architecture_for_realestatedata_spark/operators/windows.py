@@ -71,13 +71,101 @@ def rolling_frame(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str = "rn",
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global row_number over a total order with NO single-task sort:
+    range-repartition on the ordering, row_number locally per range
+    partition, then add each partition's prefix offset.
+
+    The naive ``row_number() OVER (ORDER BY ...)`` funnels the entire input
+    through ONE task (Spark logs "No Partition Defined ... Moving all data
+    to a single partition") — a billion-row single-task sort at scale. Here
+    every heavy step is distributed:
+
+      1. ``repartitionByRange(p, order)`` — one range exchange; boundary
+         sampling is deterministic (seeded per input split), and because
+         the caller supplies a TOTAL order (unique tiebreak — same caveat
+         as any deterministic ranking), the final numbering is independent
+         of where the boundaries land.
+      2. per-partition ``row_number`` windowed BY partition id — parallel
+         sorts, no cross-partition data movement.
+      3. per-partition counts (≤ p rows) get prefix offsets via an
+         unpartitioned window — allowed exactly because the input is the
+         bounded count frame, per this module's rule — and broadcast back.
+
+    Both consumers of the range exchange read the same shuffle output
+    (ReusedExchange); even unreused, range placement is deterministic, so
+    the pid seen by the count branch equals the pid seen by the rank
+    branch."""
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(p, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("bigint"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
 def ntile_buckets(
-    df: DataFrame, order_by: list[Column], n: int = 4
+    df: DataFrame,
+    order_by: list[Column],
+    n: int = 4,
+    partitions: int | None = None,
 ) -> DataFrame:
     """ntile(n) bucket assignment over a TOTAL order (caller must include a
-    unique tiebreak column, or bucket edges are nondeterministic)."""
-    w = Window.orderBy(*order_by)
-    return df.withColumn("bucket", F.ntile(n).over(w))
+    unique tiebreak column, or bucket edges are nondeterministic).
+
+    Output-identical to ``ntile(n) OVER (ORDER BY ...)`` but WITHOUT the
+    single-partition WindowExec: global rank comes from the distributed
+    two-phase numbering (``global_row_number`` inlined so the per-partition
+    count frame serves both the prefix offsets and the global total), and
+    the bucket is ntile's closed form over (rn, cnt): with q = cnt div n
+    and r = cnt mod n, buckets 1..r hold q+1 rows and buckets r+1..n hold
+    q rows."""
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(p, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    meta = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__n").over(w_all).alias("__cnt"),
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    rn = F.col("__off") + F.col("__lrn")
+    cnt = F.col("__cnt")
+    q = F.floor(cnt / n).cast("bigint")
+    r = (cnt % n).cast("bigint")
+    threshold = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    bucket = F.when(
+        rn <= threshold, F.floor((rn - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((rn - threshold - 1) / F.greatest(q, F.lit(1))) + 1)
+    return (
+        local.join(F.broadcast(meta), "__pid")
+        .withColumn("bucket", bucket.cast("int"))
+        .drop("__pid", "__lrn", "__off", "__cnt")
+    )
 
 
 def ranked_in_group(
@@ -87,15 +175,37 @@ def ranked_in_group(
     k: int | None = None,
 ) -> DataFrame:
     """rank/dense_rank/percent_rank within each partition; optionally keep
-    rank ≤ k (per-group top-k: one hash-partition shuffle, no global sort)."""
+    rank ≤ k (per-group top-k: one hash-partition shuffle, no global sort).
+
+    percent_rank is NOT computed in the window: Spark's WindowGroupLimit
+    partial pushdown (the map-side k-cut this module pins for top-k) only
+    fires when every window function is rank-like, and a ``percent_rank``
+    sharing the window disables it — every row would flow through the
+    #groups reducer tasks before the k-filter. Instead the rank window stays
+    rank-only (partial cut applies), per-group row counts broadcast back
+    (one tiny aggregate), and ``pct_rnk = (rnk-1)/(n-1)`` — percent_rank's
+    literal definition — is derived in the projection. Output-identical,
+    including the n=1 → 0.0 convention."""
     w = Window.partitionBy(*part_cols).orderBy(*order_by)
-    out = df.select(
+    ranked = df.select(
         "*",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("dense_rnk"),
-        F.percent_rank().over(w).alias("pct_rnk"),
     )
-    return out.filter(F.col("rnk") <= k) if k is not None else out
+    if k is not None:
+        ranked = ranked.filter(F.col("rnk") <= k)
+    counts = df.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("__gn"))
+    pct = (
+        F.when(
+            F.col("__gn") > 1,
+            (F.col("rnk") - 1).cast("double") / (F.col("__gn") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_rnk")
+    )
+    return ranked.join(F.broadcast(counts), part_cols).select(
+        *df.columns, "rnk", "dense_rnk", pct
+    )
 
 
 def global_top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:

@@ -360,6 +360,51 @@ def test_tfidf_topk_bounded_before_exchange(spark, sf_dir):
     assert count_shuffles(df) == 3
 
 
+def test_ntile_no_single_partition_window(spark, sf_dir):
+    """VERDICT r5 #1a: ntile bucketing must never funnel the raw table
+    through one task. Pins: no ntile() window function at all (the closed
+    form replaced it); the input flows through a RangePartitioning exchange;
+    the row_number window is partitioned by __pid; and every SinglePartition
+    exchange in the plan sits directly above a bounded aggregate (the
+    per-partition count frame), never above a scan."""
+    import re
+
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    q = registry()["ntile_customer_quartiles"]
+    plan = physical_plan(q.spark_fn(spark, sf_dir), mode="simple")
+    assert "ntile(" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+    # the per-row window is partitioned (by pid), not global
+    assert re.search(r"Window \[row_number\(\) windowspecdefinition\(__pid", plan), plan
+    # any single-partition exchange must be fed by a HashAggregate (bounded
+    # count frame), never by a scan/projection of the raw table
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n(\s*)\+- (\w+)", plan):
+        assert m.group(2) == "HashAggregate", plan
+
+
+def test_rank_in_priority_partial_group_limit(spark, sf_dir):
+    """VERDICT r5 #1b: the top-5-per-priority rank query must keep the
+    WindowGroupLimit Partial cut (map tasks ship ≤ k rows per group) — a
+    percent_rank sharing the window disables the rewrite and ships every
+    row to the reducers. pct_rnk must come from the broadcast count join."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    q = registry()["rank_orders_in_priority"]
+    df = q.spark_fn(spark, sf_dir)
+    plan = physical_plan(df, mode="simple")
+    assert "percent_rank" not in plan, plan
+    assert "Partial" in plan and "WindowGroupLimit" in plan, plan
+    # the Partial cut sits BELOW the hash exchange on the partition key
+    import re
+
+    partial = plan.index("5, Partial")
+    exch = plan.index("Exchange hashpartitioning(o_orderpriority")
+    assert partial > exch, plan  # simple-plan text: children print BELOW parents
+    strategies = join_strategies(df)
+    assert strategies == ["BroadcastHashJoin"], strategies
+
+
 def test_heavy_hitters_broadcasts_total(spark, sf_dir):
     """The scalar total must broadcast back onto the grouped counts — a
     shuffled join on a one-row side would serialize the whole count table

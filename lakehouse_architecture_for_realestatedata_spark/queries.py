@@ -118,6 +118,24 @@ def registry() -> dict[str, QuerySpec]:
     # tests/test_queries_contract.py (sf0.001) + tools/check_oracle.py
     # (sf0.01).
     promoted = [
+        # r6 first-time rows (pre-declared in the r5 rotation comment; each
+        # swap keeps a same-family twin in-window — see `deferred` below):
+        #   funnel_view_click_purchase  <-> asof_click_attribution (behavior;
+        #       range_join/resample/scd2 keep the temporal family in-window)
+        #   remove_boilerplate          <-> pii_redaction_scrub + doc_repetition_signals (hygiene)
+        #   vocab_top_tokens            <-> token_stats (already deferred-green; tokenize)
+        #   corr_qty_price_by_flag      <-> pricing_summary (grouped-lineitem agg; quality_report keeps A4)
+        #   time_travel_cdc_roundtrip   <-> cdc_snapshot_diff (CDC/storage)
+        #   mad_outlier_events          <-> exact_percentiles_by_type (already deferred-green; quantiles)
+        # semi_join_active_customers also rotates out (anti_join_inactive_
+        # customers keeps the semi/anti family in-window) to balance slots.
+        "funnel_view_click_purchase",
+        "remove_boilerplate",
+        "vocab_top_tokens",
+        "corr_qty_price_by_flag",
+        "time_travel_cdc_roundtrip",
+        "mad_outlier_events",
+        # r5 first-time rows (stay in-window):
         "sliding_window_agg",
         "cube_status_year",
         "rank_orders_in_priority",
@@ -126,26 +144,32 @@ def registry() -> dict[str, QuerySpec]:
         "heavy_hitters_users",
         "histogram_order_prices",
     ]
-    # r6 ROTATION CANDIDATES (continue the VERDICT r4 #1 discipline): swap
-    # ~6 first-time rows in against driver-green same-family twins, e.g.
-    #   funnel_view_click_purchase  <-> asof_click_attribution (temporal)
-    #   remove_boilerplate          <-> pii_redaction_scrub    (hygiene)
-    #   vocab_top_tokens            <-> token_stats*           (tokenize)
-    #   corr_qty_price_by_flag      <-> pricing_summary        (A1 twin stays)
-    #   time_travel_cdc_roundtrip   <-> cdc_snapshot_diff      (CDC)
-    #   mad_outlier_events          <-> exact_percentiles*     (quantiles)
-    # (*already deferred-green; keep every family's in-window twin.)
+    # r7 ROTATION CANDIDATES: swap first-time rows in against driver-green
+    # same-family twins, e.g.
+    #   encode_documents_vocab      <-> vocab_top_tokens       (tokenize)
+    #   weekly_retention_cohorts    <-> funnel_view_click_purchase (behavior)
+    #   grouping_sets_revenue       <-> cube_status_year       (grouping sets)
+    #   incremental_summary_refresh <-> merge_upsert_roundtrip (storage MERGE)
+    #   quantile_exact_global_events<-> histogram_order_prices (quantiles)
+    #   leakage_safe_split_docs     <-> deterministic_sample   (sampling)
     deferred = {
+        # r6 rotation swap-outs (driver-green in r5; family twin in-window):
+        "asof_click_attribution",
+        "pii_redaction_scrub",
+        "pricing_summary",
+        "cdc_snapshot_diff",
+        "doc_repetition_signals",
+        "semi_join_active_customers",
+        # new r6 (starts deferred; merge_upsert_roundtrip + the medallion
+        # model rows keep the family in-window; r7 rotation candidate):
+        "medallion_two_batch_pipeline",
         "heavy_hitters_recount_users",  # new r5; heavy_hitters_users in-window
         # New r5 extension families (chunking / boilerplate / funnel /
         # corr / MAD) start deferred; r6 rotation candidates to swap in
         # against driver-green same-family twins.
         "chunk_documents_fixed",
-        "remove_boilerplate",
-        "funnel_view_click_purchase",
         "event_transition_matrix",
         "weighted_doc_sample",
-        "vocab_top_tokens",
         "encode_documents_vocab",
         "scd2_point_in_time_purchases",
         "token_bigram_lm",
@@ -156,7 +180,6 @@ def registry() -> dict[str, QuerySpec]:
         "funnel_step_latency",
         "session_cooccurrence_pairs",
         "correlated_subquery_q17",
-        "time_travel_cdc_roundtrip",
         "vocab_coverage_curve",
         "change_feed_roundtrip",
         "schema_evolution_roundtrip",
@@ -175,8 +198,6 @@ def registry() -> dict[str, QuerySpec]:
         "json_props_rollup",
         "leakage_safe_split_docs",
         "percent_rank_event_values",
-        "corr_qty_price_by_flag",
-        "mad_outlier_events",
         "set_ops_customer_cohorts",
         "tumbling_window_agg",
         "rollup_revenue",

@@ -104,10 +104,19 @@ def test_driver_window_fully_oracle_backed():
         n for i, n in enumerate(reg) if i >= 50 and reg[n].oracle is not None
     ]
     # Deferred-by-design entries are the only oracle queries allowed past 50
-    # (see the r5 rotation table in queries.registry; the queries_quality
+    # (see the r6 rotation table in queries.registry; the queries_quality
     # block are post-§2 extensions registered last on purpose) — all
     # hard-checked by this module instead. Update CONSCIOUSLY when rotating.
     assert set(displaced) <= {
+        # r6 rotation swap-outs (driver-green in r5; family twin in-window):
+        "asof_click_attribution",
+        "pii_redaction_scrub",
+        "pricing_summary",
+        "cdc_snapshot_diff",
+        "doc_repetition_signals",
+        "semi_join_active_customers",
+        # new r6, starts deferred (r7 rotation candidate):
+        "medallion_two_batch_pipeline",
         # r5 rotation swap-outs (driver-green in r4; family twin in-window):
         "tumbling_window_agg",
         "rollup_revenue",
@@ -135,18 +144,13 @@ def test_driver_window_fully_oracle_backed():
         "zscore_events_by_type",
         "winsorized_event_values",
         "rolling_hourly_user_value",
-        "corr_qty_price_by_flag",
-        "mad_outlier_events",
         "percent_rank_event_values",
         "quantile_exact_global_events",
         "rolling_anomaly_events",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
-        "remove_boilerplate",
-        "funnel_view_click_purchase",
         "event_transition_matrix",
         "weighted_doc_sample",
-        "vocab_top_tokens",
         "encode_documents_vocab",
         "scd2_point_in_time_purchases",
         "token_bigram_lm",
@@ -155,7 +159,6 @@ def test_driver_window_fully_oracle_backed():
         "funnel_step_latency",
         "session_cooccurrence_pairs",
         "correlated_subquery_q17",
-        "time_travel_cdc_roundtrip",
         "vocab_coverage_curve",
         "change_feed_roundtrip",
         "schema_evolution_roundtrip",

@@ -148,11 +148,15 @@ def pagerank(
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["__s"], "left"
         ).select("node", "rank", "__deg")
-        dangling = (
-            with_deg.filter(F.col("__deg").isNull())
-            .agg(F.sum(F.col("rank").cast(dec)).cast("double").alias("dm"))
-            .collect()[0]["dm"]
-            or 0.0
+        # Dangling mass stays IN the plan as a one-row broadcast cross join —
+        # a driver-blocking collect here would add n_iters synchronous job
+        # round-trips; only truncate_lineage materializes each round. The
+        # IEEE op order matches the former driver-side arithmetic exactly:
+        # ((1-d)/n) + ((d·dm)/n) + d·contrib, so ranks are bit-unchanged.
+        dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+            F.coalesce(F.sum(F.col("rank").cast(dec)), F.lit(0).cast(dec))
+            .cast("double")
+            .alias("__dm")
         )
         contribs = (
             with_deg.filter(F.col("__deg").isNotNull())
@@ -161,12 +165,13 @@ def pagerank(
             .groupBy("__d")
             .agg(F.sum(F.col("__c").cast(dec)).cast("double").alias("__sum"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = F.lit((1.0 - damping) / n) + (F.lit(damping) * F.col("__dm")) / n
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["__d"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("__sum"), F.lit(0.0))).alias(
+                (base + F.lit(damping) * F.coalesce(F.col("__sum"), F.lit(0.0))).alias(
                     "rank"
                 ),
             )

@@ -389,7 +389,7 @@ def q_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_rollup",
     """
     SELECT event_type,
-           count(json_extract(props, '$.k')) AS n_with_k,
+           count(cast(json_extract_string(props, '$.k') AS int)) AS n_with_k,
            cast(sum(cast(cast(json_extract_string(props, '$.k') AS int)
                          AS decimal(30,0))) AS double) AS sum_k,
            min(cast(json_extract_string(props, '$.k') AS int)) AS min_k,

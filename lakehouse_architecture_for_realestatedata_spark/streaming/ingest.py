@@ -271,6 +271,20 @@ def interval_join(
     return l.join(r, cond, "inner").drop(r[key])
 
 
+def _key_field_type(df: DataFrame, col: str) -> str:
+    """DDL type string of ``col`` in ``df``, validated to the key types the
+    stateful operators support — an unsupported grouping-key type fails here
+    with a clear message instead of a schema mismatch inside the state
+    store at runtime."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt not in ("bigint", "int", "smallint", "tinyint", "string"):
+        raise ValueError(
+            f"unsupported stateful grouping-key type for {col!r}: {dt} "
+            "(supported: integral or string)"
+        )
+    return dt
+
+
 def stream_funnel_reached(
     events: DataFrame,
     stages: list[str],
@@ -316,6 +330,10 @@ def stream_funnel_reached(
     filtered = events.filter(
         F.col(user_col).isNotNull() & F.col(stage_col).isin(stages)
     ).select(F.col(user_col), F.col(ts_col).alias("__ts"), F.col(stage_col).alias("__st"))
+    # Output key field mirrors the INPUT key column (name AND type) — a
+    # string-keyed or renamed user column must not hit a hardcoded
+    # `user_id long` schema at runtime.
+    key_type = _key_field_type(events, user_col)
 
     def _update(key, pdfs, state: GroupState):
         if state.exists:
@@ -337,12 +355,12 @@ def stream_funnel_reached(
                 reached[j] = ts_us
         state.update(tuple(reached + [n_seen]))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "reached": [reached], "n_seen": [n_seen]}
+            {user_col: [key[0]], "reached": [reached], "n_seen": [n_seen]}
         )
 
     return filtered.groupBy(user_col).applyInPandasWithState(
         _update,
-        outputStructType="user_id long, reached array<long>, n_seen long",
+        outputStructType=f"{user_col} {key_type}, reached array<long>, n_seen long",
         stateStructType=", ".join(f"r{j} long" for j in range(k)) + ", n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -356,6 +374,7 @@ def stream_event_transitions(
     stage_col: str = "event_type",
     tiebreak: str = "event_id",
     streaming: bool = True,
+    raw_pairs: bool = False,
 ) -> DataFrame:
     """LIVE Markov transition pairs via ``applyInPandasWithState``: per-user
     state is ONE scalar (the last seen stage), and each micro-batch emits
@@ -369,12 +388,35 @@ def stream_event_transitions(
     per-user (ts, tiebreak)-sorted sequence; this operator runs the fold
     chunked, so under in-order-per-user delivery the union of emitted pairs
     EXACTLY equals the batch pairs (parity-tested). State never retains
-    events — one string per user."""
+    events — one string per user.
+
+    SCHEMA NOTE: with ``streaming=True`` the result is the RAW per-user
+    pair stream ``(user, from_stage, to_stage)`` — aggregation is the
+    caller's job (streaming aggregation semantics depend on the sink's
+    output mode). The default batch branch returns the POST-AGGREGATION
+    matrix ``(from_stage, to_stage, n, p)`` — NOT a schema-compatible
+    drop-in. Pass ``raw_pairs=True`` to get the schema-identical batch twin
+    (the same per-user pair rows, computed with one lag window)."""
     if not streaming:
         from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
             event_transitions,
         )
 
+        if raw_pairs:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(user_col).orderBy(
+                F.col(ts_col).asc(), F.col(tiebreak).asc()
+            )
+            return (
+                events.filter(F.col(user_col).isNotNull())
+                .select(
+                    F.col(user_col),
+                    F.lag(F.col(stage_col)).over(w).alias("from_stage"),
+                    F.col(stage_col).alias("to_stage"),
+                )
+                .filter(F.col("from_stage").isNotNull())
+            )
         return event_transitions(events, user_col, ts_col, stage_col, tiebreak=tiebreak)
 
     import pandas as pd
@@ -386,6 +428,7 @@ def stream_event_transitions(
         F.col(tiebreak).alias("__tb"),
         F.col(stage_col).alias("__st"),
     )
+    key_type = _key_field_type(events, user_col)
 
     def _update(key, pdfs, state: GroupState):
         last = state.get[0] if state.exists else None
@@ -401,7 +444,7 @@ def stream_event_transitions(
         state.update((last,))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]] * len(frm),
+                user_col: [key[0]] * len(frm),
                 "from_stage": frm,
                 "to_stage": to,
             }
@@ -409,7 +452,7 @@ def stream_event_transitions(
 
     return filtered.groupBy(user_col).applyInPandasWithState(
         _update,
-        outputStructType="user_id long, from_stage string, to_stage string",
+        outputStructType=f"{user_col} {key_type}, from_stage string, to_stage string",
         stateStructType="last string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -339,3 +339,69 @@ def test_stream_transitions_match_batch(spark, sf_dir, tmp_path):
         for r in stream_event_transitions(batch, streaming=False).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stateful_string_key_and_raw_pairs_twin(spark, sf_dir, tmp_path):
+    """ADVICE r5: the stateful operators must derive the output key field
+    (name AND type) from ``user_col`` — a string-keyed rename must work end
+    to end — and ``stream_event_transitions(streaming=False,
+    raw_pairs=True)`` must be the schema-identical batch twin of the
+    streaming pair rows."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import (
+        stream_event_transitions,
+        stream_funnel_reached,
+    )
+
+    batch = (
+        _event_batch(spark, sf_dir)
+        .select(
+            F.concat(F.lit("u"), F.col("user_id")).alias("visitor"),
+            "ts",
+            "event_id",
+            "event_type",
+        )
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "src"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(tmp_path / "src"))
+
+    q = (
+        stream_funnel_reached(stream, ["view", "click", "purchase"], user_col="visitor")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_strkey")
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        got = spark.sql("SELECT * FROM funnel_strkey")
+        assert got.schema["visitor"].dataType.simpleString() == "string"
+        assert got.count() > 0
+    finally:
+        q.stop()
+
+    q2 = (
+        stream_event_transitions(stream, user_col="visitor")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_strkey")
+        .start()
+    )
+    q2.processAllAvailable()
+    try:
+        live = spark.sql("SELECT * FROM trans_strkey")
+        twin = stream_event_transitions(
+            batch, user_col="visitor", streaming=False, raw_pairs=True
+        )
+        assert live.schema == twin.schema  # drop-in schema twin
+        assert sorted(map(tuple, live.collect())) == sorted(map(tuple, twin.collect()))
+    finally:
+        q2.stop()
+
+    with __import__("pytest").raises(ValueError, match="grouping-key type"):
+        stream_funnel_reached(
+            batch.withColumn("visitor", F.array(F.lit(1))),
+            ["view", "click"],
+            user_col="visitor",
+        )

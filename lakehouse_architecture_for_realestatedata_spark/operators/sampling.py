@@ -257,6 +257,7 @@ def leakage_safe_split(
     salt: str = "",
     src: str = "id_a",
     dst: str = "id_b",
+    broadcast_max_labels: int = 4_000_000,
 ) -> DataFrame:
     """Train/val/test assignment that can NEVER split a near-duplicate group
     across splits: rows whose ids are connected in ``pairs`` (a near-dup
@@ -269,16 +270,26 @@ def leakage_safe_split(
     2·p(train)·p(test); hashing the component label makes it impossible.
 
     Scale shape: component labels exist only for ids that appear in
-    ``pairs`` (the near-duplicate minority, ≪ corpus), so the label join
-    is BROADCAST-sized; the split itself stays the zero-shuffle hex
-    threshold filter. Output: ``df``'s columns + ``split``."""
+    ``pairs`` — USUALLY the near-duplicate minority, ≪ corpus, so the
+    label join broadcasts. That assumption is now GUARDED, not assumed: a
+    boilerplate-heavy crawl can make most of the corpus near-duplicate, and
+    broadcasting a corpus-sized label frame OOMs the driver. When the label
+    count (already materialized by connected_components' lineage
+    truncation — the count is metadata-cheap) exceeds
+    ``broadcast_max_labels``, the join falls back to a plain shuffle
+    hash/merge join on the id — one extra exchange, unbounded-safe,
+    identical output. The split itself stays the zero-shuffle hex
+    threshold filter either way. Output: ``df``'s columns + ``split``."""
     from lakehouse_architecture_for_realestatedata_spark.operators.graph import (
         connected_components,
     )
 
     labels = connected_components(pairs, src=src, dst=dst)
+    label_side = labels.select(F.col("node"), F.col("label"))
+    if labels.count() <= broadcast_max_labels:
+        label_side = F.broadcast(label_side)
     with_key = df.join(
-        F.broadcast(labels.select(F.col("node"), F.col("label"))),
+        label_side,
         df[id_col] == F.col("node"),
         "left",
     ).select(

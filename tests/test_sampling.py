@@ -274,3 +274,35 @@ class TestLeakageSafeSplit:
         a = sorted(map(tuple, leakage_safe_split(df.coalesce(1), "id", pairs, w).collect()))
         b = sorted(map(tuple, leakage_safe_split(df.repartition(8), "id", pairs, w).collect()))
         assert a == b
+
+    def test_all_duplicates_corpus_shuffle_fallback(self, spark):
+        """VERDICT r5 #4: a pathological corpus where EVERY row is in some
+        near-dup component (label frame ~ corpus-sized) must produce the
+        identical assignment on the broadcast path and the shuffle-join
+        fallback — and the fallback plan must not broadcast the labels."""
+        from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+            leakage_safe_split,
+        )
+        from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+        # chain every pair (2i, 2i+1): all 200 ids are component members
+        pairs = spark.createDataFrame(
+            [(2 * i, 2 * i + 1) for i in range(100)], "id_a long, id_b long"
+        )
+        w = {"train": 0.7, "val": 0.3}
+        via_broadcast = leakage_safe_split(df, "id", pairs, w, salt="x")
+        via_shuffle = leakage_safe_split(
+            df, "id", pairs, w, salt="x", broadcast_max_labels=0
+        )
+        # the fallback must not carry the forced broadcast hint (AQE may
+        # still CHOOSE broadcast for a small side — that's fine; the point
+        # is the plan is no longer pinned to driver-collecting the labels)
+        assert "broadcast" not in via_shuffle._jdf.queryExecution().logical().toString().lower()
+        a = sorted(map(tuple, via_broadcast.collect()))
+        b = sorted(map(tuple, via_shuffle.collect()))
+        assert a == b and len(a) == 200
+        # pair members always land in the same split
+        got = {r[0]: r[1] for r in b}
+        for i in range(100):
+            assert got[2 * i] == got[2 * i + 1]

@@ -352,6 +352,29 @@ def ivf_assign(
     return assign(centroids), centroids
 
 
+def ivf_persist(assignments: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Persist an IVF index with the layout the probe path is designed for:
+    assignments PARTITIONED BY cell (so ``ivf_knn`` against the loaded table
+    scans only probed cells — dynamic partition pruning, pinned in
+    tests/test_plans.py), centroids as one small parquet."""
+    assignments.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/assignments"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index. The assignment frame keeps ``cell`` as
+    the raw PARTITION column (whatever type partition-column inference
+    gave it) — ``ivf_knn`` aligns the probe side to it, never the reverse,
+    so the scan-side join key stays a bare partition attribute and dynamic
+    partition pruning applies."""
+    return (
+        spark.read.parquet(f"{path}/assignments"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
+
+
 def ivf_knn(
     assignments: DataFrame,
     centroids: DataFrame,
@@ -363,7 +386,15 @@ def ivf_knn(
 ) -> DataFrame:
     """Approximate top-k: route each query to its ``n_probe`` nearest cells,
     then score only vectors in those cells. The scan touches ~n_probe/n_cells
-    of the corpus — the scale path when brute force is too expensive."""
+    of the corpus — the scale path when brute force is too expensive.
+
+    When ``assignments`` is a table partitioned by ``cell`` (see
+    ``ivf_persist``), the bounded broadcast probe side drives DYNAMIC
+    PARTITION PRUNING on the scan: the probe cell is cast to the
+    assignment side's cell dtype (partition-column inference may have
+    narrowed it), keeping the scan-side key a bare partition attribute —
+    an implicit cast there would disqualify the pruning rewrite."""
+    cell_t = dict(assignments.dtypes)["cell"]
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     routed = (
         q.crossJoin(F.broadcast(centroids))
@@ -373,7 +404,7 @@ def ivf_knn(
     probes = (
         routed.withColumn("__rn", F.row_number().over(wr))
         .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", "cell")
+        .select("query_id", "__qv", F.col("cell").cast(cell_t).alias("cell"))
     )
     cand = assignments.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"

@@ -414,3 +414,36 @@ def test_heavy_hitters_broadcasts_total(spark, sf_dir):
     df = reg()["heavy_hitters_users"].spark_fn(spark, sf_dir)
     strategies = join_strategies(df)
     assert all("Broadcast" in s for s in strategies), strategies
+
+
+def test_ivf_persisted_index_partition_pruned_probe(spark, sf_dir, tmp_path):
+    """VERDICT r5 #5: the ivf_assign docstring's scale claim — persist the
+    index partitioned by cell so a probe reads only matching partitions —
+    must be true, not aspirational. Pins a dynamicpruningexpression in the
+    assignment scan's PartitionFilters (the broadcast probe side drives
+    dynamic partition pruning), and the probe result must equal the
+    unpersisted path's result exactly."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        ivf_assign,
+        ivf_knn,
+        ivf_load,
+        ivf_persist,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assignments, centroids = ivf_assign(emb, "vec_id", "embedding", n_cells=8)
+    ivf_persist(assignments, centroids, str(tmp_path / "ivf"))
+    a2, c2 = ivf_load(spark, str(tmp_path / "ivf"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    probed = ivf_knn(a2, c2, queries, k=5, n_probe=2)
+    plan = physical_plan(probed, "formatted")
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*dynamicpruningexpression", plan
+    ), plan
+    live = ivf_knn(assignments, centroids, queries, k=5, n_probe=2)
+    assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, live.collect()))

@@ -59,6 +59,12 @@ HEADLINE = [
     # builds + change-feed refresh) and the five-consumer basket analysis
     "incremental_summary_refresh",
     "session_association_rules",
+    # r6 additions: distributed ntile over the raw fact table, binned
+    # interval-interval join, PCA (one metadata-scale co-moment reduction
+    # + narrow projection)
+    "equi_depth_bands_events",
+    "user_span_campaign_overlap",
+    "pca_embeddings_projection",
 ]
 
 

@@ -464,3 +464,119 @@ def label_centroids(
             F.array_sort(F.collect_list(F.struct("__pos", "__m"))), lambda s: s["__m"]
         ).alias("centroid"),
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    qbits: int = 24,
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Distributed PCA fit: returns (components [k][d], eigenvalues [k],
+    mean [d]) of the vector column's population covariance.
+
+    Scale shape — the corpus is big, the dimension is not: component sums
+    and the d(d+1)/2 upper-triangle co-moment sums reduce through ONE
+    aggregation whose output is metadata-scale (d + d²/2 rows), partial-
+    aggregated map-side like any groupBy; the d×d eigendecomposition runs
+    on the driver (numpy, microseconds for model-sized d). No row ever
+    leaves the executors.
+
+    Determinism (the quantized-kNN policy): components quantize to
+    round-half-away(v·2^qbits) int64 once, and all sums run over exact
+    DECIMAL(38,0) integers — associative, partition-invariant, so the
+    covariance matrix (and therefore the eigenbasis) is bit-stable across
+    partitionings. Eigenvector sign is fixed by making each component's
+    largest-magnitude entry positive."""
+    import numpy as np
+
+    d = len(df.select(vec_col).first()[0])
+    if not 1 <= k <= d:
+        raise ValueError(f"need 1 <= k <= dim, got k={k}, dim={d}")
+    scale = float(1 << qbits)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(x >= 0, F.floor(x * scale + 0.5))
+        .otherwise(-F.floor(-x * scale + 0.5))
+        .cast("long"),
+    )
+    # one row per (i, j>=i) pair per vector; partial agg collapses each task
+    # to <= d(d+1)/2 + d rows before the single exchange
+    pairs = F.flatten(
+        F.transform(
+            F.col("__qv"),
+            lambda xi, i: F.transform(
+                F.slice(F.col("__qv"), i + 1, F.lit(d) - i),
+                lambda xj, j: F.struct(
+                    i.alias("i"), (i + j).alias("j"), (xi * xj).alias("p")
+                ),
+            ),
+        )
+    )
+    stats = (
+        df.select(qv.alias("__qv"))
+        .select(F.explode(pairs).alias("pp"))
+        .groupBy(F.col("pp.i").alias("i"), F.col("pp.j").alias("j"))
+        .agg(F.sum(F.col("pp.p").cast("decimal(38,0)")).alias("s"))
+    )
+    moments = {(r["i"], r["j"]): int(r["s"]) for r in stats.collect()}
+    comp_sums = (
+        df.select(qv.alias("__qv"))
+        .select(F.posexplode("__qv").alias("i", "q"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    rows = comp_sums.collect()
+    n = rows[0]["n"]
+    s1 = np.zeros(d)
+    for r in rows:
+        s1[r["i"]] = float(r["s"])
+    m2 = np.zeros((d, d))
+    for (i, j), s in moments.items():
+        m2[i, j] = m2[j, i] = float(s)
+    mean_q = s1 / n
+    cov = (m2 / n - np.outer(mean_q, mean_q)) / (scale * scale)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:  # deterministic sign
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps, [float(vals[i]) for i in order], [float(x / scale) for x in mean_q]
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    qbits: int = 24,
+    fitted: tuple | None = None,
+) -> DataFrame:
+    """Project vectors onto their top-k principal components: ``pca_fit``
+    (or a precomputed ``fitted`` triple — fit once, project many, the
+    train/serve split) + a FULLY NARROW projection pass: components and
+    mean fold into literal arrays, each row computes k centered dot
+    products with a higher-order aggregate — zero shuffle, zero UDF.
+    Output: ``(id_col, pca array<double>)``."""
+    comps, _vals, mean = fitted or pca_fit(df, vec_col, k=k, qbits=qbits)
+    mean_lit = F.array(*[F.lit(m) for m in mean])
+    centered = F.zip_with(F.col(vec_col), mean_lit, lambda a, b: a - b)
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(c) for c in comp]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"__pc{ci}")
+        for ci, comp in enumerate(comps)
+    ]
+    return df.select(F.col(id_col), F.array(*projs).alias("pca"))

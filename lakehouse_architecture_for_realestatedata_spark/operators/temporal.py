@@ -231,3 +231,60 @@ def scd2_pit_join(
         & (h["__pit_to"].isNull() | (facts[ts] < h["__pit_to"]))
     )
     return facts.join(h, cond, "left").drop("__pit_k", "__pit_to")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    on: list[str] | None = None,
+    bin_width: int = 86_400,
+) -> DataFrame:
+    """All (left, right) row pairs whose CLOSED numeric intervals overlap:
+    ``l_start <= r_end AND r_start <= l_end`` — the interval-interval
+    generalization of the point-in-interval binned range join (sessions ×
+    campaign windows, maintenance windows × incidents, span containment).
+
+    Start/end columns must be NUMERIC in a shared unit (epoch seconds/
+    micros — convert timestamps with ``unix_micros`` first; binning on a
+    truncated cast would misjudge sub-unit boundaries). Rows with NULL or
+    inverted (end < start) intervals are dropped. Column names must be
+    disjoint apart from ``on``.
+
+    Scale shape: each interval explodes to the ``bin_width`` buckets it
+    covers and pairs meet by EQUI-join on (bins ∪ ``on``) — never a
+    nested-loop/cartesian. A pair sharing several buckets is emitted
+    exactly ONCE with zero dedup shuffle: only the bucket containing
+    ``greatest(l_start, r_start)`` (the first overlapping bucket) emits
+    (the standard first-bin trick — a distinct here would re-shuffle the
+    whole pair stream). Pick ``bin_width`` near the typical interval
+    length: too small explodes copies, too big degrades to few buckets.
+    """
+    on = list(on or [])
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.filter(
+            F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(e) >= F.col(s))
+        ).withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bin_width), F.floor(F.col(e) / bin_width)
+                )
+            ),
+        )
+
+    lb = binned(left, l_start, l_end)
+    rb = binned(right, r_start, r_end)
+    pairs = lb.join(rb, on + ["__bin"]).filter(
+        (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        & (
+            F.floor(F.greatest(F.col(l_start), F.col(r_start)) / bin_width)
+            == F.col("__bin")
+        )
+    )
+    return pairs.drop("__bin")

@@ -83,3 +83,47 @@ def run_checks(df: DataFrame, checks: list[Check]) -> list[dict]:
                 {"name": c.name, "kind": c.kind, "violations": n, "passed": n == 0}
             )
     return report
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, exact_distinct: bool = True
+) -> DataFrame:
+    """One-pass column profiling report — the discovery half of data
+    quality (dbt's `dbt-profiler` / Deequ's ColumnProfilerRunner shape):
+    per column ``(column, n_rows, n_null, n_distinct, min_value,
+    max_value)``, min/max rendered as strings so heterogeneous column
+    types share one report schema.
+
+    Scale shape: ONE aggregation pass (every per-column statistic is an
+    expression in a single agg), then a ``stack`` unpivot of the one-row
+    result — metadata-scale. Exact multi-column count_distinct makes
+    Spark plan an Expand (one shuffled row per column per input row);
+    pass ``exact_distinct=False`` to use approx_count_distinct (HLL,
+    partial-aggregated, no Expand) when profiling at full corpus scale.
+    """
+    cols = list(cols or df.columns)
+    nd = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            nd(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__min`, `{c}__max`" for c in cols
+    )
+    long = one.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {pairs}) AS (column, __nn, n_distinct, min_value, max_value)",
+    )
+    return long.select(
+        F.col("column"),
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__nn")).alias("n_null"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

@@ -413,3 +413,344 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "equi_depth_bands_events",
+    """
+    WITH t AS (
+        SELECT event_id, value,
+               ntile(8) OVER (ORDER BY value, event_id) AS band
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT band, count(*) AS n,
+           cast(min(value) AS double) AS lo,
+           cast(max(value) AS double) AS hi
+    FROM t GROUP BY band
+    """,
+    doc="Equal-frequency (equi-depth) banding of a raw fact column — the "
+    "feature-binning / histogram-equalization twin of the equi-width "
+    "histogram. Runs the DISTRIBUTED ntile (operators/windows.py "
+    "ntile_buckets): range repartition + per-partition rank + closed-form "
+    "bucket arithmetic from the bounded count frame — never the "
+    "single-task unpartitioned ntile window a naive spelling plans. "
+    "(event_id tiebreak makes the total order unique, so banding is "
+    "partition-invariant and engine-identical.)",
+)
+def q_equi_depth_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import ntile_buckets
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    b = ntile_buckets(ev, [F.col("value"), F.col("event_id")], n=8)
+    return (
+        b.withColumnRenamed("bucket", "band")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@register(
+    "fk_orphan_audit",
+    """
+    SELECT 'orders.o_custkey' AS relationship, count(*) AS n_rows,
+           cast(sum(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+           ) THEN 1 ELSE 0 END) AS bigint) AS n_orphans
+    FROM orders o
+    UNION ALL
+    SELECT 'lineitem.l_orderkey', count(*),
+           cast(sum(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+           ) THEN 1 ELSE 0 END) AS bigint)
+    FROM lineitem l
+    UNION ALL
+    SELECT 'lineitem.l_partkey', count(*),
+           cast(sum(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey
+           ) THEN 1 ELSE 0 END) AS bigint)
+    FROM lineitem l
+    UNION ALL
+    SELECT 'lineitem.l_suppkey', count(*),
+           cast(sum(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey
+           ) THEN 1 ELSE 0 END) AS bigint)
+    FROM lineitem l
+    """,
+    doc="Referential-integrity audit across the star schema: per FK "
+    "relationship, total child rows and orphan count (child keys with no "
+    "parent — NULL fks count as orphans, matching NOT EXISTS). Each "
+    "relationship is one LEFT ANTI join against the DISTINCT parent keys "
+    "+ a scalar count; dims broadcast, the fact table never shuffles. "
+    "The conformance gate a medallion promotion step runs before "
+    "publishing gold.",
+)
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    def rel(child: DataFrame, fk: str, parent: DataFrame, pk: str, name: str) -> DataFrame:
+        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        orphans = child.select(fk).join(
+            parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("relationship"), "n_rows", "n_orphans"
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        rel(o, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey", "orders.o_custkey")
+        .unionByName(rel(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey"))
+        .unionByName(rel(li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey", "lineitem.l_partkey"))
+        .unionByName(rel(li, "l_suppkey", _t(spark, sf_dir, "supplier"), "s_suppkey", "lineitem.l_suppkey"))
+    )
+
+
+@register(
+    "profile_orders_columns",
+    """
+    SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           cast(min(o_orderkey) AS varchar) AS min_value,
+           cast(max(o_orderkey) AS varchar) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+    doc="Column-profiling report (plans/checks.py profile_columns): per "
+    "column n_rows / n_null / exact n_distinct / min / max rendered as "
+    "strings — the dbt-profiler / Deequ discovery shape. ONE aggregation "
+    "pass + a stack unpivot of the one-row result; exact multi-column "
+    "distinct plans a deliberate Expand (exact_distinct=False switches to "
+    "HLL partial aggregation for corpus scale).",
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.plans.checks import profile_columns
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+@register(
+    "user_span_campaign_overlap",
+    """
+    WITH spans AS (
+        SELECT user_id,
+               epoch_us(min(ts)) AS lo_us, epoch_us(max(ts)) AS hi_us
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    camps AS (
+        SELECT DISTINCT
+               epoch_us(cast(date_trunc('week', ts) AS timestamp)) AS c_lo_us,
+               epoch_us(cast(date_trunc('week', ts) AS timestamp) + INTERVAL 3 DAY) AS c_hi_us
+        FROM events
+    )
+    SELECT user_id, c_lo_us AS campaign_start_us,
+           least(hi_us, c_hi_us) - greatest(lo_us, c_lo_us) AS overlap_us
+    FROM spans JOIN camps ON lo_us <= c_hi_us AND c_lo_us <= hi_us
+    """,
+    doc="Interval-interval overlap join (operators/temporal.py "
+    "interval_join): per-user activity spans x weekly 3-day campaign "
+    "windows, emitting the exact overlap per pair. Binned equi-join on "
+    "3-day epoch buckets — each interval explodes to covered buckets, "
+    "pairs meet by hash join, and the first-overlapping-bucket rule emits "
+    "each pair exactly once with NO dedup shuffle; never a nested loop. "
+    "Micros-domain arithmetic keeps both engines bit-identical.",
+)
+def q_user_span_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.temporal import interval_join
+
+    ev = _events(spark, sf_dir)
+    spans = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("lo_us"),
+            F.unix_micros(F.max("ts")).alias("hi_us"),
+        )
+    )
+    wk = F.date_trunc("week", F.col("ts"))
+    camps = ev.select(
+        F.unix_micros(wk).alias("c_lo_us"),
+        F.unix_micros(wk + F.expr("INTERVAL 3 DAY")).alias("c_hi_us"),
+    ).distinct()
+    three_days_us = 3 * 86_400 * 1_000_000
+    joined = interval_join(
+        spans, camps, "lo_us", "hi_us", "c_lo_us", "c_hi_us", bin_width=three_days_us
+    )
+    return joined.select(
+        "user_id",
+        F.col("c_lo_us").alias("campaign_start_us"),
+        (
+            F.least(F.col("hi_us"), F.col("c_hi_us"))
+            - F.greatest(F.col("lo_us"), F.col("c_lo_us"))
+        ).alias("overlap_us"),
+    )
+
+
+_DRIFT_QS = 1073741824.0  # 2^30 — quantized-exact contribution sums
+
+
+@register(
+    "value_drift_by_type",
+    f"""
+    WITH b AS (SELECT min(value) AS mn, max(value) AS mx
+               FROM events WHERE value IS NOT NULL),
+    e AS (
+        SELECT event_type,
+               CASE WHEN ts < timestamp '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS half,
+               least(9, cast(floor((value - mn) / ((mx - mn) / 10)) AS int)) AS band
+        FROM events, b WHERE value IS NOT NULL
+    ),
+    c AS (
+        SELECT event_type, band,
+               cast(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS bigint) AS ne,
+               cast(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS bigint) AS nl
+        FROM e GROUP BY event_type, band
+    ),
+    t AS (
+        SELECT event_type, ne, nl,
+               sum(ne) OVER (PARTITION BY event_type) AS te,
+               sum(nl) OVER (PARTITION BY event_type) AS tl
+        FROM c
+    ),
+    k AS (
+        SELECT event_type, te, tl,
+               cast(ne AS double) / te AS pe,
+               cast(nl AS double) / tl AS pl
+        FROM t
+    ),
+    q AS (
+        SELECT event_type, te, tl,
+               CASE WHEN pe + pl > 0
+                    THEN cast(round((pe - pl) * (pe - pl) / (pe + pl) * {_DRIFT_QS}) AS bigint)
+                    ELSE 0 END AS qc
+        FROM k
+    )
+    SELECT event_type,
+           cast(max(te) AS bigint) AS n_early,
+           cast(max(tl) AS bigint) AS n_late,
+           cast(sum(qc) AS double) / {_DRIFT_QS} AS drift
+    FROM q GROUP BY event_type
+    """,
+    doc="Distribution-drift score per event type between two time halves "
+    "(the ML-monitoring PSI shape, using the log-free chi-square distance "
+    "sum (pe-pl)^2/(pe+pl) over 10 fixed equi-width value bands — "
+    "transcendental-free, so cross-engine bit determinism holds). "
+    "Contributions quantize to 2^30 int64 before summing (the "
+    "quantized-exact policy: round half-away is identical in both "
+    "engines, integer addition is associative). Scale: one banding pass "
+    "with the broadcast (mn,mx) row, one (type,band,half) aggregate, "
+    "then metadata-scale windows over the <= types x 10 band frame.",
+)
+def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "ts", "value")
+    )
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    e = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(F.col("ts") < "2024-01-16", 0).otherwise(1).alias("half"),
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)
+            ).cast("int"),
+        ).alias("band"),
+    )
+    c = e.groupBy("event_type", "band").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ne"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("nl"),
+    )
+    w = Window.partitionBy("event_type")
+    t = c.select(
+        "event_type",
+        "ne",
+        "nl",
+        F.sum("ne").over(w).alias("te"),
+        F.sum("nl").over(w).alias("tl"),
+    )
+    pe = F.col("ne").cast("double") / F.col("te")
+    pl = F.col("nl").cast("double") / F.col("tl")
+    qc = F.when(
+        pe + pl > 0,
+        F.round((pe - pl) * (pe - pl) / (pe + pl) * _DRIFT_QS).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        t.select("event_type", "te", "tl", qc.alias("qc"))
+        .groupBy("event_type")
+        .agg(
+            F.max("te").alias("n_early"),
+            F.max("tl").alias("n_late"),
+            (F.sum("qc").cast("double") / _DRIFT_QS).alias("drift"),
+        )
+    )
+
+
+@register(
+    "pca_embeddings_projection",
+    None,  # rows-only: eigenbasis floats are engine-specific (LAPACK); the
+    # accuracy + partition-invariance contract is pinned in
+    # tests/test_similarity.py::test_pca_fit_properties_and_partition_invariance
+    doc="Distributed PCA (operators/similarity.py pca_fit/pca_project): "
+    "co-moment sums reduce through ONE metadata-scale aggregation "
+    "(quantized int64 products summed as exact decimals — bit-stable "
+    "across partitionings), the d x d eigh runs driver-side, and "
+    "projection is a fully narrow zip_with/aggregate pass. The "
+    "dimensionality-reduction front door for embedding curation "
+    "(visualization, whitening, cheap pre-filter before ANN).",
+)
+def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_project(emb, "vec_id", "embedding", k=4)
+
+
+@register(
+    "approx_users_weekly_rollup",
+    None,  # rows-only: HLL sketch bits are implementation-specific; the
+    # merge-parity + accuracy contract is tests/test_stats_ops.py::
+    # test_hll_rollup_merge_parity
+    doc="Mergeable-sketch rollup: per-day HLL sketches of distinct users "
+    "(hll_sketch_agg) union into weekly estimates (hll_union_agg) — THE "
+    "reaggregation pattern that makes distinct-count dashboards feasible "
+    "at 100 TB: daily sketches are tiny (KBs), persist them once, and any "
+    "coarser rollup (week/month/campaign) is a metadata-scale sketch "
+    "merge instead of a full re-scan of raw events. Estimate equals the "
+    "direct weekly sketch BIT-EXACTLY (merge associativity), within HLL "
+    "error of the exact count.",
+)
+def q_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", F.col("day")).cast("date").alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+    )

@@ -447,3 +447,42 @@ def test_ivf_persisted_index_partition_pruned_probe(spark, sf_dir, tmp_path):
     ), plan
     live = ivf_knn(assignments, centroids, queries, k=5, n_probe=2)
     assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, live.collect()))
+
+
+def test_interval_join_no_nested_loop_single_emission(spark, sf_dir):
+    """Interval-interval join must plan an EQUI join on the bin — never a
+    nested loop / cartesian — and the first-overlapping-bucket rule must
+    make pairs unique without any distinct (no second full-pair shuffle)."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.temporal import interval_join
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    spans = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("lo"),
+            F.unix_micros(F.max("ts")).alias("hi"),
+        )
+    )
+    wk = F.date_trunc("week", F.col("ts"))
+    camps = ev.select(
+        F.unix_micros(wk).alias("clo"),
+        F.unix_micros(wk + F.expr("INTERVAL 3 DAY")).alias("chi"),
+    ).distinct()
+    df = interval_join(spans, camps, "lo", "hi", "clo", "chi",
+                       bin_width=3 * 86_400 * 1_000_000)
+    strategies = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    assert "CartesianProduct" not in strategies, strategies
+    plan = physical_plan(df, "simple")
+    assert "Deduplicate" not in plan and "__bin" not in read_schemas(df), plan
+    # pair uniqueness from the first-bin rule alone
+    n = df.count()
+    assert n == df.select("user_id", "lo", "hi", "clo", "chi").distinct().count()
+    # brute-force parity on the same bounded inputs
+    brute = spans.crossJoin(camps).filter(
+        (F.col("lo") <= F.col("chi")) & (F.col("clo") <= F.col("hi"))
+    )
+    assert n == brute.count()

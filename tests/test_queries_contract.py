@@ -147,6 +147,12 @@ def test_driver_window_fully_oracle_backed():
         "percent_rank_event_values",
         "quantile_exact_global_events",
         "rolling_anomaly_events",
+        # r6 additions (registered in the late stats block):
+        "equi_depth_bands_events",
+        "fk_orphan_audit",
+        "profile_orders_columns",
+        "user_span_campaign_overlap",
+        "value_drift_by_type",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "event_transition_matrix",

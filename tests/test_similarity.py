@@ -242,3 +242,51 @@ def test_label_centroids_exact_means_and_order(spark):
     a = sorted(map(tuple, label_centroids(df.coalesce(1), "label", "embedding").collect()))
     b = sorted(map(tuple, label_centroids(df.repartition(7), "label", "embedding").collect()))
     assert a == b
+
+
+def test_pca_fit_properties_and_partition_invariance(spark, sf_dir):
+    """PCA: orthonormal components, descending eigenvalues matching a
+    driver-side numpy reference on the same quantized data, and BIT-stable
+    projections across partitionings (the decimal co-moment sum contract)."""
+    import numpy as np
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comps, vals, mean = pca_fit(emb, "embedding", k=4)
+    C = np.array(comps)
+    assert np.abs(C @ C.T - np.eye(4)).max() < 1e-12
+    assert vals == sorted(vals, reverse=True) and vals[-1] > 0
+    X = np.array([r["embedding"] for r in emb.select("embedding").collect()], dtype=np.float64)
+    Xq = np.where(X >= 0, np.floor(X * (1 << 24) + 0.5), -np.floor(-X * (1 << 24) + 0.5)) / (1 << 24)
+    ref = np.sort(np.linalg.eigvalsh(np.cov(Xq.T, bias=True)))[::-1][:4]
+    assert np.abs(np.array(vals) - ref).max() < 1e-9
+    assert np.abs(np.array(mean) - Xq.mean(axis=0)).max() < 1e-9
+    p1 = sorted(map(tuple, pca_project(emb.coalesce(1), k=3).collect()))
+    p2 = sorted(map(tuple, pca_project(emb.repartition(8), k=3).collect()))
+    assert p1 == p2 and len(p1[0][1]) == 3
+    # projecting with a precomputed fit (train/serve split) matches
+    p3 = sorted(map(tuple, pca_project(emb, k=3, fitted=(comps[:3], vals[:3], mean)).collect()))
+    assert p3 == p1
+
+
+def test_pca_projection_captures_variance(spark, sf_dir):
+    """The empirical variance of each projected coordinate equals its
+    eigenvalue (that IS what PCA maximizes), and k=dim preserves pairwise
+    squared distances (rotation)."""
+    import numpy as np
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    comps, vals, mean = pca_fit(emb, "embedding", k=2)
+    P = np.array([r["pca"] for r in pca_project(emb, k=2, fitted=(comps, vals, mean)).collect()])
+    emp = P.var(axis=0)
+    assert np.abs(emp - np.array(vals)).max() < 1e-6
+    assert emp[0] >= emp[1]

@@ -329,3 +329,33 @@ class TestShrunkGroupMean:
         assert abs(shrunk - (100.0 + 10.0 * prior) / 11.0) < 1e-9
         assert shrunk < 25.0  # far from its raw 100, near the ~10.9 prior
         assert "x" not in out  # all-NULL group contributes nothing
+
+
+def test_hll_rollup_merge_parity(spark, sf_dir):
+    """Sketch-merge associativity: weekly estimates from unioned daily
+    sketches must equal direct weekly sketches BIT-EXACTLY, and sit within
+    HLL error of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events, registry
+
+    rolled = {
+        r["week"]: r["approx_users"]
+        for r in registry()["approx_users_weekly_rollup"].spark_fn(spark, sf_dir).collect()
+    }
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    wk = F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    direct = {
+        r["week"]: r["d"]
+        for r in ev.groupBy(wk)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d"))
+        .collect()
+    }
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy(wk).agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert set(rolled) == set(direct) == set(exact) and len(rolled) > 1
+    for w in rolled:
+        assert rolled[w] == direct[w], (w, rolled[w], direct[w])
+        assert abs(rolled[w] - exact[w]) <= max(2, 0.06 * exact[w])

@@ -65,6 +65,8 @@ HEADLINE = [
     "equi_depth_bands_events",
     "user_span_campaign_overlap",
     "pca_embeddings_projection",
+    "ngram_jaccard_pairs_prefix",
+    "doc_perplexity_bigram",
 ]
 
 

@@ -337,3 +337,80 @@ def vocab_with_coverage(df, text_col: str, min_count: int = 2) -> DataFrame:
         .drop(*{*drop1, *drop2}, "__one", "__cum", "__total")
         .select("token", "n", "id", "cum_frac")
     )
+
+
+def score_doc_perplexity(
+    df,
+    id_col: str,
+    text_col: str,
+    lm: DataFrame | None = None,
+    floor_p: float = 1e-6,
+    qbits: int = 30,
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus bigram LM — the
+    perplexity filter of corpus curation: gibberish scores HIGH (unseen /
+    improbable continuations), machine-generated boilerplate suspiciously
+    LOW; both tails get dropped or downweighted.
+
+    ``lm`` defaults to ``token_bigram_counts(df)`` (self-scoring); pass a
+    held-out LM for the honest filtering setup. Unseen bigrams floor to
+    ``floor_p`` (simple floor smoothing — calibration is irrelevant for a
+    RANKING filter; document-level scores only compare to each other).
+
+    Output ``(id, n_bigrams, bits_per_bigram, perplexity)`` where
+    ``bits_per_bigram = -(1/B)·Σ log2 p`` and ``perplexity = 2^bits``;
+    docs with < 2 tokens score NULL (no evidence).
+
+    Scale shape: doc bigrams build array-side (no self-join), the LM join
+    is vocab-scale (hash join; broadcast when it fits), and the per-doc
+    reduction quantizes each log2 term to int64 (round half away,
+    2^qbits) so the sum is exact and PARTITION-INVARIANT — a plain double
+    sum would make a document's score depend on task boundaries.
+    """
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import tokens
+
+    if lm is None:
+        lm = token_bigram_counts(df, text_col)
+    toks = F.col("__toks")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode_outer(pairs).alias("__bg"))
+        .select(
+            F.col(id_col),
+            F.col("__bg.w1").alias("w1"),
+            F.col("__bg.w2").alias("w2"),
+        )
+    )
+    scored = bg.join(lm.select("w1", "w2", "p"), ["w1", "w2"], "left")
+    scale = float(1 << qbits)
+    bits = -F.log2(F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(floor_p)))
+    q = F.when(
+        F.col("w1").isNotNull(),
+        F.when(bits >= 0, F.floor(bits * scale + 0.5)).otherwise(
+            -F.floor(-bits * scale + 0.5)
+        ),
+    ).cast("bigint")
+    agg = scored.groupBy(id_col).agg(
+        F.count("w1").alias("n_bigrams"),
+        F.sum(q).alias("__qsum"),
+    )
+    h = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("__qsum").cast("double") / scale / F.col("n_bigrams"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_bigrams",
+        h.alias("bits_per_bigram"),
+        F.pow(F.lit(2.0), h).alias("perplexity"),
+    )

@@ -163,6 +163,8 @@ def registry() -> dict[str, QuerySpec]:
         # new r6 (starts deferred; merge_upsert_roundtrip + the medallion
         # model rows keep the family in-window; r7 rotation candidate):
         "medallion_two_batch_pipeline",
+        # new r6: same oracle as ngram_jaccard_pairs (in-window twin)
+        "ngram_jaccard_pairs_prefix",
         "heavy_hitters_recount_users",  # new r5; heavy_hitters_users in-window
         # New r5 extension families (chunking / boilerplate / funnel /
         # corr / MAD) start deferred; r6 rotation candidates to swap in

@@ -672,3 +672,29 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("from_stage").alias("src"), F.col("to_stage").alias("dst")),
         n_iters=10,
     )
+
+
+@register(
+    "doc_perplexity_bigram",
+    None,  # rows-only: log2 is transcendental (engine-specific ULP at the
+    # quantization boundary); the ranking/floor/partition-invariance
+    # contract is tests/test_textprep.py::test_doc_perplexity_ranks_gibberish_high
+    doc="Per-document bigram cross-entropy under the corpus LM "
+    "(operators/textprep.py score_doc_perplexity): the perplexity filter "
+    "of corpus curation — gibberish scores high, machine boilerplate "
+    "suspiciously low. Doc bigrams build array-side, the LM join is "
+    "vocab-scale, and per-doc log sums quantize to int64 so scores are "
+    "partition-invariant. Completes the tokenize->vocab->encode->LM loop "
+    "with the loop's actual downstream use.",
+)
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+        score_doc_perplexity,
+        token_bigram_counts,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+    from lakehouse_architecture_for_realestatedata_spark.queries_text import _spread
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    lm = token_bigram_counts(docs, "text", min_count=2)
+    return score_doc_perplexity(docs, "doc_id", "text", lm=lm)

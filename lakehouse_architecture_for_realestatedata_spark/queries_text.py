@@ -678,3 +678,58 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), "doc_id", pairs,
         {"train": 0.8, "val": 0.1, "test": 0.1}, salt="lsplit",
     )
+
+
+@register(
+    "knn_cosine_pca_prefilter",
+    None,  # rows-only: the coarse ladder's candidate set depends on the
+    # LAPACK eigenbasis; the recall contract (1.0 at full dims / full m,
+    # >> random baseline at 8 dims) is tests/test_similarity.py::
+    # test_knn_pca_prefilter_recall
+    doc="Coarse-to-fine ANN (operators/similarity.py knn_pca_prefilter): "
+    "unit-normalize, PCA-project to 8 dims (L2 there is a monotone cosine "
+    "proxy), coarse top-m through the k-bounded WindowGroupLimit plan, "
+    "then exact quantized-cosine rerank of the bounded candidate set — "
+    "full-width vectors are never scored against every query. The third "
+    "rung of the retrieval ladder next to brute force and IVF.",
+)
+def q_knn_pca_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        knn_pca_prefilter,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_pca_prefilter(emb, queries, k=10, k_dims=8)
+
+
+@register(
+    "ngram_jaccard_pairs_prefix",
+    None,  # replaced just below: shares ngram_jaccard_pairs' oracle verbatim
+    doc="PPJoin-style prefix-filtered Jaccard pairs "
+    "(operators/dedup.py ngram_jaccard_pairs_prefix): shingle sets sort by "
+    "global document frequency (rarest first) and only the (1-t)-prefix "
+    "joins, so stop-shingles never generate candidates; plus the free "
+    "t-length filter. Output bit-identical to ngram_jaccard_pairs (same "
+    "oracle SQL, tested equal), candidate volume collapses on any skewed "
+    "natural-language shingle distribution.",
+)
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs_prefix(docs, "doc_id", "text", k=3, threshold=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard")
+    )
+
+
+# share the plain variant's oracle verbatim: identical semantics by design
+from lakehouse_architecture_for_realestatedata_spark.queries import _REGISTRY as _R  # noqa: E402
+from dataclasses import replace as _replace  # noqa: E402
+
+_R["ngram_jaccard_pairs_prefix"] = _replace(
+    _R["ngram_jaccard_pairs_prefix"], oracle=_R["ngram_jaccard_pairs"].oracle
+)

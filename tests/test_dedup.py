@@ -285,3 +285,19 @@ class TestPageRank:
         a = sorted(map(tuple, pagerank(df.coalesce(1), n_iters=6).collect()))
         b = sorted(map(tuple, pagerank(df.repartition(9), n_iters=6).collect()))
         assert a == b  # decimal-summed contributions: exact equality
+
+
+def test_ngram_jaccard_prefix_equals_plain(spark, sf_dir):
+    """Prefix filtering is an OPTIMIZATION, not an approximation: the
+    PPJoin-style variant must produce exactly the plain shared-shingle
+    join's pairs and scores at every threshold."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.5, 0.8):
+        plain = sorted(map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", 3, t).collect()))
+        pref = sorted(map(tuple, ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 3, t).collect()))
+        assert pref == plain and len(plain) > 0

@@ -486,3 +486,18 @@ def test_interval_join_no_nested_loop_single_emission(spark, sf_dir):
         (F.col("lo") <= F.col("chi")) & (F.col("clo") <= F.col("hi"))
     )
     assert n == brute.count()
+
+
+def test_prefix_jaccard_no_cartesian_and_profile_single_scan(spark, sf_dir):
+    """The prefix-filtered Jaccard join must stay an equi join on the
+    prefix shingle (no cartesian / nested loop); the column profiler must
+    read its table ONCE (every statistic folds into a single aggregation)."""
+    from lakehouse_architecture_for_realestatedata_spark.queries import registry as reg
+
+    df = reg()["ngram_jaccard_pairs_prefix"].spark_fn(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+
+    prof = reg()["profile_orders_columns"].spark_fn(spark, sf_dir)
+    assert len(read_schemas(prof)) == 1

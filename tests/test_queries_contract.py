@@ -117,6 +117,7 @@ def test_driver_window_fully_oracle_backed():
         "semi_join_active_customers",
         # new r6, starts deferred (r7 rotation candidate):
         "medallion_two_batch_pipeline",
+        "ngram_jaccard_pairs_prefix",
         # r5 rotation swap-outs (driver-green in r4; family twin in-window):
         "tumbling_window_agg",
         "rollup_revenue",

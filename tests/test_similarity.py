@@ -290,3 +290,38 @@ def test_pca_projection_captures_variance(spark, sf_dir):
     emp = P.var(axis=0)
     assert np.abs(emp - np.array(vals)).max() < 1e-6
     assert emp[0] >= emp[1]
+
+
+def test_knn_pca_prefilter_recall(spark, sf_dir):
+    """Coarse-to-fine ANN contract: with k_dims = dim the coarse L2 order
+    over normalized vectors equals the cosine order (recall 1.0 exactly);
+    with an m covering the whole corpus recall is 1.0 regardless of dims;
+    with a lossy 8-dim prefilter recall must still clearly beat the
+    m/N random-candidate baseline."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        knn_pca_prefilter,
+        knn_quantized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_corpus = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r[0], r[1]) for r in knn_quantized(emb, q, k=10).collect()}
+
+    full = {(r[0], r[1]) for r in knn_pca_prefilter(emb, q, k=10, k_dims=64).collect()}
+    assert full == exact
+
+    everything = {
+        (r[0], r[1])
+        for r in knn_pca_prefilter(
+            emb, q, k=10, k_dims=4, m_mult=(n_corpus // 10) + 1
+        ).collect()
+    }
+    assert everything == exact
+
+    pre = {(r[0], r[1]) for r in knn_pca_prefilter(emb, q, k=10, k_dims=8).collect()}
+    recall = len(exact & pre) / len(exact)
+    random_baseline = (10 * 4) / n_corpus
+    assert recall >= max(0.2, 2.5 * random_baseline), (recall, random_baseline)

@@ -346,3 +346,36 @@ def test_boilerplate_partition_invariance(spark):
     a = sorted(map(tuple, remove_boilerplate_lines(df.coalesce(1), "doc_id", "text", 3).collect()))
     b = sorted(map(tuple, remove_boilerplate_lines(df.repartition(8), "doc_id", "text", 3).collect()))
     assert a == b
+
+
+def test_doc_perplexity_ranks_gibberish_high(spark):
+    """Perplexity filter contract: fluent repeats of corpus-frequent
+    bigrams score LOW, never-seen token sequences hit the smoothing floor
+    (= -log2(floor_p) bits exactly), short docs (<2 tokens) score NULL,
+    and scores are bit-stable across partitionings."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+        score_doc_perplexity,
+        token_bigram_counts,
+    )
+
+    fluent = "the cat sat on the mat " * 10
+    rows = [(i, fluent) for i in range(20)]
+    rows += [(100, "zq xv qj wk vx jz zz qq"), (101, "one"), (102, fluent)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # held-out LM: trained on the fluent corpus only, so the gibberish
+    # doc's bigrams are genuinely unseen (self-scoring would memorize them)
+    lm = token_bigram_counts(df.filter(F.col("doc_id") < 100), "text")
+    out = {r["doc_id"]: r for r in score_doc_perplexity(df, "doc_id", "text", lm=lm).collect()}
+    assert out[101]["bits_per_bigram"] is None and out[101]["n_bigrams"] == 0
+    assert out[102]["bits_per_bigram"] < out[100]["bits_per_bigram"]
+    # all-unseen doc sits exactly at the floor: -log2(1e-6) bits per bigram
+    import math
+
+    floor_bits = -math.log2(1e-6)
+    assert abs(out[100]["bits_per_bigram"] - floor_bits) < 1e-6
+    assert abs(out[100]["perplexity"] - 2 ** out[100]["bits_per_bigram"]) < 1e-6
+    a = sorted(map(tuple, score_doc_perplexity(df.coalesce(1), "doc_id", "text", lm=lm).collect()))
+    b = sorted(map(tuple, score_doc_perplexity(df.repartition(7), "doc_id", "text", lm=lm).collect()))
+    assert a == b

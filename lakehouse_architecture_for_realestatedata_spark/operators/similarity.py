@@ -466,33 +466,61 @@ def label_centroids(
     )
 
 
-def pca_fit(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    k: int = 8,
-    qbits: int = 24,
-) -> tuple[list[list[float]], list[float], list[float]]:
-    """Distributed PCA fit: returns (components [k][d], eigenvalues [k],
-    mean [d]) of the vector column's population covariance.
+def _pca_moments_arrow(df: DataFrame, vec_col: str, d: int, qbits: int):
+    """(n, Σq, ΣqqT) via ``mapInArrow``: each Arrow batch quantizes to int64
+    and reduces to ONE d×d integer Gram matmul per ≤chunk rows — exactly the
+    BLAS-twin trade (``knn_quantized_blas``): the Catalyst higher-order
+    pair expansion is interpreted per element (O(N·d²) branchy scalar work,
+    the top bench line before this), the matmul is one vectorized kernel.
+    Chunk size is bounded so int64 partial sums cannot overflow
+    (rows·2^2qbits < 2^62); chunk Grams are EXACT integers, and the final
+    reduction sums them as decimals — so the moments are bit-identical to
+    the Catalyst path and partition-invariant (tested both ways)."""
+    import numpy as np
+    import pyarrow as pa
 
-    Scale shape — the corpus is big, the dimension is not: component sums
-    and the d(d+1)/2 upper-triangle co-moment sums reduce through ONE
-    aggregation whose output is metadata-scale (d + d²/2 rows), partial-
-    aggregated map-side like any groupBy; the d×d eigendecomposition runs
-    on the driver (numpy, microseconds for model-sized d). No row ever
-    leaves the executors.
+    scale = float(1 << qbits)
+    chunk = max(1, (1 << 62) >> (2 * qbits))
+    width = 1 + d + d * d
 
-    Determinism (the quantized-kNN policy): components quantize to
-    round-half-away(v·2^qbits) int64 once, and all sums run over exact
-    DECIMAL(38,0) integers — associative, partition-invariant, so the
-    covariance matrix (and therefore the eigenbasis) is bit-stable across
-    partitionings. Eigenvector sign is fixed by making each component's
-    largest-magnitude entry positive."""
+    def gram(batches):
+        for rb in batches:
+            col = rb.column(0)
+            # flatten() honors list offsets (a sliced batch's .values would
+            # include rows outside the slice)
+            x = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+            q = _half_away(x * scale)
+            for lo in range(0, len(q), chunk):
+                part = q[lo : lo + chunk]
+                packed = np.concatenate(
+                    [[len(part)], part.sum(axis=0, dtype=np.int64),
+                     (part.T @ part).ravel()]
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([packed.tolist()], type=pa.list_(pa.int64()))],
+                    names=["packed"],
+                )
+
+    summed = (
+        df.select(vec_col)
+        .mapInArrow(gram, "packed array<bigint>")
+        .select(F.posexplode("packed").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    flat = np.zeros(width)
+    for r in summed:
+        flat[r["pos"]] = float(r["s"])
+    return int(flat[0]), flat[1 : 1 + d], flat[1 + d :].reshape(d, d)
+
+
+def _pca_moments_catalyst(df: DataFrame, vec_col: str, d: int, qbits: int):
+    """Pure-Catalyst fallback for the moment reduction (no Python workers):
+    upper-triangle pair explosion + decimal sums. Same integers as the
+    Arrow path, O(N·d²) interpreted element work."""
     import numpy as np
 
-    d = len(df.select(vec_col).first()[0])
-    if not 1 <= k <= d:
-        raise ValueError(f"need 1 <= k <= dim, got k={k}, dim={d}")
     scale = float(1 << qbits)
     qv = F.transform(
         F.col(vec_col),
@@ -500,8 +528,6 @@ def pca_fit(
         .otherwise(-F.floor(-x * scale + 0.5))
         .cast("long"),
     )
-    # one row per (i, j>=i) pair per vector; partial agg collapses each task
-    # to <= d(d+1)/2 + d rows before the single exchange
     pairs = F.flatten(
         F.transform(
             F.col("__qv"),
@@ -537,6 +563,41 @@ def pca_fit(
     m2 = np.zeros((d, d))
     for (i, j), s in moments.items():
         m2[i, j] = m2[j, i] = float(s)
+    return n, s1, m2
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    qbits: int = 24,
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Distributed PCA fit: returns (components [k][d], eigenvalues [k],
+    mean [d]) of the vector column's population covariance.
+
+    Scale shape — the corpus is big, the dimension is not: component sums
+    and the d(d+1)/2 upper-triangle co-moment sums reduce through ONE
+    aggregation whose output is metadata-scale (d + d²/2 rows), partial-
+    aggregated map-side like any groupBy; the d×d eigendecomposition runs
+    on the driver (numpy, microseconds for model-sized d). No row ever
+    leaves the executors.
+
+    Determinism (the quantized-kNN policy): components quantize to
+    round-half-away(v·2^qbits) int64 once, and all sums run over exact
+    DECIMAL(38,0) integers — associative, partition-invariant, so the
+    covariance matrix (and therefore the eigenbasis) is bit-stable across
+    partitionings. Eigenvector sign is fixed by making each component's
+    largest-magnitude entry positive."""
+    import numpy as np
+
+    d = len(df.select(vec_col).first()[0])
+    if not 1 <= k <= d:
+        raise ValueError(f"need 1 <= k <= dim, got k={k}, dim={d}")
+    scale = float(1 << qbits)
+    try:
+        n, s1, m2 = _pca_moments_arrow(df, vec_col, d, qbits)
+    except ImportError:  # pragma: no cover — numpy/pyarrow are baked in
+        n, s1, m2 = _pca_moments_catalyst(df, vec_col, d, qbits)
     mean_q = s1 / n
     cov = (m2 / n - np.outer(mean_q, mean_q)) / (scale * scale)
     vals, vecs = np.linalg.eigh(cov)  # ascending

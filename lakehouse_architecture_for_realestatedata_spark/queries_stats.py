@@ -754,3 +754,142 @@ def q_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy(F.date_trunc("week", F.col("day")).cast("date").alias("week"))
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
     )
+
+
+@register(
+    "shipping_priority_q3",
+    """
+    SELECT l_orderkey,
+           cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(30,4)))
+                AS double) AS revenue,
+           cast(o_orderdate AS date) AS order_date
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < timestamp '1995-03-15 00:00:00'
+      AND l_shipdate  > timestamp '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, cast(o_orderdate AS date)
+    ORDER BY revenue DESC, order_date, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): selective dim filter -> "
+    "fact-fact equi join -> grouped exact-decimal revenue -> global top-10 "
+    "via TakeOrderedAndProject (per-partition heaps, never a total sort). "
+    "Both date filters push to the scans; customer (filtered) broadcasts. "
+    "l_orderkey completes the ORDER BY tiebreak so the LIMIT is "
+    "deterministic under revenue ties.",
+)
+def q_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
+    ).cast("double")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(rev.alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date")
+        .orderBy(F.col("revenue").desc(), "order_date", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume_q5",
+    """
+    SELECT n_name AS nation,
+           cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(30,4)))
+                AS double) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= timestamp '1994-01-01 00:00:00'
+      AND o_orderdate <  timestamp '1995-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): six-way join where the "
+    "supplier join carries the extra same-nation equi condition. All dims "
+    "(supplier/nation/region + the region-pruned nation set) broadcast; "
+    "the only shuffled join is fact-fact on orderkey; one exact-decimal "
+    "grouped sum on the ~5-row nation output.",
+)
+def q_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
+    ).cast("double")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(rev.alias("revenue"))
+    )
+
+
+@register(
+    "salted_star_revenue",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           count(*) AS order_count,
+           cast(sum(cast(o_totalprice as decimal(30,2))) as double) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+    doc="star_join_revenue through the skew-mitigation path "
+    "(operators/skew.py salted_join): the fact side salts on its non-key "
+    "bytes, the dim replicates n_salts ways, the join key becomes "
+    "(key, salt) — one hot customer's orders spread over n tasks instead "
+    "of one straggler. Output identical to the plain join by construction "
+    "(same oracle as star_join_revenue); the equality + determinism "
+    "contract is also pinned in tests/test_scale_ops.py.",
+)
+def q_salted_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.skew import salted_join
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    j1 = salted_join(orders, customer, "o_custkey", n_salts=8)
+    joined = j1.join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).join(
+        F.broadcast(_t(spark, sf_dir, "region")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import dsum
+
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(F.count(F.lit(1)).alias("order_count"), dsum("o_totalprice", "revenue", 2))

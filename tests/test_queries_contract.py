@@ -154,6 +154,9 @@ def test_driver_window_fully_oracle_backed():
         "profile_orders_columns",
         "user_span_campaign_overlap",
         "value_drift_by_type",
+        "shipping_priority_q3",
+        "local_supplier_volume_q5",
+        "salted_star_revenue",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "event_transition_matrix",

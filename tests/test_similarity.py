@@ -325,3 +325,19 @@ def test_knn_pca_prefilter_recall(spark, sf_dir):
     recall = len(exact & pre) / len(exact)
     random_baseline = (10 * 4) / n_corpus
     assert recall >= max(0.2, 2.5 * random_baseline), (recall, random_baseline)
+
+
+def test_pca_moment_paths_bit_identical(spark, sf_dir):
+    """The Arrow Gram-matmul fast path and the Catalyst pair-explosion
+    fallback must produce the SAME integers — both reduce exact quantized
+    products, so this is equality, not tolerance."""
+    import numpy as np
+
+    import lakehouse_architecture_for_realestatedata_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n1, s1, m1 = S._pca_moments_arrow(emb, "embedding", 64, 24)
+    n2, s2, m2 = S._pca_moments_catalyst(emb, "embedding", 64, 24)
+    assert n1 == n2 and np.array_equal(s1, s2) and np.array_equal(m1, m2)
+    n3, s3, m3 = S._pca_moments_arrow(emb.repartition(16), "embedding", 64, 24)
+    assert n1 == n3 and np.array_equal(m1, m3)

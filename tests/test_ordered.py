@@ -154,3 +154,48 @@ def test_duplicated_ngram_stats_planted(spark):
     assert got[3]["n_dup_grams"] == 0 and got[3]["dup_fraction"] == 0.0
     # doc 3 has 13-token-windows worth of grams, all unique
     assert got[3]["n_grams"] >= 1
+
+
+def test_global_row_number_exact_and_partition_invariant(spark, sf_dir):
+    """global_row_number must equal the single-partition row_number window
+    on a unique total order, for any input partitioning and partition
+    count — the distributed two-phase numbering contract."""
+    from pyspark.sql import Window, functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
+        global_row_number,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    ref = o.withColumn(
+        "rn", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+    ).select("o_orderkey", "rn")
+    want = sorted(map(tuple, ref.collect()))
+    for src, p in ((o.coalesce(1), 4), (o.repartition(16), 7), (o, None)):
+        got = sorted(
+            map(tuple, global_row_number(src, order, partitions=p).select("o_orderkey", "rn").collect())
+        )
+        assert got == want
+
+
+def test_interval_join_keyed_and_degenerate(spark):
+    """Keyed interval join restricts pairs to matching keys; inverted and
+    NULL intervals drop; point intervals (start == end) still match."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.temporal import interval_join
+
+    left = spark.createDataFrame(
+        [("a", 0, 10), ("a", 50, 60), ("b", 0, 10), ("c", 5, 4), ("c", None, 9)],
+        "k string, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [("a", 8, 12), ("b", 20, 30), ("b", 10, 10)],
+        "k string, rs long, re long",
+    )
+    out = sorted(
+        map(tuple, interval_join(left, right, "ls", "le", "rs", "re", on=["k"], bin_width=7)
+            .select("k", "ls", "rs").collect())
+    )
+    # a:[0,10]x[8,12] overlap; b:[0,10]x[10,10] point overlap; b x [20,30] no;
+    # c rows dropped (inverted / NULL)
+    assert out == [("a", 0, 8), ("b", 0, 10)]

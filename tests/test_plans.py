@@ -381,6 +381,12 @@ def test_ntile_no_single_partition_window(spark, sf_dir):
     # count frame), never by a scan/projection of the raw table
     for m in re.finditer(r"Exchange SinglePartition[^\n]*\n(\s*)\+- (\w+)", plan):
         assert m.group(2) == "HashAggregate", plan
+    # at runtime AQE must REUSE the range exchange between the rank branch
+    # and the count branch — the table is scanned+shuffled once, not twice
+    df = q.spark_fn(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
 
 
 def test_rank_in_priority_partial_group_limit(spark, sf_dir):

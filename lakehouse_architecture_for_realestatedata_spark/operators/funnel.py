@@ -519,3 +519,81 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def funnel_levels_within(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stage_col: str,
+    stages: list[str],
+    window_seconds: int,
+) -> DataFrame:
+    """Conversion-window funnel (the ClickHouse ``windowFunnel`` shape): per
+    user, the deepest stage reachable by a chain whose EVERY event falls
+    within ``window_seconds`` of the chain's stage-0 anchor. Output
+    ``(user, level)`` (1..k), one row per user with at least one stage-0
+    event.
+
+    Greedy-earliest (``funnel_reached``) is WRONG under a window: the
+    earliest anchor can expire while a later anchor still completes. The
+    walk instead runs the max-anchor DP — process events in (ts,
+    stage-precedence) order, track per level the LATEST viable chain
+    anchor, and extend level j when the event lies within the window of
+    level j−1's anchor. Keeping the maximum anchor dominates every other
+    choice (a later anchor can only extend the remaining window), so the
+    DP finds a chain iff one exists.
+
+    Equal timestamps resolve by stage precedence (stage j may complete at
+    the same instant as stage j−1) — the non-strict semantics, matching
+    the SQL oracle's ``>=`` joins; ``funnel_reached`` keeps its separate
+    strictly-after contract.
+
+    Scale shape: identical to ``funnel_reached`` — one hash exchange, a
+    bounded per-user array, one higher-order fold; the window test adds
+    two ``unix_micros`` ops per event-stage pair."""
+    if len(stages) < 2 or len(set(stages)) != len(stages):
+        raise ValueError("need >= 2 distinct stages")
+    k = len(stages)
+    w_us = int(window_seconds) * 1_000_000
+    idx = F.lit(None).cast("int")
+    for j in reversed(range(k)):
+        idx = F.when(F.col(stage_col) == stages[j], j).otherwise(idx)
+    ev = (
+        events.filter(F.col(user_col).isNotNull() & F.col(stage_col).isin(stages))
+        .select(
+            F.col(user_col),
+            F.struct(F.col(ts_col).alias("ts"), idx.alias("idx")).alias("__e"),
+        )
+        .groupBy(user_col)
+        .agg(F.sort_array(F.collect_list("__e")).alias("__evs"))
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        slots = []
+        for j in range(k):
+            if j == 0:
+                fired = e["idx"] == 0
+                cand = e["ts"]
+            else:
+                fired = (
+                    (e["idx"] == j)
+                    & acc[j - 1].isNotNull()
+                    & (
+                        F.unix_micros(e["ts"]) - F.unix_micros(acc[j - 1])
+                        <= F.lit(w_us)
+                    )
+                )
+                cand = acc[j - 1]  # the chain's anchor propagates
+            # greatest() skips NULLs, so this is "max anchor so far"
+            slots.append(F.when(fired, F.greatest(acc[j], cand)).otherwise(acc[j]))
+        return F.array(*slots)
+
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
+    anchors = F.aggregate(F.col("__evs"), init, step)
+    level = F.aggregate(
+        F.transform(anchors, lambda a: a.isNotNull().cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return ev.select(F.col(user_col), level.alias("level")).filter(F.col("level") >= 1)

@@ -178,3 +178,56 @@ def pagerank(
         )
         ranks = truncate_lineage(ranks)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of an undirected graph — one row
+    ``(n_triangles)``. Self-loops drop; duplicate / reversed edges count
+    once.
+
+    Scale shape — DEGREE ORIENTATION, the standard distributed-triangle
+    trick (Suri & Vassilvitskii's MR-friendly variant): orient every edge
+    from the (degree, id)-smaller endpoint to the larger, then count
+    wedges a→b→c and close them against oriented edges a→c. Every
+    triangle is counted exactly once (its orientation is acyclic), and
+    the wedge join's fanout is Σ outdeg(v)² where outdeg ≤ O(√m) for
+    every vertex — a plain a-b ⋈ b-c join on the unoriented graph instead
+    fans out on Σ deg(v)², which one celebrity vertex turns into a
+    quadratic straggler. Three hash joins total: two to attach degrees,
+    one wedge + one closing equi-join (both on oriented keys)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+    withdeg = e.join(da, "a").join(db, "b")
+    # orient lo→hi by (deg, id): a total order, so orientation is acyclic
+    lo_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    wedges = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y")
+    ).join(
+        oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z")), "y"
+    )
+    closed = wedges.join(
+        oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z")),
+        ["x", "z"],
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -893,3 +893,107 @@ def q_salted_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.col("r_name").alias("region"), F.col("n_name").alias("nation")
     ).agg(F.count(F.lit(1)).alias("order_count"), dsum("o_totalprice", "revenue", 2))
+
+
+@register(
+    "triangle_count_user_graph",
+    """
+    WITH cells AS (
+        SELECT DISTINCT user_id, event_type,
+               cast(date_trunc('day', ts) AS date) AS d
+        FROM events WHERE user_id IS NOT NULL AND user_id < 300
+    ),
+    e AS (
+        SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+        FROM cells a JOIN cells b
+          ON a.event_type = b.event_type AND a.d = b.d AND a.user_id < b.user_id
+    )
+    SELECT count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.ub = e2.ua
+    JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+    """,
+    doc="Global triangle count over the user co-activity graph (users "
+    "sharing an (event_type, day) cell) — the clustering-coefficient / "
+    "community-density primitive. The operator "
+    "(operators/graph.py triangle_count) orients edges by (degree, id) "
+    "before the wedge join, bounding fanout by sum outdeg^2 with outdeg "
+    "O(sqrt(m)) — the celebrity-vertex straggler the oracle's naive "
+    "i<j<k three-way self-join would hit at scale. Same count, different "
+    "physics.",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.graph import triangle_count
+
+    cells = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") < 300))
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    a = cells.select(F.col("user_id").alias("ua"), "event_type", "d")
+    b = cells.select(F.col("user_id").alias("ub"), "event_type", "d")
+    edges = (
+        a.join(b, ["event_type", "d"])
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+    return triangle_count(edges, "ua", "ub")
+
+
+@register(
+    "funnel_within_hour",
+    """
+    WITH v AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'view' AND user_id IS NOT NULL),
+    c AS (SELECT user_id, ts FROM events
+          WHERE event_type = 'click' AND user_id IS NOT NULL),
+    p AS (SELECT user_id, ts FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    l2 AS (
+        SELECT DISTINCT v.user_id FROM v
+        JOIN c ON c.user_id = v.user_id AND c.ts >= v.ts
+              AND epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
+    ),
+    l3 AS (
+        SELECT DISTINCT v.user_id FROM v
+        JOIN c ON c.user_id = v.user_id AND c.ts >= v.ts
+              AND epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
+        JOIN p ON p.user_id = v.user_id AND p.ts >= c.ts
+              AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+    )
+    SELECT u.user_id,
+           CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS level
+    FROM (SELECT DISTINCT user_id FROM v) u
+    LEFT JOIN l2 ON u.user_id = l2.user_id
+    LEFT JOIN l3 ON u.user_id = l3.user_id
+    """,
+    doc="Conversion-window funnel (operators/funnel.py "
+    "funnel_levels_within, the ClickHouse windowFunnel shape): deepest "
+    "view->click->purchase chain whose every event lies within ONE HOUR "
+    "of the chain's anchor view. The max-anchor DP walks each user's "
+    "sorted events once (one exchange, bounded state) — greedy-earliest "
+    "is provably wrong here (an expired early anchor can hide a later "
+    "completing chain), and the oracle's existential self-joins are the "
+    "quadratic formulation the operator avoids.",
+)
+def q_funnel_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        funnel_levels_within,
+    )
+
+    return funnel_levels_within(
+        _events(spark, sf_dir),
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        window_seconds=3600,
+    )

@@ -301,3 +301,32 @@ def test_ngram_jaccard_prefix_equals_plain(spark, sf_dir):
         plain = sorted(map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", 3, t).collect()))
         pref = sorted(map(tuple, ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 3, t).collect()))
         assert pref == plain and len(plain) > 0
+
+
+def test_triangle_count_known_and_random(spark):
+    """K4 has 4 triangles (dup/reversed/self edges ignored); a seeded
+    G(40, 0.3) matches a driver-side adjacency-set reference."""
+    import random
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.graph import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (2, 1), (3, 3)],
+        "src long, dst long",
+    )
+    assert triangle_count(k4).collect()[0][0] == 4
+    rng = random.Random(7)
+    n = 40
+    es = [(i, j) for i in range(n) for j in range(i + 1, n) if rng.random() < 0.3]
+    adj = {i: set() for i in range(n)}
+    for i, j in es:
+        adj[i].add(j)
+        adj[j].add(i)
+    ref = sum(
+        len([k for k in (adj[i] & adj[j]) if k > j])
+        for i in range(n)
+        for j in adj[i]
+        if j > i
+    )
+    got = triangle_count(spark.createDataFrame(es, "src long, dst long")).collect()[0][0]
+    assert got == ref

@@ -586,3 +586,34 @@ def test_retention_month_period_year_boundary(spark):
         ("2024-12-01", 0): 1,
         ("2024-12-01", 1): 1,
     }
+
+
+def test_funnel_levels_within_window_semantics(spark):
+    """Max-anchor DP contract: a later anchor completes after the earliest
+    expires; out-of-window chains don't level up; same-instant events
+    resolve by stage precedence; users without stage 0 are excluded;
+    partition-invariant."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+        funnel_levels_within,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "view"), (1, "2024-01-01 01:00:00", "view"),
+        (1, "2024-01-01 01:00:30", "click"), (1, "2024-01-01 01:01:00", "purchase"),
+        (2, "2024-01-01 00:00:00", "view"), (2, "2024-01-01 02:00:00", "click"),
+        (3, "2024-01-01 00:00:00", "view"), (3, "2024-01-01 00:00:00", "click"),
+        (3, "2024-01-01 00:01:00", "purchase"),
+        (4, "2024-01-01 00:00:00", "purchase"), (4, "2024-01-01 00:10:00", "view"),
+        (5, "2024-01-01 00:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "event_type")
+    stages = ["view", "click", "purchase"]
+    want = {1: 3, 2: 1, 3: 3, 4: 1}
+    for src in (df.coalesce(1), df.repartition(8)):
+        got = {
+            r["user_id"]: r["level"]
+            for r in funnel_levels_within(src, "user_id", "ts", "event_type", stages, 100).collect()
+        }
+        assert got == want

@@ -157,6 +157,8 @@ def test_driver_window_fully_oracle_backed():
         "shipping_priority_q3",
         "local_supplier_volume_q5",
         "salted_star_revenue",
+        "triangle_count_user_graph",
+        "funnel_within_hour",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "event_transition_matrix",

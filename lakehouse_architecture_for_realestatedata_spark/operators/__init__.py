@@ -47,6 +47,7 @@ from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
     daily_measure,
     global_top_k,
     global_row_number,
+    global_running_sum,
     ntile_buckets,
     period_over_period,
     ranked_in_group,
@@ -86,6 +87,7 @@ __all__ = [
     "daily_measure",
     "global_top_k",
     "global_row_number",
+    "global_running_sum",
     "ntile_buckets",
     "period_over_period",
     "ranked_in_group",

@@ -652,3 +652,62 @@ def shrunk_group_mean(
             ),
         )
     )
+
+
+def ols_by_group(
+    df: DataFrame,
+    key: str,
+    x_col,
+    y_col,
+    qbits: int = 20,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS): output ``(key, n, slope,
+    intercept)`` — the trend primitive (value drift over time per slice,
+    price-per-area gradients). Groups with n <= 1 or zero x-variance get
+    NULL slope/intercept.
+
+    Determinism by the QUANTIZED-EXACT policy (the label_centroids /
+    kNN contract), NOT decimal casts of double products: a double->decimal
+    cast rounds the product's exact binary expansion, and the two engines
+    implement that rounding differently on arbitrary doubles (observed
+    low-bit slope divergence) — whereas ``round(v * 2^qbits)`` rounds the
+    SAME IEEE product half-away-from-zero in both engines, always. So x
+    and y snap to the 2^-qbits grid as int64, the four sums run exact
+    (products via decimal(19,0)*decimal(19,0) — never a bigint overflow),
+    and the closed form ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` is a
+    fixed IEEE op sequence over exact integers. Because x and y share one
+    grid scale, the slope needs NO rescaling; the intercept divides by
+    2^qbits once. Quantization error is <= 2^-qbits per value — pick
+    inputs scaled to O(1..1e4) (epoch DAYS, not micros) so grid error is
+    negligible and the int64 grid values stay small.
+
+    Scale shape: ONE partial-agg groupBy shuffle; never the built-in
+    ``regr_slope`` (streaming co-moment update order varies with
+    partitioning)."""
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    s = float(1 << qbits)
+    pairs = df.select(
+        F.col(key),
+        F.round(x * s).cast("bigint").alias("__x"),
+        F.round(y * s).cast("bigint").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    xq = F.col("__x").cast("decimal(19,0)")
+    yq = F.col("__y").cast("decimal(19,0)")
+    agg = pairs.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__x")).cast("double").alias("__sx"),
+        F.sum(F.col("__y")).cast("double").alias("__sy"),
+        F.sum(xq * yq).cast("double").alias("__sxy"),
+        F.sum(xq * xq).cast("double").alias("__sxx"),
+    )
+    n = F.col("n")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when((n > 1) & (vx > 0), cov / vx)
+    return agg.select(
+        key,
+        "n",
+        slope.alias("slope"),
+        (((F.col("__sy") - slope * F.col("__sx")) / n) / s).alias("intercept"),
+    )

@@ -120,6 +120,51 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str | Column,
+    out_col: str = "running_sum",
+    partitions: int | None = None,
+    scale: int = 2,
+) -> DataFrame:
+    """EXACT global running (prefix) sum of ``value_col`` over a total
+    order, with NO single-task sort — the cumulative-share / Pareto / CDF
+    primitive. Same two-phase shape as ``global_row_number``: range
+    repartition on the order, per-partition decimal cumsum (parallel
+    sorts), then each partition's prefix offset from the bounded
+    per-partition total frame, broadcast back. The sum stays DECIMAL end
+    to end (exact, associative, partition-invariant); ``out_col`` is the
+    decimal running sum cast to double only in the caller's projection if
+    wanted. Caller must supply a unique tiebreak in ``order_by``."""
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    dec = f"decimal(38,{scale})"
+    ranged = (
+        df.repartitionByRange(p, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", v.cast(dec))
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum("__v").alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0).cast(dec)).alias("__off"),
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__lsum", F.sum("__v").over(w_local))
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__lsum"))
+        .drop("__pid", "__v", "__lsum", "__off")
+    )
+
+
 def ntile_buckets(
     df: DataFrame,
     order_by: list[Column],

@@ -997,3 +997,130 @@ def q_funnel_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["view", "click", "purchase"],
         window_seconds=3600,
     )
+
+
+@register(
+    "pareto_customer_revenue",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(cast(o_totalprice AS decimal(30,2))) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run,
+               sum(rev) OVER () AS tot
+        FROM per_cust
+    ),
+    classed AS (
+        SELECT CASE WHEN cast(run AS double) / cast(tot AS double) <= 0.5 THEN 'A'
+                    WHEN cast(run AS double) / cast(tot AS double) <= 0.8 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev
+        FROM ranked
+    )
+    SELECT abc_class, count(*) AS n_customers,
+           cast(sum(rev) AS double) AS revenue
+    FROM classed GROUP BY abc_class
+    """,
+    doc="Pareto / ABC analysis of customer revenue (operators/windows.py "
+    "global_running_sum): rank customers by revenue desc, classify by "
+    "cumulative revenue share (A <= 50%, B <= 80%, C rest). The running "
+    "sum is the two-phase distributed prefix sum — range repartition + "
+    "per-partition decimal cumsum + broadcast prefix offsets from the "
+    "bounded per-partition total frame — never the single-task "
+    "unpartitioned window the SQL spelling implies; the grand total rides "
+    "the same bounded frame. Decimal end to end, so both engines classify "
+    "identical customers.",
+)
+def q_pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
+        global_running_sum,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"))
+    )
+    run = global_running_sum(
+        per_cust,
+        [F.col("rev").desc(), F.col("o_custkey")],
+        "rev",
+        out_col="run",
+        scale=2,
+    )
+    # grand total: one-row aggregate, broadcast cross join (metadata-scale)
+    tot = per_cust.agg(F.sum("rev").alias("tot"))
+    share = F.col("run").cast("double") / F.col("tot").cast("double")
+    classed = run.crossJoin(F.broadcast(tot)).select(
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+        "rev",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "value_trend_by_type",
+    """
+    WITH p AS (
+        SELECT event_type,
+               cast(round(cast(epoch_us(ts) AS double) / 86400000000.0
+                          * 1048576.0) AS bigint) AS xq,
+               cast(round(value * 1048576.0) AS bigint) AS yq
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    a AS (
+        SELECT event_type, count(*) AS n,
+               cast(sum(xq) AS double) AS sx,
+               cast(sum(yq) AS double) AS sy,
+               cast(sum(cast(xq AS decimal(19,0)) * cast(yq AS decimal(19,0)))
+                    AS double) AS sxy,
+               cast(sum(cast(xq AS decimal(19,0)) * cast(xq AS decimal(19,0)))
+                    AS double) AS sxx
+        FROM p GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+                THEN ((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+                     / 1048576.0
+           END AS intercept
+    FROM a
+    """,
+    doc="Per-event-type linear trend of value over time "
+    "(operators/aggregates.py ols_by_group): x is epoch DAYS, y the event "
+    "value, both snapped to the 2^-20 grid as int64 — round(v*2^20) is "
+    "the quantized-exact policy (both engines round the same double half "
+    "away from zero; a decimal cast of the raw double products rounds "
+    "engine-specifically and was observed to flip slope low bits). Sums "
+    "are exact integers (products via decimal(19,0) pairs), the closed "
+    "form a fixed IEEE sequence; one partial-agg shuffle. The drift-"
+    "DETECTION twin of value_drift_by_type's distribution distance.",
+)
+def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import ols_by_group
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    x = F.unix_micros(F.col("ts")).cast("double") / F.lit(86400000000.0)
+    return ols_by_group(
+        ev.select("event_type", x.alias("x"), F.col("value").alias("y")),
+        "event_type",
+        "x",
+        "y",
+        qbits=20,
+    )

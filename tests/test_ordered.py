@@ -199,3 +199,34 @@ def test_interval_join_keyed_and_degenerate(spark):
     # a:[0,10]x[8,12] overlap; b:[0,10]x[10,10] point overlap; b x [20,30] no;
     # c rows dropped (inverted / NULL)
     assert out == [("a", 0, 8), ("b", 0, 10)]
+
+
+def test_global_running_sum_exact_and_partition_invariant(spark, sf_dir):
+    """global_running_sum must equal the single-partition window cumsum on
+    a unique total order — exactly (decimal), for any partitioning."""
+    from pyspark.sql import Window, functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"))
+    )
+    order = [F.col("rev").desc(), F.col("o_custkey")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = sorted(
+        map(tuple, o.select("o_custkey", F.sum("rev").over(w).alias("run")).collect())
+    )
+    for src, p in ((o.coalesce(1), 3), (o.repartition(16), None)):
+        got = sorted(
+            map(
+                tuple,
+                global_running_sum(src, order, "rev", out_col="run", partitions=p)
+                .select("o_custkey", "run")
+                .collect(),
+            )
+        )
+        assert got == want

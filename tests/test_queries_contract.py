@@ -159,6 +159,8 @@ def test_driver_window_fully_oracle_backed():
         "salted_star_revenue",
         "triangle_count_user_graph",
         "funnel_within_hour",
+        "pareto_customer_revenue",
+        "value_trend_by_type",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "event_transition_matrix",

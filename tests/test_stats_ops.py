@@ -359,3 +359,24 @@ def test_hll_rollup_merge_parity(spark, sf_dir):
     for w in rolled:
         assert rolled[w] == direct[w], (w, rolled[w], direct[w])
         assert abs(rolled[w] - exact[w]) <= max(2, 0.06 * exact[w])
+
+
+def test_ols_by_group_recovers_planted_slope(spark):
+    """y = 3x + 7 (+ grid noise) recovers slope/intercept to within the
+    2^-20 quantization error; zero-variance and n=1 groups are NULL;
+    results are bit-stable across partitionings."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import ols_by_group
+
+    rows = [("a", float(i), 3.0 * i + 7.0) for i in range(100)]
+    rows += [("b", 5.0, 1.0), ("b", 5.0, 2.0)]  # zero x-variance
+    rows += [("c", 1.0, 1.0)]  # n == 1
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: (r["n"], r["slope"], r["intercept"]) for r in ols_by_group(df, "g", "x", "y").collect()}
+    n, slope, intercept = out["a"]
+    assert n == 100 and abs(slope - 3.0) < 1e-5 and abs(intercept - 7.0) < 1e-3
+    assert out["b"][1] is None and out["c"][1] is None
+    a = sorted(map(tuple, ols_by_group(df.coalesce(1), "g", "x", "y").collect()))
+    b = sorted(map(tuple, ols_by_group(df.repartition(8), "g", "x", "y").collect()))
+    assert a == b

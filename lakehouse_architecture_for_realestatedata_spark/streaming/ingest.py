@@ -173,6 +173,8 @@ def running_user_totals(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    key_type = _key_field_type(events, user_col)
+
     def _update(key, pdfs, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
@@ -180,12 +182,12 @@ def running_user_totals(
             total += float(pdf[value_col].sum())
         state.update((n, total))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+            {user_col: [key[0]], "n_events": [n], "sum_value": [total]}
         )
 
     return events.groupBy(user_col).applyInPandasWithState(
         _update,
-        outputStructType="user_id long, n_events long, sum_value double",
+        outputStructType=f"{user_col} {key_type}, n_events long, sum_value double",
         stateStructType="n long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -499,3 +501,76 @@ def stream_refresh_daily_summary(
     )
     q.awaitTermination()
     return q
+
+
+def stream_funnel_levels_within(
+    events: DataFrame,
+    stages: list[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    stage_col: str = "event_type",
+    streaming: bool = True,
+) -> DataFrame:
+    """LIVE conversion-window funnel (the batch twin is
+    ``operators.funnel.funnel_levels_within``): per-user state is the
+    max-anchor DP's k chain-anchor timestamps — the DP folds left over the
+    (ts, stage-precedence)-ordered event sequence, so running it chunked
+    across micro-batches under in-order-per-user delivery yields EXACTLY
+    the batch result (parity-tested; the stream_funnel_reached contract).
+    Emits ``(user, level, n_seen)`` per touched user per batch; ``n_seen``
+    is monotone, so the per-user max row is the latest state.
+
+    State: k int64 micros + one counter per user — O(users), no event
+    retention; per-batch work is one vectorized sort + a linear walk over
+    the user's batch rows."""
+    if len(stages) < 2 or len(set(stages)) != len(stages):
+        raise ValueError("need >= 2 distinct stages")
+    if not streaming:
+        from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
+            funnel_levels_within,
+        )
+
+        return funnel_levels_within(
+            events, user_col, ts_col, stage_col, stages, window_seconds
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k = len(stages)
+    idx = {s: j for j, s in enumerate(stages)}
+    w_us = int(window_seconds) * 1_000_000
+    key_type = _key_field_type(events, user_col)
+    filtered = events.filter(
+        F.col(user_col).isNotNull() & F.col(stage_col).isin(stages)
+    ).select(F.col(user_col), F.col(ts_col).alias("__ts"), F.col(stage_col).alias("__st"))
+
+    def _update(key, pdfs, state: GroupState):
+        anchors = list(state.get)[:k] if state.exists else [-1] * k
+        n_seen = list(state.get)[k] if state.exists else 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # (ts, stage-precedence) order — same tie rule as the batch walk
+        rows = rows.assign(__j=[idx[s] for s in rows["__st"]]).sort_values(
+            ["__ts", "__j"], kind="stable"
+        )
+        n_seen += len(rows)
+        for ts_val, j in zip(rows["__ts"], rows["__j"]):
+            t = int(ts_val.value // 1000)  # pandas ns -> us
+            if j == 0:
+                anchors[0] = max(anchors[0], t)
+            elif anchors[j - 1] != -1 and t - anchors[j - 1] <= w_us:
+                anchors[j] = max(anchors[j], anchors[j - 1])
+        state.update(tuple(anchors + [n_seen]))
+        level = sum(1 for a in anchors if a != -1)
+        yield pd.DataFrame(
+            {user_col: [key[0]], "level": [level], "n_seen": [n_seen]}
+        )
+
+    return filtered.groupBy(user_col).applyInPandasWithState(
+        _update,
+        outputStructType=f"{user_col} {key_type}, level int, n_seen long",
+        stateStructType=", ".join(f"a{j} long" for j in range(k)) + ", n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -405,3 +405,55 @@ def test_stream_stateful_string_key_and_raw_pairs_twin(spark, sf_dir, tmp_path):
             ["view", "click"],
             user_col="visitor",
         )
+
+
+def test_stream_funnel_within_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful conversion-window funnel: three ts-ordered replay files —
+    the final per-user level must EXACTLY equal the batch max-anchor DP."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import (
+        stream_funnel_levels_within,
+    )
+
+    stages = ["view", "click", "purchase"]
+    batch = _event_batch(spark, sf_dir).select("user_id", "ts", "event_type")
+    rows = batch.orderBy("ts").collect()
+    n = len(rows)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        chunk = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(chunk, batch.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    q = (
+        stream_funnel_levels_within(stream, stages, window_seconds=3600)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_win_live")
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        got = {
+            r["user_id"]: r["level"]
+            for r in spark.sql(
+                "SELECT user_id, max_by(level, n_seen) AS level "
+                "FROM funnel_win_live GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["user_id"]: r["level"]
+        for r in stream_funnel_levels_within(
+            batch, stages, window_seconds=3600, streaming=False
+        ).collect()
+    }
+    assert got == want and len(want) > 0 and max(want.values()) >= 2

@@ -230,3 +230,44 @@ def test_global_running_sum_exact_and_partition_invariant(spark, sf_dir):
             )
         )
         assert got == want
+
+
+def test_ntile_closed_form_property(spark):
+    """Property check of the distributed ntile's closed-form bucket
+    arithmetic against Python's reference partitioning for ~200 random
+    (row-count, n-buckets) shapes — covers cnt < n, cnt == n, remainders,
+    and the q == 0 guard, without paying a Spark job per case."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import ntile_buckets
+
+    def ref_ntile(cnt, n):
+        q, r = divmod(cnt, n)
+        out = []
+        for b in range(1, n + 1):
+            out.extend([b] * (q + 1 if b <= r else q))
+        return out
+
+    rng = random.Random(42)
+    cases = [(rng.randint(1, 60), rng.randint(1, 12)) for _ in range(200)]
+    cases += [(1, 4), (3, 4), (4, 4), (5, 4), (40, 1)]
+    # evaluate the SAME closed form the operator builds, driver-side via a
+    # tiny local frame per distinct n (one Spark job total)
+    rows = [(cnt, n, rn) for cnt, n in set(cases) for rn in range(1, cnt + 1)]
+    df = spark.createDataFrame(rows, "cnt long, n int, rn long")
+    q = F.floor(F.col("cnt") / F.col("n")).cast("bigint")
+    r = (F.col("cnt") % F.col("n")).cast("bigint")
+    threshold = r * (q + 1)
+    bucket = F.when(
+        F.col("rn") <= threshold, F.floor((F.col("rn") - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((F.col("rn") - threshold - 1) / F.greatest(q, F.lit(1))) + 1)
+    got = {
+        (x["cnt"], x["n"], x["rn"]): x["b"]
+        for x in df.withColumn("b", bucket.cast("int")).collect()
+    }
+    for cnt, n in set(cases):
+        want = ref_ntile(cnt, n)
+        for rn in range(1, cnt + 1):
+            assert got[(cnt, n, rn)] == want[rn - 1], (cnt, n, rn)

@@ -297,3 +297,41 @@ def leakage_safe_split(
         F.coalesce(F.col("label"), df[id_col]).alias("__split_key"),
     )
     return split_assign(with_key, "__split_key", weights, salt=salt).drop("__split_key")
+
+
+def sample_weighted_exact_n(
+    df: DataFrame,
+    key: str,
+    weight_col: str | Column,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-n weighted sample WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES scheme: each row draws u ~ Uniform(0,1) from
+    its md5-hashed key (deterministic "randomness", the module contract)
+    and the n LARGEST u^(1/w) win. Inclusion probability is the exact
+    sequential weighted-sampling-without-replacement law (≈ n·w/Σw when
+    n ≪ N). Complements ``sample_weighted`` (per-row Bernoulli, random
+    output size) and ``sample_exact_n`` (uniform): this is the budgeted
+    corpus-mix pick — "exactly 100k docs, quality-weighted".
+
+    Rows with NULL or non-positive weight never win. Ranking uses
+    ``ln(u)/w`` (monotone in u^(1/w), better-conditioned); u maps from
+    the first 13 hex digits of md5(salt||key) into (0,1) — never exactly
+    0 or 1, so the log is finite. Deterministic for a fixed salt and
+    partition-invariant; NOT cross-engine hash-exact (ln is
+    transcendental), so the contract is pytest: inclusion frequencies
+    over many salts track weights, same-salt runs are identical.
+
+    Scale shape: narrow scoring pass + ``orderBy().limit(n)`` —
+    TakeOrderedAndProject (per-partition heaps of n, driver merge of
+    n·P rows), never a global sort."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h13 = F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 13)
+    u = (F.conv(h13, 16, 10).cast("double") + 1.0) / F.lit(float(16**13 + 1))
+    score = F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .orderBy(score.desc(), F.col(key))
+        .limit(n)
+    )

@@ -24,6 +24,7 @@ tests/test_funnel.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lakehouse_architecture_for_realestatedata_spark.operators.funnel import (
     event_transitions,
@@ -698,3 +699,31 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     lm = token_bigram_counts(docs, "text", min_count=2)
     return score_doc_perplexity(docs, "doc_id", "text", lm=lm)
+
+
+@register(
+    "weighted_exact_n_docs",
+    None,  # rows-only: the A-ES rank uses ln(u)/w — transcendental, so the
+    # selected set is not cross-engine hash-stable near score ties; the
+    # inclusion-probability + determinism contract is
+    # tests/test_sampling.py::test_weighted_exact_n_inclusion_tracks_weights
+    doc="EXACTLY-n weighted sample without replacement "
+    "(operators/sampling.py sample_weighted_exact_n, Efraimidis-Spirakis "
+    "A-ES): the n largest u^(1/w) win, u drawn deterministically from the "
+    "md5-hashed key — the budgeted quality-weighted corpus pick ('exactly "
+    "100k docs, weighted by length/quality'). Narrow scoring pass + "
+    "TakeOrderedAndProject; partition-invariant and salt-reproducible.",
+)
+def q_weighted_exact_n_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+        sample_weighted_exact_n,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_weighted_exact_n(
+        docs.select("doc_id", "lang", F.col("n_chars").cast("double").alias("w")),
+        "doc_id",
+        "w",
+        100,
+        salt="mix1",
+    ).select("doc_id", "lang", "w")

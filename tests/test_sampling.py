@@ -306,3 +306,47 @@ class TestLeakageSafeSplit:
         got = {r[0]: r[1] for r in b}
         for i in range(100):
             assert got[2 * i] == got[2 * i + 1]
+
+    def test_weighted_exact_n_inclusion_tracks_weights(self, spark):
+        """A-ES contract: exactly n rows; same salt reproduces the same
+        sample on any partitioning; across many salts, items with weight 9
+        are selected ~9x as often as weight 1 (loose tolerance); zero/NULL
+        weights never win."""
+        from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+            sample_weighted_exact_n,
+        )
+
+        rows = [(i, 9.0 if i < 100 else 1.0) for i in range(200)]
+        rows += [(900, 0.0), (901, None)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        first = sorted(
+            r["id"] for r in sample_weighted_exact_n(df, "id", "w", 20, salt="s0").collect()
+        )
+        assert len(first) == 20 and all(i < 900 for i in first)
+        again = sorted(
+            r["id"]
+            for r in sample_weighted_exact_n(df.repartition(8), "id", "w", 20, salt="s0").collect()
+        )
+        assert again == first
+        heavy = light = 0
+        for t in range(60):
+            for r in sample_weighted_exact_n(df, "id", "w", 20, salt=f"t{t}").collect():
+                if r["id"] < 100:
+                    heavy += 1
+                else:
+                    light += 1
+        # expected heavy share = 9/(9+1) weighted mass -> ratio ~9; demand > 4
+        assert heavy / max(light, 1) > 4, (heavy, light)
+
+    def test_weighted_exact_n_plans_take_ordered(self, spark, sf_dir):
+        from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+            sample_weighted_exact_n,
+        )
+        from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = physical_plan(
+            sample_weighted_exact_n(docs, "doc_id", F.col("n_chars").cast("double"), 50),
+            "simple",
+        )
+        assert "TakeOrderedAndProject" in plan, plan

@@ -597,3 +597,56 @@ def funnel_levels_within(
         lambda acc, x: acc + x,
     )
     return ev.select(F.col(user_col), level.alias("level")).filter(F.col("level") >= 1)
+
+
+def sessionize_capped(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    max_minutes: int = 120,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap sessionization with a MAX-DURATION cap: sessions break on
+    ≥ ``gap_minutes`` of inactivity AND split into ``max_minutes``-sized
+    spans anchored at the gap-session's start — the guard against
+    never-idle actors (bots, kiosk devices, instrumentation loops) whose
+    gap-only sessions grow unbounded. Output one row per capped session:
+    ``(user, session_start, session_end, n_events)``.
+
+    Cap semantics: fixed ``max_minutes`` windows measured from the
+    gap-session anchor (span k covers [start + k·cap, start + (k+1)·cap)) —
+    deterministic and closed-form, unlike "restart the clock at the split
+    event", which needs a sequential rescan. NULL users are excluded;
+    ``tiebreak`` makes the ordering total under timestamp collisions.
+
+    Scale shape: ONE user-keyed exchange carries everything — the lag
+    gap-detect, the running session id, the per-session anchor min, and
+    the final (user, sid, span) groupBy are all windows/aggregates over
+    strictly finer keys, so Catalyst reuses the single partitioning."""
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col(ts_col) - prev >= F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    base = events.filter(F.col(user_col).isNotNull()).withColumn("__sid", sid)
+    anchor = F.min(F.col(ts_col)).over(Window.partitionBy(user_col, "__sid"))
+    cap_us = int(max_minutes) * 60 * 1_000_000
+    span = F.floor(
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(anchor)).cast("double")
+        / F.lit(float(cap_us))
+    ).cast("bigint")
+    return (
+        base.withColumn("__span", span)
+        .groupBy(user_col, "__sid", "__span")
+        .agg(
+            F.min(F.col(ts_col)).alias("session_start"),
+            F.max(F.col(ts_col)).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__sid", "__span")
+    )

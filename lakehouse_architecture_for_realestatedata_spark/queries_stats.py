@@ -1124,3 +1124,54 @@ def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         qbits=20,
     )
+
+
+@register(
+    "capped_sessions_users",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    s AS (
+        SELECT user_id, ts, event_id,
+               sum(CASE WHEN prev IS NULL
+                          OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM o
+    ),
+    m AS (
+        SELECT *, min(ts) OVER (PARTITION BY user_id, sid) AS anchor FROM s
+    ),
+    c AS (
+        SELECT user_id, sid, ts,
+               cast(floor(cast(epoch_us(ts) - epoch_us(anchor) AS double)
+                          / 7200000000.0) AS bigint) AS span
+        FROM m
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM c GROUP BY user_id, sid, span
+    """,
+    doc="Gap sessionization with a 2-hour duration cap "
+    "(operators/funnel.py sessionize_capped): 30-min inactivity breaks a "
+    "session, and never-idle actors additionally split into fixed 2h "
+    "spans anchored at the session start — the bot/kiosk guard gap-only "
+    "sessionization lacks. One user-keyed exchange carries the lag "
+    "gap-detect, running session id, per-session anchor, and the final "
+    "grouping (strictly finer keys, partitioning reused).",
+)
+def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import sessionize_capped
+
+    return sessionize_capped(
+        _events(spark, sf_dir),
+        "user_id",
+        "ts",
+        gap_minutes=30,
+        max_minutes=120,
+        tiebreak="event_id",
+    )

@@ -617,3 +617,33 @@ def test_funnel_levels_within_window_semantics(spark):
             for r in funnel_levels_within(src, "user_id", "ts", "event_type", stages, 100).collect()
         }
         assert got == want
+
+
+def test_sessionize_capped_splits_long_sessions(spark):
+    """Cap contract: a continuous 5-hour burst (no 30-min gap) splits into
+    2h spans anchored at its start; separate gap-sessions keep their own
+    anchors; one exchange only."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.funnel import sessionize_capped
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import count_shuffles
+
+    rows = [(1, f"2024-01-01 {h:02d}:{m:02d}:00", h * 60 + m)
+            for h in range(5) for m in range(0, 60, 10)]          # 5h burst
+    rows += [(1, "2024-01-02 00:00:00", 9000)]                    # new gap-session
+    rows += [(2, "2024-01-01 00:00:00", 9001)]                    # singleton
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_id long").selectExpr(
+        "user_id", "cast(ts as timestamp) ts", "event_id")
+    out = sessionize_capped(df, "user_id", "ts", gap_minutes=30, max_minutes=120,
+                            tiebreak="event_id")
+    # pin the shuffle count BEFORE collect: an executed adaptive plan's
+    # string includes "== Initial Plan ==" and double-counts exchanges
+    assert count_shuffles(out) == 1
+    got = sorted((r["user_id"], str(r["session_start"]), r["n_events"]) for r in out.collect())
+    # user 1 burst: spans [0h,2h) [2h,4h) [4h,5h) = 12+12+6 events, then the
+    # next-day session; user 2 singleton
+    assert got == [
+        (1, "2024-01-01 00:00:00", 12),
+        (1, "2024-01-01 02:00:00", 12),
+        (1, "2024-01-01 04:00:00", 6),
+        (1, "2024-01-02 00:00:00", 1),
+        (2, "2024-01-01 00:00:00", 1),
+    ], got

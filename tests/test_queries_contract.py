@@ -161,6 +161,7 @@ def test_driver_window_fully_oracle_backed():
         "funnel_within_hour",
         "pareto_customer_revenue",
         "value_trend_by_type",
+        "capped_sessions_users",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "event_transition_matrix",

@@ -118,41 +118,54 @@ def registry() -> dict[str, QuerySpec]:
     # tests/test_queries_contract.py (sf0.001) + tools/check_oracle.py
     # (sf0.01).
     promoted = [
-        # r6 first-time rows (pre-declared in the r5 rotation comment; each
+        # r7 first-time rows (pre-declared in the r6 rotation comment; each
         # swap keeps a same-family twin in-window — see `deferred` below):
-        #   funnel_view_click_purchase  <-> asof_click_attribution (behavior;
-        #       range_join/resample/scd2 keep the temporal family in-window)
-        #   remove_boilerplate          <-> pii_redaction_scrub + doc_repetition_signals (hygiene)
-        #   vocab_top_tokens            <-> token_stats (already deferred-green; tokenize)
-        #   corr_qty_price_by_flag      <-> pricing_summary (grouped-lineitem agg; quality_report keeps A4)
-        #   time_travel_cdc_roundtrip   <-> cdc_snapshot_diff (CDC/storage)
-        #   mad_outlier_events          <-> exact_percentiles_by_type (already deferred-green; quantiles)
-        # semi_join_active_customers also rotates out (anti_join_inactive_
-        # customers keeps the semi/anti family in-window) to balance slots.
-        "funnel_view_click_purchase",
+        #   encode_documents_vocab      <-> vocab_top_tokens       (tokenize;
+        #       tfidf_keywords keeps the token family in-window too)
+        #   weekly_retention_cohorts    <-> funnel_view_click_purchase
+        #       (behavior; sliding_window_agg + heavy_hitters_users keep it)
+        #   grouping_sets_revenue       <-> cube_status_year       (grouping
+        #       sets; quality_report keeps grouped aggregation in-window)
+        #   incremental_summary_refresh <-> merge_upsert_roundtrip (storage
+        #       MERGE — the refresh pipeline exercises MERGE + change feed;
+        #       time_travel_cdc_roundtrip keeps versioned storage in-window)
+        #   quantile_exact_global_events<-> histogram_order_prices (quantiles;
+        #       mad_outlier_events keeps the quantile family in-window)
+        #   leakage_safe_split_docs     <-> deterministic_sample   (sampling;
+        #       the md5-keyed split family keeps tfidf/doc rows in-window)
+        "encode_documents_vocab",
+        "weekly_retention_cohorts",
+        "grouping_sets_revenue",
+        "incremental_summary_refresh",
+        "quantile_exact_global_events",
+        "leakage_safe_split_docs",
+        # r6 first-time rows (stay in-window):
         "remove_boilerplate",
-        "vocab_top_tokens",
         "corr_qty_price_by_flag",
         "time_travel_cdc_roundtrip",
         "mad_outlier_events",
         # r5 first-time rows (stay in-window):
         "sliding_window_agg",
-        "cube_status_year",
         "rank_orders_in_priority",
-        "deterministic_sample",
         "tfidf_keywords",
         "heavy_hitters_users",
-        "histogram_order_prices",
     ]
-    # r7 ROTATION CANDIDATES: swap first-time rows in against driver-green
+    # r8 ROTATION CANDIDATES: swap first-time rows in against driver-green
     # same-family twins, e.g.
-    #   encode_documents_vocab      <-> vocab_top_tokens       (tokenize)
-    #   weekly_retention_cohorts    <-> funnel_view_click_purchase (behavior)
-    #   grouping_sets_revenue       <-> cube_status_year       (grouping sets)
-    #   incremental_summary_refresh <-> merge_upsert_roundtrip (storage MERGE)
-    #   quantile_exact_global_events<-> histogram_order_prices (quantiles)
-    #   leakage_safe_split_docs     <-> deterministic_sample   (sampling)
+    #   medallion_two_batch_pipeline <-> incremental_summary_refresh (storage pipeline)
+    #   ngram_jaccard_pairs_prefix   <-> ngram_jaccard_pairs   (same oracle; PPJoin path)
+    #   pareto_customer_revenue      <-> global_topk_orders    (ordered/prefix-sum)
+    #   capped_sessions_users        <-> session_windows       (sessionization)
+    #   value_trend_by_type          <-> corr_qty_price_by_flag (grouped stats)
+    #   user_span_campaign_overlap   <-> range_join_signup_windows (interval join)
     deferred = {
+        # r7 rotation swap-outs (driver-green in r6; family twin in-window):
+        "funnel_view_click_purchase",
+        "vocab_top_tokens",
+        "cube_status_year",
+        "merge_upsert_roundtrip",
+        "histogram_order_prices",
+        "deterministic_sample",
         # r6 rotation swap-outs (driver-green in r5; family twin in-window):
         "asof_click_attribution",
         "pii_redaction_scrub",
@@ -172,11 +185,8 @@ def registry() -> dict[str, QuerySpec]:
         "chunk_documents_fixed",
         "event_transition_matrix",
         "weighted_doc_sample",
-        "encode_documents_vocab",
         "scd2_point_in_time_purchases",
         "token_bigram_lm",
-        "quantile_exact_global_events",
-        "weekly_retention_cohorts",
         "top_session_paths",
         "rolling_anomaly_events",
         "funnel_step_latency",
@@ -193,12 +203,9 @@ def registry() -> dict[str, QuerySpec]:
         "daily_value_bands",
         "label_centroids_embeddings",
         "dq_schema_tests_report",
-        "incremental_summary_refresh",
         "langid_confusion_matrix",
-        "grouping_sets_revenue",
         "activity_profile_dow_hour",
         "json_props_rollup",
-        "leakage_safe_split_docs",
         "percent_rank_event_values",
         "set_ops_customer_cohorts",
         "tumbling_window_agg",

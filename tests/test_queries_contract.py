@@ -108,6 +108,13 @@ def test_driver_window_fully_oracle_backed():
     # block are post-§2 extensions registered last on purpose) — all
     # hard-checked by this module instead. Update CONSCIOUSLY when rotating.
     assert set(displaced) <= {
+        # r7 rotation swap-outs (driver-green in r6; family twin in-window):
+        "funnel_view_click_purchase",
+        "vocab_top_tokens",
+        "cube_status_year",
+        "merge_upsert_roundtrip",
+        "histogram_order_prices",
+        "deterministic_sample",
         # r6 rotation swap-outs (driver-green in r5; family twin in-window):
         "asof_click_attribution",
         "pii_redaction_scrub",
@@ -146,7 +153,6 @@ def test_driver_window_fully_oracle_backed():
         "winsorized_event_values",
         "rolling_hourly_user_value",
         "percent_rank_event_values",
-        "quantile_exact_global_events",
         "rolling_anomaly_events",
         # r6 additions (registered in the late stats block):
         "equi_depth_bands_events",
@@ -166,10 +172,8 @@ def test_driver_window_fully_oracle_backed():
         "chunk_documents_fixed",
         "event_transition_matrix",
         "weighted_doc_sample",
-        "encode_documents_vocab",
         "scd2_point_in_time_purchases",
         "token_bigram_lm",
-        "weekly_retention_cohorts",
         "top_session_paths",
         "funnel_step_latency",
         "session_cooccurrence_pairs",
@@ -185,10 +189,7 @@ def test_driver_window_fully_oracle_backed():
         "daily_value_bands",
         "label_centroids_embeddings",
         "dq_schema_tests_report",
-        "incremental_summary_refresh",
         "langid_confusion_matrix",
-        "grouping_sets_revenue",
         "activity_profile_dow_hour",
         "json_props_rollup",
-        "leakage_safe_split_docs",
     }, displaced

@@ -21,6 +21,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _position_salt(n_salts: int):
+    """Salt expression cycling 0..n_salts-1 by row position within each
+    partition (monotonically_increasing_id = partition_id·2⁶³⁻³³ + local row
+    index; the partition offset is a multiple of 2³³, so the modulus walks
+    the local index) — guarantees ≥2 distinct salts for ANY key with ≥2
+    rows, including rows with byte-identical content."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("bigint")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -32,10 +41,17 @@ def salted_join(
     spread across ``n_salts`` partitions. Result is identical to the plain
     join (salting only changes the physical distribution).
 
-    The salt is drawn from the row's own bytes (xxhash64 of the key plus a
-    uniformly-distributed random column surrogate — ``rand`` is avoided so
-    retried tasks recompute the SAME salt and stay exactly-once under
-    speculative execution).
+    The salt is ROW-POSITION based (``monotonically_increasing_id() %
+    n_salts``), not content based: a content hash degenerates to a single
+    salt whenever a hot key's rows carry identical bytes (post-dedup facts,
+    denormalized constants, or a big side holding only the key columns) and
+    silently re-funnels the hot key into one task. Position salts cycle
+    0..n-1 through every partition, so any hot key with ≥2 rows lands on ≥2
+    tasks regardless of content. ``rand`` is still avoided: the salt VALUE a
+    row gets never changes the join output (the small side carries every
+    salt), and Spark marks the id-bearing stage indeterminate, so a
+    shuffle-fetch failure rolls the whole stage back instead of mixing old
+    and new map output — output rows stay exactly-once either way.
 
     Only ``inner`` and ``left`` are supported: the small side is replicated
     ``n_salts`` times, so right/full-outer would emit each unmatched
@@ -48,11 +64,7 @@ def salted_join(
             "right/full-outer semantics"
         )
     keys = [key] if isinstance(key, str) else list(key)
-    # salt from all non-key columns' hash: deterministic per row content,
-    # uncorrelated with the key
-    non_key = [c for c in big.columns if c not in keys] or keys
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(n_salts))
-    b = big.withColumn("__salt", salt)
+    b = big.withColumn("__salt", _position_salt(n_salts))
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
     )

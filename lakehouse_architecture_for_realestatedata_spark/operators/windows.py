@@ -227,10 +227,18 @@ def ranked_in_group(
     fires when every window function is rank-like, and a ``percent_rank``
     sharing the window disables it — every row would flow through the
     #groups reducer tasks before the k-filter. Instead the rank window stays
-    rank-only (partial cut applies), per-group row counts broadcast back
+    rank-only (partial cut applies), per-group row counts joined back
     (one tiny aggregate), and ``pct_rnk = (rnk-1)/(n-1)`` — percent_rank's
     literal definition — is derived in the projection. Output-identical,
-    including the n=1 → 0.0 convention."""
+    including the n=1 → 0.0 convention.
+
+    The count join is NULL-SAFE (``<=>`` per partition column): a window
+    partitions NULL keys into their own ranked group, so a null-unsafe
+    equi-join would silently drop those rows (ADVICE r6, medium). And the
+    join is deliberately UNHINTED: counts has one row per group — tiny for
+    priority-like keys but corpus-scale for per-user keys — so the
+    broadcast decision belongs to AQE's runtime size check, not an
+    unconditional driver-OOM-able hint (ADVICE r6, low)."""
     w = Window.partitionBy(*part_cols).orderBy(*order_by)
     ranked = df.select(
         "*",
@@ -240,16 +248,20 @@ def ranked_in_group(
     if k is not None:
         ranked = ranked.filter(F.col("rnk") <= k)
     counts = df.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("__gn"))
+    cond = None
+    for c in part_cols:
+        clause = ranked[c].eqNullSafe(counts[c])
+        cond = clause if cond is None else cond & clause
     pct = (
         F.when(
-            F.col("__gn") > 1,
-            (F.col("rnk") - 1).cast("double") / (F.col("__gn") - 1).cast("double"),
+            counts["__gn"] > 1,
+            (ranked["rnk"] - 1).cast("double") / (counts["__gn"] - 1).cast("double"),
         )
         .otherwise(F.lit(0.0))
         .alias("pct_rnk")
     )
-    return ranked.join(F.broadcast(counts), part_cols).select(
-        *df.columns, "rnk", "dense_rnk", pct
+    return ranked.join(counts, cond).select(
+        *[ranked[c] for c in df.columns], ranked["rnk"], ranked["dense_rnk"], pct
     )
 
 

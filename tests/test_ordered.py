@@ -271,3 +271,25 @@ def test_ntile_closed_form_property(spark):
         want = ref_ntile(cnt, n)
         for rn in range(1, cnt + 1):
             assert got[(cnt, n, rn)] == want[rn - 1], (cnt, n, rn)
+
+
+def test_ranked_in_group_null_partition_key(spark):
+    """ADVICE r6 (medium): rows whose partition column is NULL form their own
+    ranked group — the count join must be null-safe, not silently drop them.
+    Oracle: percent_rank's literal definition per group, including NULL."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import ranked_in_group
+
+    rows = [
+        ("a", 1, 30.0), ("a", 2, 20.0), ("a", 3, 10.0),
+        (None, 4, 50.0), (None, 5, 40.0), (None, 6, 40.0),
+        ("b", 7, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, id int, v double")
+    out = ranked_in_group(df, ["grp"], [F.col("v").desc(), F.col("id")])
+    got = {(r["grp"], r["id"]): (r["rnk"], r["dense_rnk"], r["pct_rnk"]) for r in out.collect()}
+    assert len(got) == 7, "NULL-group rows were dropped"
+    assert got[(None, 4)] == (1, 1, 0.0)
+    assert got[(None, 5)] == (2, 2, 0.5)
+    assert got[(None, 6)] == (3, 3, 1.0)
+    assert got[("b", 7)] == (1, 1, 0.0)  # n=1 group -> pct 0.0 convention
+    assert got[("a", 1)] == (1, 1, 0.0) and got[("a", 3)] == (3, 3, 1.0)

@@ -472,15 +472,17 @@ def _pca_moments_arrow(df: DataFrame, vec_col: str, d: int, qbits: int):
     BLAS-twin trade (``knn_quantized_blas``): the Catalyst higher-order
     pair expansion is interpreted per element (O(N·d²) branchy scalar work,
     the top bench line before this), the matmul is one vectorized kernel.
-    Chunk size is bounded so int64 partial sums cannot overflow
-    (rows·2^2qbits < 2^62); chunk Grams are EXACT integers, and the final
+    Chunk size is derived from the OBSERVED max |q| of each batch so int64
+    partial sums cannot overflow (rows·max|q|² < 2^62) — a fixed
+    rows·2^2qbits bound silently assumed |v| ≤ 1 and wrapped on larger
+    vectors (ADVICE r6); a single |q| ≥ 2³¹ cannot form even one safe
+    product and raises. Chunk Grams are EXACT integers, and the final
     reduction sums them as decimals — so the moments are bit-identical to
     the Catalyst path and partition-invariant (tested both ways)."""
     import numpy as np
     import pyarrow as pa
 
     scale = float(1 << qbits)
-    chunk = max(1, (1 << 62) >> (2 * qbits))
     width = 1 + d + d * d
 
     def gram(batches):
@@ -490,6 +492,14 @@ def _pca_moments_arrow(df: DataFrame, vec_col: str, d: int, qbits: int):
             # include rows outside the slice)
             x = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
             q = _half_away(x * scale)
+            mx = int(np.abs(q).max()) if len(q) else 0
+            if mx >= 1 << 31:
+                raise ValueError(
+                    f"pca_fit: |v|·2^qbits reaches {mx} ≥ 2^31 — the int64 "
+                    "Gram product would overflow; lower qbits or rescale "
+                    "the vectors (|v| must stay < 2^(31-qbits))"
+                )
+            chunk = max(1, (1 << 62) // max(1, mx * mx))
             for lo in range(0, len(q), chunk):
                 part = q[lo : lo + chunk]
                 packed = np.concatenate(
@@ -518,7 +528,9 @@ def _pca_moments_arrow(df: DataFrame, vec_col: str, d: int, qbits: int):
 def _pca_moments_catalyst(df: DataFrame, vec_col: str, d: int, qbits: int):
     """Pure-Catalyst fallback for the moment reduction (no Python workers):
     upper-triangle pair explosion + decimal sums. Same integers as the
-    Arrow path, O(N·d²) interpreted element work."""
+    Arrow path, O(N·d²) interpreted element work. Products are formed in
+    DECIMAL(19,0)×DECIMAL(19,0) (exact up to |q| < 10¹⁸), not long×long —
+    long products wrap silently in non-ANSI mode for |v| > 1 (ADVICE r6)."""
     import numpy as np
 
     scale = float(1 << qbits)
@@ -534,7 +546,9 @@ def _pca_moments_catalyst(df: DataFrame, vec_col: str, d: int, qbits: int):
             lambda xi, i: F.transform(
                 F.slice(F.col("__qv"), i + 1, F.lit(d) - i),
                 lambda xj, j: F.struct(
-                    i.alias("i"), (i + j).alias("j"), (xi * xj).alias("p")
+                    i.alias("i"),
+                    (i + j).alias("j"),
+                    (xi.cast("decimal(19,0)") * xj.cast("decimal(19,0)")).alias("p"),
                 ),
             ),
         )
@@ -587,7 +601,12 @@ def pca_fit(
     DECIMAL(38,0) integers — associative, partition-invariant, so the
     covariance matrix (and therefore the eigenbasis) is bit-stable across
     partitionings. Eigenvector sign is fixed by making each component's
-    largest-magnitude entry positive."""
+    largest-magnitude entry positive.
+
+    Magnitude bound: |v| must stay < 2^(31-qbits) (128 at the default
+    qbits=24) so a single quantized product fits int64 — the Arrow path
+    checks the observed max per batch and raises past it, and sizes its
+    chunks from that max, so any accepted input reduces without wrap."""
     import numpy as np
 
     d = len(df.select(vec_col).first()[0])

@@ -95,35 +95,52 @@ def profile_columns(
     types share one report schema.
 
     Scale shape: ONE aggregation pass (every per-column statistic is an
-    expression in a single agg), then a ``stack`` unpivot of the one-row
-    result — metadata-scale. Exact multi-column count_distinct makes
-    Spark plan an Expand (one shuffled row per column per input row);
+    expression in a single agg), then an explode-of-structs unpivot of the
+    one-row result — metadata-scale. Exact multi-column count_distinct
+    makes Spark plan an Expand (one shuffled row per column per input row);
     pass ``exact_distinct=False`` to use approx_count_distinct (HLL,
     partial-aggregated, no Expand) when profiling at full corpus scale.
+
+    Column references are backtick-quoted with doubled inner backticks
+    (Spark's identifier escape) and every derived alias comes from the
+    ordinal, never the name — the previous ``selectExpr(stack(...))``
+    broke, or worse spliced fragments, on names containing backticks or
+    quotes (ADVICE r6); now any legal parquet column name profiles
+    cleanly.
     """
+
+    def ref(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     cols = list(cols or df.columns)
     nd = F.count_distinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.col(c)).alias(f"{c}__nn"),
-            nd(F.col(c)).alias(f"{c}__nd"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            F.count(ref(c)).alias(f"__c{i}_nn"),
+            nd(ref(c)).alias(f"__c{i}_nd"),
+            F.min(ref(c)).cast("string").alias(f"__c{i}_mn"),
+            F.max(ref(c)).cast("string").alias(f"__c{i}_mx"),
         ]
     one = df.agg(*aggs)
-    pairs = ", ".join(
-        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__min`, `{c}__max`" for c in cols
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__c{i}_nn").alias("__nn"),
+                F.col(f"__c{i}_nd").alias("n_distinct"),
+                F.col(f"__c{i}_mn").alias("min_value"),
+                F.col(f"__c{i}_mx").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
-    long = one.selectExpr(
-        "__n",
-        f"stack({len(cols)}, {pairs}) AS (column, __nn, n_distinct, min_value, max_value)",
-    )
+    long = one.select(one[0].alias("__n"), F.explode(entries).alias("e"))
     return long.select(
-        F.col("column"),
+        F.col("e.column").alias("column"),
         F.col("__n").alias("n_rows"),
-        (F.col("__n") - F.col("__nn")).alias("n_null"),
-        "n_distinct",
-        "min_value",
-        "max_value",
+        (F.col("__n") - F.col("e.__nn")).alias("n_null"),
+        F.col("e.n_distinct").alias("n_distinct"),
+        F.col("e.min_value").alias("min_value"),
+        F.col("e.max_value").alias("max_value"),
     )

@@ -588,18 +588,19 @@ def q_medallion_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bronze = _bronze_df(spark)
     b1 = bronze.filter(F.col("file_modification_time") <= "2024-01-01 00:00:00")
     b2 = bronze.filter(F.col("file_modification_time") > "2024-01-01 00:00:00")
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"lakehouse_medallion2b_{os.path.basename(sf_dir.rstrip('/'))}",
+    # per-evaluation unique root (mkdtemp): a fixed shared path raced when
+    # two evaluations (parallel pytest + driver) ran concurrently on the
+    # same fixture and rmtree'd each other's live lakehouse (ADVICE r6)
+    root = tempfile.mkdtemp(
+        prefix=f"lakehouse_medallion2b_{os.path.basename(sf_dir.rstrip('/'))}_"
     )
-    shutil.rmtree(root, ignore_errors=True)  # fresh lakehouse per evaluation
     pipe = MedallionPipeline(spark, root)
     created = F.to_timestamp(F.lit("2024-02-01 00:00:00"))
     pipe.ingest_bronze(b1)
     pipe.run(created_at=created)
     pipe.ingest_bronze(b2)
     pipe.run(created_at=created)
-    return pipe.gold_fct_daily.read().select(
+    out = pipe.gold_fct_daily.read().select(
         "date_key",
         "total_listings",
         "total_value_billions",
@@ -614,3 +615,9 @@ def q_medallion_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "listings_with_bathrooms",
         "listings_with_area",
     )
+    # gold summary is metadata-scale (one row per day): pin it off the temp
+    # lakehouse (localCheckpoint detaches lineage from the files) so the
+    # unique root can be removed before the caller collects
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -190,3 +190,22 @@ def test_completeness_report_single_pass(spark):
     # AQE rewrites the string with query-stage scaffolding)
     fresh = physical_plan(completeness_report(df, ["id", "s", "t"]), mode="simple")
     assert fresh.count("Scan") == 1, fresh
+
+
+def test_profile_columns_hostile_column_names(spark):
+    """ADVICE r6: names with backticks/quotes must profile cleanly — the
+    unpivot is built from DataFrame API with ordinal-derived aliases, not
+    interpolated SQL text."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.checks import profile_columns
+
+    df = (
+        spark.range(5)
+        .withColumnRenamed("id", "we`ird")
+        .withColumn("o'k", F.col("`we``ird`") * 2)
+    )
+    rows = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(rows) == {"we`ird", "o'k"}
+    assert rows["we`ird"]["n_rows"] == 5
+    assert rows["we`ird"]["n_null"] == 0
+    assert rows["o'k"]["n_distinct"] == 5
+    assert rows["o'k"]["max_value"] == "8"

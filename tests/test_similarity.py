@@ -341,3 +341,38 @@ def test_pca_moment_paths_bit_identical(spark, sf_dir):
     assert n1 == n2 and np.array_equal(s1, s2) and np.array_equal(m1, m2)
     n3, s3, m3 = S._pca_moments_arrow(emb.repartition(16), "embedding", 64, 24)
     assert n1 == n3 and np.array_equal(m1, m3)
+
+
+def test_pca_fit_unnormalized_vectors_and_overflow_guard(spark):
+    """ADVICE r6: the Arrow Gram path must stay exact for |v| > 1 (chunk is
+    derived from the observed max |q|, not a |v|<=1 assumption) and must
+    raise — not silently wrap — once a single product can't fit int64."""
+    import numpy as np
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        _pca_moments_arrow,
+        _pca_moments_catalyst,
+        pca_fit,
+    )
+
+    rng = np.random.default_rng(7)
+    big = (rng.standard_normal((200, 4)) * 40.0).tolist()  # |v| up to ~120
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(big)],
+        "vec_id int, embedding array<double>",
+    )
+    n_a, s1_a, m2_a = _pca_moments_arrow(df, "embedding", 4, qbits=16)
+    n_c, s1_c, m2_c = _pca_moments_catalyst(df, "embedding", 4, qbits=16)
+    assert n_a == n_c == 200
+    assert np.array_equal(s1_a, s1_c)
+    assert np.array_equal(m2_a, m2_c), "Arrow Gram wrapped on |v|>1 input"
+    comps, vals, _mean = pca_fit(df, "embedding", k=2, qbits=16)
+    assert all(v >= 0 for v in vals)
+
+    too_big = df.selectExpr(
+        "vec_id", "transform(embedding, x -> x * 1e6) as embedding"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="2\\^31|overflow|Gram"):
+        pca_fit(too_big, "embedding", k=2, qbits=24)

@@ -95,7 +95,14 @@ def ngram_jaccard_pairs(
     ).withColumn("__n", F.size("__sh"))
     if block_on is not None:
         sh = sh.withColumn("__blk", block_on)
-    ex = sh.select("__id", "__n", *(["__blk"] if block_on is not None else []), F.explode("__sh").alias("__s"))
+    # explode_OUTER, not explode: InferFiltersFromGenerate turns a plain
+    # explode into a pushed-down `size(shingle-tree) > 0` filter that
+    # duplicates the whole shingle expression below the projection and
+    # re-evaluates it per row (VERDICT r6 nit #3) — and shingles() never
+    # returns an empty array, so the inferred filter removes nothing. The
+    # outer variant emits one NULL row for the (nonexistent) empty case,
+    # which the null-unsafe __s join drops for free.
+    ex = sh.select("__id", "__n", *(["__blk"] if block_on is not None else []), F.explode_outer("__sh").alias("__s"))
     join_keys = ["__s"] + (["__blk"] if block_on is not None else [])
     a = ex.select(*[F.col(c).alias(c + "_a") for c in ex.columns])
     b = ex.select(*[F.col(c).alias(c + "_b") for c in ex.columns])
@@ -150,7 +157,10 @@ def ngram_jaccard_pairs_prefix(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), k)).alias("__sh"),
     ).withColumn("__n", F.size("__sh"))
-    ex = sh.select("__id", F.explode("__sh").alias("__s"))
+    # explode_outer for the same InferFiltersFromGenerate reason as above:
+    # keeps the shingle tree evaluated ONCE per branch instead of again
+    # inside a pushed-down size()>0 filter that can never remove a row
+    ex = sh.select("__id", F.explode_outer("__sh").alias("__s"))
     freq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     # re-assemble each doc's shingles sorted by (global df asc, shingle):
     # one exchange on the doc id; array_sort on the (df, shingle) struct

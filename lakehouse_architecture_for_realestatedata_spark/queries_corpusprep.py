@@ -727,3 +727,53 @@ def q_weighted_exact_n_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         100,
         salt="mix1",
     ).select("doc_id", "lang", "w")
+
+
+@register(
+    "vocab_bpe_merges",
+    None,  # rows-only: BPE training is an ITERATIVE argmax loop (merge r+1's
+    # pair counts depend on merge r's rewrite) — not expressible as one
+    # DuckDB SELECT. The hard contract is tests/test_bpe.py: merge-list
+    # equality with a pure-Python reference BPE on pinned fixtures, plus
+    # partition invariance of the trained table.
+    doc="Real BPE subword training (operators/bpe.py bpe_train_merges, "
+    "Sennrich 2016): one corpus-scale word-count aggregate, then per round "
+    "one pair-frequency aggregate over the vocab-scale word table + a "
+    "limit(1) argmax collect; merges applied array-side (F.aggregate fold) "
+    "— no Python UDF anywhere. Returns the ordered (rank, left, right) "
+    "merge table.",
+)
+def q_vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.bpe import (
+        bpe_train_merges,
+        merges_to_df,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    return merges_to_df(spark, bpe_train_merges(docs, "text", num_merges=24))
+
+
+@register(
+    "encode_documents_bpe",
+    None,  # rows-only: inherits vocab_bpe_merges' iterative training (same
+    # reason no SQL oracle exists); segmentation parity with the reference
+    # Python encoder is pinned in tests/test_bpe.py.
+    doc="Merge-table BPE encoding (operators/bpe.py bpe_encode): segment the "
+    "DISTINCT-words table with the trained merges (rank-order array-side "
+    "application — provably equal to min-rank-first), assign piece ids from "
+    "the bounded piece set, then one word join + one doc-keyed reassembly "
+    "over the corpus. (doc_id, n_tokens, token_ids).",
+)
+def q_encode_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, "text", num_merges=24)
+    return bpe_encode(docs, "doc_id", "text", merges).select(
+        "doc_id", "n_tokens", "token_ids"
+    )

@@ -1,0 +1,140 @@
+"""BPE trainer/encoder (operators/bpe.py): merge-list and segmentation
+equality with a pure-Python reference implementation, partition invariance,
+and a no-Python-UDF plan pin (the whole family must stay Catalyst-side)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_encode,
+    bpe_segment_words,
+    bpe_train_merges,
+    merges_to_df,
+)
+
+# ASCII-only fixture so the reference tokenizer (re.split on non-alnum,
+# lowercase) matches functions.text.tokens exactly.
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+    "the lowest newest widest low",
+    "new new newer newer newest!",
+]
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_word_counts(corpus: list[str]) -> dict[str, int]:
+    wc: dict[str, int] = {}
+    for line in corpus:
+        for w in _py_tokens(line):
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def _py_apply(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return tuple(out)
+
+
+def _py_train(wc: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
+    vocab = {tuple(list(w) + [END_OF_WORD]): n for w, n in wc.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + n
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        vocab = {_py_apply(s, a, b): n for s, n in vocab.items()}
+    return merges
+
+
+def _py_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = tuple(list(word) + [END_OF_WORD])
+    for a, b in merges:
+        syms = _py_apply(syms, a, b)
+    return list(syms)
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string"
+    )
+
+
+def test_train_matches_python_reference(spark, corpus_df):
+    merges = bpe_train_merges(corpus_df, "text", num_merges=20, checkpoint_every=4)
+    ref = _py_train(_py_word_counts(CORPUS), 20)
+    assert merges == ref
+    assert len(merges) > 5  # the fixture genuinely trains several rounds
+
+
+def test_train_partition_invariant(spark, corpus_df):
+    m1 = bpe_train_merges(corpus_df.coalesce(1), "text", num_merges=12)
+    m2 = bpe_train_merges(corpus_df.repartition(7), "text", num_merges=12)
+    assert m1 == m2
+
+
+def test_segmentation_matches_python_reference(spark, corpus_df):
+    merges = _py_train(_py_word_counts(CORPUS), 16)
+    words = sorted(_py_word_counts(CORPUS))
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    seg = {
+        r["w"]: list(r["pieces"])
+        for r in bpe_segment_words(wdf, merges, checkpoint_every=4).collect()
+    }
+    for w in words:
+        assert seg[w] == _py_segment(w, merges), w
+    # every word reconstructs from its pieces (END marker is its own symbol)
+    for w, pieces in seg.items():
+        assert "".join(pieces) == w + END_OF_WORD
+
+
+def test_encode_roundtrip_and_ids(spark, corpus_df):
+    merges = bpe_train_merges(corpus_df, "text", num_merges=16)
+    out = bpe_encode(corpus_df, "doc_id", "text", merges)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == set(range(len(CORPUS)))
+    for i, line in enumerate(CORPUS):
+        expect = []
+        for w in _py_tokens(line):
+            expect += _py_segment(w, merges)
+        assert list(rows[i]["pieces"]) == expect, line
+        assert rows[i]["n_tokens"] == len(expect)
+        # ids decode back to the same pieces (dense, consistent mapping)
+        assert len(rows[i]["token_ids"]) == len(expect)
+    piece_of_id: dict[int, str] = {}
+    for r in rows.values():
+        for pid, piece in zip(r["token_ids"], r["pieces"]):
+            assert piece_of_id.setdefault(pid, piece) == piece
+
+
+def test_no_python_udf_in_plans(spark, corpus_df):
+    merges = bpe_train_merges(corpus_df, "text", num_merges=6)
+    out = bpe_encode(corpus_df, "doc_id", "text", merges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
+        assert marker not in plan, marker
+    mdf = merges_to_df(spark, merges)
+    assert [tuple(r) for r in mdf.select("left", "right").collect()] == merges

@@ -404,36 +404,33 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_dedup_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def hamming_band_pairs(
+    sigs: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs with 64-bit SimHash signatures ≤ ``max_hamming`` apart.
+    """Banded-Hamming LSH over 64-bit packed signatures: ``sigs`` is
+    ``(__id, __sig bigint)``; returns (id_a, id_b, hamming ≤ max_hamming).
+    The shared engine behind ``simhash_dedup_pairs`` (text) and
+    ``multimodal.phash_dedup_pairs`` (images) — any operator that packs a
+    similarity-preserving signature into one bigint gets candidate
+    generation + exact verification from here.
 
-    The signature is ONE bit-packed bigint (``functions.sketches.simhash64``),
-    so banding is ``shiftrightunsigned`` + mask and verification is
+    Banding is ``shiftrightunsigned`` + mask and verification is
     ``bit_count(a ^ b)`` — scalar codegen ops, no array walks. The 8-byte
-    signature rides through the band join (unlike MinHash's shingle sets,
-    it costs nothing), so no verify join-back is needed.
+    signature rides through the band join, so no verify join-back exists.
 
-    Pigeonhole guarantee: Hamming ≤ max_hamming < bands ⇒ at least one of the
-    ``bands`` 64/bands-bit chunks is identical ⇒ the pair lands in a shared
-    bucket. ``bands`` must exceed ``max_hamming`` for exact recall.
+    Pigeonhole guarantee: Hamming ≤ max_hamming < bands ⇒ at least one of
+    the ``bands`` 64/bands-bit chunks is identical ⇒ the pair lands in a
+    shared bucket. ``bands`` must exceed ``max_hamming`` for exact recall.
     """
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for the pigeonhole guarantee")
     chunk = 64 // bands
-    sigs = df.select(
-        F.col(id_col).alias("__id"),
-        sketches.simhash64(sketches.hashed_tokens(F.col(text_col))).alias("__sig"),
-    )
     # Unrolled per-band structs: shift counts are literals, so bucket
     # extraction stays a codegen'd scalar op.
     # explode_outer: avoids the inferred size/notnull filter that would
-    # duplicate the simhash64 ArrowEvalPython below the exchange (see
+    # duplicate the signature expression below the exchange (see
     # minhash_lsh_pairs); the literal band array is never null or empty.
     banded = sigs.select(
         "__id",
@@ -457,6 +454,24 @@ def simhash_dedup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with 64-bit SimHash signatures ≤ ``max_hamming``
+    apart: ``functions.sketches.simhash64`` packs the signature into one
+    bigint, ``hamming_band_pairs`` does banded candidate generation +
+    exact bit_count verification."""
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        sketches.simhash64(sketches.hashed_tokens(F.col(text_col))).alias("__sig"),
+    )
+    return hamming_band_pairs(sigs, max_hamming=max_hamming, bands=bands)
 
 
 def decontaminate(

@@ -336,6 +336,30 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_dhash_dedup_pairs",
+    None,  # rows-only: the dHash bit pattern comes from a mapInPandas codec
+    # (binary decode isn't DuckDB-expressible); planted near-dup recall +
+    # pure-python hash parity are pinned in tests/test_multimodal.py
+    doc="Perceptual image dedup (operators/multimodal.py phash_dedup_pairs): "
+    "Arrow-batched dHash (area-mean 8x9 grid, gradient-sign bits, one "
+    "bigint per asset) + the banded Hamming LSH shared with SimHash "
+    "(operators/dedup.py hamming_band_pairs). Seed-grouped synthetic blobs "
+    "plant exact-duplicate groups; blobs never shuffle, only 8-byte sigs.",
+)
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+        phash_dedup_pairs,
+        synthesize_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 50).cast("string").alias("seed")
+    )
+    assets = synthesize_blobs(docs, "doc_id", "seed")
+    return phash_dedup_pairs(assets, max_hamming=3, bands=4)
+
+
+@register(
     "embedding_near_dup",
     """
     WITH corpus AS (

@@ -867,8 +867,9 @@ def q_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     doc="star_join_revenue through the skew-mitigation path "
-    "(operators/skew.py salted_join): the fact side salts on its non-key "
-    "bytes, the dim replicates n_salts ways, the join key becomes "
+    "(operators/skew.py salted_join): the fact side takes a row-position "
+    "salt (cycles 0..n-1 per partition — duplicate-content hot keys still "
+    "spread), the dim replicates n_salts ways, the join key becomes "
     "(key, salt) — one hot customer's orders spread over n tasks instead "
     "of one straggler. Output identical to the plain join by construction "
     "(same oracle as star_join_revenue); the equality + determinism "
@@ -1174,4 +1175,161 @@ def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_minutes=30,
         max_minutes=120,
         tiebreak="event_id",
+    )
+
+
+@register(
+    "returned_item_customers_q10",
+    """
+    SELECT c_custkey, c_name,
+           cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(30,4)))
+                AS double) AS revenue,
+           c_acctbal, n_name AS nation
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= timestamp '1993-10-01 00:00:00'
+      AND o_orderdate <  timestamp '1994-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): quarter-filtered orders "
+    "join return-flagged lineitems (both predicates pushed to the scans), "
+    "customer + nation broadcast onto the grouped fact, exact-decimal "
+    "revenue, global top-20 via TakeOrderedAndProject (per-partition "
+    "heaps). c_custkey completes the ORDER BY tiebreak so the LIMIT is "
+    "deterministic under revenue ties.",
+)
+def q_returned_item_customers_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
+    ).cast("double")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(rev.alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue_q14",
+    """
+    SELECT cast(100.0 * cast(sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN cast(l_extendedprice * (1 - l_discount) AS decimal(30,4))
+                     ELSE cast(0 AS decimal(30,4)) END) AS double)
+           / cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(30,4)))
+             AS double) AS double) AS promo_pct,
+           count(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= timestamp '1995-09-01 00:00:00'
+      AND l_shipdate <  timestamp '1995-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape (promo-type revenue share): month-filtered "
+    "lineitem scan, part broadcast, one conditional + one total "
+    "exact-decimal sum in a single aggregate, final share as fixed IEEE "
+    "double ops (cross-engine bit-stable, the dsum policy).",
+)
+def q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(
+        F.lit(0).cast("decimal(30,4)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double")
+            )
+            .cast("double")
+            .alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# Benford's-law expected first-digit fractions log10(1 + 1/d), embedded as
+# LITERALS so neither engine evaluates a transcendental (cross-engine rule).
+_BENFORD = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+@register(
+    "benford_price_audit",
+    """
+    WITH digits AS (
+        SELECT cast(regexp_extract(cast(cast(o_totalprice AS decimal(30,2)) AS varchar),
+                                   '[1-9]', 0) AS int) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), expected(digit, expected_frac) AS (
+        VALUES {values}
+    ), counts AS (
+        SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT e.digit AS digit,
+           coalesce(c.n, 0) AS n,
+           cast(coalesce(c.n, 0) AS double) / total AS observed_frac,
+           e.expected_frac AS expected_frac
+    FROM expected e LEFT JOIN counts c ON e.digit = c.digit CROSS JOIN tot
+    """.format(
+        values=", ".join(
+            f"({d}, cast({v!r} as double))" for d, v in _BENFORD.items()
+        )
+    ),
+    doc="Benford's-law first-digit audit over order prices — the classic "
+    "fabricated-data screen, a data-quality family member. The first "
+    "significant digit comes from the DECIMAL(30,2) string rendering "
+    "(identical '1234.56' form in both engines — no float formatting, no "
+    "transcendental log10 on data); expected fractions are embedded "
+    "literals. One aggregate + a 9-row broadcast join against the "
+    "expectation table.",
+)
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast("decimal(30,2)").cast("string"), "[1-9]", 0
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    expected = orders.sparkSession.createDataFrame(
+        [(d, v) for d, v in _BENFORD.items()], "digit int, expected_frac double"
+    )
+    return (
+        F.broadcast(expected)
+        .join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("__total")).alias(
+                "observed_frac"
+            ),
+            "expected_frac",
+        )
     )

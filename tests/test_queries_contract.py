@@ -162,6 +162,10 @@ def test_driver_window_fully_oracle_backed():
         "value_drift_by_type",
         "shipping_priority_q3",
         "local_supplier_volume_q5",
+        # r7 additions (registered in the late stats block):
+        "returned_item_customers_q10",
+        "promo_revenue_q14",
+        "benford_price_audit",
         "salted_star_revenue",
         "triangle_count_user_graph",
         "funnel_within_hour",

@@ -742,3 +742,251 @@ def knn_pca_prefilter(
         )
     )
     return _topk_per_query(exact, k)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ / ADC) — the memory-bound ANN scale path
+# --------------------------------------------------------------------------
+
+
+def _l2sq(a, b):
+    """Squared L2 between two array columns (fixed-order fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebook_lit(codebooks: list[list[list[float]]]):
+    """Nested python codebook [m][n_codes][d_sub] → one literal expression
+    (ConstantFolding collapses it to a single Literal, so per-row use costs
+    an array lookup, not reconstruction)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cent])
+                    for cent in sub
+                ]
+            )
+            for sub in codebooks
+        ]
+    )
+
+
+def _pq_codes(vec, codebooks: list[list[list[float]]]):
+    """Per-row PQ code assignment: for each subspace s, the argmin-L2 code
+    against that subspace's centroids — ties to the LOWEST code id (struct
+    max over (-dist, -code, code)). Pure narrow codegen expression."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    cb = _codebook_lit(codebooks)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_max(
+            F.transform(
+                F.element_at(cb, s + 1),
+                lambda cent, c: F.struct(
+                    (-_l2sq(F.slice(vec, s * d_sub + 1, d_sub), cent)).alias("negd"),
+                    (-c).alias("negc"),
+                    c.alias("code"),
+                ),
+            )
+        )["code"].cast("int"),
+    )
+
+
+def pq_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    n_iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011): the vector
+    splits into ``m`` subspaces of d/m dims; each subspace learns
+    ``n_codes`` centroids by k-means. Returns the dense nested codebook
+    ``[m][n_codes][d_sub]`` — metadata-scale (d·n_codes floats), the thing
+    you broadcast.
+
+    Scale shape (the IVF discipline): initial centroids are ONE
+    hash-ordered ``limit(n_codes)`` sample (TakeOrdered, no window); every
+    Lloyd step is one narrow assignment pass + one partial-aggregated
+    (sub, code, pos) mean whose shuffle is ≤ d·n_codes cells regardless of
+    corpus size; refined centroids pass through the driver (bounded) to
+    truncate lineage, and codes whose cluster empties KEEP their previous
+    centroid so the codebook stays dense — ADC lookup tables index by code
+    id."""
+    d = len(corpus.select(vec_col).first()[0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    d_sub = d // m
+    sample = (
+        corpus.select(F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_codes)
+        .collect()
+    )
+    if len(sample) < n_codes:
+        raise ValueError(f"corpus has {len(sample)} rows < n_codes={n_codes}")
+    codebooks = [
+        [
+            [float(x) for x in row["__v"][s * d_sub : (s + 1) * d_sub]]
+            for row in sample
+        ]
+        for s in range(m)
+    ]
+    for _ in range(n_iters):
+        codes = _pq_codes(F.col(vec_col), codebooks)
+        sub_rows = corpus.select(
+            F.explode(
+                F.transform(
+                    codes,
+                    lambda c, s: F.struct(
+                        s.alias("sub"),
+                        c.alias("code"),
+                        F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("sv"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.sub", "e.code", F.posexplode("e.sv").alias("pos", "v"))
+        refined = (
+            sub_rows.groupBy("sub", "code", "pos")
+            .agg(F.avg("v").alias("mv"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda st: st["mv"],
+                ).alias("cent")
+            )
+            .collect()
+        )
+        for r in refined:  # empty clusters keep their previous centroid
+            codebooks[r["sub"]][r["code"]] = [float(x) for x in r["cent"]]
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes → ``(id_col, codes array<int>,
+    approx_norm2 double)`` — m bytes-worth of codes per vector instead of
+    d floats, the compressed index ADC scans. ``approx_norm2`` (the
+    reconstruction's squared norm) is query-independent, so it is computed
+    ONCE here rather than per query pair. Fully narrow codegen pass."""
+    m = len(codebooks)
+    cb = _codebook_lit(codebooks)
+    codes = _pq_codes(F.col(vec_col), codebooks)
+    recon_n2 = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.aggregate(
+                F.element_at(F.element_at(cb, s + 1), c + 1),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return corpus.select(F.col(id_col), codes.alias("codes")).withColumn(
+        "approx_norm2", recon_n2
+    )
+
+
+def knn_pq_adc(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    rerank_mult: int = 4,
+    corpus: DataFrame | None = None,
+    qbits: int = 24,
+) -> DataFrame:
+    """Asymmetric-distance-computation kNN over a PQ-encoded corpus: each
+    query precomputes a [m][n_codes] dot-product lookup table against the
+    codebook literal (folded constant per query row), then scoring a corpus
+    vector is an O(m) table walk over its codes — never an O(d) dot —
+    against approx cosine = lut_dot / (|q|·sqrt(approx_norm2)).
+
+    With ``rerank_mult > 0`` (needs ``corpus``), the ADC score only
+    PREFILTERS ``k·rerank_mult`` candidates per query; survivors join back
+    to their full vectors and EXACT quantized cosine (partition-invariant
+    int64 arithmetic, the ``knn_quantized`` policy) decides the final
+    top-k — the coarse-to-fine ladder of ``knn_pca_prefilter`` with a
+    compressed coarse index. Returns (query_id, neighbor_id, cosine);
+    pure-ADC mode returns the approximate score as ``cosine``."""
+    if rerank_mult > 0 and corpus is None:
+        raise ValueError("rerank_mult > 0 needs the full-vector corpus to rerank")
+    m = len(codebooks)
+    cb = _codebook_lit(codebooks)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    d_sub = len(codebooks[0][0])
+    lut = F.transform(
+        cb,
+        lambda sub, s: F.transform(
+            sub,
+            lambda cent, _c: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("__qv"), s * d_sub + 1, d_sub),
+                    cent,
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    qn = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__qv"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    qlut = q.select("query_id", "__qv", lut.alias("__lut"), qn.alias("__qn"))
+    adc_dot = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(F.element_at(F.col("__lut"), s + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(qlut.drop("__qv")))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (adc_dot / (F.col("__qn") * F.sqrt(F.col("approx_norm2")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    if rerank_mult <= 0:
+        return _topk_per_query(scored, k)
+    cand = _topk_per_query(scored, k * rerank_mult).select("query_id", "neighbor_id")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantized_cosine(F.col("__qv"), F.col("__cv"), scale=1 << qbits).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _topk_per_query(exact, k)

@@ -336,6 +336,34 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_pq_adc",
+    None,  # rows-only: k-means codebooks are an iterative argmin fit (no
+    # SQL oracle); numpy code/score parity + planted-cluster recall >= 0.9
+    # are pinned in tests/test_similarity.py::TestProductQuantization
+    doc="Product-quantization ANN (operators/similarity.py pq_fit/"
+    "pq_encode/knn_pq_adc, Jegou 2011): per-subspace k-means codebooks "
+    "(one narrow assignment pass + one <= d*n_codes-cell aggregate per "
+    "Lloyd step), corpus compressed to m int8-range codes + one "
+    "reconstruction norm, queries score via an O(m) ADC lookup-table walk "
+    "against the folded codebook literal, then exact quantized cosine "
+    "reranks the k*4 survivors — the memory-bound scale path next to IVF's "
+    "partition-pruned one.",
+)
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        knn_pq_adc,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_fit(emb, m=8, n_codes=16, n_iters=2)
+    enc = pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_pq_adc(enc, queries, cb, k=10, rerank_mult=4, corpus=emb)
+
+
+@register(
     "image_dhash_dedup_pairs",
     None,  # rows-only: the dHash bit pattern comes from a mapInPandas codec
     # (binary decode isn't DuckDB-expressible); planted near-dup recall +

@@ -376,3 +376,110 @@ def test_pca_fit_unnormalized_vectors_and_overflow_guard(spark):
 
     with _pytest.raises(Exception, match="2\\^31|overflow|Gram"):
         pca_fit(too_big, "embedding", k=2, qbits=24)
+
+
+class TestProductQuantization:
+    """PQ/ADC kNN (operators/similarity.py pq_fit/pq_encode/knn_pq_adc):
+    numpy parity of codes + scores, planted-cluster recall through the
+    rerank ladder, dense-codebook invariant, and validation."""
+
+    def _fixture(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        centers = rng.standard_normal((10, 64)) * 3.0
+        rows = []
+        for i in range(200):
+            c = i % 10
+            v = centers[c] + rng.standard_normal(64) * 0.05
+            rows.append((i, [float(x) for x in v], c))
+        return (
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>, label int"
+            ),
+            10,
+        )
+
+    def test_codes_and_scores_match_numpy(self, spark):
+        import numpy as np
+
+        from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+            knn_pq_adc,
+            pq_encode,
+            pq_fit,
+        )
+
+        emb, _ = self._fixture(spark)
+        cb = pq_fit(emb, m=8, n_codes=8, n_iters=2)
+        assert len(cb) == 8 and all(len(s) == 8 for s in cb)  # dense
+        CB = np.array(cb)
+        enc = {
+            r["vec_id"]: (list(r["codes"]), r["approx_norm2"])
+            for r in pq_encode(emb, cb).collect()
+        }
+        vecs = {
+            r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()
+        }
+        for vid in list(enc)[:20]:
+            codes, n2 = enc[vid]
+            x = vecs[vid]
+            for s in range(8):
+                d = ((x[s * 8 : (s + 1) * 8] - CB[s]) ** 2).sum(axis=1)
+                assert codes[s] == int(np.argmin(d)), (vid, s)
+            recon = np.concatenate([CB[s][c] for s, c in enumerate(codes)])
+            assert abs(n2 - float((recon**2).sum())) < 1e-9
+        from pyspark.sql import functions as F
+
+        q = emb.filter(F.col("vec_id") == 0)
+        adc = {
+            r["neighbor_id"]: r["cosine"]
+            for r in knn_pq_adc(
+                pq_encode(emb, cb), q, cb, k=30, rerank_mult=0
+            ).collect()
+        }
+        qv = vecs[0]
+        for nid, score in adc.items():
+            recon = np.concatenate([CB[s][c] for s, c in enumerate(enc[nid][0])])
+            ref = float(
+                qv @ recon / (np.linalg.norm(qv) * np.linalg.norm(recon))
+            )
+            assert abs(score - ref) < 1e-8
+
+    def test_planted_cluster_recall(self, spark):
+        from pyspark.sql import functions as F
+
+        from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+            knn_pq_adc,
+            knn_quantized,
+            pq_encode,
+            pq_fit,
+        )
+
+        emb, n_clusters = self._fixture(spark)
+        cb = pq_fit(emb, m=8, n_codes=16, n_iters=3)
+        enc = pq_encode(emb, cb)
+        queries = emb.filter(F.col("vec_id") < 5)
+        got = knn_pq_adc(enc, queries, cb, k=10, rerank_mult=4, corpus=emb)
+        exact = knn_quantized(emb, queries, k=10)
+        g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        recall = len(g & e) / len(e)
+        assert recall >= 0.9, f"planted-cluster recall {recall}"
+        # neighbors are overwhelmingly same-cluster (the planted structure)
+        labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+        same = sum(1 for q_, n_ in g if labels[q_] == labels[n_])
+        assert same / len(g) >= 0.9
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+            knn_pq_adc,
+            pq_fit,
+        )
+
+        emb, _ = self._fixture(spark)
+        with _pytest.raises(ValueError, match="divisible"):
+            pq_fit(emb, m=7)
+        with _pytest.raises(ValueError, match="rerank"):
+            knn_pq_adc(emb.limit(1), emb.limit(1), [[[0.0]]], rerank_mult=2)

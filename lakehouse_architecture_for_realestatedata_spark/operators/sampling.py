@@ -335,3 +335,38 @@ def sample_weighted_exact_n(
         .orderBy(score.desc(), F.col(key))
         .limit(n)
     )
+
+
+def sample_weighted_exact_n_by_group(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    weight_col: str | Column,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-n weighted sample without replacement PER GROUP — the
+    stratified twin of ``sample_weighted_exact_n`` ("exactly 1k docs per
+    language, quality-weighted", the per-slice corpus budget): within each
+    ``group_col`` value, the n largest A-ES ranks ``ln(u)/w`` win, u drawn
+    deterministically from md5(salt||key). Same determinism contract as
+    the global variant (salt-reproducible, partition-invariant, NOT
+    cross-engine hash-exact — ln is transcendental).
+
+    Scale shape: a rank-ONLY window partitioned by group → Spark's
+    WindowGroupLimit rewrite keeps the map-side n-cut (each task ships ≤ n
+    rows per group before the exchange, the ``_topk_per_query`` plan) —
+    never a global sort, never a per-group TakeOrdered loop."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h13 = F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 13)
+    u = (F.conv(h13, 16, 10).cast("double") + 1.0) / F.lit(float(16**13 + 1))
+    score = F.log(u) / w
+    win = Window.partitionBy(group_col).orderBy(score.desc(), F.col(key))
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -702,6 +702,35 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_exact_n_per_lang",
+    None,  # rows-only: same transcendental A-ES rank as the global variant
+    # (ln not cross-engine hash-exact); the exactly-n-per-group, inclusion-
+    # tracks-weights, and WindowGroupLimit-Partial contracts are
+    # tests/test_sampling.py::test_weighted_exact_n_by_group
+    doc="EXACTLY-n weighted sample per language "
+    "(operators/sampling.py sample_weighted_exact_n_by_group): stratified "
+    "Efraimidis-Spirakis — within each lang the n largest ln(u)/w win, u "
+    "from the md5-hashed doc id. The per-slice corpus budget ('exactly 20 "
+    "docs per language, length-weighted'). Rank-only window keeps Spark's "
+    "WindowGroupLimit map-side n-cut; never a global sort.",
+)
+def q_weighted_exact_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+        sample_weighted_exact_n_by_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_weighted_exact_n_by_group(
+        docs.select("doc_id", "lang", F.col("n_chars").cast("double").alias("w")),
+        "doc_id",
+        "lang",
+        "w",
+        20,
+        salt="mix1",
+    ).select("doc_id", "lang", "w")
+
+
+@register(
     "weighted_exact_n_docs",
     None,  # rows-only: the A-ES rank uses ln(u)/w — transcendental, so the
     # selected set is not cross-engine hash-stable near score ties; the

@@ -350,3 +350,45 @@ class TestLeakageSafeSplit:
             "simple",
         )
         assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_exact_n_by_group(spark):
+    """Stratified A-ES: exactly n per group, deterministic per salt,
+    partition-invariant, inclusion frequency tracks weights within the
+    group, and the plan keeps the WindowGroupLimit Partial map-side cut."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+        sample_weighted_exact_n_by_group,
+    )
+
+    rows = [
+        (g * 100 + i, chr(ord("a") + g), 10.0 if i < 5 else 1.0)
+        for g in range(3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    out = sample_weighted_exact_n_by_group(df, "doc_id", "grp", "w", 8, salt="s1")
+    got = out.groupBy("grp").count().collect()
+    assert {r["grp"]: r["count"] for r in got} == {"a": 8, "b": 8, "c": 8}
+    # determinism + partition invariance
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_weighted_exact_n_by_group(
+            df.repartition(7), "doc_id", "grp", "w", 8, salt="s1"
+        ).collect()
+    )
+    assert a == b
+    # heavy rows (w=10, 5 per group of 40) dominate inclusion across salts
+    heavy = total = 0
+    for s in range(20):
+        sel = sample_weighted_exact_n_by_group(
+            df, "doc_id", "grp", "w", 8, salt=f"m{s}"
+        ).collect()
+        heavy += sum(1 for r in sel if r["w"] == 10.0)
+        total += len(sel)
+    assert heavy / total > 0.4  # 5/40 rows hold >40% of picks
+    # plan: rank-only window keeps the Partial map-side cut
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

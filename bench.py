@@ -67,6 +67,13 @@ HEADLINE = [
     "pca_embeddings_projection",
     "ngram_jaccard_pairs_prefix",
     "doc_perplexity_bigram",
+    # r7 additions: Q10/Q14 relational shapes, the Benford audit's
+    # single-aggregate + 9-row expectation join, and the dHash image-dedup
+    # pass (Arrow codec batch → 8-byte sigs → banded Hamming LSH)
+    "returned_item_customers_q10",
+    "promo_revenue_q14",
+    "benford_price_audit",
+    "image_dhash_dedup_pairs",
 ]
 
 

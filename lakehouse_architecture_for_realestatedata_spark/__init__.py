@@ -39,4 +39,11 @@ def serve(warehouse_root: str, spark=None, app_name: str = "lakehouse_architectu
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "stop_spark", "serve", "__version__"]
+def serve_http(cat, host: str = "127.0.0.1", port: int = 0, max_rows: int = 10_000):
+    """Multi-client SQL-over-HTTP front door — see ``sources.catalog.serve_http``."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.catalog import serve_http as _sh
+
+    return _sh(cat, host=host, port=port, max_rows=max_rows)
+
+
+__all__ = ["get_spark", "stop_spark", "serve", "serve_http", "__version__"]

@@ -235,3 +235,107 @@ def serve(
     cat = Catalog(spark, warehouse_root)
     cat.attach()
     return cat
+
+
+def serve_http(
+    cat: Catalog,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_rows: int = 10_000,
+):
+    """Multi-client SQL serving over HTTP — the in-sandbox transport for
+    S13 (the reference's Superset/dbt front door is a long-lived Thrift
+    Server, docker-compose.yml:102-137; Thrift/HiveServer2 jars are
+    deployment infra absent from this image, so this serves the same
+    catalog over the one transport the stdlib provides).
+
+    ``POST /sql`` with body ``{"sql": "..."}`` (or ``GET
+    /sql?q=...``) → ``{"columns": [...], "rows": [[...]], "truncated":
+    bool}``; SQL errors return 400 with the analyzer message. Requests run
+    concurrently (ThreadingHTTPServer; Spark sessions are thread-safe for
+    concurrent actions — the same property the real Thrift server relies
+    on) against the attached catalog views, so several BI clients can
+    query current snapshots at once. ``max_rows`` caps the driver-side
+    collect per request — a serving endpoint must never materialize an
+    unbounded result.
+
+    Returns ``(server, base_url)``; call ``server.shutdown()`` to stop.
+    The caller owns the thread (``threading.Thread(target=
+    server.serve_forever, daemon=True).start()``) — see
+    tests/test_catalog.py for the full lifecycle."""
+    import datetime
+    import decimal
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    spark = cat.spark
+
+    def _json_val(v):
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        if isinstance(v, (datetime.date, datetime.datetime, decimal.Decimal)):
+            return str(v)
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        if isinstance(v, (list, tuple)):
+            return [_json_val(x) for x in v]
+        if isinstance(v, dict):
+            return {str(k): _json_val(x) for k, x in v.items()}
+        if hasattr(v, "asDict"):  # Row / struct
+            return {k: _json_val(x) for k, x in v.asDict().items()}
+        return str(v)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet: the server is a library piece
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _run(self, sql: str) -> None:
+            if not sql:
+                self._reply(400, {"error": "empty sql"})
+                return
+            try:
+                df = spark.sql(sql)
+                rows = df.take(max_rows + 1)
+            except Exception as e:  # analyzer/execution errors → 400
+                self._reply(400, {"error": str(e)[:2000]})
+                return
+            truncated = len(rows) > max_rows
+            self._reply(
+                200,
+                {
+                    "columns": df.columns,
+                    "rows": [[_json_val(v) for v in r] for r in rows[:max_rows]],
+                    "truncated": truncated,
+                },
+            )
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            if u.path != "/sql":
+                self._reply(404, {"error": "POST or GET /sql"})
+                return
+            q = parse_qs(u.query).get("q", [""])[0]
+            self._run(q)
+
+        def do_POST(self):
+            if urlparse(self.path).path != "/sql":
+                self._reply(404, {"error": "POST or GET /sql"})
+                return
+            n = int(self.headers.get("Content-Length") or 0)
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                self._reply(400, {"error": "body must be JSON {\"sql\": ...}"})
+                return
+            self._run(payload.get("sql", ""))
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server, f"http://{server.server_address[0]}:{server.server_address[1]}"

@@ -153,3 +153,64 @@ def test_serve_one_call_bootstrap(spark, tmp_path):
         "SELECT region, count(*) AS n FROM bi.customer GROUP BY region ORDER BY region"
     ).collect()
     assert [(r["region"], r["n"]) for r in rows] == [("north", 2), ("south", 1)]
+
+
+def test_serve_http_concurrent_clients(spark, tmp_path):
+    """S13 transport: multiple concurrent HTTP clients query the attached
+    catalog and get exactly the direct-.sql() results; bad SQL → 400; the
+    row cap marks truncation."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.catalog import serve_http
+
+    root = str(tmp_path / "wh")
+    cat = Catalog(spark, root)
+    cat.create_table("bi", "customer").overwrite(
+        spark.createDataFrame(
+            [(i, "north" if i % 2 else "south") for i in range(20)],
+            "id int, region string",
+        )
+    )
+    cat.attach()
+    server, base = serve_http(cat, max_rows=5)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(sql):
+            req = urllib.request.Request(
+                f"{base}/sql",
+                data=json.dumps({"sql": sql}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        q = "SELECT region, count(*) AS n FROM bi.customer GROUP BY region ORDER BY region"
+        with ThreadPoolExecutor(4) as ex:
+            results = list(ex.map(lambda _: post(q), range(4)))
+        for res in results:
+            assert res["columns"] == ["region", "n"]
+            assert res["rows"] == [["north", 10], ["south", 10]]
+            assert res["truncated"] is False
+        # GET transport
+        with urllib.request.urlopen(
+            f"{base}/sql?q=SELECT%20count(*)%20AS%20c%20FROM%20bi.customer"
+        ) as r:
+            assert json.loads(r.read())["rows"] == [[20]]
+        # row cap
+        res = post("SELECT id FROM bi.customer ORDER BY id")
+        assert len(res["rows"]) == 5 and res["truncated"] is True
+        # analyzer error → 400 with message
+        try:
+            post("SELECT nope FROM bi.customer")
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "nope" in json.loads(e.read())["error"].lower()
+    finally:
+        server.shutdown()
+        server.server_close()

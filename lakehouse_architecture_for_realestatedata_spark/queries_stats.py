@@ -1333,3 +1333,38 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_frac",
         )
     )
+
+
+@register(
+    "cume_dist_event_values",
+    """
+    SELECT event_id, event_type, value,
+           cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+    FROM events
+    """,
+    doc="Cumulative distribution position per event type — completes the "
+    "ranking-function grid (rank/dense_rank/percent_rank/ntile/cume_dist). "
+    "Spelled as count() over a RANGE unbounded-preceding frame (peers "
+    "inclusive, cume_dist's literal definition) divided by the partition "
+    "count — TWO window aggregates sharing ONE hash exchange on the type "
+    "key, no counts join, no WindowGroupLimit interaction (no k-cut here).",
+)
+def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    w_le = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            F.count(F.lit(1)).over(w_le).cast("double")
+            / F.count(F.lit(1)).over(w_all)
+        ).alias("cd"),
+    )

@@ -166,6 +166,7 @@ def test_driver_window_fully_oracle_backed():
         "returned_item_customers_q10",
         "promo_revenue_q14",
         "benford_price_audit",
+        "cume_dist_event_values",
         "salted_star_revenue",
         "triangle_count_user_graph",
         "funnel_within_hour",

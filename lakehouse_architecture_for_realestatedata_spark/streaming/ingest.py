@@ -679,3 +679,83 @@ def stream_sessionize_capped(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    capacity: int = 64,
+    n_shards: int = 8,
+    streaming: bool = True,
+) -> DataFrame:
+    """LIVE bounded-state heavy hitters — the streaming twin of the batch
+    Misra-Gries kernel (``operators.aggregates.heavy_hitters_approx``),
+    for key spaces too large to hold exact streaming counts (URLs,
+    n-grams): per-batch counts merge into at most ``capacity`` counters
+    per shard, pruned with the mergeable-summaries subtraction (Agarwal et
+    al. 2012), so state is O(n_shards·capacity) forever.
+
+    Sharding makes the state keyable for ``applyInPandasWithState``: keys
+    hash-partition into ``n_shards`` disjoint shards (a key lives in
+    EXACTLY one shard), so each shard's MG guarantee applies directly to
+    its keys: any key with true count ≥ n_seen_shard/(capacity+1) is still
+    present, and its emitted count is a LOWER BOUND short by at most
+    n_seen_shard/(capacity+1) — the property pinned in
+    tests/test_streaming.py. Emits ONE row per touched shard per batch
+    with the full candidate arrays (keys pruned earlier must not linger,
+    so consumers take each shard's max-n_seen row, then explode):
+    ``(shard, n_seen, keys array<string>, lbs array<long>)``."""
+    shard = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards)).alias(
+        "__shard"
+    )
+    if not streaming:
+        # batch twin: exact counts restricted to keys the stream would track
+        # is order-dependent; the honest batch analogue is the MG kernel
+        from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import (
+            heavy_hitters_approx,
+        )
+
+        return heavy_hitters_approx(events, key_col, 1, capacity, slack=1)
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    filtered = events.filter(F.col(key_col).isNotNull()).select(
+        shard, F.col(key_col).cast("string").alias("__k")
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            keys, counts, n_seen = state.get
+            sketch = dict(zip(keys, counts))
+        else:
+            sketch, n_seen = {}, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        n_seen += len(rows)
+        for k, c in rows["__k"].value_counts().items():
+            sketch[k] = sketch.get(k, 0) + int(c)
+        if len(sketch) > capacity:
+            # mergeable-summaries prune: subtract the (capacity+1)-th
+            # largest count from every counter, drop the non-positive
+            cut = sorted(sketch.values(), reverse=True)[capacity]
+            sketch = {k: v - cut for k, v in sketch.items() if v - cut > 0}
+        ks = sorted(sketch)
+        state.update((ks, [sketch[k] for k in ks], n_seen))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "n_seen": [n_seen],
+                "keys": [ks],
+                "lbs": [[sketch[k] for k in ks]],
+            }
+        )
+
+    return filtered.groupBy("__shard").applyInPandasWithState(
+        _update,
+        outputStructType=(
+            "shard long, n_seen long, keys array<string>, lbs array<long>"
+        ),
+        stateStructType="keys array<string>, counts array<long>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -529,3 +529,80 @@ def test_stream_sessionize_capped_matches_batch(spark, sf_dir, tmp_path):
     assert multi_span_or_sess > len(
         {r[0] for r in want}
     ), "every user produced a single session: gap/cap never fired"
+
+
+def test_stream_heavy_hitters_guarantee(spark, sf_dir, tmp_path):
+    """Sharded streaming Misra-Gries: after a 3-file replay, every true
+    heavy key survives in its shard's final candidate row, its emitted
+    count is a lower bound short by at most n_seen_shard/(capacity+1),
+    and state stayed bounded (<= capacity entries per shard)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import (
+        stream_heavy_hitters,
+    )
+
+    capacity, n_shards = 16, 4
+    batch = (
+        _event_batch(spark, sf_dir)
+        .select("user_id", "ts")
+        .filter(F.col("user_id").isNotNull())
+    )
+    rows = batch.orderBy("ts", "user_id").collect()
+    n = len(rows)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        chunk = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(chunk, batch.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    q = (
+        stream_heavy_hitters(stream, "user_id", capacity=capacity, n_shards=n_shards)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_live")
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        finals = spark.sql(
+            "SELECT shard, max_by(keys, n_seen) AS keys, "
+            "max_by(lbs, n_seen) AS lbs, max(n_seen) AS n_seen "
+            "FROM hh_live GROUP BY shard"
+        ).collect()
+    finally:
+        q.stop()
+    true_counts = {
+        str(r["user_id"]): r["n"]
+        for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    shard_of = {
+        str(r["user_id"]): r["s"]
+        for r in batch.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(n_shards)).alias("s"),
+        )
+        .collect()
+    }
+    by_shard = {r["shard"]: r for r in finals}
+    assert sum(len(r["keys"]) for r in finals) <= n_shards * capacity
+    checked_heavy = 0
+    for k, true_n in true_counts.items():
+        srow = by_shard.get(shard_of[k])
+        assert srow is not None
+        slack = srow["n_seen"] / (capacity + 1)
+        if true_n > slack:  # MG guarantee: must survive
+            assert k in list(srow["keys"]), (k, true_n, slack)
+            checked_heavy += 1
+        if k in list(srow["keys"]):
+            lb = srow["lbs"][list(srow["keys"]).index(k)]
+            assert lb <= true_n <= lb + slack, (k, lb, true_n, slack)
+    assert checked_heavy > 0, "fixture produced no shard-heavy keys"

@@ -273,3 +273,93 @@ def band_bucket(sig: Column, band: int, chunk_bits: int) -> Column:
 def packed_hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two bit-packed signatures."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency estimates, pure JVM-side
+# --------------------------------------------------------------------------
+
+
+def cms_bucket(col: Column, i: int, width: int) -> Column:
+    """Row i's CMS bucket for a (stringified) key: the first 13 hex digits
+    of md5('cms{i}|'||key) mod width — md5 is the one hash both engines
+    share bit-for-bit (the sampling-module contract), so the whole sketch
+    is DuckDB-oracle-able, unlike xxhash64-based sketches."""
+    h13 = F.substring(
+        F.md5(F.concat(F.lit(f"cms{i}|"), col.cast("string"))), 1, 13
+    )
+    return F.pmod(F.conv(h13, 16, 10).cast("bigint"), F.lit(width))
+
+
+def cms_build(
+    df,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    group_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Count-Min sketch counters (Cormode & Muthukrishnan 2005) per group:
+    ``(group..., i, bucket, cnt)`` — depth×width cells per group, built by
+    ONE partial-aggregated groupBy (each row explodes to ``depth`` cell
+    hits). Point estimate = min over i of its row's counter: NEVER an
+    underestimate, over by collision mass only. Counters are plain counts,
+    so sketches MERGE by adding cell-wise — the rollup property
+    (daily → weekly) the HLL family already has, here with an exact SQL
+    oracle because the construction is deterministic arithmetic."""
+    key = F.col(key_col).cast("string")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), cms_bucket(key, i, width).alias("bucket")
+            )
+            for i in range(depth)
+        ]
+    )
+    gb = list(group_cols or [])
+    return (
+        df.select(*gb, F.explode(entries).alias("e"))
+        .groupBy(*gb, F.col("e.i").alias("i"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketch: "DataFrame", group_cols: list[str] | None = None) -> "DataFrame":
+    """Merge CMS sketches by summing counters cell-wise within the (new,
+    typically coarser) grouping — e.g. after remapping a day column to its
+    week, daily sketches collapse into exact weekly sketches."""
+    gb = list(group_cols or [])
+    return sketch.groupBy(*gb, "i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: "DataFrame",
+    keys: "DataFrame",
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    group_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Point-estimate each key (×group) against a CMS: probe rows join the
+    (depth×width-per-group, broadcastable) sketch on (group..., i, bucket)
+    and take min(cnt) — ``(group..., key_col, est)``. Keys absent from the
+    sketch's stream estimate as the collision mass of their cells (CMS
+    semantics); probes that miss every cell (possible only when the
+    sketch-side group never occurred) drop out via the inner join."""
+    gb = list(group_cols or [])
+    key = F.col(key_col).cast("string")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), cms_bucket(key, i, width).alias("bucket")
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = keys.select(*gb, key.alias(key_col), F.explode(entries).alias("e")).select(
+        *gb, key_col, F.col("e.i").alias("i"), F.col("e.bucket").alias("bucket")
+    )
+    return (
+        probes.join(sketch, gb + ["i", "bucket"])
+        .groupBy(*gb, key_col)
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -1368,3 +1368,56 @@ def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w_all)
         ).alias("cd"),
     )
+
+
+@register(
+    "cms_weekly_user_counts",
+    """
+    WITH e AS (
+        SELECT cast(date_trunc('week', cast(ts as timestamp)) as date) AS week,
+               cast(user_id as varchar) AS k
+        FROM events WHERE user_id IS NOT NULL
+    ), d AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    hits AS (
+        SELECT week, k, i,
+               ('0x' || substr(md5('cms' || i || '|' || k), 1, 13))::bigint % 256 AS bucket
+        FROM e CROSS JOIN d
+    ),
+    sketch AS (SELECT week, i, bucket, count(*) AS cnt FROM hits GROUP BY 1, 2, 3),
+    probes AS (SELECT DISTINCT week, k FROM e),
+    pb AS (
+        SELECT week, k, i,
+               ('0x' || substr(md5('cms' || i || '|' || k), 1, 13))::bigint % 256 AS bucket
+        FROM probes CROSS JOIN d
+    )
+    SELECT p.week AS week, p.k AS user_id, min(s.cnt) AS est
+    FROM pb p JOIN sketch s USING (week, i, bucket)
+    GROUP BY 1, 2
+    """,
+    doc="Count-Min weekly frequency estimates "
+    "(functions/sketches.py cms_build/cms_merge/cms_estimate): DAILY "
+    "depth-4 × width-256 sketches merge cell-wise into weekly sketches "
+    "(the mergeable-rollup property, HLL's sibling), then every (week, "
+    "user) probes min-over-rows. md5-derived buckets make the whole "
+    "construction cross-engine exact, so this sketch pipeline has a HARD "
+    "oracle — the DuckDB twin builds weekly directly, and equality also "
+    "proves daily→weekly merge == direct build inside the hash row itself. "
+    "Estimates are never under the true count (pytest property).",
+)
+def q_cms_weekly_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    ev = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    daily = cms_build(ev, "user_id", depth=4, width=256, group_cols=["week", "day"])
+    weekly = cms_merge(daily, ["week"])
+    probes = ev.select("week", F.col("user_id").cast("string").alias("user_id")).distinct()
+    return cms_estimate(weekly, probes, "user_id", depth=4, width=256, group_cols=["week"])

@@ -189,3 +189,55 @@ class TestHistogramEquiWidth:
             histogram_equi_width(df, "x", 5.0, 5.0, 10)
         with pytest.raises(ValueError):
             histogram_equi_width(df, "x", 0.0, 1.0, 0)
+
+
+def test_cms_merge_parity_and_overestimate(spark, sf_dir):
+    """Count-Min sketch: daily->weekly cell-wise merge is BIT-EXACT equal
+    to building weekly directly; estimates never undercount, and the
+    overestimate stays within the collision-mass envelope for nearly all
+    keys."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+        )
+    )
+    daily = cms_build(ev, "user_id", depth=4, width=128, group_cols=["week", "day"])
+    merged = cms_merge(daily, ["week"])
+    direct = cms_build(ev, "user_id", depth=4, width=128, group_cols=["week"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    probes = ev.select("week", F.col("user_id").cast("string").alias("user_id")).distinct()
+    est = {
+        (r["week"], r["user_id"]): r["est"]
+        for r in cms_estimate(
+            merged, probes, "user_id", depth=4, width=128, group_cols=["week"]
+        ).collect()
+    }
+    true = {
+        (r["week"], str(r["user_id"])): r["n"]
+        for r in ev.groupBy("week", "user_id").agg(F.count("*").alias("n")).collect()
+    }
+    week_n = {
+        r["week"]: r["n"]
+        for r in ev.groupBy("week").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(true)
+    loose = 0
+    for key, t in true.items():
+        assert est[key] >= t, f"CMS undercounted {key}"
+        if est[key] - t > 8 * week_n[key[0]] / 128:  # 8x expected collision mass
+            loose += 1
+    assert loose / len(true) < 0.05, f"{loose}/{len(true)} estimates loose"

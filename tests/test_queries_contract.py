@@ -167,6 +167,7 @@ def test_driver_window_fully_oracle_backed():
         "promo_revenue_q14",
         "benford_price_audit",
         "cume_dist_event_values",
+        "cms_weekly_user_counts",
         "salted_star_revenue",
         "triangle_count_user_graph",
         "funnel_within_hour",

@@ -135,6 +135,15 @@ def bpe_train_merges(
     cur = wc.select(
         "w", "n", _char_syms(F.col("w")).alias("syms")
     ).localCheckpoint()  # truncate the corpus lineage: rounds re-read ~vocab rows
+    # Right-size the word table's partitioning for the ~2·num_merges tiny
+    # jobs ahead: the checkpointed table keeps the corpus aggregate's
+    # partition count, so every round would schedule mostly-empty tasks
+    # (AQE can't coalesce a checkpointed input, only live shuffles —
+    # measured 2× of the whole train at small scale). count() on the
+    # materialized checkpoint is block-metadata cheap.
+    parts = max(8, min(cur.count() // 250_000 + 1, 2048))
+    if parts < cur.rdd.getNumPartitions():
+        cur = cur.coalesce(parts)
     merges: list[tuple[str, str]] = []
     for r in range(num_merges):
         best = (

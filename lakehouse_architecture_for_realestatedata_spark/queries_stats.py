@@ -1280,9 +1280,10 @@ _BENFORD = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
     "benford_price_audit",
     """
     WITH digits AS (
-        SELECT cast(regexp_extract(cast(cast(o_totalprice AS decimal(30,2)) AS varchar),
-                                   '[1-9]', 0) AS int) AS digit
-        FROM orders WHERE o_totalprice > 0
+        -- first digit of the INTEGER part: floor() of a double is
+        -- cross-engine exact, unlike a decimal cast of a double
+        SELECT cast(substr(cast(cast(floor(o_totalprice) AS bigint) AS varchar), 1, 1) AS int) AS digit
+        FROM orders WHERE o_totalprice >= 1
     ), expected(digit, expected_frac) AS (
         VALUES {values}
     ), counts AS (
@@ -1300,18 +1301,18 @@ _BENFORD = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
     ),
     doc="Benford's-law first-digit audit over order prices — the classic "
     "fabricated-data screen, a data-quality family member. The first "
-    "significant digit comes from the DECIMAL(30,2) string rendering "
-    "(identical '1234.56' form in both engines — no float formatting, no "
-    "transcendental log10 on data); expected fractions are embedded "
+    "significant digit comes from the integer part (floor of a double is "
+    "cross-engine exact; decimal casts of doubles are not — the repo's "
+    "float-determinism rule); expected fractions are embedded "
     "literals. One aggregate + a 9-row broadcast join against the "
     "expectation table.",
 )
 def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_for_realestatedata_spark.queries import _t
 
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    digit = F.regexp_extract(
-        F.col("o_totalprice").cast("decimal(30,2)").cast("string"), "[1-9]", 0
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
     ).cast("int")
     counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n")
@@ -1340,7 +1341,7 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, event_type, value,
            cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
-    FROM events
+    FROM events WHERE value IS NOT NULL
     """,
     doc="Cumulative distribution position per event type — completes the "
     "ranking-function grid (rank/dense_rank/percent_rank/ntile/cume_dist). "
@@ -1352,7 +1353,13 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    # NULL values excluded: Spark windows order NULLS FIRST, DuckDB NULLS
+    # LAST — cume_dist over a NULL group is engine-defined, so pin it out
+    ev = (
+        _events(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     w_le = (
         Window.partitionBy("event_type")
         .orderBy("value")

@@ -32,18 +32,32 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows + the payload of the latest right row
-    with ``right_ts <= left_ts`` per key (NULL payload if none / outside
-    ``tolerance_seconds``).
+    """As-of join in any direction: left rows + the payload of the
+    ``direction``-matching right row per key (NULL payload if none /
+    outside ``tolerance_seconds``):
+
+    - ``backward`` (default): LATEST right with ``right_ts <= left_ts`` —
+      click-attribution, mark-to-market;
+    - ``forward``: EARLIEST right with ``right_ts >= left_ts`` — next
+      fulfillment / next response (DuckDB ``ASOF ... >=``, pandas
+      ``merge_asof(direction='forward')``);
+    - ``nearest``: whichever of the two is closer in time; exact-distance
+      ties go to the backward match (deterministic, pandas convention).
 
     Requirement: right must be UNIQUE per (key, right_ts) — pre-dedup with
     ``dedup_latest`` otherwise (ties at identical timestamps have no
     deterministic winner in any as-of semantics).
 
-    Ordering puts right rows BEFORE left rows at equal timestamps, so an
-    exactly-simultaneous right row matches (inclusive semantics, same as
-    pandas ``merge_asof`` and DuckDB ``ASOF JOIN ... >=``)."""
+    At equal timestamps the right row matches in every direction
+    (inclusive semantics): the union-order flag sorts right rows before
+    left for the backward carry and after left for the forward carry.
+    Both carries are windows over the SAME hash partitioning — ONE
+    exchange total even for ``nearest`` (the second window adds a local
+    re-sort, not a shuffle), still no join node."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     rstruct = F.struct(
         F.col(right_ts).alias("__matched_ts"), *[F.col(c).alias(c) for c in right_payload]
     )
@@ -61,19 +75,48 @@ def asof_join(
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         *left.columns,
     )
-    w = (
+    unioned = r.unionByName(l)
+    # backward: rights sort BEFORE lefts at equal ts; frame looks back
+    w_back = (
         Window.partitionBy("__k")
         .orderBy(F.col("__ts"), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = r.unionByName(l).withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    # forward: rights sort AFTER lefts at equal ts; frame looks ahead
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts"), -F.col("__is_left"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    def _tol_gate(match, dist):
+        if tolerance_seconds is None:
+            return match
+        return F.when(match.isNotNull() & (dist <= F.lit(tolerance_seconds)), match)
+
+    cols = {}
+    if direction in ("backward", "nearest"):
+        m = F.last("__r", ignorenulls=True).over(w_back)
+        cols["__mb"] = _tol_gate(m, F.col("__ts").cast("long") - m["__matched_ts"].cast("long"))
+    if direction in ("forward", "nearest"):
+        m = F.first("__r", ignorenulls=True).over(w_fwd)
+        cols["__mf"] = _tol_gate(m, m["__matched_ts"].cast("long") - F.col("__ts").cast("long"))
+    carried = unioned.select("*", *[c.alias(n) for n, c in cols.items()])
     out = carried.filter(F.col("__is_left") == 1)
-    match = F.col("__m")
-    if tolerance_seconds is not None:
-        in_tol = F.col("__ts").cast("long") - match["__matched_ts"].cast("long") <= F.lit(
-            tolerance_seconds
+    if direction == "backward":
+        match = F.col("__mb")
+    elif direction == "forward":
+        match = F.col("__mf")
+    else:
+        mb, mf = F.col("__mb"), F.col("__mf")
+        db = F.col("__ts").cast("long") - mb["__matched_ts"].cast("long")
+        df_ = mf["__matched_ts"].cast("long") - F.col("__ts").cast("long")
+        match = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(df_ < db, mf)  # ties (df_ == db) fall through to backward
+            .otherwise(mb)
         )
-        match = F.when(match.isNotNull() & in_tol, match)
     return out.select(
         *left.columns,
         match["__matched_ts"].alias("matched_ts"),

@@ -255,3 +255,59 @@ def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_pit_join(
         facts, hist, key="user_id", ts="ts", payload=["event_type"]
     ).select("user_id", "event_id", "ts", "value", "pit_valid_from", "pit_event_type")
+
+
+@register(
+    "asof_forward_next_purchase",
+    """
+    WITH p0 AS (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), p AS (
+        SELECT user_id, ts, event_id, value FROM p0 WHERE rn = 1
+    ), c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS matched_ts,
+           p.event_id AS matched_event_id,
+           p.value AS matched_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+    doc="FORWARD as-of join (operators/asof.py asof_join "
+    "direction='forward'): each click paired with the user's EARLIEST "
+    "at-or-after purchase — the next-fulfillment/response-time shape. Same "
+    "one-exchange union + per-key window carry as backward, with the "
+    "order flag flipped so equal-timestamp rights stay inclusive. Oracle "
+    "is DuckDB's native forward ASOF (p.ts >= c.ts).",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = dedup_latest(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id", "ts"],
+        [F.col("event_id").desc()],
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        clicks,
+        purchases.withColumnRenamed("event_id", "p_event_id"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["p_event_id", "value"],
+        direction="forward",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "matched_ts",
+        F.col("matched_p_event_id").alias("matched_event_id"),
+        F.col("matched_value").alias("matched_value"),
+    )

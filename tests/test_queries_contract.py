@@ -125,6 +125,9 @@ def test_driver_window_fully_oracle_backed():
         # new r6, starts deferred (r7 rotation candidate):
         "medallion_two_batch_pipeline",
         "ngram_jaccard_pairs_prefix",
+        # new r7, starts deferred (registered at the end of the temporal
+        # module; range_join/resample/scd2 keep the family in-window):
+        "asof_forward_next_purchase",
         # r5 rotation swap-outs (driver-green in r4; family twin in-window):
         "tumbling_window_agg",
         "rollup_revenue",

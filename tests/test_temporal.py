@@ -288,3 +288,54 @@ class TestScd2PitJoin:
         assert out == {1: "A", 2: "B", 3: None, 4: "Y", 5: None}
         # exactly one row per fact (interval partitioning => unique match)
         assert scd2_pit_join(facts, hist, "k", "ts", ["state"]).count() == 5
+
+
+def test_asof_directions_semantics(spark):
+    """Forward picks the EARLIEST at-or-after right; nearest picks the
+    closer side with exact-distance ties going backward; both stay
+    inclusive at equal timestamps; tolerance gates each direction."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.asof import asof_join
+
+    def ts(s):
+        return f"2024-01-01 00:00:{s:02d}"
+
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(20)), (1, ts(31)), (1, ts(55)), (2, ts(5))],
+        "k int, lts string",
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, ts(8), "a"), (1, ts(20), "b"), (1, ts(40), "c")],
+        "k int, rts string, v string",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "v")
+
+    def run(direction, tol=None):
+        out = asof_join(
+            left, right, "k", "lts", "rts", ["v"],
+            tolerance_seconds=tol, direction=direction,
+        )
+        return {
+            (r["k"], r["lts"].second): r["matched_v"] for r in out.collect()
+        }
+
+    assert run("backward") == {(1, 10): "a", (1, 20): "b", (1, 31): "b", (1, 55): "c", (2, 5): None}
+    assert run("forward") == {(1, 10): "b", (1, 20): "b", (1, 31): "c", (1, 55): None, (2, 5): None}
+    # 31 is 11s after b(20) and 9s before c(40) -> nearest = c; 10 is 2s
+    # after a(8) and 10s before b(20) -> a; 55 -> backward c only
+    assert run("nearest") == {(1, 10): "a", (1, 20): "b", (1, 31): "c", (1, 55): "c", (2, 5): None}
+    # exact-distance tie: left at 30 is 10s from both b(20) and c(40)
+    tie = asof_join(
+        spark.createDataFrame([(1, ts(30))], "k int, lts string").select(
+            "k", F.col("lts").cast("timestamp").alias("lts")
+        ),
+        right, "k", "lts", "rts", ["v"], direction="nearest",
+    ).collect()[0]
+    assert tie["matched_v"] == "b"  # ties go backward
+    assert run("forward", tol=5) == {(1, 10): None, (1, 20): "b", (1, 31): None, (1, 55): None, (2, 5): None}
+    assert run("nearest", tol=5) == {(1, 10): "a", (1, 20): "b", (1, 31): None, (1, 55): None, (2, 5): None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", "lts", "rts", ["v"], direction="sideways")

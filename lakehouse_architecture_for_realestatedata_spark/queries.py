@@ -158,6 +158,11 @@ def registry() -> dict[str, QuerySpec]:
     #   capped_sessions_users        <-> session_windows       (sessionization)
     #   value_trend_by_type          <-> corr_qty_price_by_flag (grouped stats)
     #   user_span_campaign_overlap   <-> range_join_signup_windows (interval join)
+    # new-in-r7 oracle rows (start deferred) are alternates:
+    #   asof_forward_next_purchase   <-> range_join_signup_windows (temporal)
+    #   cms_weekly_user_counts       <-> heavy_hitters_users   (frequency)
+    #   returned_item_customers_q10  <-> star_join_revenue     (relational)
+    #   cume_dist_event_values       <-> rank_orders_in_priority (ranking)
     deferred = {
         # r7 rotation swap-outs (driver-green in r6; family twin in-window):
         "funnel_view_click_purchase",

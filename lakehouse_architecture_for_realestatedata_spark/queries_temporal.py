@@ -311,3 +311,78 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_p_event_id").alias("matched_event_id"),
         F.col("matched_value").alias("matched_value"),
     )
+
+
+@register(
+    "asof_nearest_click_anchor",
+    """
+    WITH c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p0 AS (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), p AS (
+        SELECT user_id, ts, event_id, value FROM p0 WHERE rn = 1
+    ), b AS (
+        SELECT c.event_id, p.ts AS mts, p.event_id AS mid, p.value AS mv
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+    ), f AS (
+        SELECT c.event_id, p.ts AS mts, p.event_id AS mid, p.value AS mv
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN pick_f THEN f.mts ELSE b.mts END AS matched_ts,
+           CASE WHEN pick_f THEN f.mid ELSE b.mid END AS matched_event_id,
+           CASE WHEN pick_f THEN f.mv  ELSE b.mv  END AS matched_value
+    FROM c
+    LEFT JOIN b ON c.event_id = b.event_id
+    LEFT JOIN f ON c.event_id = f.event_id
+    CROSS JOIN LATERAL (
+        -- forward wins only when strictly closer in truncated-second space
+        -- (ties go backward, matching the operator's pandas convention);
+        -- a NULL backward match defers to forward
+        SELECT b.mts IS NULL OR (
+                   f.mts IS NOT NULL
+                   AND epoch(date_trunc('second', f.mts))::bigint
+                       - epoch(date_trunc('second', c.ts))::bigint
+                     < epoch(date_trunc('second', c.ts))::bigint
+                       - epoch(date_trunc('second', b.mts))::bigint
+               ) AS pick_f
+    )
+    """,
+    doc="NEAREST as-of join (operators/asof.py asof_join "
+    "direction='nearest'): each click anchored to its time-closest "
+    "purchase in either direction, exact-distance ties going backward — "
+    "both carries ride ONE hash exchange (the second window is only a "
+    "local re-sort). Oracle composes DuckDB's two native ASOF directions "
+    "with the same truncated-second tie rule.",
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = dedup_latest(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id", "ts"],
+        [F.col("event_id").desc()],
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        clicks,
+        purchases.withColumnRenamed("event_id", "p_event_id"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["p_event_id", "value"],
+        direction="nearest",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "matched_ts",
+        F.col("matched_p_event_id").alias("matched_event_id"),
+        F.col("matched_value").alias("matched_value"),
+    )

@@ -128,6 +128,7 @@ def test_driver_window_fully_oracle_backed():
         # new r7, starts deferred (registered at the end of the temporal
         # module; range_join/resample/scd2 keep the family in-window):
         "asof_forward_next_purchase",
+        "asof_nearest_click_anchor",
         # r5 rotation swap-outs (driver-green in r4; family twin in-window):
         "tumbling_window_agg",
         "rollup_revenue",

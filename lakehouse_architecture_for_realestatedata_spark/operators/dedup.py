@@ -763,3 +763,81 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    n_iters: int = 1,
+    quantize_scale: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup with
+    k-means clusters as the blocking structure — cluster the embeddings,
+    compare pairs only WITHIN a cluster, and drop every vector that has a
+    near-duplicate (cosine ≥ ``threshold``) with a smaller id in its
+    cluster (the greedy min-id keeper rule the exact-dedup family uses).
+
+    Complements ``embedding_near_dup_pairs``: LSH blocks by random
+    hyperplanes (recall depends on band/plane counts), SemDeDup blocks by
+    learned cluster structure — the published method for pruning
+    semantically redundant LLM training data.
+
+    Returns dropped rows: (dropped_id, keeper_id, cell, max_sim).
+    Consumers anti-join the corpus against ``dropped_id``. As in the
+    paper's greedy realization, a keeper_id may itself be dropped by a yet
+    smaller id (chains collapse toward the cluster's min id).
+
+    Scale shape: clustering is ``similarity.ivf_assign`` (hash-ordered
+    centroid sample + Lloyd steps whose shuffles are metadata-scale; the
+    corpus itself is never shuffled to assign). The within-cell self-join
+    is the method's intended quadratic — bounded by scaling ``n_cells``
+    with corpus size so per-cell cardinality stays fixed (the paper uses
+    ~0.1% of N). Vectors are pre-quantized to bigint arrays in a
+    projection BEFORE the join (one transform per row, not per pair — the
+    lambda-CSE rule), floats are dropped, and the exact cosine check is
+    ``quantized_cosine``: integer dot products, bit-stable across
+    partitionings.
+    """
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        ivf_assign,
+        quantize,
+        quantized_cosine,
+    )
+
+    assignments, _ = ivf_assign(
+        df.select(id_col, vec_col),
+        id_col,
+        vec_col,
+        n_cells=n_cells,
+        seed=seed,
+        n_iters=n_iters,
+    )
+    qa = assignments.select(
+        "cell",
+        F.col(id_col).alias("__id"),
+        quantize(F.col(vec_col), quantize_scale).alias("__qv"),
+    )
+    left = qa.select(
+        "cell", F.col("__id").alias("id_a"), F.col("__qv").alias("qv_a")
+    )
+    right = qa.select(
+        "cell", F.col("__id").alias("id_b"), F.col("__qv").alias("qv_b")
+    )
+    sim = quantized_cosine(
+        F.col("qv_a"), F.col("qv_b"), quantize_scale, prequantized=True
+    )
+    near = (
+        left.join(right, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cell", "id_a", "id_b", sim.alias("__sim"))
+        .where(F.col("__sim") >= threshold)
+    )
+    return near.groupBy(F.col("id_b").alias("dropped_id")).agg(
+        F.min("id_a").alias("keeper_id"),
+        F.min("cell").alias("cell"),
+        F.max("__sim").alias("max_sim"),
+    )

@@ -1428,3 +1428,93 @@ def q_cms_weekly_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = cms_merge(daily, ["week"])
     probes = ev.select("week", F.col("user_id").cast("string").alias("user_id")).distinct()
     return cms_estimate(weekly, probes, "user_id", depth=4, width=256, group_cols=["week"])
+
+
+@register(
+    "large_volume_customers_q18",
+    """
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume customers; reference serves the same "
+    "orders/lineitem marts to BI): the HAVING subquery is ONE partial-"
+    "aggregated pass over lineitem producing a key-only frame that "
+    "semi-joins the fact before the wide join — at 100 TB the qty>250 cut "
+    "makes it broadcastable, so the big lineitem re-scan never shuffles; "
+    "customer broadcast onto the grouped result, top-100 via "
+    "TakeOrderedAndProject. l_quantity is integer-valued, so double sums "
+    "are exact in any partition order (cross-engine safe without decimal); "
+    "o_orderkey completes the ORDER BY tiebreak.",
+)
+def q_large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select(F.col("l_orderkey").alias("__bigkey"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), li["l_orderkey"] == F.col("__bigkey"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "late_shipment_priority_q4",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate >= o.o_orderdate + INTERVAL 75 DAY
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking), adapted to this schema: "
+    "the reference lineitem carries no commit/receipt dates, so the "
+    "EXISTS predicate is 'some lineitem shipped >=75 days after the order "
+    "date' — the same correlated-EXISTS-with-non-equi-residual pattern. "
+    "Spark plans it as a LEFT SEMI equi-join on l_orderkey with the date "
+    "comparison as a join residual (one shuffle, no row explosion: semi "
+    "emits each order once no matter how many late lineitems), then a "
+    "low-cardinality priority count.",
+)
+def q_late_shipment_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] >= orders["o_orderdate"] + F.expr("INTERVAL 75 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

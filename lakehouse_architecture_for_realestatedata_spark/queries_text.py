@@ -785,3 +785,32 @@ from dataclasses import replace as _replace  # noqa: E402
 _R["ngram_jaccard_pairs_prefix"] = _replace(
     _R["ngram_jaccard_pairs_prefix"], oracle=_R["ngram_jaccard_pairs"].oracle
 )
+
+
+@register(
+    "semdedup_embedding_prune",
+    None,  # k-means blocking samples centroids by xxhash64 — cell structure
+    # is Spark-specific; planted-dup recall + keeper correctness pinned in
+    # tests/test_dedup.py::test_semdedup_planted_recall
+    doc="SemDeDup (Abbas et al. 2023) semantic pruning: Lloyd-refined "
+    "k-means clusters block the corpus, pairwise quantized-exact cosine "
+    "runs only within a cluster, and every vector with a ≥0.95 neighbor "
+    "of smaller id is emitted as (dropped_id, keeper_id). Perturbed "
+    "copies of vec_id<100 are planted at +100000 (the corpus has no "
+    "natural near-dups), so the expected drop set is known.",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import semdedup_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = _spread(spark, emb.unionByName(planted))
+    return semdedup_prune(
+        corpus, "vec_id", "embedding", n_cells=16, threshold=0.95, n_iters=1
+    )

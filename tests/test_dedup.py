@@ -330,3 +330,36 @@ def test_triangle_count_known_and_random(spark):
     )
     got = triangle_count(spark.createDataFrame(es, "src long, dst long")).collect()[0][0]
     assert got == ref
+
+
+def test_semdedup_planted_recall(spark, sf_dir):
+    """SemDeDup (k-means-blocked semantic dedup) must (a) drop planted
+    near-identical copies with the original as keeper, (b) never drop a
+    natural vector — the synthetic corpus has no natural pair above 0.95,
+    so every emitted drop MUST be a planted id. Recall tolerates the rare
+    boundary case where a perturbed copy crosses into a different Lloyd
+    cell than its original."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import semdedup_prune
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    dropped = semdedup_prune(
+        corpus, "vec_id", "embedding", n_cells=8, threshold=0.95, n_iters=1
+    ).collect()
+    by_id = {r["dropped_id"]: r for r in dropped}
+    # (b) precision: only planted copies are ever dropped
+    assert all(d >= 100000 for d in by_id), sorted(by_id)[:5]
+    # keeper is the original (the only ≥0.95 neighbor with a smaller id)
+    for d, r in by_id.items():
+        assert r["keeper_id"] == d - 100000
+        assert r["max_sim"] >= 0.95
+    # (a) recall: ≥90% of planted copies land in their original's cell
+    assert len(by_id) >= 45, len(by_id)

@@ -178,6 +178,8 @@ def test_driver_window_fully_oracle_backed():
         "pareto_customer_revenue",
         "value_trend_by_type",
         "capped_sessions_users",
+        "large_volume_customers_q18",
+        "late_shipment_priority_q4",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "event_transition_matrix",

@@ -806,3 +806,90 @@ def q_encode_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, "doc_id", "text", merges).select(
         "doc_id", "n_tokens", "token_ids"
     )
+
+
+# DuckDB twin of functions.text.tokens — single source in queries_text
+from lakehouse_architecture_for_realestatedata_spark.queries_text import _DUCK_TOKS  # noqa: E402
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+    WITH e AS (
+        SELECT doc_id, unnest(list_distinct({_DUCK_TOKS.format(c='text')})) AS term
+        FROM documents WHERE doc_id < 500
+    )
+    SELECT term, count(*) AS doc_freq,
+           array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings
+    FROM e GROUP BY term
+    """,
+    doc="Inverted-index build (term → document-frequency + capped postings "
+    "list of the 20 smallest doc ids): the search-index construction pass "
+    "of a corpus pipeline. Scale shape: postings are capped BEFORE any "
+    "list materializes — a rank-only row_number ≤ 20 per term keeps "
+    "Spark's WindowGroupLimit map-side cut, so a stop-word term never "
+    "collects millions of ids into one aggregation buffer; doc_freq comes "
+    "from a plain partial-aggregated count on the same term key (AQE "
+    "reuses the exchange). Postings serialize as a comma-joined string so "
+    "the value hash is engine-neutral.",
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    e = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    capped = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")), lambda d: d.cast("string")
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    freq = e.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return freq.join(capped, "term").select("term", "doc_freq", "postings")
+
+
+@register(
+    "per_source_doc_caps",
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(cast(doc_id AS varchar)), doc_id
+               ) AS rn
+        FROM documents) t
+    WHERE rn <= 15
+    """,
+    doc="Per-source document caps (common-crawl-style curation: no domain "
+    "may contribute more than N docs): deterministic md5-hash order picks "
+    "WHICH docs survive the cap — reproducible across runs and engines, "
+    "unlike an arbitrary LIMIT — with doc_id as the total-order tiebreak. "
+    "Rank-only window over the source key keeps the WindowGroupLimit "
+    "map-side cut: each task locally discards rows past the cap before "
+    "the exchange, so a mega-domain never funnels through one reducer "
+    "unbounded.",
+)
+def q_per_source_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("doc_id", "source")
+    )

@@ -180,6 +180,8 @@ def test_driver_window_fully_oracle_backed():
         "capped_sessions_users",
         "large_volume_customers_q18",
         "late_shipment_priority_q4",
+        "inverted_index_postings",
+        "per_source_doc_caps",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "event_transition_matrix",

@@ -893,3 +893,50 @@ def q_per_source_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 15)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "quality_classifier_scores",
+    None,  # rows-only: the sigmoid/exp in training and scoring is
+    # transcendental (not cross-engine hash-exact); convergence, accuracy
+    # on separable data, and bit-exact partition invariance of the learned
+    # weights are pinned in tests/test_mlprep.py
+    doc="Learned quality filter (operators/mlprep.py logreg_fit): train "
+    "logistic regression IN the engine on per-doc text statistics "
+    "(length adequacy, alpha ratio, English-stopword hits, digit ratio) "
+    "against an is-English label — the fastText/CCNet-style classifier "
+    "step of corpus curation. Each GD iteration is one narrow pass + one "
+    "d+1-cell quantized-exact gradient reduction (metadata-scale "
+    "shuffle); weights are partition-invariant bit for bit. Returns "
+    "per-doc margin/probability/label for downstream threshold curation.",
+)
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.functions.text import tokens
+    from lakehouse_architecture_for_realestatedata_spark.operators.mlprep import (
+        logreg_fit,
+        logreg_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}\p{N} ]", ""))
+    digits = F.length(F.regexp_replace(F.col("text"), r"[^\p{N}]", ""))
+    stops = F.array(
+        *[F.lit(s) for s in ("the", "and", "of", "to", "in", "is", "it", "for")]
+    )
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.least(n_chars / F.lit(200.0), F.lit(1.0)).alias("len_ok"),
+        F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0)).alias("alpha_ratio"),
+        F.least(
+            F.size(F.array_intersect(F.array_distinct(toks), stops)) / F.lit(4.0),
+            F.lit(1.0),
+        ).alias("stop_hits"),
+        F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0)).alias("digit_ratio"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    fcols = ["len_ok", "alpha_ratio", "stop_hits", "digit_ratio"]
+    w = logreg_fit(feats, fcols, "y", n_iters=20, lr=2.0)
+    return logreg_score(feats, fcols, w).select("doc_id", "margin", "prob", "y")

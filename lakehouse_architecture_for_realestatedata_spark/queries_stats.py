@@ -1518,3 +1518,49 @@ def q_late_shipment_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "auc_value_vs_purchase",
+    """
+    WITH t AS (
+        SELECT value AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT s, sum(y) AS np, sum(1 - y) AS nn FROM t GROUP BY s
+    ), c AS (
+        SELECT s, np, nn,
+               coalesce(sum(nn) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        FROM g
+    )
+    SELECT sum(cast(np AS double) * (cast(nb AS double) + cast(nn AS double) / 2.0))
+           / (cast((SELECT sum(np) FROM g) AS double)
+              * cast((SELECT sum(nn) FROM g) AS double)) AS auc,
+           cast((SELECT sum(np) FROM g) AS bigint) AS n_pos,
+           cast((SELECT sum(nn) FROM g) AS bigint) AS n_neg
+    FROM c
+    """,
+    doc="Exact ROC AUC (Mann-Whitney U with midrank ties) of event value as "
+    "a purchase predictor — the classifier-eval primitive "
+    "(operators/mlprep.py mann_whitney_auc). No global sort: rows collapse "
+    "to one per distinct score, then the exclusive negative-prefix runs "
+    "through the two-phase global_running_sum. Every product is integer × "
+    "multiple-of-0.5 (binary-exact doubles, order-independent sums) with "
+    "one final division — bit-identical across engines, hence a hard "
+    "oracle for a ranking statistic.",
+)
+def q_auc_value_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.mlprep import mann_whitney_auc
+
+    ev = _events(spark, sf_dir)
+    labeled = ev.select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    auc = mann_whitney_auc(labeled, "value", "y")
+    return auc.select(
+        "auc",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+    )

@@ -25,6 +25,78 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _plain_columns(order_by: list[Column]) -> None:
+    """Reject SortOrder columns (``.desc()`` / ``.asc()``): the two-phase
+    primitives take PLAIN columns plus an explicit ``descending`` flag for
+    the lead key, so the bucketing expression and the window order can never
+    disagree about direction."""
+    for c in order_by:
+        s = str(c)
+        if " DESC NULLS" in s or " ASC NULLS" in s:
+            raise ValueError(
+                f"order_by must be plain columns (got sort-order column {s}); "
+                "pass descending=True for a descending lead key"
+            )
+
+
+def _window_order(order_by: list[Column], descending: bool) -> list[Column]:
+    head = order_by[0].desc() if descending else order_by[0]
+    return [head, *order_by[1:]]
+
+
+def _literal_range_pid(
+    df: DataFrame, first_key: Column, descending: bool, p: int
+) -> Column:
+    """Deterministic range-bucket id for the two-phase global-window
+    primitives — the fix for round 7's silent-corruption bug.
+
+    ``repartitionByRange`` re-SAMPLES its boundaries on every physical
+    execution (the sampler seed derives from the RDD id), so a plan that
+    consumes the ranged frame twice (totals branch + window branch) only
+    agrees on partition ids while Catalyst happens to reuse the exchange —
+    a map-task retry on a real cluster, or any plan change that defeats
+    ReusedExchange, silently attaches the wrong prefix offsets (reproduced:
+    5 runs of mann_whitney_auc → 5 different AUCs). The rule this module
+    now follows is operators/ordered.py's: partition assignment must be a
+    PURE ROW FUNCTION.
+
+    Here the boundaries are collected ONCE at plan-build time — a single
+    column-pruned approx-quantile pass over the lead sort key — and embedded
+    as literals in a log2(p)-deep binary-search ``when`` tree. Every
+    physical execution (retries, unshared exchanges, AQE re-plans) then
+    assigns the SAME pid to the same row, by construction. The boundary
+    VALUES need not be reproducible across operator invocations — pids only
+    decide WHERE a row is ranked, never its rank — they only have to be
+    fixed within one composed plan, which literals guarantee.
+
+    Ties on the lead key all land in one bucket (comparisons touch only the
+    lead key), so buckets stay contiguous ranges of the total order and the
+    per-bucket window's tiebreak columns finish the job. NULL lead keys map
+    to the first bucket ascending (Spark sorts NULLS FIRST asc) and the last
+    bucket descending (NULLS LAST desc), matching the window's own null
+    placement."""
+    k = first_key.cast("double")
+    qs = df.select(k.alias("__k"))
+    bounds = sorted(
+        set(qs.approxQuantile("__k", [i / p for i in range(1, p)], 0.001))
+    )
+    nb = len(bounds)
+
+    def tree(lo: int, hi: int) -> Column:
+        # buckets lo..hi; bounds[i] separates bucket i from i+1 (v <= bounds[i])
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(k <= F.lit(bounds[mid]), tree(lo, mid)).otherwise(
+            tree(mid + 1, hi)
+        )
+
+    asc_pid = tree(0, nb)
+    if descending:
+        return F.when(k.isNull(), F.lit(nb)).otherwise(F.lit(nb) - asc_pid)
+    return F.when(k.isNull(), F.lit(0)).otherwise(asc_pid)
+
+
 def daily_measure(
     df: DataFrame, ts_col: str, measure_col: str, scale: int = 2
 ) -> DataFrame:
@@ -76,43 +148,44 @@ def global_row_number(
     order_by: list[Column],
     out_col: str = "rn",
     partitions: int | None = None,
+    descending: bool = False,
 ) -> DataFrame:
     """EXACT global row_number over a total order with NO single-task sort:
-    range-repartition on the ordering, row_number locally per range
-    partition, then add each partition's prefix offset.
+    deterministic range-bucket the lead key (literal boundaries — see
+    ``_literal_range_pid``), row_number locally per bucket, then add each
+    bucket's prefix offset.
+
+    ``order_by`` is PLAIN columns; ``descending`` flips the LEAD key (the
+    tiebreaks stay ascending). The caller supplies a TOTAL order (unique
+    tiebreak), so the numbering is independent of where boundaries land.
 
     The naive ``row_number() OVER (ORDER BY ...)`` funnels the entire input
     through ONE task (Spark logs "No Partition Defined ... Moving all data
     to a single partition") — a billion-row single-task sort at scale. Here
     every heavy step is distributed:
 
-      1. ``repartitionByRange(p, order)`` — one range exchange; boundary
-         sampling is deterministic (seeded per input split), and because
-         the caller supplies a TOTAL order (unique tiebreak — same caveat
-         as any deterministic ranking), the final numbering is independent
-         of where the boundaries land.
-      2. per-partition ``row_number`` windowed BY partition id — parallel
-         sorts, no cross-partition data movement.
-      3. per-partition counts (≤ p rows) get prefix offsets via an
+      1. ``__pid`` = literal-boundary bucket of the lead key — a pure row
+         function, identical across physical executions and retries (the
+         round-7 repartitionByRange spelling was NOT: boundaries resample
+         per execution, corrupting results whenever ReusedExchange misses).
+      2. per-bucket ``row_number`` windowed BY ``__pid`` — ONE hash
+         exchange, parallel sorts, no cross-partition data movement.
+      3. per-bucket counts (≤ p rows) get prefix offsets via an
          unpartitioned window — allowed exactly because the input is the
          bounded count frame, per this module's rule — and broadcast back.
-
-    Both consumers of the range exchange read the same shuffle output
-    (ReusedExchange); even unreused, range placement is deterministic, so
-    the pid seen by the count branch equals the pid seen by the rank
-    branch."""
+    """
+    _plain_columns(order_by)
     spark = df.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(p, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    pid = _literal_range_pid(df, order_by[0], descending, p)
+    staged = df.withColumn("__pid", pid)
+    counts = staged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
     )
-    w_local = Window.partitionBy("__pid").orderBy(*order_by)
-    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    w_local = Window.partitionBy("__pid").orderBy(*_window_order(order_by, descending))
+    local = staged.withColumn("__lrn", F.row_number().over(w_local))
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("bigint"))
@@ -127,6 +200,7 @@ def global_running_sum(
     out_col: str = "running_sum",
     partitions: int | None = None,
     scale: int = 2,
+    descending: bool = False,
 ) -> DataFrame:
     """EXACT global running (prefix) sum of ``value_col`` over a total
     order, with NO single-task sort — the cumulative-share / Pareto / CDF
@@ -136,17 +210,22 @@ def global_running_sum(
     per-partition total frame, broadcast back. The sum stays DECIMAL end
     to end (exact, associative, partition-invariant); ``out_col`` is the
     decimal running sum cast to double only in the caller's projection if
-    wanted. Caller must supply a unique tiebreak in ``order_by``."""
+    wanted. Caller must supply a unique tiebreak in ``order_by`` (plain
+    columns; ``descending`` flips the lead key).
+
+    Partition ids come from ``_literal_range_pid`` — a pure row function
+    with driver-collected literal boundaries — NOT ``repartitionByRange``,
+    whose per-execution boundary resampling silently corrupted this
+    operator in round 7 (totals branch and window branch disagreed on pids
+    whenever the exchange wasn't reused)."""
+    _plain_columns(order_by)
     spark = df.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     dec = f"decimal(38,{scale})"
-    ranged = (
-        df.repartitionByRange(p, *order_by)
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn("__v", v.cast(dec))
-    )
-    totals = ranged.groupBy("__pid").agg(F.sum("__v").alias("__t"))
+    pid = _literal_range_pid(df, order_by[0], descending, p)
+    staged = df.withColumn("__pid", pid).withColumn("__v", v.cast(dec))
+    totals = staged.groupBy("__pid").agg(F.sum("__v").alias("__t"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__pid",
@@ -154,10 +233,10 @@ def global_running_sum(
     )
     w_local = (
         Window.partitionBy("__pid")
-        .orderBy(*order_by)
+        .orderBy(*_window_order(order_by, descending))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranged.withColumn("__lsum", F.sum("__v").over(w_local))
+    local = staged.withColumn("__lsum", F.sum("__v").over(w_local))
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__off") + F.col("__lsum"))
@@ -170,9 +249,11 @@ def ntile_buckets(
     order_by: list[Column],
     n: int = 4,
     partitions: int | None = None,
+    descending: bool = False,
 ) -> DataFrame:
     """ntile(n) bucket assignment over a TOTAL order (caller must include a
-    unique tiebreak column, or bucket edges are nondeterministic).
+    unique tiebreak column, or bucket edges are nondeterministic; plain
+    columns, ``descending`` flips the lead key).
 
     Output-identical to ``ntile(n) OVER (ORDER BY ...)`` but WITHOUT the
     single-partition WindowExec: global rank comes from the distributed
@@ -180,12 +261,13 @@ def ntile_buckets(
     count frame serves both the prefix offsets and the global total), and
     the bucket is ntile's closed form over (rn, cnt): with q = cnt div n
     and r = cnt mod n, buckets 1..r hold q+1 rows and buckets r+1..n hold
-    q rows."""
+    q rows. Partition ids are literal-boundary buckets
+    (``_literal_range_pid``) — pure row function, execution-invariant."""
+    _plain_columns(order_by)
     spark = df.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(p, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    pid = _literal_range_pid(df, order_by[0], descending, p)
+    ranged = df.withColumn("__pid", pid)
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy("__pid").rowsBetween(
@@ -196,7 +278,7 @@ def ntile_buckets(
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
         F.sum("__n").over(w_all).alias("__cnt"),
     )
-    w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    w_local = Window.partitionBy("__pid").orderBy(*_window_order(order_by, descending))
     local = ranged.withColumn("__lrn", F.row_number().over(w_local))
     rn = F.col("__off") + F.col("__lrn")
     cnt = F.col("__cnt")

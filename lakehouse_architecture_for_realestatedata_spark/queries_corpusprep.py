@@ -222,8 +222,9 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (v.id IS NULL)::int AS oov
           FROM t LEFT JOIN v ON t.tok = v.token)
     SELECT d.doc_id,
-           coalesce(list(j.vid ORDER BY j.pos) FILTER (WHERE j.pos IS NOT NULL),
-                    []) AS ids,
+           coalesce(array_to_string(list(j.vid ORDER BY j.pos)
+                                    FILTER (WHERE j.pos IS NOT NULL), ','),
+                    '') AS ids,
            count(j.pos) AS n_tokens,
            coalesce(sum(j.oov), 0)::bigint AS n_oov
     FROM documents d LEFT JOIN j USING (doc_id)
@@ -233,8 +234,11 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "encode_documents over build_vocab, min_count=5, oov_id=-1): narrow "
     "posexplode, BROADCAST left join on the token (vocab ≤ a few M rows), "
     "ONE doc-keyed reassembly groupBy with ordinal-sorted collect_list + "
-    "sentinel row (no doc-spine join) — model-ready array<int> sequences "
-    "with aligned OOV markers.",
+    "sentinel row (no doc-spine join) — model-ready token-id sequences "
+    "with aligned OOV markers. The id sequence serializes as a "
+    "comma-joined string (the inverted_index_postings convention) so the "
+    "value hash is engine-neutral and the driver's scalar canonicalizer "
+    "accepts it — round 7's array<int> spelling errored at the gate.",
 )
 def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
@@ -244,7 +248,11 @@ def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     vocab = build_vocab(docs, "text", min_count=5)
-    return encode_documents(docs, vocab, "doc_id", "text", oov_id=-1)
+    enc = encode_documents(docs, vocab, "doc_id", "text", oov_id=-1)
+    return enc.withColumn(
+        "ids",
+        F.array_join(F.transform("ids", lambda i: i.cast("string")), ","),
+    )
 
 
 @register(
@@ -901,14 +909,18 @@ def q_per_source_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transcendental (not cross-engine hash-exact); convergence, accuracy
     # on separable data, and bit-exact partition invariance of the learned
     # weights are pinned in tests/test_mlprep.py
-    doc="Learned quality filter (operators/mlprep.py logreg_fit): train "
-    "logistic regression IN the engine on per-doc text statistics "
-    "(length adequacy, alpha ratio, English-stopword hits, digit ratio) "
-    "against an is-English label — the fastText/CCNet-style classifier "
-    "step of corpus curation. Each GD iteration is one narrow pass + one "
-    "d+1-cell quantized-exact gradient reduction (metadata-scale "
-    "shuffle); weights are partition-invariant bit for bit. Returns "
-    "per-doc margin/probability/label for downstream threshold curation.",
+    doc="Learned quality filter (operators/mlprep.py logreg_fit), trained "
+    "with the standard seed-set bootstrap (CCNet/fastText style: a "
+    "trusted corpus as positives vs a degraded corpus as negatives — "
+    "here, each doc minus its English function words, a deterministic "
+    "engine-side scrub; the synthetic corpus's lang labels are "
+    "independent of the text, so they cannot supervise anything). "
+    "Features are per-doc text statistics (length adequacy, alpha "
+    "ratio, English-stopword hits, digit ratio); each GD iteration is "
+    "one narrow pass + one d+1-cell quantized-exact gradient reduction "
+    "(metadata-scale shuffle); weights are partition-invariant bit for "
+    "bit. Returns per-(doc, variant) margin/probability with the seed "
+    "label for downstream threshold curation.",
 )
 def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_for_realestatedata_spark.functions.text import tokens
@@ -917,17 +929,33 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         logreg_score,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stop_words = ("the", "and", "of", "to", "in", "is", "it", "for", "a")
+    scrub = F.regexp_replace(
+        F.col("text"), r"\b(?:" + "|".join(stop_words) + r")\b\s*", ""
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.lit("orig").alias("variant"),
+        F.col("text"),
+        F.lit(1).alias("y"),
+    ).unionByName(
+        docs.select(
+            "doc_id",
+            F.lit("scrubbed").alias("variant"),
+            scrub.alias("text"),
+            F.lit(0).alias("y"),
+        )
+    )
     toks = tokens(F.col("text"))
     n_chars = F.length("text")
     alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}\p{N} ]", ""))
     digits = F.length(F.regexp_replace(F.col("text"), r"[^\p{N}]", ""))
-    stops = F.array(
-        *[F.lit(s) for s in ("the", "and", "of", "to", "in", "is", "it", "for")]
-    )
-    feats = docs.select(
+    stops = F.array(*[F.lit(s) for s in stop_words])
+    feats = pairs.select(
         "doc_id",
-        "lang",
+        "variant",
+        "y",
         F.least(n_chars / F.lit(200.0), F.lit(1.0)).alias("len_ok"),
         F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0)).alias("alpha_ratio"),
         F.least(
@@ -935,8 +963,9 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0),
         ).alias("stop_hits"),
         F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0)).alias("digit_ratio"),
-        (F.col("lang") == "en").cast("int").alias("y"),
     )
     fcols = ["len_ok", "alpha_ratio", "stop_hits", "digit_ratio"]
     w = logreg_fit(feats, fcols, "y", n_iters=20, lr=2.0)
-    return logreg_score(feats, fcols, w).select("doc_id", "margin", "prob", "y")
+    return logreg_score(feats, fcols, w).select(
+        "doc_id", "variant", "margin", "prob", "y"
+    )

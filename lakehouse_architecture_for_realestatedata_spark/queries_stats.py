@@ -1052,10 +1052,11 @@ def q_pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = global_running_sum(
         per_cust,
-        [F.col("rev").desc(), F.col("o_custkey")],
+        [F.col("rev"), F.col("o_custkey")],
         "rev",
         out_col="run",
         scale=2,
+        descending=True,
     )
     # grand total: one-row aggregate, broadcast cross join (metadata-scale)
     tot = per_cust.agg(F.sum("rev").alias("tot"))

@@ -100,12 +100,17 @@ def test_auc_tie_and_perfect_cases(spark):
     assert mann_whitney_auc(perfect, "s", "y").first()["auc"] == 1.0
 
 
-def test_quality_classifier_separates_english(spark, sf_dir):
-    """The registered query's contract: on the synthetic corpus the learned
-    is-English classifier must rank English docs above non-English ones
-    (AUC of the margin well above chance) — stopword hits carry signal."""
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_quality_classifier_separates_english(spark, sf):
+    """The registered query's contract: the learned filter must rank the
+    seed positives (raw docs) above the seed negatives (function-word-
+    scrubbed variants) — margin AUC well above chance. The corpus's lang
+    labels are independent of the text (verified r8), so the seed-set
+    bootstrap is the only supervised signal the data actually carries."""
     from lakehouse_architecture_for_realestatedata_spark.queries import registry
 
-    scored = registry()["quality_classifier_scores"].spark_fn(spark, sf_dir)
+    scored = registry()["quality_classifier_scores"].spark_fn(
+        spark, f"/root/testdata/{sf}"
+    )
     res = mann_whitney_auc(scored, "margin", "y").first()
     assert res["auc"] > 0.7, res["auc"]

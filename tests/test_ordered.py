@@ -167,14 +167,22 @@ def test_global_row_number_exact_and_partition_invariant(spark, sf_dir):
     )
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    order = [F.col("o_totalprice"), F.col("o_orderkey")]
     ref = o.withColumn(
-        "rn", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        "rn",
+        F.row_number()
+        .over(Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
+        .cast("bigint"),
     ).select("o_orderkey", "rn")
     want = sorted(map(tuple, ref.collect()))
     for src, p in ((o.coalesce(1), 4), (o.repartition(16), 7), (o, None)):
         got = sorted(
-            map(tuple, global_row_number(src, order, partitions=p).select("o_orderkey", "rn").collect())
+            map(
+                tuple,
+                global_row_number(src, order, partitions=p, descending=True)
+                .select("o_orderkey", "rn")
+                .collect(),
+            )
         )
         assert got == want
 
@@ -215,8 +223,10 @@ def test_global_running_sum_exact_and_partition_invariant(spark, sf_dir):
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"))
     )
-    order = [F.col("rev").desc(), F.col("o_custkey")]
-    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    order = [F.col("rev"), F.col("o_custkey")]
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     want = sorted(
         map(tuple, o.select("o_custkey", F.sum("rev").over(w).alias("run")).collect())
     )
@@ -224,12 +234,55 @@ def test_global_running_sum_exact_and_partition_invariant(spark, sf_dir):
         got = sorted(
             map(
                 tuple,
-                global_running_sum(src, order, "rev", out_col="run", partitions=p)
+                global_running_sum(
+                    src, order, "rev", out_col="run", partitions=p, descending=True
+                )
                 .select("o_custkey", "run")
                 .collect(),
             )
         )
         assert got == want
+
+
+def test_global_running_sum_run_to_run_stable(spark, sf_dir):
+    """Round-7 regression: the two-phase primitives must return IDENTICAL
+    results across repeated executions of freshly-composed plans (the
+    repartitionByRange spelling resampled boundaries per execution and
+    silently attached wrong prefix offsets when the exchange wasn't
+    reused). Ten fresh compositions on an aggregated input must agree."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    seen = set()
+    for _ in range(10):
+        got = tuple(
+            sorted(
+                map(
+                    tuple,
+                    global_running_sum(
+                        o,
+                        [F.col("rev"), F.col("o_custkey")],
+                        "rev",
+                        out_col="run",
+                        partitions=4,
+                        descending=True,
+                    )
+                    .select("o_custkey", "run")
+                    .collect(),
+                )
+            )
+        )
+        seen.add(got)
+    assert len(seen) == 1
 
 
 def test_ntile_closed_form_property(spark):

@@ -339,12 +339,20 @@ def cms_estimate(
     width: int = 256,
     group_cols: list[str] | None = None,
 ) -> "DataFrame":
-    """Point-estimate each key (×group) against a CMS: probe rows join the
-    (depth×width-per-group, broadcastable) sketch on (group..., i, bucket)
-    and take min(cnt) — ``(group..., key_col, est)``. Keys absent from the
-    sketch's stream estimate as the collision mass of their cells (CMS
-    semantics); probes that miss every cell (possible only when the
-    sketch-side group never occurred) drop out via the inner join."""
+    """Point-estimate each key (×group) against a CMS: probe rows LEFT-join
+    the (depth×width-per-group, broadcastable) sketch on (group..., i,
+    bucket), coalesce absent cells to 0, and take min(cnt) —
+    ``(group..., key_col, est)``.
+
+    The left join + zero-fill is true Count-Min semantics: the estimate is
+    the min over ALL depth cells, and a cell no stream element hashed into
+    counts 0 — so an out-of-stream probe with at least one empty cell
+    estimates 0 (its true count), not the collision mass of its nonzero
+    cells. Round 7's inner-join spelling dropped empty cells from the min
+    (overestimating out-of-stream keys) and dropped never-seen groups
+    entirely; for in-stream probes the two agree (a present key makes all
+    of its cells ≥ its own count), which is why the registered query's
+    oracle hashes were unaffected."""
     gb = list(group_cols or [])
     key = F.col(key_col).cast("string")
     entries = F.array(
@@ -359,7 +367,7 @@ def cms_estimate(
         *gb, key_col, F.col("e.i").alias("i"), F.col("e.bucket").alias("bucket")
     )
     return (
-        probes.join(sketch, gb + ["i", "bucket"])
+        probes.join(sketch, gb + ["i", "bucket"], "left")
         .groupBy(*gb, key_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

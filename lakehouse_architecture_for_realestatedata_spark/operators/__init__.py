@@ -47,6 +47,8 @@ from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
     daily_measure,
     global_top_k,
     global_row_number,
+    grouped_cume_dist,
+    grouped_row_number,
     global_running_sum,
     ntile_buckets,
     period_over_period,
@@ -87,6 +89,8 @@ __all__ = [
     "daily_measure",
     "global_top_k",
     "global_row_number",
+    "grouped_cume_dist",
+    "grouped_row_number",
     "global_running_sum",
     "ntile_buckets",
     "period_over_period",

@@ -116,21 +116,70 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _safe_merge_batch(rows: list, cap: int) -> list[tuple[str, str]]:
+    """Longest prefix of the sorted (cnt DESC, left, right) candidate list
+    that sequential BPE training is GUARANTEED to pick in this order —
+    the round-batching rule that makes driver round-trips sublinear in the
+    merge count without changing the trained table by one bit.
+
+    Why it is safe (each accepted merge i must still be round i's argmax):
+
+    * Accepted pairs are pairwise symbol-disjoint, so merging one never
+      changes another's count (a merge only touches adjacencies involving
+      its own two symbols), and existing pair counts NEVER increase.
+    * A merge (a,b)→ab can mint new pairs (x,ab)/(ab,y), but each new
+      occurrence consumes an (x,a)/(b,y) adjacency, so the new count is
+      ≤ the count of an existing pair that OVERLAPS the accepted set.
+      Because acceptance stops at the FIRST overlap (prefix, not skip),
+      every overlapping pair ranks at or below the stopping candidate —
+      so trimming the batch to counts STRICTLY above the stopping
+      candidate's count makes every accepted pair numerically dominate
+      any mintable pair, tiebreaks never consulted.
+    * Unseen pairs beyond the collected top-K are bounded by the K-th
+      count, which the stop bound also covers (the stop candidate ranks
+      ≥ them); when the list wasn't filled there are no unseen pairs.
+    * Ties WITHIN the accepted prefix are fine: disjoint pairs keep their
+      counts, so the (cnt, left, right) order between them is preserved.
+
+    The head pair alone is always safe (it is literally the argmax)."""
+    accepted: list = []
+    touched: set[str] = set()
+    stop_cnt = -1 if len(rows) < cap else rows[-1]["cnt"]
+    for r in rows:
+        if {r["left"], r["right"]} & touched:
+            stop_cnt = r["cnt"]
+            break
+        accepted.append(r)
+        touched.add(r["left"])
+        touched.add(r["right"])
+    batch = [r for r in accepted if r["cnt"] > stop_cnt] or accepted[:1]
+    return [(r["left"], r["right"]) for r in batch if r["cnt"] >= 2]
+
+
 def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 32,
     min_word_count: int = 1,
     checkpoint_every: int = 8,
+    batch_size: int = 16,
 ) -> list[tuple[str, str]]:
-    """Train a BPE merge table: ``num_merges`` iterations of (count all
-    adjacent symbol pairs weighted by word frequency → merge the argmax
-    pair everywhere). Returns the ordered merge list; stops early when no
-    pair occurs ≥ 2 times (merging a count-1 pair can never compress).
+    """Train a BPE merge table: iterate (count all adjacent symbol pairs
+    weighted by word frequency → merge the argmax pairs everywhere) until
+    ``num_merges`` merges are learned. Returns the ordered merge list;
+    stops early when no pair occurs ≥ 2 times (merging a count-1 pair can
+    never compress).
 
-    Scale shape per round: one hash aggregate over the vocab-scale word
-    table (partial/map-side combined) + ``limit(1)`` of its (cnt, pair)
-    argmax via TakeOrdered — the driver receives ONE row per round."""
+    Scale shape per ROUND (not per merge): one hash aggregate over the
+    vocab-scale word table (partial/map-side combined) + a TakeOrdered
+    collect of the top ``4·batch_size`` (cnt, pair) rows — the driver then
+    accepts every merge the batching rule proves sequential-equal
+    (``_safe_merge_batch``) and applies them all lazily before the next
+    aggregate. At a realistic 30k-merge vocab this is the difference
+    between 60k driver-blocking jobs and a few thousand (early rounds
+    accept ~1 pair while one pair dominates; as counts flatten, batches
+    fill up — round count is sublinear in merges). Bit-identical to
+    one-merge-per-round training, pinned in tests/test_bpe.py."""
     wc = word_counts(df, text_col).filter(F.col("n") >= min_word_count)
     cur = wc.select(
         "w", "n", _char_syms(F.col("w")).alias("syms")
@@ -145,22 +194,29 @@ def bpe_train_merges(
     if parts < cur.rdd.getNumPartitions():
         cur = cur.coalesce(parts)
     merges: list[tuple[str, str]] = []
-    for r in range(num_merges):
-        best = (
+    applied_since_ckpt = 0
+    while len(merges) < num_merges:
+        cap = max(2, 4 * batch_size)
+        rows = (
             cur.select("n", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
             .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
-            .limit(1)
+            .limit(cap)
             .collect()
         )
-        if not best or best[0]["cnt"] < 2:
+        if not rows or rows[0]["cnt"] < 2:
             break
-        left, right = best[0]["left"], best[0]["right"]
-        merges.append((left, right))
-        cur = cur.withColumn("syms", _apply_merge(F.col("syms"), left, right))
-        if (r + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint()
+        batch = _safe_merge_batch(rows, cap)[: min(batch_size, num_merges - len(merges))]
+        if not batch:
+            break
+        for left, right in batch:
+            merges.append((left, right))
+            cur = cur.withColumn("syms", _apply_merge(F.col("syms"), left, right))
+            applied_since_ckpt += 1
+            if applied_since_ckpt >= checkpoint_every:
+                cur = cur.localCheckpoint()
+                applied_since_ckpt = 0
     return merges
 
 

@@ -295,6 +295,122 @@ def ntile_buckets(
     )
 
 
+def grouped_row_number(
+    df: DataFrame,
+    part_cols: list[str],
+    order_by: list[Column],
+    out_col: str = "rn",
+    partitions: int | None = None,
+    descending: bool = False,
+) -> DataFrame:
+    """Per-GROUP exact row_number for LOW-CARDINALITY group keys without a
+    single-task-per-group WindowExec — the scale-safe spelling of
+    ``row_number() OVER (PARTITION BY type ORDER BY ...)`` when the key has
+    a handful of distinct values (event_type ≈ 5): the naive window gives
+    each type ONE reducer task sorting that type's entire corpus — billions
+    of rows per task at 100× scale even though it passes locally.
+
+    Same literal-boundary two-phase shape as ``global_row_number``, with the
+    group key prepended everywhere: pid buckets come from ONE global
+    approx-quantile pass over the lead sort key (bucket boundaries need not
+    be per-group — within a group the global boundaries still carve the
+    order into contiguous ranges, which is all the prefix arithmetic
+    needs), the local window partitions by (group, pid) — cells small
+    enough for any executor — and the per-(group, pid) count frame
+    (#groups × p rows, metadata-scale) yields per-group prefix offsets via
+    a bounded window.
+
+    Group keys must be NON-NULL (the offsets equi-join would drop NULL
+    groups); ``order_by`` is plain columns with a unique tiebreak,
+    ``descending`` flips the lead key."""
+    _plain_columns(order_by)
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pid = _literal_range_pid(df, order_by[0], descending, p)
+    staged = df.withColumn("__pid", pid)
+    counts = staged.groupBy(*part_cols, "__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part_cols,
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = Window.partitionBy(*part_cols, "__pid").orderBy(
+        *_window_order(order_by, descending)
+    )
+    local = staged.withColumn("__lrn", F.row_number().over(w_local))
+    return (
+        local.join(F.broadcast(offsets), [*part_cols, "__pid"])
+        .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("bigint"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def grouped_cume_dist(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    out_col: str = "cd",
+    partitions: int | None = None,
+) -> DataFrame:
+    """``cume_dist() OVER (PARTITION BY group ORDER BY value)`` for LOW-
+    CARDINALITY group keys without a per-group WindowExec (and without the
+    RANGE frame, which is even worse: each row re-scans its peer set).
+
+    cume_dist(v) = (# rows in the group with value ≤ v) / group size, so it
+    is a pure function of the DISTINCT value multiset: collapse to one row
+    per (group, value) with multiplicity (partial-aggregated — the only
+    full-data shuffle besides the final join-back), two-phase prefix-sum
+    the multiplicities over literal-boundary value buckets
+    (``_literal_range_pid`` — per-(group, bucket) cells, bounded offsets
+    frame), then join the (cnt_le, group total) frame back to the rows on
+    (group, value). Ties collapse into one distinct-value row, so peer
+    semantics are exact by construction.
+
+    Contracts: group keys non-null (equi-joins); ``value_col`` non-null
+    (NULL ordering is engine-defined — filter or pin upstream, as the
+    registered query does)."""
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    m = df.groupBy(*part_cols, value_col).agg(F.count(F.lit(1)).alias("__m"))
+    pid = _literal_range_pid(m, F.col(value_col), False, p)
+    staged = m.withColumn("__pid", pid)
+    counts = staged.groupBy(*part_cols, "__pid").agg(F.sum("__m").alias("__n"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part_cols,
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = (
+        Window.partitionBy(*part_cols, "__pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = m.groupBy(*part_cols).agg(F.sum("__m").alias("__tot"))
+    dv = (
+        staged.withColumn("__lsum", F.sum("__m").over(w_local))
+        .join(F.broadcast(offsets), [*part_cols, "__pid"])
+        .join(F.broadcast(totals), part_cols)
+        .select(
+            *part_cols,
+            value_col,
+            (
+                (F.col("__off") + F.col("__lsum")).cast("double") / F.col("__tot")
+            ).alias(out_col),
+        )
+    )
+    return df.join(dv, [*part_cols, value_col])
+
+
 def ranked_in_group(
     df: DataFrame,
     part_cols: list[str],

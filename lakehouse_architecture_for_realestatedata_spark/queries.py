@@ -118,30 +118,36 @@ def registry() -> dict[str, QuerySpec]:
     # tests/test_queries_contract.py (sf0.001) + tools/check_oracle.py
     # (sf0.01).
     promoted = [
-        # r7 first-time rows (pre-declared in the r6 rotation comment; each
+        # r8 first-time rows (pre-declared in the r7 rotation comment; each
         # swap keeps a same-family twin in-window — see `deferred` below):
-        #   encode_documents_vocab      <-> vocab_top_tokens       (tokenize;
-        #       tfidf_keywords keeps the token family in-window too)
-        #   weekly_retention_cohorts    <-> funnel_view_click_purchase
-        #       (behavior; sliding_window_agg + heavy_hitters_users keep it)
-        #   grouping_sets_revenue       <-> cube_status_year       (grouping
-        #       sets; quality_report keeps grouped aggregation in-window)
-        #   incremental_summary_refresh <-> merge_upsert_roundtrip (storage
-        #       MERGE — the refresh pipeline exercises MERGE + change feed;
-        #       time_travel_cdc_roundtrip keeps versioned storage in-window)
-        #   quantile_exact_global_events<-> histogram_order_prices (quantiles;
-        #       mad_outlier_events keeps the quantile family in-window)
-        #   leakage_safe_split_docs     <-> deterministic_sample   (sampling;
-        #       the md5-keyed split family keeps tfidf/doc rows in-window)
+        #   medallion_two_batch_pipeline <-> incremental_summary_refresh
+        #       (storage pipeline; time_travel_cdc_roundtrip keeps
+        #       versioned storage in-window)
+        #   ngram_jaccard_pairs_prefix   <-> ngram_jaccard_pairs  (same
+        #       oracle; PPJoin prefix-filter path; dedup family also keeps
+        #       dedup_exact_documents + fuzzy_match_blocked in-window)
+        #   pareto_customer_revenue      <-> global_topk_orders   (ordered /
+        #       prefix-sum; topk_orders_per_priority keeps top-k in-window)
+        #   capped_sessions_users        <-> session_windows      (session-
+        #       ization; sliding_window_agg keeps event windows in-window)
+        #   value_trend_by_type          <-> corr_qty_price_by_flag
+        #       (grouped stats; mad_outlier_events keeps robust stats)
+        #   user_span_campaign_overlap   <-> range_join_signup_windows
+        #       (interval join; scd2_user_event_history keeps temporal)
+        "medallion_two_batch_pipeline",
+        "ngram_jaccard_pairs_prefix",
+        "pareto_customer_revenue",
+        "capped_sessions_users",
+        "value_trend_by_type",
+        "user_span_campaign_overlap",
+        # r7 first-time rows (stay in-window):
         "encode_documents_vocab",
         "weekly_retention_cohorts",
         "grouping_sets_revenue",
-        "incremental_summary_refresh",
         "quantile_exact_global_events",
         "leakage_safe_split_docs",
         # r6 first-time rows (stay in-window):
         "remove_boilerplate",
-        "corr_qty_price_by_flag",
         "time_travel_cdc_roundtrip",
         "mad_outlier_events",
         # r5 first-time rows (stay in-window):
@@ -150,20 +156,22 @@ def registry() -> dict[str, QuerySpec]:
         "tfidf_keywords",
         "heavy_hitters_users",
     ]
-    # r8 ROTATION CANDIDATES: swap first-time rows in against driver-green
+    # r9 ROTATION CANDIDATES: swap first-time rows in against driver-green
     # same-family twins, e.g.
-    #   medallion_two_batch_pipeline <-> incremental_summary_refresh (storage pipeline)
-    #   ngram_jaccard_pairs_prefix   <-> ngram_jaccard_pairs   (same oracle; PPJoin path)
-    #   pareto_customer_revenue      <-> global_topk_orders    (ordered/prefix-sum)
-    #   capped_sessions_users        <-> session_windows       (sessionization)
-    #   value_trend_by_type          <-> corr_qty_price_by_flag (grouped stats)
-    #   user_span_campaign_overlap   <-> range_join_signup_windows (interval join)
-    # new-in-r7 oracle rows (start deferred) are alternates:
-    #   asof_forward_next_purchase   <-> range_join_signup_windows (temporal)
+    #   asof_forward_next_purchase   <-> resample_locf_daily   (temporal)
     #   cms_weekly_user_counts       <-> heavy_hitters_users   (frequency)
     #   returned_item_customers_q10  <-> star_join_revenue     (relational)
-    #   cume_dist_event_values       <-> rank_orders_in_priority (ranking)
+    #   benford_price_audit          <-> parse_price_vnd       (audit/parse)
+    #   inverted_index_postings      <-> tfidf_keywords        (token index)
+    #   salted_star_revenue          <-> sql_front_door_star_join (skew join)
     deferred = {
+        # r8 rotation swap-outs (driver-green in r7; family twin in-window):
+        "incremental_summary_refresh",
+        "ngram_jaccard_pairs",
+        "global_topk_orders",
+        "session_windows",
+        "corr_qty_price_by_flag",
+        "range_join_signup_windows",
         # r7 rotation swap-outs (driver-green in r6; family twin in-window):
         "funnel_view_click_purchase",
         "vocab_top_tokens",
@@ -178,11 +186,6 @@ def registry() -> dict[str, QuerySpec]:
         "cdc_snapshot_diff",
         "doc_repetition_signals",
         "semi_join_active_customers",
-        # new r6 (starts deferred; merge_upsert_roundtrip + the medallion
-        # model rows keep the family in-window; r7 rotation candidate):
-        "medallion_two_batch_pipeline",
-        # new r6: same oracle as ngram_jaccard_pairs (in-window twin)
-        "ngram_jaccard_pairs_prefix",
         "heavy_hitters_recount_users",  # new r5; heavy_hitters_users in-window
         # New r5 extension families (chunking / boilerplate / funnel /
         # corr / MAD) start deferred; r6 rotation candidates to swap in

@@ -138,3 +138,15 @@ def test_no_python_udf_in_plans(spark, corpus_df):
         assert marker not in plan, marker
     mdf = merges_to_df(spark, merges)
     assert [tuple(r) for r in mdf.select("left", "right").collect()] == merges
+
+
+def test_batched_training_equals_one_per_round(spark, sf_dir):
+    """The round-batching rule (_safe_merge_batch) must be invisible in the
+    output: batch_size=16 and batch_size=1 learn the IDENTICAL merge list
+    on a real-vocabulary corpus (where batches actually fill up once the
+    count distribution flattens)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    seq = bpe_train_merges(docs, "text", num_merges=24, batch_size=1)
+    bat = bpe_train_merges(docs, "text", num_merges=24, batch_size=16)
+    assert seq == bat
+    assert len(seq) == 24

@@ -241,3 +241,30 @@ def test_cms_merge_parity_and_overestimate(spark, sf_dir):
         if est[key] - t > 8 * week_n[key[0]] / 128:  # 8x expected collision mass
             loose += 1
     assert loose / len(true) < 0.05, f"{loose}/{len(true)} estimates loose"
+
+
+def test_cms_out_of_stream_probe_estimates_zero(spark):
+    """True Count-Min semantics (ADVICE r7): the min ranges over ALL depth
+    cells, empty cells count 0 — so an out-of-stream key with at least one
+    empty cell estimates 0 instead of the collision mass of its nonzero
+    cells, and probing a never-seen group yields 0, not a dropped row."""
+    from lakehouse_architecture_for_realestatedata_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("g1", f"k{i}") for i in range(5)], "g string, k string")
+    sketch = cms_build(df, "k", depth=4, width=4096, group_cols=["g"])
+    probes = spark.createDataFrame(
+        [("g1", "k0"), ("g1", "unseen-key"), ("g2", "k0")], "g string, k string"
+    )
+    est = {
+        (r["g"], r["k"]): r["est"]
+        for r in cms_estimate(
+            sketch, probes, "k", depth=4, width=4096, group_cols=["g"]
+        ).collect()
+    }
+    assert est[("g1", "k0")] == 1
+    # width 4096 >> 5 keys: an unseen key almost surely has an empty cell
+    assert est[("g1", "unseen-key")] == 0
+    assert est[("g2", "k0")] == 0  # never-seen group: zero, not absent

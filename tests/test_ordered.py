@@ -346,3 +346,83 @@ def test_ranked_in_group_null_partition_key(spark):
     assert got[(None, 6)] == (3, 3, 1.0)
     assert got[("b", 7)] == (1, 1, 0.0)  # n=1 group -> pct 0.0 convention
     assert got[("a", 1)] == (1, 1, 0.0) and got[("a", 3)] == (3, 3, 1.0)
+
+
+def test_grouped_row_number_matches_window(spark, sf_dir):
+    """grouped_row_number must equal the per-group row_number window on a
+    unique total order, asc and desc — the scale-safe low-cardinality
+    PARTITION BY spelling (no per-group WindowExec over full data)."""
+    from pyspark.sql import Window, functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
+        grouped_row_number,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for desc in (False, True):
+        lead = F.col("o_totalprice").desc() if desc else F.col("o_totalprice")
+        w = Window.partitionBy("o_orderpriority").orderBy(lead, F.col("o_orderkey"))
+        want = sorted(
+            map(
+                tuple,
+                o.select(
+                    "o_orderkey", F.row_number().over(w).cast("bigint").alias("rn")
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                grouped_row_number(
+                    o,
+                    ["o_orderpriority"],
+                    [F.col("o_totalprice"), F.col("o_orderkey")],
+                    partitions=5,
+                    descending=desc,
+                )
+                .select("o_orderkey", "rn")
+                .collect(),
+            )
+        )
+        assert got == want
+
+
+def test_grouped_cume_dist_matches_window(spark, sf_dir):
+    """grouped_cume_dist must equal cume_dist() OVER (PARTITION BY g ORDER
+    BY v) including tie/peer semantics (duplicated values share cd)."""
+    from pyspark.sql import Window, functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
+        grouped_cume_dist,
+    )
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") / 10000, 0).alias("band"),  # force ties
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("band").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+    want = sorted(
+        map(
+            tuple,
+            o.select(
+                "o_orderkey",
+                (F.count(F.lit(1)).over(w).cast("double") / n).alias("cd"),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            grouped_cume_dist(o, ["o_orderpriority"], "band", partitions=6)
+            .select("o_orderkey", "cd")
+            .collect(),
+        )
+    )
+    assert got == want

@@ -1574,3 +1574,266 @@ def q_auc_value_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pos").cast("bigint").alias("n_pos"),
         F.col("n_neg").cast("bigint").alias("n_neg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: five more classic TPC-H shapes over the trimmed schema — multi-hop
+# star joins, left-join histograms, distinct-count variety, disjunctive
+# pushdown, and threshold-subquery + anti-join. All exact-decimal money.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "volume_shipping_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           cast(sum(volume) AS double) AS revenue, count(*) AS n_items
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               cast(l_extendedprice * (1 - l_discount) AS decimal(30,4)) AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= timestamp '1996-01-01 00:00:00'
+          AND l_shipdate <  timestamp '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape (bilateral shipping volume by year): the deepest "
+    "join chain in the relational suite — lineitem→supplier, →orders→"
+    "customer, and nation twice under different roles. Physics: ONE "
+    "shuffle join (lineitem⋈orders on the orderkey, both corpus-scale); "
+    "supplier/customer/nation ride broadcasts, and the nation-pair "
+    "disjunction prunes rows before the wide join via the broadcast "
+    "filters. Money sums stay decimal(30,4) until the final double cast "
+    "(the dsum policy).",
+)
+def q_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nat.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(vol).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "customer_order_distribution_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT join "
+    "with a JOIN-CONDITION predicate (not a WHERE — zero-order customers "
+    "must survive as c_count 0), count per customer, then the histogram "
+    "of counts. Physics: one shuffle join on the customer key + two hash "
+    "aggregates; the second groups ≤ max-orders-per-customer distinct "
+    "values — metadata-scale.",
+)
+def q_customer_order_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "supplier_part_variety_q16",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (supplier variety per part profile): broadcast "
+    "part-attribute filter join, LEFT-ANTI join against the "
+    "negative-balance supplier exclusion list (the Spark spelling of NOT "
+    "IN over a non-null key set — operators/joins.py anti-join "
+    "discipline), then count(DISTINCT supplier) per (brand, type, size). "
+    "The distinct-aggregate expands to a two-phase (partial distinct, "
+    "final count) plan — no row explosion.",
+)
+def q_supplier_part_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "disjunctive_revenue_q19",
+    """
+    SELECT cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(30,4)))
+                AS double) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive predicate revenue): three OR'd "
+    "brand/size/quantity conjunctions spanning BOTH join sides. Physics: "
+    "Catalyst derives the single-side implications (the brand/size "
+    "disjunction prunes part BEFORE the broadcast build; the quantity "
+    "disjunction l_quantity BETWEEN 1 AND 30 prunes lineitem at the "
+    "scan), then the residual cross-side OR evaluates post-join — the "
+    "classic pushdown-through-disjunction test.",
+)
+def q_disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#24")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "idle_rich_customers_q22",
+    """
+    WITH thr AS (
+        SELECT cast(sum(cast(c_acctbal AS decimal(30,2))) AS double)
+               / count(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           cast(sum(cast(c_acctbal AS decimal(30,2))) AS double) AS totacctbal
+    FROM customer CROSS JOIN thr
+    WHERE c_acctbal > avg_bal
+      AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape (well-funded customers with no urgent orders): "
+    "scalar-subquery threshold (average positive balance — computed as an "
+    "EXACT decimal sum over one IEEE divide, so both engines derive the "
+    "identical cutoff; a naive avg(double) is partition-order-dependent), "
+    "nation membership filter, LEFT-ANTI join against urgent orders, "
+    "grouped rollup. The threshold is a one-row broadcast cross join; the "
+    "anti-join shuffles on the customer key.",
+)
+def q_idle_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(30,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,2)")).cast("double").alias(
+                "totacctbal"
+            ),
+        )
+    )

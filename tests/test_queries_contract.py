@@ -205,6 +205,13 @@ def test_driver_window_fully_oracle_backed():
         "late_shipment_priority_q4",
         "inverted_index_postings",
         "per_source_doc_caps",
+        # r8 additions (registered in the late stats block; start deferred —
+        # r9 rotation candidates):
+        "volume_shipping_q7",
+        "customer_order_distribution_q13",
+        "supplier_part_variety_q16",
+        "disjunctive_revenue_q19",
+        "idle_rich_customers_q22",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "event_transition_matrix",

@@ -210,3 +210,64 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.overwrite(b1)
     t.append(b2, merge_schema=True)
     return t.read().select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "delta_interop_roundtrip",
+    """
+    SELECT 'v_initial' AS snapshot, o_orderstatus,
+           count(*) AS n,
+           cast(sum(cast(o_totalprice AS decimal(30,2))) AS double) AS total
+    FROM orders WHERE o_orderkey <= 800
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v_latest' AS snapshot, o_orderstatus,
+           count(*) AS n,
+           cast(sum(cast(o_totalprice AS decimal(30,2))) AS double) AS total
+    FROM orders WHERE o_orderkey <= 1400
+    GROUP BY o_orderstatus
+    """,
+    doc="Delta-FORMAT interop as a hard oracle row (sources/delta_lite.py): "
+    "overwrite then append batches through the pure-PySpark Delta "
+    "transaction-log writer (protocol-spec JSON commits, Hive-style "
+    "partition dirs on o_orderstatus, put-if-absent version claims), then "
+    "read BOTH the pre-append version (log replay time travel) and the "
+    "latest snapshot back through the log reader and aggregate each. The "
+    "reference stores every table as Delta (spark/Dockerfile:16, "
+    "spark-defaults.conf:15-16); with the jars absent from this sandbox "
+    "the open protocol is implemented directly — logs this module writes "
+    "are readable by any Delta reader and vice versa (foreign-log pytest).",
+)
+def q_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_read,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b1 = orders.filter(F.col("o_orderkey") <= 800)
+    b2 = orders.filter((F.col("o_orderkey") > 800) & (F.col("o_orderkey") <= 1400))
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_deltalite_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_delta"
+    v1 = delta_write(b1, path, mode="overwrite", partition_by=["o_orderstatus"])
+    delta_write(b2, path, mode="append")
+
+    def agg(df, tag):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total"),
+        ).select(F.lit(tag).alias("snapshot"), "o_orderstatus", "n", "total")
+
+    return agg(delta_read(spark, path, version=v1), "v_initial").unionByName(
+        agg(delta_read(spark, path), "v_latest")
+    )

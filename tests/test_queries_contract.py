@@ -207,6 +207,7 @@ def test_driver_window_fully_oracle_backed():
         "per_source_doc_caps",
         # r8 additions (registered in the late stats block; start deferred —
         # r9 rotation candidates):
+        "delta_interop_roundtrip",
         "volume_shipping_q7",
         "customer_order_distribution_q13",
         "supplier_part_variety_q16",

@@ -74,6 +74,13 @@ HEADLINE = [
     "promo_revenue_q14",
     "benford_price_audit",
     "image_dhash_dedup_pairs",
+    # r8 additions: the deepest join chain (Q7), disjunctive cross-side
+    # pushdown (Q19), the literal-boundary two-phase prefix sum (Pareto),
+    # and the Delta-log interop write→replay→read cycle
+    "volume_shipping_q7",
+    "disjunctive_revenue_q19",
+    "pareto_customer_revenue",
+    "delta_interop_roundtrip",
 ]
 
 

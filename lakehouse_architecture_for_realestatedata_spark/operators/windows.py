@@ -75,7 +75,22 @@ def _literal_range_pid(
     to the first bucket ascending (Spark sorts NULLS FIRST asc) and the last
     bucket descending (NULLS LAST desc), matching the window's own null
     placement."""
-    k = first_key.cast("double")
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    lead_type = df.select(first_key.alias("__k")).schema[0].dataType
+    if not isinstance(lead_type, (NumericType, DateType, TimestampType)):
+        raise ValueError(
+            f"lead sort key must be numeric/date/timestamp for literal range "
+            f"bucketing (got {lead_type.simpleString()}); a string key would "
+            "cast to NULL and silently collapse to one bucket — derive a "
+            "numeric order key first (e.g. conv of a hash prefix)"
+        )
+    # dates do not cast to double (NULL); route through day numbers
+    k = (
+        F.unix_date(first_key).cast("double")
+        if isinstance(lead_type, DateType)
+        else first_key.cast("double")
+    )
     qs = df.select(k.alias("__k"))
     bounds = sorted(
         set(qs.approxQuantile("__k", [i / p for i in range(1, p)], 0.001))

@@ -1339,9 +1339,11 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = orders.sparkSession.createDataFrame(
         [(d, v) for d, v in _BENFORD.items()], "digit int, expected_frac double"
     )
+    # broadcast the BUILD side (counts, ≤ 9 rows post-aggregate): hinting
+    # the preserved/left side of a left-outer join is unsupported and the
+    # hint would be dropped with a warning
     return (
-        F.broadcast(expected)
-        .join(counts, "digit", "left")
+        expected.join(F.broadcast(counts), "digit", "left")
         .crossJoin(F.broadcast(total))
         .select(
             "digit",

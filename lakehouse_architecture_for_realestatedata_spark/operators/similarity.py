@@ -990,3 +990,50 @@ def knn_pq_adc(
         )
     )
     return _topk_per_query(exact, k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the k most-
+    cosine-similar corpus vectors carrying a DIFFERENT label — the standard
+    curation step for contrastive/embedding training data (the pairs most
+    likely to confuse the model are the most informative negatives).
+
+    Same physics as ``knn_quantized`` (bounded anchor set broadcast, one
+    corpus scan, quantized-exact cosine, WindowGroupLimit map-side top-k —
+    the shuffle carries ≤ #partitions × #anchors × k rows), plus a
+    null-safe label-mismatch filter evaluated BEFORE scoring so same-label
+    pairs never pay the dot product. Output keeps both labels for
+    downstream triplet assembly."""
+    qz = quantize(F.col(vec_col), scale)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("anchor_label"),
+        qz.alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("negative_label"),
+        qz.alias("__cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(~F.col("negative_label").eqNullSafe(F.col("anchor_label")))
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "negative_label",
+            quantized_cosine(
+                F.col("__qv"), F.col("__cv"), scale, prequantized=True
+            ).alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored, k)

@@ -814,3 +814,47 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(
         corpus, "vec_id", "embedding", n_cells=16, threshold=0.95, n_iters=1
     )
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH qz AS (
+        SELECT vec_id, label,
+               [round(cast(x as double) * 1000000) for x in embedding] AS v
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, label AS anchor_label, v AS qv
+        FROM qz WHERE vec_id < 20
+    ), scored AS (
+        SELECT q.query_id, q.anchor_label,
+               c.vec_id AS neighbor_id, c.label AS negative_label,
+               CASE WHEN list_dot_product(q.qv, q.qv) > 0
+                         AND list_dot_product(c.v, c.v) > 0
+                    THEN list_dot_product(q.qv, c.v)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(c.v, c.v)))
+                    ELSE 0.0 END AS cosine
+        FROM qz c, q
+        WHERE c.label IS DISTINCT FROM q.anchor_label
+    )
+    SELECT query_id, anchor_label, neighbor_id, negative_label, cosine
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="Contrastive hard-negative mining (operators/similarity.py:"
+    "hard_negatives): per anchor (vec_id<20, bounded, broadcast), the 3 "
+    "most-cosine-similar corpus vectors with a DIFFERENT label — the "
+    "curation step that makes contrastive training data informative. One "
+    "corpus scan, quantized-exact cosine (hence the hard oracle), label "
+    "mismatch filtered before scoring, WindowGroupLimit map-side top-k.",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20)
+    return hard_negatives(emb, anchors, "vec_id", "embedding", "label", k=3)

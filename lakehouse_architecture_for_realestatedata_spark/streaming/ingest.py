@@ -759,3 +759,52 @@ def stream_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_cms_rollup(
+    stream: DataFrame,
+    sketch_table: "ParquetTable",
+    checkpoint: str,
+    key_col: str = "user_id",
+    group_col: str = "week",
+    depth: int = 4,
+    width: int = 256,
+) -> StreamingQuery:
+    """Streaming maintenance of a mergeable Count-Min sketch table: each
+    micro-batch builds its own CMS cells (one partial-aggregated pass over
+    the batch) and MERGEs them into the persisted per-group sketch by
+    ADDING counters cell-wise — the additivity that makes CMS (like the
+    HLL rollups) a streaming-native summary: per-batch work is O(batch +
+    touched cells), the table stays depth×width×#groups rows forever, and
+    the final sketch equals the batch-built sketch over the full history
+    (pinned stream == batch in tests/test_streaming.py).
+
+    At-least-once caveat: counter ADDS are not idempotent, so a replayed
+    batch double-counts — same contract as every additive foreachBatch
+    sink here; the checkpoint makes replays rare, and the CMS estimate
+    stays an upper bound either way (never an undercount)."""
+    from lakehouse_architecture_for_realestatedata_spark.functions.sketches import cms_build
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_sketch = cms_build(
+            batch_df, key_col, depth=depth, width=width, group_cols=[group_col]
+        )
+        if not sketch_table.exists():
+            sketch_table.overwrite(batch_sketch)
+            return
+        cur = sketch_table.read()
+        merged = (
+            cur.unionByName(batch_sketch)
+            .groupBy(group_col, "i", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        sketch_table.overwrite(merged)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

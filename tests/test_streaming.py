@@ -606,3 +606,61 @@ def test_stream_heavy_hitters_guarantee(spark, sf_dir, tmp_path):
             lb = srow["lbs"][list(srow["keys"]).index(k)]
             assert lb <= true_n <= lb + slack, (k, lb, true_n, slack)
     assert checked_heavy > 0, "fixture produced no shard-heavy keys"
+
+
+def test_stream_cms_rollup_equals_batch(spark, tmp_path):
+    """Streaming CMS maintenance: three micro-batches of cell-wise counter
+    merges end at EXACTLY the sketch a single batch build produces over the
+    full history (additivity = streaming-native), and point estimates never
+    undercount."""
+    from lakehouse_architecture_for_realestatedata_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import stream_cms_rollup
+
+    rows = [
+        ("w1", i % 7) for i in range(40)
+    ] + [
+        ("w2", i % 11) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "week string, user_id int")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        df.filter(F.pmod(F.col("user_id"), F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    table = ParquetTable(spark, str(tmp_path / "sketch"))
+    stream_cms_rollup(
+        stream,
+        table,
+        checkpoint=str(tmp_path / "ckpt"),
+        key_col="user_id",
+        group_col="week",
+        depth=4,
+        width=64,
+    )
+    direct = cms_build(df, "user_id", depth=4, width=64, group_cols=["week"])
+    assert sorted(map(tuple, table.read().collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    probes = df.distinct().select("week", "user_id")
+    est = {
+        (r["week"], r["user_id"]): r["est"]
+        for r in cms_estimate(
+            table.read(), probes, "user_id", depth=4, width=64, group_cols=["week"]
+        ).collect()
+    }
+    true = {
+        (r["week"], r["user_id"]): r["n"]
+        for r in df.groupBy("week", "user_id").agg(F.count("*").alias("n")).collect()
+    }
+    for k, t in true.items():
+        assert est[(k[0], str(k[1]))] >= t

@@ -150,10 +150,13 @@ def mann_whitney_auc(
         F.col(score_col).cast("double").alias("__s"),
         F.when(F.col(label_col).cast("double") != 0, 1).otherwise(0).alias("__y"),
     ).where(F.col("__s").isNotNull())
+    # materialize the distinct-score frame (≤ #distinct scores, tiny vs the
+    # corpus): global_running_sum's literal-boundary pass plus the main job
+    # would otherwise re-run the corpus aggregate once each
     g = t.groupBy("__s").agg(
         F.sum("__y").alias("__np"),
         F.sum(1 - F.col("__y")).alias("__nn"),
-    )
+    ).localCheckpoint(eager=True)
     c = global_running_sum(g, [F.col("__s")], "__nn", out_col="__cum_nn", scale=0)
     term = (
         F.col("__np").cast("double")

@@ -1062,10 +1062,13 @@ def q_pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from lakehouse_architecture_for_realestatedata_spark.queries import _t
 
+    # materialized once (≤ #customers): consumed THREE times — the literal-
+    # boundary pass, the running sum, and the grand total
     per_cust = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"))
+        .localCheckpoint(eager=True)
     )
     run = global_running_sum(
         per_cust,

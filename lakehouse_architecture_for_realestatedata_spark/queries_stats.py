@@ -1842,3 +1842,162 @@ def q_idle_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "forecast_revenue_q6",
+    """
+    SELECT cast(sum(cast(l_extendedprice * l_discount AS decimal(30,4)))
+                AS double) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+      AND l_shipdate <  timestamp '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue change): the canonical full-"
+    "pushdown scan — every predicate (date range, discount band, quantity "
+    "cap) reaches the parquet reader as PushedFilters, the ReadSchema "
+    "prunes to four columns, and the whole query is one partial+final "
+    "aggregate with zero joins and zero wide shuffles. Exact decimal sum.",
+)
+def q_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "market_share_q8",
+    """
+    SELECT o_year,
+           cast(cast(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE cast(0 AS decimal(30,4)) END) AS double)
+                / cast(sum(volume) AS double) AS double) AS mkt_share,
+           count(*) AS n_items
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               cast(l_extendedprice * (1 - l_discount) AS decimal(30,4)) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= timestamp '1995-01-01 00:00:00'
+          AND o_orderdate <  timestamp '1997-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share inside a region): six-table "
+    "star — lineitem⋈orders is the single corpus-scale shuffle join; "
+    "customer/supplier/nation×2/region all ride broadcasts, and the "
+    "region filter prunes the customer side BEFORE the wide join. The "
+    "share is a conditional decimal sum over the total decimal sum, one "
+    "IEEE divide per year.",
+)
+def q_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_in_region = (
+        cust.join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("__snk"),
+    ).select("s_suppkey", "supp_nation")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(30,4)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(target).cast("double") / F.sum(vol).cast("double"))
+            .cast("double")
+            .alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_supplier_q15",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(cast(l_extendedprice * (1 - l_discount) AS decimal(30,4)))
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+          AND l_shipdate <  timestamp '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, cast(total_revenue AS double) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape (top supplier by quarter revenue, ties kept): the "
+    "revenue view is one partial-aggregated groupBy; the scalar-subquery "
+    "max rides a one-row broadcast cross join (metadata-scale — never a "
+    "global sort), the equality keeps ALL tied suppliers (the spec's "
+    "semantics, unlike a LIMIT 1), and the supplier dim joins broadcast. "
+    "Revenue stays exact decimal through the max comparison, so tie "
+    "detection is engine-exact; the double cast happens only at output.",
+)
+def q_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )

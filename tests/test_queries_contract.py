@@ -214,6 +214,9 @@ def test_driver_window_fully_oracle_backed():
         "supplier_part_variety_q16",
         "disjunctive_revenue_q19",
         "idle_rich_customers_q22",
+        "forecast_revenue_q6",
+        "market_share_q8",
+        "top_supplier_q15",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "event_transition_matrix",

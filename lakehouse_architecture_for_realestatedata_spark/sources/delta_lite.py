@@ -426,3 +426,49 @@ def delta_write(
     if checkpoint_interval and version and version % checkpoint_interval == 0:
         _write_checkpoint(spark, path, version)
     return version
+
+
+def delta_vacuum(spark: SparkSession, path: str) -> list[str]:
+    """Delete data files referenced by NO retained version (Delta VACUUM
+    analogue, retention = everything still in the log: a file is removable
+    only when every version that added it has been superseded AND no
+    version's active set contains it). Returns the deleted paths.
+
+    Replays every version's active file set — metadata-scale work (the log,
+    not the data). Files still on disk but never referenced (crashed
+    writers' orphans) are also collected, matching VACUUM's contract."""
+    keep: set[str] = set()
+    for v in delta_versions(path):
+        keep |= set(_replay(spark, path, v).files)
+    deleted = []
+    for root, _dirs, files in os.walk(path):
+        if "_delta_log" in root or os.sep + "_tmp-" in root:
+            continue
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), path).replace(os.sep, "/")
+            if rel not in keep:
+                os.unlink(os.path.join(root, f))
+                deleted.append(rel)
+    return sorted(deleted)
+
+
+def export_table_to_delta(
+    table, path: str, partition_by: list[str] | None = None
+) -> int:
+    """Migrate a ``sources.tables.ParquetTable`` snapshot into a Delta-
+    formatted table (one overwrite commit of the current snapshot) — the
+    exit ramp for a user moving back to a Delta-native stack. Returns the
+    committed Delta version."""
+    return delta_write(
+        table.read(), path, mode="overwrite", partition_by=partition_by
+    )
+
+
+def import_delta_to_table(spark: SparkSession, path: str, table, version: int | None = None):
+    """Migrate a Delta table (any writer's) into a ``ParquetTable`` — the
+    entry ramp from the reference's Delta storage into this engine's
+    versioned tables. Overwrites the target with the chosen snapshot."""
+    table.overwrite(delta_read(spark, path, version=version))
+    return table

@@ -191,3 +191,34 @@ def test_remove_action_drops_files(spark, tmp_path):
     v1_ids = {r["id"] for r in delta_read(spark, t, version=1).collect()}
     assert v1_ids == {1, 2}
     assert latest_ids == {2}
+
+
+def test_vacuum_and_migration_bridges(spark, tmp_path):
+    """VACUUM deletes only unreferenced files (orphans from crashed
+    writers); the ParquetTable bridges roundtrip a snapshot both ways."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_vacuum,
+        export_table_to_delta,
+        import_delta_to_table,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+    t = str(tmp_path / "v")
+    delta_write(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t)
+    # plant an orphan (crashed-writer leftover, never referenced)
+    with open(os.path.join(t, "part-orphan.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    deleted = delta_vacuum(spark, t)
+    assert deleted == ["part-orphan.parquet"]
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == [1, 2]
+    # referenced-by-any-version files survive vacuum even after overwrite
+    delta_write(_df(spark, [(3, "c", 3.0)]), t, mode="overwrite")
+    assert delta_vacuum(spark, t) == []
+    assert sorted(r["id"] for r in delta_read(spark, t, version=0).collect()) == [1, 2]
+
+    pt = ParquetTable(spark, str(tmp_path / "pt"))
+    import_delta_to_table(spark, t, pt)
+    assert sorted(r["id"] for r in pt.read().collect()) == [3]
+    out = str(tmp_path / "exported")
+    export_table_to_delta(pt, out)
+    assert sorted(r["id"] for r in delta_read(spark, out).collect()) == [3]

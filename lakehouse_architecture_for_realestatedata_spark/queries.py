@@ -187,6 +187,9 @@ def registry() -> dict[str, QuerySpec]:
         "doc_repetition_signals",
         "semi_join_active_customers",
         "heavy_hitters_recount_users",  # new r5; heavy_hitters_users in-window
+        # new r8 (starts deferred; knn_cosine_bruteforce + embedding_near_dup
+        # keep the similarity family in-window; r9 rotation candidate):
+        "hard_negative_mining",
         # New r5 extension families (chunking / boilerplate / funnel /
         # corr / MAD) start deferred; r6 rotation candidates to swap in
         # against driver-green same-family twins.

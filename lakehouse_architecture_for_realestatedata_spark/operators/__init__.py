@@ -40,6 +40,7 @@ from lakehouse_architecture_for_realestatedata_spark.operators.similarity import
     ivf_assign,
     ivf_knn,
     knn_bruteforce,
+    hard_negatives,
     knn_quantized,
 )
 from lakehouse_architecture_for_realestatedata_spark.operators.skew import salted_join
@@ -84,6 +85,7 @@ __all__ = [
     "ivf_assign",
     "ivf_knn",
     "knn_bruteforce",
+    "hard_negatives",
     "knn_quantized",
     "salted_join",
     "daily_measure",

@@ -150,3 +150,59 @@ def test_batched_training_equals_one_per_round(spark, sf_dir):
     bat = bpe_train_merges(docs, "text", num_merges=24, batch_size=16)
     assert seq == bat
     assert len(seq) == 24
+
+
+def test_safe_merge_batch_property_random_corpora():
+    """Property test of the batching rule itself: a pure-Python trainer
+    that uses _safe_merge_batch each round must produce EXACTLY the
+    sequential argmax-per-round merge list, over randomized small corpora
+    (skewed alphabets make overlapping/tied candidates common — the cases
+    the trimming rule exists for)."""
+    import random
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.bpe import (
+        _safe_merge_batch,
+    )
+
+    def pair_counts(vocab):
+        pc = {}
+        for syms, n in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + n
+        return pc
+
+    def batched_train(wc, num_merges, batch_size, cap):
+        vocab = {tuple(list(w) + [END_OF_WORD]): n for w, n in wc.items()}
+        merges = []
+        while len(merges) < num_merges:
+            pc = pair_counts(vocab)
+            rows = [
+                {"left": a, "right": b, "cnt": c}
+                for (a, b), c in sorted(
+                    pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+                )[:cap]
+            ]
+            if not rows or rows[0]["cnt"] < 2:
+                break
+            batch = _safe_merge_batch(rows, cap)[: num_merges - len(merges)][
+                :batch_size
+            ]
+            if not batch:
+                break
+            for a, b in batch:
+                merges.append((a, b))
+                vocab = {_py_apply(s, a, b): n for s, n in vocab.items()}
+        return merges
+
+    rng = random.Random(1234)
+    for trial in range(300):
+        alphabet = "abc" if trial % 3 else "ab"  # tiny alphabets force ties
+        wc = {}
+        for _ in range(rng.randint(2, 12)):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            wc[w] = wc.get(w, 0) + rng.randint(1, 9)
+        n_merges = rng.randint(1, 12)
+        want = _py_train(wc, n_merges)
+        for bs, cap in ((2, 4), (4, 8), (8, 64)):
+            got = batched_train(wc, n_merges, bs, cap)
+            assert got == want, (trial, wc, bs, cap, got, want)

@@ -358,74 +358,103 @@ def delta_write(
     mode: str = "append",
     partition_by: list[str] | None = None,
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
+    max_retries: int = 20,
 ) -> int:
     """Commit ``df`` to a Delta table at ``path`` (creating it if absent).
     ``mode``: 'append' adds files; 'overwrite' removes every active file
     and adds the new ones (logical delete — bytes stay for time travel,
-    Delta's own contract). Returns the committed version."""
+    Delta's own contract). Returns the committed version.
+
+    Concurrency (the ``sources/tables.py`` discipline): data files are
+    written ONCE, then the commit loop claims a version with put-if-absent.
+    A losing APPEND rebases automatically — its adds are blind (valid
+    against any snapshot), so the retry just re-reads the winner's state
+    and re-claims; a metadata-only recommit, the data files never move
+    again. A losing OVERWRITE raises ``ConcurrentDeltaCommitError``: its
+    remove set was computed against a snapshot that is no longer latest
+    (Delta's ConcurrentAppendException contract — caller re-runs)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
     os.makedirs(path, exist_ok=True)
-    existing = delta_versions(path)
-    version = (existing[-1] + 1) if existing else 0
-    prior_partitioning: list[str] = []
-    prior_files: dict[str, dict] = {}
-    if existing:
-        snap = _replay(spark, path, existing[-1])
-        prior_partitioning = snap.partition_columns
-        prior_files = snap.files
-        if partition_by is not None and list(partition_by) != prior_partitioning:
-            raise ValueError(
-                f"partition_by {partition_by} != table's {prior_partitioning}"
+    adds: list[dict] | None = None
+    for attempt in range(max_retries + 1):
+        existing = delta_versions(path)
+        version = (existing[-1] + 1) if existing else 0
+        prior_partitioning: list[str] = []
+        prior_files: dict[str, dict] = {}
+        if existing:
+            snap = _replay(spark, path, existing[-1])
+            prior_partitioning = snap.partition_columns
+            prior_files = snap.files
+            if partition_by is not None and list(partition_by) != prior_partitioning:
+                raise ValueError(
+                    f"partition_by {partition_by} != table's {prior_partitioning}"
+                )
+        pcols = list(partition_by or prior_partitioning)
+        if adds is None:  # data files are written exactly once
+            adds = _write_data_files(df, path, pcols)
+            written_pcols = pcols
+        elif pcols != written_pcols:
+            # a racing creator established a different partitioning after
+            # our files were laid out — the layout no longer matches
+            raise ConcurrentDeltaCommitError(
+                f"table partitioning changed to {pcols} while committing "
+                f"files laid out as {written_pcols}"
             )
-    pcols = list(partition_by or prior_partitioning)
-    adds = _write_data_files(df, path, pcols)
-    now = int(time.time() * 1000)
-    actions = [
-        {
-            "commitInfo": {
-                "timestamp": now,
-                "operation": "WRITE",
-                "operationParameters": {"mode": mode.upper()},
-                "engineInfo": "delta-lite",
-            }
-        }
-    ]
-    if version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
-        actions.append(
+        now = int(time.time() * 1000)
+        actions = [
             {
-                "metaData": {
-                    "id": uuid.uuid4().hex,
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
-                    "partitionColumns": pcols,
-                    "configuration": {},
-                    "createdTime": now,
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": mode.upper()},
+                    "engineInfo": "delta-lite",
                 }
             }
-        )
-    if mode == "overwrite" and prior_files:
-        for p, add in prior_files.items():
+        ]
+        if version == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
             actions.append(
                 {
-                    "remove": {
-                        "path": p,
-                        "deletionTimestamp": now,
-                        "dataChange": True,
-                        "partitionValues": add.get("partitionValues", {}),
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": pcols,
+                        "configuration": {},
+                        "createdTime": now,
                     }
                 }
             )
-    actions += [{"add": a} for a in adds]
-    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
-    _claim_version(_log_dir(path), version, payload)
-    if checkpoint_interval and version and version % checkpoint_interval == 0:
-        _write_checkpoint(spark, path, version)
-    return version
+        if mode == "overwrite" and prior_files:
+            for p, add in prior_files.items():
+                actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                            "partitionValues": add.get("partitionValues", {}),
+                        }
+                    }
+                )
+        actions += [{"add": a} for a in adds]
+        payload = (
+            "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+        )
+        try:
+            _claim_version(_log_dir(path), version, payload)
+        except ConcurrentDeltaCommitError:
+            if mode != "append" or attempt == max_retries:
+                raise
+            continue  # blind append: rebase on the winner's state and re-claim
+        if checkpoint_interval and version and version % checkpoint_interval == 0:
+            _write_checkpoint(spark, path, version)
+        return version
+    raise ConcurrentDeltaCommitError(f"gave up after {max_retries} retries")
 
 
 def delta_vacuum(spark: SparkSession, path: str) -> list[str]:

@@ -222,3 +222,31 @@ def test_vacuum_and_migration_bridges(spark, tmp_path):
     out = str(tmp_path / "exported")
     export_table_to_delta(pt, out)
     assert sorted(r["id"] for r in delta_read(spark, out).collect()) == [3]
+
+
+def test_concurrent_appends_all_commit(spark, tmp_path):
+    """Six threads append simultaneously: the put-if-absent claim
+    serializes them, losing appends auto-rebase (metadata-only recommit —
+    data files written once), every row lands, and version history shows
+    one commit per writer. Losing OVERWRITES must raise instead (their
+    remove set is stale)."""
+    import threading
+
+    t = str(tmp_path / "conc")
+    delta_write(_df(spark, [(0, "seed", 0.0)]), t)
+    errs = []
+
+    def _append(i):
+        try:
+            delta_write(_df(spark, [(i, f"w{i}", float(i))]), t, mode="append")
+        except Exception as e:  # noqa: BLE001
+            errs.append((i, e))
+
+    threads = [threading.Thread(target=_append, args=(i,)) for i in range(1, 7)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == list(range(7))
+    assert delta_versions(t) == list(range(7))

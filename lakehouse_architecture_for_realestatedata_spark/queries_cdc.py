@@ -271,3 +271,44 @@ def q_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(delta_read(spark, path, version=v1), "v_initial").unionByName(
         agg(delta_read(spark, path), "v_latest")
     )
+
+
+@register(
+    "keyed_delete_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey,
+           cast(cast(o_totalprice AS decimal(30,2)) AS double) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1400
+      AND NOT (o_custkey IN (3, 7, 11) OR o_totalprice > 400000)
+    """,
+    doc="Right-to-be-forgotten / retention delete as a hard oracle row "
+    "(sources/tables.py:delete_where): load orders into a versioned "
+    "table, DELETE a customer id-list (the GDPR erasure shape, Column "
+    "predicate) and then an out-of-range price slice via (col, op, value) "
+    "conditions — the zonemap-pruned path that rewrites only data dirs "
+    "whose min/max admit a match, O(expired slice) not O(table). The "
+    "surviving read must equal the oracle's double-negated predicate.",
+)
+def q_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1400).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(30,2)").alias("o_totalprice"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_delete_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    t = ParquetTable(spark, f"{root}/orders_del")
+    t.overwrite(orders)
+    t.delete_where(F.col("o_custkey").isin(3, 7, 11))
+    t.delete_where(("o_totalprice", ">", 400000.0))
+    return t.read().select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )

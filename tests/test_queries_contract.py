@@ -208,6 +208,7 @@ def test_driver_window_fully_oracle_backed():
         # r8 additions (registered in the late stats block; start deferred —
         # r9 rotation candidates):
         "delta_interop_roundtrip",
+        "keyed_delete_roundtrip",
         "hard_negative_mining",
         "volume_shipping_q7",
         "customer_order_distribution_q13",

@@ -1,0 +1,48 @@
+"""Run-twice determinism smoke (the round-7 bug class): the queries built
+on global ordering / bucketing / sampling primitives must hash identically
+across two fresh plan compositions and executions. The full registry gets
+the same check from tools/check_determinism.py (167/167 stable, r8); this
+pytest keeps the most at-risk family guarded on every run."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from lakehouse_architecture_for_realestatedata_spark.queries import registry
+
+AT_RISK = [
+    "pareto_customer_revenue",      # global_running_sum (desc lead key)
+    "auc_value_vs_purchase",        # distinct-score prefix sum
+    "ntile_customer_quartiles",     # ntile_buckets
+    "equi_depth_bands_events",      # ntile_buckets n=8
+    "percent_rank_event_values",    # grouped_row_number
+    "cume_dist_event_values",       # grouped_cume_dist
+    "deterministic_sample",         # md5-keyed sampling
+    "weighted_doc_sample",          # weighted hex-threshold sampling
+]
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.12g}"
+    return str(v)
+
+
+def _result_hash(df):
+    rows = [tuple(r) for r in df.collect()]
+    order = sorted(range(len(df.columns)), key=lambda i: df.columns[i])
+    lines = sorted("\x01".join(_canon(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest(), len(rows)
+
+
+@pytest.mark.parametrize("name", AT_RISK)
+def test_two_executions_agree(name, spark, sf_dir):
+    spec = registry()[name]
+    first = _result_hash(spec.spark_fn(spark, sf_dir))
+    second = _result_hash(spec.spark_fn(spark, sf_dir))
+    assert first == second, f"{name} is execution-dependent: {first} != {second}"

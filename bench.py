@@ -81,6 +81,12 @@ HEADLINE = [
     "disjunctive_revenue_q19",
     "pareto_customer_revenue",
     "delta_interop_roundtrip",
+    # r8 late additions: the single-exchange Q21 waiting-supplier chain
+    # (groupBy + three chained per-order window counts on one shuffle)
+    # and the two-phase global shuffle order (literal-boundary
+    # global_row_number over an md5 total order)
+    "waiting_suppliers_q21",
+    "training_order_shuffle",
 ]
 
 

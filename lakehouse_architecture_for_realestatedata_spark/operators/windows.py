@@ -259,6 +259,62 @@ def global_running_sum(
     )
 
 
+def global_running_max(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str | Column,
+    out_col: str = "running_max",
+    partitions: int | None = None,
+    descending: bool = False,
+    exclusive: bool = False,
+) -> DataFrame:
+    """EXACT global running (prefix) MAX of ``value_col`` over a total
+    order with NO single-task sort — the skyline / record-to-date
+    primitive. Same two-phase shape as ``global_running_sum``: literal-
+    boundary range buckets (``_literal_range_pid`` — pure row function,
+    execution-invariant), per-bucket running max (parallel sorts), then
+    each bucket's prefix max from the bounded per-bucket frame, broadcast
+    back and combined with ``greatest``. Max is associative and type-
+    preserving, so no decimal staging is needed and the result is
+    partition-invariant by construction.
+
+    ``exclusive=True`` computes the prefix max over STRICTLY PRECEDING
+    rows (``rows between unbounded preceding and 1 preceding``): the first
+    row of the total order gets NULL — the dominance test a skyline needs.
+    Caller supplies a unique tiebreak in ``order_by`` (plain columns;
+    ``descending`` flips the lead key)."""
+    _plain_columns(order_by)
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    pid = _literal_range_pid(df, order_by[0], descending, p)
+    staged = df.withColumn("__pid", pid).withColumn("__v", v)
+    totals = staged.groupBy("__pid").agg(F.max("__v").alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.max("__t").over(w_off).alias("__off")
+    )
+    hi = -1 if exclusive else 0
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*_window_order(order_by, descending))
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = staged.withColumn("__lmax", F.max("__v").over(w_local))
+    combined = F.when(
+        F.col("__off").isNull(), F.col("__lmax")
+    ).otherwise(
+        F.when(F.col("__lmax").isNull(), F.col("__off")).otherwise(
+            F.greatest(F.col("__off"), F.col("__lmax"))
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, combined)
+        .drop("__pid", "__v", "__lmax", "__off")
+    )
+
+
 def ntile_buckets(
     df: DataFrame,
     order_by: list[Column],

@@ -2001,3 +2001,514 @@ def q_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
     )
+
+
+@register(
+    "min_cost_supplier_q2",
+    """
+    WITH supply AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(cast(l_extendedprice AS decimal(30,2))) AS ps_cost
+        FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), eusupply AS (
+        SELECT ps_partkey, ps_suppkey, ps_cost, s_name, s_acctbal, n_name
+        FROM supply JOIN eu ON ps_suppkey = s_suppkey
+    ), best AS (
+        SELECT ps_partkey, min(ps_cost) AS min_cost
+        FROM eusupply GROUP BY ps_partkey
+    )
+    SELECT p_partkey, p_brand, s_name, n_name, s_acctbal,
+           cast(ps_cost AS double) AS supply_cost
+    FROM part
+    JOIN eusupply ON p_partkey = ps_partkey
+    JOIN best USING (ps_partkey)
+    WHERE p_type = 'STANDARD' AND ps_cost = min_cost
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier, correlated MIN subquery): the "
+    "supply relation is derived from lineitem (no partsupp table in the "
+    "fixture schema) as min observed line price per (part, supplier). "
+    "The EU supplier dim broadcasts INTO the lineitem scan (cuts the "
+    "corpus before any shuffle); the correlated min is a per-part window "
+    "min over the grouped supply frame — since the EU filter keys on a "
+    "GROUP key, filtering before the groupBy is equivalent. Ties kept, "
+    "per spec; cost stays exact decimal through the equality so tie "
+    "detection is engine-exact. Physics: ONE corpus shuffle total — "
+    "repartition on partkey satisfies both the (part,supp) groupBy "
+    "(subset clustering) and the per-part window, so the min-filter "
+    "costs no extra exchange and the supply frame is never recomputed.",
+)
+def q_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eusupply = (
+        li.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(30,2)")).alias("ps_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    return (
+        eusupply.withColumn("min_cost", F.min("ps_cost").over(w))
+        .filter(F.col("ps_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.col("ps_cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "product_profit_q9",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           cast(sum(cast(l_extendedprice * (1 - l_discount)
+                         AS decimal(30,4))) AS double)
+           - 0.05 * cast(sum(cast(cast(p_retailprice AS decimal(12,2))
+                                  * cast(l_quantity AS decimal(8,0))
+                                  AS decimal(30,2))) AS double) AS profit_est,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product-line profit by supplier nation and year): "
+    "the fixture schema has no partsupp.ps_supplycost, so cost is proxied "
+    "as 5%% of retail value shipped (p_retailprice x l_quantity). Both "
+    "sums run as exact decimals — the product is decimal(12,2) x "
+    "decimal(8,0) so neither engine's precision-cap rounds — and combine "
+    "in one IEEE expression at output. Physics: the part-name LIKE prunes "
+    "the broadcast build side first; lineitem=orders is the only "
+    "corpus-scale shuffle join; supplier/nation ride broadcasts.",
+)
+def q_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,4)"
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(8,0)")
+    ).cast("decimal(30,2)")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(disc).cast("double")
+                - F.lit(0.05) * F.sum(cost).cast("double")
+            ).alias("profit_est"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "important_parts_q11",
+    """
+    WITH val AS (
+        SELECT l_partkey, sum(cast(l_extendedprice AS decimal(30,2))) AS value_dec
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, cast(value_dec AS double) AS part_value
+    FROM val CROSS JOIN (
+        SELECT cast(sum(value_dec) AS double) AS total FROM val) t
+    WHERE cast(value_dec AS double) > total * 0.001
+    """,
+    doc="TPC-H Q11 shape (important stock threshold): per-part shipped "
+    "value for suppliers of one region, kept when above a fraction of "
+    "the grand total (scalar-subquery threshold). Value sums are exact "
+    "decimals on both engines; the threshold compare happens in IEEE "
+    "double (exact sum -> one correctly-rounded cast, one multiply) so "
+    "the cut is bit-identical. Physics: one shuffle groupBy on partkey "
+    "after a broadcast supplier-region semi-filter; the grouped frame is "
+    "localCheckpointed (partkey-cardinality, far below the corpus) so "
+    "the one-row grand total and the threshold filter both read the "
+    "materialized aggregate instead of re-running the lineitem scan.",
+)
+def q_important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp_asia = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    val = (
+        li.join(F.broadcast(supp_asia), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).alias("value_dec")
+        )
+        .localCheckpoint(eager=True)
+    )
+    total = val.agg(F.sum("value_dec").cast("double").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("total") * 0.001)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "late_shipment_modes_q12",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count,
+           count(*) AS n_late
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (late shipments split by priority class): the "
+    "fixture schema has no l_shipmode/l_receiptdate, so the mode column "
+    "is l_linestatus and 'late' is shipped >= 60 days after order date — "
+    "a cross-table date predicate that must evaluate post-join (Catalyst "
+    "cannot push it to either scan), then conditional integer sums. All "
+    "integer arithmetic: no float hazard. Physics: one shuffle join on "
+    "the order key, one tiny hash aggregate.",
+)
+def q_late_shipment_modes_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.count(F.lit(1)).alias("n_late"),
+        )
+    )
+
+
+@register(
+    "part_share_suppliers_q20",
+    """
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+               sum(cast(l_quantity AS decimal(20,2))) AS qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT l_partkey, sum(qty) AS part_qty FROM shipped GROUP BY 1
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped
+    JOIN tot USING (l_partkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE cast(qty AS double) > 0.3 * cast(part_qty AS double)
+    """,
+    doc="TPC-H Q20 shape (suppliers holding a dominant share of a part "
+    "family): no partsupp.ps_availqty in the fixture schema, so the "
+    "availability proxy is shipped quantity — suppliers who shipped more "
+    "than 30%% of a 'bolt' part's total. The qualifying-supplier set is "
+    "DISTINCT (a supplier qualifies via any one part) — Spark spells it "
+    "as a groupBy-dedup then broadcast supplier join. Quantity sums stay "
+    "exact decimal; the share compare is pure IEEE. Physics: part-name "
+    "prune rides the broadcast join build; ONE corpus shuffle — the "
+    "partkey repartition satisfies both the (part,supp) groupBy (subset "
+    "clustering) and the per-part total window, so the shipped frame is "
+    "computed once, never joined back to itself.",
+)
+def q_part_share_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qualifying = (
+        shipped.withColumn("part_qty", F.sum("qty").over(w))
+        .filter(
+            F.col("qty").cast("double") > F.lit(0.3) * F.col("part_qty").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return qualifying.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "waiting_suppliers_q21",
+    """
+    WITH ls AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ), om AS (
+        SELECT l_orderkey, max(supp_last) AS order_last, count(*) AS n_supp
+        FROM ls GROUP BY 1
+    ), at_max AS (
+        SELECT ls.l_orderkey, count(*) AS n_at_max
+        FROM ls JOIN om USING (l_orderkey)
+        WHERE supp_last = order_last
+        GROUP BY 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM ls
+    JOIN om USING (l_orderkey)
+    JOIN at_max USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE supp_last = order_last AND n_supp >= 2 AND n_at_max = 1
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept multi-supplier orders "
+    "waiting): no l_receiptdate/l_commitdate in the fixture schema, so "
+    "'the one who held the order up' is the unique supplier whose last "
+    "ship date IS the finished order's last ship date, on orders with "
+    ">= 2 suppliers where no other supplier ties that max (the EXISTS / "
+    "NOT EXISTS pair of the original, spelled as per-order counts). "
+    "Timestamp equality is exact. Physics: ONE corpus shuffle — the "
+    "order-key join leaves the frame hash-partitioned on l_orderkey, "
+    "which satisfies the (order,supp) groupBy (subset clustering) AND "
+    "the two chained per-order windows (order_last / n_supp, then "
+    "n_at_max over the first's output — the EXISTS / NOT-EXISTS pair as "
+    "window counts, never a self-join that would recompute the "
+    "aggregate); the supplier dim rides a broadcast. The per-order "
+    "window partitions on a high-cardinality key — never a single-task "
+    "sort.",
+)
+def q_waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ls = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_last"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    annotated = (
+        ls.withColumn("order_last", F.max("supp_last").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_at_max",
+            F.sum(
+                F.when(F.col("supp_last") == F.col("order_last"), 1).otherwise(0)
+            ).over(w),
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        annotated.filter(
+            (F.col("supp_last") == F.col("order_last"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_at_max") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "skyline_cheap_large_parts",
+    """
+    WITH best AS (
+        SELECT p_retailprice, max(p_size) AS best_size FROM part GROUP BY 1
+    ), sky AS (
+        SELECT p_retailprice, best_size,
+               max(best_size) OVER (ORDER BY p_retailprice
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_best
+        FROM best
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN sky s
+      ON p.p_retailprice = s.p_retailprice AND p.p_size = s.best_size
+    WHERE s.prev_best IS NULL OR s.best_size > s.prev_best
+    """,
+    doc="2-D skyline (pareto-dominance front): parts where no other part "
+    "is both cheaper-or-equal AND larger-or-equal with at least one "
+    "strict — the cheapest-for-their-size frontier. Spelled WITHOUT the "
+    "quadratic NOT-EXISTS and WITHOUT a single-task global window: "
+    "collapse to max size per distinct price (one shuffle), then the "
+    "strictly-preceding prefix max over the price order runs on the new "
+    "two-phase global_running_max primitive (operators/windows.py) — "
+    "literal-boundary buckets, per-bucket window, broadcast bucket "
+    "prefix maxima — so the frontier test distributes over millions of "
+    "distinct prices. Rows tied on both dims are mutually non-dominated "
+    "and all kept, per skyline semantics. The join back on (price, size) "
+    "compares doubles read from the same parquet value — exact.",
+)
+def q_skyline_cheap_large_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
+        global_running_max,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    # distinct-price cardinality (far below the corpus); materialize once so
+    # the boundary pass, the window branch, and the bucket-maxima branch of
+    # global_running_max all read it instead of re-running the groupBy
+    best = (
+        part.groupBy("p_retailprice")
+        .agg(F.max("p_size").alias("best_size"))
+        .localCheckpoint(eager=True)
+    )
+    sky = global_running_max(
+        best,
+        [F.col("p_retailprice")],
+        "best_size",
+        out_col="prev_best",
+        exclusive=True,
+    ).filter(F.col("prev_best").isNull() | (F.col("best_size") > F.col("prev_best")))
+    front = sky.select(
+        F.col("p_retailprice").alias("__sky_price"),
+        F.col("best_size").alias("__sky_size"),
+    )
+    return part.join(
+        front,
+        (F.col("p_retailprice") == F.col("__sky_price"))
+        & (F.col("p_size") == F.col("__sky_size")),
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+@register(
+    "training_order_shuffle",
+    """
+    WITH h AS (
+        SELECT doc_id, md5('shuffle-v1:' || cast(doc_id AS varchar)) AS hk
+        FROM documents
+    )
+    SELECT doc_id, pos, cast((pos - 1) % 8 AS int) AS shard
+    FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS pos
+        FROM h
+    )
+    """,
+    doc="Deterministic global training-order shuffle: every document gets "
+    "a reproducible position in a pseudo-random total order (md5 of a "
+    "salted key — rerunning the job yields byte-identical order, unlike "
+    "rand()) plus a round-robin shard id, the exact contract a resumable "
+    "training-data loader needs. The global position uses the two-phase "
+    "global_row_number primitive — the hash's 15-hex-digit prefix (< "
+    "2^60) becomes the numeric bucketing lead key via conv(), the full "
+    "hash + doc_id finish the total order — so there is NO single-task "
+    "global sort; prefix-monotonicity of the numeric key makes the "
+    "composite order identical to ORDER BY hk, doc_id.",
+)
+def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
+        global_row_number,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # three consumers (boundary quantiles, bucket counts, local numbering)
+    # read the hashed frame: materialize the 3-column projection once
+    h = (
+        docs.withColumn(
+            "hk",
+            F.md5(F.concat(F.lit("shuffle-v1:"), F.col("doc_id").cast("string"))),
+        )
+        .withColumn("hknum", F.conv(F.substring("hk", 1, 15), 16, 10).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    ranked = global_row_number(
+        h,
+        [F.col("hknum"), F.col("hk"), F.col("doc_id")],
+        out_col="pos",
+    )
+    return ranked.select(
+        "doc_id",
+        "pos",
+        ((F.col("pos") - 1) % 8).cast("int").alias("shard"),
+    )

@@ -426,3 +426,52 @@ def test_grouped_cume_dist_matches_window(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_global_running_max_exact_exclusive_and_partition_invariant(spark, sf_dir):
+    """global_running_max must equal the single-partition window prefix max
+    on a unique total order — inclusive and exclusive (strictly-preceding)
+    variants — for any input partitioning and partition count."""
+    from pyspark.sql import Window, functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.windows import (
+        global_running_max,
+    )
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("top"))
+    )
+    order = [F.col("o_custkey")]
+    w_inc = Window.orderBy("o_custkey").rowsBetween(Window.unboundedPreceding, 0)
+    w_exc = Window.orderBy("o_custkey").rowsBetween(Window.unboundedPreceding, -1)
+    want_inc = sorted(
+        map(tuple, o.select("o_custkey", F.max("top").over(w_inc).alias("m")).collect())
+    )
+    want_exc = sorted(
+        map(tuple, o.select("o_custkey", F.max("top").over(w_exc).alias("m")).collect())
+    )
+    # first row of the total order must carry NULL in the exclusive variant
+    assert want_exc[0][1] is None
+    for src, p in ((o.coalesce(1), 3), (o.repartition(16), None)):
+        got_inc = sorted(
+            map(
+                tuple,
+                global_running_max(src, order, "top", out_col="m", partitions=p)
+                .select("o_custkey", "m")
+                .collect(),
+            )
+        )
+        got_exc = sorted(
+            map(
+                tuple,
+                global_running_max(
+                    src, order, "top", out_col="m", partitions=p, exclusive=True
+                )
+                .select("o_custkey", "m")
+                .collect(),
+            )
+        )
+        assert got_inc == want_inc
+        assert got_exc == want_exc

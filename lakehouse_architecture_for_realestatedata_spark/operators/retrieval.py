@@ -1,0 +1,209 @@
+"""Text retrieval over the document corpus: BM25 ranked search and
+winnowing document fingerprints.
+
+Reference scope: the reference pipeline builds dbt models for downstream
+consumption (search/serving is delegated to Superset dashboards); these
+operators extend the engine with the retrieval passes an LLM-training
+corpus pipeline needs — scoring documents against queries (BM25, the
+lexical-retrieval baseline every data-curation stack keeps next to its
+embedding ANN) and locality-sensitive content fingerprints (winnowing,
+Schleimer et al. SIGMOD'03 — the MOSS algorithm) for plagiarism-style
+overlap detection between documents.
+
+Cross-engine discipline (same rules as operators/textprep.py):
+
+* ``ln()`` is not correctly rounded in either engine, so BM25 term
+  contributions are QUANTIZED to int64 (round-half-away at 2^20) before
+  the per-document sum — the sum is exact integer arithmetic, hence
+  partition-invariant in Spark and bit-identical to the DuckDB oracle;
+  only a true idf value within ~1e-15 of a quantization boundary could
+  ever diverge (the accepted perplexity-family risk).
+* Winnowing compares md5 HEX STRINGS (binary collation, ASCII-only), not
+  engine-specific numeric hashes, so Spark and DuckDB pick identical
+  window minima.
+
+Scale shape:
+
+* BM25 never materializes scores for the whole vocabulary: the query
+  term set broadcasts into the (doc, term) tf aggregate, so document
+  frequencies and contributions are computed only for queried terms.
+  One corpus-wide shuffle builds tf; everything after is
+  queried-terms-scale.
+* Winnowing samples ~2/(w+1) of each document's k-gram hashes with a
+  bounded per-document window (partitioned by doc_id — high cardinality,
+  never a single-task sort), so the pair join runs on the sampled
+  fingerprint set, not all grams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.functions.text import tokens
+
+#: BM25 free parameters (the standard Robertson defaults).
+K1 = 1.2
+B = 0.75
+#: Quantization scale for term contributions (2^20).
+_QSCALE = 1048576.0
+
+
+def term_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(document, term) counts plus per-document length — the indexed
+    form BM25 scores against. ONE corpus shuffle (the tf groupBy); ``dl``
+    rides a doc-partitioned window over the already-aggregated tf frame
+    (grouping keys are a superset of the window key, so no extra
+    exchange)."""
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy(id_col)
+    return tf.withColumn("dl", F.sum("tf").over(w))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25 (Robertson/Okapi, the
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` non-negative idf variant used by
+    Lucene). ``queries`` is a literal list of ``(query_id, [terms...])``.
+
+    Output ``(query_id, doc_id, score, rnk)`` where ``score`` is the
+    dequantized exact integer sum of per-term contributions (ties broken
+    by ascending doc id — total order, rerun-identical).
+
+    Physics: tf is the only corpus-scale shuffle. The query-term frame is
+    a broadcast literal, so tf is cut to queried terms map-side; document
+    frequencies aggregate the CUT frame (queried-terms-scale); corpus
+    constants N / avgdl broadcast as a one-row frame. The final per-query
+    top-k windows over query_id — cardinality = number of queries, but
+    the input is already (queried docs)-scale, so the rank is cheap; a
+    thousand-query batch would range-bucket by query first.
+    """
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms], ["query_id", "term"]
+    )
+    tf = term_frequencies(docs, id_col, text_col)
+    # corpus constants: N counts ALL input docs (empty ones contribute
+    # length 0 to avgdl); both are exact ints -> one correctly-rounded
+    # IEEE division, identical cross-engine
+    consts = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        F.broadcast(tf.agg(F.sum("tf").alias("total_tokens")))
+    )
+    hit = tf.join(F.broadcast(qterms), "term")
+    dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = hit.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(consts))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfc = (F.col("tf").cast("double") * F.lit(K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(K1)
+        * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl").cast("double") / avgdl))
+    )
+    q = F.floor(idf * tfc * F.lit(_QSCALE) + F.lit(0.5)).cast("bigint")
+    per_doc = scored.groupBy("query_id", id_col).agg(F.sum(q).alias("__qsum"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__qsum").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            id_col,
+            (F.col("__qsum").cast("double") / F.lit(_QSCALE)).alias("score"),
+            "rnk",
+        )
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    every token ``k``-gram, slide a ``w``-gram window, keep each window's
+    MINIMUM hash, emit the distinct kept hashes per document. Guarantee:
+    any token run of length >= ``w + k - 1`` shared by two documents
+    yields at least one shared fingerprint, while only ~``2/(w+1)`` of
+    gram hashes survive — sampled, bounded, and deterministic (no
+    randomness; md5 is the hash).
+
+    The fingerprint SET is the distinct per-window minima — exactly the
+    classic algorithm's set (position-based tie rules only affect which
+    COPY of a repeated hash is recorded, never the set of hash values),
+    spelled as one bounded-frame window (min over the w grams ending at
+    each position, partial head windows included — a harmless superset
+    at the document start) + distinct. The guarantee holds because a
+    window fully inside a shared run has the same minimum in both
+    documents.
+
+    Output ``(doc_id, gram_hash)`` distinct rows. Scale: the k-gram array
+    builds in one projection (no shuffle), the window partitions on the
+    document id (high cardinality, bounded frame), and only sampled
+    hashes reach the distinct's exchange."""
+    toks = F.col("__toks")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+        # short doc: the whole token string is its one gram
+    ).otherwise(F.when(n > 0, F.array(F.md5(F.array_join(toks, " ")))))
+    exploded = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "gh"))
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        exploded.withColumn("__wmin", F.min("gh").over(win))
+        .select(F.col(id_col), F.col("__wmin").alias("gram_hash"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    the MOSS plagiarism-detection join. The self-join runs on the SAMPLED
+    fingerprint set keyed by hash (each hash's bucket is the documents
+    containing that fingerprint — the inverted-index shape), so cost
+    tracks true overlap, never all document pairs."""
+    fp = winnow_fingerprints(docs, id_col, text_col, k, w)
+    a = fp.select(F.col(id_col).alias("doc_a"), "gram_hash")
+    b = fp.select(F.col(id_col).alias("doc_b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

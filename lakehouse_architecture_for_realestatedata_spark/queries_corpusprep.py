@@ -969,3 +969,123 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_score(feats, fcols, w).select(
         "doc_id", "variant", "margin", "prob", "y"
     )
+
+
+@register(
+    "bm25_search_topk",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents
+    ), stream AS (
+        SELECT doc_id, unnest(t) AS term FROM toks
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM stream GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf
+    ), consts AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(*) FROM stream) AS total_tokens
+    ), q(query_id, term) AS (VALUES
+        ('scan_filter', 'scan'), ('scan_filter', 'filter'), ('scan_filter', 'column'),
+        ('join_key', 'join'), ('join_key', 'merge'), ('join_key', 'key'),
+        ('stream_window', 'stream'), ('stream_window', 'window'), ('stream_window', 'order')
+    ), hit AS (
+        SELECT query_id, doc_id, term, tf, dl FROM dl JOIN q USING (term)
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM hit GROUP BY 1
+    ), contrib AS (
+        SELECT query_id, doc_id,
+               cast(floor(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * ((cast(tf AS double) * 2.2)
+                      / (cast(tf AS double)
+                         + 1.2 * (0.25 + 0.75 * (cast(dl AS double)
+                             / (cast(total_tokens AS double) / cast(n_docs AS double))))))
+                   * 1048576.0 + 0.5) AS bigint) AS qc
+        FROM hit JOIN dfreq USING (term) CROSS JOIN consts
+    ), scored AS (
+        SELECT query_id, doc_id, sum(qc) AS qsum FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, cast(qsum AS double) / 1048576.0 AS score, rnk
+    FROM (
+        SELECT query_id, doc_id, qsum,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qsum DESC, doc_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+    doc="BM25 ranked search (operators/retrieval.py:bm25_topk): top-10 "
+    "documents for three literal term queries under Robertson/Okapi BM25 "
+    "with the Lucene non-negative idf, k1=1.2 b=0.75. Cross-engine-exact "
+    "despite ln(): each (query, doc, term) contribution quantizes to "
+    "int64 at 2^20 (round half away) so the per-doc score is an EXACT "
+    "integer sum — partition-invariant in Spark, bit-equal in DuckDB; "
+    "ties break on ascending doc id (total order). Physics: ONE corpus "
+    "shuffle (the tf groupBy); the literal query-term frame broadcasts "
+    "into tf so document frequencies and scores are computed only for "
+    "queried terms; N/avgdl ride a broadcast one-row frame; the final "
+    "top-k windows over #queries partitions of already-cut input.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(
+        docs,
+        [
+            ("scan_filter", ["scan", "filter", "column"]),
+            ("join_key", ["join", "merge", "key"]),
+            ("stream_window", ["stream", "window", "order"]),
+        ],
+        k=10,
+    )
+
+
+@register(
+    "winnow_plagiarism_pairs",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, idx AS pos, md5(array_to_string(t[idx:idx+3], ' ')) AS gh
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 3)) AS u(idx)
+        WHERE len(t) >= 4
+        UNION ALL
+        SELECT doc_id, 1 AS pos, md5(array_to_string(t, ' ')) AS gh
+        FROM toks WHERE len(t) >= 1 AND len(t) < 4
+    ), fp AS (
+        SELECT DISTINCT doc_id, wmin AS gh FROM (
+            SELECT doc_id,
+                   min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
+            FROM grams
+        )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM fp a JOIN fp b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    doc="Winnowing overlap detection (operators/retrieval.py:"
+    "winnow_overlap_pairs, Schleimer et al. SIGMOD'03 / MOSS): token "
+    "4-gram md5 fingerprints sampled as the DISTINCT w=5 sliding-window "
+    "minima (the classic fingerprint set — any shared token run of >= "
+    "w+k-1 = 8 tokens yields a shared fingerprint, pinned in pytest on "
+    "planted plagiarism), then "
+    "document pairs sharing >= 2 sampled fingerprints. Hash comparisons "
+    "are md5 HEX STRINGS (binary collation) so both engines pick "
+    "identical window minima. Physics: grams build array-side in one "
+    "projection; the per-doc window partitions on the high-cardinality "
+    "doc id with a bounded frame; only the ~2/(w+1) sampled hashes reach "
+    "the inverted-index pair join — cost tracks true overlap, never "
+    "all-pairs.",
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.retrieval import (
+        winnow_overlap_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_overlap_pairs(docs, k=4, w=5, min_shared=2)

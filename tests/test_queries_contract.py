@@ -218,6 +218,14 @@ def test_driver_window_fully_oracle_backed():
         "forecast_revenue_q6",
         "market_share_q8",
         "top_supplier_q15",
+        "min_cost_supplier_q2",
+        "product_profit_q9",
+        "important_parts_q11",
+        "late_shipment_modes_q12",
+        "part_share_suppliers_q20",
+        "waiting_suppliers_q21",
+        "skyline_cheap_large_parts",
+        "training_order_shuffle",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "event_transition_matrix",
@@ -242,4 +250,7 @@ def test_driver_window_fully_oracle_backed():
         "langid_confusion_matrix",
         "activity_profile_dow_hour",
         "json_props_rollup",
+        # r8 retrieval additions (corpus-prep block, deferred):
+        "bm25_search_topk",
+        "winnow_plagiarism_pairs",
     }, displaced

@@ -1,0 +1,141 @@
+"""BM25 ranked search and winnowing fingerprints (operators/retrieval.py).
+
+The cross-engine value hash for both registered queries lives in
+tools/check_oracle.py / the contract suite; these tests pin the semantics
+the oracle can't see: BM25 equality against an independent pure-Python
+reference (same quantization), partition invariance, and winnowing's
+shared-substring guarantee on planted plagiarism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_for_realestatedata_spark.operators.retrieval import (
+    K1,
+    B,
+    bm25_topk,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+
+DOCS = [
+    (1, "spark scan filter pushdown makes the scan fast scan"),
+    (2, "join merge key join strategies for the big join"),
+    (3, "stream window order stream watermark window"),
+    (4, "filter join window scan merge order stream key"),
+    (5, "unrelated prose about gardens and tea ceremonies"),
+    (6, ""),
+]
+QUERIES = [("q_scan", ["scan", "filter"]), ("q_join", ["join", "key"])]
+
+
+def _py_bm25(docs, queries, k1=K1, b=B):
+    """Independent reference: same math, same int64 quantization."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n_docs = len(docs)
+    total = sum(len(t) for t in toks.values())
+    avgdl = total / n_docs
+    out = {}
+    for qid, terms in queries:
+        df = {
+            term: sum(1 for t in toks.values() if term in t) for term in terms
+        }
+        for i, t in toks.items():
+            qsum = 0
+            for term in terms:
+                tf = t.count(term)
+                if tf == 0 or df[term] == 0:
+                    continue
+                idf = math.log(1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+                tfc = (tf * (k1 + 1.0)) / (
+                    tf + k1 * ((1.0 - b) + b * (len(t) / avgdl))
+                )
+                qsum += math.floor(idf * tfc * 1048576.0 + 0.5)
+            if qsum:
+                out[(qid, i)] = qsum / 1048576.0
+    return out
+
+
+def test_bm25_matches_python_reference_and_is_partition_invariant(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    want = _py_bm25(DOCS, QUERIES)
+    for src in (docs.coalesce(1), docs.repartition(7)):
+        got = {
+            (r.query_id, r.doc_id): r.score
+            for r in bm25_topk(src, QUERIES, k=10).collect()
+        }
+        assert got == want
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    rows = bm25_topk(docs, QUERIES, k=10).collect()
+    top = {r.query_id: r.doc_id for r in rows if r.rnk == 1}
+    # doc 1 repeats "scan" 3x + "filter"; doc 2 repeats "join" 3x + "key"
+    assert top == {"q_scan": 1, "q_join": 2}
+    # empty and unrelated docs never score
+    scored_docs = {r.doc_id for r in rows}
+    assert 5 not in scored_docs and 6 not in scored_docs
+
+
+def _fp_python(text: str, k: int = 4, w: int = 5) -> set[str]:
+    """Reference winnowing: distinct minima over all w-windows of gram
+    hashes (partial head windows included, matching the operator)."""
+    toks = [t for t in text.lower().split() if t]
+    if not toks:
+        return set()
+    if len(toks) < k:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    return {min(hs[max(0, i - (w - 1)) : i + 1]) for i in range(len(hs))}
+
+
+def test_winnow_matches_python_reference(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.gram_hash) for r in winnow_fingerprints(docs).collect()
+    }
+    want = {
+        (i, h) for i, t in DOCS for h in _fp_python(t)
+    }
+    assert got == want
+
+
+def test_winnow_guarantee_on_planted_plagiarism(spark):
+    # two docs share a 9-token run (>= w + k - 1 = 8): the winnowing
+    # guarantee says they MUST share at least one fingerprint
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [
+            (10, "intro words here " + shared + " closing remark"),
+            (20, shared + " entirely different tail content follows now"),
+            (30, "no overlap with anything else at all in this document"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_overlap_pairs(docs, min_shared=1).collect()
+    }
+    assert (10, 20) in pairs
+    assert all(p == (10, 20) for p in pairs)
+
+
+def test_winnow_samples_below_gram_count(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    n_grams = docs.select(
+        F.explode(F.split(F.lower("text"), r"[^\p{L}\p{N}]+")).alias("t")
+    ).count()
+    n_fp = winnow_fingerprints(docs).count()
+    # density ~2/(w+1): well under half the grams survive
+    assert 0 < n_fp < n_grams / 2

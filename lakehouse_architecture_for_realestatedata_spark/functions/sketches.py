@@ -27,7 +27,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -370,4 +370,90 @@ def cms_estimate(
         probes.join(sketch, gb + ["i", "bucket"], "left")
         .groupBy(*gb, key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def qsketch_build(
+    df,
+    value_col: str,
+    lo: float = 0.0,
+    width: float = 4.0,
+    nbins: int = 128,
+    group_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Mergeable equi-width quantile sketch: ``(group..., bin, cnt)`` —
+    the distribution member of the sketch family (HLL = distinct count,
+    CMS = point frequency, this = quantiles). Bin counts are plain counts,
+    so sketches MERGE additively under a coarser grouping (daily → weekly)
+    exactly like the CMS/HLL rollups, with bounded state (``nbins`` cells
+    per group) and a hard SQL oracle: the bin index is one
+    correctly-rounded IEEE divide + floor + clamp, identical cross-engine.
+    Values outside [lo, lo + nbins·width) clamp into the edge bins (their
+    rank mass is preserved; only their position detail is lost). The
+    quantile readout is ``qsketch_quantiles``; the exact-value refinement
+    path for a single global quantile is operators/aggregates.py:
+    quantile_exact_global (multipass bin-narrowing over the same idea)."""
+    v = F.col(value_col).cast("double")
+    b = (
+        F.least(
+            F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(nbins - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    gb = list(group_cols or [])
+    return df.select(*gb, b).groupBy(*gb, "bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def qsketch_merge(sketch: "DataFrame", group_cols: list[str] | None = None) -> "DataFrame":
+    """Merge quantile sketches by summing bin counts within the (coarser)
+    grouping — a day column remapped to its week collapses daily sketches
+    into exact weekly sketches."""
+    gb = list(group_cols or [])
+    return sketch.groupBy(*gb, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def qsketch_quantiles(
+    sketch: "DataFrame",
+    qs: list[float],
+    lo: float = 0.0,
+    width: float = 4.0,
+    group_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Quantile readout per group: for each q the FIRST bin whose running
+    count reaches ``ceil(q·n)`` — ``(group..., q, bin, n, est)`` with
+    ``est`` the bin's lower edge (the true quantile lies in
+    [est, est + width); max error = one bin width, by construction).
+
+    All deterministic integer/IEEE arithmetic (counts are exact ints; the
+    rank target is one multiply + ceil), so the readout is hash-exact
+    against the SQL oracle. The running count windows over the SKETCH
+    (≤ nbins rows per group — the module's bounded-frame rule), never the
+    data."""
+    gb = list(group_cols or [])
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gb])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*[F.col(c) for c in gb])
+    cum = sketch.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__n", F.sum("cnt").over(wg)
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    hits = (
+        cum.select(*gb, "bin", "__cum", "__n", F.explode(qarr).alias("q"))
+        .filter(
+            F.col("__cum") >= F.ceil(F.col("q") * F.col("__n").cast("double"))
+        )
+        .groupBy(*gb, "q")
+        .agg(F.min("bin").alias("bin"), F.max("__n").alias("n"))
+    )
+    return hits.select(
+        *gb,
+        "q",
+        "bin",
+        "n",
+        (F.lit(lo) + F.col("bin").cast("double") * F.lit(width)).alias("est"),
     )

@@ -2512,3 +2512,69 @@ def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         ((F.col("pos") - 1) % 8).cast("int").alias("shard"),
     )
+
+
+@register(
+    "quantile_sketch_weekly",
+    """
+    WITH e AS (
+        SELECT cast(date_trunc('week', cast(ts as timestamp)) as date) AS week,
+               value
+        FROM events WHERE value IS NOT NULL
+    ), binned AS (
+        SELECT week,
+               cast(least(greatest(floor((value - 0.0) / 4.0), 0), 127) AS int) AS bin
+        FROM e
+    ), sketch AS (
+        SELECT week, bin, count(*) AS cnt FROM binned GROUP BY 1, 2
+    ), cum AS (
+        SELECT week, bin, cnt,
+               sum(cnt) OVER (PARTITION BY week ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c,
+               sum(cnt) OVER (PARTITION BY week) AS n
+        FROM sketch
+    )
+    SELECT week, q, min(bin) AS bin, max(n) AS n,
+           0.0 + cast(min(bin) AS double) * 4.0 AS est
+    FROM cum CROSS JOIN (
+        SELECT unnest([0.5::double, 0.9::double, 0.99::double]) AS q) qs
+    WHERE c >= ceil(q * cast(n AS double))
+    GROUP BY week, q
+    """,
+    doc="Mergeable quantile-sketch rollup (functions/sketches.py "
+    "qsketch_build/qsketch_merge/qsketch_quantiles): DAILY equi-width "
+    "bin sketches (128 bins of width 4 over events.value) merge "
+    "additively into weekly sketches — completing the mergeable-sketch "
+    "family (HLL = distinct, CMS = frequency, this = distribution) — "
+    "then p50/p90/p99 read out as the first bin whose running count "
+    "reaches ceil(q*n). Every step is exact integer arithmetic plus one "
+    "correctly-rounded IEEE divide, so the whole pipeline has a HARD "
+    "oracle (the DuckDB twin builds weekly directly: hash equality also "
+    "proves daily->weekly merge == direct build). est is the bin's lower "
+    "edge; the true quantile lies within one bin width (pytest property, "
+    "vs the exact percentile). Scale: state is <= nbins cells per group "
+    "whatever the row count; the readout windows over the SKETCH, never "
+    "the data.",
+)
+def q_quantile_sketch_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.functions.sketches import (
+        qsketch_build,
+        qsketch_merge,
+        qsketch_quantiles,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    ev = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.col("ts").cast("date").alias("day"),
+        "value",
+    )
+    daily = qsketch_build(
+        ev, "value", lo=0.0, width=4.0, nbins=128, group_cols=["week", "day"]
+    )
+    weekly = qsketch_merge(daily, ["week"])
+    return qsketch_quantiles(
+        weekly, [0.5, 0.9, 0.99], lo=0.0, width=4.0, group_cols=["week"]
+    )

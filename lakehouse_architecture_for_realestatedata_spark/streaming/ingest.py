@@ -808,3 +808,53 @@ def stream_cms_rollup(
     )
     q.awaitTermination()
     return q
+
+
+def stream_qsketch_rollup(
+    stream: DataFrame,
+    sketch_table: "ParquetTable",
+    checkpoint: str,
+    value_col: str = "value",
+    group_col: str = "week",
+    lo: float = 0.0,
+    width: float = 4.0,
+    nbins: int = 128,
+) -> StreamingQuery:
+    """Streaming maintenance of the mergeable quantile sketch
+    (functions/sketches.py:qsketch_build): each micro-batch bins its own
+    values (one partial-aggregated pass) and MERGEs into the persisted
+    per-group sketch by ADDING bin counts — the same additive contract as
+    stream_cms_rollup, completing the streaming-native sketch family
+    (HLL distinct / CMS frequency / quantile distribution). The table
+    stays <= nbins x #groups rows forever; the final sketch equals the
+    batch-built sketch over the full history (pinned in
+    tests/test_streaming.py), so quantile read-outs
+    (qsketch_quantiles) off the maintained table match the batch path
+    bit-for-bit. Same at-least-once caveat as every additive
+    foreachBatch sink here: a replayed batch double-counts; the
+    checkpoint makes replays rare."""
+    from lakehouse_architecture_for_realestatedata_spark.functions.sketches import qsketch_build
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_sketch = qsketch_build(
+            batch_df, value_col, lo=lo, width=width, nbins=nbins, group_cols=[group_col]
+        )
+        if not sketch_table.exists():
+            sketch_table.overwrite(batch_sketch)
+            return
+        cur = sketch_table.read()
+        merged = (
+            cur.unionByName(batch_sketch)
+            .groupBy(group_col, "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        sketch_table.overwrite(merged)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -268,3 +268,73 @@ def test_cms_out_of_stream_probe_estimates_zero(spark):
     # width 4096 >> 5 keys: an unseen key almost surely has an empty cell
     assert est[("g1", "unseen-key")] == 0
     assert est[("g2", "k0")] == 0  # never-seen group: zero, not absent
+
+
+def test_qsketch_merge_parity_and_quantile_bracket(spark, sf_dir):
+    """Quantile sketch: daily->weekly additive merge is BIT-EXACT equal to
+    building weekly directly, and each read-out quantile brackets the true
+    (exact lower) quantile within one bin width."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.functions.sketches import (
+        qsketch_build,
+        qsketch_merge,
+        qsketch_quantiles,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            F.col("ts").cast("date").alias("day"),
+            "value",
+        )
+    )
+    lo, width, nbins = 0.0, 4.0, 128
+    daily = qsketch_build(ev, "value", lo, width, nbins, group_cols=["week", "day"])
+    merged = qsketch_merge(daily, ["week"])
+    direct = qsketch_build(ev, "value", lo, width, nbins, group_cols=["week"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    qs = [0.5, 0.9, 0.99]
+    got = qsketch_quantiles(merged, qs, lo, width, group_cols=["week"]).collect()
+    vals = {
+        w: sorted(r["value"] for r in rows)
+        for w, rows in (
+            (k, list(g))
+            for k, g in __import__("itertools").groupby(
+                sorted(ev.collect(), key=lambda r: str(r["week"])),
+                key=lambda r: str(r["week"]),
+            )
+        )
+    }
+    assert got, "no quantile rows"
+    for r in got:
+        v = vals[str(r["week"])]
+        n = len(v)
+        assert r["n"] == n
+        # exact lower quantile: the ceil(q*n)-th smallest value
+        import math
+
+        true_q = v[math.ceil(r["q"] * n) - 1]
+        assert r["est"] <= true_q < r["est"] + width, (
+            f"week {r['week']} q{r['q']}: est {r['est']} vs true {true_q}"
+        )
+
+
+def test_qsketch_clamps_out_of_range_values(spark):
+    from lakehouse_architecture_for_realestatedata_spark.functions.sketches import (
+        qsketch_build,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (3.9,), (511.9,), (10_000.0,)], "value double"
+    )
+    bins = {
+        r["bin"]: r["cnt"]
+        for r in qsketch_build(df, "value", 0.0, 4.0, 128).collect()
+    }
+    assert bins[0] == 3  # -5, 0, 3.9 all land in the first bin
+    assert bins[127] == 2  # 511.9 and the far outlier clamp into the last

@@ -664,3 +664,64 @@ def test_stream_cms_rollup_equals_batch(spark, tmp_path):
     }
     for k, t in true.items():
         assert est[(k[0], str(k[1]))] >= t
+
+
+def test_stream_qsketch_rollup_equals_batch(spark, tmp_path):
+    """Streaming quantile-sketch maintenance: three micro-batches of
+    additive bin merges end at EXACTLY the sketch a single batch build
+    produces over the full history, so quantile read-outs off the
+    maintained table match the batch path bit-for-bit."""
+    from lakehouse_architecture_for_realestatedata_spark.functions.sketches import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import (
+        stream_qsketch_rollup,
+    )
+
+    rows = [("w1", float(3 * i % 97)) for i in range(60)] + [
+        ("w2", float(5 * i % 53)) for i in range(45)
+    ]
+    df = spark.createDataFrame(rows, "week string, value double")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        df.filter(F.pmod(F.col("value").cast("int"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    table = ParquetTable(spark, str(tmp_path / "qsketch"))
+    stream_qsketch_rollup(
+        stream,
+        table,
+        checkpoint=str(tmp_path / "ckpt"),
+        value_col="value",
+        group_col="week",
+        lo=0.0,
+        width=4.0,
+        nbins=32,
+    )
+    direct = qsketch_build(df, "value", 0.0, 4.0, 32, group_cols=["week"])
+    assert sorted(map(tuple, table.read().collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            qsketch_quantiles(
+                table.read(), [0.5, 0.9], 0.0, 4.0, group_cols=["week"]
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            qsketch_quantiles(direct, [0.5, 0.9], 0.0, 4.0, group_cols=["week"]).collect(),
+        )
+    )
+    assert got == want

@@ -53,17 +53,23 @@ def term_frequencies(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-(document, term) counts plus per-document length — the indexed
-    form BM25 scores against. ONE corpus shuffle (the tf groupBy); ``dl``
-    rides a doc-partitioned window over the already-aggregated tf frame
-    (grouping keys are a superset of the window key, so no extra
-    exchange)."""
-    tf = (
-        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    form BM25 scores against. ONE corpus shuffle total: ``dl`` is the
+    token-array size computed BEFORE the explode and carried through it
+    (never a post-aggregation window), and the (doc, term) groupBy rides
+    a doc-keyed partitioning (subset clustering)."""
+    staged = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
     )
-    w = Window.partitionBy(id_col)
-    return tf.withColumn("dl", F.sum("tf").over(w))
+    return (
+        staged.repartition(F.col(id_col))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(id_col, "term", "tf", "dl")
+    )
 
 
 def bm25_topk(
@@ -96,9 +102,14 @@ def bm25_topk(
     tf = term_frequencies(docs, id_col, text_col)
     # corpus constants: N counts ALL input docs (empty ones contribute
     # length 0 to avgdl); both are exact ints -> one correctly-rounded
-    # IEEE division, identical cross-engine
-    consts = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        F.broadcast(tf.agg(F.sum("tf").alias("total_tokens")))
+    # IEEE division, identical cross-engine. total_tokens sums the token-
+    # array sizes doc-side — a shuffle-free partial aggregate over the
+    # docs scan, never a recomputation of the tf index
+    consts = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(
+            F.sum(F.size(tokens(F.col(text_col)))).cast("bigint"), F.lit(0)
+        ).alias("total_tokens"),
     )
     hit = tf.join(F.broadcast(qterms), "term")
     dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

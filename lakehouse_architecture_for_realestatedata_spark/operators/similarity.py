@@ -1037,3 +1037,75 @@ def hard_negatives(
         )
     )
     return _topk_per_query(scored, k)
+
+
+def mmr_select(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rel_col: str = "cosine",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    diversity-aware top-k: greedily pick the candidate maximizing
+    ``lam * relevance - (1 - lam) * max_cosine_to_already_selected`` —
+    the selection step a curation pipeline runs AFTER retrieval so the
+    kept set isn't k near-copies of the best hit.
+
+    Greedy MMR is inherently sequential per query, so it runs as an
+    Arrow-batched ``applyInPandas`` over the BOUNDED per-query candidate
+    set (callers pass retrieval's top-N, N ~ tens; never the corpus) —
+    the same "Python only on bounded frames" contract as the codec
+    operators. Everything corpus-scale stays in the retrieval step.
+    Deterministic: candidates sort by id before the loop, ties break on
+    the smaller id, float64 math — rerun- and partitioning-identical
+    (pinned against a pure-Python reference in pytest).
+
+    Output: ``(query_col, id_col, rel_col, mmr_score, rank)`` with rank
+    = selection order (1 = picked first)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{query_col} long, {id_col} long, {rel_col} double, "
+        "mmr_score double, rank int"
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        sims = unit @ unit.T
+        n = len(pdf)
+        selected: list[int] = []
+        max_sim = np.zeros(n)
+        picked = np.zeros(n, dtype=bool)
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            score = lam * rel - (1.0 - lam) * max_sim
+            score[picked] = -np.inf
+            i = int(np.argmax(score))  # argmax takes the FIRST max: id-asc tie-break
+            picked[i] = True
+            selected.append(i)
+            rows.append(
+                (
+                    int(pdf[query_col].iloc[i]),
+                    int(pdf[id_col].iloc[i]),
+                    float(rel[i]),
+                    float(score[i]),
+                    rank,
+                )
+            )
+            max_sim = np.maximum(max_sim, sims[i])
+        return pd.DataFrame(
+            rows, columns=[query_col, id_col, rel_col, "mmr_score", "rank"]
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(_one, schema=out_schema)

@@ -1089,3 +1089,36 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return winnow_overlap_pairs(docs, k=4, w=5, min_shared=2)
+
+
+@register(
+    "mmr_diverse_topk",
+    None,  # greedy argmax selection is inherently iterative (state updates
+    # per pick) — not SQL-expressible; exact parity with a pure-Python MMR
+    # reference and the diversity property are pinned in
+    # tests/test_similarity.py
+    doc="Diversity-aware selection (operators/similarity.py:mmr_select, "
+    "Carbonell & Goldstein SIGIR'98): retrieval's top-30 cosine "
+    "candidates per query (bounded anchors vec_id<5, quantized-exact "
+    "brute-force scoring — the registered knn path) re-ranked by greedy "
+    "Maximal Marginal Relevance (lambda=0.7) so the kept 10 aren't near-"
+    "copies of the best hit — the selection step between ANN retrieval "
+    "and training-set assembly. Greedy MMR runs Arrow-batched per query "
+    "over the BOUNDED candidate frame only; everything corpus-scale "
+    "stays in the retrieval step. Deterministic: id-sorted candidates, "
+    "first-argmax tie-break, float64 math.",
+)
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        knn_quantized_blas,
+        mmr_select,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cands = knn_quantized_blas(emb, queries, "vec_id", "embedding", k=30)
+    with_vecs = cands.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    return mmr_select(with_vecs, k=10, lam=0.7)

@@ -254,4 +254,5 @@ def test_driver_window_fully_oracle_backed():
         # r8 retrieval additions (corpus-prep block, deferred):
         "bm25_search_topk",
         "winnow_plagiarism_pairs",
+        "mmr_diverse_topk",
     }, displaced

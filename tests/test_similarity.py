@@ -483,3 +483,74 @@ class TestProductQuantization:
             pq_fit(emb, m=7)
         with _pytest.raises(ValueError, match="rerank"):
             knn_pq_adc(emb.limit(1), emb.limit(1), [[[0.0]]], rerank_mult=2)
+
+
+def _mmr_python(cands, k, lam):
+    """Independent greedy MMR: cands = [(qid, nid, rel, vec)], id-sorted
+    candidates, first-argmax tie-break — must match mmr_select exactly."""
+    import numpy as np
+
+    out = []
+    by_q = {}
+    for q, n, r, v in cands:
+        by_q.setdefault(q, []).append((n, r, np.asarray(v, dtype=np.float64)))
+    for q, rows in by_q.items():
+        rows.sort(key=lambda t: t[0])
+        vecs = np.stack([v for _, _, v in rows])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        sims = unit @ unit.T
+        rel = np.array([r for _, r, _ in rows])
+        max_sim = np.zeros(len(rows))
+        picked = np.zeros(len(rows), dtype=bool)
+        for rank in range(1, min(k, len(rows)) + 1):
+            score = lam * rel - (1.0 - lam) * max_sim
+            score[picked] = -np.inf
+            i = int(np.argmax(score))
+            picked[i] = True
+            out.append((q, rows[i][0], float(rel[i]), float(score[i]), rank))
+            max_sim = np.maximum(max_sim, sims[i])
+    return sorted(out)
+
+
+def test_mmr_matches_python_reference_any_partitioning(spark):
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import mmr_select
+
+    import random
+
+    rng = random.Random(7)
+    cands = [
+        (q, n, round(rng.random(), 6), [rng.uniform(-1, 1) for _ in range(8)])
+        for q in (1, 2, 3)
+        for n in range(20)
+    ]
+    df = spark.createDataFrame(
+        cands, "query_id long, neighbor_id long, cosine double, embedding array<double>"
+    )
+    want = _mmr_python(cands, k=6, lam=0.7)
+    for src in (df.coalesce(1), df.repartition(9)):
+        got = sorted(map(tuple, mmr_select(src, k=6, lam=0.7).collect()))
+        assert got == want
+
+
+def test_mmr_skips_near_duplicates_for_diversity(spark):
+    """Three near-identical top candidates: plain top-3 keeps all three
+    clones; MMR keeps the best clone then jumps to the orthogonal docs."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import mmr_select
+
+    rows = [
+        (1, 10, 0.99, [1.0, 0.0, 0.0]),
+        (1, 11, 0.98, [1.0, 0.001, 0.0]),   # clone of 10
+        (1, 12, 0.97, [1.0, 0.0, 0.001]),   # clone of 10
+        (1, 20, 0.80, [0.0, 1.0, 0.0]),
+        (1, 30, 0.70, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, cosine double, embedding array<double>"
+    )
+    picked = [
+        r.neighbor_id
+        for r in sorted(mmr_select(df, k=3, lam=0.5).collect(), key=lambda r: r.rank)
+    ]
+    assert picked == [10, 20, 30]

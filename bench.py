@@ -87,6 +87,12 @@ HEADLINE = [
     # global_row_number over an md5 total order)
     "waiting_suppliers_q21",
     "training_order_shuffle",
+    # r8 retrieval + sketch flagships: the one-shuffle BM25 index, the
+    # zero-shuffle winnowing fingerprint pass feeding the overlap join,
+    # and the mergeable quantile-sketch rollup
+    "bm25_search_topk",
+    "winnow_plagiarism_pairs",
+    "quantile_sketch_weekly",
 ]
 
 

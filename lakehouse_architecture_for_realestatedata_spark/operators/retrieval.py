@@ -159,16 +159,29 @@ def winnow_fingerprints(
     The fingerprint SET is the distinct per-window minima — exactly the
     classic algorithm's set (position-based tie rules only affect which
     COPY of a repeated hash is recorded, never the set of hash values),
-    spelled as one bounded-frame window (min over the w grams ending at
-    each position, partial head windows included — a harmless superset
-    at the document start) + distinct. The guarantee holds because a
-    window fully inside a shared run has the same minimum in both
-    documents.
+    computed ENTIRELY array-side: a document's grams are already an
+    array, so each window minimum is an O(w) ``array_min`` over a slice
+    (min over the w grams ending at each position, partial head windows
+    included — a harmless superset at the document start), deduped per
+    doc with ``array_distinct`` and exploded to one row per kept hash.
 
-    Output ``(doc_id, gram_hash)`` distinct rows. Scale: the k-gram array
-    builds in one projection (no shuffle), the window partitions on the
-    document id (high cardinality, bounded frame), and only sampled
-    hashes reach the distinct's exchange."""
+    Output ``(doc_id, gram_hash)`` distinct rows (per-doc distinctness is
+    structural: one input row per document). Scale: ZERO shuffle — every
+    step is a codegen projection over the document row, embarrassingly
+    parallel; only the ~2/(w+1) sampled hashes ever leave the scan task.
+    (An earlier spelling shuffled the full gram stream through a per-doc
+    window; the array-side min removed that corpus-scale exchange.)
+
+    The single-row ``explode(array(...))`` between stages is LOAD-BEARING:
+    CollapseProject merges adjacent projections even when the reused
+    column is an expensive array (lambda captures aren't counted as
+    multi-references), inlining the gram build into the window-min
+    transform's per-element body — measured 341 s vs 5 s at sf0.1 for
+    this exact pipeline (O(n^2.. n^3) md5 re-evaluation; the module's
+    no-CSE-inside-lambdas rule compounds per collapsed projection). A
+    Generate node is a collapse barrier with one-row-in/one-row-out
+    semantics and zero runtime cost; the optimized plan keeps md5 only in
+    the gram projection (pinned in pytest)."""
     toks = F.col("__toks")
     n = F.size(toks)
     grams = F.when(
@@ -179,19 +192,25 @@ def winnow_fingerprints(
         ),
         # short doc: the whole token string is its one gram
     ).otherwise(F.when(n > 0, F.array(F.md5(F.array_join(toks, " ")))))
-    exploded = (
-        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-        .select(F.col(id_col), F.posexplode(grams).alias("pos", "gh"))
-    )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(-(w - 1), Window.currentRow)
-    )
+    hs = F.col("__grams")
+    start = lambda i: F.greatest(i - (w - 1), F.lit(1))  # noqa: E731
+    # guard the tokenless-doc case: Spark's sequence(1, 0) DESCENDS, and a
+    # NULL gram array would explode as a spurious NULL fingerprint
+    wmins = F.when(
+        F.size(hs) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs)),
+            lambda i: F.array_min(F.slice(hs, start(i), i - start(i) + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        exploded.withColumn("__wmin", F.min("gh").over(win))
-        .select(F.col(id_col), F.col("__wmin").alias("gram_hash"))
-        .distinct()
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode(F.array(grams)).alias("__grams"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array(F.array_distinct(wmins))).alias("__fps"),
+        )
+        .select(F.col(id_col), F.explode("__fps").alias("gram_hash"))
     )
 
 

@@ -139,3 +139,23 @@ def test_winnow_samples_below_gram_count(spark, sf_dir):
     n_fp = winnow_fingerprints(docs).count()
     # density ~2/(w+1): well under half the grams survive
     assert 0 < n_fp < n_grams / 2
+
+
+def test_winnow_gram_build_not_inlined_into_lambda(spark, sf_dir):
+    """Plan pin for the CollapseProject barrier: without the single-row
+    explode(array(...)) between projections, Catalyst inlines the gram
+    build into the window-min transform's per-element body (lambda
+    captures aren't counted as multi-references) — measured 341 s vs 5 s
+    at sf0.1. The optimized plan must keep md5 only in the gram
+    projection: once per gram branch (long-doc k-gram + short-doc
+    fallback), never replicated per window position."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    opt = (
+        winnow_fingerprints(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert opt.count("md5") <= 2, f"gram build inlined: {opt.count('md5')} md5 nodes"

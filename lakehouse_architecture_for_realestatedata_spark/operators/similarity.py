@@ -264,6 +264,36 @@ def _half_away(x):
     return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
 
 
+def assign_to_cells(
+    df: DataFrame, centroids: DataFrame, vec_col: str, cell_type: str
+) -> DataFrame:
+    """Assign every row's vector to its nearest centroid — the shared
+    NARROW pass under ``ivf_assign`` (build), its Lloyd refinements, and
+    ``ivf_upsert`` (incremental maintenance). The centroids fold into a
+    single-row broadcast array; each row computes its argmax cell with a
+    higher-order expression — the frame is never shuffled, sorted, or
+    aggregated. Argmax is order-independent (max sim, then MIN cell via
+    the negated tiebreak: struct max is lexicographic)."""
+    cent_arr = F.broadcast(
+        centroids.agg(
+            F.collect_list(F.struct("cell", "__centroid")).alias("__cents")
+        )
+    )
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            cosine_similarity(F.col(vec_col), c["__centroid"]).alias("s"),
+            (-c["cell"]).alias("nc"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return (
+        df.crossJoin(cent_arr)
+        .withColumn("cell", F.array_max(scored)["cell"].cast(cell_type))
+        .drop("__cents")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -304,26 +334,7 @@ def ivf_assign(
     cell_type = dict(corpus.dtypes)[id_col]
 
     def assign(cents: DataFrame) -> DataFrame:
-        # One row holding array<struct<cell,__centroid>>; array order is
-        # irrelevant — the per-element scoring + array_max argmax below is
-        # order-independent (max sim, then min cell via the negated
-        # tiebreak).
-        cent_arr = F.broadcast(
-            cents.agg(F.collect_list(F.struct("cell", "__centroid")).alias("__cents"))
-        )
-        scored = F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(
-                cosine_similarity(F.col(vec_col), c["__centroid"]).alias("s"),
-                (-c["cell"]).alias("nc"),  # struct max = lexicographic → min cell on ties
-                c["cell"].alias("cell"),
-            ),
-        )
-        return (
-            corpus.crossJoin(cent_arr)
-            .withColumn("cell", F.array_max(scored)["cell"].cast(cell_type))
-            .drop("__cents")
-        )
+        return assign_to_cells(corpus, cents, vec_col, cell_type)
 
     centroids = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -361,6 +372,32 @@ def ivf_persist(assignments: DataFrame, centroids: DataFrame, path: str) -> None
         f"{path}/assignments"
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_upsert(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF index maintenance: assign a NEW batch of vectors to
+    the index's EXISTING centroids (the same narrow broadcast-argmax pass
+    as the build — the batch is never shuffled) and APPEND the assignments
+    into the cell-partitioned layout. No rebuild, no touch of existing
+    files: at 100 TB a daily embedding batch costs O(batch), and the probe
+    path (``ivf_knn`` + dynamic partition pruning) reads the grown index
+    unchanged.
+
+    Caller contract: ``new_vectors`` has the same schema as the corpus
+    frame the index was built from (parquet append is positional on the
+    column set). Recall drifts only as far as the data distribution drifts
+    from the frozen centroids — the standard IVF maintenance trade; rebuild
+    (``ivf_assign`` + ``ivf_persist``) when cell sizes skew (the
+    ``partition_stats`` check in plans/layout.py)."""
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    cell_type = dict(spark.read.parquet(f"{path}/assignments").dtypes)["cell"]
+    assigned = assign_to_cells(new_vectors, F.broadcast(cents), vec_col, cell_type)
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/assignments")
 
 
 def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:

@@ -512,3 +512,49 @@ def test_prefix_jaccard_no_cartesian_and_profile_single_scan(spark, sf_dir):
 
     prof = reg()["profile_orders_columns"].spark_fn(spark, sf_dir)
     assert len(read_schemas(prof)) == 1
+
+
+def test_winnow_fingerprints_zero_shuffle(spark, sf_dir):
+    """Winnowing fingerprints must be a pure projection pipeline: every
+    step runs inside the scan task (the sampled hashes only shuffle later,
+    in the pair join). A shuffle here means the per-doc window crept back."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.retrieval import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    assert count_shuffles(winnow_fingerprints(docs)) == 0
+
+
+def test_bm25_one_corpus_scale_exchange(spark, sf_dir):
+    """BM25: the tf index build is the only corpus-scale exchange; df /
+    per-doc sums / top-k all run on the queried-terms cut. Four hash
+    exchanges total, query terms + constants + df ride broadcasts, and no
+    sort-merge join anywhere."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    df = bm25_topk(docs, [("q", ["scan", "filter"])], k=5)
+    # count HASH exchanges (count_shuffles also counts the broadcast
+    # exchanges the query is supposed to have — query terms, constants, df)
+    assert physical_plan(df, mode="simple").count("Exchange hashpartitioning") <= 4
+    assert "SortMergeJoin" not in join_strategies(df)
+
+
+def test_qsketch_readout_windows_over_sketch_not_data(spark, sf_dir):
+    """The quantile read-out's running count must window over the bounded
+    sketch frame (post-aggregation), never the raw rows: the plan has
+    exactly the build exchange + the (bounded) readout exchanges, and the
+    scan reads only the two columns the sketch needs."""
+    from lakehouse_architecture_for_realestatedata_spark.queries import registry
+
+    df = registry()["quantile_sketch_weekly"].spark_fn(spark, sf_dir)
+    schemas = read_schemas(df)
+    assert schemas and all(
+        "props" not in s and "event_id" not in s for s in schemas
+    ), schemas
+    assert count_shuffles(df) <= 3, count_shuffles(df)

@@ -554,3 +554,62 @@ def test_mmr_skips_near_duplicates_for_diversity(spark):
         for r in sorted(mmr_select(df, k=3, lam=0.5).collect(), key=lambda r: r.rank)
     ]
     assert picked == [10, 20, 30]
+
+
+def test_ivf_upsert_appends_correct_cells_without_rebuild(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: upserted vectors land in the cell the
+    FROZEN centroids assign (identical to what a build-time pass would
+    pick), existing files are untouched, row count grows by the batch, the
+    probe path finds a planted near-duplicate added by upsert, and the
+    partition layout keeps pruning."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        assign_to_cells,
+        ivf_assign,
+        ivf_knn,
+        ivf_load,
+        ivf_persist,
+        ivf_upsert,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import physical_plan
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    assignments, centroids = ivf_assign(base, "vec_id", "embedding", n_cells=8)
+    path = str(tmp_path / "ivf")
+    ivf_persist(assignments, centroids, path)
+    n_before = spark.read.parquet(f"{path}/assignments").count()
+
+    # plant a near-duplicate of an existing vector, shifted out of the id range
+    probe_src = emb.filter(F.col("vec_id") == 3).collect()[0]
+    planted = spark.createDataFrame(
+        [(99999, probe_src["embedding"], probe_src["label"])],
+        "vec_id long, embedding array<float>, label int",
+    )
+    ivf_upsert(batch.unionByName(planted), path)
+
+    a2, c2 = ivf_load(spark, path)
+    assert a2.count() == n_before + batch.count() + 1
+    # upserted cells == what the frozen centroids assign
+    cell_type = dict(a2.dtypes)["cell"]
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in assign_to_cells(
+            batch, F.broadcast(centroids), "embedding", cell_type
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in a2.filter(F.col("vec_id") >= 400).collect()
+        if r["vec_id"] != 99999
+    }
+    assert {k: str(v) for k, v in got.items()} == {
+        k: str(v) for k, v in want.items()
+    }
+    # the probe path sees the new vector: querying with vec 3 finds 99999
+    queries = emb.filter(F.col("vec_id") == 3)
+    res = ivf_knn(a2, c2, queries, "vec_id", "embedding", k=3, n_probe=2)
+    assert 99999 in {r["neighbor_id"] for r in res.collect()}
+    # pruning survives the appended files
+    probed = a2.filter(F.col("cell").isin([r["cell"] for r in c2.limit(2).collect()]))
+    assert "PartitionFilters" in physical_plan(probed)

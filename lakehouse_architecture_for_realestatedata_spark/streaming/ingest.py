@@ -858,3 +858,34 @@ def stream_qsketch_rollup(
     )
     q.awaitTermination()
     return q
+
+
+def stream_ivf_upsert(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Streaming IVF index maintenance: each micro-batch of new embedding
+    rows is assigned to the index's frozen centroids and appended into the
+    cell-partitioned layout (operators/similarity.py:ivf_upsert) — the
+    streaming twin of the batch maintenance path, same per-batch O(batch)
+    cost, probe path untouched. Appends are idempotence-free like every
+    additive sink here (a replayed batch duplicates rows; ivf_knn's
+    dropDuplicates on (query, neighbor) tolerates duplicate index rows at
+    probe time, so recall is unaffected — row counts are what drift)."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import ivf_upsert
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_upsert(batch_df, index_path, vec_col=vec_col)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

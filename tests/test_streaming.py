@@ -725,3 +725,54 @@ def test_stream_qsketch_rollup_equals_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_stream_ivf_upsert_equals_batch_upsert(spark, sf_dir, tmp_path):
+    """Streaming IVF maintenance: micro-batched upserts end at the same
+    (vec_id -> cell) assignment set as one batch upsert of the full
+    history, and the probe path retrieves a vector that arrived via the
+    stream."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        ivf_assign,
+        ivf_knn,
+        ivf_load,
+        ivf_persist,
+        ivf_upsert,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import (
+        stream_ivf_upsert,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 300)
+    batch = emb.filter(F.col("vec_id") >= 300)
+
+    for variant in ("stream", "batch"):
+        a, c = ivf_assign(base, "vec_id", "embedding", n_cells=8)
+        ivf_persist(a, c, str(tmp_path / variant))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        batch.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    stream_ivf_upsert(stream, str(tmp_path / "stream"), str(tmp_path / "ckpt"))
+    ivf_upsert(batch, str(tmp_path / "batch"))
+
+    sa, sc = ivf_load(spark, str(tmp_path / "stream"))
+    ba, bc = ivf_load(spark, str(tmp_path / "batch"))
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], str(r["cell"])) for r in df.select("vec_id", "cell").collect()
+    )
+    assert key(sa) == key(ba)
+    queries = emb.filter(F.col("vec_id") == 301)
+    res = ivf_knn(sa, sc, queries, "vec_id", "embedding", k=5, n_probe=8)
+    assert res.count() > 0

@@ -164,6 +164,15 @@ def registry() -> dict[str, QuerySpec]:
     #   benford_price_audit          <-> parse_price_vnd       (audit/parse)
     #   inverted_index_postings      <-> tfidf_keywords        (token index)
     #   salted_star_revenue          <-> sql_front_door_star_join (skew join)
+    # Late-r8 hard-oracle rows also eligible (all sweep-MATCH at sf0.01):
+    #   bm25_search_topk             <-> tfidf_keywords        (retrieval)
+    #   winnow_plagiarism_pairs      <-> ngram_jaccard_pairs_prefix (dedup)
+    #   quantile_sketch_weekly       <-> quantile_exact_global_events
+    #   ohlc_daily_bars              <-> sliding_window_agg    (time bars)
+    #   waiting_suppliers_q21 / min_cost_supplier_q2 / product_profit_q9
+    #       <-> star_join_revenue family (relational, all 22 TPC-H shapes)
+    #   skyline_cheap_large_parts / training_order_shuffle
+    #       <-> pareto_customer_revenue (two-phase ordered family)
     deferred = {
         # r8 rotation swap-outs (driver-green in r7; family twin in-window):
         "incremental_summary_refresh",

@@ -2578,3 +2578,60 @@ def q_quantile_sketch_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qsketch_quantiles(
         weekly, [0.5, 0.9, 0.99], lo=0.0, width=4.0, group_cols=["week"]
     )
+
+
+@register(
+    "ohlc_daily_bars",
+    """
+    WITH e AS (
+        SELECT event_type, cast(ts as date) AS day, value,
+               lpad(cast(epoch_us(cast(ts as timestamp)) as varchar), 20, '0')
+                   || lpad(cast(event_id as varchar), 12, '0') AS ord
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, day,
+           arg_min(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord) AS close,
+           count(*) AS n,
+           cast(sum(cast(value AS decimal(20,2))) AS double) AS volume
+    FROM e GROUP BY event_type, day
+    """,
+    doc="OHLC time-bar downsampling (the telemetry/market-data resample "
+    "shape): per (series, day) bar with open/close = value at the "
+    "earliest/latest event and high/low/volume aggregates. ONE partial-"
+    "aggregated groupBy — open/close ride min_by/max_by over a total-"
+    "order key (zero-padded epoch-micros || event_id STRING, because the "
+    "oracle's arg_min/arg_max take only scalar ordering keys — binary "
+    "collation makes the paddings order-equivalent to the numeric pair, "
+    "and the tiebreak makes bars rerun-identical under ts collisions). "
+    "Volume sums as exact decimal (the dsum rule). No window, no sort: "
+    "min_by/max_by partial-merge map-side, so the bar build is one "
+    "exchange of bounded per-task state at any scale.",
+)
+def q_ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "value",
+            ord_key.alias("__ord"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value", F.col("__ord")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("__ord")).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("volume"),
+        )
+    )

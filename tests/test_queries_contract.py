@@ -227,6 +227,7 @@ def test_driver_window_fully_oracle_backed():
         "skyline_cheap_large_parts",
         "training_order_shuffle",
         "quantile_sketch_weekly",
+        "ohlc_daily_bars",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "event_transition_matrix",

@@ -338,3 +338,43 @@ def test_qsketch_clamps_out_of_range_values(spark):
     }
     assert bins[0] == 3  # -5, 0, 3.9 all land in the first bin
     assert bins[127] == 2  # 511.9 and the far outlier clamp into the last
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50.0, max_value=600.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    q=st.sampled_from([0.25, 0.5, 0.9, 0.99]),
+)
+def test_qsketch_property_bracket_any_values(spark, vals, q):
+    """Hypothesis property: for ANY value list (incl. out-of-range values
+    that clamp into edge bins) the sketch quantile's bin brackets the true
+    ceil-quantile of the CLAMPED values within one bin width."""
+    import math
+
+    from lakehouse_architecture_for_realestatedata_spark.functions.sketches import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    lo, width, nbins = 0.0, 4.0, 16
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    sk = qsketch_build(df.withColumn("g", F.lit("g1")), "value", lo, width, nbins, ["g"])
+    got = {
+        r["q"]: r
+        for r in qsketch_quantiles(sk, [q], lo, width, ["g"]).collect()
+    }
+    r = got[q]
+    # clamp mirrors the sketch's binning; position detail inside the edge
+    # bins is lost by design, so the bracket is on clamped values
+    clamped = sorted(min(max(v, lo), lo + nbins * width - 1e-9) for v in vals)
+    true_q = clamped[math.ceil(q * len(clamped)) - 1]
+    assert r["n"] == len(vals)
+    assert r["est"] <= true_q < r["est"] + width

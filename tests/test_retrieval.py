@@ -159,3 +159,32 @@ def test_winnow_gram_build_not_inlined_into_lambda(spark, sf_dir):
         .toString()
     )
     assert opt.count("md5") <= 2, f"gram build inlined: {opt.count('md5')} md5 nodes"
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "zeta", "eta", "theta", "iota"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    a=st.lists(st.sampled_from(_WORDS), min_size=0, max_size=25),
+    b=st.lists(st.sampled_from(_WORDS), min_size=0, max_size=25),
+    run=st.lists(st.sampled_from(_WORDS), min_size=8, max_size=12),
+    cut=st.integers(min_value=0, max_value=25),
+)
+def test_winnow_property_reference_equality_and_guarantee(spark, a, b, run, cut):
+    """Hypothesis property: for ANY token sequences, (1) the Spark
+    fingerprint set equals the pure-Python reference, and (2) two docs
+    sharing a planted run of >= w+k-1 = 8 tokens share a fingerprint."""
+    cut = min(cut, len(b))
+    d1 = " ".join(a + run)
+    d2 = " ".join(b[:cut] + run + b[cut:])
+    docs = spark.createDataFrame([(1, d1), (2, d2)], ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.gram_hash) for r in winnow_fingerprints(docs).collect()
+    }
+    f1, f2 = _fp_python(d1), _fp_python(d2)
+    assert got == {(1, h) for h in f1} | {(2, h) for h in f2}
+    assert f1 & f2, "planted shared run produced no shared fingerprint"

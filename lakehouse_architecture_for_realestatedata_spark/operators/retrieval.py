@@ -237,3 +237,48 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09): merge
+    two rankings of the same query set into one by summing ``1/(c + rank)``
+    per document — the standard hybrid-search combiner (lexical BM25 +
+    vector kNN) that needs no score calibration because it only consumes
+    RANKS. c=60 is the paper's constant.
+
+    Cross-engine-exact by construction: ranks are integers, each term is
+    one correctly-rounded IEEE division, and the fused score is ONE fixed
+    two-term sum expression (full-outer join + coalesce, never an
+    order-dependent aggregation). Ties break on ascending id — total
+    order, rerun-identical.
+
+    Scale: both inputs are already top-N-per-query (bounded); the join and
+    final per-query top-k run on #queries x N rows — metadata-scale next
+    to the retrieval passes that produced them."""
+    ra = a.select(
+        F.col(query_col), F.col(id_col), F.col(rank_col).alias("__ra")
+    )
+    rb = b.select(
+        F.col(query_col), F.col(id_col), F.col(rank_col).alias("__rb")
+    )
+    fused = ra.join(rb, [query_col, id_col], "full_outer").withColumn(
+        "rrf_score",
+        F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("__ra")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("__rb")), F.lit(0.0)),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_col, id_col, "rrf_score", "rnk")
+    )

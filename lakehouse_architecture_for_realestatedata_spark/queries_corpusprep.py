@@ -1122,3 +1122,131 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
     )
     return mmr_select(with_vecs, k=10, lam=0.7)
+
+
+@register(
+    "hybrid_search_rrf",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS.format(c='text')} AS t FROM documents
+    ), stream AS (
+        SELECT doc_id, unnest(t) AS term FROM toks
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM stream GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf
+    ), consts AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(*) FROM stream) AS total_tokens
+    ), q(query_id, term) AS (VALUES
+        ('scan_filter', 'scan'), ('scan_filter', 'filter'), ('scan_filter', 'column'),
+        ('join_key', 'join'), ('join_key', 'merge'), ('join_key', 'key'),
+        ('stream_window', 'stream'), ('stream_window', 'window'), ('stream_window', 'order')
+    ), hit AS (
+        SELECT query_id, doc_id, term, tf, dl FROM dl JOIN q USING (term)
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM hit GROUP BY 1
+    ), contrib AS (
+        SELECT query_id, doc_id,
+               cast(floor(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * ((cast(tf AS double) * 2.2)
+                      / (cast(tf AS double)
+                         + 1.2 * (0.25 + 0.75 * (cast(dl AS double)
+                             / (cast(total_tokens AS double) / cast(n_docs AS double))))))
+                   * 1048576.0 + 0.5) AS bigint) AS qc
+        FROM hit JOIN dfreq USING (term) CROSS JOIN consts
+    ), lex AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sum(qc) DESC, doc_id ASC) AS rnk
+        FROM contrib GROUP BY query_id, doc_id
+        QUALIFY rnk <= 20
+    ), qz AS (
+        SELECT vec_id, [round(cast(x as double) * 1000000) for x in embedding] AS v
+        FROM embeddings
+    ), anchors AS (
+        SELECT CASE vec_id WHEN 0 THEN 'scan_filter'
+                           WHEN 1 THEN 'join_key'
+                           ELSE 'stream_window' END AS query_id,
+               vec_id AS qid, v AS qv
+        FROM qz WHERE vec_id IN (0, 1, 2)
+    ), knn AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id ASC) AS rnk
+        FROM (
+            SELECT a.query_id, c.vec_id AS doc_id,
+                   CASE WHEN list_dot_product(a.qv, a.qv) > 0
+                             AND list_dot_product(c.v, c.v) > 0
+                        THEN list_dot_product(a.qv, c.v)
+                             / (sqrt(list_dot_product(a.qv, a.qv))
+                                * sqrt(list_dot_product(c.v, c.v)))
+                        ELSE 0.0 END AS cosine
+            FROM qz c, anchors a WHERE c.vec_id <> a.qid
+        ) QUALIFY rnk <= 20
+    ), fused AS (
+        SELECT coalesce(l.query_id, s.query_id) AS query_id,
+               coalesce(l.doc_id, s.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + l.rnk), 0.0)
+                   + coalesce(1.0 / (60 + s.rnk), 0.0) AS rrf_score
+        FROM lex l FULL OUTER JOIN knn s
+          ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, rnk FROM (
+        SELECT query_id, doc_id, rrf_score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, doc_id ASC) AS rnk
+        FROM fused
+    ) WHERE rnk <= 10
+    """,
+    doc="Hybrid search via Reciprocal Rank Fusion (operators/retrieval.py:"
+    "rrf_fuse, Cormack et al. SIGIR'09): the lexical BM25 top-20 and the "
+    "vector-kNN top-20 (query-by-example anchors vec 0/1/2, "
+    "quantized-exact cosine) fuse by summing 1/(60+rank) — the standard "
+    "calibration-free combiner of a hybrid retrieval stack (BM25 + ANN + "
+    "RRF + MMR diversity, all in-engine). Exact by construction: ranks "
+    "are integers, each term one correctly-rounded IEEE division, the "
+    "fused score ONE fixed two-term sum (full-outer join + coalesce, "
+    "never an order-dependent aggregation), ties on ascending doc id. "
+    "Physics: both inputs are already bounded top-N-per-query frames; "
+    "the fusion join and final top-k are metadata-scale next to the "
+    "retrieval passes.",
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        knn_quantized_blas,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = bm25_topk(
+        docs,
+        [
+            ("scan_filter", ["scan", "filter", "column"]),
+            ("join_key", ["join", "merge", "key"]),
+            ("stream_window", ["stream", "window", "order"]),
+        ],
+        k=20,
+    ).select("query_id", "doc_id", "rnk")
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 3)
+    knn = knn_quantized_blas(emb, anchors, "vec_id", "embedding", k=20)
+    qmap = (
+        F.when(F.col("query_id") == 0, "scan_filter")
+        .when(F.col("query_id") == 1, "join_key")
+        .otherwise("stream_window")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    sem = (
+        knn.withColumn("rnk", F.row_number().over(wr))
+        .select(qmap.alias("query_id"), F.col("neighbor_id").alias("doc_id"), "rnk")
+    )
+    return rrf_fuse(lex, sem, k=10)

@@ -256,4 +256,5 @@ def test_driver_window_fully_oracle_backed():
         "bm25_search_topk",
         "winnow_plagiarism_pairs",
         "mmr_diverse_topk",
+        "hybrid_search_rrf",
     }, displaced

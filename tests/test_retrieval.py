@@ -188,3 +188,42 @@ def test_winnow_property_reference_equality_and_guarantee(spark, a, b, run, cut)
     f1, f2 = _fp_python(d1), _fp_python(d2)
     assert got == {(1, h) for h in f1} | {(2, h) for h in f2}
     assert f1 & f2, "planted shared run produced no shared fingerprint"
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    """RRF over random rankings equals the pure-Python 1/(c+rank) sum with
+    id-asc tie-break, for docs present in one or both rankings."""
+    import random
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.retrieval import rrf_fuse
+
+    rng = random.Random(11)
+    qs = ["q1", "q2"]
+    a_rows, b_rows = [], []
+    for q in qs:
+        docs_a = rng.sample(range(100), 8)
+        docs_b = rng.sample(range(100), 8)
+        a_rows += [(q, d, i + 1) for i, d in enumerate(docs_a)]
+        b_rows += [(q, d, i + 1) for i, d in enumerate(docs_b)]
+    a = spark.createDataFrame(a_rows, "query_id string, doc_id long, rnk int")
+    b = spark.createDataFrame(b_rows, "query_id string, doc_id long, rnk int")
+    got = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.rnk)
+        for r in rrf_fuse(a, b, k=20).collect()
+    }
+    want = {}
+    for q in qs:
+        ra = {d: r for qq, d, r in a_rows if qq == q}
+        rb = {d: r for qq, d, r in b_rows if qq == q}
+        scores = {
+            d: (1.0 / (60 + ra[d]) if d in ra else 0.0)
+            + (1.0 / (60 + rb[d]) if d in rb else 0.0)
+            for d in set(ra) | set(rb)
+        }
+        for i, (d, s) in enumerate(
+            sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        ):
+            want[(q, d)] = (s, i + 1)
+    assert got == want
+    # docs in BOTH rankings outrank same-rank docs in only one
+    assert all(s > 0 for s, _ in got.values())

@@ -93,6 +93,9 @@ HEADLINE = [
     "bm25_search_topk",
     "winnow_plagiarism_pairs",
     "quantile_sketch_weekly",
+    "ohlc_daily_bars",
+    "hybrid_search_rrf",
+    "mmr_diverse_topk",
 ]
 
 

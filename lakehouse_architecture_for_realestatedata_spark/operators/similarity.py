@@ -1105,9 +1105,20 @@ def mmr_select(
     import numpy as np
     import pandas as pd
 
-    out_schema = (
-        f"{query_col} long, {id_col} long, {rel_col} double, "
-        "mmr_score double, rank int"
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import DoubleType as _Dbl
+
+    # id/query types follow the INPUT schema (string or int ids both work;
+    # VERDICT r8 advice: the old hardcoded 'long, long' broke string ids)
+    in_fields = {f.name: f for f in candidates.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(query_col, in_fields[query_col].dataType, True),
+            StructField(id_col, in_fields[id_col].dataType, True),
+            StructField(rel_col, _Dbl(), True),
+            StructField("mmr_score", _Dbl(), True),
+            StructField("rank", IntegerType(), True),
+        ]
     )
 
     def _one(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1133,8 +1144,8 @@ def mmr_select(
             selected.append(i)
             rows.append(
                 (
-                    int(pdf[query_col].iloc[i]),
-                    int(pdf[id_col].iloc[i]),
+                    pdf[query_col].iloc[i],
+                    pdf[id_col].iloc[i],
                     float(rel[i]),
                     float(score[i]),
                     rank,

@@ -199,6 +199,9 @@ def registry() -> dict[str, QuerySpec]:
         # new r8 (starts deferred; knn_cosine_bruteforce + embedding_near_dup
         # keep the similarity family in-window; r9 rotation candidate):
         "hard_negative_mining",
+        # new r9 (column-mapped Delta bronze → silver e2e; promoted in the
+        # r9 rotation below — listed here only until that swap executes):
+        "delta_colmap_bronze_silver",
         # New r5 extension families (chunking / boilerplate / funnel /
         # corr / MAD) start deferred; r6 rotation candidates to swap in
         # against driver-green same-family twins.

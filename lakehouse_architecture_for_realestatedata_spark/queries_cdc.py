@@ -312,3 +312,196 @@ def q_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(
         "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column-mapped Delta bronze → silver end-to-end (reader protocol 2)
+# ---------------------------------------------------------------------------
+
+#: Logical (reference bronze, Vietnamese) name per normalized fixture column —
+#: the inverse of plans.medallion.DEFAULT_RENAME_MAP for the columns the
+#: silver model consumes (reference scripts/normalize_bronze_columns.py:11-50).
+_COLMAP_RAW_NAMES = {
+    "list_id": "list_id",
+    "title": "title",
+    "price": "price",
+    "address": "Địa chỉ",
+    "area_raw": "Diện tích",
+    "bedrooms_raw": "Số phòng ngủ",
+    "bathrooms_raw": "Số phòng vệ sinh",
+    "legal_status_raw": "Giấy tờ pháp lý",
+    "ward_raw": "Phường, thị xã, thị trấn",
+    "district_raw": "Quận, Huyện",
+    "province_raw": "Tỉnh, thành phố",
+    "file_modification_time": "file_modification_time",
+}
+
+#: delta-spark-style physical names (columnMapping.mode=name mints opaque
+#: "col-<uuid>" names; fixed hex keeps the fixture deterministic).
+_COLMAP_PHYS_NAMES = {
+    norm: f"col-{i:02d}a7f3{i:02x}" for i, norm in enumerate(_COLMAP_RAW_NAMES, 1)
+}
+
+
+def _write_colmap_bronze(spark: SparkSession, path: str) -> None:
+    """Emulate what the REFERENCE's bronze writer produces
+    (load_bronze_to_table.py:93 sets ``columnMapping.mode=name``): parquet
+    data files under opaque PHYSICAL column names, Hive-partitioned on the
+    physical province column (NULL province included), and a hand-written
+    ``_delta_log`` whose metaData carries ``delta.columnMapping.
+    physicalName`` annotations, mode=name configuration, and a protocol-2
+    reader requirement — a FOREIGN log this module's writer refuses to
+    produce, exercised read-only."""
+    import json
+    import os
+    import shutil
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as _pq
+
+    from lakehouse_architecture_for_realestatedata_spark.queries_pipeline import (
+        _bronze_df,
+    )
+
+    shutil.rmtree(path, ignore_errors=True)
+    bronze = _bronze_df(spark).drop("mtime")
+    part_phys = _COLMAP_PHYS_NAMES["province_raw"]
+    bronze.select(
+        *[F.col(n).alias(_COLMAP_PHYS_NAMES[n]) for n in _COLMAP_RAW_NAMES]
+    ).coalesce(1).write.mode("overwrite").partitionBy(part_phys).parquet(path)
+
+    adds = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            fp = os.path.join(root, f)
+            if not f.endswith(".parquet"):
+                os.unlink(fp)  # _SUCCESS / .crc writer artifacts
+                continue
+            if _pq.ParquetFile(fp).metadata.num_rows == 0:
+                os.unlink(fp)  # single-row local-relation writes can emit empty parts
+                continue
+            rel = os.path.relpath(fp, path).replace(os.sep, "/")
+            pv = {}
+            seg = os.path.dirname(rel)
+            if seg:
+                k, _, v = seg.partition("=")
+                pv[unquote(k)] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                )
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(fp),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+    fields = []
+    for i, (norm, logical) in enumerate(_COLMAP_RAW_NAMES.items(), 1):
+        fields.append(
+            {
+                "name": logical,
+                "type": "timestamp" if norm == "file_modification_time" else "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": i,
+                    "delta.columnMapping.physicalName": _COLMAP_PHYS_NAMES[norm],
+                },
+            }
+        )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "colmap-bronze-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps({"type": "struct", "fields": fields}),
+                # spec: partitionColumns stay LOGICAL; add.partitionValues
+                # key on PHYSICAL names
+                "partitionColumns": ["Tỉnh, thành phố"],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": str(len(fields)),
+                },
+            }
+        },
+    ] + sorted(adds, key=lambda a: a["add"]["path"])
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a, ensure_ascii=False) for a in actions) + "\n")
+
+
+def _colmap_silver_oracle() -> str:
+    from lakehouse_architecture_for_realestatedata_spark.queries_pipeline import (
+        _SILVER_CTE,
+        _sql_values,
+    )
+
+    return f"""
+    WITH {_SILVER_CTE.format(values=_sql_values())}
+    SELECT property_id, title, updated_at_ts, area, bedrooms, bathrooms,
+           price_in_billions, address, ward, district, province, legal_status,
+           data_quality_flag
+    FROM silver
+    """
+
+
+@register(
+    "delta_colmap_bronze_silver",
+    _colmap_silver_oracle(),
+    doc="Reference-bronze interop end to end (sources/delta_lite.py column "
+    "mapping + plans/medallion.py): a FOREIGN column-mapped Delta table — "
+    "the exact layout the reference's bronze writer produces "
+    "(load_bronze_to_table.py:93, columnMapping.mode=name: opaque physical "
+    "parquet column names, delta.columnMapping.physicalName annotations, "
+    "minReaderVersion 2, Hive-partitioned on the physical province column "
+    "incl. a NULL partition) — is read through the pure-PySpark log "
+    "reader, which resolves physical→logical names post-scan, then flows "
+    "through the reference's own normalize (Vietnamese→English bulk "
+    "rename, scripts/normalize_bronze_columns.py:11-50) into the full "
+    "silver staging model. The oracle is the silver model's SQL over the "
+    "same VALUES — proving 'reads what the reference stack writes' down "
+    "to parsed values and quality flags.",
+)
+def q_delta_colmap_bronze_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.plans.medallion import (
+        normalize_columns,
+        silver_properties,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_read,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_colmap_{os.path.basename(sf_dir.rstrip('/'))}",
+        "bronze_raw_properties",
+    )
+    _write_colmap_bronze(spark, path)
+    raw = delta_read(spark, path)  # logical (Vietnamese) column names
+    bronze = normalize_columns(raw)
+    silver = silver_properties(
+        bronze, created_at=F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+    )
+    return silver.select(
+        "property_id",
+        "title",
+        "updated_at_ts",
+        "area",
+        "bedrooms",
+        "bathrooms",
+        "price_in_billions",
+        "address",
+        "ward",
+        "district",
+        "province",
+        "legal_status",
+        "data_quality_flag",
+    )

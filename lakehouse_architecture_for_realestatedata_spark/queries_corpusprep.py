@@ -989,10 +989,15 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('scan_filter', 'scan'), ('scan_filter', 'filter'), ('scan_filter', 'column'),
         ('join_key', 'join'), ('join_key', 'merge'), ('join_key', 'key'),
         ('stream_window', 'stream'), ('stream_window', 'window'), ('stream_window', 'order')
-    ), hit AS (
-        SELECT query_id, doc_id, term, tf, dl FROM dl JOIN q USING (term)
+    ), cut AS (
+        -- tf cut to the DISTINCT queried terms: df counts each document
+        -- once per term, never per (query, term) multiplicity
+        SELECT doc_id, term, tf, dl
+        FROM dl JOIN (SELECT DISTINCT term FROM q) USING (term)
     ), dfreq AS (
-        SELECT term, count(*) AS df FROM hit GROUP BY 1
+        SELECT term, count(*) AS df FROM cut GROUP BY 1
+    ), hit AS (
+        SELECT query_id, doc_id, term, tf, dl FROM cut JOIN q USING (term)
     ), contrib AS (
         SELECT query_id, doc_id,
                cast(floor(
@@ -1055,13 +1060,19 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT doc_id, 1 AS pos, md5(array_to_string(t, ' ')) AS gh
         FROM toks WHERE len(t) >= 1 AND len(t) < 4
-    ), fp AS (
+    ), fp_all AS (
         SELECT DISTINCT doc_id, wmin AS gh FROM (
             SELECT doc_id,
                    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
             FROM grams
         )
+    ), fp AS (
+        -- MOSS over-common-fingerprint rule: boilerplate shared by > 64
+        -- documents carries no plagiarism signal, only quadratic fanout
+        SELECT doc_id, gh FROM (
+            SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS df FROM fp_all
+        ) WHERE df <= 64
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
     FROM fp a JOIN fp b ON a.gh = b.gh AND a.doc_id < b.doc_id
@@ -1079,8 +1090,11 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical window minima. Physics: grams build array-side in one "
     "projection; the per-doc window partitions on the high-cardinality "
     "doc id with a bounded frame; only the ~2/(w+1) sampled hashes reach "
-    "the inverted-index pair join — cost tracks true overlap, never "
-    "all-pairs.",
+    "the inverted-index pair join — and fingerprints common to > 64 "
+    "documents (boilerplate; quadratic fanout, zero signal) are dropped "
+    "first, MOSS's own rule (corpus max df is 3 at sf0.01 / 6 at sf0.1, "
+    "so the cap changes nothing here while bounding the 100x-scale "
+    "worst case; planted-boilerplate pytest pins the bound).",
 )
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_for_realestatedata_spark.operators.retrieval import (
@@ -1088,7 +1102,7 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return winnow_overlap_pairs(docs, k=4, w=5, min_shared=2)
+    return winnow_overlap_pairs(docs, k=4, w=5, min_shared=2, max_df=64)
 
 
 @register(
@@ -1142,10 +1156,13 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('scan_filter', 'scan'), ('scan_filter', 'filter'), ('scan_filter', 'column'),
         ('join_key', 'join'), ('join_key', 'merge'), ('join_key', 'key'),
         ('stream_window', 'stream'), ('stream_window', 'window'), ('stream_window', 'order')
-    ), hit AS (
-        SELECT query_id, doc_id, term, tf, dl FROM dl JOIN q USING (term)
+    ), cut AS (
+        SELECT doc_id, term, tf, dl
+        FROM dl JOIN (SELECT DISTINCT term FROM q) USING (term)
     ), dfreq AS (
-        SELECT term, count(*) AS df FROM hit GROUP BY 1
+        SELECT term, count(*) AS df FROM cut GROUP BY 1
+    ), hit AS (
+        SELECT query_id, doc_id, term, tf, dl FROM cut JOIN q USING (term)
     ), contrib AS (
         SELECT query_id, doc_id,
                cast(floor(

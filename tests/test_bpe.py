@@ -206,3 +206,44 @@ def test_safe_merge_batch_property_random_corpora():
         for bs, cap in ((2, 4), (4, 8), (8, 64)):
             got = batched_train(wc, n_merges, bs, cap)
             assert got == want, (trial, wc, bs, cap, got, want)
+
+
+def test_safe_merge_batch_stops_on_concatenation_collision():
+    """VERDICT r8 advice: symbol-string disjointness alone is not enough —
+    a merge's concatenated OUTPUT can collide with another candidate's
+    symbol (or vice versa), letting counts move mid-batch and reordering
+    sequential training. Both collision directions must stop the prefix."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.bpe import (
+        _safe_merge_batch,
+    )
+
+    # direction 1: accepted ('ab','c') mints 'abc'; candidate ('abc','e')
+    # uses that symbol (which pre-exists from an earlier round) — its count
+    # can GROW when ('ab','c') applies, so it must not ride the same batch
+    rows = [
+        {"left": "ab", "right": "c", "cnt": 100},
+        {"left": "abc", "right": "e", "cnt": 90},
+        {"left": "x", "right": "y", "cnt": 80},
+    ]
+    assert _safe_merge_batch(rows, cap=64) == [("ab", "c")]
+
+    # direction 2: candidate ('b','c') mints 'bc', a symbol of the earlier
+    # accepted ('a','bc') — its minting touches adjacencies the batch
+    # analysis assumed frozen
+    rows = [
+        {"left": "a", "right": "bc", "cnt": 100},
+        {"left": "b", "right": "c", "cnt": 90},
+        {"left": "x", "right": "y", "cnt": 80},
+    ]
+    assert _safe_merge_batch(rows, cap=64) == [("a", "bc")]
+
+    # no collision: all three ride one batch (counts strictly above the
+    # implicit unfilled-list bound)
+    rows = [
+        {"left": "a", "right": "b", "cnt": 100},
+        {"left": "c", "right": "d", "cnt": 90},
+        {"left": "e", "right": "f", "cnt": 80},
+    ]
+    assert _safe_merge_batch(rows, cap=64) == [
+        ("a", "b"), ("c", "d"), ("e", "f"),
+    ]

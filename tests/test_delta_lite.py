@@ -250,3 +250,210 @@ def test_concurrent_appends_all_commit(spark, tmp_path):
     assert errs == []
     assert sorted(r["id"] for r in delta_read(spark, t).collect()) == list(range(7))
     assert delta_versions(t) == list(range(7))
+
+
+def _colmap_actions(schema_fields, partition_cols, adds):
+    """protocol-2 column-mapped log actions (mode=name)."""
+    return [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "colmap-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": schema_fields}
+                ),
+                "partitionColumns": partition_cols,
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+    ] + [{"add": a} for a in adds]
+
+
+def _write_log(t, actions, version=0):
+    os.makedirs(os.path.join(t, "_delta_log"), exist_ok=True)
+    with open(os.path.join(t, "_delta_log", f"{version:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a, ensure_ascii=False) for a in actions) + "\n")
+
+
+def _meta(i, phys):
+    return {"delta.columnMapping.id": i, "delta.columnMapping.physicalName": phys}
+
+
+def test_reads_column_mapped_foreign_log_nested(spark, tmp_path):
+    """Column mapping mode=name (reader protocol 2) with NESTED struct
+    fields and a Vietnamese partition column: data files carry opaque
+    physical names; delta_read resolves delta.columnMapping.physicalName
+    annotations back to logical names (nested included, via the positional
+    struct cast) and restores the partition column from add.partitionValues
+    (keyed by PHYSICAL name, per spec)."""
+    t = str(tmp_path / "colmap")
+    os.makedirs(t)
+    pq.write_table(
+        pa.table(
+            {
+                "col-aa": pa.array([1, 2], pa.int64()),
+                "col-bb": pa.array(
+                    [{"col-cc": 3}, {"col-cc": 4}],
+                    pa.struct([pa.field("col-cc", pa.int64())]),
+                ),
+            }
+        ),
+        os.path.join(t, "part-0.parquet"),
+    )
+    fields = [
+        {"name": "Mã đơn", "type": "long", "nullable": True, "metadata": _meta(1, "col-aa")},
+        {
+            "name": "Chi tiết",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "Số phòng",
+                        "type": "long",
+                        "nullable": True,
+                        "metadata": _meta(3, "col-cc"),
+                    }
+                ],
+            },
+            "nullable": True,
+            "metadata": _meta(2, "col-bb"),
+        },
+        {"name": "Tỉnh, thành phố", "type": "string", "nullable": True, "metadata": _meta(4, "col-dd")},
+    ]
+    adds = [
+        {
+            "path": "part-0.parquet",
+            "partitionValues": {"col-dd": "Hồ Chí Minh"},
+            "size": os.path.getsize(os.path.join(t, "part-0.parquet")),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    ]
+    _write_log(t, _colmap_actions(fields, ["Tỉnh, thành phố"], adds))
+    got = delta_read(spark, t)
+    assert got.columns == ["Mã đơn", "Chi tiết", "Tỉnh, thành phố"]
+    assert got.schema["Chi tiết"].dataType.fieldNames() == ["Số phòng"]
+    rows = sorted(
+        (r["Mã đơn"], r["Chi tiết"]["Số phòng"], r["Tỉnh, thành phố"])
+        for r in got.collect()
+    )
+    assert rows == [(1, 3, "Hồ Chí Minh"), (2, 4, "Hồ Chí Minh")]
+
+
+def test_column_mapping_mode_id_refused(spark, tmp_path):
+    t = str(tmp_path / "colmap_id")
+    os.makedirs(t)
+    fields = [
+        {"name": "a", "type": "long", "nullable": True, "metadata": _meta(1, "col-aa")}
+    ]
+    actions = _colmap_actions(fields, [], [])
+    actions[1]["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _write_log(t, actions)
+    with pytest.raises(DeltaProtocolError, match="mode=id"):
+        delta_read(spark, t)
+
+
+def test_v3_unsupported_reader_feature_refused_by_name(spark, tmp_path):
+    t = str(tmp_path / "dv")
+    os.makedirs(t)
+    fields = [{"name": "a", "type": "long", "nullable": True, "metadata": {}}]
+    actions = _colmap_actions(fields, [], [])
+    actions[1]["metaData"]["configuration"] = {}
+    actions[0] = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }
+    _write_log(t, actions)
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        delta_read(spark, t)
+
+
+def test_v3_column_mapping_feature_accepted(spark, tmp_path):
+    """Protocol 3 whose readerFeatures demand only columnMapping reads fine."""
+    t = str(tmp_path / "v3ok")
+    os.makedirs(t)
+    pq.write_table(
+        pa.table({"col-aa": pa.array([7], pa.int64())}),
+        os.path.join(t, "part-0.parquet"),
+    )
+    fields = [
+        {"name": "x", "type": "long", "nullable": True, "metadata": _meta(1, "col-aa")}
+    ]
+    adds = [
+        {
+            "path": "part-0.parquet",
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(t, "part-0.parquet")),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    ]
+    actions = _colmap_actions(fields, [], adds)
+    actions[0] = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"],
+        }
+    }
+    _write_log(t, actions)
+    assert [r["x"] for r in delta_read(spark, t).collect()] == [7]
+
+
+def test_write_to_column_mapped_table_refused(spark, tmp_path):
+    t = str(tmp_path / "colmap_w")
+    os.makedirs(t)
+    fields = [
+        {"name": "a", "type": "long", "nullable": True, "metadata": _meta(1, "col-aa")}
+    ]
+    _write_log(t, _colmap_actions(fields, [], []))
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        delta_write(spark.createDataFrame([(1,)], "a bigint"), t, mode="append")
+
+
+def test_partition_values_unescaped_on_write(spark, tmp_path):
+    """Hive-escaped partition directory names (%2F for '/', %3A for ':')
+    must be stored UNESCAPED in the log's partitionValues, per protocol —
+    and the reader must restore the literal value."""
+    t = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "HCM/Q:1"), (2, "HN 2")], "id bigint, city string"
+    )
+    delta_write(df, t, mode="overwrite", partition_by=["city"])
+    log_file = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    pvs = set()
+    with open(log_file) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "add" in a:
+                pvs.add(a["add"]["partitionValues"]["city"])
+                assert "%" not in a["add"]["partitionValues"]["city"]
+    assert pvs == {"HCM/Q:1", "HN 2"}
+    got = sorted(map(tuple, delta_read(spark, t).select("id", "city").collect()))
+    assert got == [(1, "HCM/Q:1"), (2, "HN 2")]
+
+
+def test_checkpoint_only_log_reads_and_appends(spark, tmp_path):
+    """A protocol-legal log whose JSON commits at/below the checkpoint were
+    cleaned up (log retention) must still read — and a subsequent append
+    must claim checkpoint_version + 1, not re-claim 0."""
+    t = str(tmp_path / "cponly")
+    for i in range(3):
+        delta_write(
+            _df(spark, [(i, "a", float(i))]), t, mode="append", checkpoint_interval=2
+        )
+    log = os.path.join(t, "_delta_log")
+    assert os.path.isfile(os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    for v in range(3):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    got = delta_read(spark, t)  # replays the checkpoint alone
+    assert sorted(r["id"] for r in got.collect()) == [0, 1, 2]
+    v = delta_write(_df(spark, [(9, "z", 9.0)]), t, mode="append")
+    assert v == 3
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == [0, 1, 2, 9]

@@ -205,6 +205,8 @@ def test_driver_window_fully_oracle_backed():
         "late_shipment_priority_q4",
         "inverted_index_postings",
         "per_source_doc_caps",
+        # r9 additions:
+        "delta_colmap_bronze_silver",
         # r8 additions (registered in the late stats block; start deferred —
         # r9 rotation candidates):
         "delta_interop_roundtrip",

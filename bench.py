@@ -96,6 +96,9 @@ HEADLINE = [
     "ohlc_daily_bars",
     "hybrid_search_rrf",
     "mmr_diverse_topk",
+    # r9 addition: the column-mapped Delta bronze → silver interop cycle
+    # (foreign log build + physical-name scan + rename + full silver model)
+    "delta_colmap_bronze_silver",
 ]
 
 

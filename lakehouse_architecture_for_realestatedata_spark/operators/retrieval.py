@@ -92,8 +92,11 @@ def bm25_topk(
     frequencies aggregate the CUT frame (queried-terms-scale); corpus
     constants N / avgdl broadcast as a one-row frame. The final per-query
     top-k windows over query_id — cardinality = number of queries, but
-    the input is already (queried docs)-scale, so the rank is cheap; a
-    thousand-query batch would range-bucket by query first.
+    the input is already (queried docs)-scale, AND the rank-filter
+    rewrite plans a WindowGroupLimit(Partial) below the exchange (pinned
+    at 1k queries in pytest), so each map task ships <= #queries x k
+    rows and no reducer ever sees a query's full scored-doc volume —
+    thousand-query batches are reducer-safe as-is.
     """
     spark = docs.sparkSession
     # dedupe (query_id, term): ``queries`` are term SETS — a term repeated

@@ -118,22 +118,53 @@ def registry() -> dict[str, QuerySpec]:
     # tests/test_queries_contract.py (sf0.001) + tools/check_oracle.py
     # (sf0.01).
     promoted = [
-        # r8 first-time rows (pre-declared in the r7 rotation comment; each
-        # swap keeps a same-family twin in-window — see `deferred` below):
-        #   medallion_two_batch_pipeline <-> incremental_summary_refresh
-        #       (storage pipeline; time_travel_cdc_roundtrip keeps
-        #       versioned storage in-window)
-        #   ngram_jaccard_pairs_prefix   <-> ngram_jaccard_pairs  (same
-        #       oracle; PPJoin prefix-filter path; dedup family also keeps
-        #       dedup_exact_documents + fuzzy_match_blocked in-window)
-        #   pareto_customer_revenue      <-> global_topk_orders   (ordered /
-        #       prefix-sum; topk_orders_per_priority keeps top-k in-window)
-        #   capped_sessions_users        <-> session_windows      (session-
-        #       ization; sliding_window_agg keeps event windows in-window)
-        #   value_trend_by_type          <-> corr_qty_price_by_flag
-        #       (grouped stats; mad_outlier_events keeps robust stats)
-        #   user_span_campaign_overlap   <-> range_join_signup_windows
-        #       (interval join; scd2_user_event_history keeps temporal)
+        # r9 first-time rows (pre-declared in the r8 rotation comment; each
+        # swap-out keeps a same-family twin in-window — see `deferred`):
+        #   asof_forward_next_purchase   <-> resample_locf_daily  (temporal;
+        #       scd2_user_event_history + window_functions_daily stay)
+        #   cms_weekly_user_counts       <-> heavy_hitters_users  (frequency
+        #       sketches; quantile_sketch_weekly joins the family in-window)
+        #   returned_item_customers_q10  <-> star_join_revenue    (relational
+        #       star; join_with_default_key stays)
+        #   benford_price_audit          <-> parse_price_vnd      (audit/
+        #       parse; silver_model keeps the full parse block in-window)
+        #   inverted_index_postings      <-> tfidf_keywords       (token
+        #       index; lang_id_documents + encode_documents_vocab stay)
+        #   salted_star_revenue          <-> sql_front_door_star_join (skew
+        #       join; catalog_front_door keeps the SQL front door in-window)
+        #   bm25_search_topk             <-> quality_filter       (retrieval
+        #       is new; quality_report keeps the quality family in-window)
+        #   winnow_plagiarism_pairs      <-> fuzzy_match_blocked  (dedup
+        #       family keeps dedup_exact_documents + embedding_near_dup +
+        #       ngram_jaccard_pairs_prefix + dedup_canonical_docs)
+        #   quantile_sketch_weekly       <-> quantile_exact_global_events
+        #       (exact quantiles r7+r8 driver-green; sketch path now pinned)
+        #   ohlc_daily_bars              <-> sliding_window_agg   (time
+        #       windows; capped_sessions_users keeps sessionization)
+        #   skyline_cheap_large_parts    <-> rank_orders_in_priority
+        #       (ranking; topk_orders_per_priority stays; skyline also pins
+        #       the two-phase ordered family next to pareto)
+        #   waiting_suppliers_q21        <-> anti_join_inactive_customers
+        #       (existence joins: Q21's NOT-EXISTS-as-window-counts is the
+        #       scale-safe anti-join spelling; J4's operator stays pinned
+        #       in pytest + sweep)
+        #   delta_colmap_bronze_silver   <-> time_travel_cdc_roundtrip
+        #       (versioned storage; medallion_two_batch_pipeline +
+        #       incremental_watermark stay in-window)
+        "asof_forward_next_purchase",
+        "cms_weekly_user_counts",
+        "returned_item_customers_q10",
+        "benford_price_audit",
+        "inverted_index_postings",
+        "salted_star_revenue",
+        "bm25_search_topk",
+        "winnow_plagiarism_pairs",
+        "quantile_sketch_weekly",
+        "ohlc_daily_bars",
+        "skyline_cheap_large_parts",
+        "waiting_suppliers_q21",
+        "delta_colmap_bronze_silver",
+        # r8 first-time rows (stay in-window):
         "medallion_two_batch_pipeline",
         "ngram_jaccard_pairs_prefix",
         "pareto_customer_revenue",
@@ -144,36 +175,35 @@ def registry() -> dict[str, QuerySpec]:
         "encode_documents_vocab",
         "weekly_retention_cohorts",
         "grouping_sets_revenue",
-        "quantile_exact_global_events",
         "leakage_safe_split_docs",
         # r6 first-time rows (stay in-window):
         "remove_boilerplate",
-        "time_travel_cdc_roundtrip",
         "mad_outlier_events",
-        # r5 first-time rows (stay in-window):
+    ]
+    # r10 ROTATION CANDIDATES: swap first-time rows in against driver-green
+    # same-family twins, e.g.
+    #   training_order_shuffle       <-> pareto_customer_revenue (two-phase)
+    #   min_cost_supplier_q2 / product_profit_q9 <-> returned_item_customers_q10
+    #   hybrid_search_rrf            <-> bm25_search_topk       (retrieval)
+    #   hard_negative_mining         <-> knn_cosine_bruteforce  (similarity)
+    #   keyed_delete_roundtrip       <-> delta_colmap_bronze_silver (storage)
+    #   per_source_doc_caps          <-> leakage_safe_split_docs (curation)
+    #   auc_value_vs_purchase        <-> mad_outlier_events     (eval stats)
+    deferred = {
+        # r9 rotation swap-outs (driver-green in r8; family twin in-window):
+        "resample_locf_daily",
+        "heavy_hitters_users",
+        "star_join_revenue",
+        "parse_price_vnd",
+        "tfidf_keywords",
+        "sql_front_door_star_join",
+        "quality_filter",
+        "fuzzy_match_blocked",
+        "quantile_exact_global_events",
         "sliding_window_agg",
         "rank_orders_in_priority",
-        "tfidf_keywords",
-        "heavy_hitters_users",
-    ]
-    # r9 ROTATION CANDIDATES: swap first-time rows in against driver-green
-    # same-family twins, e.g.
-    #   asof_forward_next_purchase   <-> resample_locf_daily   (temporal)
-    #   cms_weekly_user_counts       <-> heavy_hitters_users   (frequency)
-    #   returned_item_customers_q10  <-> star_join_revenue     (relational)
-    #   benford_price_audit          <-> parse_price_vnd       (audit/parse)
-    #   inverted_index_postings      <-> tfidf_keywords        (token index)
-    #   salted_star_revenue          <-> sql_front_door_star_join (skew join)
-    # Late-r8 hard-oracle rows also eligible (all sweep-MATCH at sf0.01):
-    #   bm25_search_topk             <-> tfidf_keywords        (retrieval)
-    #   winnow_plagiarism_pairs      <-> ngram_jaccard_pairs_prefix (dedup)
-    #   quantile_sketch_weekly       <-> quantile_exact_global_events
-    #   ohlc_daily_bars              <-> sliding_window_agg    (time bars)
-    #   waiting_suppliers_q21 / min_cost_supplier_q2 / product_profit_q9
-    #       <-> star_join_revenue family (relational, all 22 TPC-H shapes)
-    #   skyline_cheap_large_parts / training_order_shuffle
-    #       <-> pareto_customer_revenue (two-phase ordered family)
-    deferred = {
+        "anti_join_inactive_customers",
+        "time_travel_cdc_roundtrip",
         # r8 rotation swap-outs (driver-green in r7; family twin in-window):
         "incremental_summary_refresh",
         "ngram_jaccard_pairs",
@@ -197,11 +227,8 @@ def registry() -> dict[str, QuerySpec]:
         "semi_join_active_customers",
         "heavy_hitters_recount_users",  # new r5; heavy_hitters_users in-window
         # new r8 (starts deferred; knn_cosine_bruteforce + embedding_near_dup
-        # keep the similarity family in-window; r9 rotation candidate):
+        # keep the similarity family in-window; r10 rotation candidate):
         "hard_negative_mining",
-        # new r9 (column-mapped Delta bronze → silver e2e; promoted in the
-        # r9 rotation below — listed here only until that swap executes):
-        "delta_colmap_bronze_silver",
         # New r5 extension families (chunking / boilerplate / funnel /
         # corr / MAD) start deferred; r6 rotation candidates to swap in
         # against driver-green same-family twins.

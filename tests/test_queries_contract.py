@@ -153,7 +153,6 @@ def test_driver_window_fully_oracle_backed():
         # new r6, starts deferred (r7 rotation candidate):
         # new r7, starts deferred (registered at the end of the temporal
         # module; range_join/resample/scd2 keep the family in-window):
-        "asof_forward_next_purchase",
         "asof_nearest_click_anchor",
         # r5 rotation swap-outs (driver-green in r4; family twin in-window):
         "tumbling_window_agg",
@@ -192,21 +191,28 @@ def test_driver_window_fully_oracle_backed():
         "shipping_priority_q3",
         "local_supplier_volume_q5",
         # r7 additions (registered in the late stats block):
-        "returned_item_customers_q10",
         "promo_revenue_q14",
-        "benford_price_audit",
         "auc_value_vs_purchase",
         "cume_dist_event_values",
-        "cms_weekly_user_counts",
-        "salted_star_revenue",
         "triangle_count_user_graph",
         "funnel_within_hour",
         "large_volume_customers_q18",
         "late_shipment_priority_q4",
-        "inverted_index_postings",
         "per_source_doc_caps",
-        # r9 additions:
-        "delta_colmap_bronze_silver",
+        # r9 rotation swap-outs (driver-green in r8; family twin in-window):
+        "resample_locf_daily",
+        "heavy_hitters_users",
+        "star_join_revenue",
+        "parse_price_vnd",
+        "tfidf_keywords",
+        "sql_front_door_star_join",
+        "quality_filter",
+        "fuzzy_match_blocked",
+        "quantile_exact_global_events",
+        "sliding_window_agg",
+        "rank_orders_in_priority",
+        "anti_join_inactive_customers",
+        "time_travel_cdc_roundtrip",
         # r8 additions (registered in the late stats block; start deferred —
         # r9 rotation candidates):
         "delta_interop_roundtrip",
@@ -225,11 +231,7 @@ def test_driver_window_fully_oracle_backed():
         "important_parts_q11",
         "late_shipment_modes_q12",
         "part_share_suppliers_q20",
-        "waiting_suppliers_q21",
-        "skyline_cheap_large_parts",
         "training_order_shuffle",
-        "quantile_sketch_weekly",
-        "ohlc_daily_bars",
         # post-§2 corpus-prep block (queries_corpusprep, registered last):
         "chunk_documents_fixed",
         "event_transition_matrix",
@@ -255,8 +257,6 @@ def test_driver_window_fully_oracle_backed():
         "activity_profile_dow_hour",
         "json_props_rollup",
         # r8 retrieval additions (corpus-prep block, deferred):
-        "bm25_search_topk",
-        "winnow_plagiarism_pairs",
         "mmr_diverse_topk",
         "hybrid_search_rrf",
     }, displaced

@@ -273,3 +273,38 @@ def test_winnow_max_df_drops_boilerplate_fanout(spark):
     assert rows == {(101, 102)}  # cardinality pin: boilerplate contributes 0
     uncapped = winnow_overlap_pairs(df, k=4, w=5, min_shared=2, max_df=None)
     assert uncapped.count() >= 30 * 29 // 2 + 1
+
+
+def test_bm25_thousand_query_batch_partial_topk_before_exchange(spark):
+    """Scale pin for large query batches (VERDICT r8 #5): the final
+    per-query top-k must plan a WindowGroupLimit(Partial) BELOW the
+    query_id hash exchange, so each map task ships <= #queries x k rows
+    and no single reducer sees a query's full scored-doc volume. With the
+    Partial cut in the plan, a thousand-query batch is already
+    reducer-safe — the partial top-k runs map-side per task."""
+    import re
+
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import (
+        physical_plan,
+    )
+
+    docs_df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    queries = [
+        (f"q{i:04d}", ["scan", "filter", "join"][i % 3 :][:2] + ["key"])
+        for i in range(1000)
+    ]
+    plan = physical_plan(bm25_topk(docs_df, queries, k=10))
+    assert "row_number(), 10, Partial" in plan, plan
+    assert "row_number(), 10, Final" in plan, plan
+    # bind Arguments within each node's own block (Input line between) —
+    # a lazy cross-node skip would match the wrong node id
+    partial = re.search(
+        r"\((\d+)\) WindowGroupLimit\nInput[^\n]*\nArguments: [^\n]*Partial", plan
+    )
+    exchange = re.search(
+        r"\((\d+)\) Exchange\nInput[^\n]*\n"
+        r"Arguments: hashpartitioning\(query_id",
+        plan,
+    )
+    assert partial and exchange, plan
+    assert int(partial.group(1)) < int(exchange.group(1)), plan

@@ -404,6 +404,87 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-engine-EXACT MinHash-LSH near-dup pairs: Broder's classic
+    K-independent-hash construction instantiated as SALTED md5 with one
+    hash per band (b bands, r=1) — band ``b``'s bucket key for a document
+    is the MINIMUM md5 hex digest of ``"b:" + shingle`` over its distinct
+    k-shingles. md5 hex strings compare identically (binary collation,
+    ASCII) in every engine, so unlike the xxhash64+affine numpy fast path
+    (``minhash_lsh_pairs``) this variant is reproducible bit-for-bit in
+    DuckDB — it carries the dedup family's hard LSH oracle row.
+
+    Semantics: P(candidate | Jaccard s) = 1 − (1−s)^bands (≈ 99.6 % at
+    s = 0.5 with 8 bands); candidates are then VERIFIED with exact
+    Jaccard ≥ ``threshold``, so false LSH positives never escape. Output
+    ``(id_a, id_b, n_shared, jaccard)``.
+
+    Scale shape: candidate generation is the inverted-index shape — each
+    doc emits ``bands`` (band, bucket) rows, pairs form only inside
+    buckets, never a cross join. Verification joins each candidate pair's
+    shingles through an (id, shingle) equi-join, so its cost tracks
+    Σ|shingles(a)| over candidate pairs, not corpus². Python never runs —
+    md5/array_min/transform are all codegen'd built-ins. The single-row
+    ``explode(array(...))`` is the CollapseProject barrier: without it the
+    per-band lambdas would each re-inline the whole tokenize+shingle
+    build (lambda captures aren't counted as multi-references — the
+    winnowing lesson, operators/retrieval.py)."""
+    sh = shingles(F.col(text_col), k)
+    staged = docs.select(F.col(id_col), F.explode(F.array(sh)).alias("__sh"))
+    salted_min = [
+        F.array_min(
+            F.transform(
+                F.col("__sh"),
+                lambda s, b=b: F.md5(F.concat(F.lit(f"{b}:"), s).cast("binary")),
+            )
+        )
+        for b in range(bands)
+    ]
+    fp = staged.select(
+        F.col(id_col), F.posexplode(F.array(*salted_min)).alias("band", "bucket")
+    )
+    a = fp.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b2 = fp.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ex = staged.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    sizes = staged.select(F.col(id_col), F.size("__sh").alias("__n"))
+    shared = (
+        cand.join(ex.select(F.col(id_col).alias("id_a"), "__s"), "id_a")
+        .join(ex.select(F.col(id_col).alias("id_b"), "__s"), ["id_b", "__s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("__na") + F.col("__nb") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
 def hamming_band_pairs(
     sigs: DataFrame,
     max_hamming: int = 3,

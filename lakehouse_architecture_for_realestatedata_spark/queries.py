@@ -229,6 +229,9 @@ def registry() -> dict[str, QuerySpec]:
         # new r8 (starts deferred; knn_cosine_bruteforce + embedding_near_dup
         # keep the similarity family in-window; r10 rotation candidate):
         "hard_negative_mining",
+        # new r9 (starts deferred; the dedup family keeps four rows
+        # in-window; r10 rotation candidate — first hard-oracle LSH row):
+        "minhash_lsh_verified_md5",
         # New r5 extension families (chunking / boilerplate / funnel /
         # corr / MAD) start deferred; r6 rotation candidates to swap in
         # against driver-green same-family twins.

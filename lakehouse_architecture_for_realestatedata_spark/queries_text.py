@@ -228,6 +228,65 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_lsh_verified_md5",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len({_DUCK_TOKS.format(c='text')}) >= 3
+                      THEN [array_to_string(({_DUCK_TOKS.format(c='text')})[i:i+2], ' ')
+                            for i in range(1, len({_DUCK_TOKS.format(c='text')}) - 1)]
+                      ELSE [array_to_string({_DUCK_TOKS.format(c='text')}, ' ')]
+                 END) AS sh
+        FROM documents WHERE doc_id < 2000
+    ), e AS (
+        SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t
+    ), bm AS (
+        -- one salted-md5 hash per band: bucket = min hex digest of "b:shingle"
+        SELECT doc_id, b, min(md5(cast(b AS varchar) || ':' || s)) AS bucket
+        FROM e, (SELECT unnest(range(8)) AS b) bands
+        GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bm x JOIN bm y
+          ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ), shared AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_shared
+        FROM cand c
+        JOIN e ea ON ea.doc_id = c.id_a
+        JOIN e eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+        GROUP BY 1, 2
+    ), sz AS (
+        SELECT doc_id, any_value(n) AS n FROM e GROUP BY 1
+    )
+    SELECT s.id_a, s.id_b, s.n_shared,
+           cast(s.n_shared AS double) / (sa.n + sb.n - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sz sa ON sa.doc_id = s.id_a
+    JOIN sz sb ON sb.doc_id = s.id_b
+    WHERE cast(s.n_shared AS double) / (sa.n + sb.n - s.n_shared) >= 0.5
+    """,
+    doc="MinHash-LSH with a HARD oracle (operators/dedup.py:"
+    "minhash_lsh_pairs_md5): Broder's K-independent-hash MinHash "
+    "instantiated as salted md5 (bucket = min hex digest of 'b:shingle' "
+    "per band, 8 bands x 1 row), candidates verified with exact Jaccard "
+    ">= 0.5 — bit-identical in DuckDB because md5 hex strings and "
+    "integer-ratio divisions are engine-neutral, unlike the xxhash64 "
+    "numpy fast path (minhash_lsh_dedup, rows-only by necessity). "
+    "Physics: inverted-index candidate generation (docs x 8 bucket "
+    "rows, pairs only within buckets), verify joins candidates' "
+    "shingles by (id, shingle) — cost tracks candidates, never corpus²; "
+    "zero Python, all codegen built-ins.",
+)
+def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        minhash_lsh_pairs_md5,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return minhash_lsh_pairs_md5(docs, "doc_id", "text", k=3, bands=8, threshold=0.5)
+
+
+@register(
     "simhash_dedup",
     None,  # 64-bit simhash uses xxhash64 — Spark-specific bit patterns
     doc="SimHash(64-bit) near-dup pairs within Hamming distance 3, banded by "

@@ -363,3 +363,36 @@ def test_semdedup_planted_recall(spark, sf_dir):
         assert r["max_sim"] >= 0.95
     # (a) recall: ≥90% of planted copies land in their original's cell
     assert len(by_id) >= 45, len(by_id)
+
+
+def test_minhash_md5_variant_precision_recall_and_determinism(spark, sf_dir):
+    """The cross-engine-exact salted-md5 MinHash variant
+    (minhash_lsh_pairs_md5 — the dedup family's hard-oracle LSH row) must
+    behave like the numpy fast path: precision 1.0 by construction (exact
+    Jaccard verify) and near-total recall at J >= 0.8 (8 single-hash bands:
+    P(detect) = 1-(1-0.8)^8 ~ 0.99999974); reruns are bit-identical."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        minhash_lsh_pairs_md5,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    runs = []
+    for _ in range(2):
+        runs.append(
+            {
+                (r["id_a"], r["id_b"]): (r["n_shared"], r["jaccard"])
+                for r in minhash_lsh_pairs_md5(
+                    docs, "doc_id", "text", k=3, bands=8, threshold=0.5
+                ).collect()
+            }
+        )
+    assert runs[0] == runs[1]
+    lsh = {p: j for p, (_, j) in runs[0].items()}
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    for pair, j in lsh.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-12, pair
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    assert strong <= set(lsh), strong - set(lsh)

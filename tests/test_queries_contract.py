@@ -199,6 +199,8 @@ def test_driver_window_fully_oracle_backed():
         "large_volume_customers_q18",
         "late_shipment_priority_q4",
         "per_source_doc_caps",
+        # new r9, starts deferred (r10 rotation candidate):
+        "minhash_lsh_verified_md5",
         # r9 rotation swap-outs (driver-green in r8; family twin in-window):
         "resample_locf_daily",
         "heavy_hitters_users",

@@ -223,17 +223,47 @@ def _check_protocol(snap: dict, path: str) -> str:
     return mode
 
 
-def _read_checkpoint(spark: SparkSession, path: str, version: int, snap: dict) -> None:
-    """Fold a parquet checkpoint (one row per action, struct columns) into
-    the replay state. Column order in the checkpoint is unspecified by the
-    spec; we read whichever action columns exist."""
-    cp = spark.read.parquet(
-        os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
-    )
+def _checkpoint_files(log: str) -> dict[int, list[str]]:
+    """Classic checkpoint files by version — both spec forms: single-part
+    ``<v>.checkpoint.parquet`` and multi-part
+    ``<v>.checkpoint.<i>.<n>.parquet`` (large snapshots; all ``n`` parts
+    together form one checkpoint). UUID-named v2 checkpoints are a
+    protocol-3 readerFeature and refused by the feature gate, never
+    listed here."""
+    out: dict[int, list[str]] = {}
+    if not os.path.isdir(log):
+        return out
+    for f in os.listdir(log):
+        parts = f.split(".")
+        if not (parts[0].isdigit() and f.endswith(".parquet") and "checkpoint" in parts):
+            continue
+        if len(parts) == 3 and parts[1] == "checkpoint":
+            out.setdefault(int(parts[0]), []).append(f)
+        elif (
+            len(parts) == 5
+            and parts[1] == "checkpoint"
+            and parts[2].isdigit()
+            and parts[3].isdigit()
+        ):
+            out.setdefault(int(parts[0]), []).append(f)
+    return {v: sorted(fs) for v, fs in out.items()}
+
+
+def _read_checkpoint(
+    spark: SparkSession, path: str, version: int, snap: dict, files: list[str]
+) -> None:
+    """Fold a parquet checkpoint (one row per action, struct columns; one
+    or many part files) into the replay state. Column order in the
+    checkpoint is unspecified by the spec; we read whichever action
+    columns exist. Remove tombstones in checkpoints are retention
+    metadata only — the add set is already net — so they carry no
+    active-set state."""
+    log = _log_dir(path)
+    cp = spark.read.parquet(*[os.path.join(log, f) for f in files])
     cols = set(cp.columns)
     for row in cp.collect():
         d = row.asDict(recursive=True)
-        for kind in ("protocol", "metaData", "add"):  # removes are compacted out
+        for kind in ("protocol", "metaData", "add"):
             if kind in cols and d.get(kind) is not None:
                 _apply_action(snap, {kind: d[kind]})
 
@@ -251,9 +281,9 @@ def _latest_version(path: str) -> int:
     versions = [
         _version_of(f)
         for f in os.listdir(log)
-        if (f.endswith(".json") and f[0].isdigit())
-        or f.endswith(".checkpoint.parquet")
+        if f.endswith(".json") and f[0].isdigit()
     ]
+    versions += list(_checkpoint_files(log))
     lc = os.path.join(log, "_last_checkpoint")
     if os.path.isfile(lc):
         with open(lc) as fh:
@@ -282,14 +312,10 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> _Snapshot:
         "protocol": None,
     }
     start = 0
-    cps = sorted(
-        _version_of(f)
-        for f in os.listdir(log)
-        if f.endswith(".checkpoint.parquet")
-    )
-    usable = [v for v in cps if v <= target]
+    cps = _checkpoint_files(log)
+    usable = sorted(v for v in cps if v <= target)
     if usable:
-        _read_checkpoint(spark, path, usable[-1], snap)
+        _read_checkpoint(spark, path, usable[-1], snap, cps[usable[-1]])
         start = usable[-1] + 1
     for f in sorted(f for f in os.listdir(log) if f.endswith(".json") and f[0].isdigit()):
         v = _version_of(f)
@@ -313,10 +339,46 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> _Snapshot:
     )
 
 
+def version_at_timestamp(path: str, ts_millis: int) -> int:
+    """``timestampAsOf`` resolution per Delta's contract: the LAST version
+    committed at or before ``ts_millis``. Commit time comes from the
+    commitInfo action when present, else the commit file's mtime (what
+    Delta itself falls back to). Raises if the table's first commit is
+    after the asked timestamp."""
+    log = _log_dir(path)
+    best: int | None = None
+    for f in sorted(os.listdir(log)) if os.path.isdir(log) else []:
+        if not (f.endswith(".json") and f[0].isdigit()):
+            continue
+        commit_ts = None
+        with open(os.path.join(log, f)) as fh:
+            for line in fh:
+                a = json.loads(line) if line.strip() else {}
+                if "commitInfo" in a and a["commitInfo"].get("timestamp") is not None:
+                    commit_ts = int(a["commitInfo"]["timestamp"])
+                    break
+        if commit_ts is None:
+            commit_ts = int(os.path.getmtime(os.path.join(log, f)) * 1000)
+        if commit_ts <= ts_millis:
+            v = _version_of(f)
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise ValueError(
+            f"{path}: no commit at or before timestamp {ts_millis} ms"
+        )
+    return best
+
+
 def delta_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_millis: int | None = None,
 ) -> DataFrame:
-    """Read a Delta table (any writer's) at ``version`` (default: latest).
+    """Read a Delta table (any writer's) at ``version`` (default: latest),
+    or as of ``timestamp_millis`` (Delta's ``timestampAsOf``: the last
+    version committed at or before that instant — mutually exclusive with
+    ``version``).
 
     Replays the transaction log to the active file set, then hands that
     list to the ordinary parquet reader — pushdown/pruning untouched.
@@ -333,6 +395,10 @@ def delta_read(
     and project back to logical names — nested struct fields included,
     via a positional struct cast.
     """
+    if timestamp_millis is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_millis, not both")
+        version = version_at_timestamp(path, timestamp_millis)
     snap = _replay(spark, path, version)
     logical = _strip_metadata(snap.schema)
     phys = snap.physical_schema

@@ -889,3 +889,41 @@ def stream_ivf_upsert(
     )
     q.awaitTermination()
     return q
+
+
+def stream_delta_append(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """Streaming sink into an open-protocol DELTA table (sources/delta_lite):
+    foreachBatch + transactional log append — the pure-PySpark analogue of
+    Delta's own streaming sink (which is likewise a per-epoch transactional
+    append; reference stack: spark-defaults.conf:15-16). Each micro-batch
+    commits ONE log version via the put-if-absent claim, so a foreign Delta
+    reader tailing the table sees epoch-atomic appends and can time-travel
+    per epoch.
+
+    At-least-once on replay: Structured Streaming's checkpoint skips
+    completed epochs, but an epoch that crashed AFTER its log commit and
+    BEFORE the checkpoint write replays as a duplicate append (Delta's own
+    sink closes this with txn app-ids; honest gap, documented — route
+    exactly-once needs through ``stream_merge_into``)."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_write,
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        delta_write(out, path, mode="append", partition_by=partition_by)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -457,3 +457,98 @@ def test_checkpoint_only_log_reads_and_appends(spark, tmp_path):
     v = delta_write(_df(spark, [(9, "z", 9.0)]), t, mode="append")
     assert v == 3
     assert sorted(r["id"] for r in delta_read(spark, t).collect()) == [0, 1, 2, 9]
+
+
+def test_multipart_checkpoint_replay(spark, tmp_path):
+    """Foreign logs may write MULTI-PART classic checkpoints
+    (<v>.checkpoint.<i>.<n>.parquet — all n parts together form one
+    checkpoint). The reader must fold every part and prefer the
+    checkpoint over missing JSON commits."""
+    t = str(tmp_path / "mp")
+    delta_write(_df(spark, [(1, "a", 1.0)]), t)
+    delta_write(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    log = os.path.join(t, "_delta_log")
+    # split the actions of a would-be checkpoint at v1 into two parts by hand
+    snap_rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}, "metaData": None, "add": None},
+    ]
+    import pyarrow as _pa
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import _replay
+
+    snap = _replay(spark, t, 1)
+    meta_row = {
+        "protocol": None,
+        "metaData": {
+            "id": "mp-test",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": snap.schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+        },
+        "add": None,
+    }
+    adds = [
+        {"protocol": None, "metaData": None, "add": {
+            "path": p, "partitionValues": {}, "size": a["size"],
+            "modificationTime": a["modificationTime"], "dataChange": True,
+        }}
+        for p, a in snap.files.items()
+    ]
+    schema = (
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>>, "
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>"
+    )
+    part1 = snap_rows + [meta_row]
+    part2 = adds
+    for i, rows in enumerate((part1, part2), 1):
+        tmp = os.path.join(log, f".mp-{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(tmp, src),
+            os.path.join(log, f"{1:020d}.checkpoint.{i:010d}.{2:010d}.parquet"),
+        )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": 4, "parts": 2}, fh)
+    # drop the JSON commits the checkpoint covers — replay must survive
+    for v in (0, 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    got = sorted(r["id"] for r in delta_read(spark, t).collect())
+    assert got == [1, 2]
+    assert delta_write(_df(spark, [(3, "c", 3.0)]), t, mode="append") == 2
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == [1, 2, 3]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """timestampAsOf: resolve the last version committed at or before the
+    asked instant from commitInfo timestamps (file-mtime fallback)."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        version_at_timestamp,
+    )
+
+    t = str(tmp_path / "ts")
+    delta_write(_df(spark, [(1, "a", 1.0)]), t)
+    delta_write(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    # rewrite commitInfo timestamps to known instants
+    log = os.path.join(t, "_delta_log")
+    for v, ts in ((0, 1_000_000), (1, 2_000_000)):
+        p = os.path.join(log, f"{v:020d}.json")
+        lines = [json.loads(ln) for ln in open(p) if ln.strip()]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    assert version_at_timestamp(t, 1_500_000) == 0
+    assert version_at_timestamp(t, 2_000_000) == 1
+    got = delta_read(spark, t, timestamp_millis=1_500_000)
+    assert sorted(r["id"] for r in got.collect()) == [1]
+    with pytest.raises(ValueError, match="no commit"):
+        version_at_timestamp(t, 999_999)
+    with pytest.raises(ValueError, match="not both"):
+        delta_read(spark, t, version=1, timestamp_millis=2_000_000)

@@ -776,3 +776,35 @@ def test_stream_ivf_upsert_equals_batch_upsert(spark, sf_dir, tmp_path):
     queries = emb.filter(F.col("vec_id") == 301)
     res = ivf_knn(sa, sc, queries, "vec_id", "embedding", k=5, n_probe=8)
     assert res.count() > 0
+
+
+def test_stream_delta_append_epoch_atomic(spark, sf_dir, tmp_path):
+    """Streaming sink into an open-protocol Delta table: each micro-batch
+    commits one log version (epoch-atomic appends a foreign Delta reader
+    can tail), the final snapshot equals the batch content, and a re-run
+    with the same checkpoint appends nothing new."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_read,
+        delta_versions,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.streaming.ingest import (
+        stream_delta_append,
+    )
+
+    batch = _event_batch(spark, sf_dir).select("event_id", "user_id", "event_type")
+    src = str(tmp_path / "src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    path = str(tmp_path / "delta_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_delta_append(stream, path, ckpt)
+    got = delta_read(spark, path)
+    assert got.count() == batch.count()
+    assert sorted(got.columns) == sorted(batch.columns)
+    n_versions = len(delta_versions(path))
+    assert n_versions >= 1  # one commit per completed epoch
+    # same checkpoint, no new files: no new log version
+    stream2 = spark.readStream.schema(batch.schema).parquet(src)
+    stream_delta_append(stream2, path, ckpt)
+    assert len(delta_versions(path)) == n_versions
+    assert delta_read(spark, path).count() == batch.count()

@@ -1,8 +1,10 @@
 """Run-twice determinism smoke (the round-7 bug class): the queries built
 on global ordering / bucketing / sampling primitives must hash identically
 across two fresh plan compositions and executions. The full registry gets
-the same check from tools/check_determinism.py (167/167 stable, r8); this
-pytest keeps the most at-risk family guarded on every run."""
+the same check from tools/check_determinism.py (184/184 stable, r9 — the
+FULL registry incl. every late-module registration; re-run it over the
+whole registry at every round close and refresh this note); this pytest
+keeps the most at-risk family guarded on every run."""
 
 from __future__ import annotations
 
@@ -22,6 +24,9 @@ AT_RISK = [
     "cume_dist_event_values",       # grouped_cume_dist
     "deterministic_sample",         # md5-keyed sampling
     "weighted_doc_sample",          # weighted hex-threshold sampling
+    "skyline_cheap_large_parts",    # global_running_max two-phase (r8)
+    "training_order_shuffle",       # global_row_number over md5 order (r8)
+    "minhash_lsh_verified_md5",     # salted-md5 LSH buckets + verify (r9)
 ]
 
 

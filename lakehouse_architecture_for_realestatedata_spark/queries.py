@@ -232,6 +232,9 @@ def registry() -> dict[str, QuerySpec]:
         # new r9 (starts deferred; the dedup family keeps four rows
         # in-window; r10 rotation candidate — first hard-oracle LSH row):
         "minhash_lsh_verified_md5",
+        # new r9 (starts deferred; catalog_front_door keeps S12/S13
+        # in-window; r10 rotation candidate — the real HiveServer2 wire):
+        "thrift_front_door_revenue",
         # New r5 extension families (chunking / boilerplate / funnel /
         # corr / MAD) start deferred; r6 rotation candidates to swap in
         # against driver-green same-family twins.
@@ -508,6 +511,66 @@ def q_catalog_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN bi.region ON n_regionkey = r_regionkey
         GROUP BY r_name
         """
+    )
+
+
+@register(
+    "thrift_front_door_revenue",
+    """
+    SELECT o_orderstatus AS status, count(*) AS n,
+           cast(sum(cast(cast(o_totalprice AS decimal(30,2)) * 100 AS bigint))
+                AS bigint) AS total_cents
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderstatus
+    """,
+    doc="S13 FULL — the real HiveServer2 WIRE protocol, oracle-checked: "
+    "load orders into the catalog, start Spark's bundled "
+    "HiveThriftServer2 in-session (startWithContext; the exact server "
+    "the reference's Superset/dbt connect to, docker-compose.yml:102-137 "
+    "+ dbt/profiles.yml:8-16), then run the revenue rollup THROUGH THE "
+    "WIRE with the bundled beeline JDBC client (a separate JVM — nothing "
+    "shortcuts the in-process session) and rebuild the result frame from "
+    "the csv2 payload. Money rides integer cents (decimal(30,2)*100 → "
+    "bigint) so the wire text roundtrip is exact. The server is a "
+    "per-JVM singleton (HiveServer2 contract); reruns rebind the global "
+    "temp view to the current snapshot.",
+)
+def q_thrift_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.catalog import (
+        Catalog,
+        ensure_thrift,
+        thrift_sql,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"lakecat_thrift_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, root)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    cat.create_table("wire", "orders_lite").overwrite(src)
+    port = ensure_thrift(cat)
+    _cols, rows = thrift_sql(
+        port,
+        "SELECT o_orderstatus AS status, count(*) AS n, "
+        "sum(cents) AS total_cents "
+        "FROM global_temp.wire_orders_lite GROUP BY o_orderstatus",
+    )
+    return spark.createDataFrame(
+        [(r[0], int(r[1]), int(r[2])) for r in rows],
+        "status string, n bigint, total_cents bigint",
     )
 
 

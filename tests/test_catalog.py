@@ -214,3 +214,60 @@ def test_serve_http_concurrent_clients(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serve_thrift_wire_protocol_end_to_end(spark, tmp_path):
+    """S13 FULL: the real HiveServer2 wire protocol. Start Spark's bundled
+    HiveThriftServer2 inside the session (startWithContext — what the
+    reference's long-lived Thrift Server container runs for Superset/dbt,
+    docker-compose.yml:102-137), then query it THROUGH THE WIRE with the
+    bundled beeline JDBC client (a separate JVM — nothing shortcuts through
+    the in-process session). Catalog tables resolve as global temp views
+    from the thrift sessions; results must equal the in-process SQL, and
+    two concurrent wire clients must both succeed (the Superset+dbt
+    concurrency shape)."""
+    import threading
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.catalog import (
+        serve_thrift,
+        thrift_sql,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat_thrift"))
+    cat.create_database("gold")
+    cat.create_table("gold", "orders_lite", str(tmp_path / "t_orders"))
+    df = spark.createDataFrame(
+        [(1, "A", 100), (2, "B", 250), (3, "A", 50), (4, "C", 75)],
+        "o_id bigint, status string, cents bigint",
+    )
+    cat.table("gold", "orders_lite").overwrite(df)
+
+    handle, port = serve_thrift(cat)
+    try:
+        sql = (
+            "SELECT status, count(*) AS n, sum(cents) AS total "
+            "FROM global_temp.gold_orders_lite GROUP BY status ORDER BY status"
+        )
+        cols, rows = thrift_sql(port, sql)
+        assert cols == ["status", "n", "total"]
+        assert rows == [["A", "2", "150"], ["B", "1", "250"], ["C", "1", "75"]]
+        # equals the in-process front door on the same snapshot
+        local = [
+            [str(v) for v in r]
+            for r in spark.sql(sql).collect()
+        ]
+        assert rows == local
+
+        # two concurrent wire clients (separate JVMs, separate thrift
+        # sessions) — both must see the same answer
+        results: list = [None, None]
+
+        def _client(i: int) -> None:
+            results[i] = thrift_sql(port, sql)[1]
+
+        ts = [threading.Thread(target=_client, args=(i,)) for i in range(2)]
+        [t.start() for t in ts]
+        [t.join(timeout=180) for t in ts]
+        assert results[0] == rows and results[1] == rows
+    finally:
+        handle.stop()

@@ -199,8 +199,9 @@ def test_driver_window_fully_oracle_backed():
         "large_volume_customers_q18",
         "late_shipment_priority_q4",
         "per_source_doc_caps",
-        # new r9, starts deferred (r10 rotation candidate):
+        # new r9, starts deferred (r10 rotation candidates):
         "minhash_lsh_verified_md5",
+        "thrift_front_door_revenue",
         # r9 rotation swap-outs (driver-green in r8; family twin in-window):
         "resample_locf_daily",
         "heavy_hitters_users",

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_for_realestatedata_spark.functions import sketches
-from lakehouse_architecture_for_realestatedata_spark.functions.text import shingles
+from lakehouse_architecture_for_realestatedata_spark.functions.text import shingles, tokens
 from lakehouse_architecture_for_realestatedata_spark.operators.graph import truncate_lineage
 
 
@@ -482,6 +482,102 @@ def minhash_lsh_pairs_md5(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+def simhash_pairs_md5(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Cross-engine-EXACT SimHash near-dup pairs (Charikar STOC'02): the
+    token hash is the top 15 hex chars of md5 parsed as a 60-bit integer
+    — identical in any engine with md5 + hex parse — so unlike the
+    xxhash64 fast path (``simhash_dedup_pairs``) this variant carries the
+    SimHash family's hard oracle row.
+
+    Fingerprint: per bit b, sum tf·(2·bit(h,b)−1) over the document's
+    tokens (exact integer sums — partition-invariant); bit b of the
+    fingerprint is 1 iff the sum is > 0 (ties → 0, both engines).
+    Candidates: ``bands`` equal bit-slices, pigeonhole-exact — two
+    fingerprints within Hamming ``max_hamming`` < ``bands`` distance
+    share at least one exact band. Verification: ``bit_count(a XOR b) <=
+    max_hamming``. Output ``(id_a, id_b, hamming)``.
+
+    Scale shape: one corpus shuffle builds (doc, token, tf); the 60
+    per-bit sums ride ONE hash aggregate over doc (wide agg, zero row
+    blowup — never the 60× bit-explode the SQL oracle uses); banding
+    emits ``bands`` rows per doc into the inverted-index join. All
+    built-ins, no Python."""
+    if n_bits % bands:
+        raise ValueError("bands must divide n_bits")
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole needs max_hamming < bands")
+    band_bits = n_bits // bands
+    h = F.conv(
+        F.substring(F.md5(F.col("__tok").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .select(F.col(id_col), F.col("__tf"), h.alias("__h"))
+    )
+    bit_sums = tf.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (
+                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+                )
+                * F.col("__tf")
+            ).alias(f"__s{b}")
+            for b in range(n_bits)
+        ]
+    )
+    fp_expr = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"__s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fps = bit_sums.select(F.col(id_col), fp_expr.alias("__fp"))
+    mask = (1 << band_bits) - 1
+    banded = fps.select(
+        F.col(id_col),
+        F.col("__fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("g"),
+                        F.shiftright(F.col("__fp"), band_bits * g)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bk"),
+                    )
+                    for g in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select(F.col(id_col), "__fp", F.col("__band.g"), F.col("__band.bk"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__fp").alias("__fa"), "g", "bk"
+    )
+    b2 = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__fp").alias("__fb"), "g", "bk"
+    )
+    return (
+        a.join(b2, ["g", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

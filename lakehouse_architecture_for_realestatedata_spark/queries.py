@@ -232,6 +232,7 @@ def registry() -> dict[str, QuerySpec]:
         # new r9 (starts deferred; the dedup family keeps four rows
         # in-window; r10 rotation candidate — first hard-oracle LSH row):
         "minhash_lsh_verified_md5",
+        "simhash_pairs_md5",
         # new r9 (starts deferred; catalog_front_door keeps S12/S13
         # in-window; r10 rotation candidate — the real HiveServer2 wire):
         "thrift_front_door_revenue",

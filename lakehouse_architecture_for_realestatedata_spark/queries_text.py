@@ -287,6 +287,57 @@ def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_pairs_md5",
+    rf"""
+    WITH e AS (
+        SELECT doc_id, s AS token, count(*) AS tf FROM (
+            SELECT doc_id, unnest({_DUCK_TOKS.format(c='text')}) AS s
+            FROM documents WHERE doc_id < 2000
+        ) GROUP BY 1, 2
+    ), h AS (
+        SELECT doc_id, tf,
+               CAST(CAST('0x' || substr(md5(token), 1, 15) AS UBIGINT) AS BIGINT) AS h
+        FROM e
+    ), bits AS (
+        SELECT doc_id, b, sum(tf * (2 * ((h >> b) & 1) - 1)) AS s
+        FROM h, (SELECT unnest(range(60)) AS b) bb
+        GROUP BY 1, 2
+    ), fp AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS fp
+        FROM bits GROUP BY 1
+    ), banded AS (
+        SELECT doc_id, fp, g, (fp >> (15 * g)) & 32767 AS bk
+        FROM fp, (SELECT unnest(range(4)) AS g) gg
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.fp AS fa, b.doc_id AS id_b, b.fp AS fb
+        FROM banded a JOIN banded b
+          ON a.g = b.g AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+    doc="SimHash with a HARD oracle (operators/dedup.py:simhash_pairs_md5, "
+    "Charikar STOC'02): 60-bit fingerprints from md5-parsed token hashes "
+    "(top 15 hex chars — exact in any engine), tf-weighted integer bit "
+    "sums, 4-band pigeonhole candidates (exact for Hamming <= 3), "
+    "bit_count(XOR) verification — the cross-engine twin of the xxhash64 "
+    "fast path (simhash_dedup, rows-only by necessity). Physics: one "
+    "corpus shuffle for (doc, token, tf); the 60 per-bit sums ride ONE "
+    "wide hash aggregate (zero row blowup — the oracle's 60x bit-explode "
+    "stays DuckDB-side); banding emits 4 rows/doc into the "
+    "inverted-index join.",
+)
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        simhash_pairs_md5,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return simhash_pairs_md5(docs, "doc_id", "text", n_bits=60, bands=4, max_hamming=3)
+
+
+@register(
     "simhash_dedup",
     None,  # 64-bit simhash uses xxhash64 — Spark-specific bit patterns
     doc="SimHash(64-bit) near-dup pairs within Hamming distance 3, banded by "

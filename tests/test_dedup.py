@@ -396,3 +396,38 @@ def test_minhash_md5_variant_precision_recall_and_determinism(spark, sf_dir):
         assert pair in exact and abs(exact[pair] - j) < 1e-12, pair
     strong = {p for p, j in exact.items() if j >= 0.8}
     assert strong <= set(lsh), strong - set(lsh)
+
+
+def test_simhash_md5_variant_finds_near_dups_and_is_deterministic(spark, sf_dir):
+    """The md5-based SimHash (hard-oracle twin of the xxhash64 path) must
+    recover planted near-duplicates (tiny edits → small Hamming distance),
+    keep unrelated docs apart, and hash-stably rerun."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        simhash_pairs_md5,
+    )
+
+    base = (
+        "the quarterly revenue report shows strong growth across all "
+        "regions with particular strength in the northern markets and "
+        "steady performance in services consulting and licensing revenue "
+        "streams during the second half of the fiscal year"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("strong", "robust")),  # one-token edit
+        (3, base + " appendix follows"),        # small suffix
+        (4, "completely different text about gardening tulips and soil "
+            "acidity for spring planting in raised cedar beds with compost"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_md5(df, max_hamming=3).collect()
+    }
+    assert (1, 2) in got and (1, 3) in got, got
+    assert all(4 not in pair for pair in got), got
+    rerun = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_md5(df, max_hamming=3).collect()
+    }
+    assert got == rerun

@@ -201,6 +201,7 @@ def test_driver_window_fully_oracle_backed():
         "per_source_doc_caps",
         # new r9, starts deferred (r10 rotation candidates):
         "minhash_lsh_verified_md5",
+        "simhash_pairs_md5",
         "thrift_front_door_revenue",
         # r9 rotation swap-outs (driver-green in r8; family twin in-window):
         "resample_locf_daily",

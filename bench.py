@@ -96,9 +96,13 @@ HEADLINE = [
     "ohlc_daily_bars",
     "hybrid_search_rrf",
     "mmr_diverse_topk",
-    # r9 addition: the column-mapped Delta bronze → silver interop cycle
+    # r9 additions: the column-mapped Delta bronze → silver interop cycle
     # (foreign log build + physical-name scan + rename + full silver model)
+    # and the two cross-engine-exact fuzzy-dedup paths (salted-md5 MinHash
+    # LSH + verify; md5-parsed 60-bit SimHash, wide-agg fingerprints)
     "delta_colmap_bronze_silver",
+    "minhash_lsh_verified_md5",
+    "simhash_pairs_md5",
 ]
 
 

@@ -558,3 +558,36 @@ def test_qsketch_readout_windows_over_sketch_not_data(spark, sf_dir):
         "props" not in s and "event_id" not in s for s in schemas
     ), schemas
     assert count_shuffles(df) <= 3, count_shuffles(df)
+
+
+def test_md5_dedup_variants_plan_contracts(spark, sf_dir):
+    """The cross-engine-exact dedup paths must stay JVM-side and
+    join-safe: no Python eval nodes anywhere (md5/array built-ins only),
+    no CartesianProduct (candidates form inside LSH buckets / bit bands),
+    and SimHash's 60 per-bit sums ride hash aggregates, never a 60x row
+    explode (the bit blowup is the DuckDB oracle's problem)."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        minhash_lsh_pairs_md5,
+        simhash_pairs_md5,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.plans.explain import (
+        join_strategies,
+        physical_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    for fn in (
+        lambda d: minhash_lsh_pairs_md5(d, bands=8),
+        lambda d: simhash_pairs_md5(d),
+    ):
+        df = fn(docs)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in join_strategies(df)
+        assert "EvalPython" not in plan, "dedup md5 path must be all built-ins"
+    sim_plan = physical_plan(simhash_pairs_md5(docs))
+    # the fingerprint aggregate: sum expressions, not a bit-index Generate —
+    # the only explodes are the tokenizer and the 4-band emit
+    import re
+
+    gens = len(re.findall(r"\(\d+\) Generate", sim_plan))
+    assert gens <= 4, f"unexpected row-explode count {gens}:\n{sim_plan[:2000]}"

@@ -423,7 +423,24 @@ def delta_read(
     if not phys_parts:
         files = [os.path.join(path, p) for p in snap.files]
         return to_logical(spark.read.schema(data_schema).parquet(*files))
-    # group files by partition tuple; restore values as typed literals
+    # Hive-layout fast path: when every file's directory name re-derives
+    # exactly the log's partitionValues (the layout Spark and delta-spark
+    # both write), hand the WHOLE file list to one scan relation with
+    # basePath partition discovery — one FileScan node regardless of
+    # partition count, with native partition pruning. A 100 TB table with
+    # 10⁴ partition tuples must not become a 10⁴-way union plan.
+    if _hive_layout_consistent(snap, phys_parts):
+        files = [os.path.join(path, p) for p in snap.files]
+        return to_logical(
+            spark.read.schema(phys)
+            .option("basePath", path)
+            .parquet(*files)
+            .select(*[f.name for f in phys.fields])
+        )
+    # Fallback (foreign layouts where partitionValues are authoritative but
+    # dir names are not, e.g. relocated files): group files by partition
+    # tuple and restore values as typed literals — one relation per tuple,
+    # unioned; correct for any layout, sized for low-cardinality tables.
     by_pv: dict[tuple, list[str]] = {}
     for p, add in snap.files.items():
         pv = add.get("partitionValues") or {}
@@ -442,6 +459,27 @@ def delta_read(
     for df in parts[1:]:
         out = out.unionByName(df)
     return to_logical(out)
+
+
+def _hive_layout_consistent(snap: _Snapshot, phys_parts: list[str]) -> bool:
+    """True when every active file sits in Hive partition directories
+    ``<col>=<escaped value>/...`` whose unescaped values EQUAL the add
+    action's partitionValues — the precondition for letting Spark's own
+    partition discovery restore the columns. Any disagreement (the log is
+    authoritative, per protocol) routes to the literal-restore fallback."""
+    for p, add in snap.files.items():
+        pv = add.get("partitionValues") or {}
+        segs = [s for s in p.replace(os.sep, "/").split("/")[:-1]]
+        if len(segs) != len(phys_parts):
+            return False
+        for c, seg in zip(phys_parts, segs):
+            k, eq, v = seg.partition("=")
+            if not eq or unquote(k) != c:
+                return False
+            val = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            if pv.get(c) != val:
+                return False
+    return True
 
 
 def delta_versions(path: str) -> list[int]:

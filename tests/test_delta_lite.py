@@ -552,3 +552,41 @@ def test_timestamp_time_travel(spark, tmp_path):
         version_at_timestamp(t, 999_999)
     with pytest.raises(ValueError, match="not both"):
         delta_read(spark, t, version=1, timestamp_millis=2_000_000)
+
+
+def test_partitioned_read_uses_single_scan_fast_path(spark, tmp_path):
+    """Hive-consistent layouts must read as ONE scan relation with native
+    partition discovery (a 10⁴-partition table must not become a 10⁴-way
+    union plan); inconsistent layouts (log authoritative, dirs not) must
+    fall back to literal-restore unions with identical results."""
+    t = str(tmp_path / "fast")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "a", 4.0)],
+        "id bigint, city string, price double",
+    )
+    delta_write(df, t, mode="overwrite", partition_by=["city"])
+    got = delta_read(spark, t)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    rows = sorted(map(tuple, got.select("id", "city", "price").collect()))
+    assert rows == [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "a", 4.0)]
+
+    # partition-column filter prunes at the source (partition discovery)
+    pruned = delta_read(spark, t).filter(F.col("city") == "a")
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 4]
+
+    # break layout consistency: claim a different partitionValue in the log
+    log = os.path.join(t, "_delta_log")
+    p0 = os.path.join(log, f"{0:020d}.json")
+    lines = [json.loads(ln) for ln in open(p0) if ln.strip()]
+    for a in lines:
+        if "add" in a and a["add"]["partitionValues"].get("city") == "b":
+            a["add"]["partitionValues"]["city"] = "B-OVERRIDE"
+    with open(p0, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    fb = delta_read(spark, t)
+    plan_fb = fb._jdf.queryExecution().executedPlan().toString()
+    assert plan_fb.count("Scan parquet") > 1, "expected union fallback"
+    assert sorted(map(tuple, fb.select("id", "city").collect())) == [
+        (1, "a"), (2, "B-OVERRIDE"), (3, None), (4, "a"),
+    ]

@@ -93,6 +93,7 @@ class _Snapshot:
     files: dict[str, dict]  # path -> add action payload
     configuration: dict[str, str]
     column_mapping: str = "none"  # delta.columnMapping.mode
+    tombstones: dict[str, dict] | None = None  # path -> remove payload
 
     @property
     def physical_schema(self) -> StructType:
@@ -169,7 +170,7 @@ def _strip_metadata(st: StructType) -> StructType:
     return conv(st)
 
 
-def _apply_action(snap: dict, action: dict) -> None:
+def _apply_action(snap: dict, action: dict, from_checkpoint: bool = False) -> None:
     if "metaData" in action:
         md = action["metaData"]
         snap["schema"] = md["schemaString"]
@@ -179,8 +180,15 @@ def _apply_action(snap: dict, action: dict) -> None:
         snap["protocol"] = action["protocol"]
     elif "add" in action:
         snap["files"][action["add"]["path"]] = action["add"]
+        snap.setdefault("tombstones", {}).pop(action["add"]["path"], None)
     elif "remove" in action:
-        snap["files"].pop(action["remove"]["path"], None)
+        # tombstones ride along for checkpoint fidelity (the spec keeps
+        # them so vacuum/streaming readers see recent deletes); checkpoint
+        # remove rows are PURE tombstones — the add set is already net, so
+        # they must never subtract state
+        if not from_checkpoint:
+            snap["files"].pop(action["remove"]["path"], None)
+        snap.setdefault("tombstones", {})[action["remove"]["path"]] = action["remove"]
     # commitInfo / txn / cdc: no state
 
 
@@ -263,9 +271,9 @@ def _read_checkpoint(
     cols = set(cp.columns)
     for row in cp.collect():
         d = row.asDict(recursive=True)
-        for kind in ("protocol", "metaData", "add"):
+        for kind in ("protocol", "metaData", "add", "remove"):
             if kind in cols and d.get(kind) is not None:
-                _apply_action(snap, {kind: d[kind]})
+                _apply_action(snap, {kind: d[kind]}, from_checkpoint=True)
 
 
 def _latest_version(path: str) -> int:
@@ -308,6 +316,7 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> _Snapshot:
         "schema": None,
         "partition_columns": [],
         "files": {},
+        "tombstones": {},
         "configuration": {},
         "protocol": None,
     }
@@ -336,6 +345,7 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> _Snapshot:
         files=snap["files"],
         configuration=snap["configuration"],
         column_mapping=mode,
+        tombstones=snap["tombstones"],
     )
 
 
@@ -605,26 +615,34 @@ def _write_data_files(
 
 def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     snap = _replay(spark, path, version)
+    base = {"protocol": None, "metaData": None, "add": None, "remove": None}
     rows = [
-        {
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-            "metaData": None,
-            "add": None,
-        },
-        {
-            "protocol": None,
+        base | {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        base
+        | {
             "metaData": {
                 "id": "delta-lite",
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": snap.schema.json(),
                 "partitionColumns": snap.partition_columns,
                 "configuration": snap.configuration,
-            },
-            "add": None,
+            }
         },
-    ] + [
-        {"protocol": None, "metaData": None, "add": add}
-        for add in snap.files.values()
+    ]
+    rows += [base | {"add": add} for add in snap.files.values()]
+    # remove TOMBSTONES ride along per spec (recent deletes stay visible to
+    # vacuum / streaming readers replaying from the checkpoint); they are
+    # not state — the add set above is already net
+    rows += [
+        base
+        | {
+            "remove": {
+                "path": rm["path"],
+                "deletionTimestamp": rm.get("deletionTimestamp"),
+                "dataChange": bool(rm.get("dataChange", True)),
+            }
+        }
+        for rm in snap.tombstones.values()
     ]
     schema = (
         "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
@@ -632,7 +650,9 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         "options:map<string,string>>,schemaString:string,"
         "partitionColumns:array<string>,configuration:map<string,string>>, "
         "add struct<path:string,partitionValues:map<string,string>,"
-        "size:bigint,modificationTime:bigint,dataChange:boolean>"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>, "
+        "remove struct<path:string,deletionTimestamp:bigint,"
+        "dataChange:boolean>"
     )
     cp = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
     tmp = cp + f".tmp-{uuid.uuid4().hex}"

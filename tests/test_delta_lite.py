@@ -590,3 +590,29 @@ def test_partitioned_read_uses_single_scan_fast_path(spark, tmp_path):
     assert sorted(map(tuple, fb.select("id", "city").collect())) == [
         (1, "a"), (2, "B-OVERRIDE"), (3, None), (4, "a"),
     ]
+
+
+def test_checkpoint_carries_remove_tombstones(spark, tmp_path):
+    """Per spec, checkpoints keep remove TOMBSTONES for recently deleted
+    files (vacuum / streaming readers need them); they are not state —
+    replaying a checkpoint must never subtract its own add set."""
+    t = str(tmp_path / "tomb")
+    delta_write(_df(spark, [(1, "a", 1.0)]), t)
+    delta_write(_df(spark, [(2, "b", 2.0)]), t, mode="overwrite")  # removes v0 files
+    delta_write(
+        _df(spark, [(3, "c", 3.0)]), t, mode="append", checkpoint_interval=2
+    )  # v2 -> checkpoint
+    log = os.path.join(t, "_delta_log")
+    cp = [f for f in os.listdir(log) if f.endswith(".checkpoint.parquet")]
+    assert cp
+    import pyarrow.parquet as pq2
+
+    tbl = pq2.read_table(os.path.join(log, cp[0]))
+    removes = [r for r in tbl.column("remove").to_pylist() if r is not None]
+    assert removes, "checkpoint must carry the overwrite's tombstones"
+    assert all(r["path"] for r in removes)
+    # tombstones never subtract state: replay from the checkpoint alone
+    for v in range(3):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    got = sorted(r["id"] for r in delta_read(spark, t).collect())
+    assert got == [2, 3]

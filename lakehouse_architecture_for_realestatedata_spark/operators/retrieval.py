@@ -106,7 +106,12 @@ def bm25_topk(
         sorted({(qid, t) for qid, terms in queries for t in terms}),
         ["query_id", "term"],
     )
-    uterms = qterms.select("term").distinct()
+    # distinct terms deduped DRIVER-side (queries is a literal list): a
+    # .distinct() here would cost a whole (if tiny) exchange in the plan
+    uterms = spark.createDataFrame(
+        [(t,) for t in sorted({t for _, terms in queries for t in terms})],
+        ["term"],
+    )
     tf = term_frequencies(docs, id_col, text_col)
     # corpus constants: N counts ALL input docs (empty ones contribute
     # length 0 to avgdl); both are exact ints -> one correctly-rounded
@@ -119,14 +124,21 @@ def bm25_topk(
             F.sum(F.size(tokens(F.col(text_col)))).cast("bigint"), F.lit(0)
         ).alias("total_tokens"),
     )
-    # cut tf to queried terms ONCE (distinct term list) — document
-    # frequency aggregates this frame, so a term shared by several queries
-    # counts each document exactly once; the per-query fanout happens
-    # AFTER, on the already-counted rows
+    # cut tf to queried terms ONCE (distinct term list), then attach each
+    # term's document frequency as a count window over the cut frame — ONE
+    # evaluation of the corpus-scale tf subtree (a separate
+    # dfreq = cut.groupBy(term) aggregate re-derives tf in a second
+    # subtree: Catalyst does not CTE-share it, so the corpus would shuffle
+    # twice). The window's exchange is queried-terms-scale. A term shared
+    # by several queries counts each document exactly once (tf is one row
+    # per (doc, term)); the per-query fanout joins AFTER, on the
+    # already-counted rows.
     cut = tf.join(F.broadcast(uterms), "term")
-    dfreq = cut.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    hit = cut.join(F.broadcast(qterms), "term")
-    scored = hit.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(consts))
+    wdf = Window.partitionBy("term")
+    hit = cut.withColumn("df", F.count(F.lit(1)).over(wdf)).join(
+        F.broadcast(qterms), "term"
+    )
+    scored = hit.crossJoin(F.broadcast(consts))
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
     idf = F.log(
         F.lit(1.0)

@@ -186,7 +186,8 @@ def registry() -> dict[str, QuerySpec]:
     #   min_cost_supplier_q2 / product_profit_q9 <-> returned_item_customers_q10
     #   hybrid_search_rrf            <-> bm25_search_topk       (retrieval)
     #   hard_negative_mining         <-> knn_cosine_bruteforce  (similarity)
-    #   keyed_delete_roundtrip       <-> delta_colmap_bronze_silver (storage)
+    #   keyed_delete_roundtrip / delta_optimize_skipping_scan
+    #                                <-> delta_colmap_bronze_silver (storage)
     #   per_source_doc_caps          <-> leakage_safe_split_docs (curation)
     #   auc_value_vs_purchase        <-> mad_outlier_events     (eval stats)
     deferred = {

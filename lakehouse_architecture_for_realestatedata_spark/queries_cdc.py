@@ -505,3 +505,60 @@ def q_delta_colmap_bronze_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
         "legal_status",
         "data_quality_flag",
     )
+
+
+@register(
+    "delta_optimize_skipping_scan",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           min(event_id) AS first_event,
+           cast(sum(cast(value AS decimal(30,6))) AS double) AS total_value
+    FROM events
+    WHERE value BETWEEN 50.0 AND 150.0
+    GROUP BY event_type
+    """,
+    doc="Delta OPTIMIZE + data skipping end to end (sources/delta_lite.py): "
+    "events land in four interleaved appends (every file spans the full "
+    "value range — un-prunable), then one clustered OPTIMIZE rewrite "
+    "(range shuffle on value, adds/removes committed dataChange:false per "
+    "protocol, per-file min/max stats written into the new add actions "
+    "from the parquet footers), then the probe reads through "
+    "delta_read(where=value BETWEEN ...), which drops every file whose "
+    "stats prove the range empty BEFORE Spark lists it. The oracle is the "
+    "same predicate straight over the source parquet — skipping must be "
+    "purely a scan reduction, never a row change. This is Delta's "
+    "OPTIMIZE ZORDER + stats-skipping loop, the reason a 100 TB table's "
+    "log carries per-file stats; pytest pins the file-count reduction "
+    "(tests/test_delta_lite.py).",
+)
+def q_delta_optimize_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_optimize,
+        delta_read,
+        delta_write,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_deltaopt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/events_delta"
+    # interleaved slices: each append (hence each file) covers the whole
+    # value range, so the pre-OPTIMIZE layout cannot prune the probe
+    delta_write(ev.filter(F.col("event_id") % 4 == 0), path, mode="overwrite")
+    for r in (1, 2, 3):
+        delta_write(ev.filter(F.col("event_id") % 4 == r), path, mode="append")
+    delta_optimize(spark, path, cluster_cols=["value"], n_files=8)
+    probe = delta_read(spark, path, where=[("value", "between", (50.0, 150.0))])
+    return probe.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("first_event"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+    )

@@ -44,6 +44,8 @@ commits by the writer.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import time
@@ -168,6 +170,138 @@ def _strip_metadata(st: StructType) -> StructType:
         return dt
 
     return conv(st)
+
+
+def _json_stat(v):
+    """A parquet-footer stat value as the JSON-safe scalar the Delta
+    protocol stores in ``add.stats`` (None = not representable → the
+    column's stats are omitted, which readers treat as 'no pruning')."""
+    if isinstance(v, bool):
+        return None  # min/max of a flag prunes nothing (tables.py rule)
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:  # normalize: naive-UTC, comparable cross-side
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _footer_stats_json(md) -> str | None:
+    """Delta per-file ``stats`` (numRecords / minValues / maxValues /
+    nullCount) computed from the parquet FOOTER of a just-written file —
+    metadata-scale, no data re-read (the footer is already open for the
+    zero-row check). Top-level leaf columns only (nested stats prune
+    nothing in this reader). Bounds stay conservative even when parquet
+    truncated long binary stats: parquet-mr adjusts a truncated max
+    upward, so [min, max] remains a valid cover — exactly what skipping
+    needs. A column whose chunks lack stats (and are not provably
+    all-null) is omitted, per protocol (stats are optional per column)."""
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    bad_minmax: set[str] = set()
+    bad_null: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaf
+            st = col.statistics
+            nc = st.null_count if st is not None else None
+            if nc is None:
+                bad_null.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + nc
+            if st is not None and st.has_min_max:
+                lo, hi = _json_stat(st.min), _json_stat(st.max)
+                if lo is None or hi is None:
+                    bad_minmax.add(name)
+                else:
+                    mins[name] = lo if name not in mins else min(mins[name], lo)
+                    maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            elif not (nc is not None and nc == g.num_rows):
+                # no min/max and not provably an all-null chunk: the file's
+                # true range is unknowable — drop the column's bounds
+                bad_minmax.add(name)
+    out = {
+        "numRecords": md.num_rows,
+        "minValues": {c: v for c, v in mins.items() if c not in bad_minmax},
+        "maxValues": {c: v for c, v in maxs.items() if c not in bad_minmax},
+        "nullCount": {c: n for c, n in nulls.items() if c not in bad_null},
+    }
+    if not (out["minValues"] or out["nullCount"]):
+        return None
+    return json.dumps(out, separators=(",", ":"))
+
+
+def _file_zonemap(add: dict) -> dict:
+    """``{physical col: [min, max]}`` from an add action's ``stats`` JSON —
+    the per-file zonemap. All-null columns (nullCount == numRecords) map to
+    ``[None, None]`` (tables.py's 'no comparison ever matches' marker).
+    Absent/foreign/nested stats simply don't prune."""
+    raw = add.get("stats")
+    if not raw:
+        return {}
+    try:
+        s = json.loads(raw) if isinstance(raw, str) else dict(raw)
+    except (ValueError, TypeError):
+        return {}
+    mins = s.get("minValues") or {}
+    maxs = s.get("maxValues") or {}
+    out = {
+        c: [mins[c], maxs[c]]
+        for c in set(mins) & set(maxs)
+        if not isinstance(mins[c], dict) and not isinstance(maxs[c], dict)
+    }
+    nrec = s.get("numRecords")
+    if isinstance(nrec, int):
+        for c, n in (s.get("nullCount") or {}).items():
+            if c not in out and n == nrec:
+                out[c] = [None, None]
+    return out
+
+
+def _file_may_match(
+    add: dict, conds, l2p: dict[str, str], phys_parts: list[str]
+) -> bool:
+    """Conservative per-file test for the AND of ``(col, op, value)``
+    conditions: False only when the add action's partitionValues or stats
+    PROVE no row can satisfy them. Reuses the engine's zonemap comparator
+    (``ParquetTable._dir_may_match``) so delta skipping and manifest
+    skipping share one correctness surface."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
+        ParquetTable,
+    )
+
+    zm = None
+    pv = add.get("partitionValues") or {}
+    for col, op, value in conds:
+        pc = l2p.get(col, col)
+        if pc in phys_parts:
+            if pc not in pv:
+                continue  # foreign log w/o the value: cannot prune
+            stats = {pc: [pv[pc], pv[pc]]}
+        else:
+            if zm is None:
+                zm = _file_zonemap(add)
+            stats = zm
+        if not ParquetTable._dir_may_match(stats, pc, op, value):
+            return False
+    return True
 
 
 def _apply_action(snap: dict, action: dict, from_checkpoint: bool = False) -> None:
@@ -384,11 +518,24 @@ def delta_read(
     path: str,
     version: int | None = None,
     timestamp_millis: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Delta table (any writer's) at ``version`` (default: latest),
     or as of ``timestamp_millis`` (Delta's ``timestampAsOf``: the last
     version committed at or before that instant — mutually exclusive with
     ``version``).
+
+    ``where`` (optional) is a list of ``(col, op, value)`` conditions —
+    ``op`` in ``= < <= > >= between`` (between takes a ``(lo, hi)``
+    value), ANDed — in LOGICAL column names, the ``read_where`` contract
+    from ``sources/tables.py``. Files whose add-action ``stats``
+    (min/max/nullCount, written by this module and by delta-spark) or
+    ``partitionValues`` PROVE the conjunction empty are dropped before
+    Spark ever lists them — Delta data skipping, the reason a 100 TB
+    table's log carries per-file stats. The same conditions are applied
+    as a real filter, so the result is identical to
+    ``delta_read(...).filter(...)``; files without stats simply don't
+    prune.
 
     Replays the transaction log to the active file set, then hands that
     list to the ordinary parquet reader — pushdown/pruning untouched.
@@ -414,8 +561,17 @@ def delta_read(
     phys = snap.physical_schema
     phys_parts = snap.physical_partition_columns
     data_schema = StructType([f for f in phys.fields if f.name not in phys_parts])
-    if not snap.files:
-        return spark.createDataFrame([], logical)
+    active = _pruned_files(snap, where)
+
+    def finish(df: DataFrame) -> DataFrame:
+        from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
+            ParquetTable,
+        )
+
+        return df.filter(ParquetTable._conds_filter(where)) if where else df
+
+    if not active:
+        return finish(spark.createDataFrame([], logical))
 
     def to_logical(df: DataFrame) -> DataFrame:
         if snap.column_mapping == "none":
@@ -431,28 +587,30 @@ def delta_read(
         )
 
     if not phys_parts:
-        files = [os.path.join(path, p) for p in snap.files]
-        return to_logical(spark.read.schema(data_schema).parquet(*files))
+        files = [os.path.join(path, p) for p in active]
+        return finish(to_logical(spark.read.schema(data_schema).parquet(*files)))
     # Hive-layout fast path: when every file's directory name re-derives
     # exactly the log's partitionValues (the layout Spark and delta-spark
     # both write), hand the WHOLE file list to one scan relation with
     # basePath partition discovery — one FileScan node regardless of
     # partition count, with native partition pruning. A 100 TB table with
     # 10⁴ partition tuples must not become a 10⁴-way union plan.
-    if _hive_layout_consistent(snap, phys_parts):
-        files = [os.path.join(path, p) for p in snap.files]
-        return to_logical(
-            spark.read.schema(phys)
-            .option("basePath", path)
-            .parquet(*files)
-            .select(*[f.name for f in phys.fields])
+    if _hive_layout_consistent(snap, phys_parts, active):
+        files = [os.path.join(path, p) for p in active]
+        return finish(
+            to_logical(
+                spark.read.schema(phys)
+                .option("basePath", path)
+                .parquet(*files)
+                .select(*[f.name for f in phys.fields])
+            )
         )
     # Fallback (foreign layouts where partitionValues are authoritative but
     # dir names are not, e.g. relocated files): group files by partition
     # tuple and restore values as typed literals — one relation per tuple,
     # unioned; correct for any layout, sized for low-cardinality tables.
     by_pv: dict[tuple, list[str]] = {}
-    for p, add in snap.files.items():
+    for p, add in active.items():
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in phys_parts)
         by_pv.setdefault(key, []).append(os.path.join(path, p))
@@ -468,16 +626,49 @@ def delta_read(
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
-    return to_logical(out)
+    return finish(to_logical(out))
 
 
-def _hive_layout_consistent(snap: _Snapshot, phys_parts: list[str]) -> bool:
+def _pruned_files(snap: _Snapshot, where: list[tuple] | None) -> dict[str, dict]:
+    """The active file set minus every file whose stats/partitionValues
+    prove ``where`` empty (all of it when ``where`` is None/empty)."""
+    if not where:
+        return snap.files
+    l2p = {
+        lf.name: pf.name
+        for lf, pf in zip(snap.schema.fields, snap.physical_schema.fields)
+    }
+    phys_parts = snap.physical_partition_columns
+    return {
+        p: a
+        for p, a in snap.files.items()
+        if _file_may_match(a, where, l2p, phys_parts)
+    }
+
+
+def delta_matching_files(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    version: int | None = None,
+) -> list[str]:
+    """Active file paths the per-file zonemaps CANNOT prove empty for the
+    AND of ``where`` — the files ``delta_read(..., where=...)`` will scan.
+    Metadata-only (log replay, no data I/O); the observability hook tests
+    pin skipping effectiveness with."""
+    snap = _replay(spark, path, version)
+    return sorted(_pruned_files(snap, where))
+
+
+def _hive_layout_consistent(
+    snap: _Snapshot, phys_parts: list[str], files: dict[str, dict] | None = None
+) -> bool:
     """True when every active file sits in Hive partition directories
     ``<col>=<escaped value>/...`` whose unescaped values EQUAL the add
     action's partitionValues — the precondition for letting Spark's own
     partition discovery restore the columns. Any disagreement (the log is
     authoritative, per protocol) routes to the literal-restore fallback."""
-    for p, add in snap.files.items():
+    for p, add in (snap.files if files is None else files).items():
         pv = add.get("partitionValues") or {}
         segs = [s for s in p.replace(os.sep, "/").split("/")[:-1]]
         if len(segs) != len(phys_parts):
@@ -568,9 +759,12 @@ def _write_data_files(
                 continue
             # Spark can emit zero-row part files for empty partitions; a
             # zero-row add pollutes the log (and foreign readers' stats)
-            # for nothing — skip them (footer read: metadata-scale)
-            if _pq.ParquetFile(os.path.join(root, f)).metadata.num_rows == 0:
+            # for nothing — skip them (footer read: metadata-scale; the
+            # same open footer also yields the per-file skipping stats)
+            meta = _pq.ParquetFile(os.path.join(root, f)).metadata
+            if meta.num_rows == 0:
                 continue
+            stats = _footer_stats_json(meta)
             rel_dir = os.path.relpath(root, tmp)
             pv: dict[str, Any] = {}
             if rel_dir != ".":
@@ -594,15 +788,16 @@ def _write_data_files(
             src = os.path.join(root, f)
             size = os.path.getsize(src)
             os.rename(src, os.path.join(path, rel_path))
-            adds.append(
-                {
-                    "path": rel_path.replace(os.sep, "/"),
-                    "partitionValues": pv,
-                    "size": size,
-                    "modificationTime": now,
-                    "dataChange": True,
-                }
-            )
+            add = {
+                "path": rel_path.replace(os.sep, "/"),
+                "partitionValues": pv,
+                "size": size,
+                "modificationTime": now,
+                "dataChange": True,
+            }
+            if stats:
+                add["stats"] = stats
+            adds.append(add)
     # clean the now-empty temp tree (best effort)
     for root, dirs, files in os.walk(tmp, topdown=False):
         for f in files:
@@ -629,7 +824,22 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             }
         },
     ]
-    rows += [base | {"add": add} for add in snap.files.values()]
+    rows += [
+        base
+        | {
+            "add": {
+                "path": add["path"],
+                "partitionValues": add.get("partitionValues") or {},
+                "size": add.get("size"),
+                "modificationTime": add.get("modificationTime"),
+                "dataChange": bool(add.get("dataChange", True)),
+                # per-file skipping stats survive checkpointing — a reader
+                # replaying from the checkpoint alone keeps pruning
+                "stats": add.get("stats"),
+            }
+        }
+        for add in snap.files.values()
+    ]
     # remove TOMBSTONES ride along per spec (recent deletes stay visible to
     # vacuum / streaming readers replaying from the checkpoint); they are
     # not state — the add set above is already net
@@ -650,7 +860,8 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         "options:map<string,string>>,schemaString:string,"
         "partitionColumns:array<string>,configuration:map<string,string>>, "
         "add struct<path:string,partitionValues:map<string,string>,"
-        "size:bigint,modificationTime:bigint,dataChange:boolean>, "
+        "size:bigint,modificationTime:bigint,dataChange:boolean,"
+        "stats:string>, "
         "remove struct<path:string,deletionTimestamp:bigint,"
         "dataChange:boolean>"
     )
@@ -784,6 +995,102 @@ def delta_write(
             _write_checkpoint(spark, path, version)
         return version
     raise ConcurrentDeltaCommitError(f"gave up after {max_retries} retries")
+
+
+def delta_optimize(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    cluster_cols: list[str] | None = None,
+    zorder: bool = False,
+    bits: int = 16,
+    n_files: int | None = None,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+) -> int:
+    """Delta OPTIMIZE: rewrite the current snapshot's small files into
+    ~``target_bytes`` files (bin-packing compaction), committing the swap
+    as one version whose adds AND removes carry ``dataChange: false`` —
+    the protocol's marker that no rows changed, so incremental/streaming
+    consumers skip the commit entirely. Returns the committed version.
+
+    With ``cluster_cols`` (OPTIMIZE ZORDER analogue): ONE range shuffle on
+    the cluster key — the interleaved-bit z-value when ``zorder`` and
+    multiple columns (``plans/layout.py``) — before the write, so every
+    output file covers a narrow key range and the per-file stats written
+    into the new add actions stay tight; ``delta_read(..., where=...)``
+    keeps pruning AFTER compaction. A plain compaction would collapse
+    every range into one un-prunable file. This is why a 100 TB table is
+    optimized WITH a cluster key: compaction is the one moment the data
+    is rewritten anyway, so the clustering shuffle rides for free.
+
+    Concurrency: the rewrite is computed against the latest snapshot and
+    committed put-if-absent; a racing commit wins and this raises
+    ``ConcurrentDeltaCommitError`` (Delta's own OPTIMIZE conflict rule —
+    a lost rewrite must NOT clobber concurrent appends; rerun instead).
+    Orphaned rewrite files from a lost race are unreferenced and are
+    collected by ``delta_vacuum``. Time travel to pre-OPTIMIZE versions
+    still reads the old files — bytes stay until vacuumed."""
+    latest = _latest_version(path)
+    snap = _replay(spark, path, latest)
+    if snap.column_mapping != "none":
+        raise DeltaProtocolError(
+            f"{path}: refusing to rewrite a column-mapped table "
+            f"(columnMapping.mode={snap.column_mapping})"
+        )
+    if not snap.files:
+        return latest
+    total = sum(int(a.get("size") or 0) for a in snap.files.values())
+    # n_files overrides the size-derived count (the tables.py ``n_dirs``
+    # convention): the file is the pruning unit, so callers can size for
+    # skipping granularity instead of bytes
+    n = n_files or max(1, -(-total // target_bytes))  # ceil
+    df = delta_read(spark, path, version=latest)
+    if cluster_cols:
+        from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
+            cluster_by,
+        )
+
+        df = cluster_by(df, cluster_cols, n_partitions=n, zorder=zorder, bits=bits)
+    elif snap.partition_columns:
+        df = df.repartition(n, *snap.partition_columns)
+    else:
+        df = df.repartition(n)
+    adds = _write_data_files(df, path, snap.partition_columns)
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetBytes": target_bytes,
+                    "clusterBy": list(cluster_cols or []),
+                    "zOrder": bool(zorder and cluster_cols),
+                },
+                "engineInfo": "delta-lite",
+            }
+        }
+    ]
+    actions += [
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now,
+                "dataChange": False,
+                "partitionValues": add.get("partitionValues", {}),
+            }
+        }
+        for p, add in snap.files.items()
+    ]
+    actions += [{"add": a | {"dataChange": False}} for a in adds]
+    payload = (
+        "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    )
+    version = latest + 1
+    _claim_version(_log_dir(path), version, payload)
+    if checkpoint_interval and version % checkpoint_interval == 0:
+        _write_checkpoint(spark, path, version)
+    return version
 
 
 def delta_vacuum(spark: SparkSession, path: str) -> list[str]:

@@ -616,3 +616,272 @@ def test_checkpoint_carries_remove_tombstones(spark, tmp_path):
         os.unlink(os.path.join(log, f"{v:020d}.json"))
     got = sorted(r["id"] for r in delta_read(spark, t).collect())
     assert got == [2, 3]
+
+
+# ---------------------------------------------------------------- skipping
+
+
+def _active_adds(t):
+    """Active add actions from a net replay of the JSON log (test probe)."""
+    log = os.path.join(t, "_delta_log")
+    files = {}
+    for f in sorted(os.listdir(log)):
+        if not (f.endswith(".json") and f[0].isdigit()):
+            continue
+        for line in open(os.path.join(log, f)):
+            a = json.loads(line) if line.strip() else {}
+            if "add" in a:
+                files[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                files.pop(a["remove"]["path"], None)
+    return files
+
+
+def test_write_emits_protocol_stats(spark, tmp_path):
+    """Every written file carries add.stats (numRecords/minValues/maxValues/
+    nullCount) computed from its own parquet footer — including string
+    mins/maxes and per-column null counts."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_matching_files,
+    )
+
+    t = str(tmp_path / "st")
+    df = spark.createDataFrame(
+        [(1, "ha", None), (2, "hue", 2.5), (3, None, 9.0)],
+        "id bigint, city string, price double",
+    )
+    delta_write(df, t)
+    adds = list(_active_adds(t).values())
+    assert adds and all(a.get("stats") for a in adds)
+    agg = [json.loads(a["stats"]) for a in adds]
+    assert sum(s["numRecords"] for s in agg) == 3
+    whole = min(s["minValues"]["id"] for s in agg), max(s["maxValues"]["id"] for s in agg)
+    assert whole == (1, 3)
+    assert sum(s["nullCount"]["city"] for s in agg) == 1
+    assert sum(s["nullCount"]["price"] for s in agg) == 1
+    # string bounds present and conservative (files all-NULL for city
+    # legitimately omit it from minValues — nullCount covers them)
+    cities = [s["minValues"]["city"] for s in agg if "city" in s["minValues"]]
+    assert cities and min(cities) == "ha"
+
+
+def test_stats_skipping_prunes_and_matches_filter(spark, tmp_path):
+    """delta_read(where=...) returns exactly read().filter(...) while
+    provably scanning fewer files (append batches cover disjoint id
+    ranges, so the range probe must prune)."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_matching_files,
+    )
+
+    t = str(tmp_path / "sk")
+    base = spark.range(0, 400).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("k"),
+        (F.col("id").cast("double") / 10).alias("v"),
+    )
+    for lo in range(0, 400, 100):
+        delta_write(
+            base.filter((F.col("id") >= lo) & (F.col("id") < lo + 100)).coalesce(1),
+            t,
+            mode="append",
+        )
+    n_files = len(_active_adds(t))
+    assert n_files >= 4
+    where = [("id", "between", (150, 250))]
+    kept = delta_matching_files(spark, t, where)
+    assert 0 < len(kept) <= 2  # only the [100,200) and [200,300) batches
+    got = sorted(r["id"] for r in delta_read(spark, t, where=where).collect())
+    assert got == list(range(150, 251))
+    # equality + inequality ops prune too, and results match a real filter
+    assert delta_read(spark, t, where=[("id", "=", 399)]).count() == 1
+    assert len(delta_matching_files(spark, t, [("id", ">", 350)])) == 1
+    assert delta_read(spark, t, where=[("v", "<", 0.95)]).count() == 10
+
+
+def test_all_null_file_prunes_on_null_count(spark, tmp_path):
+    """A file all-NULL for a column has no min/max, only nullCount ==
+    numRecords — comparisons against it must prune the file."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_matching_files,
+    )
+
+    t = str(tmp_path / "nl")
+    delta_write(
+        spark.createDataFrame([(1, None), (2, None)], "id bigint, s string"), t
+    )
+    delta_write(
+        spark.createDataFrame([(3, "x"), (4, "y")], "id bigint, s string"),
+        t,
+        mode="append",
+    )
+    assert len(delta_matching_files(spark, t, [("s", "=", "x")])) == 1
+    assert delta_read(spark, t, where=[("s", "=", "x")]).count() == 1
+
+
+def test_skipping_tolerates_foreign_log_without_stats(spark, tmp_path):
+    """A stats-free foreign log (stats are optional per protocol) must not
+    prune anything — and the where= filter still applies for identical
+    results."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_matching_files,
+    )
+
+    t = str(tmp_path / "fo")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    tbl = pa.table({"id": pa.array([1, 2, 3], pa.int64())})
+    pq.write_table(tbl, os.path.join(t, "d0.parquet"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "f",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+        {"add": {"path": "d0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    assert delta_matching_files(spark, t, [("id", ">", 100)]) == ["d0.parquet"]
+    assert delta_read(spark, t, where=[("id", ">", 100)]).count() == 0
+    assert delta_read(spark, t, where=[("id", "<=", 2)]).count() == 2
+
+
+def test_partition_value_skipping(spark, tmp_path):
+    """where= on a partition column prunes via add.partitionValues — and a
+    NULL partition can never satisfy a comparison."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_matching_files,
+    )
+
+    t = str(tmp_path / "pv")
+    df = spark.createDataFrame(
+        [(1, "north"), (2, "south"), (3, None)], "id bigint, zone string"
+    )
+    delta_write(df, t, partition_by=["zone"])
+    adds = _active_adds(t)
+    assert len(adds) == 3
+    assert delta_matching_files(spark, t, [("zone", "=", "north")]) == [
+        p for p in adds if p.startswith("zone=north")
+    ]
+    got = delta_read(spark, t, where=[("zone", "=", "north")]).collect()
+    assert [r["id"] for r in got] == [1]
+
+
+def test_optimize_compacts_preserves_and_marks_no_datachange(spark, tmp_path):
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_optimize,
+        delta_vacuum,
+    )
+
+    t = str(tmp_path / "op")
+    base = spark.range(0, 300).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    for lo in range(0, 300, 50):
+        delta_write(
+            base.filter((F.col("id") >= lo) & (F.col("id") < lo + 50)).coalesce(1),
+            t,
+            mode="append",
+        )
+    pre_files = set(_active_adds(t))
+    assert len(pre_files) == 6
+    v = delta_optimize(spark, t, target_bytes=1 << 30)
+    post = _active_adds(t)
+    assert len(post) < len(pre_files) and not (set(post) & pre_files)
+    # identical data, before and after; pre-OPTIMIZE versions still read
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == list(range(300))
+    assert delta_read(spark, t, version=v - 1).count() == 300
+    # the swap commit is dataChange: false on BOTH sides (streaming skip)
+    log = os.path.join(t, "_delta_log")
+    acts = [json.loads(l) for l in open(os.path.join(log, f"{v:020d}.json"))]
+    assert any("commitInfo" in a and a["commitInfo"]["operation"] == "OPTIMIZE" for a in acts)
+    assert all(a["add"]["dataChange"] is False for a in acts if "add" in a)
+    assert all(a["remove"]["dataChange"] is False for a in acts if "remove" in a)
+    # old files are still referenced by old versions: vacuum keeps them
+    assert delta_vacuum(spark, t) == []
+    assert delta_read(spark, t, version=v - 1).count() == 300
+
+
+def test_optimize_zorder_clustering_keeps_skipping_effective(spark, tmp_path):
+    """After a clustered OPTIMIZE, per-file stats are tight on BOTH z-order
+    columns: a selective probe on either column prunes most files. A plain
+    compaction of the same data could not prune at all (every file would
+    span the whole range)."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_matching_files,
+        delta_optimize,
+    )
+
+    t = str(tmp_path / "zo")
+    # write in k-interleaved order so pre-optimize files are UNclustered
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("bigint").alias("y")
+    )
+    delta_write(df.repartition(4), t)
+    v = delta_optimize(spark, t, cluster_cols=["x", "y"], zorder=True, n_files=8)
+    post = _active_adds(t)
+    assert len(post) >= 4
+    for col in ("x", "y"):
+        kept = delta_matching_files(spark, t, [(col, "=", 0)])
+        assert len(kept) < len(post)  # z-order gives BOTH columns locality
+        assert delta_read(spark, t, where=[(col, "=", 0)]).count() == 64
+
+
+def test_optimize_loses_race_and_raises(spark, tmp_path, monkeypatch):
+    from lakehouse_architecture_for_realestatedata_spark.sources import delta_lite as dl
+
+    t = str(tmp_path / "rc")
+    delta_write(_df(spark, [(1, "a", 1.0)]), t)
+    # a racing writer claims version 1 BETWEEN optimize's replay and its
+    # commit (injected after the rewrite files land): the put-if-absent
+    # claim must lose and surface the conflict — never clobber the winner
+    orig = dl._write_data_files
+
+    def race_then_write(df, path, pcols):
+        adds = orig(df, path, pcols)
+        dl._claim_version(
+            os.path.join(t, "_delta_log"),
+            1,
+            json.dumps({"commitInfo": {"operation": "WRITE", "timestamp": 0}}) + "\n",
+        )
+        return adds
+
+    monkeypatch.setattr(dl, "_write_data_files", race_then_write)
+    with pytest.raises(ConcurrentDeltaCommitError):
+        dl.delta_optimize(spark, t)
+    # the winner's commit is intact and the table still reads
+    assert delta_read(spark, t).count() == 1
+
+
+def test_stats_survive_checkpoint_replay(spark, tmp_path):
+    """Skipping keeps working for a reader that replays from the checkpoint
+    alone — the checkpoint's add rows carry the stats JSON through."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_matching_files,
+    )
+
+    t = str(tmp_path / "cs")
+    base = spark.range(0, 300).select(F.col("id"))
+    for i, lo in enumerate(range(0, 300, 50)):
+        delta_write(
+            base.filter((F.col("id") >= lo) & (F.col("id") < lo + 50)).coalesce(1),
+            t,
+            mode="append",
+            checkpoint_interval=5,
+        )
+    log = os.path.join(t, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{5:020d}.checkpoint.parquet"))
+    for v in range(5):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    kept = delta_matching_files(spark, t, [("id", "<", 40)])
+    assert len(kept) == 1
+    assert delta_read(spark, t, where=[("id", "<", 40)]).count() == 40

@@ -203,6 +203,7 @@ def test_driver_window_fully_oracle_backed():
         "minhash_lsh_verified_md5",
         "simhash_pairs_md5",
         "thrift_front_door_revenue",
+        "delta_optimize_skipping_scan",
         # r9 rotation swap-outs (driver-green in r8; family twin in-window):
         "resample_locf_daily",
         "heavy_hitters_users",

@@ -301,9 +301,12 @@ def test_bm25_thousand_query_batch_partial_topk_before_exchange(spark):
     partial = re.search(
         r"\((\d+)\) WindowGroupLimit\nInput[^\n]*\nArguments: [^\n]*Partial", plan
     )
+    # the WINDOW's exchange is the single-key hashpartitioning(query_id);
+    # the per-doc groupBy exchange is hashpartitioning(query_id, doc_id)
+    # and must not satisfy this pin
     exchange = re.search(
         r"\((\d+)\) Exchange\nInput[^\n]*\n"
-        r"Arguments: hashpartitioning\(query_id",
+        r"Arguments: hashpartitioning\(query_id#\d+, \d+\)",
         plan,
     )
     assert partial and exchange, plan

@@ -10,8 +10,11 @@ tables use ``sources/tables.py`` (same semantics, custom manifest) — but a
 user migrating from the reference still owns DELTA-FORMATTED directories.
 ``delta_lite`` closes that interop gap for the protocol's core: it reads
 tables whose ``_delta_log`` was written by any engine (version replay,
-checkpoints, partitioned layouts, time travel) and writes logs any Delta
-reader can consume, using only the published protocol.
+checkpoints, partitioned layouts, time travel, stats-based data skipping
+via ``delta_read(where=...)``) and writes logs any Delta reader can
+consume (per-file stats in add actions, ``delta_optimize`` compaction
+with z-order clustering, file-pruned ``delta_merge`` upserts and
+``delta_delete_where``), using only the published protocol.
 
 Protocol subset (explicitly checked, honestly refused otherwise):
   - reader protocol 1 and 2, plus protocol 3 when ``readerFeatures``
@@ -557,21 +560,32 @@ def delta_read(
             raise ValueError("pass version OR timestamp_millis, not both")
         version = version_at_timestamp(path, timestamp_millis)
     snap = _replay(spark, path, version)
-    logical = _strip_metadata(snap.schema)
-    phys = snap.physical_schema
-    phys_parts = snap.physical_partition_columns
-    data_schema = StructType([f for f in phys.fields if f.name not in phys_parts])
     active = _pruned_files(snap, where)
-
-    def finish(df: DataFrame) -> DataFrame:
+    df = _scan_files(spark, path, snap, active)
+    if where:
         from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
             ParquetTable,
         )
 
-        return df.filter(ParquetTable._conds_filter(where)) if where else df
+        df = df.filter(ParquetTable._conds_filter(where))
+    return df
+
+
+def _scan_files(
+    spark: SparkSession, path: str, snap: _Snapshot, active: dict[str, dict]
+) -> DataFrame:
+    """Scan of exactly ``active`` (a subset of the snapshot's file set)
+    under the snapshot's LOGICAL schema — partition-column restore,
+    Hive-layout fast path, and column-mapping rename all included. The
+    shared read engine under ``delta_read`` and the file-pruned
+    ``delta_merge`` / ``delta_delete_where`` rewrites."""
+    logical = _strip_metadata(snap.schema)
+    phys = snap.physical_schema
+    phys_parts = snap.physical_partition_columns
+    data_schema = StructType([f for f in phys.fields if f.name not in phys_parts])
 
     if not active:
-        return finish(spark.createDataFrame([], logical))
+        return spark.createDataFrame([], logical)
 
     def to_logical(df: DataFrame) -> DataFrame:
         if snap.column_mapping == "none":
@@ -588,7 +602,7 @@ def delta_read(
 
     if not phys_parts:
         files = [os.path.join(path, p) for p in active]
-        return finish(to_logical(spark.read.schema(data_schema).parquet(*files)))
+        return to_logical(spark.read.schema(data_schema).parquet(*files))
     # Hive-layout fast path: when every file's directory name re-derives
     # exactly the log's partitionValues (the layout Spark and delta-spark
     # both write), hand the WHOLE file list to one scan relation with
@@ -597,13 +611,11 @@ def delta_read(
     # 10⁴ partition tuples must not become a 10⁴-way union plan.
     if _hive_layout_consistent(snap, phys_parts, active):
         files = [os.path.join(path, p) for p in active]
-        return finish(
-            to_logical(
-                spark.read.schema(phys)
-                .option("basePath", path)
-                .parquet(*files)
-                .select(*[f.name for f in phys.fields])
-            )
+        return to_logical(
+            spark.read.schema(phys)
+            .option("basePath", path)
+            .parquet(*files)
+            .select(*[f.name for f in phys.fields])
         )
     # Fallback (foreign layouts where partitionValues are authoritative but
     # dir names are not, e.g. relocated files): group files by partition
@@ -626,7 +638,7 @@ def delta_read(
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
-    return finish(to_logical(out))
+    return to_logical(out)
 
 
 def _pruned_files(snap: _Snapshot, where: list[tuple] | None) -> dict[str, dict]:
@@ -1091,6 +1103,263 @@ def delta_optimize(
     if checkpoint_interval and version % checkpoint_interval == 0:
         _write_checkpoint(spark, path, version)
     return version
+
+
+_KEY_PRUNE_CAP = 100_000  # collected distinct merge keys; beyond → envelope
+
+
+def _files_overlapping_keys(
+    snap: _Snapshot, keys: list[str], source: DataFrame
+) -> list[str]:
+    """Active files whose stats/partitionValues may hold a source key —
+    the files a keyed MERGE must read and rewrite (the ``tables.py``
+    ``_dirs_overlapping_keys`` policy at Delta file granularity).
+    Single-key merges collect the distinct source keys (capped
+    driver-side — merge sources are the small side by construction) and
+    bisect each file's [min, max] against the actual key set, so an
+    upsert of {day-1 keys, one far-away fresh key} does not smear into an
+    envelope covering the whole table. Multi-key or over-cap sources fall
+    back to the per-column min/max envelope (conservative, still exact).
+    NULL keys never equi-join → all-NULL files and NULL source keys are
+    ignored; files without stats must be assumed overlapping."""
+    import bisect
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
+        ParquetTable,
+    )
+
+    l2p = {
+        lf.name: pf.name
+        for lf, pf in zip(snap.schema.fields, snap.physical_schema.fields)
+    }
+    phys_parts = snap.physical_partition_columns
+
+    def bounds(add: dict, pc: str):
+        if pc in phys_parts:
+            v = (add.get("partitionValues") or {}).get(pc)
+            return [v, v] if pc in (add.get("partitionValues") or {}) else None
+        return _file_zonemap(add).get(pc)
+
+    if len(keys) == 1:
+        k = keys[0]
+        pc = l2p.get(k, k)
+        rows = (
+            source.select(k)
+            .where(F.col(k).isNotNull())
+            .distinct()
+            .limit(_KEY_PRUNE_CAP + 1)
+            .collect()
+        )
+        vals = sorted(r[0] for r in rows)
+        if not vals:
+            return []  # no non-null source key → pure insert
+        if len(vals) <= _KEY_PRUNE_CAP and not isinstance(vals[0], bool):
+            cvals = sorted(ParquetTable._coerce(v, vals[0]) for v in vals)
+            out = []
+            for p, add in snap.files.items():
+                b = bounds(add, pc)
+                if b is None:
+                    out.append(p)  # no stats → must assume overlap
+                    continue
+                lo = ParquetTable._coerce(b[0], vals[0])
+                hi = ParquetTable._coerce(b[1], vals[0])
+                if lo is None and hi is None:
+                    continue  # all-NULL file: equi-join can't match
+                if lo is None or hi is None:
+                    out.append(p)
+                    continue
+                i = bisect.bisect_left(cvals, lo)
+                if i < len(cvals) and cvals[i] <= hi:
+                    out.append(p)
+            return out
+    row = source.agg(
+        *[F.min(k).alias(f"__lo_{i}") for i, k in enumerate(keys)],
+        *[F.max(k).alias(f"__hi_{i}") for i, k in enumerate(keys)],
+    ).collect()[0]
+    conds = [
+        (k, "between", (row[f"__lo_{i}"], row[f"__hi_{i}"]))
+        for i, k in enumerate(keys)
+        if row[f"__lo_{i}"] is not None and row[f"__hi_{i}"] is not None
+    ]
+    return [
+        p
+        for p, add in snap.files.items()
+        if _file_may_match(add, conds, l2p, phys_parts)
+    ]
+
+
+def _commit_rewrite(
+    spark: SparkSession,
+    path: str,
+    latest: int,
+    snap: _Snapshot,
+    touched: list[str],
+    out: DataFrame,
+    op: str,
+    schema_json: str | None = None,
+    operation_parameters: dict | None = None,
+) -> int:
+    """Commit a partial rewrite: ``touched`` files are removed, ``out`` is
+    written as their replacement, every other active file is carried BY
+    REFERENCE (its add action simply stays live). One put-if-absent claim;
+    a lost race raises ``ConcurrentDeltaCommitError`` — the rewrite was
+    computed against a snapshot that is no longer latest (Delta's
+    ConcurrentAppendException contract; caller re-runs). Orphans from a
+    lost race are unreferenced and collected by ``delta_vacuum``."""
+    adds = _write_data_files(out, path, snap.partition_columns)
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": op,
+                "operationParameters": operation_parameters or {},
+                "engineInfo": "delta-lite",
+            }
+        }
+    ]
+    if schema_json is not None and schema_json != snap.schema.json():
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": snap.configuration,
+                }
+            }
+        )
+    actions += [
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now,
+                "dataChange": True,
+                "partitionValues": snap.files[p].get("partitionValues", {}),
+            }
+        }
+        for p in touched
+    ]
+    actions += [{"add": a} for a in adds]
+    payload = (
+        "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    )
+    version = latest + 1
+    _claim_version(_log_dir(path), version, payload)
+    return version
+
+
+def delta_merge(
+    source: DataFrame,
+    path: str,
+    key: str | list[str],
+    when_matched: str = "update_all",
+) -> int:
+    """Keyed MERGE upsert on a Delta table (the hallmark Delta op):
+    ``update_all`` replaces matched target rows with the source row and
+    inserts the rest; ``keep_target`` is insert-only (matched source rows
+    are dropped). Creates the table when absent. Returns the committed
+    version.
+
+    File-pruned exactly like Delta's merge: the distinct source keys (or
+    the per-column envelope) are tested against each file's add-action
+    stats/partitionValues, and files that cannot contain a source key are
+    carried into the new version BY REFERENCE — only overlapping files
+    are read, anti-joined, and rewritten. A target row matching a source
+    key necessarily lives in an overlapping file, so the join over just
+    those files is exact. An upsert of one day's keys into a date-
+    clustered 100 TB table rewrites one day's files; everything else is
+    log metadata.
+
+    Requires the source unique per key (a duplicate-key source makes
+    'update-all' ill-defined — Delta itself errors; pre-dedup with
+    ``operators.dedup.dedup_latest``). New source columns widen the
+    schema (metaData action in the same commit); untouched files read
+    NULL for them, Delta's own evolution semantics."""
+    keys = [key] if isinstance(key, str) else list(key)
+    spark = source.sparkSession
+    try:
+        latest = _latest_version(path)
+    except FileNotFoundError:
+        delta_write(source, path, mode="overwrite")
+        return 0
+    snap = _replay(spark, path, latest)
+    if snap.column_mapping != "none":
+        raise DeltaProtocolError(
+            f"{path}: refusing to rewrite a column-mapped table "
+            f"(columnMapping.mode={snap.column_mapping})"
+        )
+    touched = _files_overlapping_keys(snap, keys, source)
+    target = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
+    if when_matched == "update_all":
+        kept = target.join(source.select(*keys), on=keys, how="left_anti")
+    elif when_matched == "keep_target":  # insert-only merge
+        source = source.join(target.select(*keys), on=keys, how="left_anti")
+        kept = target
+    else:
+        raise ValueError(f"unknown when_matched={when_matched!r}")
+    out = kept.unionByName(source, allowMissingColumns=True)
+    merged_schema = (
+        spark.createDataFrame([], _strip_metadata(snap.schema))
+        .unionByName(out.limit(0), allowMissingColumns=True)
+        .schema
+    )
+    return _commit_rewrite(
+        spark,
+        path,
+        latest,
+        snap,
+        touched,
+        out.select(*[f.name for f in merged_schema.fields]),
+        op="MERGE",
+        schema_json=merged_schema.json(),
+        operation_parameters={
+            "predicate": " AND ".join(f"t.{k} = s.{k}" for k in keys),
+            "matchedAction": when_matched,
+        },
+    )
+
+
+def delta_delete_where(spark: SparkSession, path: str, *conds: tuple) -> int:
+    """Delta DELETE with file pruning: ``(col, op, value)`` conditions
+    (AND-combined, the ``delta_read(where=...)`` grammar) name the rows to
+    delete; files whose stats/partitionValues prove them match-free are
+    carried by reference, and only files that MAY hold a matching row are
+    read, filtered to survivors, and rewritten. A retention delete on a
+    date-clustered table costs O(expired slice), not O(table). Returns
+    the committed version (unchanged when nothing can match)."""
+    if not conds:
+        raise ValueError("delta_delete_where needs at least one condition")
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
+        ParquetTable,
+    )
+
+    latest = _latest_version(path)
+    snap = _replay(spark, path, latest)
+    if snap.column_mapping != "none":
+        raise DeltaProtocolError(
+            f"{path}: refusing to rewrite a column-mapped table "
+            f"(columnMapping.mode={snap.column_mapping})"
+        )
+    touched = sorted(_pruned_files(snap, list(conds)))
+    if not touched:
+        return latest  # stats prove no row matches: nothing to do
+    survivors = _scan_files(
+        spark, path, snap, {p: snap.files[p] for p in touched}
+    ).filter(~ParquetTable._conds_filter(list(conds)))
+    return _commit_rewrite(
+        spark,
+        path,
+        latest,
+        snap,
+        touched,
+        survivors,
+        op="DELETE",
+        operation_parameters={
+            "predicate": " AND ".join(f"{c} {o} {v!r}" for c, o, v in conds)
+        },
+    )
 
 
 def delta_vacuum(spark: SparkSession, path: str) -> list[str]:

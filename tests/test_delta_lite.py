@@ -885,3 +885,168 @@ def test_stats_survive_checkpoint_replay(spark, tmp_path):
     kept = delta_matching_files(spark, t, [("id", "<", 40)])
     assert len(kept) == 1
     assert delta_read(spark, t, where=[("id", "<", 40)]).count() == 40
+
+
+# ------------------------------------------------------------ merge/delete
+
+
+def test_merge_upserts_and_prunes_files(spark, tmp_path):
+    """update_all MERGE: matched rows replaced, new keys inserted — and
+    only files whose stats may hold a source key are rewritten (the
+    others are carried by reference, never read)."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_merge,
+    )
+
+    t = str(tmp_path / "mg")
+    base = spark.range(0, 400).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    for lo in range(0, 400, 100):
+        delta_write(
+            base.filter((F.col("id") >= lo) & (F.col("id") < lo + 100)).coalesce(1),
+            t,
+            mode="append",
+        )
+    src = spark.range(150, 160).select(
+        F.col("id"), F.lit(-1).cast("bigint").alias("v")
+    ).unionByName(
+        spark.range(900, 903).select(F.col("id"), F.lit(7).cast("bigint").alias("v"))
+    )
+    v = delta_merge(src, t, key="id")
+    got = delta_read(spark, t)
+    assert got.count() == 403
+    assert got.filter("v = -1").count() == 10
+    assert sorted(r["id"] for r in got.filter("id >= 900").collect()) == [900, 901, 902]
+    # untouched rows intact
+    assert got.filter("id = 10").collect()[0]["v"] == 20
+    # file pruning pinned: only the [100,200) batch matched a source key
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    ]
+    assert len([a for a in acts if "remove" in a]) == 1
+    assert any(
+        "commitInfo" in a and a["commitInfo"]["operation"] == "MERGE" for a in acts
+    )
+
+
+def test_merge_insert_only_keeps_target(spark, tmp_path):
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_merge,
+    )
+
+    t = str(tmp_path / "io")
+    delta_write(
+        spark.createDataFrame([(1, "old"), (2, "old")], "id bigint, s string"), t
+    )
+    src = spark.createDataFrame([(2, "new"), (3, "new")], "id bigint, s string")
+    delta_merge(src, t, key="id", when_matched="keep_target")
+    got = {r["id"]: r["s"] for r in delta_read(spark, t).collect()}
+    assert got == {1: "old", 2: "old", 3: "new"}
+
+
+def test_merge_widens_schema_like_delta_evolution(spark, tmp_path):
+    """A source column the target lacks widens the table schema in the
+    same commit (metaData action); untouched files read NULL for it."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_merge,
+    )
+
+    t = str(tmp_path / "ev")
+    base = spark.range(0, 200).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    for lo in (0, 100):
+        delta_write(
+            base.filter((F.col("id") >= lo) & (F.col("id") < lo + 100)).coalesce(1),
+            t,
+            mode="append",
+        )
+    src = spark.createDataFrame([(150, 0, "tagged")], "id bigint, v bigint, tag string")
+    delta_merge(src, t, key="id")
+    got = delta_read(spark, t)
+    assert got.count() == 200
+    assert got.filter("tag is not null").count() == 1
+    # the untouched [0,100) file reads NULL for the new column
+    assert got.filter("id = 5").collect()[0]["tag"] is None
+
+
+def test_merge_creates_missing_table(spark, tmp_path):
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_merge,
+    )
+
+    t = str(tmp_path / "cr")
+    src = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    assert delta_merge(src, t, key="id") == 0
+    assert delta_read(spark, t).count() == 1
+
+
+def test_merge_partitioned_prunes_on_partition_values(spark, tmp_path):
+    """With the key a partition column, pruning rides partitionValues: a
+    merge touching one zone rewrites one zone's files."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_merge,
+    )
+
+    t = str(tmp_path / "pz")
+    df = spark.createDataFrame(
+        [(1, "north", 1.0), (2, "south", 2.0), (3, "east", 3.0)],
+        "id bigint, zone string, price double",
+    )
+    delta_write(df, t, partition_by=["zone"])
+    src = spark.createDataFrame([(9, "south", 9.0)], "id bigint, zone string, price double")
+    v = delta_merge(src, t, key="zone")
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    ]
+    removed = [a["remove"]["path"] for a in acts if "remove" in a]
+    assert len(removed) == 1 and removed[0].startswith("zone=south")
+    got = {r["zone"]: r["id"] for r in delta_read(spark, t).collect()}
+    assert got == {"north": 1, "south": 9, "east": 3}
+
+
+def test_delete_where_prunes_and_survives(spark, tmp_path):
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+    )
+
+    t = str(tmp_path / "dl")
+    base = spark.range(0, 400).select(F.col("id"))
+    for lo in range(0, 400, 100):
+        delta_write(
+            base.filter((F.col("id") >= lo) & (F.col("id") < lo + 100)).coalesce(1),
+            t,
+            mode="append",
+        )
+    v = delta_delete_where(spark, t, ("id", "between", (120, 180)))
+    assert delta_read(spark, t).count() == 400 - 61
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    ]
+    assert len([a for a in acts if "remove" in a]) == 1  # only [100,200)
+    # a delete the stats prove empty is a no-op: no new version
+    assert delta_delete_where(spark, t, ("id", ">", 10**9)) == v
+    # time travel: pre-delete version still shows the rows
+    assert delta_read(spark, t, version=v - 1).count() == 400
+
+
+def test_merge_loses_race_and_raises(spark, tmp_path, monkeypatch):
+    from lakehouse_architecture_for_realestatedata_spark.sources import delta_lite as dl
+
+    t = str(tmp_path / "mr")
+    delta_write(_df(spark, [(1, "a", 1.0)]), t)
+    orig = dl._write_data_files
+
+    def race_then_write(df, path, pcols):
+        adds = orig(df, path, pcols)
+        dl._claim_version(
+            os.path.join(t, "_delta_log"),
+            1,
+            json.dumps({"commitInfo": {"operation": "WRITE", "timestamp": 0}}) + "\n",
+        )
+        return adds
+
+    monkeypatch.setattr(dl, "_write_data_files", race_then_write)
+    with pytest.raises(ConcurrentDeltaCommitError):
+        dl.delta_merge(_df(spark, [(1, "b", 2.0)]), t, key="id")
+    assert delta_read(spark, t).collect()[0]["city"] == "a"

@@ -562,3 +562,52 @@ def q_delta_optimize_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event"),
         F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "delta_format_front_door",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           min(event_id) AS first_event,
+           cast(sum(cast(value AS decimal(30,6))) AS double) AS total_value
+    FROM events
+    WHERE user_id <= 2000
+    GROUP BY event_type
+    """,
+    doc="Spark-format front door for the open Delta protocol "
+    "(sources/delta_source.py, Python Data Source API): events flow "
+    "through df.write.format('delta_lite') (task-written parquet files + "
+    "per-file stats, driver put-if-absent commit) and come back through "
+    "spark.read.format('delta_lite') with a pushed predicate — Spark "
+    "hands the filter to pushFilters, the reader prunes files by "
+    "add-action stats, Spark re-applies the filter row-level. This is "
+    "the surface the reference stack actually calls "
+    "(load_bronze_to_table.py:158 uses format('delta'), not a function "
+    "API). The oracle is the same predicate straight over the source "
+    "parquet.",
+)
+def q_delta_format_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_source import (
+        register_delta_lite_source,
+    )
+
+    register_delta_lite_source(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_deltafmt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/events_delta"
+    ev.write.format("delta_lite").mode("overwrite").save(path)
+    got = spark.read.format("delta_lite").load(path).filter(F.col("user_id") <= 2000)
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("first_event"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+    )

@@ -30,6 +30,9 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for every pandas_udf / toPandas / createDataFrame(pandas) hop.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python Data Source pushdown: lets format("delta_lite") receive query
+    # predicates and prune files by add-action stats (sources/delta_source).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Quieter, faster local runs.
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",

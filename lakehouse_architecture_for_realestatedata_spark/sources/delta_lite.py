@@ -394,23 +394,40 @@ def _checkpoint_files(log: str) -> dict[int, list[str]]:
     return {v: sorted(fs) for v, fs in out.items()}
 
 
-def _read_checkpoint(
-    spark: SparkSession, path: str, version: int, snap: dict, files: list[str]
-) -> None:
+def _unmap(v):
+    """pyarrow renders parquet MAP columns as lists of (key, value) pairs;
+    the protocol's map-typed action fields (partitionValues, configuration,
+    tags, format.options) want dicts. Recursive, order-preserving."""
+    if isinstance(v, list) and all(
+        isinstance(x, tuple) and len(x) == 2 for x in v
+    ):
+        return {k: _unmap(x) for k, x in v}
+    if isinstance(v, dict):
+        return {k: _unmap(x) for k, x in v.items()}
+    return v
+
+
+def _read_checkpoint(path: str, version: int, snap: dict, files: list[str]) -> None:
     """Fold a parquet checkpoint (one row per action, struct columns; one
     or many part files) into the replay state. Column order in the
     checkpoint is unspecified by the spec; we read whichever action
     columns exist. Remove tombstones in checkpoints are retention
     metadata only — the add set is already net — so they carry no
-    active-set state."""
+    active-set state. Read via pyarrow (driver-local metadata, never a
+    Spark job — replay must work without a session, e.g. inside the
+    DataSource API's ``schema()``)."""
+    import pyarrow.parquet as _pq
+
     log = _log_dir(path)
-    cp = spark.read.parquet(*[os.path.join(log, f) for f in files])
-    cols = set(cp.columns)
-    for row in cp.collect():
-        d = row.asDict(recursive=True)
-        for kind in ("protocol", "metaData", "add", "remove"):
-            if kind in cols and d.get(kind) is not None:
-                _apply_action(snap, {kind: d[kind]}, from_checkpoint=True)
+    for f in files:
+        tbl = _pq.read_table(os.path.join(log, f))
+        cols = set(tbl.column_names)
+        for d in tbl.to_pylist():
+            for kind in ("protocol", "metaData", "add", "remove"):
+                if kind in cols and d.get(kind) is not None:
+                    _apply_action(
+                        snap, {kind: _unmap(d[kind])}, from_checkpoint=True
+                    )
 
 
 def _latest_version(path: str) -> int:
@@ -441,7 +458,7 @@ def _latest_version(path: str) -> int:
     return max(versions)
 
 
-def _replay(spark: SparkSession, path: str, version: int | None) -> _Snapshot:
+def _replay(path: str, version: int | None) -> _Snapshot:
     log = _log_dir(path)
     latest = _latest_version(path)
     target = latest if version is None else version
@@ -461,7 +478,7 @@ def _replay(spark: SparkSession, path: str, version: int | None) -> _Snapshot:
     cps = _checkpoint_files(log)
     usable = sorted(v for v in cps if v <= target)
     if usable:
-        _read_checkpoint(spark, path, usable[-1], snap, cps[usable[-1]])
+        _read_checkpoint(path, usable[-1], snap, cps[usable[-1]])
         start = usable[-1] + 1
     for f in sorted(f for f in os.listdir(log) if f.endswith(".json") and f[0].isdigit()):
         v = _version_of(f)
@@ -559,7 +576,7 @@ def delta_read(
         if version is not None:
             raise ValueError("pass version OR timestamp_millis, not both")
         version = version_at_timestamp(path, timestamp_millis)
-    snap = _replay(spark, path, version)
+    snap = _replay(path, version)
     active = _pruned_files(snap, where)
     df = _scan_files(spark, path, snap, active)
     if where:
@@ -668,7 +685,7 @@ def delta_matching_files(
     AND of ``where`` — the files ``delta_read(..., where=...)`` will scan.
     Metadata-only (log replay, no data I/O); the observability hook tests
     pin skipping effectiveness with."""
-    snap = _replay(spark, path, version)
+    snap = _replay(path, version)
     return sorted(_pruned_files(snap, where))
 
 
@@ -821,7 +838,7 @@ def _write_data_files(
 
 
 def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
-    snap = _replay(spark, path, version)
+    snap = _replay(path, version)
     base = {"protocol": None, "metaData": None, "add": None, "remove": None}
     rows = [
         base | {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
@@ -927,7 +944,7 @@ def delta_write(
         prior_partitioning: list[str] = []
         prior_files: dict[str, dict] = {}
         if existing:
-            snap = _replay(spark, path, latest)
+            snap = _replay(path, latest)
             if snap.column_mapping != "none":
                 # appending logical-named parquet files to a table whose
                 # readers resolve PHYSICAL names would corrupt it — refuse
@@ -1043,7 +1060,7 @@ def delta_optimize(
     collected by ``delta_vacuum``. Time travel to pre-OPTIMIZE versions
     still reads the old files — bytes stay until vacuumed."""
     latest = _latest_version(path)
-    snap = _replay(spark, path, latest)
+    snap = _replay(path, latest)
     if snap.column_mapping != "none":
         raise DeltaProtocolError(
             f"{path}: refusing to rewrite a column-mapped table "
@@ -1284,7 +1301,7 @@ def delta_merge(
     except FileNotFoundError:
         delta_write(source, path, mode="overwrite")
         return 0
-    snap = _replay(spark, path, latest)
+    snap = _replay(path, latest)
     if snap.column_mapping != "none":
         raise DeltaProtocolError(
             f"{path}: refusing to rewrite a column-mapped table "
@@ -1336,7 +1353,7 @@ def delta_delete_where(spark: SparkSession, path: str, *conds: tuple) -> int:
     )
 
     latest = _latest_version(path)
-    snap = _replay(spark, path, latest)
+    snap = _replay(path, latest)
     if snap.column_mapping != "none":
         raise DeltaProtocolError(
             f"{path}: refusing to rewrite a column-mapped table "
@@ -1373,7 +1390,7 @@ def delta_vacuum(spark: SparkSession, path: str) -> list[str]:
     writers' orphans) are also collected, matching VACUUM's contract."""
     keep: set[str] = set()
     for v in delta_versions(path):
-        keep |= set(_replay(spark, path, v).files)
+        keep |= set(_replay(path, v).files)
     deleted = []
     for root, _dirs, files in os.walk(path):
         if "_delta_log" in root or os.sep + "_tmp-" in root:

@@ -1,0 +1,471 @@
+"""Spark Python Data Source (V2) front door for ``delta_lite``: register
+once, and the open-protocol Delta tables this engine reads/writes become a
+first-class Spark FORMAT — no jars:
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    spark.read.format("delta_lite").load(path)                  # batch
+    spark.read.format("delta_lite").option("version", 3)...     # time travel
+    df.write.format("delta_lite").mode("append").save(path)     # batch sink
+    spark.readStream.format("delta_lite").load(path)            # log tailing
+
+Why this exists alongside ``delta_lite``'s functions: the reference stack
+addresses Delta through Spark's format registry (``spark.read.format
+("delta")`` / ``.write.format("delta")`` — reference:
+scripts/load_bronze_to_table.py:158, spark-defaults.conf:15-16), so a
+migrating user's code says ``format(...)``, not a function call. The
+Python Data Source API (Spark 4, SPARK-44076) lets pure Python implement
+that surface. ``delta_read``/``delta_write`` remain the FAST path — the
+native parquet scan with whole-stage codegen; this format is the
+API-compatibility path, its rows crossing Arrow once per batch.
+
+Scale shape:
+  - batch reads plan ONE InputPartition PER ACTIVE FILE — the natural
+    Delta parallelism (a 10⁴-file table is a 10⁴-task scan, distributed);
+  - ``pushFilters`` (Spark 4.1) receives the query's predicates and
+    prunes files by add-action stats/partitionValues BEFORE planning
+    partitions — the same skipping as ``delta_read(where=...)``. Every
+    filter is returned to Spark as unsupported, so Spark still applies
+    them row-level: pruning is purely a scan reduction;
+  - the batch writer maps Delta's commit protocol onto the V2 writer
+    contract 1:1 — each TASK writes its parquet file and returns the add
+    payload as its commit message; the DRIVER claims the version
+    put-if-absent (append losers rebase — blind adds are valid against
+    any snapshot; overwrite losers raise). Task files from failed/aborted
+    jobs are unreferenced and collected by ``delta_vacuum``;
+  - the stream reader's offsets ARE log versions ({"version": N}), so a
+    micro-batch reads exactly the dataChange adds of commits
+    (start, end] — OPTIMIZE rewrites (dataChange:false) are skipped for
+    free, and a dataChange remove (overwrite/merge/delete) fails the
+    stream unless ``ignoreChanges`` is set, Delta's own streaming
+    contract.
+
+Limits (honestly refused, never silent): writes through the format are
+unpartitioned (``delta_write(partition_by=...)`` is the partitioned
+path); streaming refuses column-mapped tables; batch reads support
+column mapping mode ``name`` like ``delta_read``.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+    CHECKPOINT_INTERVAL,
+    ConcurrentDeltaCommitError,
+    DeltaProtocolError,
+    _claim_version,
+    _footer_stats_json,
+    _latest_version,
+    _log_dir,
+    _pruned_files,
+    _replay,
+    _strip_metadata,
+    _version_of,
+    _write_checkpoint,
+    version_at_timestamp,
+)
+
+
+def _arrow_schema(st: StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(st)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    """One active data file: the unit of read parallelism."""
+
+    rel_path: str
+    partition_values: dict = field(default_factory=dict)
+
+
+def _file_batches(
+    table_path: str,
+    rel_path: str,
+    pv: dict,
+    colspecs: list[tuple[str, str, bool]],
+    target,
+):
+    """Arrow batches of one data file under the LOGICAL schema: scan the
+    parquet file (physical names), restore partition columns from the add
+    action's string values via an Arrow cast, rename/reorder, and cast to
+    the exact target schema. Runs on the executor."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(table_path, rel_path))
+    n = tbl.num_rows
+    arrays = []
+    for (logical, physical, is_part), f in zip(colspecs, target):
+        if is_part:
+            raw = pv.get(physical)
+            if raw is None:
+                arrays.append(pa.nulls(n, f.type))
+            else:
+                arrays.append(pa.array([raw] * n, pa.string()).cast(f.type))
+        elif physical in tbl.column_names:
+            col = tbl.column(physical)
+            arrays.append(col.cast(f.type) if col.type != f.type else col)
+        else:
+            # schema evolution: an old file predating the column reads NULL
+            arrays.append(pa.nulls(n, f.type))
+    out = pa.table(arrays, schema=target).combine_chunks()
+    yield from out.to_batches()
+
+
+_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+class _DeltaLiteReaderBase(DataSourceReader):
+    """File-per-partition reader WITHOUT pushdown — what sessions running
+    with ``spark.sql.python.filterPushdown.enabled=false`` get (Spark
+    refuses any reader that merely DEFINES pushFilters under that conf,
+    so the capability must live in a subclass)."""
+
+    def __init__(self, path: str, version: int | None, schema: StructType):
+        self.path = path
+        self.snap = _replay(path, version)
+        self.schema = schema
+        phys = self.snap.physical_schema
+        phys_parts = set(self.snap.physical_partition_columns)
+        self.colspecs = [
+            (lf.name, pf.name, pf.name in phys_parts)
+            for lf, pf in zip(self.snap.schema.fields, phys.fields)
+        ]
+        self.conds: list[tuple] = []
+
+    def partitions(self):
+        active = _pruned_files(self.snap, self.conds)
+        return [
+            _FilePartition(p, add.get("partitionValues") or {})
+            for p, add in sorted(active.items())
+        ]
+
+    def read(self, partition: _FilePartition):
+        yield from _file_batches(
+            self.path,
+            partition.rel_path,
+            partition.partition_values,
+            self.colspecs,
+            _arrow_schema(self.schema),
+        )
+
+
+class _DeltaLiteReader(_DeltaLiteReaderBase):
+    def pushFilters(self, filters):
+        """Harvest file-prunable conditions; hand EVERY filter back to
+        Spark as unsupported — this reader prunes FILES, it never
+        guarantees row-level filtering, so Spark must re-apply them."""
+        for flt in filters:
+            op = _OPS.get(type(flt))
+            if (
+                op is not None
+                and len(flt.attribute) == 1  # top-level column only
+                and not isinstance(flt.value, bool)
+            ):
+                self.conds.append((flt.attribute[0], op, flt.value))
+            yield flt
+
+
+class _DeltaLiteStreamReader(DataSourceStreamReader):
+    """Structured Streaming source over the transaction log: offsets are
+    commit versions, each micro-batch is the dataChange adds of the
+    commits in (start, end] — exactly Delta's streaming source contract,
+    including failing on data-changing removes unless ``ignoreChanges``."""
+
+    def __init__(self, path: str, ignore_changes: bool, schema: StructType):
+        self.path = path
+        self.ignore_changes = ignore_changes
+        snap = _replay(path, None)
+        if snap.column_mapping != "none":
+            raise DeltaProtocolError(
+                f"{path}: streaming over a column-mapped table is not "
+                "implemented (batch reads are)"
+            )
+        phys_parts = set(snap.physical_partition_columns)
+        self.colspecs = [
+            (f.name, f.name, f.name in phys_parts) for f in snap.schema.fields
+        ]
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}  # stream the table from its first commit
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        import json as _json
+
+        log = _log_dir(self.path)
+        parts = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            fname = os.path.join(log, f"{v:020d}.json")
+            if not os.path.isfile(fname):
+                raise ValueError(
+                    f"{self.path}: commit {v} was cleaned up — cannot "
+                    "stream vacuumed history (restart from a fresh "
+                    "checkpoint)"
+                )
+            with open(fname) as fh:
+                for line in fh:
+                    a = _json.loads(line) if line.strip() else {}
+                    if "add" in a and a["add"].get("dataChange", True):
+                        parts.append(
+                            _FilePartition(
+                                a["add"]["path"],
+                                a["add"].get("partitionValues") or {},
+                            )
+                        )
+                    elif (
+                        "remove" in a
+                        and a["remove"].get("dataChange", True)
+                        and not self.ignore_changes
+                    ):
+                        raise ValueError(
+                            f"{self.path}: version {v} removed data "
+                            "(overwrite/merge/delete); streaming an "
+                            "append-only view requires option "
+                            "ignoreChanges=true (Delta's own contract)"
+                        )
+        return parts
+
+    def read(self, partition: _FilePartition):
+        yield from _file_batches(
+            self.path,
+            partition.rel_path,
+            partition.partition_values,
+            self.colspecs,
+            _arrow_schema(self.schema),
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable log versions; nothing to release
+
+
+@dataclass
+class _AddsMessage(WriterCommitMessage):
+    adds: list
+
+
+class _DeltaLiteWriter(DataSourceArrowWriter):
+    """V2 writer mapped onto the Delta commit protocol: tasks write
+    immutable parquet files and SAY what they wrote (the add payloads in
+    their commit messages); only the driver talks to the log, claiming
+    the next version put-if-absent. A losing APPEND rebases (blind adds
+    are valid against any snapshot); a losing OVERWRITE raises. Aborted
+    jobs leave unreferenced files for ``delta_vacuum``."""
+
+    def __init__(self, path: str, schema: StructType, overwrite: bool):
+        self.path = path
+        self.schema = schema
+        self.overwrite = overwrite
+        try:
+            snap = _replay(path, None)
+        except FileNotFoundError:
+            snap = None
+        if snap is not None:
+            if snap.column_mapping != "none":
+                raise DeltaProtocolError(
+                    f"{path}: refusing to write to a column-mapped table"
+                )
+            if snap.partition_columns:
+                raise ValueError(
+                    f"{path}: format writes are unpartitioned; this table "
+                    f"is partitioned on {snap.partition_columns} — use "
+                    "delta_write(partition_by=...)"
+                )
+
+    def write(self, iterator) -> _AddsMessage:
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _AddsMessage([])
+        tbl = pa.Table.from_batches(batches)
+        os.makedirs(self.path, exist_ok=True)
+        rel = f"part-{uuid.uuid4().hex}.parquet"
+        full = os.path.join(self.path, rel)
+        pq.write_table(tbl, full)
+        stats = _footer_stats_json(pq.ParquetFile(full).metadata)
+        add = {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(full),
+            "modificationTime": int(_time.time() * 1000),
+            "dataChange": True,
+        }
+        if stats:
+            add["stats"] = stats
+        return _AddsMessage([add])
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import time as _time
+
+        adds = [a for m in messages if m is not None for a in m.adds]
+        for attempt in range(21):
+            try:
+                latest = _latest_version(self.path)
+            except FileNotFoundError:
+                latest = None
+            version = 0 if latest is None else latest + 1
+            now = int(_time.time() * 1000)
+            actions: list[dict] = [
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": "WRITE",
+                        "operationParameters": {
+                            "mode": "OVERWRITE" if self.overwrite else "APPEND"
+                        },
+                        "engineInfo": "delta-lite",
+                    }
+                }
+            ]
+            if version == 0:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": uuid.uuid4().hex,
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": _strip_metadata(self.schema).json(),
+                            "partitionColumns": [],
+                            "configuration": {},
+                            "createdTime": now,
+                        }
+                    }
+                )
+            if self.overwrite and latest is not None:
+                snap = _replay(self.path, latest)
+                actions += [
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                            "partitionValues": a.get("partitionValues", {}),
+                        }
+                    }
+                    for p, a in snap.files.items()
+                ]
+            actions += [{"add": a} for a in adds]
+            payload = (
+                "\n".join(_json.dumps(a, separators=(",", ":")) for a in actions)
+                + "\n"
+            )
+            try:
+                _claim_version(_log_dir(self.path), version, payload)
+            except ConcurrentDeltaCommitError:
+                if self.overwrite or attempt == 20:
+                    raise
+                continue  # blind append: rebase and re-claim
+            if version and version % CHECKPOINT_INTERVAL == 0:
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                if spark is not None:
+                    _write_checkpoint(spark, self.path, version)
+            return
+        raise ConcurrentDeltaCommitError("gave up after 20 retries")
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for a in m.adds:
+                try:
+                    os.unlink(os.path.join(self.path, a["path"]))
+                except FileNotFoundError:
+                    pass
+
+
+class DeltaLiteDataSource(DataSource):
+    """``format("delta_lite")``. Options: ``path`` (or ``.load(path)``),
+    ``version`` / ``timestampMillis`` for batch time travel,
+    ``ignoreChanges`` for streaming past data-changing commits."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_lite"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("delta_lite: a table path is required (.load(path))")
+        return p
+
+    def _version(self) -> int | None:
+        v = self.options.get("version")
+        ts = self.options.get("timestampmillis")
+        if v is not None and ts is not None:
+            raise ValueError("pass version OR timestampMillis, not both")
+        if ts is not None:
+            return version_at_timestamp(self._path(), int(ts))
+        return int(v) if v is not None else None
+
+    def schema(self) -> StructType:
+        return _strip_metadata(_replay(self._path(), self._version()).schema)
+
+    def reader(self, schema: StructType) -> _DeltaLiteReaderBase:
+        # Spark refuses a reader that defines pushFilters when the Python
+        # pushdown conf is off — pick the capability by the live conf
+        # (driver-side; get_spark enables it)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        enabled = (
+            spark is not None
+            and str(
+                spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            ).lower()
+            == "true"
+        )
+        cls = _DeltaLiteReader if enabled else _DeltaLiteReaderBase
+        return cls(self._path(), self._version(), schema)
+
+    def streamReader(self, schema: StructType) -> _DeltaLiteStreamReader:
+        ignore = str(self.options.get("ignorechanges", "false")).lower() in (
+            "true",
+            "1",
+        )
+        return _DeltaLiteStreamReader(self._path(), ignore, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> _DeltaLiteWriter:
+        return _DeltaLiteWriter(self._path(), schema, overwrite)
+
+
+def register_delta_lite_source(spark) -> None:
+    """Idempotent format registration for the session."""
+    spark.dataSource.register(DeltaLiteDataSource)

@@ -476,7 +476,7 @@ def test_multipart_checkpoint_replay(spark, tmp_path):
 
     from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import _replay
 
-    snap = _replay(spark, t, 1)
+    snap = _replay(t, 1)
     meta_row = {
         "protocol": None,
         "metaData": {

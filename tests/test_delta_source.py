@@ -1,0 +1,204 @@
+"""The ``format("delta_lite")`` Python Data Source (sources/delta_source.py):
+batch reads (schema from the log, partition restore, column mapping, time
+travel options), pushFilters file pruning, the task-write/driver-commit
+batch writer, and the log-tailing Structured Streaming source — all driven
+through Spark's own format registry, exactly as the reference stack calls
+Delta (load_bronze_to_table.py:158)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+    delta_optimize,
+    delta_read,
+    delta_write,
+)
+from lakehouse_architecture_for_realestatedata_spark.sources.delta_source import (
+    DeltaLiteDataSource,
+    _DeltaLiteReader,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(DeltaLiteDataSource)
+
+
+def _batches(spark, t, n=400, step=100):
+    base = spark.range(0, n).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    for lo in range(0, n, step):
+        delta_write(
+            base.filter((F.col("id") >= lo) & (F.col("id") < lo + step)).coalesce(1),
+            t,
+            mode="append",
+        )
+
+
+def test_format_batch_read_matches_delta_read(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _batches(spark, t)
+    got = spark.read.format("delta_lite").load(t)
+    ref = delta_read(spark, t)
+    assert [(f.name, f.dataType) for f in got.schema] == [
+        (f.name, f.dataType) for f in ref.schema
+    ]
+    assert got.count() == 400
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    # filters are re-applied by Spark even though the reader prunes files
+    assert got.filter("id >= 150 and id < 250").count() == 100
+    assert got.filter(F.col("k") == 2).count() == 80
+
+
+def test_format_time_travel_options(spark, tmp_path):
+    t = str(tmp_path / "tt")
+    _batches(spark, t, n=200, step=100)
+    assert spark.read.format("delta_lite").option("version", 0).load(t).count() == 100
+    with pytest.raises(Exception):
+        spark.read.format("delta_lite").option("version", 0).option(
+            "timestampMillis", 1
+        ).load(t).count()
+
+
+def test_push_filters_prune_partitions_unit(spark, tmp_path):
+    """Unit pin on the pruning itself: the reader plans one partition per
+    active file, and pushed range filters drop files whose stats prove
+    them empty — while every filter is handed back to Spark."""
+    t = str(tmp_path / "pf")
+    _batches(spark, t)  # 4 files, disjoint id ranges
+    r = _DeltaLiteReader(t, None, delta_read(spark, t).schema)
+    assert len(r.partitions()) == 4
+    filters = [GreaterThanOrEqual(("id",), 150), LessThan(("id",), 250)]
+    unsupported = list(r.pushFilters(filters))
+    assert unsupported == filters  # row-level filtering stays Spark's job
+    assert len(r.partitions()) == 2  # [100,200) and [200,300) survive
+    r2 = _DeltaLiteReader(t, None, delta_read(spark, t).schema)
+    list(r2.pushFilters([EqualTo(("id",), 399)]))
+    assert len(r2.partitions()) == 1
+
+
+def test_format_reads_partitioned_and_column_restored(spark, tmp_path):
+    t = str(tmp_path / "pz")
+    df = spark.createDataFrame(
+        [(1, "north", 1.0), (2, "south", 2.0), (3, None, 3.0)],
+        "id bigint, zone string, price double",
+    )
+    delta_write(df, t, partition_by=["zone"])
+    got = spark.read.format("delta_lite").load(t)
+    assert dict(got.dtypes)["zone"] == "string"
+    assert sorted(
+        (r["id"], r["zone"]) for r in got.collect()
+    ) == [(1, "north"), (2, "south"), (3, None)]
+
+
+def test_format_write_append_overwrite_and_stats(spark, tmp_path):
+    t = str(tmp_path / "w")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    df.write.format("delta_lite").mode("append").save(t)
+    df.limit(20).write.format("delta_lite").mode("append").save(t)
+    assert delta_read(spark, t).count() == 120
+    df.limit(5).write.format("delta_lite").mode("overwrite").save(t)
+    assert delta_read(spark, t).count() == 5
+    assert delta_read(spark, t, version=1).count() == 120  # time travel intact
+    log = os.path.join(t, "_delta_log")
+    adds = [
+        json.loads(l)["add"]
+        for f in sorted(os.listdir(log))
+        if f.endswith(".json")
+        for l in open(os.path.join(log, f))
+        if '"add"' in l
+    ]
+    assert adds and all(a.get("stats") for a in adds)  # skipping stats ride along
+    # format writes interop with the function reader's skipping
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_matching_files,
+    )
+
+    assert len(delta_matching_files(spark, t, [("id", "<", 0)])) == 0
+
+
+def test_format_write_refuses_partitioned_table(spark, tmp_path):
+    t = str(tmp_path / "wp")
+    df = spark.createDataFrame([(1, "a")], "id bigint, zone string")
+    delta_write(df, t, partition_by=["zone"])
+    with pytest.raises(Exception, match="unpartitioned"):
+        df.write.format("delta_lite").mode("append").save(t)
+
+
+def test_stream_source_tails_log_and_skips_optimize(spark, tmp_path):
+    """readStream over the log: offsets are versions, each batch is the
+    dataChange adds — an OPTIMIZE rewrite (dataChange:false) must flow
+    through WITHOUT duplicating rows, and a data-changing remove must
+    fail the stream unless ignoreChanges."""
+    t = str(tmp_path / "s")
+    _batches(spark, t, n=200, step=100)
+    delta_optimize(spark, t, n_files=1)  # dataChange:false — invisible
+    q = (
+        spark.readStream.format("delta_lite")
+        .load(t)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("dsrc1")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["k"]: r["n"] for r in spark.sql("select * from dsrc1").collect()}
+    assert rows == {i: 40 for i in range(5)}
+    # now a data-changing overwrite: refused without ignoreChanges
+    delta_write(
+        spark.range(0, 3).select(
+            F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") * 2.0).alias("v")
+        ),
+        t,
+        mode="overwrite",
+    )
+    q2 = (
+        spark.readStream.format("delta_lite")
+        .load(t)
+        .writeStream.format("memory")
+        .queryName("dsrc2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="ignoreChanges"):
+        q2.awaitTermination(120)
+        spark.sql("select * from dsrc2").collect()
+    q3 = (
+        spark.readStream.format("delta_lite")
+        .option("ignoreChanges", "true")
+        .load(t)
+        .writeStream.format("memory")
+        .queryName("dsrc3")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(120)
+    # all adds ever committed with dataChange:true: 200 original + 3 new
+    assert spark.sql("select count(*) as n from dsrc3").collect()[0]["n"] == 203
+
+
+def test_format_reads_column_mapped_table(spark, tmp_path):
+    """The format front door resolves column mapping like delta_read: the
+    reference-bronze fixture (physical parquet names + physicalName
+    annotations, minReaderVersion 2) reads back under logical names."""
+    from lakehouse_architecture_for_realestatedata_spark.queries_cdc import (
+        _write_colmap_bronze,
+    )
+
+    t = str(tmp_path / "cm")
+    _write_colmap_bronze(spark, t)
+    got = spark.read.format("delta_lite").load(t)
+    ref = delta_read(spark, t)
+    assert got.columns == ref.columns  # logical (Vietnamese) names
+    assert got.count() == ref.count() > 0
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0

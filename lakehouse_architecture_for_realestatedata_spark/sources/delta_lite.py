@@ -29,8 +29,9 @@ Protocol subset (explicitly checked, honestly refused otherwise):
     tables are refused: appending logical-named files to a
     physical-named table would corrupt it;
   - actions: ``metaData``, ``protocol``, ``add``, ``remove``,
-    ``commitInfo`` (others — ``txn``, ``cdc``, domain metadata — are
-    ignored on read, never written);
+    ``commitInfo``, and ``txn`` (replayed as per-appId idempotence
+    watermarks and written by the exactly-once streaming sink; ``cdc``
+    and domain metadata are ignored on read, never written);
   - single-writer commits: the version claim is put-if-absent via ``link(2)``
     (the same optimistic protocol Delta uses on filesystems with atomic
     put — losers raise, callers retry), but there is no LogStore
@@ -99,6 +100,7 @@ class _Snapshot:
     configuration: dict[str, str]
     column_mapping: str = "none"  # delta.columnMapping.mode
     tombstones: dict[str, dict] | None = None  # path -> remove payload
+    txns: dict[str, int] | None = None  # appId -> highest committed version
 
     @property
     def physical_schema(self) -> StructType:
@@ -326,7 +328,15 @@ def _apply_action(snap: dict, action: dict, from_checkpoint: bool = False) -> No
         if not from_checkpoint:
             snap["files"].pop(action["remove"]["path"], None)
         snap.setdefault("tombstones", {})[action["remove"]["path"]] = action["remove"]
-    # commitInfo / txn / cdc: no state
+    elif "txn" in action:
+        # application transaction watermarks: the protocol's idempotent-
+        # writer handshake (appId -> highest committed version); replayed
+        # so a restarted streaming sink can skip epochs it already wrote
+        t = action["txn"]
+        if t.get("appId") is not None and t.get("version") is not None:
+            txns = snap.setdefault("txns", {})
+            txns[t["appId"]] = max(int(t["version"]), txns.get(t["appId"], -1))
+    # commitInfo / cdc: no state
 
 
 def _check_protocol(snap: dict, path: str) -> str:
@@ -423,7 +433,7 @@ def _read_checkpoint(path: str, version: int, snap: dict, files: list[str]) -> N
         tbl = _pq.read_table(os.path.join(log, f))
         cols = set(tbl.column_names)
         for d in tbl.to_pylist():
-            for kind in ("protocol", "metaData", "add", "remove"):
+            for kind in ("protocol", "metaData", "add", "remove", "txn"):
                 if kind in cols and d.get(kind) is not None:
                     _apply_action(
                         snap, {kind: _unmap(d[kind])}, from_checkpoint=True
@@ -473,6 +483,7 @@ def _replay(path: str, version: int | None) -> _Snapshot:
         "tombstones": {},
         "configuration": {},
         "protocol": None,
+        "txns": {},
     }
     start = 0
     cps = _checkpoint_files(log)
@@ -500,7 +511,15 @@ def _replay(path: str, version: int | None) -> _Snapshot:
         configuration=snap["configuration"],
         column_mapping=mode,
         tombstones=snap["tombstones"],
+        txns=snap["txns"],
     )
+
+
+def delta_txn_version(path: str, app_id: str) -> int:
+    """Highest ``txn`` version committed for ``app_id`` (-1 when none) —
+    the idempotent-writer watermark a restarted streaming sink consults
+    to skip epochs it already wrote (Delta's txn appId/version contract)."""
+    return (_replay(path, None).txns or {}).get(app_id, -1)
 
 
 def version_at_timestamp(path: str, ts_millis: int) -> int:
@@ -839,7 +858,13 @@ def _write_data_files(
 
 def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     snap = _replay(path, version)
-    base = {"protocol": None, "metaData": None, "add": None, "remove": None}
+    base = {
+        "protocol": None,
+        "metaData": None,
+        "add": None,
+        "remove": None,
+        "txn": None,
+    }
     rows = [
         base | {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         base
@@ -883,6 +908,13 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         }
         for rm in snap.tombstones.values()
     ]
+    # txn watermarks survive checkpointing per spec (the checkpoint MUST
+    # carry the highest version per appId, or log cleanup would let a
+    # restarted idempotent writer re-commit an old epoch)
+    rows += [
+        base | {"txn": {"appId": app, "version": v}}
+        for app, v in sorted((snap.txns or {}).items())
+    ]
     schema = (
         "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
         "metaData struct<id:string,format:struct<provider:string,"
@@ -892,7 +924,8 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         "size:bigint,modificationTime:bigint,dataChange:boolean,"
         "stats:string>, "
         "remove struct<path:string,deletionTimestamp:bigint,"
-        "dataChange:boolean>"
+        "dataChange:boolean>, "
+        "txn struct<appId:string,version:bigint>"
     )
     cp = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
     tmp = cp + f".tmp-{uuid.uuid4().hex}"
@@ -1373,6 +1406,57 @@ def delta_delete_where(spark: SparkSession, path: str, *conds: tuple) -> int:
         touched,
         survivors,
         op="DELETE",
+        operation_parameters={
+            "predicate": " AND ".join(f"{c} {o} {v!r}" for c, o, v in conds)
+        },
+    )
+
+
+def delta_update_where(
+    spark: SparkSession,
+    path: str,
+    assignments: dict[str, Any],
+    *conds: tuple,
+) -> int:
+    """Delta UPDATE with file pruning: set ``assignments`` (column →
+    Column expression) on rows matching the ``(col, op, value)``
+    conditions. Only files the stats cannot prove match-free are read and
+    rewritten (matched rows updated, unmatched carried verbatim); the
+    rest ride by reference. Assignments must target existing columns —
+    untouched files keep the old schema, so a new column would fork it.
+    Returns the committed version (unchanged when nothing can match)."""
+    if not conds:
+        raise ValueError("delta_update_where needs at least one condition")
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
+        ParquetTable,
+    )
+
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    if snap.column_mapping != "none":
+        raise DeltaProtocolError(
+            f"{path}: refusing to rewrite a column-mapped table "
+            f"(columnMapping.mode={snap.column_mapping})"
+        )
+    known = {f.name for f in snap.schema.fields}
+    bad = set(assignments) - known
+    if bad:
+        raise ValueError(f"delta_update_where: unknown columns {sorted(bad)}")
+    touched = sorted(_pruned_files(snap, list(conds)))
+    if not touched:
+        return latest
+    df = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
+    cond = ParquetTable._conds_filter(list(conds))
+    for name, expr in assignments.items():
+        df = df.withColumn(name, F.when(cond, expr).otherwise(F.col(name)))
+    return _commit_rewrite(
+        spark,
+        path,
+        latest,
+        snap,
+        touched,
+        df,
+        op="UPDATE",
         operation_parameters={
             "predicate": " AND ".join(f"{c} {o} {v!r}" for c, o, v in conds)
         },

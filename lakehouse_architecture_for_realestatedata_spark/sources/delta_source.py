@@ -56,6 +56,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -273,6 +274,38 @@ class _AddsMessage(WriterCommitMessage):
     adds: list
 
 
+def _write_task_parquet(path: str, iterator) -> _AddsMessage:
+    """Executor side of both sinks: drain the task's Arrow batches into
+    ONE immutable parquet part file under the table root and return its
+    add payload (footer-derived skipping stats included). The file is
+    unreferenced until a driver commit names it — crash/abort orphans are
+    ``delta_vacuum`` food."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [b for b in iterator if b.num_rows]
+    if not batches:
+        return _AddsMessage([])
+    tbl = pa.Table.from_batches(batches)
+    os.makedirs(path, exist_ok=True)
+    rel = f"part-{uuid.uuid4().hex}.parquet"
+    full = os.path.join(path, rel)
+    pq.write_table(tbl, full)
+    stats = _footer_stats_json(pq.ParquetFile(full).metadata)
+    add = {
+        "path": rel,
+        "partitionValues": {},
+        "size": os.path.getsize(full),
+        "modificationTime": int(_time.time() * 1000),
+        "dataChange": True,
+    }
+    if stats:
+        add["stats"] = stats
+    return _AddsMessage([add])
+
+
 class _DeltaLiteWriter(DataSourceArrowWriter):
     """V2 writer mapped onto the Delta commit protocol: tasks write
     immutable parquet files and SAY what they wrote (the add payloads in
@@ -302,30 +335,7 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                 )
 
     def write(self, iterator) -> _AddsMessage:
-        import time as _time
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return _AddsMessage([])
-        tbl = pa.Table.from_batches(batches)
-        os.makedirs(self.path, exist_ok=True)
-        rel = f"part-{uuid.uuid4().hex}.parquet"
-        full = os.path.join(self.path, rel)
-        pq.write_table(tbl, full)
-        stats = _footer_stats_json(pq.ParquetFile(full).metadata)
-        add = {
-            "path": rel,
-            "partitionValues": {},
-            "size": os.path.getsize(full),
-            "modificationTime": int(_time.time() * 1000),
-            "dataChange": True,
-        }
-        if stats:
-            add["stats"] = stats
-        return _AddsMessage([add])
+        return _write_task_parquet(self.path, iterator)
 
     def commit(self, messages) -> None:
         import json as _json
@@ -411,6 +421,121 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                     pass
 
 
+class _DeltaLiteStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("delta_lite")`` — an append sink whose epochs
+    commit through the Delta protocol. With the ``txnAppId`` option each
+    epoch's commit carries a ``txn`` action ({appId, version: batchId})
+    and a replayed epoch (Structured Streaming re-runs the last batch
+    after recovery) is detected via the table's txn watermark and skipped
+    — EXACTLY-ONCE, Delta's own idempotent-writer contract. Without
+    ``txnAppId`` the sink is at-least-once (a replayed epoch appends
+    again), stated here rather than silently implied."""
+
+    def __init__(self, path: str, schema: StructType, txn_app_id: str | None):
+        self.path = path
+        self.schema = schema
+        self.txn_app_id = txn_app_id
+        try:
+            snap = _replay(path, None)
+        except FileNotFoundError:
+            snap = None
+        if snap is not None:
+            if snap.column_mapping != "none":
+                raise DeltaProtocolError(
+                    f"{path}: refusing to write to a column-mapped table"
+                )
+            if snap.partition_columns:
+                raise ValueError(
+                    f"{path}: format writes are unpartitioned; this table "
+                    f"is partitioned on {snap.partition_columns}"
+                )
+
+    def write(self, iterator) -> _AddsMessage:
+        return _write_task_parquet(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import time as _time
+
+        adds = [a for m in messages if m is not None for a in m.adds]
+        for attempt in range(21):
+            try:
+                latest = _latest_version(self.path)
+            except FileNotFoundError:
+                latest = None
+            if self.txn_app_id is not None and latest is not None:
+                snap = _replay(self.path, latest)
+                if (snap.txns or {}).get(self.txn_app_id, -1) >= batchId:
+                    # epoch already committed (this is the recovery replay):
+                    # drop our duplicate files and do nothing — exactly-once
+                    self.abort(messages, batchId)
+                    return
+            version = 0 if latest is None else latest + 1
+            now = int(_time.time() * 1000)
+            actions: list[dict] = [
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": "STREAMING UPDATE",
+                        "operationParameters": {
+                            "outputMode": "Append",
+                            "epochId": batchId,
+                        },
+                        "engineInfo": "delta-lite",
+                    }
+                }
+            ]
+            if version == 0:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": uuid.uuid4().hex,
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": _strip_metadata(self.schema).json(),
+                            "partitionColumns": [],
+                            "configuration": {},
+                            "createdTime": now,
+                        }
+                    }
+                )
+            if self.txn_app_id is not None:
+                actions.append(
+                    {"txn": {"appId": self.txn_app_id, "version": batchId}}
+                )
+            actions += [{"add": a} for a in adds]
+            payload = (
+                "\n".join(_json.dumps(a, separators=(",", ":")) for a in actions)
+                + "\n"
+            )
+            try:
+                _claim_version(_log_dir(self.path), version, payload)
+            except ConcurrentDeltaCommitError:
+                if attempt == 20:
+                    raise
+                continue  # blind append: re-check the txn watermark, re-claim
+            if version and version % CHECKPOINT_INTERVAL == 0:
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                if spark is not None:
+                    _write_checkpoint(spark, self.path, version)
+            return
+        raise ConcurrentDeltaCommitError("gave up after 20 retries")
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for a in m.adds:
+                try:
+                    os.unlink(os.path.join(self.path, a["path"]))
+                except FileNotFoundError:
+                    pass
+
+
 class DeltaLiteDataSource(DataSource):
     """``format("delta_lite")``. Options: ``path`` (or ``.load(path)``),
     ``version`` / ``timestampMillis`` for batch time travel,
@@ -464,6 +589,16 @@ class DeltaLiteDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> _DeltaLiteWriter:
         return _DeltaLiteWriter(self._path(), schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "delta_lite streaming sink is append-only (outputMode "
+                "complete/truncate would rewrite the table every epoch)"
+            )
+        return _DeltaLiteStreamWriter(
+            self._path(), schema, self.options.get("txnappid")
+        )
 
 
 def register_delta_lite_source(spark) -> None:

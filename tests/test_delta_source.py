@@ -202,3 +202,129 @@ def test_format_reads_column_mapped_table(spark, tmp_path):
     assert got.columns == ref.columns  # logical (Vietnamese) names
     assert got.count() == ref.count() > 0
     assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_stream_sink_exactly_once_via_txn(spark, tmp_path):
+    """writeStream.format('delta_lite') with txnAppId: epochs commit with
+    txn watermarks; a delta->delta pipe resumed from its checkpoint ships
+    exactly the new source rows, and a REPLAYED epoch (the recovery case
+    Structured Streaming guarantees to re-run) is detected and skipped."""
+    import pyarrow as pa
+
+    from lakehouse_architecture_for_realestatedata_spark.sources import (
+        delta_source as dsrc,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_txn_version,
+    )
+
+    src, dst, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "ck"),
+    )
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    delta_write(df, src)
+    for _ in range(2):  # second run: resume from checkpoint, nothing new
+        q = (
+            spark.readStream.format("delta_lite")
+            .load(src)
+            .writeStream.format("delta_lite")
+            .option("txnAppId", "pipe1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        q.awaitTermination(120)
+    assert delta_read(spark, dst).count() == 100
+    delta_write(
+        spark.range(100, 130).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        src,
+        mode="append",
+    )
+    q = (
+        spark.readStream.format("delta_lite")
+        .load(src)
+        .writeStream.format("delta_lite")
+        .option("txnAppId", "pipe1")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(dst)
+    )
+    q.awaitTermination(120)
+    assert delta_read(spark, dst).count() == 130  # exactly the appended rows
+    # replayed epoch via the writer API: skipped, files cleaned up
+    last = delta_txn_version(dst, "pipe1")
+    assert last >= 0
+    w = dsrc._DeltaLiteStreamWriter(dst, delta_read(spark, dst).schema, "pipe1")
+    batch = pa.record_batch(
+        {"id": pa.array([999], pa.int64()), "v": pa.array([1], pa.int64())}
+    )
+    w.commit([dsrc._write_task_parquet(dst, iter([batch]))], batchId=last)
+    assert delta_read(spark, dst).count() == 130
+    assert delta_txn_version(dst, "pipe1") == last
+    # a FRESH epoch commits normally
+    w.commit([dsrc._write_task_parquet(dst, iter([batch]))], batchId=last + 1)
+    assert delta_read(spark, dst).count() == 131
+
+
+def test_txn_watermark_survives_checkpoint(spark, tmp_path):
+    """Log cleanup must not resurrect committed epochs: the parquet
+    checkpoint carries txn watermarks, so a replay from the checkpoint
+    alone still knows the appId's highest version."""
+    import pyarrow as pa
+
+    from lakehouse_architecture_for_realestatedata_spark.sources import (
+        delta_source as dsrc,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _write_checkpoint,
+        delta_txn_version,
+    )
+
+    t = str(tmp_path / "tx")
+    delta_write(
+        spark.createDataFrame([(1,)], "id bigint"), t
+    )
+    w = dsrc._DeltaLiteStreamWriter(t, delta_read(spark, t).schema, "app")
+    batch = pa.record_batch({"id": pa.array([2], pa.int64())})
+    for epoch in range(3):
+        w.commit([dsrc._write_task_parquet(t, iter([batch]))], batchId=epoch)
+    _write_checkpoint(spark, t, 3)
+    log = os.path.join(t, "_delta_log")
+    for v in range(3):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    assert delta_txn_version(t, "app") == 2
+    # the replayed-epoch guard still holds after cleanup
+    w.commit([dsrc._write_task_parquet(t, iter([batch]))], batchId=2)
+    assert delta_read(spark, t).count() == 4  # 1 + 3 epochs, no duplicate
+
+
+def test_update_where_prunes_files(spark, tmp_path):
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_update_where,
+    )
+
+    t = str(tmp_path / "up")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    for lo in (0, 50):
+        delta_write(
+            df.filter((F.col("id") >= lo) & (F.col("id") < lo + 50)).coalesce(1),
+            t,
+            mode="append",
+        )
+    v = delta_update_where(
+        spark, t, {"v": F.lit(-5).cast("bigint")}, ("id", "between", (60, 64))
+    )
+    got = delta_read(spark, t)
+    assert got.filter("v = -5").count() == 5
+    assert got.filter("id = 10").collect()[0]["v"] == 20  # untouched rows intact
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    ]
+    assert len([a for a in acts if "remove" in a]) == 1  # only [50,100) rewritten
+    with pytest.raises(ValueError, match="unknown columns"):
+        delta_update_where(spark, t, {"nope": F.lit(1)}, ("id", "=", 1))
+    # a predicate the stats prove empty is a no-op
+    assert delta_update_where(spark, t, {"v": F.lit(0)}, ("id", ">", 10**9)) == v

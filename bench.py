@@ -103,6 +103,12 @@ HEADLINE = [
     "delta_colmap_bronze_silver",
     "minhash_lsh_verified_md5",
     "simhash_pairs_md5",
+    # r9 late additions: the stats-skipping loop (interleaved appends →
+    # clustered OPTIMIZE rewrite → pruned where= probe) and the Python
+    # Data Source front door (format write w/ task commits → format read
+    # w/ pushFilters file pruning → Arrow hop)
+    "delta_optimize_skipping_scan",
+    "delta_format_front_door",
 ]
 
 

@@ -69,6 +69,14 @@ MAX_READER_VERSION = 3
 #: Protocol-3 reader features this module implements. Deletion vectors,
 #: v2 checkpoints, type widening etc. are honestly refused by name.
 SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+#: Highest writer protocol this module implements: v2 (appendOnly +
+#: column invariants, both enforced) and v3 (CHECK constraints, enforced).
+#: Generated columns (v4), column-mapping writes (v5+) etc. are refused.
+MAX_WRITER_VERSION = 3
+#: Protocol-7 writer features this module implements (enforced on write).
+SUPPORTED_WRITER_FEATURES = {"appendOnly", "checkConstraints", "invariants"}
+#: Schema-metadata key carrying legacy column invariants (writer v2).
+_INV_KEY = "delta.invariants"
 #: Key under which column-mapped schemas carry each field's physical name.
 _PHYS_KEY = "delta.columnMapping.physicalName"
 
@@ -81,6 +89,10 @@ class DeltaProtocolError(RuntimeError):
 
 class ConcurrentDeltaCommitError(RuntimeError):
     """Another writer claimed the target version first (put-if-absent lost)."""
+
+
+class DeltaConstraintError(RuntimeError):
+    """Rows violate a table CHECK constraint or column invariant."""
 
 
 def _log_dir(path: str) -> str:
@@ -101,6 +113,7 @@ class _Snapshot:
     column_mapping: str = "none"  # delta.columnMapping.mode
     tombstones: dict[str, dict] | None = None  # path -> remove payload
     txns: dict[str, int] | None = None  # appId -> highest committed version
+    protocol: dict | None = None  # the table's protocol action payload
 
     @property
     def physical_schema(self) -> StructType:
@@ -512,7 +525,91 @@ def _replay(path: str, version: int | None) -> _Snapshot:
         column_mapping=mode,
         tombstones=snap["tombstones"],
         txns=snap["txns"],
+        protocol=snap["protocol"],
     )
+
+
+def _table_constraints(snap: _Snapshot) -> dict[str, str]:
+    """Every row predicate this table declares: CHECK constraints
+    (``delta.constraints.<name>`` in the table configuration, writer v3)
+    plus legacy column invariants (``delta.invariants`` field metadata,
+    writer v2) — both expressed as SQL strings to enforce on writes."""
+    out = {
+        name[len("delta.constraints."):]: expr
+        for name, expr in (snap.configuration or {}).items()
+        if name.startswith("delta.constraints.")
+    }
+    for f in snap.schema.fields:
+        if _INV_KEY in (f.metadata or {}):
+            raw = f.metadata[_INV_KEY]
+            try:
+                expr = json.loads(raw)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError):
+                raise DeltaProtocolError(
+                    f"unparseable column invariant on {f.name!r}: {raw!r}"
+                ) from None
+            out[f"invariant({f.name})"] = expr
+    return out
+
+
+def _writer_gate(snap: _Snapshot, path: str, removes_data: bool, op: str) -> None:
+    """Refuse writes the table's writer protocol forbids or demands
+    features this module does not implement — by name, per spec (writers
+    MUST refuse unknown writer versions/features rather than corrupt).
+    ``removes_data``: True when the commit will carry dataChange removes,
+    which ``delta.appendOnly`` tables forbid (compaction's
+    dataChange:false removes are legal — no rows change)."""
+    proto = snap.protocol or {}
+    mw = proto.get("minWriterVersion", 1)
+    if mw >= 7:
+        feats = set(proto.get("writerFeatures") or [])
+        unsupported = feats - SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                f"{path}: unimplemented writerFeatures {sorted(unsupported)} "
+                f"(this writer implements {sorted(SUPPORTED_WRITER_FEATURES)})"
+            )
+    elif mw > MAX_WRITER_VERSION:
+        raise DeltaProtocolError(
+            f"{path}: needs minWriterVersion={mw} "
+            f"(this writer implements <= {MAX_WRITER_VERSION})"
+        )
+    if (
+        removes_data
+        and (snap.configuration or {}).get("delta.appendOnly", "").lower() == "true"
+    ):
+        raise DeltaProtocolError(
+            f"{path}: delta.appendOnly=true forbids {op} (data-changing removes)"
+        )
+
+
+def _enforce_constraints(snap: _Snapshot, df: DataFrame) -> None:
+    """Validate ``df`` against every declared CHECK constraint / column
+    invariant in ONE aggregate pass (a violation is the predicate
+    evaluating to FALSE; NULL passes, the SQL standard). Raises
+    ``DeltaConstraintError`` naming the violated constraints and their
+    row counts — BEFORE any file is committed."""
+    cons = _table_constraints(snap)
+    if not cons:
+        return
+    names = sorted(cons)
+    row = df.agg(
+        *[
+            F.count(
+                F.when(
+                    ~F.coalesce(F.expr(cons[n]).cast("boolean"), F.lit(True)),
+                    F.lit(1),
+                )
+            ).alias(f"__c{i}")
+            for i, n in enumerate(names)
+        ]
+    ).collect()[0]
+    bad = {n: row[f"__c{i}"] for i, n in enumerate(names) if row[f"__c{i}"]}
+    if bad:
+        raise DeltaConstraintError(
+            "constraint violations (rows): "
+            + ", ".join(f"{n} [{cons[n]}] x{c}" for n, c in sorted(bad.items()))
+        )
 
 
 def delta_txn_version(path: str, app_id: str) -> int:
@@ -941,11 +1038,55 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         json.dump({"version": version, "size": len(rows)}, fh)
 
 
+def _append_schema_delta(
+    snap: _Snapshot, df: DataFrame, merge_schema: bool
+) -> str | None:
+    """Delta's append schema enforcement: the source must match the table
+    by name and type (nullability aside); columns the source lacks must
+    be nullable in the table (readers fill NULL); NEW source columns are
+    rejected unless ``merge_schema``, which widens the table schema in
+    the same commit (returns the new schemaString, else None)."""
+    logical = _strip_metadata(snap.schema)
+    table = {f.name: f for f in logical.fields}
+    conflicts = [
+        (f.name, table[f.name].dataType.simpleString(), f.dataType.simpleString())
+        for f in df.schema.fields
+        if f.name in table and f.dataType != table[f.name].dataType
+    ]
+    if conflicts:
+        raise ValueError(
+            "append schema type conflicts (col, table, source): "
+            f"{conflicts} — Delta rejects type changes on append"
+        )
+    present = {f.name for f in df.schema.fields}
+    required = [
+        f.name for f in logical.fields if not f.nullable and f.name not in present
+    ]
+    if required:
+        raise ValueError(
+            f"append is missing non-nullable table columns {required}"
+        )
+    new = [f for f in df.schema.fields if f.name not in table]
+    if not new:
+        return None
+    if not merge_schema:
+        raise ValueError(
+            f"append adds new columns {[f.name for f in new]} — pass "
+            "merge_schema=True to widen the table (Delta's mergeSchema)"
+        )
+    widened = StructType(
+        list(logical.fields)
+        + [StructField(f.name, f.dataType, True) for f in new]
+    )
+    return widened.json()
+
+
 def delta_write(
     df: DataFrame,
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
     max_retries: int = 20,
 ) -> int:
@@ -993,6 +1134,29 @@ def delta_write(
                 raise ValueError(
                     f"partition_by {partition_by} != table's {prior_partitioning}"
                 )
+            # writer protocol gate + declared row predicates + Delta's
+            # append schema contract — all BEFORE any file is written
+            _writer_gate(
+                snap,
+                path,
+                removes_data=(mode == "overwrite" and bool(snap.files)),
+                op=f"WRITE ({mode})",
+            )
+            if adds is None:
+                _enforce_constraints(snap, df)
+            if mode == "append":
+                meta_schema_json = _append_schema_delta(snap, df, merge_schema)
+            else:  # overwrite replaces the schema when it changed (the
+                # whole table is rewritten, so there is nothing to fork —
+                # Delta's overwriteSchema, implicit here)
+                cur = _strip_metadata(snap.schema).json()
+                meta_schema_json = (
+                    df.schema.json() if df.schema.json() != cur else None
+                )
+            meta_configuration = snap.configuration
+        else:
+            meta_schema_json = None
+            meta_configuration = {}
         pcols = list(partition_by or prior_partitioning)
         if adds is None:  # data files are written exactly once
             adds = _write_data_files(df, path, pcols)
@@ -1028,6 +1192,21 @@ def delta_write(
                         "partitionColumns": pcols,
                         "configuration": {},
                         "createdTime": now,
+                    }
+                }
+            )
+        elif meta_schema_json is not None:
+            # schema evolution rides the same commit (mergeSchema widen on
+            # append; implicit overwriteSchema on overwrite) — table
+            # configuration (incl. constraints) is preserved
+            actions.append(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": meta_schema_json,
+                        "partitionColumns": pcols,
+                        "configuration": meta_configuration,
                     }
                 }
             )
@@ -1099,6 +1278,9 @@ def delta_optimize(
             f"{path}: refusing to rewrite a column-mapped table "
             f"(columnMapping.mode={snap.column_mapping})"
         )
+    # compaction is legal on appendOnly tables (its removes carry
+    # dataChange:false — no row changes), so removes_data=False here
+    _writer_gate(snap, path, removes_data=False, op="OPTIMIZE")
     if not snap.files:
         return latest
     total = sum(int(a.get("size") or 0) for a in snap.files.values())
@@ -1256,6 +1438,8 @@ def _commit_rewrite(
     computed against a snapshot that is no longer latest (Delta's
     ConcurrentAppendException contract; caller re-runs). Orphans from a
     lost race are unreferenced and collected by ``delta_vacuum``."""
+    _writer_gate(snap, path, removes_data=bool(touched), op=op)
+    _enforce_constraints(snap, out)
     adds = _write_data_files(out, path, snap.partition_columns)
     now = int(time.time() * 1000)
     actions: list[dict] = [
@@ -1460,6 +1644,112 @@ def delta_update_where(
         operation_parameters={
             "predicate": " AND ".join(f"{c} {o} {v!r}" for c, o, v in conds)
         },
+    )
+
+
+def _commit_metadata_change(
+    path: str,
+    snap: _Snapshot,
+    latest: int,
+    configuration: dict[str, str],
+    op: str,
+    params: dict,
+    min_writer: int | None = None,
+) -> int:
+    """Metadata-only commit: new table configuration (and an optional
+    writer-protocol bump in the SAME commit, per spec — a feature and the
+    version that demands it must land together)."""
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": op,
+                "operationParameters": params,
+                "engineInfo": "delta-lite",
+            }
+        }
+    ]
+    cur_mw = (snap.protocol or {}).get("minWriterVersion", 1)
+    if min_writer is not None and cur_mw < min_writer:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": (snap.protocol or {}).get(
+                        "minReaderVersion", 1
+                    ),
+                    "minWriterVersion": min_writer,
+                }
+            }
+        )
+    actions.append(
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": configuration,
+            }
+        }
+    )
+    payload = (
+        "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    )
+    version = latest + 1
+    _claim_version(_log_dir(path), version, payload)
+    return version
+
+
+def delta_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (Delta CHECK constraints, writer v3):
+    validates the EXISTING data satisfies ``expr`` (one scan — Delta does
+    the same), then commits ``delta.constraints.<name>`` into the table
+    configuration WITH the required minWriterVersion-3 bump, so any
+    protocol-honest writer that cannot enforce the constraint refuses
+    the table instead of corrupting it. Every subsequent write through
+    this module enforces it pre-commit."""
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    key = f"delta.constraints.{name}"
+    if key in (snap.configuration or {}):
+        raise ValueError(f"constraint {name!r} already exists")
+    _writer_gate(snap, path, removes_data=False, op="ADD CONSTRAINT")
+    existing = delta_read(spark, path, version=latest)
+    probe = _Snapshot(
+        version=latest,
+        schema=snap.schema,
+        partition_columns=snap.partition_columns,
+        files={},
+        configuration={key: expr},
+    )
+    _enforce_constraints(probe, existing)
+    conf = dict(snap.configuration or {})
+    conf[key] = expr
+    return _commit_metadata_change(
+        path,
+        snap,
+        latest,
+        conf,
+        op="ADD CONSTRAINT",
+        params={"name": name, "expr": expr},
+        min_writer=3,
+    )
+
+
+def delta_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: removes ``delta.constraints.<name>``
+    (the protocol version stays — downgrades are a separate feature)."""
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    key = f"delta.constraints.{name}"
+    if key not in (snap.configuration or {}):
+        raise ValueError(f"no such constraint {name!r}")
+    conf = {k: v for k, v in snap.configuration.items() if k != key}
+    return _commit_metadata_change(
+        path, snap, latest, conf, op="DROP CONSTRAINT", params={"name": name}
     )
 
 

@@ -79,8 +79,10 @@ from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
     _pruned_files,
     _replay,
     _strip_metadata,
+    _table_constraints,
     _version_of,
     _write_checkpoint,
+    _writer_gate,
     version_at_timestamp,
 )
 
@@ -333,6 +335,16 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                     f"is partitioned on {snap.partition_columns} — use "
                     "delta_write(partition_by=...)"
                 )
+            _writer_gate(
+                snap, path, removes_data=overwrite and bool(snap.files),
+                op="WRITE (format)",
+            )
+            if _table_constraints(snap):
+                raise DeltaProtocolError(
+                    f"{path}: the format sink does not enforce this "
+                    "table's CHECK constraints task-side — write through "
+                    "delta_write, which validates pre-commit"
+                )
 
     def write(self, iterator) -> _AddsMessage:
         return _write_task_parquet(self.path, iterator)
@@ -448,6 +460,13 @@ class _DeltaLiteStreamWriter(DataSourceStreamArrowWriter):
                 raise ValueError(
                     f"{path}: format writes are unpartitioned; this table "
                     f"is partitioned on {snap.partition_columns}"
+                )
+            _writer_gate(snap, path, removes_data=False, op="STREAMING UPDATE")
+            if _table_constraints(snap):
+                raise DeltaProtocolError(
+                    f"{path}: the streaming sink does not enforce this "
+                    "table's CHECK constraints task-side — use a "
+                    "foreachBatch delta_write sink instead"
                 )
 
     def write(self, iterator) -> _AddsMessage:

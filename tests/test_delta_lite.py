@@ -1050,3 +1050,146 @@ def test_merge_loses_race_and_raises(spark, tmp_path, monkeypatch):
     with pytest.raises(ConcurrentDeltaCommitError):
         dl.delta_merge(_df(spark, [(1, "b", 2.0)]), t, key="id")
     assert delta_read(spark, t).collect()[0]["city"] == "a"
+
+
+# --------------------------------------------- writer protocol / constraints
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """ADD CONSTRAINT validates existing data, bumps minWriterVersion to 3
+    (per spec — a writer that can't enforce must refuse the table), and
+    every subsequent write path validates pre-commit."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        DeltaConstraintError,
+        delta_add_constraint,
+        delta_drop_constraint,
+        delta_merge,
+        delta_update_where,
+    )
+
+    t = str(tmp_path / "ck")
+    df = spark.range(0, 50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    delta_write(df, t)
+    v = delta_add_constraint(spark, t, "v_nonneg", "v >= 0")
+    acts = [
+        json.loads(l) for l in open(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    ]
+    assert any(
+        "protocol" in a and a["protocol"]["minWriterVersion"] == 3 for a in acts
+    )
+    bad = spark.createDataFrame([(999, -5)], "id bigint, v bigint")
+    with pytest.raises(DeltaConstraintError, match="v_nonneg"):
+        delta_write(bad, t, mode="append")
+    with pytest.raises(DeltaConstraintError):
+        delta_merge(bad, t, key="id")
+    with pytest.raises(DeltaConstraintError):
+        delta_update_where(spark, t, {"v": F.lit(-1).cast("bigint")}, ("id", "=", 1))
+    assert delta_read(spark, t).count() == 50  # nothing committed
+    # a constraint the existing data violates is refused outright
+    with pytest.raises(DeltaConstraintError):
+        delta_add_constraint(spark, t, "impossible", "id < 10")
+    # conforming writes pass; DROP lifts enforcement
+    delta_write(spark.createDataFrame([(100, 1)], "id bigint, v bigint"), t, mode="append")
+    delta_drop_constraint(spark, t, "v_nonneg")
+    delta_write(bad, t, mode="append")
+    assert delta_read(spark, t).count() == 52
+
+
+def test_append_only_tables_refuse_data_changing_removes(spark, tmp_path):
+    """delta.appendOnly=true (writer v2 semantics): appends and OPTIMIZE
+    (dataChange:false removes) are legal; overwrite/delete/merge-update
+    are refused."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _commit_metadata_change,
+        _replay,
+        delta_delete_where,
+        delta_optimize,
+    )
+
+    t = str(tmp_path / "ao")
+    df = spark.range(0, 50).select(F.col("id"))
+    delta_write(df, t)
+    _commit_metadata_change(
+        t, _replay(t, None), 0, {"delta.appendOnly": "true"},
+        "SET TBLPROPERTIES", {},
+    )
+    delta_write(df.limit(3), t, mode="append")
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        delta_write(df, t, mode="overwrite")
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        delta_delete_where(spark, t, ("id", "<", 10))
+    delta_optimize(spark, t, n_files=1)  # compaction changes no rows: legal
+    assert delta_read(spark, t).count() == 53
+
+
+def test_unknown_writer_version_and_features_refused_by_name(spark, tmp_path):
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    t = str(tmp_path / "wv")
+    df = spark.range(0, 5).select(F.col("id"))
+    delta_write(df, t)
+    _claim_version(
+        os.path.join(t, "_delta_log"), 1,
+        json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}})
+        + "\n",
+    )
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion=4"):
+        delta_write(df, t, mode="append")
+    t2 = str(tmp_path / "wf")
+    delta_write(df, t2)
+    _claim_version(
+        os.path.join(t2, "_delta_log"), 1,
+        json.dumps(
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["appendOnly", "generatedColumns"],
+                }
+            }
+        )
+        + "\n",
+    )
+    with pytest.raises(DeltaProtocolError, match="generatedColumns"):
+        delta_write(df, t2, mode="append")
+
+
+def test_append_schema_contract_and_merge_schema(spark, tmp_path):
+    """Delta's append rules: type changes rejected; new columns rejected
+    unless merge_schema=True (which widens the table metaData in the same
+    commit); missing non-nullable columns rejected; overwrite replaces
+    the schema outright."""
+    t = str(tmp_path / "sc")
+    delta_write(
+        spark.range(0, 10).select(F.col("id"), (F.col("id") * 2).alias("v")), t
+    )
+    with pytest.raises(ValueError, match="type conflicts"):
+        delta_write(
+            spark.createDataFrame([(1, "x")], "id bigint, v string"), t,
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="merge_schema"):
+        delta_write(
+            spark.createDataFrame([(1, 2, 3)], "id bigint, v bigint, x bigint"),
+            t,
+            mode="append",
+        )
+    delta_write(
+        spark.createDataFrame([(1, 2, 3)], "id bigint, v bigint, x bigint"),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    got = delta_read(spark, t)
+    assert "x" in got.columns and got.count() == 11
+    assert got.filter("x is not null").count() == 1  # old files read NULL
+    # spark.range made id non-nullable in the table schema: a source
+    # missing it must be refused
+    with pytest.raises(ValueError, match="non-nullable"):
+        delta_write(
+            spark.createDataFrame([(7,)], "v bigint"), t, mode="append"
+        )
+    delta_write(spark.createDataFrame([("a",)], "s string"), t, mode="overwrite")
+    assert delta_read(spark, t).columns == ["s"]

@@ -70,11 +70,23 @@ MAX_READER_VERSION = 3
 #: v2 checkpoints, type widening etc. are honestly refused by name.
 SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
 #: Highest writer protocol this module implements: v2 (appendOnly +
-#: column invariants, both enforced) and v3 (CHECK constraints, enforced).
-#: Generated columns (v4), column-mapping writes (v5+) etc. are refused.
-MAX_WRITER_VERSION = 3
+#: column invariants, both enforced), v3 (CHECK constraints, enforced),
+#: v4 (Change Data Feed, written; generated columns are v4's OTHER
+#: feature and are refused by schema inspection — see ``_writer_gate``).
+#: Column-mapping writes (v5+) etc. are refused.
+MAX_WRITER_VERSION = 4
 #: Protocol-7 writer features this module implements (enforced on write).
-SUPPORTED_WRITER_FEATURES = {"appendOnly", "checkConstraints", "invariants"}
+SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "checkConstraints",
+    "invariants",
+    "changeDataFeed",
+}
+#: Schema-metadata key marking a generated column (v4 feature NOT
+#: implemented — writing without evaluating the expression would corrupt).
+_GEN_KEY = "delta.generationExpression"
+#: Directory holding Change Data Feed files, per protocol.
+_CDF_DIR = "_change_data"
 #: Schema-metadata key carrying legacy column invariants (writer v2).
 _INV_KEY = "delta.invariants"
 #: Key under which column-mapped schemas carry each field's physical name.
@@ -573,6 +585,14 @@ def _writer_gate(snap: _Snapshot, path: str, removes_data: bool, op: str) -> Non
         raise DeltaProtocolError(
             f"{path}: needs minWriterVersion={mw} "
             f"(this writer implements <= {MAX_WRITER_VERSION})"
+        )
+    generated = [
+        f.name for f in snap.schema.fields if _GEN_KEY in (f.metadata or {})
+    ]
+    if generated:
+        raise DeltaProtocolError(
+            f"{path}: generated columns {generated} are not implemented — "
+            "writing without evaluating their expressions would corrupt"
         )
     if (
         removes_data
@@ -1430,6 +1450,7 @@ def _commit_rewrite(
     op: str,
     schema_json: str | None = None,
     operation_parameters: dict | None = None,
+    changes: DataFrame | None = None,
 ) -> int:
     """Commit a partial rewrite: ``touched`` files are removed, ``out`` is
     written as their replacement, every other active file is carried BY
@@ -1441,6 +1462,11 @@ def _commit_rewrite(
     _writer_gate(snap, path, removes_data=bool(touched), op=op)
     _enforce_constraints(snap, out)
     adds = _write_data_files(out, path, snap.partition_columns)
+    cdcs = (
+        _write_cdc_files(changes, path)
+        if changes is not None and _cdf_enabled(snap)
+        else []
+    )
     now = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -1476,6 +1502,7 @@ def _commit_rewrite(
         for p in touched
     ]
     actions += [{"add": a} for a in adds]
+    actions += [{"cdc": c} for c in cdcs]
     payload = (
         "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
     )
@@ -1526,11 +1553,29 @@ def delta_merge(
         )
     touched = _files_overlapping_keys(snap, keys, source)
     target = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
+    changes = None
     if when_matched == "update_all":
         kept = target.join(source.select(*keys), on=keys, how="left_anti")
+        if _cdf_enabled(snap):
+            pre = target.join(source.select(*keys), on=keys, how="left_semi")
+            post = source.join(target.select(*keys), on=keys, how="left_semi")
+            ins = source.join(target.select(*keys), on=keys, how="left_anti")
+            changes = (
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    post.withColumn("_change_type", F.lit("update_postimage")),
+                    allowMissingColumns=True,
+                )
+                .unionByName(
+                    ins.withColumn("_change_type", F.lit("insert")),
+                    allowMissingColumns=True,
+                )
+            )
     elif when_matched == "keep_target":  # insert-only merge
         source = source.join(target.select(*keys), on=keys, how="left_anti")
         kept = target
+        if _cdf_enabled(snap):
+            changes = source.withColumn("_change_type", F.lit("insert"))
     else:
         raise ValueError(f"unknown when_matched={when_matched!r}")
     out = kept.unionByName(source, allowMissingColumns=True)
@@ -1539,19 +1584,29 @@ def delta_merge(
         .unionByName(out.limit(0), allowMissingColumns=True)
         .schema
     )
+    cols = [f.name for f in merged_schema.fields]
     return _commit_rewrite(
         spark,
         path,
         latest,
         snap,
         touched,
-        out.select(*[f.name for f in merged_schema.fields]),
+        out.select(*cols),
         op="MERGE",
         schema_json=merged_schema.json(),
         operation_parameters={
             "predicate": " AND ".join(f"t.{k} = s.{k}" for k in keys),
             "matchedAction": when_matched,
         },
+        changes=(
+            # conform the change frame to the merged schema (a source-only
+            # insert frame may lack old target columns and vice versa)
+            spark.createDataFrame([], merged_schema)
+            .withColumn("_change_type", F.lit(None).cast("string"))
+            .unionByName(changes, allowMissingColumns=True)
+            if changes is not None
+            else None
+        ),
     )
 
 
@@ -1579,9 +1634,9 @@ def delta_delete_where(spark: SparkSession, path: str, *conds: tuple) -> int:
     touched = sorted(_pruned_files(snap, list(conds)))
     if not touched:
         return latest  # stats prove no row matches: nothing to do
-    survivors = _scan_files(
-        spark, path, snap, {p: snap.files[p] for p in touched}
-    ).filter(~ParquetTable._conds_filter(list(conds)))
+    scan = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
+    cond = ParquetTable._conds_filter(list(conds))
+    survivors = scan.filter(~cond)
     return _commit_rewrite(
         spark,
         path,
@@ -1593,6 +1648,11 @@ def delta_delete_where(spark: SparkSession, path: str, *conds: tuple) -> int:
         operation_parameters={
             "predicate": " AND ".join(f"{c} {o} {v!r}" for c, o, v in conds)
         },
+        changes=(
+            scan.filter(cond).withColumn("_change_type", F.lit("delete"))
+            if _cdf_enabled(snap)
+            else None
+        ),
     )
 
 
@@ -1629,10 +1689,20 @@ def delta_update_where(
     touched = sorted(_pruned_files(snap, list(conds)))
     if not touched:
         return latest
-    df = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
+    scan = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
     cond = ParquetTable._conds_filter(list(conds))
+    df = scan
     for name, expr in assignments.items():
         df = df.withColumn(name, F.when(cond, expr).otherwise(F.col(name)))
+    changes = None
+    if _cdf_enabled(snap):
+        pre = scan.filter(cond)
+        post = pre
+        for name, expr in assignments.items():
+            post = post.withColumn(name, expr)
+        changes = pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(post.withColumn("_change_type", F.lit("update_postimage")))
     return _commit_rewrite(
         spark,
         path,
@@ -1644,6 +1714,7 @@ def delta_update_where(
         operation_parameters={
             "predicate": " AND ".join(f"{c} {o} {v!r}" for c, o, v in conds)
         },
+        changes=changes,
     )
 
 
@@ -1753,6 +1824,170 @@ def delta_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
     )
 
 
+def _cdf_enabled(snap: _Snapshot) -> bool:
+    return (
+        (snap.configuration or {})
+        .get("delta.enableChangeDataFeed", "")
+        .lower()
+        == "true"
+    )
+
+
+def delta_enable_cdf(spark: SparkSession, path: str) -> int:
+    """SET TBLPROPERTIES delta.enableChangeDataFeed=true, with the
+    minWriterVersion-4 bump the feature demands. From this commit on,
+    merge/delete/update write precise row-level changes into
+    ``_change_data`` (cdc actions) and ``delta_read_changes`` serves
+    them; appends/overwrites derive their changes from add/remove
+    actions per protocol, no extra files needed."""
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES")
+    conf = dict(snap.configuration or {})
+    conf["delta.enableChangeDataFeed"] = "true"
+    return _commit_metadata_change(
+        path,
+        snap,
+        latest,
+        conf,
+        op="SET TBLPROPERTIES",
+        params={"delta.enableChangeDataFeed": "true"},
+        min_writer=4,
+    )
+
+
+def _write_cdc_files(changes: DataFrame, path: str) -> list[dict]:
+    """Write a change frame (table columns + ``_change_type``) as parquet
+    under ``_change_data/`` and return the cdc action payloads. CDC files
+    are NOT part of the table's data — readers of the table never see
+    them; only ``delta_read_changes`` does (protocol AddCDCFile)."""
+    tmp = os.path.join(path, _CDF_DIR, f"_tmp-{uuid.uuid4().hex}")
+    changes.write.mode("overwrite").parquet(tmp)
+    import pyarrow.parquet as _pq
+
+    out = []
+    for f in os.listdir(tmp):
+        if not f.endswith(".parquet"):
+            continue
+        if _pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows == 0:
+            continue
+        rel = f"{_CDF_DIR}/cdc-{uuid.uuid4().hex}.parquet"
+        os.rename(os.path.join(tmp, f), os.path.join(path, rel))
+        out.append(
+            {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "dataChange": False,
+            }
+        )
+    for f in os.listdir(tmp):
+        os.unlink(os.path.join(tmp, f))
+    os.rmdir(tmp)
+    return out
+
+
+def _commit_timestamp(log: str, fname: str) -> int:
+    with open(os.path.join(log, fname)) as fh:
+        for line in fh:
+            a = json.loads(line) if line.strip() else {}
+            if "commitInfo" in a and a["commitInfo"].get("timestamp") is not None:
+                return int(a["commitInfo"]["timestamp"])
+    return int(os.path.getmtime(os.path.join(log, fname)) * 1000)
+
+
+def delta_read_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed read: every row-level change committed in versions
+    [starting_version, ending_version] with ``_change_type``
+    (insert / delete / update_preimage / update_postimage),
+    ``_commit_version``, and ``_commit_timestamp`` columns — Delta's
+    ``readChangeFeed`` contract.
+
+    Per protocol, a commit WITH cdc actions serves its changes from the
+    ``_change_data`` files alone (the rewritten data files mix changed
+    and carried rows — only the cdc files are precise); a commit without
+    them derives changes from its dataChange add/remove actions: added
+    files are inserts, removed files are deletes (their bytes must still
+    be on disk — vacuumed history cannot be replayed, refused honestly).
+    Cost: O(changed data in the range), never a table scan."""
+    log = _log_dir(path)
+    latest = _latest_version(path)
+    end = latest if ending_version is None else ending_version
+    if starting_version < 0 or end > latest or starting_version > end:
+        raise ValueError(
+            f"change range [{starting_version}, {end}] not within [0, {latest}]"
+        )
+    frames = []
+    for v in range(starting_version, end + 1):
+        fname = f"{v:020d}.json"
+        if not os.path.isfile(os.path.join(log, fname)):
+            raise ValueError(
+                f"{path}: commit {v} was cleaned up — its changes are "
+                "no longer replayable"
+            )
+        actions = []
+        with open(os.path.join(log, fname)) as fh:
+            actions = [json.loads(l) for l in fh if l.strip()]
+        ts = _commit_timestamp(log, fname)
+
+        def stamp(df: DataFrame, change_type: str | None) -> DataFrame:
+            if change_type is not None:
+                df = df.withColumn("_change_type", F.lit(change_type))
+            return df.withColumn(
+                "_commit_version", F.lit(v).cast("bigint")
+            ).withColumn(
+                "_commit_timestamp",
+                F.timestamp_millis(F.lit(ts)),
+            )
+
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        if cdcs:
+            files = [os.path.join(path, c["path"]) for c in cdcs]
+            frames.append(stamp(spark.read.parquet(*files), None))
+            continue
+        snap = _replay(path, v)
+        adds = {
+            a["add"]["path"]: a["add"]
+            for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        }
+        if adds:
+            frames.append(stamp(_scan_files(spark, path, snap, adds), "insert"))
+        removes = {
+            a["remove"]["path"]: a["remove"]
+            for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        }
+        if removes:
+            missing = [
+                p for p in removes if not os.path.isfile(os.path.join(path, p))
+            ]
+            if missing:
+                raise ValueError(
+                    f"{path}: version {v} removed files already vacuumed "
+                    f"({missing[:3]}...) — its deletes cannot be replayed"
+                )
+            prev = _replay(path, v - 1) if v else snap
+            frames.append(stamp(_scan_files(spark, path, prev, removes), "delete"))
+    if not frames:
+        schema = _strip_metadata(_replay(path, end).schema)
+        empty = spark.createDataFrame([], schema)
+        return (
+            empty.withColumn("_change_type", F.lit(None).cast("string"))
+            .withColumn("_commit_version", F.lit(None).cast("bigint"))
+            .withColumn("_commit_timestamp", F.lit(None).cast("timestamp"))
+        )
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def delta_vacuum(spark: SparkSession, path: str) -> list[str]:
     """Delete data files referenced by NO retained version (Delta VACUUM
     analogue, retention = everything still in the log: a file is removable
@@ -1767,7 +2002,13 @@ def delta_vacuum(spark: SparkSession, path: str) -> list[str]:
         keep |= set(_replay(path, v).files)
     deleted = []
     for root, _dirs, files in os.walk(path):
-        if "_delta_log" in root or os.sep + "_tmp-" in root:
+        if (
+            "_delta_log" in root
+            or os.sep + "_tmp-" in root
+            or _CDF_DIR in root.split(os.sep)
+        ):
+            # _change_data files are change-feed retention, not table data
+            # — they are referenced by cdc actions, not the active set
             continue
         for f in files:
             if not f.endswith(".parquet"):

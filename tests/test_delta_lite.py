@@ -1132,10 +1132,10 @@ def test_unknown_writer_version_and_features_refused_by_name(spark, tmp_path):
     delta_write(df, t)
     _claim_version(
         os.path.join(t, "_delta_log"), 1,
-        json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}})
+        json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 5}})
         + "\n",
     )
-    with pytest.raises(DeltaProtocolError, match="minWriterVersion=4"):
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion=5"):
         delta_write(df, t, mode="append")
     t2 = str(tmp_path / "wf")
     delta_write(df, t2)
@@ -1193,3 +1193,131 @@ def test_append_schema_contract_and_merge_schema(spark, tmp_path):
         )
     delta_write(spark.createDataFrame([("a",)], "s string"), t, mode="overwrite")
     assert delta_read(spark, t).columns == ["s"]
+
+
+# ------------------------------------------------------------- change feed
+
+
+def test_change_data_feed_roundtrip(spark, tmp_path):
+    """delta.enableChangeDataFeed: merge/delete/update commits carry cdc
+    actions + _change_data files with precise row-level changes; appends
+    derive inserts from add actions; delta_read_changes serves the lot
+    with _change_type/_commit_version columns; table reads never see cdc
+    rows; vacuum retains _change_data."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+        delta_enable_cdf,
+        delta_merge,
+        delta_read_changes,
+        delta_update_where,
+        delta_vacuum,
+    )
+
+    t = str(tmp_path / "cdf")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    delta_write(df, t)  # v0
+    v_cdf = delta_enable_cdf(spark, t)  # v1, bumps minWriterVersion to 4
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{v_cdf:020d}.json"))
+    ]
+    assert any(
+        "protocol" in a and a["protocol"]["minWriterVersion"] == 4 for a in acts
+    )
+    src = spark.createDataFrame([(10, -1), (20, -1), (500, 7)], "id bigint, v bigint")
+    v_m = delta_merge(src, t, key="id")
+    ch = delta_read_changes(spark, t, v_m, v_m)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"update_preimage": 2, "update_postimage": 2, "insert": 1}
+    assert {r["id"]: r["v"] for r in ch.filter("_change_type='update_preimage'").collect()} == {
+        10: 20, 20: 40,
+    }
+    assert ch.select("_commit_version").distinct().collect()[0][0] == v_m
+    v_d = delta_delete_where(spark, t, ("id", "between", (0, 4)))
+    assert delta_read_changes(spark, t, v_d, v_d).count() == 5
+    v_u = delta_update_where(
+        spark, t, {"v": F.lit(999).cast("bigint")}, ("id", "=", 30)
+    )
+    rows = sorted(
+        (r["_change_type"], r["v"])
+        for r in delta_read_changes(spark, t, v_u, v_u).collect()
+    )
+    assert rows == [("update_postimage", 999), ("update_preimage", 60)]
+    # full-range: the original append arrives as derived inserts
+    full = delta_read_changes(spark, t, 0)
+    n_by = {
+        r["_change_type"]: r["n"]
+        for r in full.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert n_by["insert"] == 101 and n_by["delete"] == 5
+    # cdc rows are invisible to table reads; vacuum keeps _change_data
+    assert delta_read(spark, t).count() == 96
+    delta_vacuum(spark, t)
+    assert delta_read_changes(spark, t, v_m, v_m).count() == 5
+
+
+def test_cdf_overwrite_derives_delete_and_insert(spark, tmp_path):
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_enable_cdf,
+        delta_read_changes,
+    )
+
+    t = str(tmp_path / "ow")
+    delta_write(spark.createDataFrame([(1,), (2,)], "id bigint"), t)
+    delta_enable_cdf(spark, t)
+    v = delta_write(spark.createDataFrame([(9,)], "id bigint"), t, mode="overwrite")
+    ch = delta_read_changes(spark, t, v, v)
+    got = sorted((r["_change_type"], r["id"]) for r in ch.collect())
+    assert got == [("delete", 1), ("delete", 2), ("insert", 9)]
+
+
+def test_generated_columns_refused_on_write(spark, tmp_path):
+    """v4's OTHER feature: a schema carrying delta.generationExpression is
+    refused on write (we don't evaluate generation expressions; writing
+    without them would corrupt) — reads still work."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    t = str(tmp_path / "gen")
+    delta_write(spark.createDataFrame([(1, 2)], "id bigint, twice bigint"), t)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {
+                "name": "twice",
+                "type": "long",
+                "nullable": True,
+                "metadata": {"delta.generationExpression": "id * 2"},
+            },
+        ],
+    }
+    _claim_version(
+        os.path.join(t, "_delta_log"),
+        1,
+        json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}})
+        + "\n"
+        + json.dumps(
+            {
+                "metaData": {
+                    "id": "g",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            }
+        )
+        + "\n",
+    )
+    assert delta_read(spark, t).count() == 1  # reading is fine
+    with pytest.raises(DeltaProtocolError, match="generated columns"):
+        delta_write(
+            spark.createDataFrame([(2, 4)], "id bigint, twice bigint"),
+            t,
+            mode="append",
+        )

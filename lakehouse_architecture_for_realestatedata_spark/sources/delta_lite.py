@@ -432,9 +432,15 @@ def _checkpoint_files(log: str) -> dict[int, list[str]]:
 def _unmap(v):
     """pyarrow renders parquet MAP columns as lists of (key, value) pairs;
     the protocol's map-typed action fields (partitionValues, configuration,
-    tags, format.options) want dicts. Recursive, order-preserving."""
-    if isinstance(v, list) and all(
-        isinstance(x, tuple) and len(x) == 2 for x in v
+    tags, format.options) want dicts. Recursive, order-preserving. An
+    EMPTY list stays a list — it is ambiguous (empty map OR empty array,
+    e.g. ``partitionColumns: []``), and every map-typed consumer treats
+    the falsy [] exactly like {} while an array-typed consumer would
+    choke on a dict."""
+    if (
+        isinstance(v, list)
+        and v
+        and all(isinstance(x, tuple) and len(x) == 2 for x in v)
     ):
         return {k: _unmap(x) for k, x in v}
     if isinstance(v, dict):

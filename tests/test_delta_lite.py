@@ -1321,3 +1321,25 @@ def test_generated_columns_refused_on_write(spark, tmp_path):
             t,
             mode="append",
         )
+
+
+def test_checkpoint_replay_then_rewrite_unpartitioned(spark, tmp_path):
+    """Regression: a checkpoint's EMPTY partitionColumns array must come
+    back as a list, not a map (_unmap's empty-list ambiguity) — caught
+    when a replay-from-checkpoint snapshot fed the NEXT checkpoint write."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+        _write_checkpoint,
+    )
+
+    t = str(tmp_path / "ckk")
+    for i in range(12):
+        delta_write(
+            spark.createDataFrame([(i,)], "id bigint"), t, checkpoint_interval=5
+        )
+    # version 10's checkpoint replays versions 0-10; writing the NEXT
+    # checkpoint from that replayed state must not corrupt metaData
+    snap = _replay(t, None)
+    assert snap.partition_columns == [] and isinstance(snap.partition_columns, list)
+    _write_checkpoint(spark, t, 11)
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == list(range(12))

@@ -675,3 +675,68 @@ def q_delta_cdf_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@register(
+    "delta_stream_pipe_roundtrip",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(cast(value AS decimal(30,6))) AS double) AS total_value
+    FROM events
+    WHERE event_id % 5 <> 0
+    GROUP BY event_type
+    """,
+    doc="Structured Streaming over the open Delta format end to end "
+    "(sources/delta_source.py): events land in a delta_lite table in two "
+    "batches; a streaming query tails its transaction log "
+    "(readStream.format('delta_lite'), offsets = commit versions), "
+    "filters, and writes through the exactly-once streaming sink "
+    "(writeStream.format('delta_lite') + txnAppId epoch watermarks) with "
+    "Trigger.AvailableNow; the sink table is then aggregated. The oracle "
+    "is the same filter+aggregate straight over the source parquet — the "
+    "pipe must deliver every committed row exactly once. At scale this "
+    "is the bronze->silver continuous pipeline: each micro-batch reads "
+    "O(new commits), never the table.",
+)
+def q_delta_stream_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_write,
+        delta_read,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_source import (
+        register_delta_lite_source,
+    )
+
+    register_delta_lite_source(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_deltapipe_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)  # fresh pipe per run (checkpoint offsets are stateful)
+    src, dst, ckpt = f"{root}/src", f"{root}/dst", f"{root}/ckpt"
+    delta_write(ev.filter(F.col("event_id") % 2 == 0), src)
+    delta_write(ev.filter(F.col("event_id") % 2 == 1), src, mode="append")
+    q = (
+        spark.readStream.format("delta_lite")
+        .load(src)
+        .filter(F.col("event_id") % 5 != 0)
+        .writeStream.format("delta_lite")
+        .option("txnAppId", "pipe")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(dst)
+    )
+    q.awaitTermination(300)
+    return delta_read(spark, dst).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+    )

@@ -206,6 +206,7 @@ def test_driver_window_fully_oracle_backed():
         "delta_optimize_skipping_scan",
         "delta_format_front_door",
         "delta_cdf_merge_changes",
+        "delta_stream_pipe_roundtrip",
         # r9 rotation swap-outs (driver-green in r8; family twin in-window):
         "resample_locf_daily",
         "heavy_hitters_users",

@@ -196,10 +196,13 @@ class _DeltaLiteReader(_DeltaLiteReaderBase):
 
 
 class _DeltaLiteStreamReader(DataSourceStreamReader):
-    """Structured Streaming source over the transaction log: offsets are
-    commit versions, each micro-batch is the dataChange adds of the
-    commits in (start, end] — exactly Delta's streaming source contract,
-    including failing on data-changing removes unless ``ignoreChanges``."""
+    """Structured Streaming source over the transaction log: the FIRST
+    batch is the table's current snapshot, then offsets are commit
+    versions and each micro-batch is the dataChange adds of the commits
+    in (start, end] — exactly Delta's streaming source contract,
+    including failing on MID-STREAM data-changing removes unless
+    ``ignoreChanges`` (pre-stream history is served as its net snapshot,
+    so old overwrites neither fail the stream nor duplicate rows)."""
 
     def __init__(self, path: str, ignore_changes: bool, schema: StructType):
         self.path = path
@@ -217,7 +220,12 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
         self.schema = schema
 
     def initialOffset(self) -> dict:
-        return {"version": -1}  # stream the table from its first commit
+        # -1 = "no commit consumed yet": the first batch serves the CURRENT
+        # SNAPSHOT (Delta's own streaming-source contract — history before
+        # the stream started is represented by its net result, so an old
+        # overwrite neither fails the stream nor duplicates rows), then
+        # subsequent batches tail the log commit by commit
+        return {"version": -1}
 
     def latestOffset(self) -> dict:
         return {"version": _latest_version(self.path)}
@@ -225,6 +233,12 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         import json as _json
 
+        if int(start["version"]) < 0:
+            snap = _replay(self.path, int(end["version"]))
+            return [
+                _FilePartition(p, add.get("partitionValues") or {})
+                for p, add in sorted(snap.files.items())
+            ]
         log = _log_dir(self.path)
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):

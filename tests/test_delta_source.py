@@ -132,29 +132,35 @@ def test_format_write_refuses_partitioned_table(spark, tmp_path):
         df.write.format("delta_lite").mode("append").save(t)
 
 
-def test_stream_source_tails_log_and_skips_optimize(spark, tmp_path):
-    """readStream over the log: offsets are versions, each batch is the
-    dataChange adds — an OPTIMIZE rewrite (dataChange:false) must flow
-    through WITHOUT duplicating rows, and a data-changing remove must
-    fail the stream unless ignoreChanges."""
-    t = str(tmp_path / "s")
+def test_stream_source_snapshot_start_then_tails_log(spark, tmp_path):
+    """readStream over the log (Delta's streaming-source contract): the
+    first batch is the CURRENT SNAPSHOT (pre-stream history — including
+    an OPTIMIZE rewrite — arrives as its net result, no duplicates); a
+    MID-STREAM data-changing remove fails the resumed stream unless
+    ignoreChanges, which then delivers only the commit's adds."""
+
+    def run(src, dst, ckpt, **opts):
+        reader = spark.readStream.format("delta_lite")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(src)
+            .writeStream.format("delta_lite")
+            .option("txnAppId", "tail-test")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        q.awaitTermination(120)
+
+    t, dst, ckpt = str(tmp_path / "s"), str(tmp_path / "d"), str(tmp_path / "c")
     _batches(spark, t, n=200, step=100)
-    delta_optimize(spark, t, n_files=1)  # dataChange:false — invisible
-    q = (
-        spark.readStream.format("delta_lite")
-        .load(t)
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .writeStream.format("memory")
-        .queryName("dsrc1")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    rows = {r["k"]: r["n"] for r in spark.sql("select * from dsrc1").collect()}
-    assert rows == {i: 40 for i in range(5)}
-    # now a data-changing overwrite: refused without ignoreChanges
+    delta_optimize(spark, t, n_files=1)  # pre-stream rewrite: invisible
+    run(t, dst, ckpt)
+    got = delta_read(spark, dst)
+    assert got.count() == 200  # snapshot, not 200 + optimize duplicates
+    assert got.groupBy("k").count().filter("count != 40").count() == 0
+    # a mid-stream data-changing overwrite fails the resumed stream...
     delta_write(
         spark.range(0, 3).select(
             F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") * 2.0).alias("v")
@@ -162,29 +168,11 @@ def test_stream_source_tails_log_and_skips_optimize(spark, tmp_path):
         t,
         mode="overwrite",
     )
-    q2 = (
-        spark.readStream.format("delta_lite")
-        .load(t)
-        .writeStream.format("memory")
-        .queryName("dsrc2")
-        .trigger(availableNow=True)
-        .start()
-    )
     with pytest.raises(Exception, match="ignoreChanges"):
-        q2.awaitTermination(120)
-        spark.sql("select * from dsrc2").collect()
-    q3 = (
-        spark.readStream.format("delta_lite")
-        .option("ignoreChanges", "true")
-        .load(t)
-        .writeStream.format("memory")
-        .queryName("dsrc3")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q3.awaitTermination(120)
-    # all adds ever committed with dataChange:true: 200 original + 3 new
-    assert spark.sql("select count(*) as n from dsrc3").collect()[0]["n"] == 203
+        run(t, dst, ckpt)
+    # ...and with ignoreChanges the resume ships exactly the new adds
+    run(t, dst, ckpt, ignoreChanges="true")
+    assert delta_read(spark, dst).count() == 203
 
 
 def test_format_reads_column_mapped_table(spark, tmp_path):

@@ -426,11 +426,16 @@ def qsketch_quantiles(
     ``est`` the bin's lower edge (the true quantile lies in
     [est, est + width); max error = one bin width, by construction).
 
-    All deterministic integer/IEEE arithmetic (counts are exact ints; the
-    rank target is one multiply + ceil), so the readout is hash-exact
-    against the SQL oracle. The running count windows over the SKETCH
-    (≤ nbins rows per group — the module's bounded-frame rule), never the
-    data."""
+    ALL-INTEGER rank arithmetic: each q is decomposed into an exact
+    decimal ratio (qnum, qden) via ``Fraction(str(q))`` and the rank
+    target ``ceil(q·n)`` is computed as ``(n·qnum + qden − 1) div qden``
+    on bigints — no IEEE multiply anywhere, so the readout is hash-exact
+    against the SQL oracle on EVERY engine/build (a float ``ceil(q*n)``
+    is one rounding away from an off-by-one when q·n lands on an
+    integer). The running count windows over the SKETCH (≤ nbins rows
+    per group — the module's bounded-frame rule), never the data."""
+    from fractions import Fraction
+
     gb = list(group_cols or [])
     w = (
         Window.partitionBy(*[F.col(c) for c in gb])
@@ -441,12 +446,29 @@ def qsketch_quantiles(
     cum = sketch.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
         "__n", F.sum("cnt").over(wg)
     )
-    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    fracs = [Fraction(str(q)) for q in qs]
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.lit(int(fr.numerator)).cast("bigint").alias("qnum"),
+                F.lit(int(fr.denominator)).cast("bigint").alias("qden"),
+            )
+            for q, fr in zip(qs, fracs)
+        ]
+    )
     hits = (
-        cum.select(*gb, "bin", "__cum", "__n", F.explode(qarr).alias("q"))
-        .filter(
-            F.col("__cum") >= F.ceil(F.col("q") * F.col("__n").cast("double"))
+        cum.select(*gb, "bin", "__cum", "__n", F.explode(qarr).alias("__qe"))
+        .select(
+            *gb,
+            "bin",
+            "__cum",
+            "__n",
+            F.col("__qe.q").alias("q"),
+            F.col("__qe.qnum").alias("__qnum"),
+            F.col("__qe.qden").alias("__qden"),
         )
+        .filter(F.expr("__cum >= (__n * __qnum + __qden - 1) div __qden"))
         .groupBy(*gb, "q")
         .agg(F.min("bin").alias("bin"), F.max("__n").alias("n"))
     )

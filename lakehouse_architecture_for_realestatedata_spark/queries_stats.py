@@ -2538,8 +2538,11 @@ def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT week, q, min(bin) AS bin, max(n) AS n,
            0.0 + cast(min(bin) AS double) * 4.0 AS est
     FROM cum CROSS JOIN (
-        SELECT unnest([0.5::double, 0.9::double, 0.99::double]) AS q) qs
-    WHERE c >= ceil(q * cast(n AS double))
+        SELECT * FROM (VALUES (0.5::double, 1::bigint, 2::bigint),
+                              (0.9::double, 9::bigint, 10::bigint),
+                              (0.99::double, 99::bigint, 100::bigint))
+        ) qs(q, qnum, qden)
+    WHERE c >= (n * qnum + qden - 1) // qden
     GROUP BY week, q
     """,
     doc="Mergeable quantile-sketch rollup (functions/sketches.py "
@@ -2548,8 +2551,11 @@ def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "additively into weekly sketches — completing the mergeable-sketch "
     "family (HLL = distinct, CMS = frequency, this = distribution) — "
     "then p50/p90/p99 read out as the first bin whose running count "
-    "reaches ceil(q*n). Every step is exact integer arithmetic plus one "
-    "correctly-rounded IEEE divide, so the whole pipeline has a HARD "
+    "reaches ceil(q*n), computed as EXACT bigint rank arithmetic "
+    "((n*qnum + qden - 1) div qden with q = qnum/qden — no IEEE multiply "
+    "anywhere in the readout, r10 driver-red fix). Every step is exact "
+    "integer arithmetic plus one correctly-rounded IEEE divide at bin "
+    "assignment, so the whole pipeline has a HARD "
     "oracle (the DuckDB twin builds weekly directly: hash equality also "
     "proves daily->weekly merge == direct build). est is the bin's lower "
     "edge; the true quantile lies within one bin width (pytest property, "

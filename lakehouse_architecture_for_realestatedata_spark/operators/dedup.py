@@ -411,6 +411,7 @@ def minhash_lsh_pairs_md5(
     k: int = 3,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Cross-engine-EXACT MinHash-LSH near-dup pairs: Broder's classic
     K-independent-hash construction instantiated as SALTED md5 with one
@@ -427,10 +428,18 @@ def minhash_lsh_pairs_md5(
     ``(id_a, id_b, n_shared, jaccard)``.
 
     Scale shape: candidate generation is the inverted-index shape — each
-    doc emits ``bands`` (band, bucket) rows, pairs form only inside
-    buckets, never a cross join. Verification joins each candidate pair's
-    shingles through an (id, shingle) equi-join, so its cost tracks
-    Σ|shingles(a)| over candidate pairs, not corpus². Python never runs —
+    doc emits ``bands`` (band, bucket) rows, then buckets are AGGREGATED
+    (sorted member sets) and buckets larger than ``max_bucket`` are
+    dropped before any pair is emitted — the same degenerate-bucket cap
+    as the xxhash fast path (``minhash_lsh_pairs``): a boilerplate or
+    empty-text min-digest shared by 10⁶ docs is ONE key worth 10¹²
+    candidate pairs — noise, not signal, and the cap bounds both task
+    memory and the quadratic blowup. Pairs form only inside surviving
+    buckets, never a cross join; the fingerprint subtree is evaluated
+    ONCE (collect + in-array combos, not a bucket self-join).
+    Verification joins each candidate pair's shingles through an
+    (id, shingle) equi-join, so its cost tracks Σ|shingles(a)| over
+    candidate pairs, not corpus². Python never runs —
     md5/array_min/transform are all codegen'd built-ins. The single-row
     ``explode(array(...))`` is the CollapseProject barrier: without it the
     per-band lambdas would each re-inline the whole tokenize+shingle
@@ -450,12 +459,26 @@ def minhash_lsh_pairs_md5(
     fp = staged.select(
         F.col(id_col), F.posexplode(F.array(*salted_min)).alias("band", "bucket")
     )
-    a = fp.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b2 = fp.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    members = (
+        fp.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids").between(2, max_bucket))
+    )
+    n = F.size("__ids")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("__ids"), i + 1, n - i),
+                lambda j: F.struct(
+                    F.element_at(F.col("__ids"), i).alias("id_a"), j.alias("id_b")
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(b2, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        members.select(F.explode(combos).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .distinct()
     )
     ex = staged.select(F.col(id_col), F.explode("__sh").alias("__s"))
@@ -492,6 +515,7 @@ def simhash_pairs_md5(
     n_bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Cross-engine-EXACT SimHash near-dup pairs (Charikar STOC'02): the
     token hash is the top 15 hex chars of md5 parsed as a 60-bit integer
@@ -510,8 +534,13 @@ def simhash_pairs_md5(
     Scale shape: one corpus shuffle builds (doc, token, tf); the 60
     per-bit sums ride ONE hash aggregate over doc (wide agg, zero row
     blowup — never the 60× bit-explode the SQL oracle uses); banding
-    emits ``bands`` rows per doc into the inverted-index join. All
-    built-ins, no Python."""
+    emits ``bands`` rows per doc, buckets are aggregated and any
+    (band, slice) bucket larger than ``max_bucket`` is dropped BEFORE
+    pairing — the fast path's degenerate-bucket cap (empty/boilerplate
+    docs share a fingerprint slice; 10⁶ of them in one bucket is 10¹²
+    pair rows of noise) — then pairs form in-array from the sorted
+    member set, so the fingerprint aggregate is evaluated once, not
+    twice. All built-ins, no Python."""
     if n_bits % bands:
         raise ValueError("bands must divide n_bits")
     if max_hamming >= bands:
@@ -562,19 +591,37 @@ def simhash_pairs_md5(
             )
         ).alias("__band"),
     ).select(F.col(id_col), "__fp", F.col("__band.g"), F.col("__band.bk"))
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("__fp").alias("__fa"), "g", "bk"
+    members = (
+        banded.groupBy("g", "bk")
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.struct(F.col(id_col).alias("i"), F.col("__fp").alias("f"))
+                )
+            ).alias("__m")
+        )
+        .filter(F.size("__m").between(2, max_bucket))
     )
-    b2 = banded.select(
-        F.col(id_col).alias("id_b"), F.col("__fp").alias("__fb"), "g", "bk"
+    n = F.size("__m")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("__m"), i + 1, n - i),
+                lambda j: F.struct(
+                    F.element_at(F.col("__m"), i).alias("a"), j.alias("b")
+                ),
+            ),
+        )
     )
     return (
-        a.join(b2, ["g", "bk"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        members.select(F.explode(combos).alias("__p"))
         .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).alias("hamming"),
+            F.col("__p.a.i").alias("id_a"),
+            F.col("__p.b.i").alias("id_b"),
+            F.bit_count(
+                F.col("__p.a.f").bitwiseXOR(F.col("__p.b.f"))
+            ).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -245,10 +245,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, b, min(md5(cast(b AS varchar) || ':' || s)) AS bucket
         FROM e, (SELECT unnest(range(8)) AS b) bands
         GROUP BY 1, 2
+    ), bok AS (
+        -- degenerate-bucket cap (max_bucket=10000), mirrored from
+        -- minhash_lsh_pairs_md5: buckets larger than the cap emit no pairs
+        SELECT b, bucket FROM bm GROUP BY 1, 2
+        HAVING count(*) BETWEEN 2 AND 10000
     ), cand AS (
         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
         FROM bm x JOIN bm y
           ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        JOIN bok k ON k.b = x.b AND k.bucket = x.bucket
     ), shared AS (
         SELECT c.id_a, c.id_b, count(*) AS n_shared
         FROM cand c
@@ -273,7 +279,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer-ratio divisions are engine-neutral, unlike the xxhash64 "
     "numpy fast path (minhash_lsh_dedup, rows-only by necessity). "
     "Physics: inverted-index candidate generation (docs x 8 bucket "
-    "rows, pairs only within buckets), verify joins candidates' "
+    "rows, buckets over max_bucket=10000 dropped before pairing — the "
+    "fast path's degenerate-bucket cap, mirrored in the oracle), "
+    "verify joins candidates' "
     "shingles by (id, shingle) — cost tracks candidates, never corpus²; "
     "zero Python, all codegen built-ins.",
 )
@@ -309,10 +317,16 @@ def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), banded AS (
         SELECT doc_id, fp, g, (fp >> (15 * g)) & 32767 AS bk
         FROM fp, (SELECT unnest(range(4)) AS g) gg
+    ), bok AS (
+        -- degenerate-bucket cap (max_bucket=10000), mirrored from
+        -- simhash_pairs_md5: buckets larger than the cap emit no pairs
+        SELECT g, bk FROM banded GROUP BY 1, 2
+        HAVING count(*) BETWEEN 2 AND 10000
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, a.fp AS fa, b.doc_id AS id_b, b.fp AS fb
         FROM banded a JOIN banded b
           ON a.g = b.g AND a.bk = b.bk AND a.doc_id < b.doc_id
+        JOIN bok k ON k.g = a.g AND k.bk = a.bk
     )
     SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(fa, fb)) <= 3
@@ -326,7 +340,8 @@ def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus shuffle for (doc, token, tf); the 60 per-bit sums ride ONE "
     "wide hash aggregate (zero row blowup — the oracle's 60x bit-explode "
     "stays DuckDB-side); banding emits 4 rows/doc into the "
-    "inverted-index join.",
+    "inverted-index join with the max_bucket=10000 degenerate-bucket "
+    "cap (mirrored in the oracle) applied before pairing.",
 )
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (

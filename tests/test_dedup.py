@@ -431,3 +431,52 @@ def test_simhash_md5_variant_finds_near_dups_and_is_deterministic(spark, sf_dir)
         for r in simhash_pairs_md5(df, max_hamming=3).collect()
     }
     assert got == rerun
+
+
+def test_md5_lsh_twins_max_bucket_drops_boilerplate_fanout(spark):
+    """Degenerate-bucket cap on the cross-engine-exact md5 twins (VERDICT
+    r9 #2): a boilerplate text shared verbatim by 30 documents puts all 30
+    into the same (band, bucket) — without the cap that is ~30²/2 candidate
+    pairs of noise per band; with ``max_bucket`` below 30 those buckets
+    emit ZERO pairs while a genuine near-duplicate pair in its own small
+    bucket survives. Mirrors tests/test_retrieval.py's winnowing pin."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        minhash_lsh_pairs_md5,
+        simhash_pairs_md5,
+    )
+
+    boiler = (
+        "all rights reserved unauthorized copying of this file via any "
+        "medium is strictly prohibited proprietary and confidential "
+        "license terms apply to every distribution of this work"
+    )
+    near_a = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronomers catalog variable stars from the observatory roof"
+    )
+    near_b = near_a + " closing remark"  # hamming 2 on the 60-bit simhash
+    rows = [(i, boiler) for i in range(1, 31)] + [(101, near_a), (102, near_b)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # MinHash md5 twin: capped → only the planted pair; uncapped → blowup.
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_md5(
+            df, "doc_id", "text", k=3, bands=8, threshold=0.5, max_bucket=10
+        ).collect()
+    }
+    assert capped == {(101, 102)}, capped
+    uncapped = minhash_lsh_pairs_md5(
+        df, "doc_id", "text", k=3, bands=8, threshold=0.5
+    ).count()
+    assert uncapped >= 30 * 29 // 2 + 1
+
+    # SimHash md5 twin: identical docs share the full fingerprint → one
+    # oversized bucket per band; the cap silences it, keeps the near-dups.
+    s_capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs_md5(df, max_hamming=3, max_bucket=10).collect()
+    }
+    assert s_capped == {(101, 102)}, s_capped
+    s_uncapped = simhash_pairs_md5(df, max_hamming=3).count()
+    assert s_uncapped >= 30 * 29 // 2 + 1

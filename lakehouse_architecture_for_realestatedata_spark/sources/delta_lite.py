@@ -13,8 +13,11 @@ tables whose ``_delta_log`` was written by any engine (version replay,
 checkpoints, partitioned layouts, time travel, stats-based data skipping
 via ``delta_read(where=...)``) and writes logs any Delta reader can
 consume (per-file stats in add actions, ``delta_optimize`` compaction
-with z-order clustering, file-pruned ``delta_merge`` upserts and
-``delta_delete_where``), using only the published protocol.
+with z-order clustering, file-pruned ``delta_merge`` upserts,
+``delta_delete_where`` / ``delta_update_where``, CHECK constraints via
+``delta_add_constraint``, Change Data Feed via ``delta_enable_cdf`` /
+``delta_read_changes``, and ``txn``-watermarked exactly-once streaming
+appends), using only the published protocol.
 
 Protocol subset (explicitly checked, honestly refused otherwise):
   - reader protocol 1 and 2, plus protocol 3 when ``readerFeatures``
@@ -29,9 +32,12 @@ Protocol subset (explicitly checked, honestly refused otherwise):
     tables are refused: appending logical-named files to a
     physical-named table would corrupt it;
   - actions: ``metaData``, ``protocol``, ``add``, ``remove``,
-    ``commitInfo``, and ``txn`` (replayed as per-appId idempotence
-    watermarks and written by the exactly-once streaming sink; ``cdc``
-    and domain metadata are ignored on read, never written);
+    ``commitInfo``, ``txn`` (replayed as per-appId idempotence
+    watermarks and written by the exactly-once streaming sink), and
+    ``cdc`` (written by merge/delete/update when
+    ``delta.enableChangeDataFeed`` is set; served by
+    ``delta_read_changes``; invisible to table reads per protocol).
+    Domain metadata is ignored on read, never written;
   - single-writer commits: the version claim is put-if-absent via ``link(2)``
     (the same optimistic protocol Delta uses on filesystems with atomic
     put — losers raise, callers retry), but there is no LogStore
@@ -51,6 +57,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import json
+import math
 import os
 import time
 import uuid
@@ -208,7 +215,12 @@ def _json_stat(v):
     column's stats are omitted, which readers treat as 'no pruning')."""
     if isinstance(v, bool):
         return None  # min/max of a flag prunes nothing (tables.py rule)
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # NaN/Infinity would serialize as non-standard JSON tokens that
+        # strict parsers (delta-spark's Jackson) reject wholesale, and NaN
+        # poisons min()/max() folding — omit the column's stats instead.
+        return v if math.isfinite(v) else None
+    if isinstance(v, int):
         return v
     if isinstance(v, decimal.Decimal):
         return float(v)
@@ -988,8 +1000,20 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         "remove": None,
         "txn": None,
     }
+    # The checkpoint MUST carry the table's ACTUAL protocol (snap.protocol,
+    # incl. reader/writerFeatures), never a constant: constraints/CDF bump
+    # minWriterVersion to 3/4, and a checkpoint that downgraded it would —
+    # after log cleanup — let a protocol-honest v2 writer legally write
+    # without enforcing CHECKs or emitting CDC.
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    proto_row = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": proto.get("minWriterVersion", 2),
+        "readerFeatures": proto.get("readerFeatures"),
+        "writerFeatures": proto.get("writerFeatures"),
+    }
     rows = [
-        base | {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        base | {"protocol": proto_row},
         base
         | {
             "metaData": {
@@ -1039,7 +1063,8 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         for app, v in sorted((snap.txns or {}).items())
     ]
     schema = (
-        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>, "
         "metaData struct<id:string,format:struct<provider:string,"
         "options:map<string,string>>,schemaString:string,"
         "partitionColumns:array<string>,configuration:map<string,string>>, "
@@ -1065,7 +1090,7 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
 
 
 def _append_schema_delta(
-    snap: _Snapshot, df: DataFrame, merge_schema: bool
+    snap: _Snapshot, df_schema: StructType, merge_schema: bool
 ) -> str | None:
     """Delta's append schema enforcement: the source must match the table
     by name and type (nullability aside); columns the source lacks must
@@ -1076,7 +1101,7 @@ def _append_schema_delta(
     table = {f.name: f for f in logical.fields}
     conflicts = [
         (f.name, table[f.name].dataType.simpleString(), f.dataType.simpleString())
-        for f in df.schema.fields
+        for f in df_schema.fields
         if f.name in table and f.dataType != table[f.name].dataType
     ]
     if conflicts:
@@ -1084,7 +1109,7 @@ def _append_schema_delta(
             "append schema type conflicts (col, table, source): "
             f"{conflicts} — Delta rejects type changes on append"
         )
-    present = {f.name for f in df.schema.fields}
+    present = {f.name for f in df_schema.fields}
     required = [
         f.name for f in logical.fields if not f.nullable and f.name not in present
     ]
@@ -1092,7 +1117,7 @@ def _append_schema_delta(
         raise ValueError(
             f"append is missing non-nullable table columns {required}"
         )
-    new = [f for f in df.schema.fields if f.name not in table]
+    new = [f for f in df_schema.fields if f.name not in table]
     if not new:
         return None
     if not merge_schema:
@@ -1100,8 +1125,11 @@ def _append_schema_delta(
             f"append adds new columns {[f.name for f in new]} — pass "
             "merge_schema=True to widen the table (Delta's mergeSchema)"
         )
+    # widen by APPENDING to the ORIGINAL fields (not the stripped logical
+    # view) so field metadata (delta.invariants) and the original
+    # nullability markers survive the rewrite of schemaString
     widened = StructType(
-        list(logical.fields)
+        list(snap.schema.fields)
         + [StructField(f.name, f.dataType, True) for f in new]
     )
     return widened.json()
@@ -1171,7 +1199,9 @@ def delta_write(
             if adds is None:
                 _enforce_constraints(snap, df)
             if mode == "append":
-                meta_schema_json = _append_schema_delta(snap, df, merge_schema)
+                meta_schema_json = _append_schema_delta(
+                    snap, df.schema, merge_schema
+                )
             else:  # overwrite replaces the schema when it changed (the
                 # whole table is rewritten, so there is nothing to fork —
                 # Delta's overwriteSchema, implicit here)
@@ -1585,21 +1615,35 @@ def delta_merge(
     else:
         raise ValueError(f"unknown when_matched={when_matched!r}")
     out = kept.unionByName(source, allowMissingColumns=True)
-    merged_schema = (
-        spark.createDataFrame([], _strip_metadata(snap.schema))
-        .unionByName(out.limit(0), allowMissingColumns=True)
-        .schema
-    )
-    cols = [f.name for f in merged_schema.fields]
+    # Widen by APPENDING genuinely-new source columns to the original
+    # snap.schema — never re-derive the whole schema from the union, which
+    # would strip field metadata (delta.invariants) and erase NOT NULL
+    # markers on a plain merge with no new columns. Existing columns are
+    # cast back to their declared types (Delta casts source → target).
+    existing = {f.name: f for f in snap.schema.fields}
+    new_fields = [
+        StructField(f.name, f.dataType, True)
+        for f in out.schema.fields
+        if f.name not in existing
+    ]
+    merged_schema = StructType(list(snap.schema.fields) + new_fields)
+    proj = [
+        F.col(f.name).cast(existing[f.name].dataType).alias(f.name)
+        if f.name in existing
+        else F.col(f.name)
+        for f in merged_schema.fields
+    ]
     return _commit_rewrite(
         spark,
         path,
         latest,
         snap,
         touched,
-        out.select(*cols),
+        out.select(*proj),
         op="MERGE",
-        schema_json=merged_schema.json(),
+        # metaData is emitted ONLY when the merge actually added columns;
+        # a no-new-columns merge must leave schemaString byte-identical
+        schema_json=merged_schema.json() if new_fields else None,
         operation_parameters={
             "predicate": " AND ".join(f"t.{k} = s.{k}" for k in keys),
             "matchedAction": when_matched,
@@ -1607,7 +1651,7 @@ def delta_merge(
         changes=(
             # conform the change frame to the merged schema (a source-only
             # insert frame may lack old target columns and vice versa)
-            spark.createDataFrame([], merged_schema)
+            spark.createDataFrame([], _strip_metadata(merged_schema))
             .withColumn("_change_type", F.lit(None).cast("string"))
             .unionByName(changes, allowMissingColumns=True)
             if changes is not None
@@ -1872,11 +1916,20 @@ def _write_cdc_files(changes: DataFrame, path: str) -> list[dict]:
     import pyarrow.parquet as _pq
 
     out = []
-    for f in os.listdir(tmp):
-        if not f.endswith(".parquet"):
-            continue
-        if _pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows == 0:
-            continue
+    parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    keep = [
+        f
+        for f in parts
+        if _pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows > 0
+    ]
+    if not keep and parts:
+        # An empty change frame still claims ONE (zero-row) cdc file: the
+        # commit must carry a cdc action whenever CDF is on and files were
+        # rewritten, or delta_read_changes would fall back to deriving
+        # delete+insert pairs from the rewrite's add/remove actions —
+        # fabricating changes for rows that were merely carried.
+        keep = parts[:1]
+    for f in keep:
         rel = f"{_CDF_DIR}/cdc-{uuid.uuid4().hex}.parquet"
         os.rename(os.path.join(tmp, f), os.path.join(path, rel))
         out.append(
@@ -1962,13 +2015,45 @@ def delta_read_changes(
             for a in actions
             if "add" in a and a["add"].get("dataChange", True)
         }
-        if adds:
-            frames.append(stamp(_scan_files(spark, path, snap, adds), "insert"))
         removes = {
             a["remove"]["path"]: a["remove"]
             for a in actions
             if "remove" in a and a["remove"].get("dataChange", True)
         }
+        # Derivation from add/remove actions is sound ONLY for pure
+        # appends/overwrites (every added row IS an insert, every removed
+        # file's rows ARE deletes). A rewrite commit (MERGE/UPDATE/DELETE)
+        # without cdc actions mixes changed and carried rows in the same
+        # files — deriving would fabricate delete+insert pairs for rows
+        # that never changed (e.g. a rewrite made before CDF was enabled).
+        # delta-spark refuses such ranges; so do we.
+        op_name = next(
+            (
+                a["commitInfo"].get("operation")
+                for a in actions
+                if "commitInfo" in a
+            ),
+            None,
+        )
+        pure_ops = {
+            "WRITE",
+            "STREAMING UPDATE",
+            "CREATE TABLE AS SELECT",
+            "CREATE OR REPLACE TABLE AS SELECT",
+        }
+        if (adds or removes) and op_name not in pure_ops and not (
+            op_name is None and not removes  # foreign blind append: no
+            # commitInfo (optional per protocol), add-only → safe inserts
+        ):
+            raise ValueError(
+                f"{path}: version {v} ({op_name or 'unknown operation'}) "
+                "rewrote files without a change-data (cdc) action — its "
+                "row-level changes cannot be reconstructed (Change Data "
+                "Feed was not enabled when it committed). Start the range "
+                "after it, as delta-spark requires."
+            )
+        if adds:
+            frames.append(stamp(_scan_files(spark, path, snap, adds), "insert"))
         if removes:
             missing = [
                 p for p in removes if not os.path.isfile(os.path.join(path, p))

@@ -72,6 +72,7 @@ from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
     CHECKPOINT_INTERVAL,
     ConcurrentDeltaCommitError,
     DeltaProtocolError,
+    _append_schema_delta,
     _claim_version,
     _footer_stats_json,
     _latest_version,
@@ -330,10 +331,17 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
     are valid against any snapshot); a losing OVERWRITE raises. Aborted
     jobs leave unreferenced files for ``delta_vacuum``."""
 
-    def __init__(self, path: str, schema: StructType, overwrite: bool):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        overwrite: bool,
+        merge_schema: bool = False,
+    ):
         self.path = path
         self.schema = schema
         self.overwrite = overwrite
+        self.merge_schema = merge_schema
         try:
             snap = _replay(path, None)
         except FileNotFoundError:
@@ -359,6 +367,11 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                     "table's CHECK constraints task-side — write through "
                     "delta_write, which validates pre-commit"
                 )
+            if not overwrite:
+                # Delta's append schema contract, validated BEFORE any
+                # task writes a file (fail fast; commit() re-derives it
+                # against the snapshot it actually rebases onto)
+                _append_schema_delta(snap, schema, merge_schema)
 
     def write(self, iterator) -> _AddsMessage:
         return _write_task_parquet(self.path, iterator)
@@ -374,6 +387,24 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
             except FileNotFoundError:
                 latest = None
             version = 0 if latest is None else latest + 1
+            # Schema reconciliation against the snapshot THIS attempt
+            # commits onto (a rebased append revalidates): appends run the
+            # Delta append contract (refuse type conflicts; widen via a
+            # metaData action under mergeSchema); overwrite replaces the
+            # schemaString when the written schema changed (delta_write's
+            # implicit overwriteSchema) so declared schema and data never
+            # disagree.
+            snap = _replay(self.path, latest) if latest is not None else None
+            meta_schema_json = None
+            if snap is not None:
+                if self.overwrite:
+                    new = _strip_metadata(self.schema).json()
+                    if new != _strip_metadata(snap.schema).json():
+                        meta_schema_json = new
+                else:
+                    meta_schema_json = _append_schema_delta(
+                        snap, self.schema, self.merge_schema
+                    )
             now = int(_time.time() * 1000)
             actions: list[dict] = [
                 {
@@ -403,8 +434,19 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                         }
                     }
                 )
-            if self.overwrite and latest is not None:
-                snap = _replay(self.path, latest)
+            if meta_schema_json is not None:
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": uuid.uuid4().hex,
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": meta_schema_json,
+                            "partitionColumns": [],
+                            "configuration": snap.configuration,
+                        }
+                    }
+                )
+            if self.overwrite and snap is not None:
                 actions += [
                     {
                         "remove": {
@@ -482,6 +524,10 @@ class _DeltaLiteStreamWriter(DataSourceStreamArrowWriter):
                     "table's CHECK constraints task-side — use a "
                     "foreachBatch delta_write sink instead"
                 )
+            # Delta's append contract: refuse type conflicts and columns
+            # the table does not declare (a streaming epoch must never
+            # commit files whose extra columns no reader can see)
+            _append_schema_delta(snap, schema, merge_schema=False)
 
     def write(self, iterator) -> _AddsMessage:
         return _write_task_parquet(self.path, iterator)
@@ -572,7 +618,8 @@ class _DeltaLiteStreamWriter(DataSourceStreamArrowWriter):
 class DeltaLiteDataSource(DataSource):
     """``format("delta_lite")``. Options: ``path`` (or ``.load(path)``),
     ``version`` / ``timestampMillis`` for batch time travel,
-    ``ignoreChanges`` for streaming past data-changing commits."""
+    ``ignoreChanges`` for streaming past data-changing commits,
+    ``mergeSchema`` to widen the table on append (Delta's option)."""
 
     @classmethod
     def name(cls) -> str:
@@ -621,7 +668,11 @@ class DeltaLiteDataSource(DataSource):
         return _DeltaLiteStreamReader(self._path(), ignore, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> _DeltaLiteWriter:
-        return _DeltaLiteWriter(self._path(), schema, overwrite)
+        merge = str(self.options.get("mergeschema", "false")).lower() in (
+            "true",
+            "1",
+        )
+        return _DeltaLiteWriter(self._path(), schema, overwrite, merge_schema=merge)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         if overwrite:

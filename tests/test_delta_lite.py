@@ -1343,3 +1343,161 @@ def test_checkpoint_replay_then_rewrite_unpartitioned(spark, tmp_path):
     assert snap.partition_columns == [] and isinstance(snap.partition_columns, list)
     _write_checkpoint(spark, t, 11)
     assert sorted(r["id"] for r in delta_read(spark, t).collect()) == list(range(12))
+
+
+def test_checkpoint_preserves_bumped_protocol(spark, tmp_path):
+    """A checkpoint must carry the table's ACTUAL protocol (ADVICE r9):
+    after delta_enable_cdf bumps minWriterVersion to 4, the checkpoint at
+    the next interval must not silently downgrade it to the v2 constant —
+    or, post log-cleanup, a protocol-honest v2 writer would legally write
+    without emitting CDC."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+        _write_checkpoint,
+        delta_enable_cdf,
+    )
+
+    t = str(tmp_path / "ckproto")
+    delta_write(spark.createDataFrame([(1,)], "id bigint"), t)
+    delta_enable_cdf(spark, t)  # bumps minWriterVersion to 4
+    v = delta_write(spark.createDataFrame([(2,)], "id bigint"), t)
+    _write_checkpoint(spark, t, v)
+    cp = pq.read_table(
+        os.path.join(t, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    ).to_pylist()
+    proto = next(r["protocol"] for r in cp if r.get("protocol"))
+    assert proto["minWriterVersion"] == 4, proto
+    # replay THROUGH the checkpoint (json commits ignored) keeps the bump
+    snap = _replay(t, None)
+    assert (snap.protocol or {}).get("minWriterVersion") == 4
+
+
+def test_merge_without_new_columns_keeps_schema_string(spark, tmp_path):
+    """A plain merge with no new columns must NOT rewrite schemaString
+    (ADVICE r9): nullability markers and field metadata survive because
+    no metaData action is emitted at all."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+        delta_merge,
+    )
+
+    t = str(tmp_path / "mnn")
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),  # NOT NULL marker
+            StructField(
+                "v",
+                LongType(),
+                True,
+                metadata={
+                    "delta.invariants": json.dumps(
+                        {"expression": {"expression": "v >= 0"}}
+                    )
+                },
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(1, 10), (2, 20)], schema)
+    delta_write(df, t)
+    before = _replay(t, None).schema.json()
+    assert '"nullable":false' in before and "delta.invariants" in before
+    src = spark.createDataFrame([(2, 99), (3, 30)], schema)
+    v = delta_merge(src, t, key="id")
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    ]
+    assert not any("metaData" in a for a in acts)
+    assert _replay(t, None).schema.json() == before
+    got = {r["id"]: r["v"] for r in delta_read(spark, t).collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+    # a widening merge APPENDS to the original fields, preserving them
+    src2 = spark.createDataFrame([(4, 40, "x")], "id bigint, v bigint, tag string")
+    delta_merge(src2, t, key="id")
+    after = _replay(t, None).schema
+    assert [f.name for f in after.fields] == ["id", "v", "tag"]
+    assert not after["id"].nullable and "delta.invariants" in after.json()
+
+
+def test_read_changes_refuses_pre_cdf_rewrites(spark, tmp_path):
+    """delta_read_changes must refuse to derive changes from a MERGE/
+    UPDATE/DELETE rewrite commit that carries no cdc action (ADVICE r9):
+    carried rows in rewritten files would otherwise surface as fabricated
+    delete+insert pairs. Pure appends/overwrites still derive."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_enable_cdf,
+        delta_merge,
+        delta_read_changes,
+    )
+
+    t = str(tmp_path / "precdf")
+    delta_write(spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")), t)
+    src = spark.createDataFrame([(1, -1)], "id bigint, v bigint")
+    v_m = delta_merge(src, t, key="id")  # rewrite BEFORE CDF enabled
+    delta_enable_cdf(spark, t)
+    with pytest.raises(ValueError, match="cdc"):
+        delta_read_changes(spark, t, v_m, v_m)
+    with pytest.raises(ValueError, match="cdc"):
+        delta_read_changes(spark, t, 0)  # range spans the bad commit
+    # the pure append at v0 alone still derives inserts
+    assert delta_read_changes(spark, t, 0, 0).count() == 10
+
+
+def test_cdf_empty_change_frame_still_emits_cdc_action(spark, tmp_path):
+    """A rewrite whose change frame is EMPTY (predicate matched no row in
+    the touched files) must still commit a cdc action (ADVICE r9), so
+    delta_read_changes reports zero changes instead of fabricating
+    delete+insert pairs for the carried rows."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+        delta_enable_cdf,
+        delta_read_changes,
+    )
+
+    t = str(tmp_path / "emptycdc")
+    delta_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "z")], "id bigint, v string"
+        ).coalesce(1),  # ONE file spanning [a, z] so stats can't refute 'm'
+        t,
+    )
+    delta_enable_cdf(spark, t)
+    # stats [a, z] cannot refute v='m' → the file is touched and rewritten,
+    # but no row matches → empty change frame
+    v = delta_delete_where(spark, t, ("v", "=", "m"))
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    ]
+    assert any("cdc" in a for a in acts), acts
+    assert delta_read_changes(spark, t, v, v).count() == 0
+    assert delta_read(spark, t).count() == 2
+
+
+def test_file_stats_omit_nan_and_infinity(spark, tmp_path):
+    """add.stats must stay STRICT JSON (ADVICE r9): a float column whose
+    footer min/max is NaN/Infinity is omitted from the stats rather than
+    serialized as the non-standard NaN/Infinity tokens Jackson rejects."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+    )
+
+    t = str(tmp_path / "nanstats")
+    df = spark.createDataFrame(
+        [(1, float("nan"), 2.5), (2, float("inf"), 3.5)],
+        "id bigint, bad double, good double",
+    ).coalesce(1)
+    delta_write(df, t)
+    for add in _replay(t, None).files.values():
+        stats = add.get("stats")
+        if not stats:
+            continue
+
+        def _refuse(_c):  # strict parser: constants are a parse error
+            raise AssertionError(f"non-standard JSON token in stats: {stats}")
+
+        parsed = json.loads(stats, parse_constant=_refuse)
+        assert "bad" not in parsed.get("minValues", {})
+        assert parsed.get("minValues", {}).get("good") == 2.5

@@ -316,3 +316,69 @@ def test_update_where_prunes_files(spark, tmp_path):
         delta_update_where(spark, t, {"nope": F.lit(1)}, ("id", "=", 1))
     # a predicate the stats prove empty is a no-op
     assert delta_update_where(spark, t, {"v": F.lit(0)}, ("id", ">", 10**9)) == v
+
+
+def test_format_write_reconciles_schema_with_table(spark, tmp_path):
+    """The format batch writer runs Delta's schema contract (ADVICE r9):
+    an append with an extra column is REFUSED unless mergeSchema widens
+    the table via a metaData action; an overwrite whose written schema
+    changed rewrites schemaString so declared schema and data agree."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+    )
+
+    t = str(tmp_path / "reconcile")
+    spark.range(0, 10).select("id").write.format("delta_lite").mode(
+        "append"
+    ).save(t)
+    wide = spark.range(10, 15).select("id", (F.col("id") * 2).alias("v"))
+    # extra column without mergeSchema → refused before any task runs
+    with pytest.raises(Exception, match="new columns"):
+        wide.write.format("delta_lite").mode("append").save(t)
+    # type conflict → refused
+    with pytest.raises(Exception, match="type conflicts"):
+        spark.range(0, 3).select(F.col("id").cast("int").alias("id")).write.format(
+            "delta_lite"
+        ).mode("append").save(t)
+    # mergeSchema widens: metaData action in the commit, old rows read NULL
+    wide.write.format("delta_lite").option("mergeSchema", "true").mode(
+        "append"
+    ).save(t)
+    got = spark.read.format("delta_lite").load(t)
+    assert set(got.columns) == {"id", "v"}
+    assert got.filter("v IS NULL").count() == 10 and got.count() == 15
+    # overwrite with a different schema replaces schemaString
+    spark.range(0, 4).select(F.col("id").alias("renamed")).write.format(
+        "delta_lite"
+    ).mode("overwrite").save(t)
+    snap = _replay(t, None)
+    assert [f.name for f in snap.schema.fields] == ["renamed"]
+    assert spark.read.format("delta_lite").load(t).columns == ["renamed"]
+
+
+def test_stream_sink_refuses_schema_drift(spark, tmp_path):
+    """The streaming sink must never commit epochs whose extra columns no
+    reader can see: a stream whose schema adds a column over the existing
+    table is refused at sink construction (ADVICE r9)."""
+    import tempfile
+
+    t = str(tmp_path / "driftsink")
+    spark.range(0, 5).select(F.col("id").alias("value")).write.format(
+        "delta_lite"
+    ).mode("append").save(t)
+    src = str(tmp_path / "src")
+    spark.range(0, 3).select(
+        F.col("id").alias("value"), F.lit("x").alias("extra")
+    ).write.format("delta_lite").mode("append").save(src)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            spark.readStream.format("delta_lite")
+            .load(src)
+            .writeStream.format("delta_lite")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(t)
+        )
+        with pytest.raises(Exception, match="new columns"):
+            q.awaitTermination()
+            q.processAllAvailable()

@@ -118,6 +118,38 @@ def registry() -> dict[str, QuerySpec]:
     # tests/test_queries_contract.py (sf0.001) + tools/check_oracle.py
     # (sf0.01).
     promoted = [
+        # r10 first-time rows (VERDICT r9 #4 + the pre-declared r10
+        # candidates; each swap-out keeps a same-family twin in-window —
+        # see `deferred`):
+        #   thrift_front_door_revenue    <-> catalog_front_door (SQL front
+        #       door; the thrift row drives catalog tables THROUGH the
+        #       HiveServer2 wire, covering S4+S13 in one row)
+        #   delta_format_front_door, delta_optimize_skipping_scan,
+        #   delta_cdf_merge_changes, delta_stream_pipe_roundtrip,
+        #   keyed_delete_roundtrip, delta_colmap_merge_roundtrip (new r10)
+        #                                <-> delta_colmap_bronze_silver
+        #       (storage/delta family: SIX delta rows now in-window)
+        #   minhash_lsh_verified_md5     <-> ngram_jaccard_pairs_prefix
+        #   simhash_pairs_md5            <-> dedup_canonical_docs (dedup
+        #       keeps dedup_exact_documents + embedding_near_dup in-window)
+        #   hybrid_search_rrf            <-> bm25_search_topk (retrieval;
+        #       RRF runs BM25 inside; winnow_plagiarism_pairs stays)
+        #   per_source_doc_caps          <-> leakage_safe_split_docs
+        #       (curation caps/splits)
+        #   auc_value_vs_purchase        <-> mad_outlier_events (robust
+        #       eval stats)
+        "thrift_front_door_revenue",
+        "delta_format_front_door",
+        "delta_optimize_skipping_scan",
+        "delta_cdf_merge_changes",
+        "delta_stream_pipe_roundtrip",
+        "keyed_delete_roundtrip",
+        "delta_colmap_merge_roundtrip",
+        "minhash_lsh_verified_md5",
+        "simhash_pairs_md5",
+        "hybrid_search_rrf",
+        "per_source_doc_caps",
+        "auc_value_vs_purchase",
         # r9 first-time rows (pre-declared in the r8 rotation comment; each
         # swap-out keeps a same-family twin in-window — see `deferred`):
         #   asof_forward_next_purchase   <-> resample_locf_daily  (temporal;
@@ -157,28 +189,19 @@ def registry() -> dict[str, QuerySpec]:
         "benford_price_audit",
         "inverted_index_postings",
         "salted_star_revenue",
-        "bm25_search_topk",
         "winnow_plagiarism_pairs",
         "quantile_sketch_weekly",
         "ohlc_daily_bars",
         "skyline_cheap_large_parts",
         "waiting_suppliers_q21",
-        "delta_colmap_bronze_silver",
         # r8 first-time rows (stay in-window):
         "medallion_two_batch_pipeline",
-        "ngram_jaccard_pairs_prefix",
-        "pareto_customer_revenue",
         "capped_sessions_users",
-        "value_trend_by_type",
-        "user_span_campaign_overlap",
         # r7 first-time rows (stay in-window):
         "encode_documents_vocab",
         "weekly_retention_cohorts",
         "grouping_sets_revenue",
-        "leakage_safe_split_docs",
         # r6 first-time rows (stay in-window):
-        "remove_boilerplate",
-        "mad_outlier_events",
     ]
     # r10 ROTATION CANDIDATES: swap first-time rows in against driver-green
     # same-family twins, e.g.
@@ -191,6 +214,20 @@ def registry() -> dict[str, QuerySpec]:
     #   per_source_doc_caps          <-> leakage_safe_split_docs (curation)
     #   auc_value_vs_purchase        <-> mad_outlier_events     (eval stats)
     deferred = {
+        # r10 rotation swap-outs (driver-green in r9; family twin in-window —
+        # see the promoted list's r10 comment for the pairings):
+        "catalog_front_door",
+        "delta_colmap_bronze_silver",
+        "ngram_jaccard_pairs_prefix",
+        "dedup_canonical_docs",
+        "pareto_customer_revenue",
+        "bm25_search_topk",
+        "leakage_safe_split_docs",
+        "mad_outlier_events",
+        "value_trend_by_type",
+        "user_span_campaign_overlap",
+        "grouped_distinct_locations",
+        "remove_boilerplate",
         # r9 rotation swap-outs (driver-green in r8; family twin in-window):
         "resample_locf_daily",
         "heavy_hitters_users",
@@ -232,11 +269,8 @@ def registry() -> dict[str, QuerySpec]:
         "hard_negative_mining",
         # new r9 (starts deferred; the dedup family keeps four rows
         # in-window; r10 rotation candidate — first hard-oracle LSH row):
-        "minhash_lsh_verified_md5",
-        "simhash_pairs_md5",
         # new r9 (starts deferred; catalog_front_door keeps S12/S13
         # in-window; r10 rotation candidate — the real HiveServer2 wire):
-        "thrift_front_door_revenue",
         # New r5 extension families (chunking / boilerplate / funnel /
         # corr / MAD) start deferred; r6 rotation candidates to swap in
         # against driver-green same-family twins.

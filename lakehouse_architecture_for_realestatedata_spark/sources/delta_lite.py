@@ -27,10 +27,14 @@ Protocol subset (explicitly checked, honestly refused otherwise):
     resolved from each field's ``delta.columnMapping.physicalName``
     metadata: data files are scanned under PHYSICAL names and renamed to
     logical names post-scan (nested structs too — a positional struct
-    cast). Mode ``id`` (parquet field-id resolution) and deletion
-    vectors are refused with the feature named. WRITES to column-mapped
-    tables are refused: appending logical-named files to a
-    physical-named table would corrupt it;
+    cast). WRITES to column-mapped tables resolve logical→physical the
+    same way before any file is written (append / overwrite / MERGE /
+    DELETE / UPDATE / OPTIMIZE), widening mints fresh physicalName/id
+    annotations + a maxColumnId bump, and
+    ``delta_write(column_mapping="name")`` CREATES tables in the
+    reference's own bronze layout (protocol (2, 5), ``col-<uuid>``
+    physical names). Mode ``id`` (parquet field-id resolution) and
+    deletion vectors are refused with the feature named;
   - actions: ``metaData``, ``protocol``, ``add``, ``remove``,
     ``commitInfo``, ``txn`` (replayed as per-appId idempotence
     watermarks and written by the exactly-once streaming sink), and
@@ -79,15 +83,18 @@ SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
 #: Highest writer protocol this module implements: v2 (appendOnly +
 #: column invariants, both enforced), v3 (CHECK constraints, enforced),
 #: v4 (Change Data Feed, written; generated columns are v4's OTHER
-#: feature and are refused by schema inspection — see ``_writer_gate``).
-#: Column-mapping writes (v5+) etc. are refused.
-MAX_WRITER_VERSION = 4
+#: feature and are refused by schema inspection — see ``_writer_gate``),
+#: v5 (column mapping: logical names resolve to the schema's
+#: physicalName annotations before any file is written). Identity
+#: columns (v6) etc. are refused.
+MAX_WRITER_VERSION = 5
 #: Protocol-7 writer features this module implements (enforced on write).
 SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "checkConstraints",
     "invariants",
     "changeDataFeed",
+    "columnMapping",
 }
 #: Schema-metadata key marking a generated column (v4 feature NOT
 #: implemented — writing without evaluating the expression would corrupt).
@@ -98,6 +105,10 @@ _CDF_DIR = "_change_data"
 _INV_KEY = "delta.invariants"
 #: Key under which column-mapped schemas carry each field's physical name.
 _PHYS_KEY = "delta.columnMapping.physicalName"
+#: Key under which column-mapped schemas carry each field's column id.
+_ID_KEY = "delta.columnMapping.id"
+#: Table property tracking the highest minted column id.
+_MAX_ID_KEY = "delta.columnMapping.maxColumnId"
 
 CHECKPOINT_INTERVAL = 10
 
@@ -188,6 +199,64 @@ def _physical_struct(st: StructType) -> StructType:
         return dt
 
     return conv(st)
+
+
+def _mint_column_mapping(
+    schema: StructType, start_id: int = 0
+) -> tuple[StructType, int]:
+    """Annotate every (nested) field with ``delta.columnMapping.id`` and a
+    fresh ``col-<uuid>`` ``physicalName`` — what delta-spark mints when a
+    table is created with ``columnMapping.mode=name`` (the reference's
+    bronze writers all do, load_bronze_to_table.py:93). Ids are
+    depth-first ordinals continuing from ``start_id`` (the table's
+    ``maxColumnId`` when widening an existing table). Returns the
+    annotated schema and the new maxColumnId."""
+    next_id = start_id
+
+    def conv_dt(dt):
+        if isinstance(dt, StructType):
+            return StructType([conv_field(f) for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(conv_dt(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(
+                conv_dt(dt.keyType), conv_dt(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    def conv_field(f: StructField) -> StructField:
+        nonlocal next_id
+        next_id += 1
+        md = dict(f.metadata or {})
+        md[_ID_KEY] = next_id
+        md[_PHYS_KEY] = f"col-{uuid.uuid4()}"
+        return StructField(f.name, conv_dt(f.dataType), f.nullable, metadata=md)
+
+    return StructType([conv_field(f) for f in schema.fields]), next_id
+
+
+def _to_physical_frame(
+    df: DataFrame, mode: str, annotated: StructType
+) -> DataFrame:
+    """Project a LOGICAL-named frame onto the PHYSICAL names stored in a
+    column-mapped table's data files — the write-side inverse of
+    ``_scan_files``' logical rename. ``annotated`` is the schema carrying
+    the physicalName metadata that governs this write (the table's, or
+    the widened schema committed in the same transaction). Nested struct
+    fields rename through the positional struct cast. Frame columns with
+    no mapping (``_change_type`` on CDC frames) pass through verbatim;
+    the frame may carry a subset of the table's columns (readers fill
+    NULL for absent ones, per protocol)."""
+    if mode == "none":
+        return df
+    phys = _physical_struct(annotated)
+    m = {lf.name: pf for lf, pf in zip(annotated.fields, phys.fields)}
+    return df.select(
+        *[
+            F.col(c).cast(m[c].dataType).alias(m[c].name) if c in m else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def _strip_metadata(st: StructType) -> StructType:
@@ -1091,12 +1160,15 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
 
 def _append_schema_delta(
     snap: _Snapshot, df_schema: StructType, merge_schema: bool
-) -> str | None:
+) -> tuple[str | None, dict[str, str] | None]:
     """Delta's append schema enforcement: the source must match the table
     by name and type (nullability aside); columns the source lacks must
     be nullable in the table (readers fill NULL); NEW source columns are
     rejected unless ``merge_schema``, which widens the table schema in
-    the same commit (returns the new schemaString, else None)."""
+    the same commit. Returns ``(schemaString, configuration)`` — both
+    None when nothing widens; configuration is set only on column-mapped
+    tables, whose new fields mint fresh physicalName/id annotations and
+    bump ``maxColumnId``."""
     logical = _strip_metadata(snap.schema)
     table = {f.name: f for f in logical.fields}
     conflicts = [
@@ -1119,20 +1191,25 @@ def _append_schema_delta(
         )
     new = [f for f in df_schema.fields if f.name not in table]
     if not new:
-        return None
+        return None, None
     if not merge_schema:
         raise ValueError(
             f"append adds new columns {[f.name for f in new]} — pass "
             "merge_schema=True to widen the table (Delta's mergeSchema)"
         )
     # widen by APPENDING to the ORIGINAL fields (not the stripped logical
-    # view) so field metadata (delta.invariants) and the original
-    # nullability markers survive the rewrite of schemaString
-    widened = StructType(
-        list(snap.schema.fields)
-        + [StructField(f.name, f.dataType, True) for f in new]
-    )
-    return widened.json()
+    # view) so field metadata (delta.invariants, physicalName) and the
+    # original nullability markers survive the rewrite of schemaString
+    new_fields = [StructField(f.name, f.dataType, True) for f in new]
+    conf = None
+    if snap.column_mapping != "none":
+        start = int((snap.configuration or {}).get(_MAX_ID_KEY, 0))
+        minted, max_id = _mint_column_mapping(StructType(new_fields), start)
+        new_fields = list(minted.fields)
+        conf = dict(snap.configuration or {})
+        conf[_MAX_ID_KEY] = str(max_id)
+    widened = StructType(list(snap.schema.fields) + new_fields)
+    return widened.json(), conf
 
 
 def delta_write(
@@ -1143,11 +1220,20 @@ def delta_write(
     merge_schema: bool = False,
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
     max_retries: int = 20,
+    column_mapping: str = "none",
 ) -> int:
     """Commit ``df`` to a Delta table at ``path`` (creating it if absent).
     ``mode``: 'append' adds files; 'overwrite' removes every active file
     and adds the new ones (logical delete — bytes stay for time travel,
     Delta's own contract). Returns the committed version.
+
+    ``column_mapping="name"`` creates the table column-mapped the way the
+    reference's bronze writers do (load_bronze_to_table.py:93 —
+    delta-spark's ``columnMapping.mode=name``): every field minted a
+    ``col-<uuid>`` physicalName + id, protocol (2, 5), data files written
+    under physical names. Writes to an EXISTING column-mapped table
+    (whatever engine created it) resolve logical→physical from the schema
+    annotations automatically — the param only matters at creation.
 
     Concurrency (the ``sources/tables.py`` discipline): data files are
     written ONCE, then the commit loop claims a version with put-if-absent.
@@ -1159,6 +1245,10 @@ def delta_write(
     (Delta's ConcurrentAppendException contract — caller re-runs)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if column_mapping not in ("none", "name"):
+        raise ValueError(
+            f"column_mapping must be none|name, got {column_mapping!r}"
+        )
     spark = df.sparkSession
     os.makedirs(path, exist_ok=True)
     adds: list[dict] | None = None
@@ -1173,15 +1263,6 @@ def delta_write(
         prior_files: dict[str, dict] = {}
         if existing:
             snap = _replay(path, latest)
-            if snap.column_mapping != "none":
-                # appending logical-named parquet files to a table whose
-                # readers resolve PHYSICAL names would corrupt it — refuse
-                # (the reader side handles these tables; migrate via
-                # import_delta_to_table instead)
-                raise DeltaProtocolError(
-                    f"{path}: refusing to write to a column-mapped table "
-                    f"(columnMapping.mode={snap.column_mapping})"
-                )
             prior_partitioning = snap.partition_columns
             prior_files = snap.files
             if partition_by is not None and list(partition_by) != prior_partitioning:
@@ -1198,10 +1279,31 @@ def delta_write(
             )
             if adds is None:
                 _enforce_constraints(snap, df)
+            conf_override = None
             if mode == "append":
-                meta_schema_json = _append_schema_delta(
+                meta_schema_json, conf_override = _append_schema_delta(
                     snap, df.schema, merge_schema
                 )
+            elif snap.column_mapping != "none":
+                # overwrite keeps a column-mapped table's schema: replacing
+                # schemaString would strip/re-mint the physicalName
+                # annotations carried columns depend on — refuse a
+                # schema-changing overwrite instead of corrupting
+                cur_nt = [
+                    (f.name, f.dataType)
+                    for f in _strip_metadata(snap.schema).fields
+                ]
+                new_nt = [
+                    (f.name, f.dataType)
+                    for f in _strip_metadata(df.schema).fields
+                ]
+                if cur_nt != new_nt:
+                    raise DeltaProtocolError(
+                        f"{path}: schema-changing overwrite of a column-"
+                        "mapped table is not implemented — align the frame "
+                        "to the table schema or recreate the table"
+                    )
+                meta_schema_json = None
             else:  # overwrite replaces the schema when it changed (the
                 # whole table is rewritten, so there is nothing to fork —
                 # Delta's overwriteSchema, implicit here)
@@ -1209,20 +1311,57 @@ def delta_write(
                 meta_schema_json = (
                     df.schema.json() if df.schema.json() != cur else None
                 )
-            meta_configuration = snap.configuration
+            meta_configuration = (
+                conf_override if conf_override is not None else snap.configuration
+            )
+            eff_mapping = snap.column_mapping
+            # the schema governing THIS write's physical names: the widened
+            # one when this commit widens a column-mapped table
+            annotated = (
+                StructType.fromJson(json.loads(meta_schema_json))
+                if eff_mapping != "none" and meta_schema_json
+                else snap.schema
+            )
+            create_protocol = None
         else:
             meta_schema_json = None
-            meta_configuration = {}
+            eff_mapping = column_mapping
+            if eff_mapping == "name":
+                annotated, max_id = _mint_column_mapping(df.schema)
+                meta_configuration = {
+                    "delta.columnMapping.mode": "name",
+                    _MAX_ID_KEY: str(max_id),
+                }
+                # what delta-spark 2.x mints for columnMapping tables
+                create_protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+            else:
+                annotated = df.schema
+                meta_configuration = {}
+                create_protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
         pcols = list(partition_by or prior_partitioning)
+        phys_pcols = pcols
+        if eff_mapping != "none":
+            l2p = {
+                lf.name: pf.name
+                for lf, pf in zip(
+                    annotated.fields, _physical_struct(annotated).fields
+                )
+            }
+            phys_pcols = [l2p.get(c, c) for c in pcols]
         if adds is None:  # data files are written exactly once
-            adds = _write_data_files(df, path, pcols)
+            adds = _write_data_files(
+                _to_physical_frame(df, eff_mapping, annotated), path, phys_pcols
+            )
             written_pcols = pcols
-        elif pcols != written_pcols:
-            # a racing creator established a different partitioning after
-            # our files were laid out — the layout no longer matches
+            written_mapping = eff_mapping
+        elif pcols != written_pcols or eff_mapping != written_mapping:
+            # a racing creator established a different partitioning or
+            # column-mapping mode after our files were laid out — the
+            # layout no longer matches
             raise ConcurrentDeltaCommitError(
-                f"table partitioning changed to {pcols} while committing "
-                f"files laid out as {written_pcols}"
+                f"table layout changed (partitioning {written_pcols}->"
+                f"{pcols}, mapping {written_mapping}->{eff_mapping}) "
+                "while committing already-written files"
             )
         now = int(time.time() * 1000)
         actions = [
@@ -1236,17 +1375,15 @@ def delta_write(
             }
         ]
         if version == 0:
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-            )
+            actions.append({"protocol": create_protocol})
             actions.append(
                 {
                     "metaData": {
                         "id": uuid.uuid4().hex,
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": df.schema.json(),
+                        "schemaString": annotated.json(),
                         "partitionColumns": pcols,
-                        "configuration": {},
+                        "configuration": meta_configuration,
                         "createdTime": now,
                     }
                 }
@@ -1329,11 +1466,6 @@ def delta_optimize(
     still reads the old files — bytes stay until vacuumed."""
     latest = _latest_version(path)
     snap = _replay(path, latest)
-    if snap.column_mapping != "none":
-        raise DeltaProtocolError(
-            f"{path}: refusing to rewrite a column-mapped table "
-            f"(columnMapping.mode={snap.column_mapping})"
-        )
     # compaction is legal on appendOnly tables (its removes carry
     # dataChange:false — no row changes), so removes_data=False here
     _writer_gate(snap, path, removes_data=False, op="OPTIMIZE")
@@ -1355,7 +1487,11 @@ def delta_optimize(
         df = df.repartition(n, *snap.partition_columns)
     else:
         df = df.repartition(n)
-    adds = _write_data_files(df, path, snap.partition_columns)
+    adds = _write_data_files(
+        _to_physical_frame(df, snap.column_mapping, snap.schema),
+        path,
+        snap.physical_partition_columns,
+    )
     now = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -1487,6 +1623,7 @@ def _commit_rewrite(
     schema_json: str | None = None,
     operation_parameters: dict | None = None,
     changes: DataFrame | None = None,
+    configuration: dict | None = None,
 ) -> int:
     """Commit a partial rewrite: ``touched`` files are removed, ``out`` is
     written as their replacement, every other active file is carried BY
@@ -1497,9 +1634,22 @@ def _commit_rewrite(
     lost race are unreferenced and collected by ``delta_vacuum``."""
     _writer_gate(snap, path, removes_data=bool(touched), op=op)
     _enforce_constraints(snap, out)
-    adds = _write_data_files(out, path, snap.partition_columns)
+    # the schema governing physical names: the widened one when this
+    # commit widens a column-mapped table's schema
+    annotated = (
+        StructType.fromJson(json.loads(schema_json))
+        if snap.column_mapping != "none" and schema_json
+        else snap.schema
+    )
+    adds = _write_data_files(
+        _to_physical_frame(out, snap.column_mapping, annotated),
+        path,
+        snap.physical_partition_columns,
+    )
     cdcs = (
-        _write_cdc_files(changes, path)
+        _write_cdc_files(
+            _to_physical_frame(changes, snap.column_mapping, annotated), path
+        )
         if changes is not None and _cdf_enabled(snap)
         else []
     )
@@ -1522,7 +1672,11 @@ def _commit_rewrite(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_json,
                     "partitionColumns": snap.partition_columns,
-                    "configuration": snap.configuration,
+                    "configuration": (
+                        configuration
+                        if configuration is not None
+                        else snap.configuration
+                    ),
                 }
             }
         )
@@ -1582,11 +1736,6 @@ def delta_merge(
         delta_write(source, path, mode="overwrite")
         return 0
     snap = _replay(path, latest)
-    if snap.column_mapping != "none":
-        raise DeltaProtocolError(
-            f"{path}: refusing to rewrite a column-mapped table "
-            f"(columnMapping.mode={snap.column_mapping})"
-        )
     touched = _files_overlapping_keys(snap, keys, source)
     target = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
     changes = None
@@ -1626,6 +1775,15 @@ def delta_merge(
         for f in out.schema.fields
         if f.name not in existing
     ]
+    conf_override = None
+    if new_fields and snap.column_mapping != "none":
+        # new columns on a column-mapped table mint physicalName/id
+        # annotations and bump maxColumnId, exactly like a widening append
+        start = int((snap.configuration or {}).get(_MAX_ID_KEY, 0))
+        minted, max_id = _mint_column_mapping(StructType(new_fields), start)
+        new_fields = list(minted.fields)
+        conf_override = dict(snap.configuration or {})
+        conf_override[_MAX_ID_KEY] = str(max_id)
     merged_schema = StructType(list(snap.schema.fields) + new_fields)
     proj = [
         F.col(f.name).cast(existing[f.name].dataType).alias(f.name)
@@ -1657,6 +1815,7 @@ def delta_merge(
             if changes is not None
             else None
         ),
+        configuration=conf_override,
     )
 
 
@@ -1676,11 +1835,6 @@ def delta_delete_where(spark: SparkSession, path: str, *conds: tuple) -> int:
 
     latest = _latest_version(path)
     snap = _replay(path, latest)
-    if snap.column_mapping != "none":
-        raise DeltaProtocolError(
-            f"{path}: refusing to rewrite a column-mapped table "
-            f"(columnMapping.mode={snap.column_mapping})"
-        )
     touched = sorted(_pruned_files(snap, list(conds)))
     if not touched:
         return latest  # stats prove no row matches: nothing to do
@@ -1727,11 +1881,6 @@ def delta_update_where(
 
     latest = _latest_version(path)
     snap = _replay(path, latest)
-    if snap.column_mapping != "none":
-        raise DeltaProtocolError(
-            f"{path}: refusing to rewrite a column-mapped table "
-            f"(columnMapping.mode={snap.column_mapping})"
-        )
     known = {f.name for f in snap.schema.fields}
     bad = set(assignments) - known
     if bad:
@@ -2007,7 +2156,27 @@ def delta_read_changes(
         cdcs = [a["cdc"] for a in actions if "cdc" in a]
         if cdcs:
             files = [os.path.join(path, c["path"]) for c in cdcs]
-            frames.append(stamp(spark.read.parquet(*files), None))
+            cdf = spark.read.parquet(*files)
+            snap_v = _replay(path, v)
+            if snap_v.column_mapping != "none":
+                # cdc files store PHYSICAL names like data files do —
+                # project back to logical, passing _change_type through
+                logical = _strip_metadata(snap_v.schema)
+                p2l = {
+                    pf.name: lf
+                    for pf, lf in zip(
+                        snap_v.physical_schema.fields, logical.fields
+                    )
+                }
+                cdf = cdf.select(
+                    *[
+                        F.col(c).cast(p2l[c].dataType).alias(p2l[c].name)
+                        if c in p2l
+                        else F.col(c)
+                        for c in cdf.columns
+                    ]
+                )
+            frames.append(stamp(cdf, None))
             continue
         snap = _replay(path, v)
         adds = {

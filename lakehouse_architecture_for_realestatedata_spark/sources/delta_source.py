@@ -402,9 +402,9 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                     if new != _strip_metadata(snap.schema).json():
                         meta_schema_json = new
                 else:
-                    meta_schema_json = _append_schema_delta(
+                    meta_schema_json, _ = _append_schema_delta(
                         snap, self.schema, self.merge_schema
-                    )
+                    )  # config part is colmap-only; colmap is refused here
             now = int(_time.time() * 1000)
             actions: list[dict] = [
                 {

@@ -406,15 +406,26 @@ def test_v3_column_mapping_feature_accepted(spark, tmp_path):
     assert [r["x"] for r in delta_read(spark, t).collect()] == [7]
 
 
-def test_write_to_column_mapped_table_refused(spark, tmp_path):
+def test_write_to_foreign_column_mapped_table(spark, tmp_path):
+    """Appending to a FOREIGN column-mapped table (VERDICT r9 #3 — the
+    reference's bronze daily pipeline keeps appending into colmap tables):
+    the logical-named frame lands in the data files under the schema's
+    physicalName annotations, never under logical names."""
     t = str(tmp_path / "colmap_w")
     os.makedirs(t)
     fields = [
         {"name": "a", "type": "long", "nullable": True, "metadata": _meta(1, "col-aa")}
     ]
     _write_log(t, _colmap_actions(fields, [], []))
-    with pytest.raises(DeltaProtocolError, match="column-mapped"):
-        delta_write(spark.createDataFrame([(1,)], "a bigint"), t, mode="append")
+    delta_write(spark.createDataFrame([(1,), (2,)], "a bigint"), t, mode="append")
+    got = delta_read(spark, t)
+    assert got.columns == ["a"]
+    assert sorted(r["a"] for r in got.collect()) == [1, 2]
+    # the parquet files themselves carry the PHYSICAL column name
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(t, "*.parquet")):
+        assert [c.name for c in pq.read_schema(f)] == ["col-aa"]
 
 
 def test_partition_values_unescaped_on_write(spark, tmp_path):
@@ -1132,10 +1143,12 @@ def test_unknown_writer_version_and_features_refused_by_name(spark, tmp_path):
     delta_write(df, t)
     _claim_version(
         os.path.join(t, "_delta_log"), 1,
-        json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 5}})
+        json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}})
         + "\n",
     )
-    with pytest.raises(DeltaProtocolError, match="minWriterVersion=5"):
+    # v6 (identity columns) is above what this writer implements (v5 —
+    # column mapping is supported since VERDICT r9 #3)
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion=6"):
         delta_write(df, t, mode="append")
     t2 = str(tmp_path / "wf")
     delta_write(df, t2)
@@ -1501,3 +1514,167 @@ def test_file_stats_omit_nan_and_infinity(spark, tmp_path):
         parsed = json.loads(stats, parse_constant=_refuse)
         assert "bad" not in parsed.get("minValues", {})
         assert parsed.get("minValues", {}).get("good") == 2.5
+
+
+def test_colmap_create_append_merge_roundtrip(spark, tmp_path):
+    """Two-way column-mapping interop (VERDICT r9 #3): CREATE a table in
+    the reference's bronze layout (column_mapping="name", protocol (2,5),
+    col-<uuid> physical names), APPEND more rows, widen with mergeSchema
+    (fresh physicalName/id minted, maxColumnId bumped), then MERGE — and
+    verify with a FOREIGN-reader fixture: raw pyarrow sees only physical
+    names in every data file, the log's schemaString carries id +
+    physicalName annotations per field, and delta_read round-trips the
+    logical view at every step."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+        delta_merge,
+    )
+
+    t = str(tmp_path / "cm_rt")
+    df = spark.createDataFrame(
+        [(1, "hà nội", 10.0), (2, "đà nẵng", 20.0)],
+        "id bigint, city string, price double",
+    )
+    delta_write(df, t, column_mapping="name")
+    # protocol + annotations, as delta-spark would mint them
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    ]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "3"
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f["metadata"]
+        assert md["delta.columnMapping.physicalName"].startswith("col-")
+        assert isinstance(md["delta.columnMapping.id"], int)
+    # foreign reader: every data file carries ONLY physical names
+    phys_names = {
+        json.loads(meta["schemaString"])["fields"][i]["metadata"][
+            "delta.columnMapping.physicalName"
+        ]
+        for i in range(3)
+    }
+    import glob as _glob
+
+    def _data_files():
+        return [
+            f
+            for f in _glob.glob(os.path.join(t, "**", "*.parquet"), recursive=True)
+            if "_delta_log" not in f and "_change_data" not in f
+        ]
+
+    for f in _data_files():
+        assert set(c.name for c in pq.read_schema(f)) <= phys_names
+
+    # append (logical names in, physical names on disk)
+    delta_write(
+        spark.createDataFrame([(3, "huế", 30.0)], "id bigint, city string, price double"),
+        t,
+    )
+    got = delta_read(spark, t)
+    assert got.columns == ["id", "city", "price"]
+    assert got.count() == 3
+
+    # widening append mints a fresh physicalName and bumps maxColumnId
+    delta_write(
+        spark.createDataFrame(
+            [(4, "cần thơ", 40.0, "q4")],
+            "id bigint, city string, price double, quarter string",
+        ),
+        t,
+        merge_schema=True,
+    )
+    snap = _replay(t, None)
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "4"
+    qf = snap.schema["quarter"]
+    assert qf.metadata["delta.columnMapping.physicalName"].startswith("col-")
+    assert qf.metadata["delta.columnMapping.id"] == 4
+    assert delta_read(spark, t).filter("quarter = 'q4'").count() == 1
+
+    # MERGE upsert through the colmap rewrite path
+    src = spark.createDataFrame(
+        [(1, "hà nội", 11.0, "q1"), (5, "vinh", 50.0, "q1")],
+        "id bigint, city string, price double, quarter string",
+    )
+    delta_merge(src, t, key="id")
+    final = {r["id"]: (r["price"], r["quarter"]) for r in delta_read(spark, t).collect()}
+    assert final[1] == (11.0, "q1") and final[5] == (50.0, "q1")
+    assert len(final) == 5
+    for f in _data_files():  # merge output still physical-named
+        names = set(c.name for c in pq.read_schema(f))
+        assert not names & {"id", "city", "price", "quarter"}, names
+
+
+def test_colmap_partitioned_write_delete_update_optimize(spark, tmp_path):
+    """Column-mapped PARTITIONED tables: directories and add.partitionValues
+    key on the PHYSICAL partition name (spec), metaData.partitionColumns
+    stays logical; file-pruned DELETE/UPDATE and OPTIMIZE all rewrite
+    under physical names and keep the logical view intact."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+        delta_delete_where,
+        delta_optimize,
+        delta_update_where,
+    )
+
+    t = str(tmp_path / "cm_part")
+    df = spark.createDataFrame(
+        [(i, "north" if i % 2 else "south", float(i)) for i in range(20)],
+        "id bigint, region string, v double",
+    )
+    delta_write(df, t, partition_by=["region"], column_mapping="name")
+    snap = _replay(t, None)
+    assert snap.partition_columns == ["region"]  # logical in metaData
+    phys_region = snap.schema["region"].metadata[
+        "delta.columnMapping.physicalName"
+    ]
+    for p, add in snap.files.items():
+        assert list(add["partitionValues"]) == [phys_region]
+        assert p.split("/")[0].startswith(f"{phys_region}=")
+    got = delta_read(spark, t, where=[("region", "=", "north")])
+    assert got.count() == 10 and set(got.columns) == {"id", "region", "v"}
+    delta_delete_where(spark, t, ("region", "=", "south"))
+    assert delta_read(spark, t).count() == 10
+    delta_update_where(spark, t, {"v": F.lit(-1.0)}, ("id", "=", 1))
+    assert delta_read(spark, t).filter("v = -1.0").count() == 1
+    v = delta_optimize(spark, t, target_bytes=1 << 30)
+    snap2 = _replay(t, None)
+    assert len(snap2.files) == 1  # one partition tuple survives, compacted
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == list(
+        range(1, 20, 2)
+    )
+
+
+def test_colmap_cdf_changes_read_logical(spark, tmp_path):
+    """CDF on a column-mapped table: cdc files store physical names like
+    data files; delta_read_changes projects them back to logical."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_enable_cdf,
+        delta_merge,
+        delta_read_changes,
+    )
+
+    t = str(tmp_path / "cm_cdf")
+    delta_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, v double"),
+        t,
+        column_mapping="name",
+    )
+    delta_enable_cdf(spark, t)
+    v = delta_merge(
+        spark.createDataFrame([(2, 21.0), (3, 30.0)], "id bigint, v double"),
+        t,
+        key="id",
+    )
+    ch = delta_read_changes(spark, t, v, v)
+    assert set(ch.columns) == {
+        "id", "v", "_change_type", "_commit_version", "_commit_timestamp",
+    }
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"update_preimage": 1, "update_postimage": 1, "insert": 1}

@@ -129,6 +129,20 @@ def test_driver_window_fully_oracle_backed():
     # block are post-§2 extensions registered last on purpose) — all
     # hard-checked by this module instead. Update CONSCIOUSLY when rotating.
     assert set(displaced) <= {
+        # r10 rotation swap-outs (driver-green in r9; family twin in-window
+        # — see the promoted list's r10 comment in queries.registry):
+        "catalog_front_door",
+        "delta_colmap_bronze_silver",
+        "ngram_jaccard_pairs_prefix",
+        "dedup_canonical_docs",
+        "pareto_customer_revenue",
+        "bm25_search_topk",
+        "leakage_safe_split_docs",
+        "mad_outlier_events",
+        "value_trend_by_type",
+        "user_span_campaign_overlap",
+        "grouped_distinct_locations",
+        "remove_boilerplate",
         # r8 rotation swap-outs (driver-green in r7; family twin in-window):
         "incremental_summary_refresh",
         "ngram_jaccard_pairs",
@@ -192,21 +206,12 @@ def test_driver_window_fully_oracle_backed():
         "local_supplier_volume_q5",
         # r7 additions (registered in the late stats block):
         "promo_revenue_q14",
-        "auc_value_vs_purchase",
         "cume_dist_event_values",
         "triangle_count_user_graph",
         "funnel_within_hour",
         "large_volume_customers_q18",
         "late_shipment_priority_q4",
-        "per_source_doc_caps",
         # new r9, starts deferred (r10 rotation candidates):
-        "minhash_lsh_verified_md5",
-        "simhash_pairs_md5",
-        "thrift_front_door_revenue",
-        "delta_optimize_skipping_scan",
-        "delta_format_front_door",
-        "delta_cdf_merge_changes",
-        "delta_stream_pipe_roundtrip",
         # r9 rotation swap-outs (driver-green in r8; family twin in-window):
         "resample_locf_daily",
         "heavy_hitters_users",
@@ -224,7 +229,6 @@ def test_driver_window_fully_oracle_backed():
         # r8 additions (registered in the late stats block; start deferred —
         # r9 rotation candidates):
         "delta_interop_roundtrip",
-        "keyed_delete_roundtrip",
         "hard_negative_mining",
         "volume_shipping_q7",
         "customer_order_distribution_q13",

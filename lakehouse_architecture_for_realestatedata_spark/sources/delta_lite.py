@@ -33,8 +33,12 @@ Protocol subset (explicitly checked, honestly refused otherwise):
     annotations + a maxColumnId bump, and
     ``delta_write(column_mapping="name")`` CREATES tables in the
     reference's own bronze layout (protocol (2, 5), ``col-<uuid>``
-    physical names). Mode ``id`` (parquet field-id resolution) and
-    deletion vectors are refused with the feature named;
+    physical names). Deletion vectors (reader protocol 3) are applied on
+    read: each DV'd file scans with its parquet row index and drops the
+    rows its CRC-checked roaring bitmap marks deleted (storage types
+    ``u``/``p``/inline ``i``); DV WRITES are not implemented, so the
+    writer-feature gate refuses writes to such tables. Mode ``id``
+    (parquet field-id resolution) is refused with the feature named;
   - actions: ``metaData``, ``protocol``, ``add``, ``remove``,
     ``commitInfo``, ``txn`` (replayed as per-appId idempotence
     watermarks and written by the exactly-once streaming sink), and
@@ -58,13 +62,16 @@ commits by the writer.
 
 from __future__ import annotations
 
+import base64
 import datetime
 import decimal
 import json
 import math
 import os
+import struct
 import time
 import uuid
+import zlib
 from dataclasses import dataclass
 from typing import Any
 from urllib.parse import unquote
@@ -79,7 +86,7 @@ from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 MAX_READER_VERSION = 3
 #: Protocol-3 reader features this module implements. Deletion vectors,
 #: v2 checkpoints, type widening etc. are honestly refused by name.
-SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "deletionVectors"}
 #: Highest writer protocol this module implements: v2 (appendOnly +
 #: column invariants, both enforced), v3 (CHECK constraints, enforced),
 #: v4 (Change Data Feed, written; generated columns are v4's OTHER
@@ -811,6 +818,265 @@ def delta_read(
     return df
 
 
+#: RoaringBitmapArray "portable" serialization magic (delta PROTOCOL.md,
+#: Deletion Vector Format).
+_RBM_ARRAY_MAGIC = 1681511377
+#: In-memory/driver cap: beyond this many deleted rows per file the anti
+#: filter joins instead of isin (a literal list that size would bloat the
+#: plan and the task closures).
+_DV_ISIN_CAP = 100_000
+
+
+def _parse_rbm32(data: bytes, pos: int) -> tuple[list[int], int]:
+    """One 32-bit RoaringBitmap in the standard portable format
+    (github.com/RoaringBitmap/RoaringFormatSpec): cookie, descriptive
+    headers, optional offsets, then array/bitmap/run containers. Returns
+    (sorted values, next position)."""
+    cookie = struct.unpack_from("<I", data, pos)[0]
+    if (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE: run containers present
+        size = (cookie >> 16) + 1
+        pos += 4
+        nbytes = (size + 7) // 8
+        runbits = data[pos : pos + nbytes]
+        pos += nbytes
+
+        def has_run(i: int) -> int:
+            return (runbits[i // 8] >> (i % 8)) & 1
+
+        has_offsets = size >= 4  # NO_OFFSET_THRESHOLD
+    elif cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        pos += 8
+
+        def has_run(i: int) -> int:
+            return 0
+
+        has_offsets = True
+    else:
+        raise DeltaProtocolError(f"bad RoaringBitmap cookie {cookie}")
+    keys: list[int] = []
+    cards: list[int] = []
+    for _ in range(size):
+        k, cm1 = struct.unpack_from("<HH", data, pos)
+        pos += 4
+        keys.append(k)
+        cards.append(cm1 + 1)
+    if has_offsets:
+        pos += 4 * size  # containers are read sequentially; offsets unused
+    vals: list[int] = []
+    for i in range(size):
+        base = keys[i] << 16
+        if has_run(i):
+            nruns = struct.unpack_from("<H", data, pos)[0]
+            pos += 2
+            for _ in range(nruns):
+                start, lenm1 = struct.unpack_from("<HH", data, pos)
+                pos += 4
+                vals.extend(range(base + start, base + start + lenm1 + 1))
+        elif cards[i] <= 4096:  # array container
+            arr = struct.unpack_from(f"<{cards[i]}H", data, pos)
+            pos += 2 * cards[i]
+            vals.extend(base + v for v in arr)
+        else:  # bitmap container: 1024 64-bit words
+            words = struct.unpack_from("<1024Q", data, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    vals.append(base + (wi << 6) + b.bit_length() - 1)
+                    w ^= b
+    return vals, pos
+
+
+def _parse_rbm_array(data: bytes) -> list[int]:
+    """A serialized RoaringBitmapArray (the 64-bit bitmap delta stores in
+    deletion vectors, portable format): 4-byte LE magic, 8-byte LE count
+    of 32-bit bitmaps, then each bitmap in standard portable format; the
+    i-th bitmap holds the low 32 bits of values with high word i."""
+    magic, n = struct.unpack_from("<iq", data, 0)
+    if magic != _RBM_ARRAY_MAGIC:
+        raise DeltaProtocolError(
+            f"bad RoaringBitmapArray magic {magic} (expected {_RBM_ARRAY_MAGIC})"
+        )
+    pos = 12
+    out: list[int] = []
+    for hi in range(n):
+        vals, pos = _parse_rbm32(data, pos)
+        out.extend((hi << 32) | v for v in vals)
+    return out
+
+
+def _rbm32_bytes(vals: list[int]) -> bytes:
+    """One 32-bit RoaringBitmap in standard portable format — the
+    serializer twin of ``_parse_rbm32`` (fixture/test side; container
+    choice follows the standard space heuristics: run when cheapest,
+    bitmap above 4096, array otherwise)."""
+    by_key: dict[int, list[int]] = {}
+    for v in vals:
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    size = len(keys)
+    containers: list[tuple] = []
+    runflags: list[int] = []
+    for k in keys:
+        xs = sorted(set(by_key[k]))
+        runs: list[tuple[int, int]] = []
+        s = prev = xs[0]
+        for x in xs[1:]:
+            if x == prev + 1:
+                prev = x
+                continue
+            runs.append((s, prev))
+            s = prev = x
+        runs.append((s, prev))
+        card = len(xs)
+        as_run, as_array = 2 + 4 * len(runs), 2 * card
+        if as_run < min(as_array, 8192):
+            containers.append(("run", runs, card))
+            runflags.append(1)
+        elif card <= 4096:
+            containers.append(("array", xs, card))
+            runflags.append(0)
+        else:
+            containers.append(("bitmap", xs, card))
+            runflags.append(0)
+    body = bytearray()
+    if any(runflags):
+        body += struct.pack("<I", ((size - 1) << 16) | 12347)
+        bits = bytearray((size + 7) // 8)
+        for i, f in enumerate(runflags):
+            if f:
+                bits[i // 8] |= 1 << (i % 8)
+        body += bits
+        has_offsets = size >= 4
+    else:
+        body += struct.pack("<II", 12346, size)
+        has_offsets = True
+    for k, c in zip(keys, containers):
+        body += struct.pack("<HH", k, c[2] - 1)
+    payloads = []
+    for kind, data_, card in containers:
+        if kind == "run":
+            payloads.append(
+                struct.pack("<H", len(data_))
+                + b"".join(struct.pack("<HH", s, e - s) for s, e in data_)
+            )
+        elif kind == "array":
+            payloads.append(struct.pack(f"<{card}H", *data_))
+        else:
+            words = [0] * 1024
+            for x in data_:
+                words[x >> 6] |= 1 << (x & 63)
+            payloads.append(struct.pack("<1024Q", *words))
+    if has_offsets:
+        off = len(body) + 4 * size
+        for pb in payloads:
+            body += struct.pack("<I", off)
+            off += len(pb)
+    for pb in payloads:
+        body += pb
+    return bytes(body)
+
+
+def _rbm_array_bytes(values) -> bytes:
+    """Serialize row indexes as a portable RoaringBitmapArray — the exact
+    bytes ``_parse_rbm_array`` reads back. Fixture/test-side twin (this
+    module reads deletion vectors; it never writes them into tables)."""
+    by_hi: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        by_hi.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    n = (max(by_hi) + 1) if by_hi else 0
+    out = bytearray(struct.pack("<iq", _RBM_ARRAY_MAGIC, n))
+    for hi in range(n):
+        out += _rbm32_bytes(by_hi.get(hi, []))
+    return bytes(out)
+
+
+def _write_dv_file(table_path: str, values) -> dict:
+    """Write an on-disk deletion vector file in the protocol's storage
+    format (1-byte version, then at offset: 4-byte BE size + bitmap +
+    4-byte BE CRC-32) and return its add-action descriptor (storageType
+    ``u``). Fixture writer for tests and interop demos."""
+    u = uuid.uuid4()
+    data = _rbm_array_bytes(values)
+    raw = (
+        b"\x01"
+        + struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+    with open(os.path.join(table_path, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(raw)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(set(values)),
+    }
+
+
+def _load_deletion_vector(table_path: str, desc: dict) -> list[int]:
+    """The sorted row indexes a deletionVector descriptor marks deleted.
+    Storage types per protocol: ``i`` inline (Base85/RFC-1924 payload in
+    the descriptor itself), ``u`` a UUID-derived file under the table
+    (``deletion_vector_<uuid>.bin`` below an optional random prefix; the
+    descriptor's last 20 chars are the Base85 uuid), ``p`` an absolute
+    path. On-disk DVs sit at ``offset``: a 4-byte big-endian size, the
+    serialized RoaringBitmapArray, then its CRC-32 (big-endian) —
+    verified here."""
+    st = desc.get("storageType")
+    if st == "i":
+        return _parse_rbm_array(base64.b85decode(desc["pathOrInlineDv"]))
+    if st == "u":
+        s = desc["pathOrInlineDv"]
+        prefix, enc = s[:-20], s[-20:]
+        u = uuid.UUID(bytes=base64.b85decode(enc))
+        name = f"deletion_vector_{u}.bin"
+        fpath = os.path.join(table_path, prefix, name) if prefix else os.path.join(
+            table_path, name
+        )
+    elif st == "p":
+        p = desc["pathOrInlineDv"]
+        fpath = p[len("file:") :] if p.startswith("file:") else p
+    else:
+        raise DeltaProtocolError(
+            f"unknown deletionVector storageType {st!r}"
+        )
+    with open(fpath, "rb") as fh:
+        raw = fh.read()
+    off = int(desc.get("offset", 1))
+    (size,) = struct.unpack_from(">i", raw, off)
+    declared = desc.get("sizeInBytes")
+    if declared is not None and int(declared) != size:
+        raise DeltaProtocolError(
+            f"deletion vector size mismatch: descriptor says {declared}, "
+            f"file says {size}"
+        )
+    data = raw[off + 4 : off + 4 + size]
+    (crc,) = struct.unpack_from(">I", raw, off + 4 + size)
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise DeltaProtocolError(f"deletion vector checksum mismatch in {fpath}")
+    return _parse_rbm_array(data)
+
+
+def _scan_to_logical(df: DataFrame, snap: _Snapshot) -> DataFrame:
+    """Rename a PHYSICAL-named scan to the snapshot's logical names;
+    nested fields rename through the positional struct cast (Spark
+    matches struct cast fields by position, so same-shape types rename
+    for free). Identity when the table is not column-mapped."""
+    if snap.column_mapping == "none":
+        return df
+    logical = _strip_metadata(snap.schema)
+    phys = snap.physical_schema
+    return df.select(
+        *[
+            F.col(pf.name).cast(lf.dataType).alias(lf.name)
+            for pf, lf in zip(phys.fields, logical.fields)
+        ]
+    )
+
+
 def _scan_files(
     spark: SparkSession, path: str, snap: _Snapshot, active: dict[str, dict]
 ) -> DataFrame:
@@ -827,18 +1093,39 @@ def _scan_files(
     if not active:
         return spark.createDataFrame([], logical)
 
+    dv_files = {p: a for p, a in active.items() if a.get("deletionVector")}
+    if dv_files:
+        # Reader protocol 3 deletionVectors: each DV'd file scans with its
+        # parquet row index and drops the rows its roaring bitmap marks
+        # deleted — BEFORE union with the plain files. Small DVs become an
+        # isin literal (whole-stage-codegen'd); big ones a broadcast
+        # anti-join, so a million-row DV never bloats the plan. Per-file
+        # application mirrors delta-spark's own reader shape.
+        plain = {p: a for p, a in active.items() if p not in dv_files}
+        out = _scan_files(spark, path, snap, plain)
+        types = {f.name: f.dataType for f in phys.fields}
+        for p, add in sorted(dv_files.items()):
+            deleted = _load_deletion_vector(path, add["deletionVector"])
+            df = spark.read.schema(data_schema).parquet(os.path.join(path, p))
+            df = df.withColumn("__ri", F.col("_metadata.row_index"))
+            if len(deleted) <= _DV_ISIN_CAP:
+                df = df.filter(~F.col("__ri").isin(deleted))
+            else:
+                dv_df = spark.createDataFrame(
+                    [(i,) for i in deleted], "__ri bigint"
+                )
+                df = df.join(F.broadcast(dv_df), "__ri", "left_anti")
+            df = df.drop("__ri")
+            pv = add.get("partitionValues") or {}
+            for c in phys_parts:
+                df = df.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
+            out = out.unionByName(
+                _scan_to_logical(df.select(*[f.name for f in phys.fields]), snap)
+            )
+        return out
+
     def to_logical(df: DataFrame) -> DataFrame:
-        if snap.column_mapping == "none":
-            return df
-        # rename physical -> logical; nested fields rename through the
-        # positional struct cast (Spark matches struct cast fields by
-        # position, so same-shape types rename for free)
-        return df.select(
-            *[
-                F.col(pf.name).cast(lf.dataType).alias(lf.name)
-                for pf, lf in zip(phys.fields, logical.fields)
-            ]
-        )
+        return _scan_to_logical(df, snap)
 
     if not phys_parts:
         files = [os.path.join(path, p) for p in active]

@@ -355,7 +355,9 @@ def test_column_mapping_mode_id_refused(spark, tmp_path):
 
 
 def test_v3_unsupported_reader_feature_refused_by_name(spark, tmp_path):
-    t = str(tmp_path / "dv")
+    # deletionVectors graduated to a SUPPORTED reader feature in r10; the
+    # by-name refusal is pinned with v2Checkpoint instead (unimplemented)
+    t = str(tmp_path / "v2cp")
     os.makedirs(t)
     fields = [{"name": "a", "type": "long", "nullable": True, "metadata": {}}]
     actions = _colmap_actions(fields, [], [])
@@ -364,12 +366,12 @@ def test_v3_unsupported_reader_feature_refused_by_name(spark, tmp_path):
         "protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
-            "writerFeatures": ["deletionVectors"],
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
         }
     }
     _write_log(t, actions)
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         delta_read(spark, t)
 
 
@@ -1678,3 +1680,104 @@ def test_colmap_cdf_changes_read_logical(spark, tmp_path):
         for r in ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert counts == {"update_preimage": 1, "update_postimage": 1, "insert": 1}
+
+
+def test_roaring_bitmap_array_roundtrip_all_container_types():
+    """The portable RoaringBitmapArray parser (deletion vectors, reader
+    protocol 3) against its serializer twin across ALL container shapes:
+    array (sparse), bitmap (>4096 dense-ish), run (contiguous), multiple
+    16-bit keys, and a >2^32 value exercising the bitmap-array split."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _parse_rbm_array,
+        _rbm_array_bytes,
+    )
+
+    cases = [
+        [],
+        [0],
+        [1, 3, 7, 65535],                      # array container
+        list(range(1000, 1300)),               # run container
+        list(range(0, 10000, 2)),              # 5000 vals → bitmap container
+        [5, 6, 7] + list(range(70000, 70050)) + [1 << 20],  # multi-key
+        [2, (1 << 32) + 9, (1 << 33) + 1],     # 64-bit: three 32-bit bitmaps
+        sorted(set([x * x % 99991 for x in range(8000)])),  # dense irregular
+    ]
+    for vals in cases:
+        got = _parse_rbm_array(_rbm_array_bytes(vals))
+        assert sorted(got) == sorted(set(vals)), vals[:8]
+
+
+def test_deletion_vector_read_roundtrip(spark, tmp_path):
+    """Reader protocol 3 deletionVectors (VERDICT r9 #7): a foreign log
+    re-adds a file with a DV descriptor (on-disk 'u' storage, UUID-derived
+    path, CRC-checked) — delta_read must drop exactly the marked row
+    indexes; an inline ('i') DV behaves identically; stats pruning stays
+    sound (bounds remain a valid cover); writes to the table are refused
+    by the writer-feature gate."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+        _rbm_array_bytes,
+        _write_dv_file,
+        delta_merge,
+    )
+
+    t = str(tmp_path / "dv")
+    df = spark.range(0, 10).select(
+        "id", (F.col("id") * 100).alias("v")
+    ).coalesce(1).sortWithinPartitions("id")
+    delta_write(df, t)
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    ]
+    add0 = next(a["add"] for a in acts if "add" in a)
+    desc = _write_dv_file(t, [1, 3, 7])
+    v1 = [
+        {"commitInfo": {"timestamp": 1, "operation": "DELETE",
+                        "operationParameters": {}, "engineInfo": "test"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"remove": {"path": add0["path"], "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": add0 | {"deletionVector": desc}},
+    ]
+    _claim_version(
+        os.path.join(t, "_delta_log"), 1,
+        "\n".join(json.dumps(a) for a in v1) + "\n",
+    )
+    got = delta_read(spark, t)
+    assert sorted(r["id"] for r in got.collect()) == [0, 2, 4, 5, 6, 8, 9]
+    assert got.filter("v = 300").count() == 0
+    # stats-pruned read still applies the DV
+    assert sorted(
+        r["id"] for r in delta_read(spark, t, where=[("id", "<=", 3)]).collect()
+    ) == [0, 2]
+    # inline DV ('i' storage), committed as v2 marking rows {0, 9}
+    import base64 as _b64
+
+    blob = _rbm_array_bytes([0, 9])
+    v2 = [
+        {"commitInfo": {"timestamp": 2, "operation": "DELETE",
+                        "operationParameters": {}, "engineInfo": "test"}},
+        {"add": add0 | {"deletionVector": {
+            "storageType": "i",
+            "pathOrInlineDv": _b64.b85encode(blob).decode(),
+            "sizeInBytes": len(blob),
+            "cardinality": 2,
+        }}},
+    ]
+    _claim_version(
+        os.path.join(t, "_delta_log"), 2,
+        "\n".join(json.dumps(a) for a in v2) + "\n",
+    )
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == list(
+        range(1, 9)
+    )
+    # time travel to v1 re-applies the OLD DV
+    assert delta_read(spark, t, version=1).count() == 7
+    # the writer-feature gate refuses writes (read-side-only support)
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        delta_merge(
+            spark.createDataFrame([(1, 1)], "id bigint, v bigint"), t, key="id"
+        )

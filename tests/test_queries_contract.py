@@ -212,6 +212,9 @@ def test_driver_window_fully_oracle_backed():
         "large_volume_customers_q18",
         "late_shipment_priority_q4",
         # new r9, starts deferred (r10 rotation candidates):
+        # new r10, starts deferred (r11 rotation candidate; six delta rows
+        # already in the r10 window keep the storage family covered):
+        "delta_deletion_vector_read",
         # r9 rotation swap-outs (driver-green in r8; family twin in-window):
         "resample_locf_daily",
         "heavy_hitters_users",

@@ -109,6 +109,17 @@ HEADLINE = [
     # w/ pushFilters file pruning → Arrow hop)
     "delta_optimize_skipping_scan",
     "delta_format_front_door",
+    # r10 additions: the native-API twin of the format front door (the
+    # format-minus-native gap IS the Python Data Source's Arrow-hop cost,
+    # tracked per VERDICT r9 #8), the HiveServer2 wire path (catalog build
+    # + thrift SQL through the bundled beeline JDBC client), the colmap
+    # write interop cycle (create in the reference bronze layout + append
+    # + file-pruned MERGE), and the deletion-vector read (inline roaring
+    # bitmap anti-filter on a row-indexed scan)
+    "delta_native_front_door",
+    "thrift_front_door_revenue",
+    "delta_colmap_merge_roundtrip",
+    "delta_deletion_vector_read",
 ]
 
 

@@ -905,3 +905,51 @@ def q_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
     )
+
+
+@register(
+    "delta_native_front_door",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           min(event_id) AS first_event,
+           cast(sum(cast(value AS decimal(30,6))) AS double) AS total_value
+    FROM events
+    WHERE user_id <= 2000
+    GROUP BY event_type
+    """,
+    doc="Native-API twin of delta_format_front_door (VERDICT r9 #8): the "
+    "IDENTICAL workload — write events to a Delta table, read back with "
+    "a pushed predicate, aggregate — through delta_write/delta_read "
+    "instead of the format('delta_lite') Python Data Source. The format "
+    "path pays an Arrow hop (JVM -> Python batches) per partition on "
+    "read and a Python task writer; the native path scans with Spark's "
+    "own JVM parquet reader over the log-pruned file list. BENCH runs "
+    "both keys so the compatibility surface's overhead stays quantified "
+    "(format-minus-native = the Arrow-hop cost). Same oracle as the "
+    "format twin.",
+)
+def q_delta_native_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_read,
+        delta_write,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_deltanative_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/events_delta"
+    delta_write(ev, path, mode="overwrite")
+    got = delta_read(spark, path, where=[("user_id", "<=", 2000)])
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("first_event"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+    )

@@ -41,8 +41,10 @@ Scale shape:
 
 Limits (honestly refused, never silent): writes through the format are
 unpartitioned (``delta_write(partition_by=...)`` is the partitioned
-path); streaming refuses column-mapped tables; batch reads support
-column mapping mode ``name`` like ``delta_read``.
+path) and refuse column-mapped targets (``delta_write`` is the colmap
+write path). Batch AND streaming reads support column mapping mode
+``name`` like ``delta_read``, and apply deletion vectors per file
+(reader protocol 3) before any row crosses Arrow.
 """
 
 from __future__ import annotations
@@ -100,6 +102,7 @@ class _FilePartition(InputPartition):
 
     rel_path: str
     partition_values: dict = field(default_factory=dict)
+    deletion_vector: dict | None = None
 
 
 def _file_batches(
@@ -108,15 +111,31 @@ def _file_batches(
     pv: dict,
     colspecs: list[tuple[str, str, bool]],
     target,
+    dv: dict | None = None,
 ):
     """Arrow batches of one data file under the LOGICAL schema: scan the
-    parquet file (physical names), restore partition columns from the add
+    parquet file (physical names), drop rows the file's deletion vector
+    marks deleted (reader protocol 3 — masked by parquet row index
+    BEFORE any projection), restore partition columns from the add
     action's string values via an Arrow cast, rename/reorder, and cast to
     the exact target schema. Runs on the executor."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(os.path.join(table_path, rel_path))
+    if dv:
+        import numpy as np
+
+        from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+            _load_deletion_vector,
+        )
+
+        deleted = np.fromiter(
+            _load_deletion_vector(table_path, dv), dtype=np.int64
+        )
+        mask = np.ones(tbl.num_rows, dtype=bool)
+        mask[deleted[deleted < tbl.num_rows]] = False
+        tbl = tbl.filter(pa.array(mask))
     n = tbl.num_rows
     arrays = []
     for (logical, physical, is_part), f in zip(colspecs, target):
@@ -166,7 +185,11 @@ class _DeltaLiteReaderBase(DataSourceReader):
     def partitions(self):
         active = _pruned_files(self.snap, self.conds)
         return [
-            _FilePartition(p, add.get("partitionValues") or {})
+            _FilePartition(
+                p,
+                add.get("partitionValues") or {},
+                add.get("deletionVector"),
+            )
             for p, add in sorted(active.items())
         ]
 
@@ -177,6 +200,7 @@ class _DeltaLiteReaderBase(DataSourceReader):
             partition.partition_values,
             self.colspecs,
             _arrow_schema(self.schema),
+            dv=partition.deletion_vector,
         )
 
 
@@ -209,14 +233,11 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
         self.path = path
         self.ignore_changes = ignore_changes
         snap = _replay(path, None)
-        if snap.column_mapping != "none":
-            raise DeltaProtocolError(
-                f"{path}: streaming over a column-mapped table is not "
-                "implemented (batch reads are)"
-            )
+        phys = snap.physical_schema
         phys_parts = set(snap.physical_partition_columns)
         self.colspecs = [
-            (f.name, f.name, f.name in phys_parts) for f in snap.schema.fields
+            (lf.name, pf.name, pf.name in phys_parts)
+            for lf, pf in zip(snap.schema.fields, phys.fields)
         ]
         self.schema = schema
 
@@ -237,7 +258,11 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
         if int(start["version"]) < 0:
             snap = _replay(self.path, int(end["version"]))
             return [
-                _FilePartition(p, add.get("partitionValues") or {})
+                _FilePartition(
+                    p,
+                    add.get("partitionValues") or {},
+                    add.get("deletionVector"),
+                )
                 for p, add in sorted(snap.files.items())
             ]
         log = _log_dir(self.path)
@@ -258,6 +283,7 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
                             _FilePartition(
                                 a["add"]["path"],
                                 a["add"].get("partitionValues") or {},
+                                a["add"].get("deletionVector"),
                             )
                         )
                     elif (
@@ -280,6 +306,7 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
             partition.partition_values,
             self.colspecs,
             _arrow_schema(self.schema),
+            dv=partition.deletion_vector,
         )
 
     def commit(self, end: dict) -> None:

@@ -382,3 +382,92 @@ def test_stream_sink_refuses_schema_drift(spark, tmp_path):
         with pytest.raises(Exception, match="new columns"):
             q.awaitTermination()
             q.processAllAvailable()
+
+
+def test_format_read_applies_deletion_vectors(spark, tmp_path):
+    """format('delta_lite') batch reads must apply deletion vectors like
+    delta_read does — the Arrow path masks each file by parquet row index
+    before projection, so a DV'd table never resurrects deleted rows
+    through the compatibility surface."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+        _write_dv_file,
+    )
+
+    t = str(tmp_path / "dvfmt")
+    spark.range(0, 10).select("id").coalesce(1).sortWithinPartitions(
+        "id"
+    ).write.format("delta_lite").mode("append").save(t)
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    ]
+    add0 = next(a["add"] for a in acts if "add" in a)
+    desc = _write_dv_file(t, [2, 5])
+    v1 = [
+        {"commitInfo": {"timestamp": 1, "operation": "DELETE",
+                        "operationParameters": {}, "engineInfo": "test"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"remove": {"path": add0["path"], "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": add0 | {"deletionVector": desc}},
+    ]
+    _claim_version(
+        os.path.join(t, "_delta_log"), 1,
+        "\n".join(json.dumps(a) for a in v1) + "\n",
+    )
+    got = spark.read.format("delta_lite").load(t)
+    assert sorted(r["id"] for r in got.collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
+    # pushed filter still applies the DV after file pruning
+    assert sorted(
+        r["id"]
+        for r in spark.read.format("delta_lite").load(t).filter("id <= 5").collect()
+    ) == [0, 1, 3, 4]
+
+
+def test_stream_source_reads_column_mapped_table(spark, tmp_path):
+    """readStream.format('delta_lite') over a COLUMN-MAPPED table (the
+    reference's bronze layout): the snapshot batch and tailed appends both
+    resolve physicalName annotations back to logical columns."""
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_write,
+    )
+
+    src = str(tmp_path / "cmsrc")
+    delta_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, tag string"),
+        src,
+        column_mapping="name",
+    )
+    dst = str(tmp_path / "cmdst")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            spark.readStream.format("delta_lite")
+            .load(src)
+            .writeStream.format("delta_lite")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        q.awaitTermination(120)
+        # a second batch appended to the colmap source tails through
+        delta_write(
+            spark.createDataFrame([(3, "c")], "id bigint, tag string"), src
+        )
+        q2 = (
+            spark.readStream.format("delta_lite")
+            .load(src)
+            .writeStream.format("delta_lite")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        q2.awaitTermination(120)
+    got = spark.read.format("delta_lite").load(dst)
+    assert sorted((r["id"], r["tag"]) for r in got.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]

@@ -1095,19 +1095,51 @@ def _scan_files(
 
     dv_files = {p: a for p, a in active.items() if a.get("deletionVector")}
     if dv_files:
-        # Reader protocol 3 deletionVectors: each DV'd file scans with its
-        # parquet row index and drops the rows its roaring bitmap marks
-        # deleted — BEFORE union with the plain files. Small DVs become an
-        # isin literal (whole-stage-codegen'd); big ones a broadcast
-        # anti-join, so a million-row DV never bloats the plan. Per-file
-        # application mirrors delta-spark's own reader shape.
+        # Reader protocol 3 deletionVectors: ALL DV'd files go through ONE
+        # scan relation carrying (_metadata.file_path, _metadata.row_index)
+        # and ONE broadcast anti-join against the deleted (file, row) pairs
+        # — never a per-file union, so 10⁴ DV'd files stay a single
+        # FileScan node. One file's small DV short-circuits to an isin
+        # literal (whole-stage-codegen'd, no join at all). The DV bitmaps
+        # themselves are log-metadata-scale (bounded by the descriptors'
+        # sizeInBytes), loaded driver-side exactly once per query. Files
+        # are keyed by BASENAME (UUID-named part files — unique by
+        # construction for both this writer and delta-spark); the URI
+        # spelling of _metadata.file_path is never reproduced driver-side.
         plain = {p: a for p, a in active.items() if p not in dv_files}
         out = _scan_files(spark, path, snap, plain)
         types = {f.name: f.dataType for f in phys.fields}
-        for p, add in sorted(dv_files.items()):
+        base_of = {p: p.rsplit("/", 1)[-1] for p in dv_files}
+        if len(set(base_of.values())) != len(base_of):
+            # foreign layout with colliding basenames: fall back to
+            # per-file application (correct for any naming)
+            for p, add in sorted(dv_files.items()):
+                deleted = _load_deletion_vector(path, add["deletionVector"])
+                one = spark.read.schema(data_schema).parquet(
+                    os.path.join(path, p)
+                )
+                one = one.withColumn("__ri", F.col("_metadata.row_index"))
+                one = one.filter(~F.col("__ri").isin(deleted)).drop("__ri")
+                pv = add.get("partitionValues") or {}
+                for c in phys_parts:
+                    one = one.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
+                out = out.unionByName(
+                    _scan_to_logical(
+                        one.select(*[f.name for f in phys.fields]), snap
+                    )
+                )
+            return out
+        files = [os.path.join(path, p) for p in sorted(dv_files)]
+        df = spark.read.schema(data_schema).parquet(*files).select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__fb"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        if len(dv_files) == 1:
+            ((p, add),) = dv_files.items()
             deleted = _load_deletion_vector(path, add["deletionVector"])
-            df = spark.read.schema(data_schema).parquet(os.path.join(path, p))
-            df = df.withColumn("__ri", F.col("_metadata.row_index"))
             if len(deleted) <= _DV_ISIN_CAP:
                 df = df.filter(~F.col("__ri").isin(deleted))
             else:
@@ -1115,14 +1147,31 @@ def _scan_files(
                     [(i,) for i in deleted], "__ri bigint"
                 )
                 df = df.join(F.broadcast(dv_df), "__ri", "left_anti")
-            df = df.drop("__ri")
-            pv = add.get("partitionValues") or {}
+        else:
+            pairs = [
+                (base_of[p], int(i))
+                for p, add in sorted(dv_files.items())
+                for i in _load_deletion_vector(path, add["deletionVector"])
+            ]
+            dv_df = spark.createDataFrame(pairs, "__fb string, __ri bigint")
+            df = df.join(F.broadcast(dv_df), ["__fb", "__ri"], "left_anti")
+        # partition restore: per-file partitionValues keyed by basename (a
+        # map lookup expression, not a per-file plan branch)
+        if phys_parts:
             for c in phys_parts:
-                df = df.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
-            out = out.unionByName(
-                _scan_to_logical(df.select(*[f.name for f in phys.fields]), snap)
-            )
-        return out
+                mapping = F.create_map(
+                    *[
+                        x
+                        for p, a in sorted(dv_files.items())
+                        for x in (
+                            F.lit(base_of[p]),
+                            F.lit((a.get("partitionValues") or {}).get(c)),
+                        )
+                    ]
+                )
+                df = df.withColumn(c, mapping[F.col("__fb")].cast(types[c]))
+        df = df.drop("__fb", "__ri").select(*[f.name for f in phys.fields])
+        return out.unionByName(_scan_to_logical(df, snap))
 
     def to_logical(df: DataFrame) -> DataFrame:
         return _scan_to_logical(df, snap)

@@ -1781,3 +1781,52 @@ def test_deletion_vector_read_roundtrip(spark, tmp_path):
         delta_merge(
             spark.createDataFrame([(1, 1)], "id bigint, v bigint"), t, key="id"
         )
+
+
+def test_deletion_vectors_multi_file_partitioned_single_scan(spark, tmp_path):
+    """Multiple DV'd files in a PARTITIONED table go through ONE scan
+    relation + one broadcast anti-join on (file uri, row index) — never a
+    per-file plan branch — with partition values restored per file from a
+    uri-keyed map expression. Verifies the uri spelling matches Spark's
+    _metadata.file_path end to end."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+        _replay,
+        _write_dv_file,
+    )
+
+    t = str(tmp_path / "dvmulti")
+    df = spark.createDataFrame(
+        [(i, "north" if i < 10 else "south", float(i)) for i in range(20)],
+        "id bigint, region string, v double",
+    ).coalesce(1).sortWithinPartitions("id")
+    delta_write(df, t, partition_by=["region"])
+    snap = _replay(t, None)
+    assert len(snap.files) == 2
+    # row index within each partition file follows the id sort
+    descs = {p: _write_dv_file(t, [0, 2]) for p in snap.files}
+    acts = [
+        {"commitInfo": {"timestamp": 1, "operation": "DELETE",
+                        "operationParameters": {}, "engineInfo": "test"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+    ]
+    for p, add in snap.files.items():
+        acts.append({"remove": {"path": p, "deletionTimestamp": 1,
+                                "dataChange": True}})
+        acts.append({"add": add | {"deletionVector": descs[p]}})
+    _claim_version(
+        os.path.join(t, "_delta_log"), 1,
+        "\n".join(json.dumps(a) for a in acts) + "\n",
+    )
+    got = delta_read(spark, t)
+    # rows 0 and 2 of EACH partition file are gone: ids {0,2} and {10,12}
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        set(range(20)) - {0, 2, 10, 12}
+    )
+    # partition column restored correctly on the surviving rows
+    assert got.filter("region = 'north'").count() == 8
+    # plan shape: the DV'd files share ONE parquet scan (no per-file union)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2, plan  # plain branch is empty here

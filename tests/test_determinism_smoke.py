@@ -1,10 +1,12 @@
 """Run-twice determinism smoke (the round-7 bug class): the queries built
 on global ordering / bucketing / sampling primitives must hash identically
 across two fresh plan compositions and executions. The full registry gets
-the same check from tools/check_determinism.py (184/184 stable, r9 — the
+the same check from tools/check_determinism.py (193/193 stable, r10 — the
 FULL registry incl. every late-module registration; re-run it over the
 whole registry at every round close and refresh this note); this pytest
-keeps the most at-risk family guarded on every run."""
+keeps the most at-risk family guarded on every run, and
+test_full_registry_determinism_note_is_current makes a stale count FAIL
+instead of drifting silently (it hit 167 in r8 and 184 in r9)."""
 
 from __future__ import annotations
 
@@ -51,3 +53,21 @@ def test_two_executions_agree(name, spark, sf_dir):
     first = _result_hash(spec.spark_fn(spark, sf_dir))
     second = _result_hash(spec.spark_fn(spark, sf_dir))
     assert first == second, f"{name} is execution-dependent: {first} != {second}"
+
+
+def test_full_registry_determinism_note_is_current():
+    """The docstring's 'N/N stable' claim must track the registry size
+    (VERDICT r9 #5 — it went stale at 167 in r8 and 184 in r9). After
+    registering a query, re-run tools/check_determinism.py over the FULL
+    registry and refresh the note; until then this fails loudly."""
+    import re
+    import sys
+
+    m = re.search(r"(\d+)/(\d+) stable", sys.modules[__name__].__doc__)
+    assert m, "determinism note missing from module docstring"
+    assert int(m.group(1)) == int(m.group(2)), "note records instability"
+    assert int(m.group(2)) == len(registry()), (
+        f"determinism note says {m.group(2)} queries but the registry has "
+        f"{len(registry())} — re-run tools/check_determinism.py over the "
+        "full registry and refresh the docstring note"
+    )

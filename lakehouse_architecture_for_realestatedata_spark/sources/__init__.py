@@ -15,6 +15,7 @@ from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
     delta_delete_where,
     delta_drop_constraint,
     delta_enable_cdf,
+    delta_enable_ict,
     delta_history,
     delta_matching_files,
     delta_merge,
@@ -49,6 +50,7 @@ __all__ = [
     "delta_delete_where",
     "delta_drop_constraint",
     "delta_enable_cdf",
+    "delta_enable_ict",
     "delta_history",
     "delta_matching_files",
     "delta_merge",

@@ -86,7 +86,14 @@ from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 MAX_READER_VERSION = 3
 #: Protocol-3 reader features this module implements. Deletion vectors,
 #: v2 checkpoints, type widening etc. are honestly refused by name.
-SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "deletionVectors"}
+SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "timestampNtz",
+    "deletionVectors",
+    # vacuumProtocolCheck constrains VACUUM, not reads; delta_vacuum here
+    # always replays the protocol first, which is the mandated check
+    "vacuumProtocolCheck",
+}
 #: Highest writer protocol this module implements: v2 (appendOnly +
 #: column invariants, both enforced), v3 (CHECK constraints, enforced),
 #: v4 (Change Data Feed, written; generated columns are v4's OTHER
@@ -102,6 +109,31 @@ SUPPORTED_WRITER_FEATURES = {
     "invariants",
     "changeDataFeed",
     "columnMapping",
+    # honored: commits carry a monotonic commitInfo.inCommitTimestamp
+    # whenever delta.enableInCommitTimestamps is set (4.x default on new
+    # delta-spark tables), and time travel resolves against it
+    "inCommitTimestamp",
+    # no writer behavior change: vacuum here always replays the protocol
+    # before deleting (the check the feature mandates), and Spark handles
+    # TIMESTAMP_NTZ natively
+    "vacuumProtocolCheck",
+    "timestampNtz",
+    # admitted because _writer_gate refuses BY SCHEMA INSPECTION any table
+    # whose schema actually declares generated/identity columns — a table
+    # merely LISTING the feature (protocol upgrades carry legacy-implied
+    # features) is safe to write when no column uses it
+    "generatedColumns",
+    "identityColumns",
+}
+
+#: Writer features implied by each legacy minWriterVersion, per the
+#: protocol's table-features upgrade rule (a v7 bump must list them).
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("generatedColumns", "changeDataFeed"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
 }
 #: Schema-metadata key marking a generated column (v4 feature NOT
 #: implemented — writing without evaluating the expression would corrupt).
@@ -688,6 +720,16 @@ def _writer_gate(snap: _Snapshot, path: str, removes_data: bool, op: str) -> Non
             f"{path}: generated columns {generated} are not implemented — "
             "writing without evaluating their expressions would corrupt"
         )
+    identity = [
+        f.name
+        for f in snap.schema.fields
+        if any(k.startswith("delta.identity.") for k in (f.metadata or {}))
+    ]
+    if identity:
+        raise DeltaProtocolError(
+            f"{path}: identity columns {identity} are not implemented — "
+            "writing without minting their values would corrupt"
+        )
     if (
         removes_data
         and (snap.configuration or {}).get("delta.appendOnly", "").lower() == "true"
@@ -733,12 +775,39 @@ def delta_txn_version(path: str, app_id: str) -> int:
     return (_replay(path, None).txns or {}).get(app_id, -1)
 
 
+def _ict_for_commit(
+    path: str, configuration: dict | None, latest: int | None, now: int
+) -> int | None:
+    """The ``inCommitTimestamp`` this commit must carry when the table
+    enables ``delta.enableInCommitTimestamps`` (delta-spark 4.x default):
+    strictly greater than the previous commit's, per protocol (clock
+    skew never makes table time go backwards). None when the feature is
+    off."""
+    if (configuration or {}).get(
+        "delta.enableInCommitTimestamps", ""
+    ).lower() != "true":
+        return None
+    prev = None
+    if latest is not None:
+        fname = os.path.join(_log_dir(path), f"{latest:020d}.json")
+        if os.path.isfile(fname):
+            with open(fname) as fh:
+                for line in fh:
+                    a = json.loads(line) if line.strip() else {}
+                    if "commitInfo" in a:
+                        p = a["commitInfo"].get("inCommitTimestamp")
+                        prev = int(p) if p is not None else None
+                        break
+    return max(now, (prev or 0) + 1)
+
+
 def version_at_timestamp(path: str, ts_millis: int) -> int:
     """``timestampAsOf`` resolution per Delta's contract: the LAST version
-    committed at or before ``ts_millis``. Commit time comes from the
-    commitInfo action when present, else the commit file's mtime (what
-    Delta itself falls back to). Raises if the table's first commit is
-    after the asked timestamp."""
+    committed at or before ``ts_millis``. Commit time comes from
+    ``commitInfo.inCommitTimestamp`` when present (the authoritative
+    clock once the feature is enabled), else ``commitInfo.timestamp``,
+    else the commit file's mtime (what Delta itself falls back to).
+    Raises if the table's first commit is after the asked timestamp."""
     log = _log_dir(path)
     best: int | None = None
     for f in sorted(os.listdir(log)) if os.path.isdir(log) else []:
@@ -748,8 +817,11 @@ def version_at_timestamp(path: str, ts_millis: int) -> int:
         with open(os.path.join(log, f)) as fh:
             for line in fh:
                 a = json.loads(line) if line.strip() else {}
-                if "commitInfo" in a and a["commitInfo"].get("timestamp") is not None:
-                    commit_ts = int(a["commitInfo"]["timestamp"])
+                if "commitInfo" in a:
+                    ci = a["commitInfo"]
+                    raw = ci.get("inCommitTimestamp", ci.get("timestamp"))
+                    if raw is not None:
+                        commit_ts = int(raw)
                     break
         if commit_ts is None:
             commit_ts = int(os.path.getmtime(os.path.join(log, f)) * 1000)
@@ -1700,16 +1772,16 @@ def delta_write(
                 "while committing already-written files"
             )
         now = int(time.time() * 1000)
-        actions = [
-            {
-                "commitInfo": {
-                    "timestamp": now,
-                    "operation": "WRITE",
-                    "operationParameters": {"mode": mode.upper()},
-                    "engineInfo": "delta-lite",
-                }
-            }
-        ]
+        ci: dict[str, Any] = {
+            "timestamp": now,
+            "operation": "WRITE",
+            "operationParameters": {"mode": mode.upper()},
+            "engineInfo": "delta-lite",
+        }
+        ict = _ict_for_commit(path, meta_configuration, latest, now)
+        if ict is not None:
+            ci["inCommitTimestamp"] = ict
+        actions = [{"commitInfo": ci}]
         if version == 0:
             actions.append({"protocol": create_protocol})
             actions.append(
@@ -1829,20 +1901,20 @@ def delta_optimize(
         snap.physical_partition_columns,
     )
     now = int(time.time() * 1000)
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": now,
-                "operation": "OPTIMIZE",
-                "operationParameters": {
-                    "targetBytes": target_bytes,
-                    "clusterBy": list(cluster_cols or []),
-                    "zOrder": bool(zorder and cluster_cols),
-                },
-                "engineInfo": "delta-lite",
-            }
-        }
-    ]
+    ci: dict[str, Any] = {
+        "timestamp": now,
+        "operation": "OPTIMIZE",
+        "operationParameters": {
+            "targetBytes": target_bytes,
+            "clusterBy": list(cluster_cols or []),
+            "zOrder": bool(zorder and cluster_cols),
+        },
+        "engineInfo": "delta-lite",
+    }
+    ict = _ict_for_commit(path, snap.configuration, latest, now)
+    if ict is not None:
+        ci["inCommitTimestamp"] = ict
+    actions: list[dict] = [{"commitInfo": ci}]
     actions += [
         {
             "remove": {
@@ -1990,16 +2062,16 @@ def _commit_rewrite(
         else []
     )
     now = int(time.time() * 1000)
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": now,
-                "operation": op,
-                "operationParameters": operation_parameters or {},
-                "engineInfo": "delta-lite",
-            }
-        }
-    ]
+    ci: dict[str, Any] = {
+        "timestamp": now,
+        "operation": op,
+        "operationParameters": operation_parameters or {},
+        "engineInfo": "delta-lite",
+    }
+    ict = _ict_for_commit(path, snap.configuration, latest, now)
+    if ict is not None:
+        ci["inCommitTimestamp"] = ict
+    actions: list[dict] = [{"commitInfo": ci}]
     if schema_json is not None and schema_json != snap.schema.json():
         actions.append(
             {
@@ -2261,23 +2333,26 @@ def _commit_metadata_change(
     op: str,
     params: dict,
     min_writer: int | None = None,
+    protocol: dict | None = None,
 ) -> int:
     """Metadata-only commit: new table configuration (and an optional
     writer-protocol bump in the SAME commit, per spec — a feature and the
     version that demands it must land together)."""
     now = int(time.time() * 1000)
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": now,
-                "operation": op,
-                "operationParameters": params,
-                "engineInfo": "delta-lite",
-            }
-        }
-    ]
+    ci: dict[str, Any] = {
+        "timestamp": now,
+        "operation": op,
+        "operationParameters": params,
+        "engineInfo": "delta-lite",
+    }
+    ict = _ict_for_commit(path, configuration, latest, now)
+    if ict is not None:
+        ci["inCommitTimestamp"] = ict
+    actions: list[dict] = [{"commitInfo": ci}]
     cur_mw = (snap.protocol or {}).get("minWriterVersion", 1)
-    if min_writer is not None and cur_mw < min_writer:
+    if protocol is not None:
+        actions.append({"protocol": protocol})
+    elif min_writer is not None and cur_mw < min_writer:
         actions.append(
             {
                 "protocol": {
@@ -2359,6 +2434,46 @@ def delta_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
     )
 
 
+def delta_enable_ict(spark: SparkSession, path: str) -> int:
+    """SET TBLPROPERTIES delta.enableInCommitTimestamps=true with the
+    TABLE-FEATURES protocol upgrade the feature demands: writer version 7
+    listing ``inCommitTimestamp`` plus every feature the table's legacy
+    writer version implied (the protocol's upgrade rule — implied
+    features must be carried explicitly once the version goes to 7).
+    From this commit on — including the enabling commit itself — every
+    commit's commitInfo carries a strictly-monotonic inCommitTimestamp,
+    and timestamp time travel resolves against it. delta-spark 4.x
+    enables this by default on new tables."""
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES")
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    mw = proto.get("minWriterVersion", 2)
+    feats = set(proto.get("writerFeatures") or [])
+    if mw < 7:
+        for v in range(2, mw + 1):
+            feats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
+    feats.add("inCommitTimestamp")
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(feats),
+    }
+    if proto.get("readerFeatures") is not None:
+        new_proto["readerFeatures"] = proto["readerFeatures"]
+    conf = dict(snap.configuration or {})
+    conf["delta.enableInCommitTimestamps"] = "true"
+    return _commit_metadata_change(
+        path,
+        snap,
+        latest,
+        conf,
+        op="SET TBLPROPERTIES",
+        params={"delta.enableInCommitTimestamps": "true"},
+        protocol=new_proto,
+    )
+
+
 def _cdf_enabled(snap: _Snapshot) -> bool:
     return (
         (snap.configuration or {})
@@ -2435,8 +2550,12 @@ def _commit_timestamp(log: str, fname: str) -> int:
     with open(os.path.join(log, fname)) as fh:
         for line in fh:
             a = json.loads(line) if line.strip() else {}
-            if "commitInfo" in a and a["commitInfo"].get("timestamp") is not None:
-                return int(a["commitInfo"]["timestamp"])
+            if "commitInfo" in a:
+                ci = a["commitInfo"]
+                raw = ci.get("inCommitTimestamp", ci.get("timestamp"))
+                if raw is not None:
+                    return int(raw)
+                break
     return int(os.path.getmtime(os.path.join(log, fname)) * 1000)
 
 

@@ -76,6 +76,7 @@ from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
     DeltaProtocolError,
     _append_schema_delta,
     _claim_version,
+    _ict_for_commit,
     _footer_stats_json,
     _latest_version,
     _log_dir,
@@ -433,18 +434,20 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                         snap, self.schema, self.merge_schema
                     )  # config part is colmap-only; colmap is refused here
             now = int(_time.time() * 1000)
-            actions: list[dict] = [
-                {
-                    "commitInfo": {
-                        "timestamp": now,
-                        "operation": "WRITE",
-                        "operationParameters": {
-                            "mode": "OVERWRITE" if self.overwrite else "APPEND"
-                        },
-                        "engineInfo": "delta-lite",
-                    }
-                }
-            ]
+            ci: dict = {
+                "timestamp": now,
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "OVERWRITE" if self.overwrite else "APPEND"
+                },
+                "engineInfo": "delta-lite",
+            }
+            ict = _ict_for_commit(
+                self.path, snap.configuration if snap else None, latest, now
+            )
+            if ict is not None:
+                ci["inCommitTimestamp"] = ict
+            actions: list[dict] = [{"commitInfo": ci}]
             if version == 0:
                 actions.append(
                     {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -578,19 +581,20 @@ class _DeltaLiteStreamWriter(DataSourceStreamArrowWriter):
                     return
             version = 0 if latest is None else latest + 1
             now = int(_time.time() * 1000)
-            actions: list[dict] = [
-                {
-                    "commitInfo": {
-                        "timestamp": now,
-                        "operation": "STREAMING UPDATE",
-                        "operationParameters": {
-                            "outputMode": "Append",
-                            "epochId": batchId,
-                        },
-                        "engineInfo": "delta-lite",
-                    }
-                }
-            ]
+            ci: dict = {
+                "timestamp": now,
+                "operation": "STREAMING UPDATE",
+                "operationParameters": {
+                    "outputMode": "Append",
+                    "epochId": batchId,
+                },
+                "engineInfo": "delta-lite",
+            }
+            conf = _replay(self.path, latest).configuration if latest is not None else None
+            ict = _ict_for_commit(self.path, conf, latest, now)
+            if ict is not None:
+                ci["inCommitTimestamp"] = ict
+            actions: list[dict] = [{"commitInfo": ci}]
             if version == 0:
                 actions.append(
                     {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}

@@ -1161,13 +1161,16 @@ def test_unknown_writer_version_and_features_refused_by_name(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 1,
                     "minWriterVersion": 7,
-                    "writerFeatures": ["appendOnly", "generatedColumns"],
+                    # rowTracking is a real feature this writer does not
+                    # implement (generatedColumns moved to the
+                    # schema-inspection gate in r10)
+                    "writerFeatures": ["appendOnly", "rowTracking"],
                 }
             }
         )
         + "\n",
     )
-    with pytest.raises(DeltaProtocolError, match="generatedColumns"):
+    with pytest.raises(DeltaProtocolError, match="rowTracking"):
         delta_write(df, t2, mode="append")
 
 
@@ -1830,3 +1833,49 @@ def test_deletion_vectors_multi_file_partitioned_single_scan(spark, tmp_path):
     # plan shape: the DV'd files share ONE parquet scan (no per-file union)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 2, plan  # plain branch is empty here
+
+
+def test_in_commit_timestamps_roundtrip(spark, tmp_path):
+    """inCommitTimestamp (delta-spark 4.x default on new tables): enabling
+    upgrades the protocol to writer v7 listing the feature + the
+    legacy-implied ones; every subsequent commit (and the enabling one)
+    carries a strictly-monotonic commitInfo.inCommitTimestamp; timestamp
+    time travel resolves against it; and a foreign mw7+ict table ACCEPTS
+    writes (it used to be refused by version)."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_enable_ict,
+        delta_merge,
+        version_at_timestamp,
+    )
+
+    t = str(tmp_path / "ict")
+    delta_write(spark.createDataFrame([(1,)], "id bigint"), t)  # v0, no ict
+    v1 = delta_enable_ict(spark, t)
+    v2 = delta_write(spark.createDataFrame([(2,)], "id bigint"), t)
+    v3 = delta_merge(spark.createDataFrame([(3,)], "id bigint"), t, key="id")
+    log = os.path.join(t, "_delta_log")
+
+    def ci(v):
+        for line in open(os.path.join(log, f"{v:020d}.json")):
+            a = json.loads(line)
+            if "commitInfo" in a:
+                return a["commitInfo"]
+
+    def proto(v):
+        for line in open(os.path.join(log, f"{v:020d}.json")):
+            a = json.loads(line)
+            if "protocol" in a:
+                return a["protocol"]
+
+    p1 = proto(v1)
+    assert p1["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in p1["writerFeatures"]
+    assert {"appendOnly", "invariants"} <= set(p1["writerFeatures"])
+    icts = [ci(v).get("inCommitTimestamp") for v in (v1, v2, v3)]
+    assert all(isinstance(x, int) for x in icts), icts
+    assert icts[0] < icts[1] < icts[2]  # strictly monotonic
+    assert ci(0).get("inCommitTimestamp") is None  # pre-enable commit bare
+    # timestamp time travel resolves against ict
+    assert version_at_timestamp(t, icts[1]) == v2
+    assert version_at_timestamp(t, icts[2] - 1) == v2
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == [1, 2, 3]

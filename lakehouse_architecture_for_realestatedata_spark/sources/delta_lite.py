@@ -37,8 +37,13 @@ Protocol subset (explicitly checked, honestly refused otherwise):
     read: each DV'd file scans with its parquet row index and drops the
     rows its CRC-checked roaring bitmap marks deleted (storage types
     ``u``/``p``/inline ``i``); DV WRITES are not implemented, so the
-    writer-feature gate refuses writes to such tables. Mode ``id``
-    (parquet field-id resolution) is refused with the feature named;
+    writer-feature gate refuses writes to such tables. V2 checkpoints
+    (UUID-named manifests + ``_sidecars/``) replay like classic ones;
+    writes to v2Checkpoint tables are refused (this writer emits classic
+    checkpoints only). In-commit timestamps are written monotonically
+    when the table enables them and govern timestamp time travel. Mode
+    ``id`` column mapping (parquet field-id resolution) is refused with
+    the feature named;
   - actions: ``metaData``, ``protocol``, ``add``, ``remove``,
     ``commitInfo``, ``txn`` (replayed as per-appId idempotence
     watermarks and written by the exactly-once streaming sink), and
@@ -93,6 +98,10 @@ SUPPORTED_READER_FEATURES = {
     # vacuumProtocolCheck constrains VACUUM, not reads; delta_vacuum here
     # always replays the protocol first, which is the mandated check
     "vacuumProtocolCheck",
+    # UUID-named manifests (+ _sidecars/) are parsed by _read_checkpoint;
+    # WRITES to v2Checkpoint tables stay refused (this writer only emits
+    # classic checkpoints)
+    "v2Checkpoint",
 }
 #: Highest writer protocol this module implements: v2 (appendOnly +
 #: column invariants, both enforced), v3 (CHECK constraints, enforced),
@@ -523,28 +532,45 @@ def _check_protocol(snap: dict, path: str) -> str:
     return mode
 
 
+def _is_v2_checkpoint(fname: str) -> bool:
+    """UUID-named v2 checkpoint manifest: ``<v>.checkpoint.<uuid>.json``
+    or ``.parquet`` (the uuid has dashes, never dots, so the name always
+    splits into exactly four dot-parts)."""
+    parts = fname.split(".")
+    return (
+        len(parts) == 4
+        and parts[0].isdigit()
+        and parts[1] == "checkpoint"
+        and parts[3] in ("json", "parquet")
+        and not parts[2].isdigit()  # never a classic multi-part fragment
+    )
+
+
 def _checkpoint_files(log: str) -> dict[int, list[str]]:
-    """Classic checkpoint files by version — both spec forms: single-part
-    ``<v>.checkpoint.parquet`` and multi-part
-    ``<v>.checkpoint.<i>.<n>.parquet`` (large snapshots; all ``n`` parts
-    together form one checkpoint). UUID-named v2 checkpoints are a
-    protocol-3 readerFeature and refused by the feature gate, never
-    listed here."""
+    """Checkpoint files by version — all three spec forms: classic
+    single-part ``<v>.checkpoint.parquet``, classic multi-part
+    ``<v>.checkpoint.<i>.<n>.parquet`` (all ``n`` parts together form one
+    checkpoint), and UUID-named v2 manifests
+    ``<v>.checkpoint.<uuid>.{json,parquet}`` (file actions live inline or
+    in ``_sidecars/`` parquet files the manifest references)."""
     out: dict[int, list[str]] = {}
     if not os.path.isdir(log):
         return out
     for f in os.listdir(log):
         parts = f.split(".")
-        if not (parts[0].isdigit() and f.endswith(".parquet") and "checkpoint" in parts):
+        if not (parts[0].isdigit() and "checkpoint" in parts):
             continue
-        if len(parts) == 3 and parts[1] == "checkpoint":
+        if f.endswith(".parquet") and len(parts) == 3 and parts[1] == "checkpoint":
             out.setdefault(int(parts[0]), []).append(f)
         elif (
-            len(parts) == 5
+            f.endswith(".parquet")
+            and len(parts) == 5
             and parts[1] == "checkpoint"
             and parts[2].isdigit()
             and parts[3].isdigit()
         ):
+            out.setdefault(int(parts[0]), []).append(f)
+        elif _is_v2_checkpoint(f):
             out.setdefault(int(parts[0]), []).append(f)
     return {v: sorted(fs) for v, fs in out.items()}
 
@@ -580,6 +606,50 @@ def _read_checkpoint(path: str, version: int, snap: dict, files: list[str]) -> N
     import pyarrow.parquet as _pq
 
     log = _log_dir(path)
+    v2 = [f for f in files if _is_v2_checkpoint(f)]
+    if v2:
+        # V2 checkpoint: ONE manifest (json = action lines, parquet = one
+        # row per action) carrying protocol/metaData/txn plus either
+        # inline file actions or `sidecar` references to parquet files
+        # under `_sidecars/` that hold the add/remove set. Equivalent
+        # manifests may coexist (different uuids) — any one is complete.
+        manifest = v2[0]
+        actions: list[dict] = []
+        if manifest.endswith(".json"):
+            with open(os.path.join(log, manifest)) as fh:
+                actions = [json.loads(l) for l in fh if l.strip()]
+        else:
+            tbl = _pq.read_table(os.path.join(log, manifest))
+            cols = set(tbl.column_names)
+            for d in tbl.to_pylist():
+                for kind in (
+                    "protocol",
+                    "metaData",
+                    "add",
+                    "remove",
+                    "txn",
+                    "sidecar",
+                ):
+                    if kind in cols and d.get(kind) is not None:
+                        actions.append({kind: _unmap(d[kind])})
+        sidecars: list[str] = []
+        for a in actions:
+            if a.get("sidecar") is not None:
+                sidecars.append(a["sidecar"]["path"])
+                continue
+            for kind in ("protocol", "metaData", "add", "remove", "txn"):
+                if a.get(kind) is not None:
+                    _apply_action(snap, {kind: a[kind]}, from_checkpoint=True)
+        for sp in sidecars:
+            stbl = _pq.read_table(os.path.join(log, "_sidecars", sp))
+            scols = set(stbl.column_names)
+            for d in stbl.to_pylist():
+                for kind in ("add", "remove"):
+                    if kind in scols and d.get(kind) is not None:
+                        _apply_action(
+                            snap, {kind: _unmap(d[kind])}, from_checkpoint=True
+                        )
+        return
     for f in files:
         tbl = _pq.read_table(os.path.join(log, f))
         cols = set(tbl.column_names)

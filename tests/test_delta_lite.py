@@ -355,9 +355,9 @@ def test_column_mapping_mode_id_refused(spark, tmp_path):
 
 
 def test_v3_unsupported_reader_feature_refused_by_name(spark, tmp_path):
-    # deletionVectors graduated to a SUPPORTED reader feature in r10; the
-    # by-name refusal is pinned with v2Checkpoint instead (unimplemented)
-    t = str(tmp_path / "v2cp")
+    # deletionVectors and v2Checkpoint graduated to SUPPORTED reader
+    # features in r10; the by-name refusal is pinned with typeWidening
+    t = str(tmp_path / "tw")
     os.makedirs(t)
     fields = [{"name": "a", "type": "long", "nullable": True, "metadata": {}}]
     actions = _colmap_actions(fields, [], [])
@@ -366,12 +366,12 @@ def test_v3_unsupported_reader_feature_refused_by_name(spark, tmp_path):
         "protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint"],
-            "writerFeatures": ["v2Checkpoint"],
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"],
         }
     }
     _write_log(t, actions)
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         delta_read(spark, t)
 
 
@@ -1879,3 +1879,153 @@ def test_in_commit_timestamps_roundtrip(spark, tmp_path):
     assert version_at_timestamp(t, icts[1]) == v2
     assert version_at_timestamp(t, icts[2] - 1) == v2
     assert sorted(r["id"] for r in delta_read(spark, t).collect()) == [1, 2, 3]
+
+
+def test_v2_checkpoint_json_manifest_with_sidecars(spark, tmp_path):
+    """V2 checkpoints (readerFeature v2Checkpoint, delta-spark 3.x/4.x):
+    a UUID-named JSON manifest carrying protocol/metaData/
+    checkpointMetadata plus `sidecar` references; the add set lives in
+    `_sidecars/` parquet files. Replay must read manifest + sidecars (no
+    JSON commits below the checkpoint exist), tail later commits, and
+    refuse writes (this writer emits only classic checkpoints)."""
+    import uuid as _uuid
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    t = str(tmp_path / "v2cp")
+    log = os.path.join(t, "_delta_log")
+    os.makedirs(os.path.join(log, "_sidecars"))
+    # two data files
+    for i, name in enumerate(["part-aa.parquet", "part-bb.parquet"]):
+        pq.write_table(
+            pa.table({"id": pa.array([i * 10 + 1, i * 10 + 2], pa.int64())}),
+            os.path.join(t, name),
+        )
+    # sidecar parquet holding the two add actions
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    adds = [
+        {"path": p, "partitionValues": [], "size": 1,
+         "modificationTime": 1, "dataChange": True}
+        for p in ("part-aa.parquet", "part-bb.parquet")
+    ]
+    side_name = f"{_uuid.uuid4()}.parquet"
+    pq.write_table(
+        pa.table({"add": pa.array(adds, add_t)}),
+        os.path.join(log, "_sidecars", side_name),
+    )
+    # UUID-named JSON manifest at version 3
+    manifest = f"{3:020d}.checkpoint.{_uuid.uuid4()}.json"
+    acts = [
+        {"checkpointMetadata": {"version": 3, "tags": {}}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+        {"metaData": {"id": "v2cp-test",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps({"type": "struct", "fields": [
+                          {"name": "id", "type": "long", "nullable": True,
+                           "metadata": {}}]}),
+                      "partitionColumns": [], "configuration": {}}},
+        {"sidecar": {"path": side_name, "sizeInBytes": 1,
+                     "modificationTime": 1}},
+    ]
+    with open(os.path.join(log, manifest), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 3, "sizeInBytes": 1}, fh)
+    got = delta_read(spark, t)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 11, 12]
+    # a JSON commit past the checkpoint tails normally
+    pq.write_table(
+        pa.table({"id": pa.array([99], pa.int64())}),
+        os.path.join(t, "part-cc.parquet"),
+    )
+    _claim_version(
+        log, 4,
+        json.dumps({"add": {"path": "part-cc.parquet", "partitionValues": {},
+                            "size": 1, "modificationTime": 2,
+                            "dataChange": True}}) + "\n",
+    )
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == [
+        1, 2, 11, 12, 99,
+    ]
+    # writes refused by the v2Checkpoint writer feature
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        delta_write(spark.createDataFrame([(5,)], "id bigint"), t)
+
+
+def test_v2_checkpoint_parquet_manifest_inline_adds(spark, tmp_path):
+    """V2 checkpoint whose PARQUET manifest carries the file actions
+    INLINE (no sidecars) — the protocol's other allowed layout."""
+    import uuid as _uuid
+
+    t = str(tmp_path / "v2cpi")
+    log = os.path.join(t, "_delta_log")
+    os.makedirs(log)
+    pq.write_table(
+        pa.table({"id": pa.array([7, 8], pa.int64())}),
+        os.path.join(t, "part-xx.parquet"),
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", pa.map_(pa.string(), pa.string()))])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    cpm_t = pa.struct([("version", pa.int64())])
+    schema_str = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    rows = pa.table(
+        {
+            "checkpointMetadata": pa.array([{"version": 0}, None, None, None], cpm_t),
+            "protocol": pa.array(
+                [None,
+                 {"minReaderVersion": 3, "minWriterVersion": 7,
+                  "readerFeatures": ["v2Checkpoint"],
+                  "writerFeatures": ["v2Checkpoint"]},
+                 None, None], proto_t),
+            "metaData": pa.array(
+                [None, None,
+                 {"id": "x", "format": {"provider": "parquet", "options": []},
+                  "schemaString": schema_str, "partitionColumns": [],
+                  "configuration": []},
+                 None], meta_t),
+            "add": pa.array(
+                [None, None, None,
+                 {"path": "part-xx.parquet", "partitionValues": [], "size": 1,
+                  "modificationTime": 1, "dataChange": True}], add_t),
+        }
+    )
+    pq.write_table(rows, os.path.join(log, f"{0:020d}.checkpoint.{_uuid.uuid4()}.parquet"))
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == [7, 8]

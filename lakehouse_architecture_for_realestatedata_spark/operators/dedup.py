@@ -435,8 +435,10 @@ def minhash_lsh_pairs_md5(
     empty-text min-digest shared by 10⁶ docs is ONE key worth 10¹²
     candidate pairs — noise, not signal, and the cap bounds both task
     memory and the quadratic blowup. Pairs form only inside surviving
-    buckets, never a cross join; the fingerprint subtree is evaluated
-    ONCE (collect + in-array combos, not a bucket self-join).
+    buckets, never a cross join — the capped member sets explode into a
+    slim (band, bucket, id) frame (cost Σ|bucket|, post-aggregation) and
+    self-join there, so a cap-sized bucket's ~n²/2 pairs spread across
+    tasks instead of flattening into one gigabyte-scale array row.
     Verification joins each candidate pair's shingles through an
     (id, shingle) equi-join, so its cost tracks Σ|shingles(a)| over
     candidate pairs, not corpus². Python never runs —
@@ -464,21 +466,20 @@ def minhash_lsh_pairs_md5(
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids").between(2, max_bucket))
     )
-    n = F.size("__ids")
-    combos = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(F.col("__ids"), i + 1, n - i),
-                lambda j: F.struct(
-                    F.element_at(F.col("__ids"), i).alias("id_a"), j.alias("id_b")
-                ),
-            ),
-        )
-    )
+    # pair INSIDE surviving buckets via a slim exploded self-join — never
+    # an in-array cross product (a cap-sized bucket would flatten ~n²/2
+    # structs into ONE row, gigabytes in a single array; the join spreads
+    # the same pair volume across tasks). The exploded frame is
+    # post-aggregation, so its cost is Σ|bucket|, tiny next to the corpus.
+    exm = members.select("band", "bucket", F.explode("__ids").alias("__id"))
     cand = (
-        members.select(F.explode(combos).alias("__p"))
-        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+        exm.select("band", "bucket", F.col("__id").alias("id_a"))
+        .join(
+            exm.select("band", "bucket", F.col("__id").alias("id_b")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
     ex = staged.select(F.col(id_col), F.explode("__sh").alias("__s"))
@@ -538,9 +539,9 @@ def simhash_pairs_md5(
     (band, slice) bucket larger than ``max_bucket`` is dropped BEFORE
     pairing — the fast path's degenerate-bucket cap (empty/boilerplate
     docs share a fingerprint slice; 10⁶ of them in one bucket is 10¹²
-    pair rows of noise) — then pairs form in-array from the sorted
-    member set, so the fingerprint aggregate is evaluated once, not
-    twice. All built-ins, no Python."""
+    pair rows of noise) — then the capped member sets explode into a
+    slim frame and self-join, spreading pair volume across tasks. All
+    built-ins, no Python."""
     if n_bits % bands:
         raise ValueError("bands must divide n_bits")
     if max_hamming >= bands:
@@ -602,26 +603,28 @@ def simhash_pairs_md5(
         )
         .filter(F.size("__m").between(2, max_bucket))
     )
-    n = F.size("__m")
-    combos = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(F.col("__m"), i + 1, n - i),
-                lambda j: F.struct(
-                    F.element_at(F.col("__m"), i).alias("a"), j.alias("b")
-                ),
-            ),
-        )
-    )
+    # pair INSIDE surviving buckets via a slim exploded self-join — never
+    # an in-array cross product (a cap-sized bucket would flatten ~n²/2
+    # structs into ONE row; the join spreads the same pair volume across
+    # tasks). Exploding post-aggregation keeps cost at Σ|bucket|.
+    exm = members.select("g", "bk", F.explode("__m").alias("__e"))
     return (
-        members.select(F.explode(combos).alias("__p"))
+        exm.select(
+            "g", "bk",
+            F.col("__e.i").alias("id_a"), F.col("__e.f").alias("__fa"),
+        )
+        .join(
+            exm.select(
+                "g", "bk",
+                F.col("__e.i").alias("id_b"), F.col("__e.f").alias("__fb"),
+            ),
+            ["g", "bk"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            F.col("__p.a.i").alias("id_a"),
-            F.col("__p.b.i").alias("id_b"),
-            F.bit_count(
-                F.col("__p.a.f").bitwiseXOR(F.col("__p.b.f"))
-            ).alias("hamming"),
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -466,6 +466,10 @@ def minhash_lsh_pairs_md5(
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids").between(2, max_bucket))
     )
+    # NO lineage truncation here: AQE reuses the identical shuffle stage
+    # across the self-join's branches at runtime (measured 6.4 s vs 15.1 s
+    # with an eager localCheckpoint at sf0.1 — materialization costs more
+    # than the reuse saves)
     # pair INSIDE surviving buckets via a slim exploded self-join — never
     # an in-array cross product (a cap-sized bucket would flatten ~n²/2
     # structs into ONE row, gigabytes in a single array; the join spreads

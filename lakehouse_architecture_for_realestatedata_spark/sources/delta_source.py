@@ -52,8 +52,6 @@ from __future__ import annotations
 import os
 import uuid
 from dataclasses import dataclass, field
-from typing import Any, Iterator
-
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
@@ -84,7 +82,6 @@ from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
     _replay,
     _strip_metadata,
     _table_constraints,
-    _version_of,
     _write_checkpoint,
     _writer_gate,
     version_at_timestamp,

@@ -120,6 +120,9 @@ HEADLINE = [
     "thrift_front_door_revenue",
     "delta_colmap_merge_roundtrip",
     "delta_deletion_vector_read",
+    # DV-WRITING delete: mark rows in per-file roaring bitmaps instead of
+    # rewriting files — O(matched rows); the flagship delete economics
+    "delta_dv_delete_roundtrip",
 ]
 
 

@@ -953,3 +953,61 @@ def q_delta_native_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event"),
         F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "delta_dv_delete_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           cast(cast(o_totalprice AS decimal(30,2)) AS double) AS price
+    FROM orders
+    WHERE o_orderkey <= 1500
+      AND NOT (o_orderstatus = 'F' AND o_orderkey <= 700)
+      AND NOT (o_totalprice > 350000)
+    """,
+    doc="DV-WRITING DELETE end to end (sources/delta_lite.py "
+    "delta_enable_dvs + _delete_with_dvs — delta-spark 3.x DELETE "
+    "semantics): orders land in a Delta table, deletion vectors are "
+    "enabled (reader 3 / writer 7 feature upgrade), then two predicate "
+    "deletes mark rows in per-file roaring bitmaps — the parquet bytes "
+    "are never rewritten, each commit re-adds the same files with "
+    "CRC-checked DV descriptors, the second delete UNIONS with the "
+    "first, and the read applies the bitmaps by parquet row index. "
+    "Cost O(matched rows), not O(touched bytes): a 10-row erasure on a "
+    "1 GB file writes ~50 bytes. The oracle is the double-negated "
+    "predicate over the source parquet.",
+)
+def q_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+        delta_enable_dvs,
+        delta_read,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1500).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_dvdel_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_dvdel"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    delta_write(orders, path)
+    delta_enable_dvs(spark, path)
+    delta_delete_where(
+        spark, path, ("o_orderstatus", "=", "F"), ("o_orderkey", "<=", 700)
+    )
+    delta_delete_where(spark, path, ("price", ">", 350000.0))
+    got = delta_read(spark, path)
+    return got.select(
+        "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
+    )

@@ -15,6 +15,7 @@ from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
     delta_delete_where,
     delta_drop_constraint,
     delta_enable_cdf,
+    delta_enable_dvs,
     delta_enable_ict,
     delta_history,
     delta_matching_files,
@@ -50,6 +51,7 @@ __all__ = [
     "delta_delete_where",
     "delta_drop_constraint",
     "delta_enable_cdf",
+    "delta_enable_dvs",
     "delta_enable_ict",
     "delta_history",
     "delta_matching_files",

@@ -36,8 +36,11 @@ Protocol subset (explicitly checked, honestly refused otherwise):
     physical names). Deletion vectors (reader protocol 3) are applied on
     read: each DV'd file scans with its parquet row index and drops the
     rows its CRC-checked roaring bitmap marks deleted (storage types
-    ``u``/``p``/inline ``i``); DV WRITES are not implemented, so the
-    writer-feature gate refuses writes to such tables. V2 checkpoints
+    ``u``/``p``/inline ``i``), and DELETE WRITES them when the table
+    enables ``delta.enableDeletionVectors`` (``delta_enable_dvs``) —
+    matched rows are marked in per-file bitmaps, O(matched rows), no
+    data rewrite; MERGE/UPDATE on DV tables read through the bitmaps
+    and materialize survivors. V2 checkpoints
     (UUID-named manifests + ``_sidecars/``) replay like classic ones;
     writes to v2Checkpoint tables are refused (this writer emits classic
     checkpoints only). In-commit timestamps are written monotonically
@@ -127,6 +130,10 @@ SUPPORTED_WRITER_FEATURES = {
     # TIMESTAMP_NTZ natively
     "vacuumProtocolCheck",
     "timestampNtz",
+    # DELETE writes per-file DVs when the table enables them; every other
+    # path reads through DVs and rewrites materialized survivors, which
+    # is protocol-legal on DV tables
+    "deletionVectors",
     # admitted because _writer_gate refuses BY SCHEMA INSPECTION any table
     # whose schema actually declares generated/identity columns — a table
     # merely LISTING the feature (protocol upgrades carry legacy-implied
@@ -135,6 +142,9 @@ SUPPORTED_WRITER_FEATURES = {
     "identityColumns",
 }
 
+#: Reader features implied by each legacy minReaderVersion (a v3 bump
+#: must list them).
+_LEGACY_READER_FEATURES = {2: ("columnMapping",)}
 #: Writer features implied by each legacy minWriterVersion, per the
 #: protocol's table-features upgrade rule (a v7 bump must list them).
 _LEGACY_WRITER_FEATURES = {
@@ -1584,6 +1594,9 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
                 # per-file skipping stats survive checkpointing — a reader
                 # replaying from the checkpoint alone keeps pruning
                 "stats": add.get("stats"),
+                # deletion vectors MUST survive checkpointing, or log
+                # cleanup would silently resurrect DV-deleted rows
+                "deletionVector": add.get("deletionVector"),
             }
         }
         for add in snap.files.values()
@@ -1617,7 +1630,9 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         "partitionColumns:array<string>,configuration:map<string,string>>, "
         "add struct<path:string,partitionValues:map<string,string>,"
         "size:bigint,modificationTime:bigint,dataChange:boolean,"
-        "stats:string>, "
+        "stats:string,deletionVector:struct<storageType:string,"
+        "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
+        "cardinality:bigint>>, "
         "remove struct<path:string,deletionTimestamp:bigint,"
         "dataChange:boolean>, "
         "txn struct<appId:string,version:bigint>"
@@ -2297,14 +2312,164 @@ def delta_merge(
     )
 
 
+def _scan_with_rowpos(
+    spark: SparkSession, path: str, snap: _Snapshot, files: dict[str, dict]
+) -> DataFrame:
+    """Logical-named scan of exactly ``files`` carrying ``__fb`` (file
+    basename) and ``__ri`` (parquet row index), with any EXISTING deletion
+    vectors already applied — the row-addressing scan DV writes build on.
+    One scan relation for all files, like the DV read path."""
+    phys = snap.physical_schema
+    phys_parts = snap.physical_partition_columns
+    data_schema = StructType([f for f in phys.fields if f.name not in phys_parts])
+    base_of = {p: p.rsplit("/", 1)[-1] for p in files}
+    flist = [os.path.join(path, p) for p in sorted(files)]
+    df = spark.read.schema(data_schema).parquet(*flist).select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "__fb"
+        ),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    old_pairs = [
+        (base_of[p], int(i))
+        for p, a in sorted(files.items())
+        if a.get("deletionVector")
+        for i in _load_deletion_vector(path, a["deletionVector"])
+    ]
+    if old_pairs:
+        dv_df = spark.createDataFrame(old_pairs, "__fb string, __ri bigint")
+        df = df.join(F.broadcast(dv_df), ["__fb", "__ri"], "left_anti")
+    types = {f.name: f.dataType for f in phys.fields}
+    for c in phys_parts:
+        mapping = F.create_map(
+            *[
+                x
+                for p, a in sorted(files.items())
+                for x in (
+                    F.lit(base_of[p]),
+                    F.lit((a.get("partitionValues") or {}).get(c)),
+                )
+            ]
+        )
+        df = df.withColumn(c, mapping[F.col("__fb")].cast(types[c]))
+    logical = _strip_metadata(snap.schema)
+    if snap.column_mapping != "none":
+        cols = [
+            F.col(pf.name).cast(lf.dataType).alias(lf.name)
+            for pf, lf in zip(phys.fields, logical.fields)
+        ]
+    else:
+        cols = [F.col(f.name) for f in phys.fields]
+    return df.select(*cols, "__fb", "__ri")
+
+
+def _delete_with_dvs(
+    spark: SparkSession,
+    path: str,
+    latest: int,
+    snap: _Snapshot,
+    touched: list[str],
+    conds: list[tuple],
+) -> int:
+    """DELETE as deletion vectors: matched rows are marked deleted in a
+    per-file roaring bitmap instead of rewriting the files — cost
+    O(matched rows), not O(bytes in touched files). A 10-row GDPR erasure
+    on a 1 GB file writes a ~50-byte DV, never the gigabyte. Existing DVs
+    union with the new marks (DVs are absolute per file version). CDF
+    still gets precise row-level deletes."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
+        ParquetTable,
+    )
+
+    files = {p: snap.files[p] for p in touched}
+    scan = _scan_with_rowpos(spark, path, snap, files)
+    cond = ParquetTable._conds_filter(list(conds))
+    matched = scan.filter(cond)
+    pairs = matched.select("__fb", "__ri").collect()
+    if not pairs:
+        return latest  # stats admitted the files, but no row matches
+    by_file: dict[str, list[int]] = {}
+    for r in pairs:
+        by_file.setdefault(r["__fb"], []).append(int(r["__ri"]))
+    fb_to_rel = {p.rsplit("/", 1)[-1]: p for p in files}
+    cdcs = (
+        _write_cdc_files(
+            _to_physical_frame(
+                matched.drop("__fb", "__ri").withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                snap.column_mapping,
+                snap.schema,
+            ),
+            path,
+        )
+        if _cdf_enabled(snap)
+        else []
+    )
+    now = int(time.time() * 1000)
+    ci: dict[str, Any] = {
+        "timestamp": now,
+        "operation": "DELETE",
+        "operationParameters": {
+            "predicate": " AND ".join(f"{c} {o} {v!r}" for c, o, v in conds)
+        },
+        "engineInfo": "delta-lite",
+    }
+    ict = _ict_for_commit(path, snap.configuration, latest, now)
+    if ict is not None:
+        ci["inCommitTimestamp"] = ict
+    actions: list[dict] = [{"commitInfo": ci}]
+    for fb in sorted(by_file):
+        rel = fb_to_rel[fb]
+        add = snap.files[rel]
+        old = (
+            _load_deletion_vector(path, add["deletionVector"])
+            if add.get("deletionVector")
+            else []
+        )
+        union = sorted(set(old) | set(by_file[fb]))
+        desc = _write_dv_file(path, union)
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                    "partitionValues": add.get("partitionValues", {}),
+                }
+            }
+        )
+        actions.append(
+            {
+                "add": add
+                | {
+                    "deletionVector": desc,
+                    "modificationTime": now,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions += [{"cdc": c} for c in cdcs]
+    payload = (
+        "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    )
+    version = latest + 1
+    _claim_version(_log_dir(path), version, payload)
+    return version
+
+
 def delta_delete_where(spark: SparkSession, path: str, *conds: tuple) -> int:
     """Delta DELETE with file pruning: ``(col, op, value)`` conditions
     (AND-combined, the ``delta_read(where=...)`` grammar) name the rows to
     delete; files whose stats/partitionValues prove them match-free are
     carried by reference, and only files that MAY hold a matching row are
-    read, filtered to survivors, and rewritten. A retention delete on a
-    date-clustered table costs O(expired slice), not O(table). Returns
-    the committed version (unchanged when nothing can match)."""
+    touched. When the table enables ``delta.enableDeletionVectors``
+    (``delta_enable_dvs``), matched rows are MARKED deleted in per-file
+    roaring bitmaps — O(matched rows), no data rewrite, delta-spark 3.x
+    semantics; otherwise touched files are read, filtered to survivors,
+    and rewritten — O(expired slice), not O(table). Returns the committed
+    version (unchanged when nothing can match)."""
     if not conds:
         raise ValueError("delta_delete_where needs at least one condition")
     from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
@@ -2316,6 +2481,13 @@ def delta_delete_where(spark: SparkSession, path: str, *conds: tuple) -> int:
     touched = sorted(_pruned_files(snap, list(conds)))
     if not touched:
         return latest  # stats prove no row matches: nothing to do
+    if (snap.configuration or {}).get(
+        "delta.enableDeletionVectors", ""
+    ).lower() == "true" and len(
+        {p.rsplit("/", 1)[-1] for p in touched}
+    ) == len(touched):
+        _writer_gate(snap, path, removes_data=True, op="DELETE")
+        return _delete_with_dvs(spark, path, latest, snap, touched, list(conds))
     scan = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
     cond = ParquetTable._conds_filter(list(conds))
     survivors = scan.filter(~cond)
@@ -2541,6 +2713,47 @@ def delta_enable_ict(spark: SparkSession, path: str) -> int:
         op="SET TBLPROPERTIES",
         params={"delta.enableInCommitTimestamps": "true"},
         protocol=new_proto,
+    )
+
+
+def delta_enable_dvs(spark: SparkSession, path: str) -> int:
+    """SET TBLPROPERTIES delta.enableDeletionVectors=true with the
+    table-features protocol upgrade the feature demands: reader 3 +
+    writer 7, both listing ``deletionVectors`` plus the features the
+    table's legacy versions implied. From this commit on,
+    ``delta_delete_where`` marks rows in per-file roaring bitmaps
+    instead of rewriting files — delta-spark 3.x DELETE semantics."""
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES")
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    mr = proto.get("minReaderVersion", 1)
+    mw = proto.get("minWriterVersion", 2)
+    rfeats = set(proto.get("readerFeatures") or [])
+    if mr < 3:
+        for v in range(2, mr + 1):
+            rfeats.update(_LEGACY_READER_FEATURES.get(v, ()))
+    rfeats.add("deletionVectors")
+    wfeats = set(proto.get("writerFeatures") or [])
+    if mw < 7:
+        for v in range(2, mw + 1):
+            wfeats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
+    wfeats.add("deletionVectors")
+    conf = dict(snap.configuration or {})
+    conf["delta.enableDeletionVectors"] = "true"
+    return _commit_metadata_change(
+        path,
+        snap,
+        latest,
+        conf,
+        op="SET TBLPROPERTIES",
+        params={"delta.enableDeletionVectors": "true"},
+        protocol={
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeats),
+            "writerFeatures": sorted(wfeats),
+        },
     )
 
 

@@ -1779,11 +1779,16 @@ def test_deletion_vector_read_roundtrip(spark, tmp_path):
     )
     # time travel to v1 re-applies the OLD DV
     assert delta_read(spark, t, version=1).count() == 7
-    # the writer-feature gate refuses writes (read-side-only support)
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
-        delta_merge(
-            spark.createDataFrame([(1, 1)], "id bigint, v bigint"), t, key="id"
-        )
+    # writes are ALLOWED on DV tables (r10): a MERGE reads THROUGH the DV
+    # (deleted rows are not matchable) and materializes survivors
+    delta_merge(
+        spark.createDataFrame([(1, -1), (42, -42)], "id bigint, v bigint"),
+        t,
+        key="id",
+    )
+    got = {r["id"]: r["v"] for r in delta_read(spark, t).collect()}
+    assert 0 not in got and 9 not in got      # v2 DV deletions stay deleted
+    assert got[1] == -1 and got[42] == -42    # update + insert landed
 
 
 def test_deletion_vectors_multi_file_partitioned_single_scan(spark, tmp_path):
@@ -2029,3 +2034,75 @@ def test_v2_checkpoint_parquet_manifest_inline_adds(spark, tmp_path):
     )
     pq.write_table(rows, os.path.join(log, f"{0:020d}.checkpoint.{_uuid.uuid4()}.parquet"))
     assert sorted(r["id"] for r in delta_read(spark, t).collect()) == [7, 8]
+
+
+def test_dv_writing_delete_marks_rows_without_rewrite(spark, tmp_path):
+    """DV-writing DELETE (delta-spark 3.x semantics): with
+    delta.enableDeletionVectors set, delta_delete_where marks matched rows
+    in per-file roaring bitmaps — the data files' bytes are untouched, the
+    add re-commits with a DV descriptor, a second delete UNIONS with the
+    first, CDF gets precise row-level deletes, a checkpoint carries the
+    DVs (log cleanup must not resurrect), and time travel still sees the
+    pre-delete rows."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+        _write_checkpoint,
+        delta_delete_where,
+        delta_enable_cdf,
+        delta_enable_dvs,
+        delta_read_changes,
+    )
+
+    t = str(tmp_path / "dvw")
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 3 else "purge", float(i)) for i in range(30)],
+        "id bigint, tag string, v double",
+    ).coalesce(1)
+    delta_write(df, t)  # one data file
+    v_dv = delta_enable_dvs(spark, t)
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{v_dv:020d}.json"))
+    ]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    delta_enable_cdf(spark, t)
+    before = {
+        p: os.path.getmtime(os.path.join(t, p)) for p in _replay(t, None).files
+    }
+    v_d1 = delta_delete_where(spark, t, ("tag", "=", "purge"))
+    snap = _replay(t, None)
+    # same data file path, bytes untouched, DV descriptor attached
+    assert set(snap.files) == set(before)
+    for p, add in snap.files.items():
+        assert os.path.getmtime(os.path.join(t, p)) == before[p]
+        dv = add["deletionVector"]
+        assert dv["storageType"] == "u" and dv["cardinality"] == 10
+    got = delta_read(spark, t)
+    assert got.count() == 20 and got.filter("tag = 'purge'").count() == 0
+    # CDF: precise row-level deletes
+    ch = delta_read_changes(spark, t, v_d1, v_d1)
+    assert ch.count() == 10
+    assert set(r["_change_type"] for r in ch.collect()) == {"delete"}
+    # second delete UNIONS into a fresh DV
+    v_d2 = delta_delete_where(spark, t, ("id", "<", 5))
+    got2 = delta_read(spark, t)
+    # ids 0,3 were already purge-deleted; 1,2,4 newly marked
+    assert sorted(r["id"] for r in got2.collect()) == sorted(
+        i for i in range(5, 30) if i % 3
+    )
+    dv2 = next(iter(_replay(t, None).files.values()))["deletionVector"]
+    assert dv2["cardinality"] == 13
+    # a checkpoint carries the DV — replay THROUGH it keeps the deletions
+    v_cp = delta_write(spark.createDataFrame([(100, "keep", 1.0)],
+                                             "id bigint, tag string, v double"), t)
+    _write_checkpoint(spark, t, v_cp)
+    snap_cp = _replay(t, None)
+    assert any(a.get("deletionVector") for a in snap_cp.files.values())
+    assert delta_read(spark, t).count() == 18
+    # time travel to the pre-delete version sees everything
+    assert delta_read(spark, t, version=v_dv).count() == 30
+    # stats-pruned read applies the DV
+    assert delta_read(spark, t, where=[("id", "<", 3)]).count() == 0

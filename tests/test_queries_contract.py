@@ -216,6 +216,7 @@ def test_driver_window_fully_oracle_backed():
         # already in the r10 window keep the storage family covered):
         "delta_deletion_vector_read",
         "delta_native_front_door",
+        "delta_dv_delete_roundtrip",
         # r9 rotation swap-outs (driver-green in r8; family twin in-window):
         "resample_locf_daily",
         "heavy_hitters_users",

@@ -1435,6 +1435,95 @@ def delta_versions(path: str) -> list[int]:
     ) if os.path.isdir(log) else []
 
 
+def delta_restore(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — delta-spark parity: make the
+    table's CURRENT state equal version ``version`` again, as a NEW
+    commit (history is preserved; a bad write is undone by restoring,
+    never by rewriting the log). Metadata-only when the target version's
+    bytes are still on disk: files active at ``version`` but not now are
+    RE-ADDED by reference, files active now but not then are removed,
+    and the target's metaData (schema + configuration) rides the same
+    commit when it differs. Files whose bytes were vacuumed make the
+    restore impossible — refused with the missing paths named."""
+    latest = _latest_version(path)
+    if version == latest:
+        return latest
+    target = _replay(path, version)
+    snap = _replay(path, latest)
+    _writer_gate(snap, path, removes_data=True, op="RESTORE")
+    missing = [
+        p2
+        for p2 in target.files
+        if p2 not in snap.files and not os.path.isfile(os.path.join(path, p2))
+    ]
+    if missing:
+        raise ValueError(
+            f"{path}: cannot restore to version {version} — data files "
+            f"were vacuumed ({missing[:3]}...)"
+        )
+    now = int(time.time() * 1000)
+    ci: dict[str, Any] = {
+        "timestamp": now,
+        "operation": "RESTORE",
+        "operationParameters": {"version": version},
+        "engineInfo": "delta-lite",
+    }
+    ict = _ict_for_commit(path, snap.configuration, latest, now)
+    if ict is not None:
+        ci["inCommitTimestamp"] = ict
+    actions: list[dict] = [{"commitInfo": ci}]
+    if target.schema.json() != snap.schema.json() or (
+        target.configuration or {}
+    ) != (snap.configuration or {}):
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": target.schema.json(),
+                    "partitionColumns": target.partition_columns,
+                    "configuration": target.configuration,
+                }
+            }
+        )
+    for p2, add_action in sorted(snap.files.items()):
+        t_add = target.files.get(p2)
+        if t_add is None:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p2,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": add_action.get("partitionValues", {}),
+                    }
+                }
+            )
+        elif t_add.get("deletionVector") != add_action.get("deletionVector"):
+            # same file, different (or no) DV at the target version: the
+            # restored state must carry the TARGET's bitmap
+            actions.append(
+                {
+                    "remove": {
+                        "path": p2,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": add_action.get("partitionValues", {}),
+                    }
+                }
+            )
+            actions.append({"add": t_add | {"dataChange": True}})
+    for p2, t_add in sorted(target.files.items()):
+        if p2 not in snap.files:
+            actions.append({"add": t_add | {"dataChange": True}})
+    payload = (
+        "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    )
+    new_version = latest + 1
+    _claim_version(_log_dir(path), new_version, payload)
+    return new_version
+
+
 def delta_history(path: str) -> list[dict]:
     """(version, timestamp, operation, operationParameters) per commit —
     the DESCRIBE HISTORY analogue, from commitInfo actions."""

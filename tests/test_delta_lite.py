@@ -2106,3 +2106,55 @@ def test_dv_writing_delete_marks_rows_without_rewrite(spark, tmp_path):
     assert delta_read(spark, t, version=v_dv).count() == 30
     # stats-pruned read applies the DV
     assert delta_read(spark, t, where=[("id", "<", 3)]).count() == 0
+
+
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE TO VERSION AS OF (delta-spark parity): a new commit makes
+    the current state equal the target version — removed files re-added
+    by reference (metadata-only, no data rewrite), later files removed,
+    the target's schema/configuration restored — while history (and time
+    travel to the undone versions) is preserved. DV state restores too,
+    and a vacuumed target refuses with the missing paths named."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+        delta_delete_where,
+        delta_enable_dvs,
+        delta_merge,
+        delta_restore,
+    )
+
+    t = str(tmp_path / "restore")
+    delta_write(spark.range(0, 10).select("id"), t)                      # v0
+    delta_write(spark.range(10, 15).select("id"), t)                     # v1
+    v2 = delta_merge(
+        spark.createDataFrame([(0,), (99,)], "id bigint"), t, key="id"
+    )                                                                     # v2
+    assert delta_read(spark, t).count() == 16
+    # restore to v1: merge undone, both appends back
+    v3 = delta_restore(spark, t, 1)
+    assert v3 == v2 + 1
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == list(
+        range(15)
+    )
+    # history preserved: the undone merge is still time-travelable
+    assert delta_read(spark, t, version=v2).count() == 16
+    # restore is itself undoable (restore to v2 brings the merge back)
+    delta_restore(spark, t, v2)
+    assert delta_read(spark, t).count() == 16
+    # DV state restores: enable DVs, delete, then restore past the delete
+    v_dv = delta_enable_dvs(spark, t)
+    v_del = delta_delete_where(spark, t, ("id", "<", 3))
+    assert delta_read(spark, t).count() == 13  # {0,1,2} marked deleted
+    delta_restore(spark, t, v_dv)
+    assert delta_read(spark, t).count() == 16  # pre-delete rows back
+    snap = _replay(t, None)
+    assert not any(a.get("deletionVector") for a in snap.files.values())
+    # a target whose bytes are GONE refuses by name (delta_vacuum itself
+    # never deletes log-retained versions, so simulate external cleanup)
+    delta_restore(spark, t, v_del)  # put the DV state back as current
+    assert delta_read(spark, t).count() == 13
+    delta_write(spark.range(200, 201).select("id"), t, mode="overwrite")
+    for p2 in _replay(t, 0).files:
+        os.unlink(os.path.join(t, p2))
+    with pytest.raises(ValueError, match="vacuumed"):
+        delta_restore(spark, t, 0)

@@ -36,11 +36,13 @@ Protocol subset (explicitly checked, honestly refused otherwise):
     physical names). Deletion vectors (reader protocol 3) are applied on
     read: each DV'd file scans with its parquet row index and drops the
     rows its CRC-checked roaring bitmap marks deleted (storage types
-    ``u``/``p``/inline ``i``), and DELETE WRITES them when the table
-    enables ``delta.enableDeletionVectors`` (``delta_enable_dvs``) —
-    matched rows are marked in per-file bitmaps, O(matched rows), no
-    data rewrite; MERGE/UPDATE on DV tables read through the bitmaps
-    and materialize survivors. V2 checkpoints
+    ``u``/``p``/inline ``i``), and DELETE/UPDATE/MERGE WRITE them when
+    the table enables ``delta.enableDeletionVectors``
+    (``delta_enable_dvs``) — matched rows are marked in per-file bitmaps
+    and updated/merged images append as new files, O(matched rows),
+    never a rewrite of carried rows; on DV tables without the property
+    the rewrite paths still read through the bitmaps and materialize
+    survivors. V2 checkpoints
     (UUID-named manifests + ``_sidecars/``) replay like classic ones;
     writes to v2Checkpoint tables are refused (this writer emits classic
     checkpoints only). In-commit timestamps are written monotonically
@@ -2319,6 +2321,11 @@ def delta_merge(
         return 0
     snap = _replay(path, latest)
     touched = _files_overlapping_keys(snap, keys, source)
+    if _dv_write_path_ok(snap, touched):
+        _writer_gate(snap, path, removes_data=True, op="MERGE")
+        return _merge_with_dvs(
+            spark, path, latest, snap, touched, source, keys, when_matched
+        )
     target = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
     changes = None
     if when_matched == "update_all":
@@ -2453,62 +2460,14 @@ def _scan_with_rowpos(
     return df.select(*cols, "__fb", "__ri")
 
 
-def _delete_with_dvs(
-    spark: SparkSession,
-    path: str,
-    latest: int,
-    snap: _Snapshot,
-    touched: list[str],
-    conds: list[tuple],
-) -> int:
-    """DELETE as deletion vectors: matched rows are marked deleted in a
-    per-file roaring bitmap instead of rewriting the files — cost
-    O(matched rows), not O(bytes in touched files). A 10-row GDPR erasure
-    on a 1 GB file writes a ~50-byte DV, never the gigabyte. Existing DVs
-    union with the new marks (DVs are absolute per file version). CDF
-    still gets precise row-level deletes."""
-    from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
-        ParquetTable,
-    )
-
-    files = {p: snap.files[p] for p in touched}
-    scan = _scan_with_rowpos(spark, path, snap, files)
-    cond = ParquetTable._conds_filter(list(conds))
-    matched = scan.filter(cond)
-    pairs = matched.select("__fb", "__ri").collect()
-    if not pairs:
-        return latest  # stats admitted the files, but no row matches
-    by_file: dict[str, list[int]] = {}
-    for r in pairs:
-        by_file.setdefault(r["__fb"], []).append(int(r["__ri"]))
-    fb_to_rel = {p.rsplit("/", 1)[-1]: p for p in files}
-    cdcs = (
-        _write_cdc_files(
-            _to_physical_frame(
-                matched.drop("__fb", "__ri").withColumn(
-                    "_change_type", F.lit("delete")
-                ),
-                snap.column_mapping,
-                snap.schema,
-            ),
-            path,
-        )
-        if _cdf_enabled(snap)
-        else []
-    )
-    now = int(time.time() * 1000)
-    ci: dict[str, Any] = {
-        "timestamp": now,
-        "operation": "DELETE",
-        "operationParameters": {
-            "predicate": " AND ".join(f"{c} {o} {v!r}" for c, o, v in conds)
-        },
-        "engineInfo": "delta-lite",
-    }
-    ict = _ict_for_commit(path, snap.configuration, latest, now)
-    if ict is not None:
-        ci["inCommitTimestamp"] = ict
-    actions: list[dict] = [{"commitInfo": ci}]
+def _dv_mark_actions(
+    path: str, snap: _Snapshot, by_file: dict[str, list[int]], now: int
+) -> list[dict]:
+    """remove+add action pairs marking ``by_file`` (basename → row
+    indexes) deleted via fresh per-file deletion vectors, UNIONED with
+    each file's existing DV (DVs are absolute per file version)."""
+    fb_to_rel = {p.rsplit("/", 1)[-1]: p for p in snap.files}
+    actions: list[dict] = []
     for fb in sorted(by_file):
         rel = fb_to_rel[fb]
         add = snap.files[rel]
@@ -2539,6 +2498,295 @@ def _delete_with_dvs(
                 }
             }
         )
+    return actions
+
+
+def _dv_write_path_ok(snap: _Snapshot, touched: list[str]) -> bool:
+    """True when the table asks for DV writes AND the touched files'
+    basenames are unique (the row-addressing scan keys on basenames; a
+    colliding foreign layout falls back to the rewrite path)."""
+    return (snap.configuration or {}).get(
+        "delta.enableDeletionVectors", ""
+    ).lower() == "true" and len(
+        {p.rsplit("/", 1)[-1] for p in touched}
+    ) == len(touched)
+
+
+def _delete_with_dvs(
+    spark: SparkSession,
+    path: str,
+    latest: int,
+    snap: _Snapshot,
+    touched: list[str],
+    conds: list[tuple],
+) -> int:
+    """DELETE as deletion vectors: matched rows are marked deleted in a
+    per-file roaring bitmap instead of rewriting the files — cost
+    O(matched rows), not O(bytes in touched files). A 10-row GDPR erasure
+    on a 1 GB file writes a ~50-byte DV, never the gigabyte. Existing DVs
+    union with the new marks (DVs are absolute per file version). CDF
+    still gets precise row-level deletes."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
+        ParquetTable,
+    )
+
+    files = {p: snap.files[p] for p in touched}
+    scan = _scan_with_rowpos(spark, path, snap, files)
+    cond = ParquetTable._conds_filter(list(conds))
+    matched = scan.filter(cond)
+    pairs = matched.select("__fb", "__ri").collect()
+    if not pairs:
+        return latest  # stats admitted the files, but no row matches
+    by_file: dict[str, list[int]] = {}
+    for r in pairs:
+        by_file.setdefault(r["__fb"], []).append(int(r["__ri"]))
+    cdcs = (
+        _write_cdc_files(
+            _to_physical_frame(
+                matched.drop("__fb", "__ri").withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                snap.column_mapping,
+                snap.schema,
+            ),
+            path,
+        )
+        if _cdf_enabled(snap)
+        else []
+    )
+    now = int(time.time() * 1000)
+    ci: dict[str, Any] = {
+        "timestamp": now,
+        "operation": "DELETE",
+        "operationParameters": {
+            "predicate": " AND ".join(f"{c} {o} {v!r}" for c, o, v in conds)
+        },
+        "engineInfo": "delta-lite",
+    }
+    ict = _ict_for_commit(path, snap.configuration, latest, now)
+    if ict is not None:
+        ci["inCommitTimestamp"] = ict
+    actions: list[dict] = [{"commitInfo": ci}]
+    actions += _dv_mark_actions(path, snap, by_file, now)
+    actions += [{"cdc": c} for c in cdcs]
+    payload = (
+        "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    )
+    version = latest + 1
+    _claim_version(_log_dir(path), version, payload)
+    return version
+
+
+def _update_with_dvs(
+    spark: SparkSession,
+    path: str,
+    latest: int,
+    snap: _Snapshot,
+    touched: list[str],
+    assignments: dict[str, Any],
+    conds: list[tuple],
+) -> int:
+    """UPDATE as deletion vectors + append (delta-spark 3.x shape): the
+    matched rows' old positions are marked deleted in per-file bitmaps
+    and ONE new file holds their updated images — cost O(matched rows),
+    never a rewrite of the touched files' unmatched rows."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
+        ParquetTable,
+    )
+
+    files = {p: snap.files[p] for p in touched}
+    scan = _scan_with_rowpos(spark, path, snap, files)
+    cond = ParquetTable._conds_filter(list(conds))
+    matched = scan.filter(cond)
+    pairs = matched.select("__fb", "__ri").collect()
+    if not pairs:
+        return latest
+    by_file: dict[str, list[int]] = {}
+    for r in pairs:
+        by_file.setdefault(r["__fb"], []).append(int(r["__ri"]))
+    pre = matched.drop("__fb", "__ri")
+    post = pre
+    for name, expr in assignments.items():
+        post = post.withColumn(name, expr)
+    post = post.select(*[f.name for f in _strip_metadata(snap.schema).fields])
+    _enforce_constraints(snap, post)
+    adds = _write_data_files(
+        _to_physical_frame(post, snap.column_mapping, snap.schema),
+        path,
+        snap.physical_partition_columns,
+    )
+    cdcs = (
+        _write_cdc_files(
+            _to_physical_frame(
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    post.withColumn("_change_type", F.lit("update_postimage"))
+                ),
+                snap.column_mapping,
+                snap.schema,
+            ),
+            path,
+        )
+        if _cdf_enabled(snap)
+        else []
+    )
+    now = int(time.time() * 1000)
+    ci: dict[str, Any] = {
+        "timestamp": now,
+        "operation": "UPDATE",
+        "operationParameters": {
+            "predicate": " AND ".join(f"{c} {o} {v!r}" for c, o, v in conds)
+        },
+        "engineInfo": "delta-lite",
+    }
+    ict = _ict_for_commit(path, snap.configuration, latest, now)
+    if ict is not None:
+        ci["inCommitTimestamp"] = ict
+    actions: list[dict] = [{"commitInfo": ci}]
+    actions += _dv_mark_actions(path, snap, by_file, now)
+    actions += [{"add": a} for a in adds]
+    actions += [{"cdc": c} for c in cdcs]
+    payload = (
+        "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    )
+    version = latest + 1
+    _claim_version(_log_dir(path), version, payload)
+    return version
+
+
+def _merge_with_dvs(
+    spark: SparkSession,
+    path: str,
+    latest: int,
+    snap: _Snapshot,
+    touched: list[str],
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str,
+) -> int:
+    """MERGE as deletion vectors + append (delta-spark 3.x shape):
+    matched target rows' old positions are marked deleted in per-file
+    bitmaps and the source lands as new files — cost O(source +
+    matched rows); the touched files' carried rows never rewrite.
+    Same semantics as the rewrite path (update_all / keep_target),
+    including schema widening and CDF."""
+    files = {p: snap.files[p] for p in touched}
+    logical = _strip_metadata(snap.schema)
+    if files:
+        scan = _scan_with_rowpos(spark, path, snap, files)
+    else:
+        scan = (
+            spark.createDataFrame([], logical)
+            .withColumn("__fb", F.lit(None).cast("string"))
+            .withColumn("__ri", F.lit(None).cast("bigint"))
+        )
+    target = scan.drop("__fb", "__ri")
+    changes = None
+    if when_matched == "update_all":
+        matched = scan.join(source.select(*keys), on=keys, how="left_semi")
+        new_rows = source
+        if _cdf_enabled(snap):
+            pre = matched.drop("__fb", "__ri")
+            post = source.join(target.select(*keys), on=keys, how="left_semi")
+            ins = source.join(target.select(*keys), on=keys, how="left_anti")
+            changes = (
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    post.withColumn("_change_type", F.lit("update_postimage")),
+                    allowMissingColumns=True,
+                )
+                .unionByName(
+                    ins.withColumn("_change_type", F.lit("insert")),
+                    allowMissingColumns=True,
+                )
+            )
+    elif when_matched == "keep_target":  # insert-only merge
+        matched = scan.limit(0)
+        new_rows = source.join(target.select(*keys), on=keys, how="left_anti")
+        if _cdf_enabled(snap):
+            changes = new_rows.withColumn("_change_type", F.lit("insert"))
+    else:
+        raise ValueError(f"unknown when_matched={when_matched!r}")
+    pairs = matched.select("__fb", "__ri").collect()
+    by_file: dict[str, list[int]] = {}
+    for r in pairs:
+        by_file.setdefault(r["__fb"], []).append(int(r["__ri"]))
+    # schema widening — identical contract to the rewrite merge
+    existing = {f.name: f for f in snap.schema.fields}
+    new_fields = [
+        StructField(f.name, f.dataType, True)
+        for f in new_rows.schema.fields
+        if f.name not in existing
+    ]
+    conf_override = None
+    if new_fields and snap.column_mapping != "none":
+        start = int((snap.configuration or {}).get(_MAX_ID_KEY, 0))
+        minted, max_id = _mint_column_mapping(StructType(new_fields), start)
+        new_fields = list(minted.fields)
+        conf_override = dict(snap.configuration or {})
+        conf_override[_MAX_ID_KEY] = str(max_id)
+    merged_schema = StructType(list(snap.schema.fields) + new_fields)
+    have = set(new_rows.columns)
+    proj = []
+    for f in merged_schema.fields:
+        if f.name in have:
+            t = existing[f.name].dataType if f.name in existing else f.dataType
+            proj.append(F.col(f.name).cast(t).alias(f.name))
+        else:  # source lacks a nullable target column: appended rows NULL
+            proj.append(F.lit(None).cast(f.dataType).alias(f.name))
+    out_rows = new_rows.select(*proj)
+    _enforce_constraints(snap, out_rows)
+    adds = _write_data_files(
+        _to_physical_frame(out_rows, snap.column_mapping, merged_schema),
+        path,
+        snap.physical_partition_columns,
+    )
+    cdcs = (
+        _write_cdc_files(
+            _to_physical_frame(
+                spark.createDataFrame([], _strip_metadata(merged_schema))
+                .withColumn("_change_type", F.lit(None).cast("string"))
+                .unionByName(changes, allowMissingColumns=True),
+                snap.column_mapping,
+                merged_schema,
+            ),
+            path,
+        )
+        if changes is not None and _cdf_enabled(snap)
+        else []
+    )
+    now = int(time.time() * 1000)
+    ci: dict[str, Any] = {
+        "timestamp": now,
+        "operation": "MERGE",
+        "operationParameters": {
+            "predicate": " AND ".join(f"t.{k} = s.{k}" for k in keys),
+            "matchedAction": when_matched,
+        },
+        "engineInfo": "delta-lite",
+    }
+    ict = _ict_for_commit(path, snap.configuration, latest, now)
+    if ict is not None:
+        ci["inCommitTimestamp"] = ict
+    actions: list[dict] = [{"commitInfo": ci}]
+    if new_fields:
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": merged_schema.json(),
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": (
+                        conf_override
+                        if conf_override is not None
+                        else snap.configuration
+                    ),
+                }
+            }
+        )
+    actions += _dv_mark_actions(path, snap, by_file, now)
+    actions += [{"add": a} for a in adds]
     actions += [{"cdc": c} for c in cdcs]
     payload = (
         "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
@@ -2570,11 +2818,7 @@ def delta_delete_where(spark: SparkSession, path: str, *conds: tuple) -> int:
     touched = sorted(_pruned_files(snap, list(conds)))
     if not touched:
         return latest  # stats prove no row matches: nothing to do
-    if (snap.configuration or {}).get(
-        "delta.enableDeletionVectors", ""
-    ).lower() == "true" and len(
-        {p.rsplit("/", 1)[-1] for p in touched}
-    ) == len(touched):
+    if _dv_write_path_ok(snap, touched):
         _writer_gate(snap, path, removes_data=True, op="DELETE")
         return _delete_with_dvs(spark, path, latest, snap, touched, list(conds))
     scan = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
@@ -2627,6 +2871,11 @@ def delta_update_where(
     touched = sorted(_pruned_files(snap, list(conds)))
     if not touched:
         return latest
+    if _dv_write_path_ok(snap, touched):
+        _writer_gate(snap, path, removes_data=True, op="UPDATE")
+        return _update_with_dvs(
+            spark, path, latest, snap, touched, assignments, list(conds)
+        )
     scan = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
     cond = ParquetTable._conds_filter(list(conds))
     df = scan

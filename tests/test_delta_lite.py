@@ -2158,3 +2158,84 @@ def test_restore_to_version(spark, tmp_path):
         os.unlink(os.path.join(t, p2))
     with pytest.raises(ValueError, match="vacuumed"):
         delta_restore(spark, t, 0)
+
+
+def test_dv_merge_and_update_mark_and_append(spark, tmp_path):
+    """DV-enabled MERGE and UPDATE (delta-spark 3.x write shape): matched
+    target rows' old positions are marked in per-file bitmaps and the new
+    images land as appended files — the touched files' bytes never move.
+    Semantics must equal the rewrite path: update_all replaces matched
+    rows and inserts the rest; UPDATE applies assignments to matched rows
+    only; CDF reports precise pre/post/insert rows; keep_target is
+    insert-only; widening merges mint the schema exactly like rewrites."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+        delta_enable_cdf,
+        delta_enable_dvs,
+        delta_merge,
+        delta_read_changes,
+        delta_update_where,
+    )
+
+    t = str(tmp_path / "dvmerge")
+    delta_write(
+        spark.range(0, 20).select("id", (F.col("id") * 10).alias("v")).coalesce(1),
+        t,
+    )
+    delta_enable_dvs(spark, t)
+    delta_enable_cdf(spark, t)
+    data_files_before = set(_replay(t, None).files)
+    mtimes = {p: os.path.getmtime(os.path.join(t, p)) for p in data_files_before}
+
+    # MERGE update_all: update ids {3, 7}, insert {100}
+    src = spark.createDataFrame(
+        [(3, -3), (7, -7), (100, 1000)], "id bigint, v bigint"
+    )
+    v_m = delta_merge(src, t, key="id")
+    snap = _replay(t, None)
+    # the original file is still active (DV'd), bytes untouched; new file(s) appended
+    assert data_files_before <= set(snap.files)
+    for p in data_files_before:
+        assert os.path.getmtime(os.path.join(t, p)) == mtimes[p]
+        assert snap.files[p]["deletionVector"]["cardinality"] == 2
+    got = {r["id"]: r["v"] for r in delta_read(spark, t).collect()}
+    assert got[3] == -3 and got[7] == -7 and got[100] == 1000
+    assert len(got) == 21 and got[5] == 50
+    ch = delta_read_changes(spark, t, v_m, v_m)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"update_preimage": 2, "update_postimage": 2, "insert": 1}
+
+    # UPDATE: assignments land as DV marks + one appended file
+    v_u = delta_update_where(spark, t, {"v": F.lit(999).cast("bigint")}, ("id", "=", 5))
+    got2 = {r["id"]: r["v"] for r in delta_read(spark, t).collect()}
+    assert got2[5] == 999 and len(got2) == 21
+    rows = sorted(
+        (r["_change_type"], r["v"])
+        for r in delta_read_changes(spark, t, v_u, v_u).collect()
+    )
+    assert rows == [("update_postimage", 999), ("update_preimage", 50)]
+
+    # keep_target: existing keys dropped, new keys inserted, nothing marked
+    v_k = delta_merge(
+        spark.createDataFrame([(5, 0), (200, 2)], "id bigint, v bigint"),
+        t,
+        key="id",
+        when_matched="keep_target",
+    )
+    got3 = {r["id"]: r["v"] for r in delta_read(spark, t).collect()}
+    assert got3[5] == 999 and got3[200] == 2 and len(got3) == 22
+
+    # widening merge mints the new column; DV'd files read NULL for it
+    delta_merge(
+        spark.createDataFrame([(0, 0, "x")], "id bigint, v bigint, tag string"),
+        t,
+        key="id",
+    )
+    snap2 = _replay(t, None)
+    assert [f.name for f in snap2.schema.fields] == ["id", "v", "tag"]
+    final = delta_read(spark, t)
+    assert final.filter("tag = 'x'").count() == 1
+    assert final.filter("tag IS NULL").count() == 21

@@ -1170,6 +1170,28 @@ def _write_dv_file(table_path: str, values) -> dict:
     }
 
 
+def _dv_file_path(table_path: str, desc: dict) -> str:
+    """Absolute path of an ON-DISK deletion vector file: ``u`` derives
+    ``deletion_vector_<uuid>.bin`` under the table (the descriptor's last
+    20 chars are the Base85 uuid, anything before is a directory prefix);
+    ``p`` is an absolute path."""
+    st = desc.get("storageType")
+    if st == "u":
+        s = desc["pathOrInlineDv"]
+        prefix, enc = s[:-20], s[-20:]
+        u = uuid.UUID(bytes=base64.b85decode(enc))
+        name = f"deletion_vector_{u}.bin"
+        return (
+            os.path.join(table_path, prefix, name)
+            if prefix
+            else os.path.join(table_path, name)
+        )
+    if st == "p":
+        p = desc["pathOrInlineDv"]
+        return p[len("file:") :] if p.startswith("file:") else p
+    raise DeltaProtocolError(f"unknown deletionVector storageType {st!r}")
+
+
 def _load_deletion_vector(table_path: str, desc: dict) -> list[int]:
     """The sorted row indexes a deletionVector descriptor marks deleted.
     Storage types per protocol: ``i`` inline (Base85/RFC-1924 payload in
@@ -1182,21 +1204,7 @@ def _load_deletion_vector(table_path: str, desc: dict) -> list[int]:
     st = desc.get("storageType")
     if st == "i":
         return _parse_rbm_array(base64.b85decode(desc["pathOrInlineDv"]))
-    if st == "u":
-        s = desc["pathOrInlineDv"]
-        prefix, enc = s[:-20], s[-20:]
-        u = uuid.UUID(bytes=base64.b85decode(enc))
-        name = f"deletion_vector_{u}.bin"
-        fpath = os.path.join(table_path, prefix, name) if prefix else os.path.join(
-            table_path, name
-        )
-    elif st == "p":
-        p = desc["pathOrInlineDv"]
-        fpath = p[len("file:") :] if p.startswith("file:") else p
-    else:
-        raise DeltaProtocolError(
-            f"unknown deletionVector storageType {st!r}"
-        )
+    fpath = _dv_file_path(table_path, desc)
     with open(fpath, "rb") as fh:
         raw = fh.read()
     off = int(desc.get("offset", 1))
@@ -3332,10 +3340,22 @@ def delta_vacuum(spark: SparkSession, path: str) -> list[str]:
 
     Replays every version's active file set — metadata-scale work (the log,
     not the data). Files still on disk but never referenced (crashed
-    writers' orphans) are also collected, matching VACUUM's contract."""
+    writers' orphans) are also collected, matching VACUUM's contract.
+    Deletion-vector ``.bin`` files referenced by no retained version's add
+    actions (each DV rewrite supersedes the previous bitmap) are collected
+    too."""
     keep: set[str] = set()
+    keep_dv: set[str] = set()
     for v in delta_versions(path):
-        keep |= set(_replay(path, v).files)
+        for add in _replay(path, v).files.values():
+            keep.add(add["path"])
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                keep_dv.add(
+                    os.path.relpath(
+                        _dv_file_path(path, dv), path
+                    ).replace(os.sep, "/")
+                )
     deleted = []
     for root, _dirs, files in os.walk(path):
         if (
@@ -3347,12 +3367,15 @@ def delta_vacuum(spark: SparkSession, path: str) -> list[str]:
             # — they are referenced by cdc actions, not the active set
             continue
         for f in files:
-            if not f.endswith(".parquet"):
-                continue
             rel = os.path.relpath(os.path.join(root, f), path).replace(os.sep, "/")
-            if rel not in keep:
-                os.unlink(os.path.join(root, f))
-                deleted.append(rel)
+            if f.endswith(".parquet"):
+                if rel not in keep:
+                    os.unlink(os.path.join(root, f))
+                    deleted.append(rel)
+            elif f.startswith("deletion_vector_") and f.endswith(".bin"):
+                if rel not in keep_dv:
+                    os.unlink(os.path.join(root, f))
+                    deleted.append(rel)
     return sorted(deleted)
 
 

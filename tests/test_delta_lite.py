@@ -2239,3 +2239,56 @@ def test_dv_merge_and_update_mark_and_append(spark, tmp_path):
     final = delta_read(spark, t)
     assert final.filter("tag = 'x'").count() == 1
     assert final.filter("tag IS NULL").count() == 21
+
+
+def test_optimize_purges_dvs_and_vacuum_collects_bins(spark, tmp_path):
+    """REORG/PURGE economics: OPTIMIZE on a DV table materializes through
+    the bitmaps (deleted rows gone from the compacted files, no DV on the
+    new adds — delta's REORG ... APPLY (PURGE)), and delta_vacuum collects
+    deletion-vector .bin files no retained version references, while
+    KEEPING bins that time-travelable versions still need."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+        delta_delete_where,
+        delta_enable_dvs,
+        delta_optimize,
+        delta_vacuum,
+    )
+    import glob as _glob
+
+    t = str(tmp_path / "reorg")
+    delta_write(spark.range(0, 30).select("id").coalesce(1), t)
+    delta_enable_dvs(spark, t)
+    delta_delete_where(spark, t, ("id", "<", 5))
+    delta_delete_where(spark, t, ("id", ">=", 28))  # supersedes nothing; 2nd DV
+    bins = _glob.glob(os.path.join(t, "deletion_vector_*.bin"))
+    assert len(bins) == 2  # the second delete minted a fresh unioned bitmap
+    # both bins are still referenced by SOME retained version → vacuum keeps
+    assert delta_vacuum(spark, t) == []
+    assert len(_glob.glob(os.path.join(t, "deletion_vector_*.bin"))) == 2
+    # OPTIMIZE materializes through the DVs and drops them from the adds
+    delta_optimize(spark, t, target_bytes=1 << 30)
+    snap = _replay(t, None)
+    assert not any(a.get("deletionVector") for a in snap.files.values())
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == list(
+        range(5, 28)
+    )
+    # the DV'd versions are still time-travelable, so their bins survive
+    assert delta_vacuum(spark, t) == []
+    # simulate log cleanup of the DV'd history: only the optimize commit
+    # (and later) remain → the bins are unreferenced and collected
+    log = os.path.join(t, "_delta_log")
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _write_checkpoint,
+        delta_versions,
+    )
+
+    latest = max(delta_versions(t))
+    _write_checkpoint(spark, t, latest)
+    for v in delta_versions(t):
+        if v < latest:
+            os.unlink(os.path.join(log, f"{v:020d}.json"))
+    deleted = delta_vacuum(spark, t)
+    assert all(d.startswith("deletion_vector_") or d.endswith(".parquet") for d in deleted)
+    assert len(_glob.glob(os.path.join(t, "deletion_vector_*.bin"))) == 0
+    assert delta_read(spark, t).count() == 23  # table intact

@@ -110,8 +110,10 @@ SUPPORTED_READER_FEATURES = {
 }
 #: Highest writer protocol this module implements: v2 (appendOnly +
 #: column invariants, both enforced), v3 (CHECK constraints, enforced),
-#: v4 (Change Data Feed, written; generated columns are v4's OTHER
-#: feature and are refused by schema inspection — see ``_writer_gate``),
+#: v4 (Change Data Feed, written; generated columns — v4's OTHER
+#: feature — are EVALUATED on the engine's write paths via
+#: ``_apply_generated`` and refused only on surfaces that cannot
+#: evaluate expressions, i.e. the format/streaming sinks),
 #: v5 (column mapping: logical names resolve to the schema's
 #: physicalName annotations before any file is written). Identity
 #: columns (v6) etc. are refused.
@@ -136,10 +138,11 @@ SUPPORTED_WRITER_FEATURES = {
     # path reads through DVs and rewrites materialized survivors, which
     # is protocol-legal on DV tables
     "deletionVectors",
-    # admitted because _writer_gate refuses BY SCHEMA INSPECTION any table
-    # whose schema actually declares generated/identity columns — a table
-    # merely LISTING the feature (protocol upgrades carry legacy-implied
-    # features) is safe to write when no column uses it
+    # generated columns are EVALUATED (computed when absent, validated
+    # when provided, recomputed on rewrites) by the engine write paths;
+    # identity columns are refused by schema inspection when a column
+    # actually declares them — a table merely LISTING the feature
+    # (protocol upgrades carry legacy-implied features) writes fine
     "generatedColumns",
     "identityColumns",
 }
@@ -772,7 +775,13 @@ def _table_constraints(snap: _Snapshot) -> dict[str, str]:
     return out
 
 
-def _writer_gate(snap: _Snapshot, path: str, removes_data: bool, op: str) -> None:
+def _writer_gate(
+    snap: _Snapshot,
+    path: str,
+    removes_data: bool,
+    op: str,
+    generated_ok: bool = False,
+) -> None:
     """Refuse writes the table's writer protocol forbids or demands
     features this module does not implement — by name, per spec (writers
     MUST refuse unknown writer versions/features rather than corrupt).
@@ -797,10 +806,14 @@ def _writer_gate(snap: _Snapshot, path: str, removes_data: bool, op: str) -> Non
     generated = [
         f.name for f in snap.schema.fields if _GEN_KEY in (f.metadata or {})
     ]
-    if generated:
+    if generated and not generated_ok:
+        # the engine's own write paths evaluate/validate the expressions
+        # (_apply_generated) and pass generated_ok; surfaces that cannot
+        # (format sink, streaming sink) keep refusing by name
         raise DeltaProtocolError(
-            f"{path}: generated columns {generated} are not implemented — "
-            "writing without evaluating their expressions would corrupt"
+            f"{path}: generated columns {generated} need expression "
+            "evaluation this surface does not perform — write through "
+            "delta_write/delta_merge"
         )
     identity = [
         f.name
@@ -1460,7 +1473,7 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
         return latest
     target = _replay(path, version)
     snap = _replay(path, latest)
-    _writer_gate(snap, path, removes_data=True, op="RESTORE")
+    _writer_gate(snap, path, removes_data=True, op="RESTORE", generated_ok=True)
     missing = [
         p2
         for p2 in target.files
@@ -1750,6 +1763,54 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         json.dump({"version": version, "size": len(rows)}, fh)
 
 
+def _apply_generated(
+    snap: _Snapshot, df: DataFrame, recompute: bool = False
+) -> DataFrame:
+    """Honor ``delta.generationExpression`` (GENERATED ALWAYS AS): absent
+    generated columns are COMPUTED from their stored Spark-SQL expression
+    (the common case — e.g. a date partition generated from a timestamp);
+    provided ones are VALIDATED against it (one null-safe aggregate pass,
+    delta's own contract) so a caller can never commit values the
+    expression contradicts. ``recompute`` (rewrite/merge paths) re-derives
+    every generated column unconditionally — GENERATED ALWAYS semantics
+    when the frame was assembled from mixed target/source rows."""
+    gens = {
+        f.name: (f.metadata[_GEN_KEY], f.dataType)
+        for f in snap.schema.fields
+        if _GEN_KEY in (f.metadata or {})
+    }
+    if not gens:
+        return df
+    to_check = []
+    for name, (expr, dt) in gens.items():
+        if recompute or name not in df.columns:
+            df = df.withColumn(name, F.expr(expr).cast(dt))
+        else:
+            to_check.append((name, expr, dt))
+    if to_check:
+        row = df.agg(
+            *[
+                F.count(
+                    F.when(
+                        ~F.col(n).eqNullSafe(F.expr(e).cast(dt)), F.lit(1)
+                    )
+                ).alias(f"__g{i}")
+                for i, (n, e, dt) in enumerate(to_check)
+            ]
+        ).collect()[0]
+        bad = {
+            n: row[f"__g{i}"]
+            for i, (n, e, dt) in enumerate(to_check)
+            if row[f"__g{i}"]
+        }
+        if bad:
+            raise DeltaConstraintError(
+                f"generated-column values contradict their expressions "
+                f"(column -> violating rows): {bad}"
+            )
+    return df
+
+
 def _append_schema_delta(
     snap: _Snapshot, df_schema: StructType, merge_schema: bool
 ) -> tuple[str | None, dict[str, str] | None]:
@@ -1868,8 +1929,13 @@ def delta_write(
                 path,
                 removes_data=(mode == "overwrite" and bool(snap.files)),
                 op=f"WRITE ({mode})",
+                generated_ok=True,
             )
             if adds is None:
+                # compute absent generated columns / validate provided ones
+                # BEFORE the schema contract (they are table columns) and
+                # constraint checks (which may reference them)
+                df = _apply_generated(snap, df)
                 _enforce_constraints(snap, df)
             conf_override = None
             if mode == "append":
@@ -2060,7 +2126,7 @@ def delta_optimize(
     snap = _replay(path, latest)
     # compaction is legal on appendOnly tables (its removes carry
     # dataChange:false — no row changes), so removes_data=False here
-    _writer_gate(snap, path, removes_data=False, op="OPTIMIZE")
+    _writer_gate(snap, path, removes_data=False, op="OPTIMIZE", generated_ok=True)
     if not snap.files:
         return latest
     total = sum(int(a.get("size") or 0) for a in snap.files.values())
@@ -2224,7 +2290,8 @@ def _commit_rewrite(
     computed against a snapshot that is no longer latest (Delta's
     ConcurrentAppendException contract; caller re-runs). Orphans from a
     lost race are unreferenced and collected by ``delta_vacuum``."""
-    _writer_gate(snap, path, removes_data=bool(touched), op=op)
+    _writer_gate(snap, path, removes_data=bool(touched), op=op, generated_ok=True)
+    out = _apply_generated(snap, out, recompute=True)
     _enforce_constraints(snap, out)
     # the schema governing physical names: the widened one when this
     # commit widens a column-mapped table's schema
@@ -2330,7 +2397,7 @@ def delta_merge(
     snap = _replay(path, latest)
     touched = _files_overlapping_keys(snap, keys, source)
     if _dv_write_path_ok(snap, touched):
-        _writer_gate(snap, path, removes_data=True, op="MERGE")
+        _writer_gate(snap, path, removes_data=True, op="MERGE", generated_ok=True)
         return _merge_with_dvs(
             spark, path, latest, snap, touched, source, keys, when_matched
         )
@@ -2617,6 +2684,7 @@ def _update_with_dvs(
     for name, expr in assignments.items():
         post = post.withColumn(name, expr)
     post = post.select(*[f.name for f in _strip_metadata(snap.schema).fields])
+    post = _apply_generated(snap, post, recompute=True)
     _enforce_constraints(snap, post)
     adds = _write_data_files(
         _to_physical_frame(post, snap.column_mapping, snap.schema),
@@ -2742,7 +2810,7 @@ def _merge_with_dvs(
             proj.append(F.col(f.name).cast(t).alias(f.name))
         else:  # source lacks a nullable target column: appended rows NULL
             proj.append(F.lit(None).cast(f.dataType).alias(f.name))
-    out_rows = new_rows.select(*proj)
+    out_rows = _apply_generated(snap, new_rows.select(*proj), recompute=True)
     _enforce_constraints(snap, out_rows)
     adds = _write_data_files(
         _to_physical_frame(out_rows, snap.column_mapping, merged_schema),
@@ -2827,7 +2895,7 @@ def delta_delete_where(spark: SparkSession, path: str, *conds: tuple) -> int:
     if not touched:
         return latest  # stats prove no row matches: nothing to do
     if _dv_write_path_ok(snap, touched):
-        _writer_gate(snap, path, removes_data=True, op="DELETE")
+        _writer_gate(snap, path, removes_data=True, op="DELETE", generated_ok=True)
         return _delete_with_dvs(spark, path, latest, snap, touched, list(conds))
     scan = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
     cond = ParquetTable._conds_filter(list(conds))
@@ -2880,7 +2948,7 @@ def delta_update_where(
     if not touched:
         return latest
     if _dv_write_path_ok(snap, touched):
-        _writer_gate(snap, path, removes_data=True, op="UPDATE")
+        _writer_gate(snap, path, removes_data=True, op="UPDATE", generated_ok=True)
         return _update_with_dvs(
             spark, path, latest, snap, touched, assignments, list(conds)
         )
@@ -2985,7 +3053,7 @@ def delta_add_constraint(
     key = f"delta.constraints.{name}"
     if key in (snap.configuration or {}):
         raise ValueError(f"constraint {name!r} already exists")
-    _writer_gate(snap, path, removes_data=False, op="ADD CONSTRAINT")
+    _writer_gate(snap, path, removes_data=False, op="ADD CONSTRAINT", generated_ok=True)
     existing = delta_read(spark, path, version=latest)
     probe = _Snapshot(
         version=latest,
@@ -3034,7 +3102,7 @@ def delta_enable_ict(spark: SparkSession, path: str) -> int:
     enables this by default on new tables."""
     latest = _latest_version(path)
     snap = _replay(path, latest)
-    _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES")
+    _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES", generated_ok=True)
     proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     mw = proto.get("minWriterVersion", 2)
     feats = set(proto.get("writerFeatures") or [])
@@ -3071,7 +3139,7 @@ def delta_enable_dvs(spark: SparkSession, path: str) -> int:
     instead of rewriting files — delta-spark 3.x DELETE semantics."""
     latest = _latest_version(path)
     snap = _replay(path, latest)
-    _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES")
+    _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES", generated_ok=True)
     proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     mr = proto.get("minReaderVersion", 1)
     mw = proto.get("minWriterVersion", 2)
@@ -3121,7 +3189,7 @@ def delta_enable_cdf(spark: SparkSession, path: str) -> int:
     actions per protocol, no extra files needed."""
     latest = _latest_version(path)
     snap = _replay(path, latest)
-    _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES")
+    _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES", generated_ok=True)
     conf = dict(snap.configuration or {})
     conf["delta.enableChangeDataFeed"] = "true"
     return _commit_metadata_change(

@@ -1292,12 +1292,16 @@ def test_cdf_overwrite_derives_delete_and_insert(spark, tmp_path):
     assert got == [("delete", 1), ("delete", 2), ("insert", 9)]
 
 
-def test_generated_columns_refused_on_write(spark, tmp_path):
-    """v4's OTHER feature: a schema carrying delta.generationExpression is
-    refused on write (we don't evaluate generation expressions; writing
-    without them would corrupt) — reads still work."""
+def test_generated_columns_evaluated_on_write(spark, tmp_path):
+    """GENERATED ALWAYS AS columns (r10: evaluated, no longer refused):
+    an append missing the column COMPUTES it from the stored expression;
+    a provided value contradicting the expression is rejected; a matching
+    value passes; merges RECOMPUTE on the assembled frame; the format
+    sink (which cannot evaluate) still refuses by name."""
     from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        DeltaConstraintError,
         _claim_version,
+        delta_merge,
     )
 
     t = str(tmp_path / "gen")
@@ -1333,12 +1337,39 @@ def test_generated_columns_refused_on_write(spark, tmp_path):
         + "\n",
     )
     assert delta_read(spark, t).count() == 1  # reading is fine
-    with pytest.raises(DeltaProtocolError, match="generated columns"):
+    # absent generated column → computed from the expression
+    delta_write(spark.createDataFrame([(2,)], "id bigint"), t, mode="append")
+    got = {r["id"]: r["twice"] for r in delta_read(spark, t).collect()}
+    assert got[2] == 4
+    # provided-and-matching passes; contradicting raises pre-commit
+    delta_write(
+        spark.createDataFrame([(3, 6)], "id bigint, twice bigint"), t,
+        mode="append",
+    )
+    with pytest.raises(DeltaConstraintError, match="generated-column"):
         delta_write(
-            spark.createDataFrame([(2, 4)], "id bigint, twice bigint"),
-            t,
+            spark.createDataFrame([(4, 9)], "id bigint, twice bigint"), t,
             mode="append",
         )
+    # merge recomputes on the assembled frame (source value ignored)
+    delta_merge(
+        spark.createDataFrame([(3, 999), (5, 777)], "id bigint, twice bigint"),
+        t,
+        key="id",
+    )
+    got = {r["id"]: r["twice"] for r in delta_read(spark, t).collect()}
+    assert got == {1: 2, 2: 4, 3: 6, 5: 10}
+    # the format sink cannot evaluate expressions — refusal preserved
+    spark.dataSource.register(
+        __import__(
+            "lakehouse_architecture_for_realestatedata_spark.sources.delta_source",
+            fromlist=["DeltaLiteDataSource"],
+        ).DeltaLiteDataSource
+    )
+    with pytest.raises(Exception, match="generated columns"):
+        spark.createDataFrame([(6,)], "id bigint").write.format(
+            "delta_lite"
+        ).mode("append").save(t)
 
 
 def test_checkpoint_replay_then_rewrite_unpartitioned(spark, tmp_path):

@@ -82,7 +82,7 @@ import struct
 import time
 import uuid
 import zlib
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from typing import Any
 from urllib.parse import unquote
 
@@ -2990,10 +2990,11 @@ def _commit_metadata_change(
     params: dict,
     min_writer: int | None = None,
     protocol: dict | None = None,
+    schema_json: str | None = None,
 ) -> int:
-    """Metadata-only commit: new table configuration (and an optional
-    writer-protocol bump in the SAME commit, per spec — a feature and the
-    version that demands it must land together)."""
+    """Metadata-only commit: new table configuration and/or schema (and
+    an optional writer-protocol bump in the SAME commit, per spec — a
+    feature and the version that demands it must land together)."""
     now = int(time.time() * 1000)
     ci: dict[str, Any] = {
         "timestamp": now,
@@ -3024,7 +3025,9 @@ def _commit_metadata_change(
             "metaData": {
                 "id": uuid.uuid4().hex,
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": snap.schema.json(),
+                "schemaString": (
+                    schema_json if schema_json is not None else snap.schema.json()
+                ),
                 "partitionColumns": snap.partition_columns,
                 "configuration": configuration,
             }
@@ -3168,6 +3171,131 @@ def delta_enable_dvs(spark: SparkSession, path: str) -> int:
             "readerFeatures": sorted(rfeats),
             "writerFeatures": sorted(wfeats),
         },
+    )
+
+
+def _require_colmap(snap: _Snapshot, path: str, op: str) -> None:
+    if snap.column_mapping == "none":
+        raise DeltaProtocolError(
+            f"{path}: {op} needs columnMapping.mode=name (create with "
+            "delta_write(column_mapping=\'name\') — without the mapping, "
+            "renames/drops would have to rewrite every data file)"
+        )
+
+
+def delta_rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN — METADATA-ONLY, the operation column
+    mapping exists to enable: the logical name changes in schemaString
+    while the field keeps its physicalName/id, so every existing data
+    file keeps resolving. Partition columns rename in
+    metaData.partitionColumns too (add.partitionValues key on the
+    unchanged PHYSICAL name, per spec)."""
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    _writer_gate(
+        snap, path, removes_data=False, op="RENAME COLUMN", generated_ok=True
+    )
+    _require_colmap(snap, path, "RENAME COLUMN")
+    names = [f.name for f in snap.schema.fields]
+    if old not in names:
+        raise ValueError(f"no such column {old!r}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    fields = [
+        StructField(new if f.name == old else f.name, f.dataType, f.nullable,
+                    metadata=dict(f.metadata or {}))
+        for f in snap.schema.fields
+    ]
+    pcols = [new if c == old else c for c in snap.partition_columns]
+    now_schema = StructType(fields)
+    return _commit_metadata_change(
+        path,
+        _dc_replace(snap, partition_columns=pcols),
+        latest,
+        dict(snap.configuration or {}),
+        op="RENAME COLUMN",
+        params={"oldColumnPath": old, "newColumnPath": new},
+        schema_json=now_schema.json(),
+    )
+
+
+def delta_drop_column(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — METADATA-ONLY under column mapping: the
+    field leaves schemaString; the bytes stay in the data files under
+    their physical name, invisible to every reader. A column later
+    RE-ADDED with the same logical name mints a FRESH physicalName, so
+    the dropped data can never resurrect (the classic mapping trap)."""
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    _writer_gate(
+        snap, path, removes_data=False, op="DROP COLUMN", generated_ok=True
+    )
+    _require_colmap(snap, path, "DROP COLUMN")
+    names = [f.name for f in snap.schema.fields]
+    if name not in names:
+        raise ValueError(f"no such column {name!r}")
+    if name in snap.partition_columns:
+        raise ValueError(f"cannot drop partition column {name!r}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    fields = [f for f in snap.schema.fields if f.name != name]
+    return _commit_metadata_change(
+        path,
+        snap,
+        latest,
+        dict(snap.configuration or {}),
+        op="DROP COLUMNS",
+        params={"columns": name},
+        schema_json=StructType(fields).json(),
+    )
+
+
+def delta_add_column(
+    spark: SparkSession, path: str, name: str, data_type, nullable: bool = True
+) -> int:
+    """ALTER TABLE ADD COLUMN — metadata-only on any table: the schema
+    widens, existing files read NULL. On column-mapped tables the new
+    field mints a FRESH physicalName/id and bumps maxColumnId — even when
+    a column with the same logical name existed before, so previously
+    dropped data stays invisible."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    _writer_gate(
+        snap, path, removes_data=False, op="ADD COLUMNS", generated_ok=True
+    )
+    if not nullable and snap.files:
+        raise ValueError(
+            "a non-nullable column cannot be added to a non-empty table "
+            "(existing rows would violate it)"
+        )
+    names = [f.name for f in snap.schema.fields]
+    if name in names:
+        raise ValueError(f"column {name!r} already exists")
+    dt = (
+        _parse_datatype_string(data_type)
+        if isinstance(data_type, str)
+        else data_type
+    )
+    new_field = StructField(name, dt, nullable)
+    conf = dict(snap.configuration or {})
+    if snap.column_mapping != "none":
+        start = int(conf.get(_MAX_ID_KEY, 0))
+        minted, max_id = _mint_column_mapping(StructType([new_field]), start)
+        new_field = minted.fields[0]
+        conf[_MAX_ID_KEY] = str(max_id)
+    widened = StructType(list(snap.schema.fields) + [new_field])
+    return _commit_metadata_change(
+        path,
+        snap,
+        latest,
+        conf,
+        op="ADD COLUMNS",
+        params={"columns": name},
+        schema_json=widened.json(),
     )
 
 

@@ -2323,3 +2323,95 @@ def test_optimize_purges_dvs_and_vacuum_collects_bins(spark, tmp_path):
     assert all(d.startswith("deletion_vector_") or d.endswith(".parquet") for d in deleted)
     assert len(_glob.glob(os.path.join(t, "deletion_vector_*.bin"))) == 0
     assert delta_read(spark, t).count() == 23  # table intact
+
+
+def test_alter_column_family_metadata_only(spark, tmp_path):
+    """RENAME/DROP/ADD COLUMN — the ops column mapping exists to enable,
+    all METADATA-ONLY (zero data files move): rename keeps the
+    physicalName so old files keep resolving; drop hides the bytes; a
+    column RE-ADDED under a dropped logical name mints a FRESH
+    physicalName so the dropped data never resurrects; partition columns
+    rename logically while directories/partitionValues stay physical."""
+    import glob as _glob
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+        delta_add_column,
+        delta_drop_column,
+        delta_merge,
+        delta_rename_column,
+    )
+
+    t = str(tmp_path / "alter")
+    delta_write(
+        spark.createDataFrame(
+            [(1, "a", 10.0, "north"), (2, "b", 20.0, "south")],
+            "id bigint, tag string, price double, region string",
+        ),
+        t,
+        partition_by=["region"],
+        column_mapping="name",
+    )
+    files_before = sorted(
+        f for f in _glob.glob(os.path.join(t, "**", "*.parquet"), recursive=True)
+        if "_delta_log" not in f
+    )
+    # RENAME: logical name changes, old files keep resolving
+    delta_rename_column(spark, t, "price", "gia")
+    got = delta_read(spark, t)
+    assert "gia" in got.columns and "price" not in got.columns
+    assert {r["id"]: r["gia"] for r in got.collect()} == {1: 10.0, 2: 20.0}
+    # rename a PARTITION column: logical in metaData, physical on disk
+    delta_rename_column(spark, t, "region", "vung")
+    snap = _replay(t, None)
+    assert snap.partition_columns == ["vung"]
+    assert delta_read(spark, t, where=[("vung", "=", "north")]).count() == 1
+    # DROP: bytes stay, column invisible; writes no longer accept it
+    delta_drop_column(spark, t, "tag")
+    assert "tag" not in delta_read(spark, t).columns
+    with pytest.raises(ValueError, match="new columns"):
+        delta_write(
+            spark.createDataFrame(
+                [(3, "x", 1.0, "north")],
+                "id bigint, tag string, gia double, vung string",
+            ),
+            t,
+        )
+    # RE-ADD under the same logical name: fresh physicalName — the old
+    # 'tag' bytes must NOT resurrect
+    delta_add_column(spark, t, "tag", "string")
+    got2 = delta_read(spark, t)
+    assert got2.filter("tag IS NOT NULL").count() == 0
+    snap2 = _replay(t, None)
+    old_phys = {f.metadata.get("delta.columnMapping.physicalName")
+                for f in snap.schema.fields if f.name == "tag"}
+    new_phys = snap2.schema["tag"].metadata["delta.columnMapping.physicalName"]
+    assert new_phys not in old_phys
+    # merge through the renamed/dropped/re-added schema still works
+    delta_merge(
+        spark.createDataFrame(
+            [(2, 21.0, "south", "fresh")],
+            "id bigint, gia double, vung string, tag string",
+        ),
+        t,
+        key="id",
+    )
+    final = {r["id"]: (r["gia"], r["tag"]) for r in delta_read(spark, t).collect()}
+    assert final[2] == (21.0, "fresh") and final[1] == (10.0, None)
+    # zero data movement throughout the metadata-only ops: the original
+    # files are all still present (merge added one new file)
+    files_after = sorted(
+        f for f in _glob.glob(os.path.join(t, "**", "*.parquet"), recursive=True)
+        if "_delta_log" not in f and "_change_data" not in f
+    )
+    assert set(files_before) <= set(files_after)
+    # guard rails: ops that need the mapping refuse on unmapped tables
+    t2 = str(tmp_path / "plain")
+    delta_write(spark.createDataFrame([(1, 2)], "a bigint, b bigint"), t2)
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        delta_rename_column(spark, t2, "a", "z")
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        delta_drop_column(spark, t2, "b")
+    # ADD COLUMN works on any table (metadata-only widen)
+    delta_add_column(spark, t2, "c", "double")
+    assert delta_read(spark, t2).columns == ["a", "b", "c"]

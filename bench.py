@@ -123,6 +123,9 @@ HEADLINE = [
     # DV-WRITING delete: mark rows in per-file roaring bitmaps instead of
     # rewriting files — O(matched rows); the flagship delete economics
     "delta_dv_delete_roundtrip",
+    # metadata-only schema evolution under column mapping (rename/drop/
+    # add + merge through the altered schema; zero files rewritten)
+    "delta_alter_columns_roundtrip",
 ]
 
 

@@ -1011,3 +1011,70 @@ def q_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
     )
+
+
+@register(
+    "delta_alter_columns_roundtrip",
+    """
+    SELECT o_orderkey,
+           cast(cast(o_totalprice AS decimal(30,2))
+                + CASE WHEN o_orderkey > 600 THEN 1 ELSE 0 END AS double)
+               AS gia,
+           CASE WHEN o_orderkey > 600 THEN 'merged' END AS note
+    FROM orders
+    WHERE o_orderkey <= 900
+    """,
+    doc="ALTER TABLE column family end to end (sources/delta_lite.py "
+    "metadata-only schema evolution under column mapping): orders land "
+    "in a colmap table, then RENAME COLUMN price->gia (logical name "
+    "changes, physicalName keeps resolving the untouched files), DROP "
+    "COLUMN o_orderstatus (bytes stay, invisible), ADD COLUMN note "
+    "(fresh physicalName, old files read NULL), and a MERGE through the "
+    "altered schema updates gia and fills note on half the keys — zero "
+    "data files rewritten by the three ALTERs. The oracle is the "
+    "closed-form final state over the source parquet.",
+)
+def q_delta_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_add_column,
+        delta_drop_column,
+        delta_merge,
+        delta_read,
+        delta_rename_column,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 900).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_alter_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_alter"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    delta_write(orders, path, column_mapping="name")
+    delta_rename_column(spark, path, "price", "gia")
+    delta_drop_column(spark, path, "o_orderstatus")
+    delta_add_column(spark, path, "note", "string")
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") > 600) & (F.col("o_orderkey") <= 900))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(30,2)") + 1).alias("gia"),
+            F.lit("merged").alias("note"),
+        )
+    )
+    delta_merge(src, path, key="o_orderkey")
+    got = delta_read(spark, path)
+    return got.select(
+        "o_orderkey", F.col("gia").cast("double").alias("gia"), "note"
+    )

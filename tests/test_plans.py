@@ -585,9 +585,12 @@ def test_md5_dedup_variants_plan_contracts(spark, sf_dir):
         assert "CartesianProduct" not in join_strategies(df)
         assert "EvalPython" not in plan, "dedup md5 path must be all built-ins"
     sim_plan = physical_plan(simhash_pairs_md5(docs))
-    # the fingerprint aggregate: sum expressions, not a bit-index Generate —
-    # the only explodes are the tokenizer and the 4-band emit
+    # the fingerprint aggregate: sum expressions, never a 60× bit-index
+    # Generate. Allowed explodes: the tokenizer + 4-band emit per
+    # self-join branch, plus the two capped-member-set explodes the r10
+    # degenerate-bucket cap added (the slim post-aggregation frame) —
+    # anything beyond that means the bit explode snuck back in
     import re
 
     gens = len(re.findall(r"\(\d+\) Generate", sim_plan))
-    assert gens <= 4, f"unexpected row-explode count {gens}:\n{sim_plan[:2000]}"
+    assert gens <= 6, f"unexpected row-explode count {gens}:\n{sim_plan[:2000]}"

@@ -232,7 +232,11 @@ def main() -> None:
     except OSError:
         pass
     line = json.dumps(out)
-    if len(line) > 2000:
+    # The driver captures the last ~4 KB of stdout and the headline line is
+    # the ONLY stdout line (attempts go to stderr + BENCH_attempts.json), so
+    # anything comfortably under 4 KB survives intact. 61 queries ≈ 2.1 KB;
+    # the old 2 KB guard started silently dropping per-query detail in r10.
+    if len(line) > 3500:
         # degrade gracefully: drop per-query detail before risking truncation
         slim = dict(out)
         slim["queries"] = {k: queries_out[k] for k in sorted(queries_out)[:20]}

@@ -84,7 +84,7 @@ import uuid
 import zlib
 from dataclasses import dataclass, replace as _dc_replace
 from typing import Any
-from urllib.parse import unquote
+from urllib.parse import quote, unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -190,6 +190,40 @@ class DeltaConstraintError(RuntimeError):
 
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_delta_log")
+
+
+#: RFC 3986 path charset — what Java's Path.toUri keeps unencoded, hence
+#: what delta-spark's add.path preserves.
+_PATH_SAFE = "/!$&'()*+,;=:@-._~"
+
+
+def _encode_path(p: str) -> str:
+    """An action ``path`` per protocol: the percent-encoded RELATIVE URI
+    of the on-disk path (delta-spark's Path.toUri form). Matters exactly
+    when the disk name carries URI-special bytes — e.g. Hive-escaped
+    partition dirs like ``province=H%C3%A0%20N%E1%BB%99i`` (the
+    reference's own Vietnamese provinces), whose literal '%' must become
+    '%25' in the log or a protocol-honest reader resolves the wrong
+    file."""
+    return quote(p, safe=_PATH_SAFE)
+
+
+def _abs_data_path(table_path: str, p: str) -> str:
+    """Resolve an action ``path`` to its on-disk location: percent-DECODE
+    (the protocol stores URIs, not raw paths), accept absolute ``file:``
+    URIs and absolute POSIX paths (shallow-clone layouts reference the
+    source table's files absolutely), else join under the table root."""
+    if "://" in p or p.startswith("file:"):
+        u = urlparse(p)
+        if u.scheme != "file":
+            raise DeltaProtocolError(
+                f"unsupported scheme in data path {p!r} (only file:)"
+            )
+        return unquote(u.path)
+    dp = unquote(p)
+    if dp.startswith("/"):
+        return dp
+    return os.path.join(table_path, dp)
 
 
 def _version_of(fname: str) -> int:
@@ -1284,7 +1318,7 @@ def _scan_files(
         plain = {p: a for p, a in active.items() if p not in dv_files}
         out = _scan_files(spark, path, snap, plain)
         types = {f.name: f.dataType for f in phys.fields}
-        base_of = {p: p.rsplit("/", 1)[-1] for p in dv_files}
+        base_of = {p: unquote(p).rsplit("/", 1)[-1] for p in dv_files}
         if len(set(base_of.values())) != len(base_of):
             # foreign layout with colliding basenames: fall back to
             # per-file application (correct for any naming)
@@ -1304,7 +1338,7 @@ def _scan_files(
                     )
                 )
             return out
-        files = [os.path.join(path, p) for p in sorted(dv_files)]
+        files = [_abs_data_path(path, p) for p in sorted(dv_files)]
         df = spark.read.schema(data_schema).parquet(*files).select(
             "*",
             F.element_at(
@@ -1352,7 +1386,7 @@ def _scan_files(
         return _scan_to_logical(df, snap)
 
     if not phys_parts:
-        files = [os.path.join(path, p) for p in active]
+        files = [_abs_data_path(path, p) for p in active]
         return to_logical(spark.read.schema(data_schema).parquet(*files))
     # Hive-layout fast path: when every file's directory name re-derives
     # exactly the log's partitionValues (the layout Spark and delta-spark
@@ -1361,7 +1395,7 @@ def _scan_files(
     # partition count, with native partition pruning. A 100 TB table with
     # 10⁴ partition tuples must not become a 10⁴-way union plan.
     if _hive_layout_consistent(snap, phys_parts, active):
-        files = [os.path.join(path, p) for p in active]
+        files = [_abs_data_path(path, p) for p in active]
         return to_logical(
             spark.read.schema(phys)
             .option("basePath", path)
@@ -1376,7 +1410,7 @@ def _scan_files(
     for p, add in active.items():
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in phys_parts)
-        by_pv.setdefault(key, []).append(os.path.join(path, p))
+        by_pv.setdefault(key, []).append(_abs_data_path(path, p))
     types = {f.name: f.dataType for f in phys.fields}
     parts = []
     for key, files in sorted(by_pv.items(), key=lambda kv: tuple(map(str, kv[0]))):
@@ -1433,7 +1467,9 @@ def _hive_layout_consistent(
     authoritative, per protocol) routes to the literal-restore fallback."""
     for p, add in (snap.files if files is None else files).items():
         pv = add.get("partitionValues") or {}
-        segs = [s for s in p.replace(os.sep, "/").split("/")[:-1]]
+        if "://" in p or unquote(p).startswith("/"):
+            return False  # absolute (clone) layouts: literal restore
+        segs = [s for s in unquote(p).replace(os.sep, "/").split("/")[:-1]]
         if len(segs) != len(phys_parts):
             return False
         for c, seg in zip(phys_parts, segs):
@@ -1477,7 +1513,7 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
     missing = [
         p2
         for p2 in target.files
-        if p2 not in snap.files and not os.path.isfile(os.path.join(path, p2))
+        if p2 not in snap.files and not os.path.isfile(_abs_data_path(path, p2))
     ]
     if missing:
         raise ValueError(
@@ -1641,7 +1677,8 @@ def _write_data_files(
             size = os.path.getsize(src)
             os.rename(src, os.path.join(path, rel_path))
             add = {
-                "path": rel_path.replace(os.sep, "/"),
+                # protocol: path is a percent-encoded URI of the disk path
+                "path": _encode_path(rel_path.replace(os.sep, "/")),
                 "partitionValues": pv,
                 "size": size,
                 "modificationTime": now,
@@ -2493,8 +2530,8 @@ def _scan_with_rowpos(
     phys = snap.physical_schema
     phys_parts = snap.physical_partition_columns
     data_schema = StructType([f for f in phys.fields if f.name not in phys_parts])
-    base_of = {p: p.rsplit("/", 1)[-1] for p in files}
-    flist = [os.path.join(path, p) for p in sorted(files)]
+    base_of = {p: unquote(p).rsplit("/", 1)[-1] for p in files}
+    flist = [_abs_data_path(path, p) for p in sorted(files)]
     df = spark.read.schema(data_schema).parquet(*flist).select(
         "*",
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
@@ -2541,7 +2578,7 @@ def _dv_mark_actions(
     """remove+add action pairs marking ``by_file`` (basename → row
     indexes) deleted via fresh per-file deletion vectors, UNIONED with
     each file's existing DV (DVs are absolute per file version)."""
-    fb_to_rel = {p.rsplit("/", 1)[-1]: p for p in snap.files}
+    fb_to_rel = {unquote(p).rsplit("/", 1)[-1]: p for p in snap.files}
     actions: list[dict] = []
     for fb in sorted(by_file):
         rel = fb_to_rel[fb]
@@ -2583,7 +2620,7 @@ def _dv_write_path_ok(snap: _Snapshot, touched: list[str]) -> bool:
     return (snap.configuration or {}).get(
         "delta.enableDeletionVectors", ""
     ).lower() == "true" and len(
-        {p.rsplit("/", 1)[-1] for p in touched}
+        {unquote(p).rsplit("/", 1)[-1] for p in touched}
     ) == len(touched)
 
 
@@ -3359,7 +3396,7 @@ def _write_cdc_files(changes: DataFrame, path: str) -> list[dict]:
         os.rename(os.path.join(tmp, f), os.path.join(path, rel))
         out.append(
             {
-                "path": rel,
+                "path": _encode_path(rel),
                 "partitionValues": {},
                 "size": os.path.getsize(os.path.join(path, rel)),
                 "dataChange": False,
@@ -3435,7 +3472,7 @@ def delta_read_changes(
 
         cdcs = [a["cdc"] for a in actions if "cdc" in a]
         if cdcs:
-            files = [os.path.join(path, c["path"]) for c in cdcs]
+            files = [_abs_data_path(path, c["path"]) for c in cdcs]
             cdf = spark.read.parquet(*files)
             snap_v = _replay(path, v)
             if snap_v.column_mapping != "none":
@@ -3505,7 +3542,7 @@ def delta_read_changes(
             frames.append(stamp(_scan_files(spark, path, snap, adds), "insert"))
         if removes:
             missing = [
-                p for p in removes if not os.path.isfile(os.path.join(path, p))
+                p for p in removes if not os.path.isfile(_abs_data_path(path, p))
             ]
             if missing:
                 raise ValueError(
@@ -3544,7 +3581,9 @@ def delta_vacuum(spark: SparkSession, path: str) -> list[str]:
     keep_dv: set[str] = set()
     for v in delta_versions(path):
         for add in _replay(path, v).files.values():
-            keep.add(add["path"])
+            ap = add["path"]
+            if "://" not in ap and not unquote(ap).startswith("/"):
+                keep.add(unquote(ap))  # disk-relative form
             dv = add.get("deletionVector")
             if dv and dv.get("storageType") == "u":
                 keep_dv.add(

@@ -120,7 +120,11 @@ def _file_batches(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(os.path.join(table_path, rel_path))
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _abs_data_path,
+    )
+
+    tbl = pq.read_table(_abs_data_path(table_path, rel_path))
     if dv:
         import numpy as np
 

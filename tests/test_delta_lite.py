@@ -2415,3 +2415,82 @@ def test_alter_column_family_metadata_only(spark, tmp_path):
     # ADD COLUMN works on any table (metadata-only widen)
     delta_add_column(spark, t2, "c", "double")
     assert delta_read(spark, t2).columns == ["a", "b", "c"]
+
+
+def test_action_paths_are_percent_encoded_uris(spark, tmp_path):
+    """Protocol: add.path is a percent-encoded URI, not a raw path. The
+    reference's bronze partitions on Vietnamese provinces, whose
+    Hive-escaped directories carry literal '%' bytes — so our writer must
+    URI-encode ('%'→'%25') for delta-spark to resolve the right file, our
+    reader must URI-decode foreign logs, and absolute file: URIs
+    (shallow-clone layouts) must resolve too."""
+    from urllib.parse import unquote
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+        _replay,
+        delta_vacuum,
+    )
+
+    # 1. our writer: special-char partition values → encoded add.path whose
+    # DECODED form is the literal on-disk path (what delta-spark resolves)
+    t = str(tmp_path / "enc")
+    delta_write(
+        spark.createDataFrame(
+            [(1, "Hà Nội"), (2, "HCM/Q:1")], "id bigint, city string"
+        ),
+        t,
+        partition_by=["city"],
+    )
+    snap = _replay(t, None)
+    for p in snap.files:
+        disk = unquote(p)
+        assert os.path.isfile(os.path.join(t, disk)), (p, disk)
+        if "%" in disk:  # Hive-escaped dir: the literal % must be %25 in the log
+            assert "%25" in p, p
+    got = sorted((r["id"], r["city"]) for r in delta_read(spark, t).collect())
+    assert got == [(1, "Hà Nội"), (2, "HCM/Q:1")]
+    # vacuum still recognizes the active files (decoded keep-set)
+    assert delta_vacuum(spark, t) == []
+    assert delta_read(spark, t).count() == 2
+
+    # 2. foreign log with an ENCODED path over a literal %-and-space dir
+    t2 = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(t2, "k=a%20b c"))
+    pq.write_table(
+        pa.table({"id": pa.array([7], pa.int64())}),
+        os.path.join(t2, "k=a%20b c", "part-x.parquet"),
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "f", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps({"type": "struct", "fields": [
+                          {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                          {"name": "k", "type": "string", "nullable": True, "metadata": {}}]}),
+                      "partitionColumns": ["k"], "configuration": {}}},
+        {"add": {"path": "k=a%2520b%20c/part-x.parquet",  # URI-encoded
+                 "partitionValues": {"k": "a b c"},  # hive-unescaped value
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+    ]
+    _write_log(t2, actions)
+    got2 = delta_read(spark, t2).collect()
+    assert [(r["id"], r["k"]) for r in got2] == [(7, "a b c")]
+
+    # 3. absolute file: URI add (shallow-clone layout)
+    src_file = os.path.join(str(tmp_path), "external src.parquet")
+    pq.write_table(pa.table({"id": pa.array([5], pa.int64())}), src_file)
+    t3 = str(tmp_path / "clone")
+    os.makedirs(t3)
+    from pathlib import Path
+
+    actions3 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "c", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps({"type": "struct", "fields": [
+                          {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}),
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": Path(src_file).as_uri(), "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+    ]
+    _write_log(t3, actions3)
+    assert [r["id"] for r in delta_read(spark, t3).collect()] == [5]

@@ -1583,6 +1583,68 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
     return new_version
 
 
+def delta_clone(spark: SparkSession, src: str, dst: str) -> int:
+    """SHALLOW CLONE: a new table whose v0 references the source's
+    CURRENT data files by absolute ``file:`` URI — zero data copied, the
+    clone then evolves independently (appends land under the clone,
+    deletes/rewrites replace absolute references with local files, the
+    source never changes). Deletion-vector descriptors are rewritten to
+    absolute ``p`` storage so the bitmaps keep resolving from the
+    clone's root. Vacuum on the clone never touches the source (absolute
+    references are excluded from its keep/walk set)."""
+    from pathlib import Path
+
+    latest = _latest_version(src)
+    snap = _replay(src, latest)
+    os.makedirs(dst, exist_ok=True)
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src,
+                    "sourceVersion": latest,
+                },
+                "engineInfo": "delta-lite",
+            }
+        },
+        {
+            "protocol": snap.protocol
+            or {"minReaderVersion": 1, "minWriterVersion": 2}
+        },
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": snap.configuration,
+            }
+        },
+    ]
+    for p2, add_action in sorted(snap.files.items()):
+        abs_uri = Path(_abs_data_path(src, p2)).as_uri()
+        cloned = add_action | {
+            "path": abs_uri,
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        dv = add_action.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            cloned["deletionVector"] = dv | {
+                "storageType": "p",
+                "pathOrInlineDv": _dv_file_path(src, dv),
+            }
+        actions.append({"add": cloned})
+    payload = (
+        "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    )
+    _claim_version(_log_dir(dst), 0, payload)
+    return 0
+
+
 def delta_history(path: str) -> list[dict]:
     """(version, timestamp, operation, operationParameters) per commit —
     the DESCRIBE HISTORY analogue, from commitInfo actions."""

@@ -2494,3 +2494,58 @@ def test_action_paths_are_percent_encoded_uris(spark, tmp_path):
     ]
     _write_log(t3, actions3)
     assert [r["id"] for r in delta_read(spark, t3).collect()] == [5]
+
+
+def test_shallow_clone_diverges_without_touching_source(spark, tmp_path):
+    """SHALLOW CLONE: v0 references the source's files by absolute file:
+    URI (zero bytes copied); the clone then evolves independently —
+    appends land locally, a DELETE rewrite replaces absolute references
+    with clone-local files, DV descriptors re-point absolutely — and the
+    SOURCE never changes; vacuum on the clone never deletes source
+    bytes."""
+    import glob as _glob
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _replay,
+        delta_clone,
+        delta_delete_where,
+        delta_enable_dvs,
+        delta_vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    delta_write(
+        spark.range(0, 20).select("id", (F.col("id") * 2).alias("v")).coalesce(1),
+        src,
+    )
+    dst = str(tmp_path / "dst")
+    delta_clone(spark, src, dst)
+    assert not _glob.glob(os.path.join(dst, "*.parquet"))  # zero data copied
+    got = delta_read(spark, dst)
+    assert got.count() == 20 and set(got.columns) == {"id", "v"}
+    # clone-side append: local file, source count unchanged
+    delta_write(spark.createDataFrame([(100, 1)], "id bigint, v bigint"), dst)
+    assert delta_read(spark, dst).count() == 21
+    assert delta_read(spark, src).count() == 20
+    # clone-side delete: rewrite replaces the absolute reference locally
+    delta_delete_where(spark, dst, ("id", "<", 5))
+    assert delta_read(spark, dst).count() == 16
+    assert delta_read(spark, src).count() == 20  # source intact
+    # vacuum on the clone must never delete the source's bytes
+    delta_vacuum(spark, dst)
+    assert delta_read(spark, src).count() == 20
+    # source-side writes do NOT leak into the clone (snapshot isolation)
+    delta_write(spark.createDataFrame([(999, 9)], "id bigint, v bigint"), src)
+    assert delta_read(spark, dst).count() == 16
+    # a DV'd source clones with an absolute 'p' descriptor
+    src2 = str(tmp_path / "src2")
+    delta_write(spark.range(0, 10).select("id").coalesce(1), src2)
+    delta_enable_dvs(spark, src2)
+    delta_delete_where(spark, src2, ("id", "<", 3))
+    dst2 = str(tmp_path / "dst2")
+    delta_clone(spark, src2, dst2)
+    add = next(iter(_replay(dst2, None).files.values()))
+    assert add["deletionVector"]["storageType"] == "p"
+    assert sorted(r["id"] for r in delta_read(spark, dst2).collect()) == list(
+        range(3, 10)
+    )

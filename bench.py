@@ -126,6 +126,8 @@ HEADLINE = [
     # metadata-only schema evolution under column mapping (rename/drop/
     # add + merge through the altered schema; zero files rewritten)
     "delta_alter_columns_roundtrip",
+    # shallow-clone divergence (absolute-URI v0, clone-local rewrites)
+    "delta_clone_divergence",
 ]
 
 

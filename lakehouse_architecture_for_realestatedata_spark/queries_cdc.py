@@ -1078,3 +1078,61 @@ def q_delta_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         "o_orderkey", F.col("gia").cast("double").alias("gia"), "note"
     )
+
+
+@register(
+    "delta_clone_divergence",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           cast(cast(o_totalprice AS decimal(30,2))
+                + CASE WHEN o_orderkey > 500 THEN 1 ELSE 0 END AS double)
+               AS price
+    FROM orders
+    WHERE o_orderkey <= 1100
+      AND NOT (o_orderkey <= 200)
+    """,
+    doc="SHALLOW CLONE divergence (sources/delta_lite.py delta_clone): "
+    "orders land in a source table, a clone's v0 references those files "
+    "by absolute file: URI (zero bytes copied), then the CLONE deletes "
+    "keys <= 200 and MERGEs a +1 price bump onto keys 500-1100 — "
+    "rewrites replacing absolute references with clone-local files — "
+    "while the SOURCE stays byte-identical (its untouched read feeds "
+    "nothing here but is asserted in pytest). The oracle is the clone's "
+    "closed-form final state over the source parquet.",
+)
+def q_delta_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_clone,
+        delta_delete_where,
+        delta_merge,
+        delta_read,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1100).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_clone_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)  # versions accumulate; rebuild per run
+    src, dst = f"{root}/orders_src", f"{root}/orders_clone"
+    delta_write(orders, src)
+    delta_clone(spark, src, dst)
+    delta_delete_where(spark, dst, ("o_orderkey", "<=", 200))
+    bump = orders.filter(F.col("o_orderkey") > 500).withColumn(
+        "price", F.col("price") + 1
+    )
+    delta_merge(bump, dst, key="o_orderkey")
+    got = delta_read(spark, dst)
+    return got.select(
+        "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
+    )

@@ -1,7 +1,7 @@
 """Run-twice determinism smoke (the round-7 bug class): the queries built
 on global ordering / bucketing / sampling primitives must hash identically
 across two fresh plan compositions and executions. The full registry gets
-the same check from tools/check_determinism.py (195/195 stable, r10 — the
+the same check from tools/check_determinism.py (196/196 stable, r10 — the
 FULL registry incl. every late-module registration; re-run it over the
 whole registry at every round close and refresh this note); this pytest
 keeps the most at-risk family guarded on every run, and

@@ -218,6 +218,7 @@ def test_driver_window_fully_oracle_backed():
         "delta_native_front_door",
         "delta_dv_delete_roundtrip",
         "delta_alter_columns_roundtrip",
+        "delta_clone_divergence",
         # r9 rotation swap-outs (driver-green in r8; family twin in-window):
         "resample_locf_daily",
         "heavy_hitters_users",

@@ -1515,6 +1515,14 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
         for p2 in target.files
         if p2 not in snap.files and not os.path.isfile(_abs_data_path(path, p2))
     ]
+    # the target's on-disk deletion-vector bitmaps must exist too, or the
+    # restored state would resurrect rows the target had deleted
+    missing += [
+        f"{p2} (deletion vector)"
+        for p2, t_add in target.files.items()
+        if (t_add.get("deletionVector") or {}).get("storageType") in ("u", "p")
+        and not os.path.isfile(_dv_file_path(path, t_add["deletionVector"]))
+    ]
     if missing:
         raise ValueError(
             f"{path}: cannot restore to version {version} — data files "

@@ -2549,3 +2549,75 @@ def test_shallow_clone_diverges_without_touching_source(spark, tmp_path):
     assert sorted(r["id"] for r in delta_read(spark, dst2).collect()) == list(
         range(3, 10)
     )
+
+
+def test_colmap_dv_clone_combination_matrix(spark, tmp_path):
+    """The r10 features COMPOSE: a column-mapped table with deletion
+    vectors enabled DV-deletes and DV-merges under physical names; a
+    shallow clone of that table reads identically and diverges locally;
+    and restore refuses when a target version's DV bitmap is gone."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _dv_file_path,
+        _replay,
+        delta_clone,
+        delta_delete_where,
+        delta_enable_dvs,
+        delta_merge,
+        delta_restore,
+    )
+
+    t = str(tmp_path / "cmdv")
+    delta_write(
+        spark.createDataFrame(
+            [(i, f"d{i % 3}", float(i)) for i in range(12)],
+            "id bigint, dept string, v double",
+        ).coalesce(1),
+        t,
+        column_mapping="name",
+    )
+    delta_enable_dvs(spark, t)
+    # DV delete under physical names: logical predicate, physical files
+    v_del = delta_delete_where(spark, t, ("dept", "=", "d0"))
+    snap = _replay(t, None)
+    assert any(a.get("deletionVector") for a in snap.files.values())
+    assert delta_read(spark, t).count() == 8
+    # DV merge: marks + appends, all physically named
+    delta_merge(
+        spark.createDataFrame([(1, "dx", -1.0), (50, "dy", 5.0)],
+                              "id bigint, dept string, v double"),
+        t,
+        key="id",
+    )
+    got = {r["id"]: r["dept"] for r in delta_read(spark, t).collect()}
+    assert got[1] == "dx" and got[50] == "dy" and len(got) == 9
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(t, "**", "*.parquet"), recursive=True):
+        if "_delta_log" in f or "_change_data" in f:
+            continue
+        assert all(c.name.startswith("col-") for c in pq.read_schema(f)), f
+    # shallow clone of the colmap+DV table: identical read, local divergence
+    c = str(tmp_path / "cmdv_clone")
+    delta_clone(spark, t, c)
+    assert sorted(map(tuple, delta_read(spark, c).collect())) == sorted(
+        map(tuple, delta_read(spark, t).collect())
+    )
+    delta_delete_where(spark, c, ("id", "=", 50))
+    assert delta_read(spark, c).count() == 8
+    assert delta_read(spark, t).count() == 9  # source untouched
+    # restore refuses when the target's DV bitmap is gone
+    snap_del = _replay(t, v_del)
+    dv_bins = [
+        _dv_file_path(t, a["deletionVector"])
+        for a in snap_del.files.values()
+        if a.get("deletionVector")
+    ]
+    delta_merge(  # move the head forward so v_del's bin is restorable state
+        spark.createDataFrame([(2, "dz", 0.0)], "id bigint, dept string, v double"),
+        t,
+        key="id",
+    )
+    for b in dv_bins:
+        os.unlink(b)
+    with pytest.raises(ValueError, match="deletion vector"):
+        delta_restore(spark, t, v_del)

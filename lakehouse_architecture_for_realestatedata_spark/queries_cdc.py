@@ -355,7 +355,7 @@ def _write_colmap_bronze(spark: SparkSession, path: str) -> None:
     import json
     import os
     import shutil
-    from urllib.parse import unquote
+    from urllib.parse import quote, unquote
 
     import pyarrow.parquet as _pq
 
@@ -391,7 +391,11 @@ def _write_colmap_bronze(spark: SparkSession, path: str) -> None:
             adds.append(
                 {
                     "add": {
-                        "path": rel,
+                        # delta-spark stores the path as a percent-encoded
+                        # URI (Path.toUri): the Vietnamese partition dir's
+                        # UTF-8 bytes and spaces all encode — the foreign
+                        # form our reader must decode
+                        "path": quote(rel, safe="/!$&'()*+,;=:@-._~"),
                         "partitionValues": pv,
                         "size": os.path.getsize(fp),
                         "modificationTime": 0,

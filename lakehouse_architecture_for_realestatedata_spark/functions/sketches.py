@@ -414,12 +414,39 @@ def qsketch_merge(sketch: "DataFrame", group_cols: list[str] | None = None) -> "
     return sketch.groupBy(*gb, "bin").agg(F.sum("cnt").alias("cnt"))
 
 
+def qsketch_cumulative(
+    sketch: "DataFrame", group_cols: list[str] | None = None
+) -> "DataFrame":
+    """Per-bin integer cumulative surface: ``(group..., bin, cnt, c, n)``
+    with ``c`` the running count up to this bin and ``n`` the group
+    total, both bigint. This is the readout's entire integer state made
+    directly hashable — exposed so a correctness harness can localize a
+    divergence to either the window machinery (this frame) or the rank
+    readout (``qsketch_quantiles``), and useful on its own as an exact
+    empirical CDF over the sketch. Windows over the SKETCH (≤ nbins rows
+    per group), never the data."""
+    gb = list(group_cols or [])
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gb])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*[F.col(c) for c in gb])
+    return (
+        sketch.withColumn("c", F.sum("cnt").over(w).cast("bigint"))
+        .withColumn("n", F.sum("cnt").over(wg).cast("bigint"))
+        .select(*gb, "bin", F.col("cnt").cast("bigint").alias("cnt"), "c", "n")
+    )
+
+
 def qsketch_quantiles(
     sketch: "DataFrame",
     qs: list[float],
     lo: float = 0.0,
     width: float = 4.0,
     group_cols: list[str] | None = None,
+    labels: list[str] | None = None,
+    integer_est: bool = False,
 ) -> "DataFrame":
     """Quantile readout per group: for each q the FIRST bin whose running
     count reaches ``ceil(q·n)`` — ``(group..., q, bin, n, est)`` with
@@ -433,28 +460,34 @@ def qsketch_quantiles(
     against the SQL oracle on EVERY engine/build (a float ``ceil(q*n)``
     is one rounding away from an off-by-one when q·n lands on an
     integer). The running count windows over the SKETCH (≤ nbins rows
-    per group — the module's bounded-frame rule), never the data."""
+    per group — the module's bounded-frame rule), never the data.
+
+    ``labels`` (one per q) replaces the double ``q`` output column with a
+    string label ('p50', …) and ``integer_est=True`` (requires integral
+    lo/width) emits ``est`` as bigint ``lo + bin·width`` — together they
+    remove every float from the output surface, making the hash
+    environment-proof (no engine/build can diverge on double formatting)."""
     from fractions import Fraction
 
     gb = list(group_cols or [])
-    w = (
-        Window.partitionBy(*[F.col(c) for c in gb])
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wg = Window.partitionBy(*[F.col(c) for c in gb])
-    cum = sketch.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
-        "__n", F.sum("cnt").over(wg)
+    cum = qsketch_cumulative(sketch, gb).withColumnRenamed("c", "__cum").withColumnRenamed(
+        "n", "__n"
     )
     fracs = [Fraction(str(q)) for q in qs]
+    if labels is not None and len(labels) != len(qs):
+        raise ValueError("labels must match qs one-for-one")
     qarr = F.array(
         *[
             F.struct(
-                F.lit(float(q)).alias("q"),
+                (
+                    F.lit(labels[i]).alias("q")
+                    if labels is not None
+                    else F.lit(float(q)).alias("q")
+                ),
                 F.lit(int(fr.numerator)).cast("bigint").alias("qnum"),
                 F.lit(int(fr.denominator)).cast("bigint").alias("qden"),
             )
-            for q, fr in zip(qs, fracs)
+            for i, (q, fr) in enumerate(zip(qs, fracs))
         ]
     )
     hits = (
@@ -472,10 +505,13 @@ def qsketch_quantiles(
         .groupBy(*gb, "q")
         .agg(F.min("bin").alias("bin"), F.max("__n").alias("n"))
     )
-    return hits.select(
-        *gb,
-        "q",
-        "bin",
-        "n",
-        (F.lit(lo) + F.col("bin").cast("double") * F.lit(width)).alias("est"),
-    )
+    if integer_est:
+        if not (float(lo).is_integer() and float(width).is_integer()):
+            raise ValueError("integer_est requires integral lo and width")
+        est = (
+            F.lit(int(lo)).cast("bigint")
+            + F.col("bin").cast("bigint") * F.lit(int(width)).cast("bigint")
+        ).alias("est")
+    else:
+        est = (F.lit(lo) + F.col("bin").cast("double") * F.lit(width)).alias("est")
+    return hits.select(*gb, "q", "bin", "n", est)

@@ -118,36 +118,60 @@ def registry() -> dict[str, QuerySpec]:
     # tests/test_queries_contract.py (sf0.001) + tools/check_oracle.py
     # (sf0.01).
     promoted = [
-        # r10 first-time rows (VERDICT r9 #4 + the pre-declared r10
-        # candidates; each swap-out keeps a same-family twin in-window —
-        # see `deferred`):
-        #   thrift_front_door_revenue    <-> catalog_front_door (SQL front
-        #       door; the thrift row drives catalog tables THROUGH the
-        #       HiveServer2 wire, covering S4+S13 in one row)
-        #   delta_format_front_door, delta_optimize_skipping_scan,
-        #   delta_cdf_merge_changes, delta_stream_pipe_roundtrip,
-        #   keyed_delete_roundtrip, delta_colmap_merge_roundtrip (new r10)
-        #                                <-> delta_colmap_bronze_silver
-        #       (storage/delta family: SIX delta rows now in-window)
-        #   minhash_lsh_verified_md5     <-> ngram_jaccard_pairs_prefix
-        #   simhash_pairs_md5            <-> dedup_canonical_docs (dedup
-        #       keeps dedup_exact_documents + embedding_near_dup in-window)
-        #   hybrid_search_rrf            <-> bm25_search_topk (retrieval;
-        #       RRF runs BM25 inside; winnow_plagiarism_pairs stays)
-        #   per_source_doc_caps          <-> leakage_safe_split_docs
-        #       (curation caps/splits)
-        #   auc_value_vs_purchase        <-> mad_outlier_events (robust
-        #       eval stats)
+        # r11 first-time rows (VERDICT r10 #4: the never-driver-checked
+        # delta/DV/clone rows — all sweep-MATCH in the r10 judge's
+        # independent run — plus a six-query TPC-H tranche and the new
+        # quantile-sketch divergence localizer; each swap-out keeps a
+        # same-family twin in-window — see `deferred`):
+        #   quantile_sketch_weekly_bins  <-> cms_weekly_user_counts
+        #       (sketches; quantile_sketch_weekly STAYS per VERDICT #1 —
+        #       the bins row localizes any residual driver divergence)
+        #   delta_dv_delete_roundtrip    <-> keyed_delete_roundtrip
+        #       (keyed deletes; the DV path is the new physics)
+        #   delta_deletion_vector_read   <-> delta_optimize_skipping_scan
+        #       (S3 versioned scans; colmap_merge keeps S9/J3)
+        #   delta_alter_columns_roundtrip<-> delta_cdf_merge_changes
+        #       (schema-evolution family; colmap_merge stays in-window)
+        #   delta_clone_divergence       <-> delta_stream_pipe_roundtrip
+        #       (table-lifecycle family; interop_roundtrip comes in)
+        #   delta_native_front_door      <-> delta_format_front_door
+        #       (front-door pair: the native half gets its first row)
+        #   delta_interop_roundtrip      <-> benford_price_audit
+        #       (storage interop; silver_model keeps the parse/audit block)
+        #   min_cost_supplier_q2         <-> returned_item_customers_q10
+        #   product_profit_q9            <-> salted_star_revenue
+        #       (multi-join TPC-H stars; join_with_default_key stays)
+        #   important_parts_q11          <-> inverted_index_postings
+        #       (having/scalar-subquery shapes; encode_documents_vocab +
+        #       lang_id_documents keep the token family)
+        #   late_shipment_modes_q12      <-> asof_forward_next_purchase
+        #       (temporal; scd2_user_event_history + window_functions_daily
+        #       stay in-window)
+        #   top_supplier_q15             <-> minhash_lsh_verified_md5
+        #       (view/max-subquery; simhash_pairs_md5 keeps md5 LSH)
+        #   part_share_suppliers_q20     <-> hybrid_search_rrf
+        #       (nested EXISTS/IN; winnow_plagiarism_pairs keeps retrieval)
+        "quantile_sketch_weekly_bins",
+        "delta_dv_delete_roundtrip",
+        "delta_deletion_vector_read",
+        "delta_alter_columns_roundtrip",
+        "delta_clone_divergence",
+        "delta_native_front_door",
+        "delta_interop_roundtrip",
+        "min_cost_supplier_q2",
+        "product_profit_q9",
+        "important_parts_q11",
+        "late_shipment_modes_q12",
+        "top_supplier_q15",
+        "part_share_suppliers_q20",
+        # r10 first-time rows that stay in-window (each still the family's
+        # anchor): thrift drives S4+S13 through the real HiveServer2 wire;
+        # colmap_merge is the only in-window S9/J3 MERGE row; simhash is
+        # the md5-LSH anchor; per_source_doc_caps the curation anchor;
+        # auc_value_vs_purchase the eval-stats anchor.
         "thrift_front_door_revenue",
-        "delta_format_front_door",
-        "delta_optimize_skipping_scan",
-        "delta_cdf_merge_changes",
-        "delta_stream_pipe_roundtrip",
-        "keyed_delete_roundtrip",
         "delta_colmap_merge_roundtrip",
-        "minhash_lsh_verified_md5",
         "simhash_pairs_md5",
-        "hybrid_search_rrf",
         "per_source_doc_caps",
         "auc_value_vs_purchase",
         # r9 first-time rows (pre-declared in the r8 rotation comment; each
@@ -183,12 +207,6 @@ def registry() -> dict[str, QuerySpec]:
         #   delta_colmap_bronze_silver   <-> time_travel_cdc_roundtrip
         #       (versioned storage; medallion_two_batch_pipeline +
         #       incremental_watermark stay in-window)
-        "asof_forward_next_purchase",
-        "cms_weekly_user_counts",
-        "returned_item_customers_q10",
-        "benford_price_audit",
-        "inverted_index_postings",
-        "salted_star_revenue",
         "winnow_plagiarism_pairs",
         "quantile_sketch_weekly",
         "ohlc_daily_bars",
@@ -214,6 +232,21 @@ def registry() -> dict[str, QuerySpec]:
     #   per_source_doc_caps          <-> leakage_safe_split_docs (curation)
     #   auc_value_vs_purchase        <-> mad_outlier_events     (eval stats)
     deferred = {
+        # r11 rotation swap-outs (driver-green in r10; family twin in-window —
+        # see the promoted list's r11 comment for the pairings):
+        "delta_format_front_door",
+        "delta_optimize_skipping_scan",
+        "delta_cdf_merge_changes",
+        "delta_stream_pipe_roundtrip",
+        "keyed_delete_roundtrip",
+        "minhash_lsh_verified_md5",
+        "hybrid_search_rrf",
+        "asof_forward_next_purchase",
+        "cms_weekly_user_counts",
+        "returned_item_customers_q10",
+        "benford_price_audit",
+        "inverted_index_postings",
+        "salted_star_revenue",
         # r10 rotation swap-outs (driver-green in r9; family twin in-window —
         # see the promoted list's r10 comment for the pairings):
         "catalog_front_door",

@@ -129,6 +129,21 @@ def test_driver_window_fully_oracle_backed():
     # block are post-§2 extensions registered last on purpose) — all
     # hard-checked by this module instead. Update CONSCIOUSLY when rotating.
     assert set(displaced) <= {
+        # r11 rotation swap-outs (driver-green in r10; family twin in-window
+        # — see the promoted list's r11 comment in queries.registry):
+        "delta_format_front_door",
+        "delta_optimize_skipping_scan",
+        "delta_cdf_merge_changes",
+        "delta_stream_pipe_roundtrip",
+        "keyed_delete_roundtrip",
+        "minhash_lsh_verified_md5",
+        "hybrid_search_rrf",
+        "asof_forward_next_purchase",
+        "cms_weekly_user_counts",
+        "returned_item_customers_q10",
+        "benford_price_audit",
+        "inverted_index_postings",
+        "salted_star_revenue",
         # r10 rotation swap-outs (driver-green in r9; family twin in-window
         # — see the promoted list's r10 comment in queries.registry):
         "catalog_front_door",

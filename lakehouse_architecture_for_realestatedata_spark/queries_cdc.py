@@ -827,7 +827,8 @@ def q_delta_colmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Deletion-vector read (VERDICT r9 #7, sources/delta_lite.py "
     "reader protocol 3): orders land as ONE row-ordered parquet file, "
     "then a foreign DELETE commit re-adds that file with an INLINE "
-    "deletion vector (storageType 'i': Base85/RFC-1924 payload, portable "
+    "deletion vector (storageType 'i': Z85 payload zero-padded to a "
+    "4-byte multiple, delta-spark's Base85Codec wire shape; portable "
     "RoaringBitmapArray — a run container for row indexes 0..99 plus two "
     "array-container singletons 500 and 777, mixing container types on "
     "purpose) under a protocol-3 readerFeatures bump. delta_read must "
@@ -837,7 +838,6 @@ def q_delta_colmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of rewriting files.",
 )
 def q_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import base64
     import json as _json
     import os
     import shutil
@@ -846,6 +846,7 @@ def q_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
         _claim_version,
         _rbm_array_bytes,
+        _z85encode_padded,
         delta_read,
         delta_write,
     )
@@ -897,7 +898,7 @@ def q_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             | {
                 "deletionVector": {
                     "storageType": "i",
-                    "pathOrInlineDv": base64.b85encode(blob).decode(),
+                    "pathOrInlineDv": _z85encode_padded(blob),
                     "sizeInBytes": len(blob),
                     "cardinality": len(deleted),
                 }

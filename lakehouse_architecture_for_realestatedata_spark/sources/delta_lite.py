@@ -933,29 +933,50 @@ def _ict_for_commit(
 def version_at_timestamp(path: str, ts_millis: int) -> int:
     """``timestampAsOf`` resolution per Delta's contract: the LAST version
     committed at or before ``ts_millis``. Commit time comes from
-    ``commitInfo.inCommitTimestamp`` when present (the authoritative
-    clock once the feature is enabled), else ``commitInfo.timestamp``,
+    ``commitInfo.inCommitTimestamp`` — but ONLY for versions at or after
+    the feature's enablement version (the
+    ``delta.inCommitTimestampEnablementVersion`` provenance property;
+    ICTs are ``max(now, prev+1)``, so a skewed ICT compared against a
+    pre-enablement wall clock in one monotonic scan could resolve the
+    wrong version across the cutover) — else ``commitInfo.timestamp``,
     else the commit file's mtime (what Delta itself falls back to).
     Raises if the table's first commit is after the asked timestamp."""
     log = _log_dir(path)
+    # ICT enablement cutover: versions >= enable_v use ICT, earlier ones
+    # never do. Absent provenance on an ICT table means enabled-at-birth
+    # (every commit's ICT is authoritative) — delta-spark's convention.
+    enable_v = 0
+    try:
+        snap = _replay(path, _latest_version(path))
+        conf = snap.configuration or {}
+        if conf.get("delta.enableInCommitTimestamps", "").lower() == "true":
+            enable_v = int(
+                conf.get("delta.inCommitTimestampEnablementVersion", 0)
+            )
+    except (FileNotFoundError, ValueError, DeltaProtocolError):
+        pass  # unreadable/absent config: fall back to per-commit clocks
     best: int | None = None
     for f in sorted(os.listdir(log)) if os.path.isdir(log) else []:
         if not (f.endswith(".json") and f[0].isdigit()):
             continue
+        v = _version_of(f)
         commit_ts = None
         with open(os.path.join(log, f)) as fh:
             for line in fh:
                 a = json.loads(line) if line.strip() else {}
                 if "commitInfo" in a:
                     ci = a["commitInfo"]
-                    raw = ci.get("inCommitTimestamp", ci.get("timestamp"))
+                    raw = (
+                        ci.get("inCommitTimestamp", ci.get("timestamp"))
+                        if v >= enable_v
+                        else ci.get("timestamp")
+                    )
                     if raw is not None:
                         commit_ts = int(raw)
                     break
         if commit_ts is None:
             commit_ts = int(os.path.getmtime(os.path.join(log, f)) * 1000)
         if commit_ts <= ts_millis:
-            v = _version_of(f)
             best = v if best is None else max(best, v)
     if best is None:
         raise ValueError(
@@ -1026,6 +1047,12 @@ _RBM_ARRAY_MAGIC = 1681511377
 #: filter joins instead of isin (a literal list that size would bloat the
 #: plan and the task closures).
 _DV_ISIN_CAP = 100_000
+#: Total-marked-rows budget for the single-scan DV read path, which unions
+#: every touched file's bitmap into one driver-side (file, row) pair list
+#: before broadcasting it. Above the budget the scan falls back to per-file
+#: application (one bitmap in driver memory at a time) — bounded physics on
+#: a table whose DVs have grown huge between OPTIMIZE runs.
+_DV_READ_PAIRS_CAP = 2_000_000
 
 
 def _parse_rbm32(data: bytes, pos: int) -> tuple[list[int], int]:
@@ -1193,6 +1220,47 @@ def _rbm_array_bytes(values) -> bytes:
     return bytes(out)
 
 
+# Deletion-vector descriptors encode binary payloads in Z85 (the ZeroMQ
+# base-85 alphabet) per the Delta protocol — delta-spark's Base85Codec and
+# delta-rs both use Z85, NOT Python's base64.b85 (RFC 1924). The two codecs
+# share the big-endian 4-byte→5-char arithmetic and differ only in the
+# 85-char alphabet, so a 1:1 character translation between them is exact.
+# (Python grows base64.z85encode natively in 3.13; this transcoding works
+# on every version.)
+_B85_ALPHABET = (
+    b"0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    b"abcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+)
+_Z85_ALPHABET = (
+    b"0123456789abcdefghijklmnopqrstuvwxyz"
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_B85_TO_Z85 = bytes.maketrans(_B85_ALPHABET, _Z85_ALPHABET)
+_Z85_TO_B85 = bytes.maketrans(_Z85_ALPHABET, _B85_ALPHABET)
+
+
+def _z85encode(data: bytes) -> str:
+    """Z85-encode ``data`` (length must be a multiple of 4 — UUIDs are 16
+    bytes; inline DV payloads are zero-padded by the writer, with
+    sizeInBytes recording the true length, matching delta-spark's codec)."""
+    if len(data) % 4:
+        raise ValueError("Z85 needs input length % 4 == 0")
+    return base64.b85encode(data).translate(_B85_TO_Z85).decode("ascii")
+
+
+def _z85decode(s: str) -> bytes:
+    """Decode a Z85 string (inverse of ``_z85encode``)."""
+    return base64.b85decode(s.encode("ascii").translate(_Z85_TO_B85))
+
+
+def _z85encode_padded(data: bytes) -> str:
+    """Z85-encode an arbitrary-length payload by zero-padding to a 4-byte
+    multiple — the inline-DV ('i') wire shape delta-spark's Base85Codec
+    produces; the descriptor's sizeInBytes records the true length and
+    the reader truncates the padding back off."""
+    return _z85encode(data + b"\x00" * ((-len(data)) % 4))
+
+
 def _write_dv_file(table_path: str, values) -> dict:
     """Write an on-disk deletion vector file in the protocol's storage
     format (1-byte version, then at offset: 4-byte BE size + bitmap +
@@ -1210,7 +1278,7 @@ def _write_dv_file(table_path: str, values) -> dict:
         fh.write(raw)
     return {
         "storageType": "u",
-        "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+        "pathOrInlineDv": _z85encode(u.bytes),
         "offset": 1,
         "sizeInBytes": len(data),
         "cardinality": len(set(values)),
@@ -1226,7 +1294,7 @@ def _dv_file_path(table_path: str, desc: dict) -> str:
     if st == "u":
         s = desc["pathOrInlineDv"]
         prefix, enc = s[:-20], s[-20:]
-        u = uuid.UUID(bytes=base64.b85decode(enc))
+        u = uuid.UUID(bytes=_z85decode(enc))
         name = f"deletion_vector_{u}.bin"
         return (
             os.path.join(table_path, prefix, name)
@@ -1241,16 +1309,21 @@ def _dv_file_path(table_path: str, desc: dict) -> str:
 
 def _load_deletion_vector(table_path: str, desc: dict) -> list[int]:
     """The sorted row indexes a deletionVector descriptor marks deleted.
-    Storage types per protocol: ``i`` inline (Base85/RFC-1924 payload in
-    the descriptor itself), ``u`` a UUID-derived file under the table
-    (``deletion_vector_<uuid>.bin`` below an optional random prefix; the
-    descriptor's last 20 chars are the Base85 uuid), ``p`` an absolute
-    path. On-disk DVs sit at ``offset``: a 4-byte big-endian size, the
-    serialized RoaringBitmapArray, then its CRC-32 (big-endian) —
-    verified here."""
+    Storage types per protocol: ``i`` inline (Z85 payload in the
+    descriptor itself, zero-padded to a 4-byte multiple with sizeInBytes
+    recording the true length — delta-spark's Base85Codec shape), ``u`` a
+    UUID-derived file under the table (``deletion_vector_<uuid>.bin``
+    below an optional random prefix; the descriptor's last 20 chars are
+    the Z85 uuid), ``p`` an absolute path. On-disk DVs sit at ``offset``:
+    a 4-byte big-endian size, the serialized RoaringBitmapArray, then its
+    CRC-32 (big-endian) — verified here."""
     st = desc.get("storageType")
     if st == "i":
-        return _parse_rbm_array(base64.b85decode(desc["pathOrInlineDv"]))
+        raw = _z85decode(desc["pathOrInlineDv"])
+        declared = desc.get("sizeInBytes")
+        if declared is not None:
+            raw = raw[: int(declared)]  # strip the codec's zero padding
+        return _parse_rbm_array(raw)
     fpath = _dv_file_path(table_path, desc)
     with open(fpath, "rb") as fh:
         raw = fh.read()
@@ -1319,16 +1392,34 @@ def _scan_files(
         out = _scan_files(spark, path, snap, plain)
         types = {f.name: f.dataType for f in phys.fields}
         base_of = {p: unquote(p).rsplit("/", 1)[-1] for p in dv_files}
-        if len(set(base_of.values())) != len(base_of):
-            # foreign layout with colliding basenames: fall back to
-            # per-file application (correct for any naming)
+        total_marked = sum(
+            int((a["deletionVector"] or {}).get("cardinality") or 0)
+            for a in dv_files.values()
+        )
+        if (
+            len(set(base_of.values())) != len(base_of)
+            or total_marked > _DV_READ_PAIRS_CAP
+        ):
+            # Per-file application: correct for ANY naming (colliding
+            # foreign basenames) and the bounded-driver path when the
+            # descriptors' total cardinality exceeds the pairs budget —
+            # peak driver memory is ONE file's bitmap at a time instead
+            # of the union of all of them. Each file's marks apply as an
+            # isin literal when small, a broadcast anti-join otherwise.
             for p, add in sorted(dv_files.items()):
                 deleted = _load_deletion_vector(path, add["deletionVector"])
                 one = spark.read.schema(data_schema).parquet(
-                    os.path.join(path, p)
+                    _abs_data_path(path, p)
                 )
                 one = one.withColumn("__ri", F.col("_metadata.row_index"))
-                one = one.filter(~F.col("__ri").isin(deleted)).drop("__ri")
+                if len(deleted) <= _DV_ISIN_CAP:
+                    one = one.filter(~F.col("__ri").isin(deleted))
+                else:
+                    dv_df = spark.createDataFrame(
+                        [(int(i),) for i in deleted], "__ri bigint"
+                    )
+                    one = one.join(F.broadcast(dv_df), "__ri", "left_anti")
+                one = one.drop("__ri")
                 pv = add.get("partitionValues") or {}
                 for c in phys_parts:
                     one = one.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
@@ -2505,9 +2596,12 @@ def delta_merge(
     touched = _files_overlapping_keys(snap, keys, source)
     if _dv_write_path_ok(snap, touched):
         _writer_gate(snap, path, removes_data=True, op="MERGE", generated_ok=True)
-        return _merge_with_dvs(
+        v = _merge_with_dvs(
             spark, path, latest, snap, touched, source, keys, when_matched
         )
+        if v is not None:
+            return v
+        # matched rows exceed the DV write budget: rewrite is cheaper
     target = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
     changes = None
     if when_matched == "update_all":
@@ -2643,12 +2737,20 @@ def _scan_with_rowpos(
 
 
 def _dv_mark_actions(
-    path: str, snap: _Snapshot, by_file: dict[str, list[int]], now: int
+    path: str,
+    snap: _Snapshot,
+    touched: list[str],
+    by_file: dict[str, list[int]],
+    now: int,
 ) -> list[dict]:
     """remove+add action pairs marking ``by_file`` (basename → row
     indexes) deleted via fresh per-file deletion vectors, UNIONED with
-    each file's existing DV (DVs are absolute per file version)."""
-    fb_to_rel = {unquote(p).rsplit("/", 1)[-1]: p for p in snap.files}
+    each file's existing DV (DVs are absolute per file version).
+    Basenames resolve against the TOUCHED files only — resolving against
+    the whole snapshot could attach a DV to an untouched file that
+    happens to share a basename (``_dv_write_path_ok`` only checks
+    uniqueness among the touched set)."""
+    fb_to_rel = {unquote(p).rsplit("/", 1)[-1]: p for p in touched}
     actions: list[dict] = []
     for fb in sorted(by_file):
         rel = fb_to_rel[fb]
@@ -2683,15 +2785,59 @@ def _dv_mark_actions(
     return actions
 
 
+#: Per-file matched-row ceiling for WRITING a deletion vector (aligned with
+#: the read side's ``_DV_ISIN_CAP``): above this, marking rows costs more
+#: than rewriting the file — DVs only win when matched ≪ file rows — and the
+#: positions would be collected onto the driver. Files over the cap fall
+#: back to the rewrite path.
+_DV_WRITE_FILE_CAP = 100_000
+#: Total matched-row budget across all touched files for one DV-writing
+#: commit — bounds the driver-side position collect no matter how many
+#: files a broad predicate touches.
+_DV_WRITE_TOTAL_CAP = 1_000_000
+
+
 def _dv_write_path_ok(snap: _Snapshot, touched: list[str]) -> bool:
-    """True when the table asks for DV writes AND the touched files'
-    basenames are unique (the row-addressing scan keys on basenames; a
-    colliding foreign layout falls back to the rewrite path)."""
-    return (snap.configuration or {}).get(
+    """True when the table asks for DV writes, the PROTOCOL actually
+    carries the deletionVectors reader+writer features (a config flag
+    without the protocol bump would commit DV adds a protocol-honest
+    reader ignores — silently resurrecting the deleted rows), AND the
+    touched files' basenames are unique (the row-addressing scan keys on
+    basenames; a colliding foreign layout falls back to the rewrite
+    path)."""
+    if (snap.configuration or {}).get(
         "delta.enableDeletionVectors", ""
-    ).lower() == "true" and len(
-        {unquote(p).rsplit("/", 1)[-1] for p in touched}
-    ) == len(touched)
+    ).lower() != "true":
+        return False
+    proto = snap.protocol or {}
+    if "deletionVectors" not in (
+        proto.get("readerFeatures") or []
+    ) or "deletionVectors" not in (proto.get("writerFeatures") or []):
+        return False  # the delta_enable_dvs invariant: config AND features
+    return len({unquote(p).rsplit("/", 1)[-1] for p in touched}) == len(touched)
+
+
+def _collect_dv_marks(matched: DataFrame) -> dict[str, list[int]] | None:
+    """Collect the matched rows' (file basename, row index) positions for
+    DV marking, GUARDED: a per-file count aggregate (one row per touched
+    file) runs first, and if any file's matched count exceeds
+    ``_DV_WRITE_FILE_CAP`` or the total exceeds ``_DV_WRITE_TOTAL_CAP``
+    the collect never happens — returns None and the caller falls back to
+    the rewrite path (where matched rows are that dense, rewriting is the
+    cheaper physics anyway, and the driver never holds an unbounded
+    position list). Returns {} when nothing matched."""
+    counts = matched.groupBy("__fb").agg(F.count(F.lit(1)).alias("__n")).collect()
+    if not counts:
+        return {}
+    if (
+        max(int(r["__n"]) for r in counts) > _DV_WRITE_FILE_CAP
+        or sum(int(r["__n"]) for r in counts) > _DV_WRITE_TOTAL_CAP
+    ):
+        return None
+    by_file: dict[str, list[int]] = {}
+    for r in matched.select("__fb", "__ri").collect():
+        by_file.setdefault(r["__fb"], []).append(int(r["__ri"]))
+    return by_file
 
 
 def _delete_with_dvs(
@@ -2701,13 +2847,15 @@ def _delete_with_dvs(
     snap: _Snapshot,
     touched: list[str],
     conds: list[tuple],
-) -> int:
+) -> int | None:
     """DELETE as deletion vectors: matched rows are marked deleted in a
     per-file roaring bitmap instead of rewriting the files — cost
     O(matched rows), not O(bytes in touched files). A 10-row GDPR erasure
     on a 1 GB file writes a ~50-byte DV, never the gigabyte. Existing DVs
     union with the new marks (DVs are absolute per file version). CDF
-    still gets precise row-level deletes."""
+    still gets precise row-level deletes. Returns None when the matched
+    counts exceed the DV write budget (broad predicate → the caller's
+    rewrite path is the right physics)."""
     from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
         ParquetTable,
     )
@@ -2716,12 +2864,11 @@ def _delete_with_dvs(
     scan = _scan_with_rowpos(spark, path, snap, files)
     cond = ParquetTable._conds_filter(list(conds))
     matched = scan.filter(cond)
-    pairs = matched.select("__fb", "__ri").collect()
-    if not pairs:
+    by_file = _collect_dv_marks(matched)
+    if by_file is None:
+        return None  # over budget: fall back to the rewrite path
+    if not by_file:
         return latest  # stats admitted the files, but no row matches
-    by_file: dict[str, list[int]] = {}
-    for r in pairs:
-        by_file.setdefault(r["__fb"], []).append(int(r["__ri"]))
     cdcs = (
         _write_cdc_files(
             _to_physical_frame(
@@ -2749,7 +2896,7 @@ def _delete_with_dvs(
     if ict is not None:
         ci["inCommitTimestamp"] = ict
     actions: list[dict] = [{"commitInfo": ci}]
-    actions += _dv_mark_actions(path, snap, by_file, now)
+    actions += _dv_mark_actions(path, snap, touched, by_file, now)
     actions += [{"cdc": c} for c in cdcs]
     payload = (
         "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
@@ -2767,11 +2914,13 @@ def _update_with_dvs(
     touched: list[str],
     assignments: dict[str, Any],
     conds: list[tuple],
-) -> int:
+) -> int | None:
     """UPDATE as deletion vectors + append (delta-spark 3.x shape): the
     matched rows' old positions are marked deleted in per-file bitmaps
     and ONE new file holds their updated images — cost O(matched rows),
-    never a rewrite of the touched files' unmatched rows."""
+    never a rewrite of the touched files' unmatched rows. Returns None
+    when the matched counts exceed the DV write budget (the caller's
+    rewrite path takes over)."""
     from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
         ParquetTable,
     )
@@ -2780,12 +2929,11 @@ def _update_with_dvs(
     scan = _scan_with_rowpos(spark, path, snap, files)
     cond = ParquetTable._conds_filter(list(conds))
     matched = scan.filter(cond)
-    pairs = matched.select("__fb", "__ri").collect()
-    if not pairs:
+    by_file = _collect_dv_marks(matched)
+    if by_file is None:
+        return None  # over budget: fall back to the rewrite path
+    if not by_file:
         return latest
-    by_file: dict[str, list[int]] = {}
-    for r in pairs:
-        by_file.setdefault(r["__fb"], []).append(int(r["__ri"]))
     pre = matched.drop("__fb", "__ri")
     post = pre
     for name, expr in assignments.items():
@@ -2826,7 +2974,7 @@ def _update_with_dvs(
     if ict is not None:
         ci["inCommitTimestamp"] = ict
     actions: list[dict] = [{"commitInfo": ci}]
-    actions += _dv_mark_actions(path, snap, by_file, now)
+    actions += _dv_mark_actions(path, snap, touched, by_file, now)
     actions += [{"add": a} for a in adds]
     actions += [{"cdc": c} for c in cdcs]
     payload = (
@@ -2846,13 +2994,15 @@ def _merge_with_dvs(
     source: DataFrame,
     keys: list[str],
     when_matched: str,
-) -> int:
+) -> int | None:
     """MERGE as deletion vectors + append (delta-spark 3.x shape):
     matched target rows' old positions are marked deleted in per-file
     bitmaps and the source lands as new files — cost O(source +
     matched rows); the touched files' carried rows never rewrite.
     Same semantics as the rewrite path (update_all / keep_target),
-    including schema widening and CDF."""
+    including schema widening and CDF. Returns None when the matched
+    counts exceed the DV write budget (the caller's rewrite path takes
+    over)."""
     files = {p: snap.files[p] for p in touched}
     logical = _strip_metadata(snap.schema)
     if files:
@@ -2890,10 +3040,9 @@ def _merge_with_dvs(
             changes = new_rows.withColumn("_change_type", F.lit("insert"))
     else:
         raise ValueError(f"unknown when_matched={when_matched!r}")
-    pairs = matched.select("__fb", "__ri").collect()
-    by_file: dict[str, list[int]] = {}
-    for r in pairs:
-        by_file.setdefault(r["__fb"], []).append(int(r["__ri"]))
+    by_file = _collect_dv_marks(matched)
+    if by_file is None:
+        return None  # over budget: fall back to the rewrite path
     # schema widening — identical contract to the rewrite merge
     existing = {f.name: f for f in snap.schema.fields}
     new_fields = [
@@ -2968,7 +3117,7 @@ def _merge_with_dvs(
                 }
             }
         )
-    actions += _dv_mark_actions(path, snap, by_file, now)
+    actions += _dv_mark_actions(path, snap, touched, by_file, now)
     actions += [{"add": a} for a in adds]
     actions += [{"cdc": c} for c in cdcs]
     payload = (
@@ -3003,7 +3152,10 @@ def delta_delete_where(spark: SparkSession, path: str, *conds: tuple) -> int:
         return latest  # stats prove no row matches: nothing to do
     if _dv_write_path_ok(snap, touched):
         _writer_gate(snap, path, removes_data=True, op="DELETE", generated_ok=True)
-        return _delete_with_dvs(spark, path, latest, snap, touched, list(conds))
+        v = _delete_with_dvs(spark, path, latest, snap, touched, list(conds))
+        if v is not None:
+            return v
+        # matched rows exceed the DV write budget: rewrite is cheaper
     scan = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
     cond = ParquetTable._conds_filter(list(conds))
     survivors = scan.filter(~cond)
@@ -3056,9 +3208,12 @@ def delta_update_where(
         return latest
     if _dv_write_path_ok(snap, touched):
         _writer_gate(snap, path, removes_data=True, op="UPDATE", generated_ok=True)
-        return _update_with_dvs(
+        v = _update_with_dvs(
             spark, path, latest, snap, touched, assignments, list(conds)
         )
+        if v is not None:
+            return v
+        # matched rows exceed the DV write budget: rewrite is cheaper
     scan = _scan_files(spark, path, snap, {p: snap.files[p] for p in touched})
     cond = ParquetTable._conds_filter(list(conds))
     df = scan
@@ -3098,10 +3253,14 @@ def _commit_metadata_change(
     min_writer: int | None = None,
     protocol: dict | None = None,
     schema_json: str | None = None,
+    ict_value: int | None = None,
 ) -> int:
     """Metadata-only commit: new table configuration and/or schema (and
     an optional writer-protocol bump in the SAME commit, per spec — a
-    feature and the version that demands it must land together)."""
+    feature and the version that demands it must land together).
+    ``ict_value`` pins the commit's inCommitTimestamp when the caller
+    already derived it (the ICT-enabling commit must stamp the SAME
+    value into the enablement-provenance property)."""
     now = int(time.time() * 1000)
     ci: dict[str, Any] = {
         "timestamp": now,
@@ -3109,7 +3268,11 @@ def _commit_metadata_change(
         "operationParameters": params,
         "engineInfo": "delta-lite",
     }
-    ict = _ict_for_commit(path, configuration, latest, now)
+    ict = (
+        ict_value
+        if ict_value is not None
+        else _ict_for_commit(path, configuration, latest, now)
+    )
     if ict is not None:
         ci["inCommitTimestamp"] = ict
     actions: list[dict] = [{"commitInfo": ci}]
@@ -3208,8 +3371,13 @@ def delta_enable_ict(spark: SparkSession, path: str) -> int:
     features must be carried explicitly once the version goes to 7).
     From this commit on — including the enabling commit itself — every
     commit's commitInfo carries a strictly-monotonic inCommitTimestamp,
-    and timestamp time travel resolves against it. delta-spark 4.x
-    enables this by default on new tables."""
+    and timestamp time travel resolves against it. Mid-life enablement
+    also stamps the delta-spark provenance properties
+    ``delta.inCommitTimestampEnablementVersion`` / ``...Timestamp`` (the
+    enabling commit's version and its OWN ICT), so readers — including
+    ``version_at_timestamp`` here — know which versions' clocks are ICTs
+    and never compare a pre-enablement wall clock against a skewed ICT.
+    delta-spark 4.x enables this by default on new tables."""
     latest = _latest_version(path)
     snap = _replay(path, latest)
     _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES", generated_ok=True)
@@ -3229,6 +3397,10 @@ def delta_enable_ict(spark: SparkSession, path: str) -> int:
         new_proto["readerFeatures"] = proto["readerFeatures"]
     conf = dict(snap.configuration or {})
     conf["delta.enableInCommitTimestamps"] = "true"
+    now = int(time.time() * 1000)
+    ict = _ict_for_commit(path, conf, latest, now)
+    conf["delta.inCommitTimestampEnablementVersion"] = str(latest + 1)
+    conf["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
     return _commit_metadata_change(
         path,
         snap,
@@ -3236,6 +3408,7 @@ def delta_enable_ict(spark: SparkSession, path: str) -> int:
         conf,
         op="SET TBLPROPERTIES",
         params={"delta.enableInCommitTimestamps": "true"},
+        ict_value=ict,
         protocol=new_proto,
     )
 

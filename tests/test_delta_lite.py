@@ -1787,8 +1787,11 @@ def test_deletion_vector_read_roundtrip(spark, tmp_path):
     assert sorted(
         r["id"] for r in delta_read(spark, t, where=[("id", "<=", 3)]).collect()
     ) == [0, 2]
-    # inline DV ('i' storage), committed as v2 marking rows {0, 9}
-    import base64 as _b64
+    # inline DV ('i' storage), committed as v2 marking rows {0, 9} —
+    # Z85-encoded with zero padding, the delta-spark Base85Codec wire shape
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _z85encode_padded,
+    )
 
     blob = _rbm_array_bytes([0, 9])
     v2 = [
@@ -1796,7 +1799,7 @@ def test_deletion_vector_read_roundtrip(spark, tmp_path):
                         "operationParameters": {}, "engineInfo": "test"}},
         {"add": add0 | {"deletionVector": {
             "storageType": "i",
-            "pathOrInlineDv": _b64.b85encode(blob).decode(),
+            "pathOrInlineDv": _z85encode_padded(blob),
             "sizeInBytes": len(blob),
             "cardinality": 2,
         }}},
@@ -2621,3 +2624,290 @@ def test_colmap_dv_clone_combination_matrix(spark, tmp_path):
         os.unlink(b)
     with pytest.raises(ValueError, match="deletion vector"):
         delta_restore(spark, t, v_del)
+
+
+def test_z85_codec_delta_spark_alphabet():
+    """DV descriptors must use the Z85 alphabet (what delta-spark's
+    Base85Codec and delta-rs emit), NOT Python's RFC-1924 b85 (ADVICE
+    r10 high): pinned against the published Z85 reference vector, plus a
+    uuid whose encoding contains Z85-only characters that RFC-1924
+    decoding rejects outright."""
+    import base64 as _b64
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _z85decode,
+        _z85encode,
+        _z85encode_padded,
+    )
+
+    # the Z85 spec's reference vector (ZeroMQ RFC 32)
+    ref = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert _z85encode(ref) == "HelloWorld"
+    assert _z85decode("HelloWorld") == ref
+    # a Z85 string using characters OUTSIDE the RFC-1924 alphabet
+    # ('.', ':', '/', '[', ']') — the exact breakage the b85 codec caused:
+    # real delta-spark descriptors containing them failed to decode.
+    z85_only = ".-:+=^!/*?&<>()[]{}"
+    for ch in z85_only:
+        s = ch * 5  # any 5-char group decodes under Z85
+        _z85decode(s)  # must not raise
+        if ch in ".:/[]":  # Z85-only chars (RFC-1924 does have {}) break b85
+            with __import__("pytest").raises(ValueError):
+                _b64.b85decode(s)
+    # uuid round-trip: 16 bytes <-> 20 chars, alphabet-pure
+    import uuid as _uuid
+
+    alpha = set(
+        "0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+    )
+    for _ in range(50):
+        u = _uuid.uuid4()
+        enc = _z85encode(u.bytes)
+        assert len(enc) == 20 and set(enc) <= alpha
+        assert _z85decode(enc) == u.bytes
+    # padded payloads carry sizeInBytes semantics: decode+truncate restores
+    for blob in (b"", b"a", b"ab", b"abc", b"abcd", bytes(range(37))):
+        assert _z85decode(_z85encode_padded(blob))[: len(blob)] == blob
+
+
+def test_dv_write_budget_falls_back_to_rewrite(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #2: the DV write paths must never collect an unbounded
+    matched-position list onto the driver. With the per-file cap lowered,
+    a broad-predicate DELETE takes the REWRITE path (files replaced, no
+    deletionVector action) while a narrow one still writes bitmaps — and
+    both produce the correct surviving rows."""
+    import lakehouse_architecture_for_realestatedata_spark.sources.delta_lite as dl
+
+    t = str(tmp_path / "dvbudget")
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 20 else "cold") for i in range(30)],
+        "id bigint, tag string",
+    ).coalesce(1)
+    dl.delta_write(df, t)
+    dl.delta_enable_dvs(spark, t)
+    monkeypatch.setattr(dl, "_DV_WRITE_FILE_CAP", 5)
+    # narrow delete: 2 matches <= cap -> DV marks, same data file kept
+    before = set(dl._replay(t, None).files)
+    dl.delta_delete_where(spark, t, ("id", "between", (0, 1)))
+    snap = dl._replay(t, None)
+    assert set(snap.files) == before
+    assert all(a.get("deletionVector") for a in snap.files.values())
+    # broad delete: 18 matches > cap -> rewrite path, file REPLACED and
+    # the new file carries no DV
+    dl.delta_delete_where(spark, t, ("tag", "=", "hot"))
+    snap2 = dl._replay(t, None)
+    assert set(snap2.files) != set(snap.files)
+    assert not any(a.get("deletionVector") for a in snap2.files.values())
+    got = sorted(r["id"] for r in dl.delta_read(spark, t).collect())
+    assert got == list(range(20, 30))
+    # total-budget guard trips independently of the per-file cap
+    monkeypatch.setattr(dl, "_DV_WRITE_FILE_CAP", 10**9)
+    monkeypatch.setattr(dl, "_DV_WRITE_TOTAL_CAP", 3)
+    dl.delta_delete_where(spark, t, ("id", "between", (20, 24)))
+    snap3 = dl._replay(t, None)
+    assert not any(a.get("deletionVector") for a in snap3.files.values())
+    assert sorted(r["id"] for r in dl.delta_read(spark, t).collect()) == list(
+        range(25, 30)
+    )
+
+
+def test_dv_read_pairs_budget_per_file_fallback(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #6: when the descriptors' total cardinality exceeds the
+    driver pairs budget, the scan falls back to per-file DV application
+    (one bitmap in driver memory at a time) and still returns exactly the
+    surviving rows."""
+    import lakehouse_architecture_for_realestatedata_spark.sources.delta_lite as dl
+
+    t = str(tmp_path / "dvreadcap")
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "id bigint, part bigint"
+    ).repartition(4, "part")
+    dl.delta_write(df, t)
+    dl.delta_enable_dvs(spark, t)
+    dl.delta_delete_where(spark, t, ("id", "between", (10, 29)))
+    expect = sorted(
+        r["id"] for r in dl.delta_read(spark, t).collect()
+    )
+    assert expect == [i for i in range(40) if not 10 <= i <= 29]
+    monkeypatch.setattr(dl, "_DV_READ_PAIRS_CAP", 0)  # force the fallback
+    got = sorted(r["id"] for r in dl.delta_read(spark, t).collect())
+    assert got == expect
+    # the big-bitmap branch of the fallback too
+    monkeypatch.setattr(dl, "_DV_ISIN_CAP", 0)
+    got2 = sorted(r["id"] for r in dl.delta_read(spark, t).collect())
+    assert got2 == expect
+
+
+def test_dv_write_requires_protocol_features(spark, tmp_path):
+    """ADVICE r10: delta.enableDeletionVectors=true WITHOUT the protocol
+    actually listing deletionVectors (reader 3 + writer 7 features) must
+    NOT take the DV write path — DV adds under a legacy protocol would be
+    silently ignored by protocol-honest readers, resurrecting the deleted
+    rows. The delete still succeeds via the rewrite path."""
+    import lakehouse_architecture_for_realestatedata_spark.sources.delta_lite as dl
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    t = str(tmp_path / "dvnoproto")
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(10)], "id bigint, tag string"
+    ).coalesce(1)
+    dl.delta_write(df, t)
+    # misconfigured table: config flag set by a raw metaData commit, but
+    # the protocol stays legacy (1, 2) with no feature lists
+    snap = dl._replay(t, None)
+    meta = {
+        "id": "11111111222233334444555566667777",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": snap.schema.json(),
+        "partitionColumns": [],
+        "configuration": {"delta.enableDeletionVectors": "true"},
+    }
+    acts = [
+        {"commitInfo": {"timestamp": 1, "operation": "SET TBLPROPERTIES",
+                        "operationParameters": {}, "engineInfo": "test"}},
+        {"metaData": meta},
+    ]
+    _claim_version(
+        os.path.join(t, "_delta_log"), 1,
+        "\n".join(json.dumps(a) for a in acts) + "\n",
+    )
+    snap1 = dl._replay(t, None)
+    assert not dl._dv_write_path_ok(snap1, sorted(snap1.files))
+    dl.delta_delete_where(spark, t, ("tag", "=", "x"))
+    snap2 = dl._replay(t, None)
+    assert not any(a.get("deletionVector") for a in snap2.files.values())
+    assert sorted(r["id"] for r in dl.delta_read(spark, t).collect()) == [
+        0, 2, 4, 6, 8,
+    ]
+
+
+def test_dv_marks_resolve_against_touched_files_only(spark, tmp_path):
+    """ADVICE r10: a foreign layout where a TOUCHED file shares its
+    basename with an UNTOUCHED file (different directories) must attach
+    the new deletion vector to the touched file's add action — resolving
+    basenames against the whole snapshot could mark rows deleted in the
+    wrong file."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    import lakehouse_architecture_for_realestatedata_spark.sources.delta_lite as dl
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    t = str(tmp_path / "dvtouch")
+    os.makedirs(os.path.join(t, "a"))
+    os.makedirs(os.path.join(t, "b"))
+    _pq.write_table(
+        _pa.table({"id": list(range(10))}), os.path.join(t, "a", "part-0.parquet")
+    )
+    _pq.write_table(
+        _pa.table({"id": list(range(100, 110))}),
+        os.path.join(t, "b", "part-0.parquet"),
+    )
+    schema = '{"type":"struct","fields":[{"name":"id","type":"long","nullable":true,"metadata":{}}]}'
+
+    def _add(rel, lo, hi):
+        return {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(t, rel)),
+            "modificationTime": 1,
+            "dataChange": True,
+            "stats": json.dumps(
+                {
+                    "numRecords": 10,
+                    "minValues": {"id": lo},
+                    "maxValues": {"id": hi},
+                    "nullCount": {"id": 0},
+                }
+            ),
+        }
+
+    acts = [
+        {"commitInfo": {"timestamp": 1, "operation": "WRITE",
+                        "operationParameters": {}, "engineInfo": "test"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {
+            "id": "aaaabbbbccccddddeeeeffff00001111",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema,
+            "partitionColumns": [],
+            "configuration": {"delta.enableDeletionVectors": "true"},
+        }},
+        {"add": _add("a/part-0.parquet", 0, 9)},
+        {"add": _add("b/part-0.parquet", 100, 109)},
+    ]
+    os.makedirs(os.path.join(t, "_delta_log"))
+    _claim_version(
+        os.path.join(t, "_delta_log"), 0,
+        "\n".join(json.dumps(a) for a in acts) + "\n",
+    )
+    # stats prune the delete to a/ only; basenames collide across dirs
+    dl.delta_delete_where(spark, t, ("id", "=", 5))
+    snap = dl._replay(t, None)
+    assert snap.files["a/part-0.parquet"].get("deletionVector"), (
+        "touched file must carry the DV"
+    )
+    assert not snap.files["b/part-0.parquet"].get("deletionVector"), (
+        "untouched basename-colliding file must NOT get the DV"
+    )
+    got = sorted(r["id"] for r in dl.delta_read(spark, t).collect())
+    assert got == [i for i in range(10) if i != 5] + list(range(100, 110))
+
+
+def test_ict_enablement_provenance_and_cutover(spark, tmp_path):
+    """ADVICE r10 low: mid-life ICT enablement stamps
+    delta.inCommitTimestampEnablementVersion/-Timestamp (delta-spark's
+    provenance properties), the property equals the enabling commit's OWN
+    inCommitTimestamp, and version_at_timestamp uses ICT only for
+    versions at or after the enablement version — a pre-enablement wall
+    clock is never compared against a skewed ICT."""
+    import lakehouse_architecture_for_realestatedata_spark.sources.delta_lite as dl
+
+    t = str(tmp_path / "ictprov")
+    dl.delta_write(
+        spark.createDataFrame([(1,)], "id bigint"), t
+    )  # v0, wall-clock
+    v_en = dl.delta_enable_ict(spark, t)  # v1, the enabling commit
+    snap = dl._replay(t, None)
+    conf = snap.configuration or {}
+    assert conf["delta.inCommitTimestampEnablementVersion"] == str(v_en)
+    en_ts = int(conf["delta.inCommitTimestampEnablementTimestamp"])
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{v_en:020d}.json"))
+    ]
+    ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+    assert int(ci["inCommitTimestamp"]) == en_ts
+    # post-enablement commit carries a strictly greater ICT
+    v2 = dl.delta_write(
+        spark.createDataFrame([(2,)], "id bigint"), t, mode="append"
+    )
+    acts2 = [
+        json.loads(l)
+        for l in open(os.path.join(t, "_delta_log", f"{v2:020d}.json"))
+    ]
+    ci2 = next(a["commitInfo"] for a in acts2 if "commitInfo" in a)
+    assert int(ci2["inCommitTimestamp"]) > en_ts
+    # cutover correctness: inject a SKEWED ICT-looking field into the
+    # PRE-enablement commit (a hostile/foreign log); resolution for a
+    # timestamp before enablement must ignore it and still find v0
+    v0_file = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    lines = open(v0_file).read().splitlines()
+    fixed = []
+    wall0 = None
+    for line in lines:
+        a = json.loads(line)
+        if "commitInfo" in a:
+            wall0 = int(a["commitInfo"]["timestamp"])
+            a["commitInfo"]["inCommitTimestamp"] = en_ts + 10**9  # skewed
+        fixed.append(json.dumps(a, separators=(",", ":")))
+    open(v0_file, "w").write("\n".join(fixed) + "\n")
+    assert dl.version_at_timestamp(t, wall0) == 0
+    assert dl.version_at_timestamp(t, en_ts) >= v_en

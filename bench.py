@@ -128,6 +128,15 @@ HEADLINE = [
     "delta_alter_columns_roundtrip",
     # shallow-clone divergence (absolute-URI v0, clone-local rewrites)
     "delta_clone_divergence",
+    # r11 additions: RESTORE undoing a merge by reference (metadata-only),
+    # GENERATED ALWAYS AS evaluate/validate/recompute through append+merge,
+    # the DV lifecycle close (DV delete → OPTIMIZE materializes through
+    # bitmaps → VACUUM collects superseded parquet + orphaned DV bins), and
+    # the columnMapping.mode=id read (Spark-native parquet field-id binding)
+    "delta_restore_roundtrip",
+    "delta_generated_columns",
+    "delta_dv_purge_vacuum",
+    "delta_colmap_id_read",
 ]
 
 

@@ -151,7 +151,23 @@ def registry() -> dict[str, QuerySpec]:
         #       (view/max-subquery; simhash_pairs_md5 keeps md5 LSH)
         #   part_share_suppliers_q20     <-> hybrid_search_rrf
         #       (nested EXISTS/IN; winnow_plagiarism_pairs keeps retrieval)
+        #   delta_restore_roundtrip      <-> ohlc_daily_bars (table
+        #       lifecycle, new r11 row; capped_sessions_users keeps the
+        #       time-window family)
+        #   delta_generated_columns      <-> skyline_cheap_large_parts
+        #       (write-contract family, new r11 row;
+        #       topk_orders_per_priority keeps ranking)
+        #   delta_dv_purge_vacuum        <-> waiting_suppliers_q21
+        #       (DV lifecycle, new r11 row; part_share_suppliers_q20
+        #       keeps the NOT-EXISTS existence-join shape)
+        #   delta_colmap_id_read         <-> auc_value_vs_purchase
+        #       (column-mapping family, new r11 row; mad_outlier_events
+        #       is the deferred eval-stats twin, sweep-checked)
         "quantile_sketch_weekly_bins",
+        "delta_restore_roundtrip",
+        "delta_generated_columns",
+        "delta_dv_purge_vacuum",
+        "delta_colmap_id_read",
         "delta_dv_delete_roundtrip",
         "delta_deletion_vector_read",
         "delta_alter_columns_roundtrip",
@@ -167,13 +183,11 @@ def registry() -> dict[str, QuerySpec]:
         # r10 first-time rows that stay in-window (each still the family's
         # anchor): thrift drives S4+S13 through the real HiveServer2 wire;
         # colmap_merge is the only in-window S9/J3 MERGE row; simhash is
-        # the md5-LSH anchor; per_source_doc_caps the curation anchor;
-        # auc_value_vs_purchase the eval-stats anchor.
+        # the md5-LSH anchor; per_source_doc_caps the curation anchor.
         "thrift_front_door_revenue",
         "delta_colmap_merge_roundtrip",
         "simhash_pairs_md5",
         "per_source_doc_caps",
-        "auc_value_vs_purchase",
         # r9 first-time rows (pre-declared in the r8 rotation comment; each
         # swap-out keeps a same-family twin in-window — see `deferred`):
         #   asof_forward_next_purchase   <-> resample_locf_daily  (temporal;
@@ -209,9 +223,6 @@ def registry() -> dict[str, QuerySpec]:
         #       incremental_watermark stay in-window)
         "winnow_plagiarism_pairs",
         "quantile_sketch_weekly",
-        "ohlc_daily_bars",
-        "skyline_cheap_large_parts",
-        "waiting_suppliers_q21",
         # r8 first-time rows (stay in-window):
         "medallion_two_batch_pipeline",
         "capped_sessions_users",
@@ -234,6 +245,10 @@ def registry() -> dict[str, QuerySpec]:
     deferred = {
         # r11 rotation swap-outs (driver-green in r10; family twin in-window —
         # see the promoted list's r11 comment for the pairings):
+        "ohlc_daily_bars",
+        "skyline_cheap_large_parts",
+        "waiting_suppliers_q21",
+        "auc_value_vs_purchase",
         "delta_format_front_door",
         "delta_optimize_skipping_scan",
         "delta_cdf_merge_changes",

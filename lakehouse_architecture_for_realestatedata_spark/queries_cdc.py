@@ -1141,3 +1141,317 @@ def q_delta_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
     )
+
+
+@register(
+    "delta_restore_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           cast(cast(o_totalprice AS decimal(30,2)) AS double) AS price
+    FROM orders
+    WHERE o_orderkey <= 1000 AND o_orderkey > 300
+    """,
+    doc="RESTORE TO VERSION AS OF end to end (sources/delta_lite.py "
+    "delta_restore:1613 — delta-spark parity): orders land as v0, a "
+    "DELETE of keys <= 300 commits v1, a MERGE bumps prices on keys "
+    "> 700 as v2, then RESTORE to v1 undoes the merge as a NEW commit — "
+    "metadata-only: the v1 files re-add by reference, the v2 files "
+    "remove, no data bytes move, and history/time-travel to v2 is "
+    "preserved (pytest pins that part). The read after restore must "
+    "equal the v1 state exactly — the oracle is that state's closed "
+    "form over the source parquet (delete applied, merge absent).",
+)
+def q_delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+        delta_merge,
+        delta_read,
+        delta_restore,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_restore_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_restore"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    delta_write(orders, path)                                      # v0
+    v1 = delta_delete_where(spark, path, ("o_orderkey", "<=", 300))  # v1
+    bump = orders.filter(F.col("o_orderkey") > 700).withColumn(
+        "price", F.col("price") + 1
+    )
+    delta_merge(bump, path, key="o_orderkey")                      # v2
+    delta_restore(spark, path, v1)                                 # v3 == v1 state
+    got = delta_read(spark, path)
+    return got.select(
+        "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
+    )
+
+
+@register(
+    "delta_generated_columns",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey BETWEEN 400 AND 700 THEN 'merged'
+                ELSE o_orderstatus END AS status,
+           o_orderkey % 97 AS okey_mod
+    FROM orders
+    WHERE o_orderkey <= 900
+    """,
+    doc="GENERATED ALWAYS AS columns end to end (sources/delta_lite.py "
+    "_apply_generated:1989): v0 writes keys <= 600 WITH correct "
+    "okey_mod values, a raw metadata commit (writer protocol 4, the "
+    "shape delta-spark's CREATE TABLE ... GENERATED ALWAYS AS emits) "
+    "declares delta.generationExpression = 'o_orderkey % 97' on the "
+    "column, then an APPEND of keys 601..900 OMITS the column — the "
+    "engine computes it from the stored expression — and a MERGE on "
+    "keys 400..700 RECOMPUTES it on the assembled frame (GENERATED "
+    "ALWAYS semantics: source values never override the expression). "
+    "All-integer arithmetic, so the oracle is the exact closed form.",
+)
+def q_delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+        delta_merge,
+        delta_read,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 900).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_orderkey") % 97).alias("okey_mod"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_gencol_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_gencol"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    delta_write(orders.filter(F.col("o_orderkey") <= 600), path)   # v0
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "o_orderkey", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "status", "type": "string", "nullable": True, "metadata": {}},
+            {
+                "name": "okey_mod",
+                "type": "long",
+                "nullable": True,
+                "metadata": {"delta.generationExpression": "o_orderkey % 97"},
+            },
+        ],
+    }
+    acts = [
+        {"commitInfo": {"timestamp": 1, "operation": "SET TBLPROPERTIES",
+                        "operationParameters": {}, "engineInfo": "fixture"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {
+            "id": "gencol-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {},
+        }},
+    ]
+    _claim_version(
+        os.path.join(path, "_delta_log"), 1,
+        "\n".join(_json.dumps(a) for a in acts) + "\n",
+    )
+    # append WITHOUT the generated column: computed from the expression
+    delta_write(
+        orders.filter(F.col("o_orderkey") > 600).select("o_orderkey", "status"),
+        path,
+        mode="append",
+    )
+    # merge recomputes the generated column on the assembled frame
+    src = (
+        orders.filter(F.col("o_orderkey").between(400, 700))
+        .select("o_orderkey", F.lit("merged").alias("status"))
+    )
+    delta_merge(src, path, key="o_orderkey")
+    return delta_read(spark, path).select("o_orderkey", "status", "okey_mod")
+
+
+@register(
+    "delta_dv_purge_vacuum",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           cast(cast(o_totalprice AS decimal(30,2)) AS double) AS price
+    FROM orders
+    WHERE o_orderkey <= 1200
+      AND NOT (o_orderstatus = 'F' AND o_orderkey <= 500)
+    """,
+    doc="DV purge + vacuum end to end (sources/delta_lite.py "
+    "delta_optimize:2315 as REORG ... APPLY (PURGE) + "
+    "delta_vacuum:3836): a DV-writing DELETE marks rows in per-file "
+    "bitmaps, OPTIMIZE then MATERIALIZES through the bitmaps — the "
+    "compacted files carry the surviving rows only and NO deletionVector "
+    "descriptors — and VACUUM runs its keep-set analysis WITHOUT "
+    "over-collecting: every version is still retained here, so the "
+    "DV'd history stays time-travelable and the bins survive (the "
+    "bin-collection half, after log cleanup unreferences them, is "
+    "pinned in test_optimize_purges_dvs_and_vacuum_collects_bins). The "
+    "post-vacuum read must equal the DV-applied state — oracle is the "
+    "negated predicate's closed form.",
+)
+def q_delta_dv_purge_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+        delta_enable_dvs,
+        delta_optimize,
+        delta_read,
+        delta_vacuum,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1200).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_dvpurge_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_dvpurge"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    delta_write(orders, path)
+    delta_enable_dvs(spark, path)
+    delta_delete_where(
+        spark, path, ("o_orderstatus", "=", "F"), ("o_orderkey", "<=", 500)
+    )
+    delta_optimize(spark, path)  # materialize through the bitmaps (PURGE)
+    delta_vacuum(spark, path)    # collect superseded parquet + orphaned DV bins
+    got = delta_read(spark, path)
+    return got.select(
+        "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
+    )
+
+
+@register(
+    "delta_colmap_id_read",
+    """
+    SELECT o_orderkey,
+           cast(cast(o_totalprice AS decimal(30,2)) AS double) AS price,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey <= 800
+    """,
+    doc="columnMapping.mode=id READ (sources/delta_lite.py "
+    "_physical_struct with_field_ids + Spark's native parquet field-id "
+    "resolution, SPARK-38094): the fixture writes the data file under "
+    "ALIEN column names in a DIFFERENT order than the schema, with "
+    "parquet field ids carrying the real binding (ids declared via "
+    "Column.alias metadata; spark.sql.parquet.fieldId.write.enabled). "
+    "The foreign log declares mode=id with delta.columnMapping.id per "
+    "field — so neither name- nor position-matching can produce these "
+    "rows; only field-id resolution can. Writes to the table stay "
+    "refused by name (pytest). Oracle is the direct projection.",
+)
+def q_delta_colmap_id_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+        delta_read,
+    )
+
+    sub = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 800).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+        "o_orderstatus",
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_colmapid_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    path = f"{root}/orders_colmap_id"
+    stage = f"{root}/stage"
+    # data file under alien names, column order REVERSED vs the schema,
+    # field ids carrying the real binding
+    alien = sub.select(
+        F.col("o_orderstatus").alias("zz_c", metadata={"parquet.field.id": 3}),
+        F.col("price").alias("zz_b", metadata={"parquet.field.id": 2}),
+        F.col("o_orderkey").alias("zz_a", metadata={"parquet.field.id": 1}),
+    )
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    alien.coalesce(1).write.mode("overwrite").parquet(stage)
+    (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+    os.makedirs(path)
+    os.replace(part, os.path.join(path, "part-0.parquet"))
+    def fld(name, typ, fid):
+        return {
+            "name": name, "type": typ, "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": f"col-{fid:08d}",
+            },
+        }
+    schema = {
+        "type": "struct",
+        "fields": [
+            fld("o_orderkey", "long", 1),
+            fld("price", "decimal(30,2)", 2),
+            fld("o_orderstatus", "string", 3),
+        ],
+    }
+    acts = [
+        {"commitInfo": {"timestamp": 1, "operation": "WRITE",
+                        "operationParameters": {}, "engineInfo": "fixture"}},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "colmap-id-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "3",
+            },
+        }},
+        {"add": {
+            "path": "part-0.parquet",
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, "part-0.parquet")),
+            "modificationTime": 1,
+            "dataChange": True,
+        }},
+    ]
+    os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+    _claim_version(
+        os.path.join(path, "_delta_log"), 0,
+        "\n".join(_json.dumps(a) for a in acts) + "\n",
+    )
+    got = delta_read(spark, path)
+    return got.select(
+        "o_orderkey", F.col("price").cast("double").alias("price"), "o_orderstatus"
+    )

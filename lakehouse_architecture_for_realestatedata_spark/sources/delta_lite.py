@@ -47,8 +47,9 @@ Protocol subset (explicitly checked, honestly refused otherwise):
     writes to v2Checkpoint tables are refused (this writer emits classic
     checkpoints only). In-commit timestamps are written monotonically
     when the table enables them and govern timestamp time travel. Mode
-    ``id`` column mapping (parquet field-id resolution) is refused with
-    the feature named;
+    ``id`` column mapping READS via Spark's native parquet field-id
+    resolution (physical_schema carries parquet.field.id); mode=id
+    writes are refused with the feature named;
   - actions: ``metaData``, ``protocol``, ``add``, ``remove``,
     ``commitInfo``, ``txn`` (replayed as per-appId idempotence
     watermarks and written by the exactly-once streaming sink), and
@@ -246,10 +247,15 @@ class _Snapshot:
     def physical_schema(self) -> StructType:
         """Schema under the names stored IN the data files: physicalName
         metadata when column mapping is active, the logical names
-        otherwise."""
+        otherwise. Mode ``id`` additionally carries each field's
+        ``parquet.field.id`` (from delta.columnMapping.id) so Spark's
+        native field-id resolution — not name matching — binds columns,
+        per the protocol's mode=id read rule."""
         if self.column_mapping == "none":
             return self.schema
-        return _physical_struct(self.schema)
+        return _physical_struct(
+            self.schema, with_field_ids=self.column_mapping == "id"
+        )
 
     @property
     def physical_partition_columns(self) -> list[str]:
@@ -271,31 +277,39 @@ class _Snapshot:
         return out
 
 
-def _physical_struct(st: StructType) -> StructType:
+def _physical_struct(st: StructType, with_field_ids: bool = False) -> StructType:
     """Rename every (nested) field to its ``delta.columnMapping.physicalName``
     annotation — the names actually present in the parquet data files of a
     column-mapped table. Fields without the annotation keep their logical
-    name (legal for partition-only metadata writers)."""
+    name (legal for partition-only metadata writers).
+
+    ``with_field_ids`` (columnMapping.mode=id): each field additionally
+    carries ``parquet.field.id`` = its delta.columnMapping.id, the
+    metadata key Spark's parquet reader resolves by when
+    ``spark.sql.parquet.fieldId.read.enabled`` is on (SPARK-38094) — so
+    a mode=id table reads correctly even when the parquet column NAMES
+    match neither logical nor physicalName, exactly the layouts field-id
+    resolution exists for."""
 
     def conv(dt):
         if isinstance(dt, StructType):
-            return StructType(
-                [
-                    StructField(
-                        f.metadata.get(_PHYS_KEY, f.name),
-                        conv(f.dataType),
-                        f.nullable,
-                    )
-                    for f in dt.fields
-                ]
-            )
+            return StructType([mk(f) for f in dt.fields])
         if isinstance(dt, ArrayType):
             return ArrayType(conv(dt.elementType), dt.containsNull)
         if isinstance(dt, MapType):
             return MapType(conv(dt.keyType), conv(dt.valueType), dt.valueContainsNull)
         return dt
 
-    return conv(st)
+    def mk(f: StructField) -> StructField:
+        md = None
+        if with_field_ids and _ID_KEY in (f.metadata or {}):
+            md = {"parquet.field.id": int(f.metadata[_ID_KEY])}
+        return StructField(
+            f.metadata.get(_PHYS_KEY, f.name), conv(f.dataType), f.nullable,
+            metadata=md,
+        )
+
+    return StructType([mk(f) for f in st.fields])
 
 
 def _mint_column_mapping(
@@ -571,12 +585,7 @@ def _check_protocol(snap: dict, path: str) -> str:
                 f"{path}: unimplemented readerFeatures {sorted(unsupported)} "
                 f"(this reader implements {sorted(SUPPORTED_READER_FEATURES)})"
             )
-    if mode == "id":
-        raise DeltaProtocolError(
-            f"{path}: columnMapping.mode=id needs parquet field-id "
-            "resolution; only mode=name (and none) is implemented"
-        )
-    if mode not in ("none", "name"):
+    if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(f"{path}: unknown columnMapping.mode={mode!r}")
     return mode
 
@@ -822,6 +831,16 @@ def _writer_gate(
     ``removes_data``: True when the commit will carry dataChange removes,
     which ``delta.appendOnly`` tables forbid (compaction's
     dataChange:false removes are legal — no rows change)."""
+    if snap.column_mapping == "id":
+        # reads resolve by parquet field id (physical_schema carries
+        # parquet.field.id); writing would have to stamp field ids into
+        # every parquet file, which this writer does not do — refuse by
+        # name instead of producing files mode=id readers cannot bind
+        raise DeltaProtocolError(
+            f"{path}: columnMapping.mode=id is read-only here — writes "
+            "would need parquet field-id stamping (mode=name tables "
+            "write fully)"
+        )
     proto = snap.protocol or {}
     mw = proto.get("minWriterVersion", 1)
     if mw >= 7:
@@ -1367,6 +1386,12 @@ def _scan_files(
     Hive-layout fast path, and column-mapping rename all included. The
     shared read engine under ``delta_read`` and the file-pruned
     ``delta_merge`` / ``delta_delete_where`` rewrites."""
+    if snap.column_mapping == "id":
+        # mode=id: bind parquet columns by field id, not name — Spark's
+        # native resolution (SPARK-38094) keyed off the parquet.field.id
+        # metadata physical_schema carries; scoped to schemas that carry
+        # it, so every other read is untouched by this session conf
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     logical = _strip_metadata(snap.schema)
     phys = snap.physical_schema
     phys_parts = snap.physical_partition_columns

@@ -341,17 +341,78 @@ def test_reads_column_mapped_foreign_log_nested(spark, tmp_path):
     assert rows == [(1, 3, "Hồ Chí Minh"), (2, 4, "Hồ Chí Minh")]
 
 
-def test_column_mapping_mode_id_refused(spark, tmp_path):
+def test_column_mapping_mode_id_reads_by_field_id(spark, tmp_path):
+    """VERDICT r10 #5: columnMapping.mode=id READS resolve columns by
+    parquet FIELD ID (Spark's native fieldId resolution off the
+    parquet.field.id metadata physical_schema carries), not by name — the
+    fixture's parquet column names match neither the logical names nor
+    the physicalName annotations, and the ids are deliberately declared
+    in the opposite order to the file's column order. Stats pruning and
+    partition restore work unchanged; WRITES stay refused by name."""
     t = str(tmp_path / "colmap_id")
     os.makedirs(t)
+    # parquet file with field ids 1 and 2 under alien column names, id
+    # order REVERSED vs column order (binding by name or position would
+    # both produce wrong answers)
+    pq.write_table(
+        pa.table(
+            {
+                "alien_x": pa.array(["a", "b"], pa.string()),
+                "alien_y": pa.array([10, 20], pa.int64()),
+            },
+            schema=pa.schema(
+                [
+                    pa.field(
+                        "alien_x", pa.string(),
+                        metadata={b"PARQUET:field_id": b"2"},
+                    ),
+                    pa.field(
+                        "alien_y", pa.int64(),
+                        metadata={b"PARQUET:field_id": b"1"},
+                    ),
+                ]
+            ),
+        ),
+        os.path.join(t, "part-0.parquet"),
+    )
     fields = [
-        {"name": "a", "type": "long", "nullable": True, "metadata": _meta(1, "col-aa")}
+        {"name": "num", "type": "long", "nullable": True, "metadata": _meta(1, "col-aa")},
+        {"name": "tag", "type": "string", "nullable": True, "metadata": _meta(2, "col-bb")},
     ]
-    actions = _colmap_actions(fields, [], [])
+    adds = [
+        {
+            "path": "part-0.parquet",
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(t, "part-0.parquet")),
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": json.dumps(
+                {
+                    "numRecords": 2,
+                    "minValues": {"num": 10},
+                    "maxValues": {"num": 20},
+                    "nullCount": {"num": 0},
+                }
+            ),
+        }
+    ]
+    actions = _colmap_actions(fields, [], adds)
     actions[1]["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
     _write_log(t, actions)
+    got = delta_read(spark, t)
+    assert got.columns == ["num", "tag"]
+    assert sorted((r["num"], r["tag"]) for r in got.collect()) == [
+        (10, "a"), (20, "b"),
+    ]
+    # stats pruning on the LOGICAL name still applies
+    assert delta_read(spark, t, where=[("num", ">", 15)]).count() == 1
+    # the write side stays refused, by name
     with pytest.raises(DeltaProtocolError, match="mode=id"):
-        delta_read(spark, t)
+        delta_write(
+            spark.createDataFrame([(1, "z")], "num bigint, tag string"),
+            t,
+            mode="append",
+        )
 
 
 def test_v3_unsupported_reader_feature_refused_by_name(spark, tmp_path):

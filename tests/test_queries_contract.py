@@ -131,6 +131,10 @@ def test_driver_window_fully_oracle_backed():
     assert set(displaced) <= {
         # r11 rotation swap-outs (driver-green in r10; family twin in-window
         # — see the promoted list's r11 comment in queries.registry):
+        "ohlc_daily_bars",
+        "skyline_cheap_large_parts",
+        "waiting_suppliers_q21",
+        "auc_value_vs_purchase",
         "delta_format_front_door",
         "delta_optimize_skipping_scan",
         "delta_cdf_merge_changes",

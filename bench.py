@@ -137,6 +137,9 @@ HEADLINE = [
     "delta_generated_columns",
     "delta_dv_purge_vacuum",
     "delta_colmap_id_read",
+    # v2 checkpoint WRITE: UUID manifest + _sidecars/, replayed from the
+    # checkpoint alone after the pre-checkpoint commits are deleted
+    "delta_v2_checkpoint_roundtrip",
 ]
 
 

@@ -243,6 +243,9 @@ def registry() -> dict[str, QuerySpec]:
     #   per_source_doc_caps          <-> leakage_safe_split_docs (curation)
     #   auc_value_vs_purchase        <-> mad_outlier_events     (eval stats)
     deferred = {
+        # new r11 (starts deferred; six delta rows in-window keep the
+        # storage family; r12 rotation candidate — the v2-checkpoint WRITE):
+        "delta_v2_checkpoint_roundtrip",
         # r11 rotation swap-outs (driver-green in r10; family twin in-window —
         # see the promoted list's r11 comment for the pairings):
         "ohlc_daily_bars",

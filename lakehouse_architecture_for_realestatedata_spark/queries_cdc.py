@@ -1455,3 +1455,67 @@ def q_delta_colmap_id_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         "o_orderkey", F.col("price").cast("double").alias("price"), "o_orderstatus"
     )
+
+
+@register(
+    "delta_v2_checkpoint_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           cast(cast(o_totalprice AS decimal(30,2)) AS double) AS price
+    FROM orders
+    WHERE o_orderkey <= 1000 AND NOT (o_orderkey <= 250)
+    """,
+    doc="v2 checkpoint WRITE + replay-from-checkpoint (sources/"
+    "delta_lite.py _write_checkpoint v2 branch + "
+    "delta_enable_v2_checkpoints — closing VERDICT r10 missing #3): "
+    "orders land as v0, the table upgrades to checkpointPolicy=v2 "
+    "(reader 3 / writer 7, v2Checkpoint feature), a DV-writing DELETE "
+    "marks keys <= 250, an append triggers nothing special, then a "
+    "checkpoint is cut in the UUID-named manifest + _sidecars/ form "
+    "(checkpointMetadata action, file actions in the sidecar) and every "
+    "pre-checkpoint commit json is DELETED — the read must replay from "
+    "the v2 checkpoint alone, DV descriptors included. New r11; "
+    "r12 rotation candidate (starts past the driver window; hard oracle "
+    "via tests/test_queries_contract.py + the sf0.01 sweep).",
+)
+def q_delta_v2_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _write_checkpoint,
+        delta_delete_where,
+        delta_enable_dvs,
+        delta_enable_v2_checkpoints,
+        delta_read,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_v2cp_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_v2cp"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    delta_write(orders.filter(F.col("o_orderkey") <= 900), path)    # v0
+    delta_enable_v2_checkpoints(spark, path)                        # v1
+    delta_enable_dvs(spark, path)                                   # v2
+    delta_delete_where(spark, path, ("o_orderkey", "<=", 250))      # v3 (DVs)
+    v_cp = delta_write(
+        orders.filter(F.col("o_orderkey") > 900), path, mode="append"
+    )                                                               # v4
+    _write_checkpoint(spark, path, v_cp)
+    log = os.path.join(path, "_delta_log")
+    for v in range(0, v_cp):  # replay must come from the checkpoint alone
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    got = delta_read(spark, path)
+    return got.select(
+        "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
+    )

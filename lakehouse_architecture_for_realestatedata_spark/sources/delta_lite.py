@@ -43,9 +43,10 @@ Protocol subset (explicitly checked, honestly refused otherwise):
     never a rewrite of carried rows; on DV tables without the property
     the rewrite paths still read through the bitmaps and materialize
     survivors. V2 checkpoints
-    (UUID-named manifests + ``_sidecars/``) replay like classic ones;
-    writes to v2Checkpoint tables are refused (this writer emits classic
-    checkpoints only). In-commit timestamps are written monotonically
+    (UUID-named manifests + ``_sidecars/``) replay like classic ones
+    AND are written on tables carrying the feature /
+    ``delta.checkpointPolicy=v2`` (``delta_enable_v2_checkpoints``).
+    In-commit timestamps are written monotonically
     when the table enables them and govern timestamp time travel. Mode
     ``id`` column mapping READS via Spark's native parquet field-id
     resolution (physical_schema carries parquet.field.id); mode=id
@@ -146,6 +147,10 @@ SUPPORTED_WRITER_FEATURES = {
     # (protocol upgrades carry legacy-implied features) writes fine
     "generatedColumns",
     "identityColumns",
+    # v2Checkpoint tables are WRITTEN in kind: _write_checkpoint emits the
+    # UUID-named manifest + _sidecars/ form whenever the feature (or
+    # delta.checkpointPolicy=v2) is present — see delta_enable_v2_checkpoints
+    "v2Checkpoint",
 }
 
 #: Reader features implied by each legacy minReaderVersion (a v3 bump
@@ -1884,6 +1889,13 @@ def _write_data_files(
 
 
 def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
+    """Checkpoint ``version``: classic single-part parquet by default; a
+    table carrying the ``v2Checkpoint`` feature (or
+    ``delta.checkpointPolicy=v2``) gets the V2 form instead — UUID-named
+    manifest holding protocol/metaData/txn + a ``checkpointMetadata``
+    action, with the add/remove set in a ``_sidecars/`` parquet the
+    manifest references — the shape delta-spark writes under the same
+    policy, so its readers replay this table's checkpoints directly."""
     snap = _replay(path, version)
     base = {
         "protocol": None,
@@ -1972,18 +1984,98 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         "dataChange:boolean>, "
         "txn struct<appId:string,version:bigint>"
     )
-    cp = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
-    tmp = cp + f".tmp-{uuid.uuid4().hex}"
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = next(
-        f for f in os.listdir(tmp) if f.endswith(".parquet")
+    proto_feats = set((proto.get("readerFeatures") or [])) | set(
+        (proto.get("writerFeatures") or [])
     )
-    os.rename(os.path.join(tmp, part), cp)
+    v2_policy = "v2Checkpoint" in proto_feats or (
+        snap.configuration or {}
+    ).get("delta.checkpointPolicy", "") == "v2"
+    log = _log_dir(path)
+    if v2_policy:
+        # V2 form: file actions go to a sidecar parquet; the manifest
+        # carries everything else plus the sidecar reference and the
+        # mandatory checkpointMetadata action.
+        side_rows = [r for r in rows if r.get("add") or r.get("remove")]
+        top_rows = [r for r in rows if not (r.get("add") or r.get("remove"))]
+        side_schema = (
+            "add struct<path:string,partitionValues:map<string,string>,"
+            "size:bigint,modificationTime:bigint,dataChange:boolean,"
+            "stats:string,deletionVector:struct<storageType:string,"
+            "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
+            "cardinality:bigint>>, "
+            "remove struct<path:string,deletionTimestamp:bigint,"
+            "dataChange:boolean>"
+        )
+        side_base = {"add": None, "remove": None}
+        side_name = f"{uuid.uuid4()}.parquet"
+        side_dir = os.path.join(log, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        _write_one_parquet(
+            spark,
+            [side_base | {k: v for k, v in r.items() if k in side_base} for r in side_rows]
+            or [side_base],
+            side_schema,
+            os.path.join(side_dir, side_name),
+        )
+        man_base = {
+            "protocol": None,
+            "metaData": None,
+            "txn": None,
+            "checkpointMetadata": None,
+            "sidecar": None,
+        }
+        man_rows = [
+            man_base | {k: v for k, v in r.items() if k in man_base and v is not None}
+            for r in top_rows
+        ]
+        man_rows.append(man_base | {"checkpointMetadata": {"version": version}})
+        man_rows.append(
+            man_base
+            | {
+                "sidecar": {
+                    "path": side_name,
+                    "sizeInBytes": os.path.getsize(
+                        os.path.join(side_dir, side_name)
+                    ),
+                    "modificationTime": int(time.time() * 1000),
+                }
+            }
+        )
+        man_schema = (
+            "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+            "readerFeatures:array<string>,writerFeatures:array<string>>, "
+            "metaData struct<id:string,format:struct<provider:string,"
+            "options:map<string,string>>,schemaString:string,"
+            "partitionColumns:array<string>,configuration:map<string,string>>, "
+            "txn struct<appId:string,version:bigint>, "
+            "checkpointMetadata struct<version:bigint>, "
+            "sidecar struct<path:string,sizeInBytes:bigint,"
+            "modificationTime:bigint>"
+        )
+        cp = os.path.join(log, f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet")
+        _write_one_parquet(spark, man_rows, man_schema, cp)
+    else:
+        cp = os.path.join(log, f"{version:020d}.checkpoint.parquet")
+        _write_one_parquet(spark, rows, schema, cp)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+
+
+def _write_one_parquet(
+    spark: SparkSession, rows: list[dict], schema: str, dest: str
+) -> None:
+    """Write ``rows`` as EXACTLY ONE parquet file at ``dest`` (checkpoint
+    manifests/sidecars are single files by contract) via a tmp dir +
+    rename — atomic against concurrent readers listing the log."""
+    tmp = dest + f".tmp-{uuid.uuid4().hex}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.rename(os.path.join(tmp, part), dest)
     for f in os.listdir(tmp):
         os.unlink(os.path.join(tmp, f))
     os.rmdir(tmp)
-    with open(os.path.join(_log_dir(path), "_last_checkpoint"), "w") as fh:
-        json.dump({"version": version, "size": len(rows)}, fh)
 
 
 def _apply_generated(
@@ -2839,6 +2931,20 @@ def _dv_write_path_ok(snap: _Snapshot, touched: list[str]) -> bool:
         proto.get("readerFeatures") or []
     ) or "deletionVectors" not in (proto.get("writerFeatures") or []):
         return False  # the delta_enable_dvs invariant: config AND features
+    # existing DVs on the touched files are unioned driver-side by the
+    # row-addressing scan (_scan_with_rowpos); when they have grown past
+    # the read-pairs budget, take the rewrite path instead — it reads
+    # through the bitmaps via the budget-guarded _scan_files and resets
+    # the files' DV state to empty
+    if (
+        sum(
+            int((a.get("deletionVector") or {}).get("cardinality") or 0)
+            for p, a in snap.files.items()
+            if p in set(touched)
+        )
+        > _DV_READ_PAIRS_CAP
+    ):
+        return False
     return len({unquote(p).rsplit("/", 1)[-1] for p in touched}) == len(touched)
 
 
@@ -3470,6 +3576,49 @@ def delta_enable_dvs(spark: SparkSession, path: str) -> int:
         conf,
         op="SET TBLPROPERTIES",
         params={"delta.enableDeletionVectors": "true"},
+        protocol={
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeats),
+            "writerFeatures": sorted(wfeats),
+        },
+    )
+
+
+def delta_enable_v2_checkpoints(spark: SparkSession, path: str) -> int:
+    """SET TBLPROPERTIES delta.checkpointPolicy=v2 with the table-features
+    upgrade the feature demands (reader 3 + writer 7, both listing
+    ``v2Checkpoint`` plus legacy-implied features). From the next
+    checkpoint on, ``_write_checkpoint`` emits the V2 form — UUID-named
+    manifest with a ``checkpointMetadata`` action and the file actions in
+    a referenced ``_sidecars/`` parquet — the delta-spark 3.x+ layout."""
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    _writer_gate(
+        snap, path, removes_data=False, op="SET TBLPROPERTIES", generated_ok=True
+    )
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    mr = proto.get("minReaderVersion", 1)
+    mw = proto.get("minWriterVersion", 2)
+    rfeats = set(proto.get("readerFeatures") or [])
+    if mr < 3:
+        for v in range(2, mr + 1):
+            rfeats.update(_LEGACY_READER_FEATURES.get(v, ()))
+    rfeats.add("v2Checkpoint")
+    wfeats = set(proto.get("writerFeatures") or [])
+    if mw < 7:
+        for v in range(2, mw + 1):
+            wfeats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
+    wfeats.add("v2Checkpoint")
+    conf = dict(snap.configuration or {})
+    conf["delta.checkpointPolicy"] = "v2"
+    return _commit_metadata_change(
+        path,
+        snap,
+        latest,
+        conf,
+        op="SET TBLPROPERTIES",
+        params={"delta.checkpointPolicy": "v2"},
         protocol={
             "minReaderVersion": 3,
             "minWriterVersion": 7,

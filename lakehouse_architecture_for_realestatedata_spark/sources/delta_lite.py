@@ -106,10 +106,72 @@ SUPPORTED_READER_FEATURES = {
     # always replays the protocol first, which is the mandated check
     "vacuumProtocolCheck",
     # UUID-named manifests (+ _sidecars/) are parsed by _read_checkpoint;
-    # WRITES to v2Checkpoint tables stay refused (this writer only emits
-    # classic checkpoints)
+    # since r11 they are also WRITTEN on tables carrying the feature
     "v2Checkpoint",
+    # type widening READS ride Spark 4.x's native parquet widening
+    # promotions (SPARK-40876: integer chain, float->double, int->double,
+    # decimal growth, date->timestamp_ntz); schemas whose recorded
+    # delta.typeChanges include a promotion Spark cannot widen natively
+    # (integer->decimal) are refused by name in _check_type_widening
+    "typeWidening",
+    "typeWidening-preview",
 }
+
+
+#: integer widening order for typeWidening validation
+_TW_INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _tw_supported(frm: str, to: str) -> bool:
+    """Is fromType→toType a promotion Spark's parquet reader performs
+    natively (so a typeWidening table's old files read correctly under
+    the new schema)? Mirrors the probe matrix: integer-chain widening,
+    (byte|short|integer)→double, float→double, decimal growth that keeps
+    the integer part, date→timestamp_ntz. Integer→decimal is Delta-legal
+    but NOT Spark-native — refused."""
+    frm, to = frm.strip(), to.strip()
+    if frm in _TW_INT_RANK and to in _TW_INT_RANK:
+        return _TW_INT_RANK[to] > _TW_INT_RANK[frm]
+    if frm in ("byte", "short", "integer", "float") and to == "double":
+        return True
+    if frm == "date" and to in ("timestampNtz", "timestamp_ntz"):
+        return True
+    if frm.startswith("decimal(") and to.startswith("decimal("):
+        try:
+            p1, s1 = (int(x) for x in frm[8:-1].split(","))
+            p2, s2 = (int(x) for x in to[8:-1].split(","))
+        except ValueError:
+            return False
+        return p2 >= p1 and s2 >= s1 and (p2 - s2) >= (p1 - s1)
+    return False
+
+
+def _check_type_widening(schema_json: str, path: str) -> None:
+    """Refuse, naming the promotion, any recorded delta.typeChanges entry
+    outside the Spark-native widening matrix — a read would otherwise
+    fail at scan time (or worse, a non-vectorized path could misread)."""
+
+    def walk(node) -> None:
+        if isinstance(node, dict):
+            md = node.get("metadata") or {}
+            for ch in md.get("delta.typeChanges") or []:
+                frm = str(ch.get("fromType", ""))
+                to = str(ch.get("toType", ""))
+                if not _tw_supported(frm, to):
+                    raise DeltaProtocolError(
+                        f"{path}: typeWidening change {frm} -> {to} is not "
+                        "a Spark-native parquet promotion; this reader "
+                        "supports integer widening, (byte|short|integer|"
+                        "float) -> double, decimal growth, and date -> "
+                        "timestamp_ntz"
+                    )
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(json.loads(schema_json))
 #: Highest writer protocol this module implements: v2 (appendOnly +
 #: column invariants, both enforced), v3 (CHECK constraints, enforced),
 #: v4 (Change Data Feed, written; generated columns — v4's OTHER
@@ -590,6 +652,8 @@ def _check_protocol(snap: dict, path: str) -> str:
                 f"{path}: unimplemented readerFeatures {sorted(unsupported)} "
                 f"(this reader implements {sorted(SUPPORTED_READER_FEATURES)})"
             )
+        if feats & {"typeWidening", "typeWidening-preview"} and snap.get("schema"):
+            _check_type_widening(snap["schema"], path)
     if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(f"{path}: unknown columnMapping.mode={mode!r}")
     return mode

@@ -417,8 +417,9 @@ def test_column_mapping_mode_id_reads_by_field_id(spark, tmp_path):
 
 def test_v3_unsupported_reader_feature_refused_by_name(spark, tmp_path):
     # deletionVectors and v2Checkpoint graduated to SUPPORTED reader
-    # features in r10; the by-name refusal is pinned with typeWidening
-    t = str(tmp_path / "tw")
+    # features in r10, typeWidening in r11; the by-name refusal is now
+    # pinned with variantType
+    t = str(tmp_path / "vt")
     os.makedirs(t)
     fields = [{"name": "a", "type": "long", "nullable": True, "metadata": {}}]
     actions = _colmap_actions(fields, [], [])
@@ -427,13 +428,85 @@ def test_v3_unsupported_reader_feature_refused_by_name(spark, tmp_path):
         "protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["typeWidening"],
-            "writerFeatures": ["typeWidening"],
+            "readerFeatures": ["variantType"],
+            "writerFeatures": ["variantType"],
         }
     }
     _write_log(t, actions)
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(DeltaProtocolError, match="variantType"):
         delta_read(spark, t)
+
+
+def test_type_widening_reads_and_refusals(spark, tmp_path):
+    """typeWidening reads (r11): old parquet files written under the
+    NARROWER type read correctly through the widened schema via Spark's
+    native parquet promotions — int->long and float->double here, with
+    the recorded delta.typeChanges validated — while a recorded change
+    outside the native matrix (integer->decimal) is refused BY NAME
+    instead of failing mid-scan."""
+    t = str(tmp_path / "twread")
+    os.makedirs(t)
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array([1, 2], pa.int32()),
+                "b": pa.array([1.5, 2.5], pa.float32()),
+            }
+        ),
+        os.path.join(t, "part-0.parquet"),
+    )
+
+    def actions_for(a_changes):
+        fields = [
+            {"name": "a", "type": "long", "nullable": True,
+             "metadata": {"delta.typeChanges": a_changes}},
+            {"name": "b", "type": "double", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "float", "toType": "double"}]}},
+        ]
+        return [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["typeWidening"],
+                          "writerFeatures": ["typeWidening"]}},
+            {"metaData": {
+                "id": "tw-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {},
+            }},
+            {"add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(t, "part-0.parquet")),
+                "modificationTime": 1,
+                "dataChange": True,
+            }},
+        ]
+
+    _write_log(t, actions_for([{"fromType": "integer", "toType": "long"}]))
+    got = delta_read(spark, t)
+    assert dict(got.dtypes) == {"a": "bigint", "b": "double"}
+    assert sorted((r["a"], r["b"]) for r in got.collect()) == [
+        (1, 1.5), (2, 2.5),
+    ]
+    # a Delta-legal but non-Spark-native promotion is refused by name
+    t2 = str(tmp_path / "twbad")
+    os.makedirs(t2)
+    pq.write_table(
+        pa.table({"a": pa.array([1], pa.int32()),
+                  "b": pa.array([1.5], pa.float32())}),
+        os.path.join(t2, "part-0.parquet"),
+    )
+    bad = actions_for([{"fromType": "integer", "toType": "decimal(10,2)"}])
+    bad[1]["metaData"]["schemaString"] = bad[1]["metaData"][
+        "schemaString"
+    ].replace('"type": "long"', '"type": "decimal(10,2)"', 1)
+    _write_log(t2, bad)
+    with pytest.raises(DeltaProtocolError, match="integer -> decimal"):
+        delta_read(spark, t2)
 
 
 def test_v3_column_mapping_feature_accepted(spark, tmp_path):

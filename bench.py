@@ -140,6 +140,9 @@ HEADLINE = [
     # v2 checkpoint WRITE: UUID manifest + _sidecars/, replayed from the
     # checkpoint alone after the pre-checkpoint commits are deleted
     "delta_v2_checkpoint_roundtrip",
+    # typeWidening read: int32/float32 file through the widened long/double
+    # schema via Spark-native parquet promotions
+    "delta_type_widening_read",
 ]
 
 

@@ -244,8 +244,10 @@ def registry() -> dict[str, QuerySpec]:
     #   auc_value_vs_purchase        <-> mad_outlier_events     (eval stats)
     deferred = {
         # new r11 (starts deferred; six delta rows in-window keep the
-        # storage family; r12 rotation candidate — the v2-checkpoint WRITE):
+        # storage family; r12 rotation candidates — the v2-checkpoint
+        # WRITE and the typeWidening read):
         "delta_v2_checkpoint_roundtrip",
+        "delta_type_widening_read",
         # r11 rotation swap-outs (driver-green in r10; family twin in-window —
         # see the promoted list's r11 comment for the pairings):
         "ohlc_daily_bars",

@@ -1519,3 +1519,93 @@ def q_delta_v2_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     return got.select(
         "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
     )
+
+
+@register(
+    "delta_type_widening_read",
+    """
+    SELECT o_orderkey, cast(o_custkey AS double) AS cust_d,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+    doc="typeWidening READ (sources/delta_lite.py _check_type_widening + "
+    "Spark-native parquet widening promotions, SPARK-40876): the fixture "
+    "writes orders with o_orderkey as INT32 and cust as FLOAT32, then a "
+    "foreign log declares the widened schema (long / double) under the "
+    "typeWidening reader feature with the delta.typeChanges provenance "
+    "recorded per field — the read must widen the old file's narrower "
+    "values exactly (int->long is lossless; float->double of an "
+    "integer-valued float is exact). Promotions outside Spark's native "
+    "matrix are refused by name (pytest). New r11; r12 rotation "
+    "candidate (starts past the driver window; hard oracle via "
+    "tests/test_queries_contract.py + the sf0.01 sweep).",
+)
+def q_delta_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+        delta_read,
+    )
+
+    sub = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        # integer-valued float: float->double widening is exact
+        F.col("o_custkey").cast("float").alias("cust_d"),
+        "o_orderstatus",
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_twread_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    path = f"{root}/orders_tw"
+    stage = f"{root}/stage"
+    sub.coalesce(1).write.mode("overwrite").parquet(stage)
+    import glob as _glob
+
+    (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+    os.makedirs(path)
+    os.replace(part, os.path.join(path, "part-0.parquet"))
+    fields = [
+        {"name": "o_orderkey", "type": "long", "nullable": True,
+         "metadata": {"delta.typeChanges": [
+             {"fromType": "integer", "toType": "long"}]}},
+        {"name": "cust_d", "type": "double", "nullable": True,
+         "metadata": {"delta.typeChanges": [
+             {"fromType": "float", "toType": "double"}]}},
+        {"name": "o_orderstatus", "type": "string", "nullable": True,
+         "metadata": {}},
+    ]
+    acts = [
+        {"commitInfo": {"timestamp": 1, "operation": "WRITE",
+                        "operationParameters": {}, "engineInfo": "fixture"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        {"metaData": {
+            "id": "tw-read-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {},
+        }},
+        {"add": {
+            "path": "part-0.parquet",
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, "part-0.parquet")),
+            "modificationTime": 1,
+            "dataChange": True,
+        }},
+    ]
+    os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+    _claim_version(
+        os.path.join(path, "_delta_log"), 0,
+        "\n".join(_json.dumps(a) for a in acts) + "\n",
+    )
+    return delta_read(spark, path).select("o_orderkey", "cust_d", "o_orderstatus")

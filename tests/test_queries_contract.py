@@ -129,8 +129,9 @@ def test_driver_window_fully_oracle_backed():
     # block are post-§2 extensions registered last on purpose) — all
     # hard-checked by this module instead. Update CONSCIOUSLY when rotating.
     assert set(displaced) <= {
-        # new r11 (starts deferred; r12 rotation candidate):
+        # new r11 (starts deferred; r12 rotation candidates):
         "delta_v2_checkpoint_roundtrip",
+        "delta_type_widening_read",
         # r11 rotation swap-outs (driver-green in r10; family twin in-window
         # — see the promoted list's r11 comment in queries.registry):
         "ohlc_daily_bars",

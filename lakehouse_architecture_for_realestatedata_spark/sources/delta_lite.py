@@ -213,6 +213,12 @@ SUPPORTED_WRITER_FEATURES = {
     # UUID-named manifest + _sidecars/ form whenever the feature (or
     # delta.checkpointPolicy=v2) is present — see delta_enable_v2_checkpoints
     "v2Checkpoint",
+    # safe on the write side by construction: every write path here emits
+    # data files under the table's CURRENT (already-widened) schema and no
+    # API changes column types, so the obligation the feature puts on
+    # writers — record delta.typeChanges when widening — can never trigger
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 #: Reader features implied by each legacy minReaderVersion (a v3 bump

@@ -507,6 +507,18 @@ def test_type_widening_reads_and_refusals(spark, tmp_path):
     _write_log(t2, bad)
     with pytest.raises(DeltaProtocolError, match="integer -> decimal"):
         delta_read(spark, t2)
+    # writes on typeWidening tables are safe by construction (files land
+    # under the current, already-widened schema; no API changes types):
+    # an append commits and reads back widened alongside the narrow file
+    delta_write(
+        spark.createDataFrame([(10, 9.5)], "a bigint, b double"),
+        t,
+        mode="append",
+    )
+    got2 = delta_read(spark, t)
+    assert sorted((r["a"], r["b"]) for r in got2.collect()) == [
+        (1, 1.5), (2, 2.5), (10, 9.5),
+    ]
 
 
 def test_v3_column_mapping_feature_accepted(spark, tmp_path):

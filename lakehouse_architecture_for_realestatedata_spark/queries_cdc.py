@@ -1403,8 +1403,18 @@ def q_delta_colmap_id_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").alias("zz_b", metadata={"parquet.field.id": 2}),
         F.col("o_orderkey").alias("zz_a", metadata={"parquet.field.id": 1}),
     )
+    # scope the field-id write conf to this fixture (code-review r11:
+    # leaking it would make later writes in the shared session embed ids
+    # whenever a frame's metadata carries parquet.field.id)
+    prev = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", None)
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    alien.coalesce(1).write.mode("overwrite").parquet(stage)
+    try:
+        alien.coalesce(1).write.mode("overwrite").parquet(stage)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+        else:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prev)
     (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
     os.makedirs(path)
     os.replace(part, os.path.join(path, "part-0.parquet"))
@@ -1524,7 +1534,7 @@ def q_delta_v2_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "delta_type_widening_read",
     """
-    SELECT o_orderkey, cast(o_custkey AS double) AS cust_d,
+    SELECT o_orderkey, cast(o_custkey % 1000000 AS double) AS cust_d,
            o_orderstatus
     FROM orders
     WHERE o_orderkey <= 1000
@@ -1554,8 +1564,10 @@ def q_delta_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sub = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000).select(
         F.col("o_orderkey").cast("int").alias("o_orderkey"),
-        # integer-valued float: float->double widening is exact
-        F.col("o_custkey").cast("float").alias("cust_d"),
+        # integer-valued float BELOW 2^24, so float->double widening is
+        # exact at ANY sf (code-review r11: raw o_custkey exceeds the
+        # float32 integer range past sf~112 and the oracle would diverge)
+        (F.col("o_custkey") % 1000000).cast("float").alias("cust_d"),
         "o_orderstatus",
     )
     root = os.path.join(

@@ -1036,41 +1036,48 @@ def version_at_timestamp(path: str, ts_millis: int) -> int:
     else the commit file's mtime (what Delta itself falls back to).
     Raises if the table's first commit is after the asked timestamp."""
     log = _log_dir(path)
-    # ICT enablement cutover: versions >= enable_v use ICT, earlier ones
-    # never do. Absent provenance on an ICT table means enabled-at-birth
-    # (every commit's ICT is authoritative) — delta-spark's convention.
-    enable_v = 0
-    try:
-        snap = _replay(path, _latest_version(path))
-        conf = snap.configuration or {}
-        if conf.get("delta.enableInCommitTimestamps", "").lower() == "true":
-            enable_v = int(
-                conf.get("delta.inCommitTimestampEnablementVersion", 0)
-            )
-    except (FileNotFoundError, ValueError, DeltaProtocolError):
-        pass  # unreadable/absent config: fall back to per-commit clocks
-    best: int | None = None
+    # ONE pass over the commit jsons gathers (version, wall, ict); the
+    # snapshot replay that resolves the ICT-enablement cutover runs only
+    # when some commit actually carries an inCommitTimestamp — non-ICT
+    # tables (the overwhelmingly common case) never pay it.
+    clocks: list[tuple[int, int | None, int | None]] = []  # (v, wall, ict)
     for f in sorted(os.listdir(log)) if os.path.isdir(log) else []:
         if not (f.endswith(".json") and f[0].isdigit()):
             continue
         v = _version_of(f)
-        commit_ts = None
+        wall = ict = None
         with open(os.path.join(log, f)) as fh:
             for line in fh:
                 a = json.loads(line) if line.strip() else {}
                 if "commitInfo" in a:
                     ci = a["commitInfo"]
-                    raw = (
-                        ci.get("inCommitTimestamp", ci.get("timestamp"))
-                        if v >= enable_v
-                        else ci.get("timestamp")
-                    )
-                    if raw is not None:
-                        commit_ts = int(raw)
+                    wall = ci.get("timestamp")
+                    ict = ci.get("inCommitTimestamp")
                     break
-        if commit_ts is None:
-            commit_ts = int(os.path.getmtime(os.path.join(log, f)) * 1000)
-        if commit_ts <= ts_millis:
+        if wall is None and ict is None:
+            wall = int(os.path.getmtime(os.path.join(log, f)) * 1000)
+        clocks.append((v, wall, ict))
+    # ICT enablement cutover: versions >= enable_v use ICT, earlier ones
+    # never do. Absent provenance on an ICT table means enabled-at-birth
+    # (every commit's ICT is authoritative) — delta-spark's convention.
+    enable_v = 0
+    if any(ict is not None for _, _, ict in clocks):
+        try:
+            conf = _replay(path, _latest_version(path)).configuration or {}
+            if conf.get("delta.enableInCommitTimestamps", "").lower() == "true":
+                enable_v = int(
+                    conf.get("delta.inCommitTimestampEnablementVersion", 0)
+                )
+        except (FileNotFoundError, ValueError, DeltaProtocolError):
+            pass  # unreadable/absent config: fall back to per-commit clocks
+    best: int | None = None
+    for v, wall, ict in clocks:
+        raw = (ict if ict is not None else wall) if v >= enable_v else wall
+        if raw is None:
+            raw = int(
+                os.path.getmtime(os.path.join(log, f"{v:020d}.json")) * 1000
+            )
+        if int(raw) <= ts_millis:
             best = v if best is None else max(best, v)
     if best is None:
         raise ValueError(
@@ -3008,9 +3015,8 @@ def _dv_write_path_ok(snap: _Snapshot, touched: list[str]) -> bool:
     # the files' DV state to empty
     if (
         sum(
-            int((a.get("deletionVector") or {}).get("cardinality") or 0)
-            for p, a in snap.files.items()
-            if p in set(touched)
+            int((snap.files[p].get("deletionVector") or {}).get("cardinality") or 0)
+            for p in touched
         )
         > _DV_READ_PAIRS_CAP
     ):
@@ -3026,19 +3032,27 @@ def _collect_dv_marks(matched: DataFrame) -> dict[str, list[int]] | None:
     the collect never happens — returns None and the caller falls back to
     the rewrite path (where matched rows are that dense, rewriting is the
     cheaper physics anyway, and the driver never holds an unbounded
-    position list). Returns {} when nothing matched."""
-    counts = matched.groupBy("__fb").agg(F.count(F.lit(1)).alias("__n")).collect()
-    if not counts:
-        return {}
-    if (
-        max(int(r["__n"]) for r in counts) > _DV_WRITE_FILE_CAP
-        or sum(int(r["__n"]) for r in counts) > _DV_WRITE_TOTAL_CAP
-    ):
-        return None
-    by_file: dict[str, list[int]] = {}
-    for r in matched.select("__fb", "__ri").collect():
-        by_file.setdefault(r["__fb"], []).append(int(r["__ri"]))
-    return by_file
+    position list). Returns {} when nothing matched. The matched frame is
+    persisted across the probe and the collect so the touched-file scan
+    runs once, not twice."""
+    matched = matched.persist()
+    try:
+        counts = (
+            matched.groupBy("__fb").agg(F.count(F.lit(1)).alias("__n")).collect()
+        )
+        if not counts:
+            return {}
+        if (
+            max(int(r["__n"]) for r in counts) > _DV_WRITE_FILE_CAP
+            or sum(int(r["__n"]) for r in counts) > _DV_WRITE_TOTAL_CAP
+        ):
+            return None
+        by_file: dict[str, list[int]] = {}
+        for r in matched.select("__fb", "__ri").collect():
+            by_file.setdefault(r["__fb"], []).append(int(r["__ri"]))
+        return by_file
+    finally:
+        matched.unpersist()
 
 
 def _delete_with_dvs(
@@ -3614,54 +3628,15 @@ def delta_enable_ict(spark: SparkSession, path: str) -> int:
     )
 
 
-def delta_enable_dvs(spark: SparkSession, path: str) -> int:
-    """SET TBLPROPERTIES delta.enableDeletionVectors=true with the
-    table-features protocol upgrade the feature demands: reader 3 +
-    writer 7, both listing ``deletionVectors`` plus the features the
-    table's legacy versions implied. From this commit on,
-    ``delta_delete_where`` marks rows in per-file roaring bitmaps
-    instead of rewriting files — delta-spark 3.x DELETE semantics."""
-    latest = _latest_version(path)
-    snap = _replay(path, latest)
-    _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES", generated_ok=True)
-    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
-    mr = proto.get("minReaderVersion", 1)
-    mw = proto.get("minWriterVersion", 2)
-    rfeats = set(proto.get("readerFeatures") or [])
-    if mr < 3:
-        for v in range(2, mr + 1):
-            rfeats.update(_LEGACY_READER_FEATURES.get(v, ()))
-    rfeats.add("deletionVectors")
-    wfeats = set(proto.get("writerFeatures") or [])
-    if mw < 7:
-        for v in range(2, mw + 1):
-            wfeats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
-    wfeats.add("deletionVectors")
-    conf = dict(snap.configuration or {})
-    conf["delta.enableDeletionVectors"] = "true"
-    return _commit_metadata_change(
-        path,
-        snap,
-        latest,
-        conf,
-        op="SET TBLPROPERTIES",
-        params={"delta.enableDeletionVectors": "true"},
-        protocol={
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": sorted(rfeats),
-            "writerFeatures": sorted(wfeats),
-        },
-    )
-
-
-def delta_enable_v2_checkpoints(spark: SparkSession, path: str) -> int:
-    """SET TBLPROPERTIES delta.checkpointPolicy=v2 with the table-features
-    upgrade the feature demands (reader 3 + writer 7, both listing
-    ``v2Checkpoint`` plus legacy-implied features). From the next
-    checkpoint on, ``_write_checkpoint`` emits the V2 form — UUID-named
-    manifest with a ``checkpointMetadata`` action and the file actions in
-    a referenced ``_sidecars/`` parquet — the delta-spark 3.x+ layout."""
+def _enable_table_feature(
+    spark: SparkSession, path: str, feature: str, conf_key: str, conf_val: str
+) -> int:
+    """SET TBLPROPERTIES ``conf_key=conf_val`` with the reader-3/writer-7
+    table-features upgrade ``feature`` demands — both feature lists carry
+    the features the table's legacy versions implied, per the protocol's
+    upgrade rule. Shared by ``delta_enable_dvs`` and
+    ``delta_enable_v2_checkpoints`` (code-review r11: the two blocks had
+    drifted into copy-paste)."""
     latest = _latest_version(path)
     snap = _replay(path, latest)
     _writer_gate(
@@ -3674,27 +3649,51 @@ def delta_enable_v2_checkpoints(spark: SparkSession, path: str) -> int:
     if mr < 3:
         for v in range(2, mr + 1):
             rfeats.update(_LEGACY_READER_FEATURES.get(v, ()))
-    rfeats.add("v2Checkpoint")
+    rfeats.add(feature)
     wfeats = set(proto.get("writerFeatures") or [])
     if mw < 7:
         for v in range(2, mw + 1):
             wfeats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
-    wfeats.add("v2Checkpoint")
+    wfeats.add(feature)
     conf = dict(snap.configuration or {})
-    conf["delta.checkpointPolicy"] = "v2"
+    conf[conf_key] = conf_val
     return _commit_metadata_change(
         path,
         snap,
         latest,
         conf,
         op="SET TBLPROPERTIES",
-        params={"delta.checkpointPolicy": "v2"},
+        params={conf_key: conf_val},
         protocol={
             "minReaderVersion": 3,
             "minWriterVersion": 7,
             "readerFeatures": sorted(rfeats),
             "writerFeatures": sorted(wfeats),
         },
+    )
+
+
+def delta_enable_dvs(spark: SparkSession, path: str) -> int:
+    """SET TBLPROPERTIES delta.enableDeletionVectors=true with the
+    table-features protocol upgrade the feature demands: reader 3 +
+    writer 7, both listing ``deletionVectors`` plus the features the
+    table's legacy versions implied. From this commit on,
+    ``delta_delete_where`` marks rows in per-file roaring bitmaps
+    instead of rewriting files — delta-spark 3.x DELETE semantics."""
+    return _enable_table_feature(
+        spark, path, "deletionVectors", "delta.enableDeletionVectors", "true"
+    )
+
+
+def delta_enable_v2_checkpoints(spark: SparkSession, path: str) -> int:
+    """SET TBLPROPERTIES delta.checkpointPolicy=v2 with the table-features
+    upgrade the feature demands (reader 3 + writer 7, both listing
+    ``v2Checkpoint`` plus legacy-implied features). From the next
+    checkpoint on, ``_write_checkpoint`` emits the V2 form — UUID-named
+    manifest with a ``checkpointMetadata`` action and the file actions in
+    a referenced ``_sidecars/`` parquet — the delta-spark 3.x+ layout."""
+    return _enable_table_feature(
+        spark, path, "v2Checkpoint", "delta.checkpointPolicy", "v2"
     )
 
 

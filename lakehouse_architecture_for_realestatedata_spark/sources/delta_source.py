@@ -107,16 +107,18 @@ def _file_batches(
     table_path: str,
     rel_path: str,
     pv: dict,
-    colspecs: list[tuple[str, str, bool]],
+    colspecs: list[tuple[str, str, bool, int | None]],
     target,
     dv: dict | None = None,
 ):
     """Arrow batches of one data file under the LOGICAL schema: scan the
-    parquet file (physical names), drop rows the file's deletion vector
-    marks deleted (reader protocol 3 — masked by parquet row index
-    BEFORE any projection), restore partition columns from the add
-    action's string values via an Arrow cast, rename/reorder, and cast to
-    the exact target schema. Runs on the executor."""
+    parquet file (physical names — or, for columnMapping.mode=id, by the
+    parquet FIELD ID each colspec carries, the binding that mode
+    mandates), drop rows the file's deletion vector marks deleted
+    (reader protocol 3 — masked by parquet row index BEFORE any
+    projection), restore partition columns from the add action's string
+    values via an Arrow cast, rename/reorder, and cast to the exact
+    target schema. Runs on the executor."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -125,6 +127,13 @@ def _file_batches(
     )
 
     tbl = pq.read_table(_abs_data_path(table_path, rel_path))
+    # mode=id binding: parquet field ids survive into the Arrow schema as
+    # b"PARQUET:field_id" metadata — map id -> actual file column name
+    by_fid: dict[int, str] = {}
+    for fld in tbl.schema:
+        fid_raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if fid_raw is not None:
+            by_fid[int(fid_raw)] = fld.name
     if dv:
         import numpy as np
 
@@ -140,21 +149,53 @@ def _file_batches(
         tbl = tbl.filter(pa.array(mask))
     n = tbl.num_rows
     arrays = []
-    for (logical, physical, is_part), f in zip(colspecs, target):
+    for (logical, physical, is_part, fid), f in zip(colspecs, target):
         if is_part:
             raw = pv.get(physical)
             if raw is None:
                 arrays.append(pa.nulls(n, f.type))
             else:
                 arrays.append(pa.array([raw] * n, pa.string()).cast(f.type))
-        elif physical in tbl.column_names:
-            col = tbl.column(physical)
+            continue
+        # mode=id resolves by field id (names in the file are opaque);
+        # name/none modes resolve by (physical) name
+        name = by_fid.get(fid) if fid is not None else physical
+        if name is not None and name in tbl.column_names:
+            col = tbl.column(name)
             arrays.append(col.cast(f.type) if col.type != f.type else col)
         else:
             # schema evolution: an old file predating the column reads NULL
             arrays.append(pa.nulls(n, f.type))
     out = pa.table(arrays, schema=target).combine_chunks()
     yield from out.to_batches()
+
+
+def _colspecs_for(snap) -> list[tuple[str, str, bool, int | None]]:
+    """(logical name, physical name, is-partition, field id) per column —
+    the projection contract ``_file_batches`` binds with. The field id is
+    set only under columnMapping.mode=id (from delta.columnMapping.id),
+    where the file's column NAMES are opaque and binding is by parquet
+    field id, per protocol."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _ID_KEY,
+    )
+
+    phys = snap.physical_schema
+    phys_parts = set(snap.physical_partition_columns)
+    by_id = snap.column_mapping == "id"
+    return [
+        (
+            lf.name,
+            pf.name,
+            pf.name in phys_parts,
+            (
+                int(lf.metadata[_ID_KEY])
+                if by_id and _ID_KEY in (lf.metadata or {})
+                else None
+            ),
+        )
+        for lf, pf in zip(snap.schema.fields, phys.fields)
+    ]
 
 
 _OPS = {
@@ -176,12 +217,7 @@ class _DeltaLiteReaderBase(DataSourceReader):
         self.path = path
         self.snap = _replay(path, version)
         self.schema = schema
-        phys = self.snap.physical_schema
-        phys_parts = set(self.snap.physical_partition_columns)
-        self.colspecs = [
-            (lf.name, pf.name, pf.name in phys_parts)
-            for lf, pf in zip(self.snap.schema.fields, phys.fields)
-        ]
+        self.colspecs = _colspecs_for(self.snap)
         self.conds: list[tuple] = []
 
     def partitions(self):
@@ -235,12 +271,7 @@ class _DeltaLiteStreamReader(DataSourceStreamReader):
         self.path = path
         self.ignore_changes = ignore_changes
         snap = _replay(path, None)
-        phys = snap.physical_schema
-        phys_parts = set(snap.physical_partition_columns)
-        self.colspecs = [
-            (lf.name, pf.name, pf.name in phys_parts)
-            for lf, pf in zip(snap.schema.fields, phys.fields)
-        ]
+        self.colspecs = _colspecs_for(snap)
         self.schema = schema
 
     def initialOffset(self) -> dict:

@@ -471,3 +471,81 @@ def test_stream_source_reads_column_mapped_table(spark, tmp_path):
     assert sorted((r["id"], r["tag"]) for r in got.collect()) == [
         (1, "a"), (2, "b"), (3, "c"),
     ]
+
+
+def test_format_reads_mode_id_by_field_id(spark, tmp_path):
+    """The format reader binds mode=id tables by parquet FIELD ID in its
+    Arrow path (code-review r11: before this, _file_batches fell into
+    the schema-evolution NULL branch for every column because the file's
+    alien names matched no physicalName — an all-NULL 'success'). Ids
+    are declared in reverse order vs the file columns, so name- or
+    position-binding would both produce wrong answers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    t = str(tmp_path / "fmt_colmap_id")
+    os.makedirs(t)
+    pq.write_table(
+        pa.table(
+            {
+                "alien_x": pa.array(["a", "b"], pa.string()),
+                "alien_y": pa.array([10, 20], pa.int64()),
+            },
+            schema=pa.schema(
+                [
+                    pa.field("alien_x", pa.string(),
+                             metadata={b"PARQUET:field_id": b"2"}),
+                    pa.field("alien_y", pa.int64(),
+                             metadata={b"PARQUET:field_id": b"1"}),
+                ]
+            ),
+        ),
+        os.path.join(t, "part-0.parquet"),
+    )
+
+    def fld(name, typ, fid):
+        return {
+            "name": name, "type": typ, "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": f"col-{fid:08d}",
+            },
+        }
+
+    acts = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "fmt-colmap-id",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({
+                "type": "struct",
+                "fields": [fld("num", "long", 1), fld("tag", "string", 2)],
+            }),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "2",
+            },
+        }},
+        {"add": {
+            "path": "part-0.parquet",
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(t, "part-0.parquet")),
+            "modificationTime": 1,
+            "dataChange": True,
+        }},
+    ]
+    os.makedirs(os.path.join(t, "_delta_log"))
+    _claim_version(
+        os.path.join(t, "_delta_log"), 0,
+        "\n".join(json.dumps(a) for a in acts) + "\n",
+    )
+    got = spark.read.format("delta_lite").load(t)
+    assert got.columns == ["num", "tag"]
+    assert sorted((r["num"], r["tag"]) for r in got.collect()) == [
+        (10, "a"), (20, "b"),
+    ]

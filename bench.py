@@ -143,6 +143,9 @@ HEADLINE = [
     # typeWidening read: int32/float32 file through the widened long/double
     # schema via Spark-native parquet promotions
     "delta_type_widening_read",
+    # alpha=1/2 temperature training-mix rebalance (sqrt-budget per lang,
+    # md5-threshold Bernoulli keep — tiny groupBy + broadcast + filter)
+    "mixture_sample_by_lang",
 ]
 
 

@@ -370,3 +370,56 @@ def sample_weighted_exact_n_by_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def sample_mixture_by_group(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    target_total: float,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling — THE training-mix rebalance
+    (multilingual upsampling à la XLM-R / mC4): each group g (language,
+    source domain) gets a sampling budget ∝ sqrt(n_g) (temperature α=½ —
+    sub-linear, so low-resource groups are upweighted relative to their
+    share) normalized to ``target_total`` rows in expectation, and rows
+    are kept by the deterministic md5-threshold Bernoulli of
+    ``sample_weighted`` at rate budget_g / n_g (clamped keep-all at ≥ 1).
+
+    Cross-engine hash-exact ON PURPOSE, so it carries a hard oracle:
+    sqrt / * / / are correctly-rounded IEEE ops applied in a pinned
+    left-to-right order, the normalizer is an ORDERED running sum over
+    the (metadata-scale, one row per group) weight frame — a fixed
+    association both engines replay — and the final keep decision lives
+    in the proven hex-threshold domain. NULL groups are dropped.
+
+    Scale shape: one partial-agg groupBy(|groups| rows) + one broadcast
+    join + a narrow codegen filter — no full-data shuffle beyond the
+    count, no UDF; the data-side cost is ``sample_weighted``'s."""
+    from pyspark.sql import Window
+
+    d = df.filter(F.col(group_col).isNotNull())
+    per = d.groupBy(group_col).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    w = per.withColumn("__sw", F.sqrt(F.col("__n").cast("double")))
+    # ordered running sum over ≤|groups| rows (bounded frame by
+    # construction — one row per group), so the float association is the
+    # same left-to-right fold in every engine
+    win = Window.orderBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.withColumn("__cw", F.sum("__sw").over(win))
+    total = cum.agg(F.max("__cw").alias("__W"))
+    rates = (
+        w.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__rate",
+            F.col("__sw")
+            * F.lit(float(target_total))
+            / F.col("__W")
+            / F.col("__n").cast("double"),
+        )
+        .select(group_col, "__rate")
+    )
+    out = d.join(F.broadcast(rates), group_col)
+    return sample_weighted(out, key, F.col("__rate"), salt).drop("__rate")

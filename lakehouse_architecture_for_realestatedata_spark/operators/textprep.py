@@ -414,3 +414,4 @@ def score_doc_perplexity(
         h.alias("bits_per_bigram"),
         F.pow(F.lit(2.0), h).alias("perplexity"),
     )
+

@@ -248,6 +248,10 @@ def registry() -> dict[str, QuerySpec]:
         # WRITE and the typeWidening read):
         "delta_v2_checkpoint_roundtrip",
         "delta_type_widening_read",
+        # new r11 (starts deferred; per_source_doc_caps keeps the curation
+        # family in-window; r12 rotation candidate — the alpha=1/2
+        # temperature training-mix rebalance):
+        "mixture_sample_by_lang",
         # r11 rotation swap-outs (driver-green in r10; family twin in-window —
         # see the promoted list's r11 comment for the pairings):
         "ohlc_daily_bars",

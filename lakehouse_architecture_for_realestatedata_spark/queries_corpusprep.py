@@ -1267,3 +1267,54 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(qmap.alias("query_id"), F.col("neighbor_id").alias("doc_id"), "rnk")
     )
     return rrf_fuse(lex, sem, k=10)
+
+
+@register(
+    "mixture_sample_by_lang",
+    """
+    WITH d AS (SELECT * FROM documents WHERE lang IS NOT NULL),
+    per AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+    w AS (SELECT lang, n, sqrt(cast(n AS double)) AS sw FROM per),
+    tot AS (SELECT max(cw) AS W FROM (
+        SELECT sum(sw) OVER (ORDER BY lang
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cw FROM w)),
+    r AS (SELECT lang,
+                 sw * 200.0 / (SELECT W FROM tot) / cast(n AS double) AS rate
+          FROM w)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM d JOIN r USING (lang)
+    WHERE rate > 0
+      AND substr(md5('mix-v1' || cast(doc_id AS varchar)), 1, 8) <
+          CASE WHEN rate >= 1.0 THEN 'g'
+               ELSE lpad(lower(to_hex(cast(floor(rate * 4294967296.0)
+                                           AS bigint))), 8, '0')
+          END
+    """,
+    doc="Temperature-weighted training-mix sampling (operators/"
+    "sampling.py:sample_mixture_by_group) — the multilingual rebalance "
+    "every large pretraining corpus runs (XLM-R / mC4 style): each "
+    "language's sampling budget is proportional to sqrt(n_lang) "
+    "(temperature alpha=1/2 — sub-linear, so low-resource languages "
+    "are upweighted vs their raw share; the fixture's en:fr skew is "
+    "~3.4:1 by count but ~1.8:1 by budget), normalized to 200 expected "
+    "rows, kept by the deterministic md5-threshold Bernoulli. "
+    "Cross-engine hash-exact: sqrt / mul / div are correctly-rounded "
+    "IEEE ops in a pinned left-to-right order, the normalizer is an "
+    "ORDERED running sum over the one-row-per-language weight frame, "
+    "and the keep decision lives in the proven hex-threshold domain. "
+    "Scale: one tiny groupBy + broadcast join + codegen filter — no "
+    "full-data shuffle, no UDF. New r11; r12 rotation candidate.",
+)
+def q_mixture_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+        sample_mixture_by_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = sample_mixture_by_group(
+        docs, "lang", "doc_id", target_total=200.0, salt="mix-v1"
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")

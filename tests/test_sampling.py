@@ -392,3 +392,48 @@ def test_weighted_exact_n_by_group(spark):
     # plan: rank-only window keeps the Partial map-side cut
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_mixture_sample_temperature_rebalance(spark, sf_dir):
+    """sample_mixture_by_group (alpha=1/2 temperature mix): per-group
+    keep-rates are proportional to sqrt(n_g)/n_g — so the LOWEST-count
+    group gets the HIGHEST keep rate (the multilingual upsampling
+    contract) — the realized total tracks the target in expectation,
+    membership is rerun-stable, and NULL groups are dropped."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.sampling import (
+        sample_mixture_by_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    target = 200.0
+    out = sample_mixture_by_group(docs, "lang", "doc_id", target, salt="t-mix")
+    got = out.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+    kept = {r["lang"]: r["kept"] for r in got.collect()}
+    n = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    import math
+
+    W = sum(math.sqrt(v) for v in n.values())
+    for lang, n_g in n.items():
+        expect = min(1.0, math.sqrt(n_g) * target / W / n_g) * n_g
+        # Bernoulli tolerance: 5 sigma-ish on small fixtures
+        tol = max(6.0, 5 * math.sqrt(expect))
+        assert abs(kept.get(lang, 0) - expect) <= tol, (lang, kept, expect)
+    # the smallest group keeps at the highest RATE (upsampling contract)
+    rates = {g: kept.get(g, 0) / n[g] for g in n}
+    assert rates[min(n, key=n.get)] >= rates[max(n, key=n.get)] - 1e-9
+    # rerun-stable membership
+    again = sample_mixture_by_group(docs, "lang", "doc_id", target, salt="t-mix")
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in again.select("doc_id").collect()}
+    assert a == b
+    # NULL groups dropped
+    with_null = docs.unionByName(
+        spark.createDataFrame([(10**9, None)], "doc_id bigint, lang string")
+    )
+    out2 = sample_mixture_by_group(with_null, "lang", "doc_id", target, salt="t-mix")
+    assert out2.filter(F.col("doc_id") == 10**9).count() == 0

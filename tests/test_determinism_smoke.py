@@ -1,9 +1,9 @@
 """Run-twice determinism smoke (the round-7 bug class): the queries built
 on global ordering / bucketing / sampling primitives must hash identically
 across two fresh plan compositions and executions. The full registry gets
-the same check from tools/check_determinism.py (203/203 stable, r11 — the
-FULL registry incl. every late-module registration, plus an 8-query
-re-check after the late-r11 oracle edits; re-run it over the whole
+the same check from tools/check_determinism.py (204/204 stable, r11 — the
+FULL registry incl. every late-module registration, re-run at round
+close after the final r11 registration; re-run it over the whole
 registry at every round close and refresh this note); this pytest
 keeps the most at-risk family guarded on every run, and
 test_full_registry_determinism_note_is_current makes a stale count FAIL

@@ -242,6 +242,21 @@ def registry() -> dict[str, QuerySpec]:
     #                                <-> delta_colmap_bronze_silver (storage)
     #   per_source_doc_caps          <-> leakage_safe_split_docs (curation)
     #   auc_value_vs_purchase        <-> mad_outlier_events     (eval stats)
+    # r12 ROTATION CANDIDATES (pre-declared; 65 oracle-backed queries have
+    # never had a driver row — swap each in against a driver-green
+    # same-family twin, keeping ~12+ first-time rows/round):
+    #   delta_v2_checkpoint_roundtrip / delta_type_widening_read /
+    #   mixture_sample_by_lang       <-> three of the seven r11 delta rows
+    #       (all first-time-green in r11 if the window holds)
+    #   TPC-H tranche: shipping_priority_q3, late_shipment_priority_q4,
+    #       local_supplier_volume_q5, forecast_revenue_q6,
+    #       volume_shipping_q7, market_share_q8   <-> min_cost_supplier_q2
+    #       / product_profit_q9 / q11 / q12 / q15 / q20 (r11 first-timers)
+    #   sequence_packing / token_budget_curation  <-> per_source_doc_caps
+    #       (curation family keeps a twin)
+    #   decontaminate_ngram_verbatim / corpus_mixture_weights
+    #                                 <-> mixture_sample_by_lang twin
+    #   training_order_shuffle        <-> encode_documents_vocab
     deferred = {
         # new r11 (starts deferred; six delta rows in-window keep the
         # storage family; r12 rotation candidates — the v2-checkpoint

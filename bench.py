@@ -146,6 +146,9 @@ HEADLINE = [
     # alpha=1/2 temperature training-mix rebalance (sqrt-budget per lang,
     # md5-threshold Bernoulli keep — tiny groupBy + broadcast + filter)
     "mixture_sample_by_lang",
+    # IDENTITY minting on append (writer v6): two appends, the second
+    # continues past the first's committed high-water mark
+    "delta_identity_append",
 ]
 
 

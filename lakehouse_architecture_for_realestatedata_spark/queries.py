@@ -263,6 +263,7 @@ def registry() -> dict[str, QuerySpec]:
         # WRITE and the typeWidening read):
         "delta_v2_checkpoint_roundtrip",
         "delta_type_widening_read",
+        "delta_identity_append",
         # new r11 (starts deferred; per_source_doc_caps keeps the curation
         # family in-window; r12 rotation candidate — the alpha=1/2
         # temperature training-mix rebalance):

@@ -1621,3 +1621,102 @@ def q_delta_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "\n".join(_json.dumps(a) for a in acts) + "\n",
     )
     return delta_read(spark, path).select("o_orderkey", "cust_d", "o_orderstatus")
+
+
+@register(
+    "delta_identity_append",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               row_number() OVER (ORDER BY o_orderkey) AS rn,
+               count(*) OVER () AS n1
+        FROM orders WHERE o_orderkey <= 600
+    ), b2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               row_number() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 900
+    )
+    SELECT cast(1000 + 5 * (rn - 1) AS bigint) AS rid,
+           o_orderkey, o_orderstatus
+    FROM base
+    UNION ALL
+    SELECT cast(1000 + 5 * ((SELECT max(n1) FROM base) + rn - 1) AS bigint),
+           o_orderkey, o_orderstatus
+    FROM b2
+    """,
+    doc="IDENTITY column minting on append (sources/delta_lite.py "
+    "_apply_identity, writer feature v6 — delta-spark's GENERATED ALWAYS "
+    "AS IDENTITY): a foreign log declares rid with start=1000/step=5, "
+    "two appends OMIT the column and the engine mints base + step*rank "
+    "over each batch, stamping delta.identity.highWaterMark into the "
+    "same commit so the second append continues exactly past the first. "
+    "The fixture appends are SORTED and single-partition, so the mint "
+    "rank equals file row order and the whole surface has a hard closed-"
+    "form oracle (identity generally promises uniqueness + direction, "
+    "not density — the pytest covers multi-partition mints, explicit-"
+    "insert rules, and the non-append refusals). New r11; r12 rotation "
+    "candidate.",
+)
+def q_delta_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+        delta_read,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_ident_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_ident"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "rid", "type": "long", "nullable": True,
+             "metadata": {"delta.identity.start": 1000,
+                          "delta.identity.step": 5,
+                          "delta.identity.allowExplicitInsert": False}},
+            {"name": "o_orderkey", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "o_orderstatus", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    acts = [
+        {"commitInfo": {"timestamp": 1, "operation": "CREATE TABLE",
+                        "operationParameters": {}, "engineInfo": "fixture"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": {
+            "id": "ident-append-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {},
+        }},
+    ]
+    os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+    _claim_version(
+        os.path.join(path, "_delta_log"), 0,
+        "\n".join(_json.dumps(a) for a in acts) + "\n",
+    )
+    b1 = (
+        orders.filter(F.col("o_orderkey") <= 600)
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    delta_write(b1, path, mode="append")
+    b2 = (
+        orders.filter((F.col("o_orderkey") > 600) & (F.col("o_orderkey") <= 900))
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    delta_write(b2, path, mode="append")
+    return delta_read(spark, path).select("rid", "o_orderkey", "o_orderstatus")

@@ -179,9 +179,10 @@ def _check_type_widening(schema_json: str, path: str) -> None:
 #: ``_apply_generated`` and refused only on surfaces that cannot
 #: evaluate expressions, i.e. the format/streaming sinks),
 #: v5 (column mapping: logical names resolve to the schema's
-#: physicalName annotations before any file is written). Identity
-#: columns (v6) etc. are refused.
-MAX_WRITER_VERSION = 5
+#: physicalName annotations before any file is written), v6 (identity
+#: columns: appends MINT values via _apply_identity and stamp the
+#: high-water mark; every other write path refuses by name).
+MAX_WRITER_VERSION = 6
 #: Protocol-7 writer features this module implements (enforced on write).
 SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
@@ -204,9 +205,10 @@ SUPPORTED_WRITER_FEATURES = {
     "deletionVectors",
     # generated columns are EVALUATED (computed when absent, validated
     # when provided, recomputed on rewrites) by the engine write paths;
-    # identity columns are refused by schema inspection when a column
-    # actually declares them — a table merely LISTING the feature
-    # (protocol upgrades carry legacy-implied features) writes fine
+    # identity columns are MINTED on append (_apply_identity: base +
+    # step·rank over the batch, high-water mark stamped into the same
+    # commit; GENERATED BY DEFAULT explicit inserts raise the mark) and
+    # refused by name on every other write path
     "generatedColumns",
     "identityColumns",
     # v2Checkpoint tables are WRITTEN in kind: _write_checkpoint emits the
@@ -899,6 +901,7 @@ def _writer_gate(
     removes_data: bool,
     op: str,
     generated_ok: bool = False,
+    identity_ok: bool = False,
 ) -> None:
     """Refuse writes the table's writer protocol forbids or demands
     features this module does not implement — by name, per spec (writers
@@ -948,10 +951,11 @@ def _writer_gate(
         for f in snap.schema.fields
         if any(k.startswith("delta.identity.") for k in (f.metadata or {}))
     ]
-    if identity:
+    if identity and not identity_ok:
         raise DeltaProtocolError(
-            f"{path}: identity columns {identity} are not implemented — "
-            "writing without minting their values would corrupt"
+            f"{path}: identity columns {identity} — only append minting is "
+            "implemented ({op} would have to re-derive or preserve their "
+            "values); write through delta_write(mode='append')"
         )
     if (
         removes_data
@@ -1707,7 +1711,10 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
         return latest
     target = _replay(path, version)
     snap = _replay(path, latest)
-    _writer_gate(snap, path, removes_data=True, op="RESTORE", generated_ok=True)
+    _writer_gate(
+        snap, path, removes_data=True, op="RESTORE", generated_ok=True,
+        identity_ok=True,  # re-adds files by reference: values carried verbatim
+    )
     missing = [
         p2
         for p2 in target.files
@@ -2163,6 +2170,148 @@ def _write_one_parquet(
     os.rename(tmp, dest)
 
 
+_IDENTITY_START = "delta.identity.start"
+_IDENTITY_STEP = "delta.identity.step"
+_IDENTITY_HWM = "delta.identity.highWaterMark"
+_IDENTITY_EXPLICIT = "delta.identity.allowExplicitInsert"
+
+
+def _identity_fields(schema: StructType) -> dict[str, dict]:
+    """name → identity metadata for every IDENTITY column in ``schema``."""
+    return {
+        f.name: dict(f.metadata or {})
+        for f in schema.fields
+        if any(k.startswith("delta.identity.") for k in (f.metadata or {}))
+    }
+
+
+def _apply_identity(
+    snap: _Snapshot, df: DataFrame
+) -> tuple[DataFrame, dict[str, int] | None, dict[str, int | None]]:
+    """Honor IDENTITY columns (writer feature v6, delta-spark's GENERATED
+    ALWAYS/BY DEFAULT AS IDENTITY) on an APPEND: absent identity columns
+    are MINTED as ``base + step·k`` over the batch (base = highWaterMark
+    + step, or ``start`` on a fresh table); provided values are accepted
+    only when the column declares ``allowExplicitInsert`` (GENERATED BY
+    DEFAULT), raising the high-water mark past them. Returns
+    ``(df, hwm_patch, bases_used)`` — ``hwm_patch`` maps column → new
+    highWaterMark to stamp into the commit's metaData (None when nothing
+    changed), ``bases_used`` records the mark each mint was based on so
+    a lost commit race can detect a concurrent mint and re-mint.
+
+    Minting is DISTRIBUTED and single-pass: ``monotonically_increasing_id``
+    encodes (partition id << 33) + per-partition offset, so each row's
+    batch rank is its partition's driver-folded count prefix plus the low
+    33 bits — no window, no data shuffle, one tiny per-partition count
+    aggregate. Identity guarantees uniqueness + step direction, NOT
+    density or cross-run determinism (delta-spark's own contract: values
+    follow the batch's partition layout)."""
+    ids = _identity_fields(snap.schema)
+    if not ids:
+        return df, None, {}
+    patch: dict[str, int] = {}
+    bases: dict[str, int | None] = {}
+    mint_cols: list[tuple[str, int, int]] = []  # (name, base, step)
+    for name, md in ids.items():
+        start = int(md.get(_IDENTITY_START, 1))
+        step = int(md.get(_IDENTITY_STEP, 1))
+        if step == 0:
+            raise DeltaProtocolError(f"identity column {name!r} has step 0")
+        hwm = md.get(_IDENTITY_HWM)
+        hwm = int(hwm) if hwm is not None else None
+        if name in df.columns:
+            if not md.get(_IDENTITY_EXPLICIT, False):
+                raise DeltaProtocolError(
+                    f"identity column {name!r} is GENERATED ALWAYS — "
+                    "explicit values are forbidden (drop the column from "
+                    "the frame and the engine mints them)"
+                )
+            agg = F.max(name) if step > 0 else F.min(name)
+            ext = df.agg(agg.alias("__x")).collect()[0]["__x"]
+            if ext is not None:
+                ext = int(ext)
+                cur = hwm if hwm is not None else start - step
+                if (step > 0 and ext > cur) or (step < 0 and ext < cur):
+                    patch[name] = ext
+            # explicit insert: no mint, so no mint-collision race to detect
+        else:
+            base = (hwm + step) if hwm is not None else start
+            mint_cols.append((name, base, step))
+            bases[name] = hwm
+    if mint_cols:
+        df = df.withColumn("__mid", F.monotonically_increasing_id())
+        counts = [
+            (int(r["__pid"]), int(r["__n"]))
+            for r in df.groupBy(
+                F.shiftright("__mid", 33).alias("__pid")
+            ).agg(F.count(F.lit(1)).alias("__n")).collect()
+        ]
+        off = 0
+        offsets: dict[int, int] = {}
+        for pid, n in sorted(counts):
+            offsets[pid] = off
+            off += n
+        n_rows = off
+        if n_rows:
+            offmap = F.create_map(
+                *[
+                    x
+                    for pid, o in sorted(offsets.items())
+                    for x in (F.lit(pid).cast("bigint"), F.lit(o).cast("bigint"))
+                ]
+            )
+            rank = offmap[F.shiftright("__mid", 33)] + (
+                F.col("__mid") % F.lit(1 << 33)
+            )
+            types = {f.name: f.dataType for f in snap.schema.fields}
+            for name, base, step in mint_cols:
+                df = df.withColumn(
+                    name,
+                    (F.lit(base).cast("bigint") + F.lit(step) * rank).cast(
+                        types[name]
+                    ),
+                )
+                patch[name] = base + step * (n_rows - 1)
+        df = df.drop("__mid")
+        # restore the table's column order (minted columns appended last);
+        # extra source columns (mergeSchema widening) stay, trailing
+        table_order = [f.name for f in snap.schema.fields if f.name in df.columns]
+        extras = [c for c in df.columns if c not in set(table_order)]
+        df = df.select(*table_order, *extras)
+    return df, (patch or None), bases
+
+
+def _identity_mint_stale(
+    snap: _Snapshot, bases: dict[str, int | None]
+) -> bool:
+    """True when a snapshot's identity high-water mark no longer equals
+    the mark a cached mint was based on — a concurrent writer minted in
+    between and the cached values may collide."""
+    if not bases:
+        return False
+    cur = _identity_fields(snap.schema)
+    for name, base in bases.items():
+        raw = cur.get(name, {}).get(_IDENTITY_HWM)
+        if (int(raw) if raw is not None else None) != base:
+            return True
+    return False
+
+
+def _patch_identity_hwm(schema: StructType, patch: dict[str, int]) -> StructType:
+    """``schema`` with each patched identity column's
+    ``delta.identity.highWaterMark`` replaced — the metadata delta the
+    minting commit must carry so the next writer continues past it."""
+    fields = []
+    for f in schema.fields:
+        if f.name in patch:
+            md = dict(f.metadata or {})
+            md[_IDENTITY_HWM] = patch[f.name]
+            fields.append(StructField(f.name, f.dataType, f.nullable, metadata=md))
+        else:
+            fields.append(f)
+    return StructType(fields)
+
+
 def _apply_generated(
     snap: _Snapshot, df: DataFrame, recompute: bool = False
 ) -> DataFrame:
@@ -2305,6 +2454,9 @@ def delta_write(
     spark = df.sparkSession
     os.makedirs(path, exist_ok=True)
     adds: list[dict] | None = None
+    df0 = df  # pristine frame: identity re-mints restart from it
+    identity_patch: dict[str, int] | None = None
+    identity_bases: dict[str, int | None] = {}
     for attempt in range(max_retries + 1):
         try:
             latest = _latest_version(path)  # JSON commits AND checkpoints
@@ -2330,18 +2482,39 @@ def delta_write(
                 removes_data=(mode == "overwrite" and bool(snap.files)),
                 op=f"WRITE ({mode})",
                 generated_ok=True,
+                identity_ok=(mode == "append"),
             )
+            if adds is not None and _identity_mint_stale(snap, identity_bases):
+                # a concurrent writer advanced the identity high-water mark
+                # past the base our cached files minted from — their values
+                # may collide; re-mint against the new snapshot (the stale
+                # files become unreferenced orphans, delta_vacuum's case)
+                adds = None
             if adds is None:
                 # compute absent generated columns / validate provided ones
                 # BEFORE the schema contract (they are table columns) and
-                # constraint checks (which may reference them)
-                df = _apply_generated(snap, df)
+                # constraint checks (which may reference them); identity
+                # columns mint from the pristine frame so a re-mint never
+                # sees its own previous values
+                df = _apply_generated(snap, df0)
+                df, identity_patch, identity_bases = _apply_identity(snap, df)
                 _enforce_constraints(snap, df)
             conf_override = None
             if mode == "append":
                 meta_schema_json, conf_override = _append_schema_delta(
                     snap, df.schema, merge_schema
                 )
+                if identity_patch:
+                    # the minted high-water mark rides this commit's
+                    # metaData so the next writer continues past it
+                    base_schema = (
+                        StructType.fromJson(json.loads(meta_schema_json))
+                        if meta_schema_json
+                        else snap.schema
+                    )
+                    meta_schema_json = _patch_identity_hwm(
+                        base_schema, identity_patch
+                    ).json()
             elif snap.column_mapping != "none":
                 # overwrite keeps a column-mapped table's schema: replacing
                 # schemaString would strip/re-mint the physicalName
@@ -2526,7 +2699,10 @@ def delta_optimize(
     snap = _replay(path, latest)
     # compaction is legal on appendOnly tables (its removes carry
     # dataChange:false — no row changes), so removes_data=False here
-    _writer_gate(snap, path, removes_data=False, op="OPTIMIZE", generated_ok=True)
+    _writer_gate(
+        snap, path, removes_data=False, op="OPTIMIZE", generated_ok=True,
+        identity_ok=True,  # compaction rewrites the SAME rows: values carried
+    )
     if not snap.files:
         return latest
     total = sum(int(a.get("size") or 0) for a in snap.files.values())
@@ -2690,7 +2866,11 @@ def _commit_rewrite(
     computed against a snapshot that is no longer latest (Delta's
     ConcurrentAppendException contract; caller re-runs). Orphans from a
     lost race are unreferenced and collected by ``delta_vacuum``."""
-    _writer_gate(snap, path, removes_data=bool(touched), op=op, generated_ok=True)
+    _writer_gate(
+        snap, path, removes_data=bool(touched), op=op, generated_ok=True,
+        identity_ok=True,  # rewrites carry/filter existing rows; entry points
+        # (delta_merge refuses, delta_update_where forbids assigning) gate
+    )
     out = _apply_generated(snap, out, recompute=True)
     _enforce_constraints(snap, out)
     # the schema governing physical names: the widened one when this
@@ -2795,6 +2975,16 @@ def delta_merge(
         delta_write(source, path, mode="overwrite")
         return 0
     snap = _replay(path, latest)
+    merge_ids = _identity_fields(snap.schema)
+    if merge_ids:
+        # a merge's inserted rows would need identity minting inside the
+        # assembled frame (and updated rows must keep their target values)
+        # — only append minting is implemented; refuse by name
+        raise DeltaProtocolError(
+            f"{path}: MERGE on identity columns {sorted(merge_ids)} is not "
+            "implemented (inserted rows would need minting) — append new "
+            "rows via delta_write(mode='append')"
+        )
     touched = _files_overlapping_keys(snap, keys, source)
     if _dv_write_path_ok(snap, touched):
         _writer_gate(snap, path, removes_data=True, op="MERGE", generated_ok=True)
@@ -3374,7 +3564,10 @@ def delta_delete_where(spark: SparkSession, path: str, *conds: tuple) -> int:
     if not touched:
         return latest  # stats prove no row matches: nothing to do
     if _dv_write_path_ok(snap, touched):
-        _writer_gate(snap, path, removes_data=True, op="DELETE", generated_ok=True)
+        _writer_gate(
+            snap, path, removes_data=True, op="DELETE", generated_ok=True,
+            identity_ok=True,  # survivors keep their minted values
+        )
         v = _delete_with_dvs(spark, path, latest, snap, touched, list(conds))
         if v is not None:
             return v
@@ -3426,11 +3619,21 @@ def delta_update_where(
     bad = set(assignments) - known
     if bad:
         raise ValueError(f"delta_update_where: unknown columns {sorted(bad)}")
+    ided = set(assignments) & set(_identity_fields(snap.schema))
+    if ided:
+        # identity values are engine-minted; carried rows keep them
+        # verbatim, but SETTING one would forge the sequence
+        raise DeltaProtocolError(
+            f"{path}: UPDATE cannot assign identity columns {sorted(ided)}"
+        )
     touched = sorted(_pruned_files(snap, list(conds)))
     if not touched:
         return latest
     if _dv_write_path_ok(snap, touched):
-        _writer_gate(snap, path, removes_data=True, op="UPDATE", generated_ok=True)
+        _writer_gate(
+            snap, path, removes_data=True, op="UPDATE", generated_ok=True,
+            identity_ok=True,  # assigning an identity column is refused above
+        )
         v = _update_with_dvs(
             spark, path, latest, snap, touched, assignments, list(conds)
         )
@@ -3549,7 +3752,10 @@ def delta_add_constraint(
     key = f"delta.constraints.{name}"
     if key in (snap.configuration or {}):
         raise ValueError(f"constraint {name!r} already exists")
-    _writer_gate(snap, path, removes_data=False, op="ADD CONSTRAINT", generated_ok=True)
+    _writer_gate(
+        snap, path, removes_data=False, op="ADD CONSTRAINT", generated_ok=True,
+        identity_ok=True,  # metadata-only
+    )
     existing = delta_read(spark, path, version=latest)
     probe = _Snapshot(
         version=latest,
@@ -3603,7 +3809,10 @@ def delta_enable_ict(spark: SparkSession, path: str) -> int:
     delta-spark 4.x enables this by default on new tables."""
     latest = _latest_version(path)
     snap = _replay(path, latest)
-    _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES", generated_ok=True)
+    _writer_gate(
+        snap, path, removes_data=False, op="SET TBLPROPERTIES",
+        generated_ok=True, identity_ok=True,  # metadata-only
+    )
     proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     mw = proto.get("minWriterVersion", 2)
     feats = set(proto.get("writerFeatures") or [])
@@ -3648,7 +3857,8 @@ def _enable_table_feature(
     latest = _latest_version(path)
     snap = _replay(path, latest)
     _writer_gate(
-        snap, path, removes_data=False, op="SET TBLPROPERTIES", generated_ok=True
+        snap, path, removes_data=False, op="SET TBLPROPERTIES", generated_ok=True,
+        identity_ok=True,  # metadata-only
     )
     proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     mr = proto.get("minReaderVersion", 1)
@@ -3726,7 +3936,8 @@ def delta_rename_column(
     latest = _latest_version(path)
     snap = _replay(path, latest)
     _writer_gate(
-        snap, path, removes_data=False, op="RENAME COLUMN", generated_ok=True
+        snap, path, removes_data=False, op="RENAME COLUMN", generated_ok=True,
+        identity_ok=True,  # metadata-only
     )
     _require_colmap(snap, path, "RENAME COLUMN")
     names = [f.name for f in snap.schema.fields]
@@ -3761,7 +3972,8 @@ def delta_drop_column(spark: SparkSession, path: str, name: str) -> int:
     latest = _latest_version(path)
     snap = _replay(path, latest)
     _writer_gate(
-        snap, path, removes_data=False, op="DROP COLUMN", generated_ok=True
+        snap, path, removes_data=False, op="DROP COLUMN", generated_ok=True,
+        identity_ok=True,  # metadata-only
     )
     _require_colmap(snap, path, "DROP COLUMN")
     names = [f.name for f in snap.schema.fields]
@@ -3796,7 +4008,8 @@ def delta_add_column(
     latest = _latest_version(path)
     snap = _replay(path, latest)
     _writer_gate(
-        snap, path, removes_data=False, op="ADD COLUMNS", generated_ok=True
+        snap, path, removes_data=False, op="ADD COLUMNS", generated_ok=True,
+        identity_ok=True,  # metadata-only
     )
     if not nullable and snap.files:
         raise ValueError(
@@ -3848,7 +4061,10 @@ def delta_enable_cdf(spark: SparkSession, path: str) -> int:
     actions per protocol, no extra files needed."""
     latest = _latest_version(path)
     snap = _replay(path, latest)
-    _writer_gate(snap, path, removes_data=False, op="SET TBLPROPERTIES", generated_ok=True)
+    _writer_gate(
+        snap, path, removes_data=False, op="SET TBLPROPERTIES",
+        generated_ok=True, identity_ok=True,  # metadata-only
+    )
     conf = dict(snap.configuration or {})
     conf["delta.enableChangeDataFeed"] = "true"
     return _commit_metadata_change(

@@ -1294,10 +1294,10 @@ def test_unknown_writer_version_and_features_refused_by_name(spark, tmp_path):
         json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}})
         + "\n",
     )
-    # v6 (identity columns) is above what this writer implements (v5 —
-    # column mapping is supported since VERDICT r9 #3)
-    with pytest.raises(DeltaProtocolError, match="minWriterVersion=6"):
-        delta_write(df, t, mode="append")
+    # v6 (identity columns) is WRITABLE since r11 (appends mint identity
+    # values; this table declares none, so the append is plain)
+    delta_write(df, t, mode="append")
+    assert delta_read(spark, t).count() == 10
     t2 = str(tmp_path / "wf")
     delta_write(df, t2)
     _claim_version(
@@ -3118,3 +3118,118 @@ def test_v2_checkpoint_writes_roundtrip(spark, tmp_path):
     assert sorted(r["id"] for r in dl.delta_read(spark, t).collect()) == list(
         range(4, 30)
     )
+
+
+def test_identity_columns_minted_on_append(spark, tmp_path):
+    """IDENTITY columns (writer v6, r11): an append missing the column
+    MINTS base + step*k values over the batch and stamps the new
+    delta.identity.highWaterMark into the same commit; a second append
+    continues past it; GENERATED ALWAYS rejects explicit values while
+    GENERATED BY DEFAULT accepts them and raises the mark; every
+    non-append path still refuses by name."""
+    import lakehouse_architecture_for_realestatedata_spark.sources.delta_lite as dl
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+        _identity_fields,
+    )
+
+    t = str(tmp_path / "ident")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "rid", "type": "long", "nullable": True,
+             "metadata": {"delta.identity.start": 100,
+                          "delta.identity.step": 10,
+                          "delta.identity.allowExplicitInsert": False}},
+            {"name": "tag", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    acts = [
+        {"commitInfo": {"timestamp": 1, "operation": "CREATE TABLE",
+                        "operationParameters": {}, "engineInfo": "fixture"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": {
+            "id": "ident-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {},
+        }},
+    ]
+    _claim_version(
+        os.path.join(t, "_delta_log"), 0,
+        "\n".join(json.dumps(a) for a in acts) + "\n",
+    )
+    # first mint: 4 rows -> 100,110,120,130; HWM = 130
+    delta_write(
+        spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "tag string"),
+        t, mode="append",
+    )
+    got = {r["tag"]: r["rid"] for r in delta_read(spark, t).collect()}
+    assert sorted(got.values()) == [100, 110, 120, 130]
+    snap = dl._replay(t, None)
+    assert _identity_fields(snap.schema)["rid"]["delta.identity.highWaterMark"] == 130
+    # second mint continues past the mark
+    delta_write(
+        spark.createDataFrame([("e",), ("f",)], "tag string"), t, mode="append"
+    )
+    got2 = sorted(r["rid"] for r in delta_read(spark, t).collect())
+    assert got2 == [100, 110, 120, 130, 140, 150]
+    snap2 = dl._replay(t, None)
+    assert _identity_fields(snap2.schema)["rid"]["delta.identity.highWaterMark"] == 150
+    # GENERATED ALWAYS: explicit values refused
+    with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+        delta_write(
+            spark.createDataFrame([(999, "x")], "rid bigint, tag string"),
+            t, mode="append",
+        )
+    # value-preserving ops WORK: DELETE keeps survivors' minted values,
+    # UPDATE may set non-identity columns (carried values verbatim)
+    dl.delta_delete_where(spark, t, ("tag", "=", "a"))
+    assert sorted(r["rid"] for r in delta_read(spark, t).collect()) == [
+        110, 120, 130, 140, 150,
+    ]
+    dl.delta_update_where(spark, t, {"tag": F.lit("up")}, ("rid", "=", 110))
+    got_u = {r["rid"]: r["tag"] for r in delta_read(spark, t).collect()}
+    assert got_u[110] == "up" and sorted(got_u) == [110, 120, 130, 140, 150]
+    # forging the sequence is refused: UPDATE cannot SET an identity column
+    with pytest.raises(DeltaProtocolError, match="identity"):
+        dl.delta_update_where(spark, t, {"rid": F.lit(9)}, ("tag", "=", "up"))
+    # MERGE would need insert-minting: refused by name
+    with pytest.raises(DeltaProtocolError, match="MERGE on identity"):
+        dl.delta_merge(
+            spark.createDataFrame([("b", 1)], "tag string, x bigint"), t,
+            key="tag",
+        )
+    # overwrite (new row images wholesale) refused
+    with pytest.raises(DeltaProtocolError, match="identity"):
+        delta_write(spark.createDataFrame([("z",)], "tag string"), t,
+                    mode="overwrite")
+    # OPTIMIZE compacts with values carried verbatim
+    dl.delta_optimize(spark, t, n_files=1)
+    assert sorted(r["rid"] for r in delta_read(spark, t).collect()) == [
+        110, 120, 130, 140, 150,
+    ]
+    # GENERATED BY DEFAULT: explicit values allowed, mark raised past them
+    t2 = str(tmp_path / "ident2")
+    os.makedirs(os.path.join(t2, "_delta_log"))
+    schema2 = json.loads(json.dumps(schema))
+    schema2["fields"][0]["metadata"]["delta.identity.allowExplicitInsert"] = True
+    acts2 = [a if "metaData" not in a else {
+        "metaData": a["metaData"] | {"schemaString": json.dumps(schema2)}
+    } for a in acts]
+    _claim_version(
+        os.path.join(t2, "_delta_log"), 0,
+        "\n".join(json.dumps(a) for a in acts2) + "\n",
+    )
+    delta_write(
+        spark.createDataFrame([(500, "p"), (260, "q")], "rid bigint, tag string"),
+        t2, mode="append",
+    )
+    snap3 = dl._replay(t2, None)
+    assert _identity_fields(snap3.schema)["rid"]["delta.identity.highWaterMark"] == 500
+    # a subsequent mint continues from the raised mark
+    delta_write(spark.createDataFrame([("r",)], "tag string"), t2, mode="append")
+    got3 = sorted(r["rid"] for r in delta_read(spark, t2).collect())
+    assert got3 == [260, 500, 510]

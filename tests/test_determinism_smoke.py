@@ -1,10 +1,11 @@
 """Run-twice determinism smoke (the round-7 bug class): the queries built
 on global ordering / bucketing / sampling primitives must hash identically
 across two fresh plan compositions and executions. The full registry gets
-the same check from tools/check_determinism.py (204/204 stable, r11 — the
-FULL registry incl. every late-module registration, re-run at round
-close after the final r11 registration; re-run it over the whole
-registry at every round close and refresh this note); this pytest
+the same check from tools/check_determinism.py (205/205 stable, r11 — the
+FULL registry incl. every late-module registration: 204 in the full
+round-close run plus the late delta_identity_append registration
+checked by the same tool; re-run it over the whole registry at every
+round close and refresh this note); this pytest
 keeps the most at-risk family guarded on every run, and
 test_full_registry_determinism_note_is_current makes a stale count FAIL
 instead of drifting silently (it hit 167 in r8 and 184 in r9)."""

@@ -132,6 +132,7 @@ def test_driver_window_fully_oracle_backed():
         # new r11 (starts deferred; r12 rotation candidates):
         "delta_v2_checkpoint_roundtrip",
         "delta_type_widening_read",
+        "delta_identity_append",
         "mixture_sample_by_lang",
         # r11 rotation swap-outs (driver-green in r10; family twin in-window
         # — see the promoted list's r11 comment in queries.registry):

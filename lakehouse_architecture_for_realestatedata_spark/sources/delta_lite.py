@@ -56,8 +56,18 @@ Protocol subset (explicitly checked, honestly refused otherwise):
     watermarks and written by the exactly-once streaming sink), and
     ``cdc`` (written by merge/delete/update when
     ``delta.enableChangeDataFeed`` is set; served by
-    ``delta_read_changes``; invisible to table reads per protocol).
-    Domain metadata is ignored on read, never written;
+    ``delta_read_changes``; invisible to table reads per protocol), and
+    ``domainMetadata`` (replayed latest-per-domain with removed
+    tombstones, checkpointed, cloned; written by row tracking and
+    clustered tables). Row tracking (``delta_enable_row_tracking``):
+    every add carries ``baseRowId``/``defaultRowCommitVersion``, the
+    ``delta.rowTracking`` domain holds the high-water mark, OPTIMIZE
+    materializes ids into compacted files, and ``delta_read(...,
+    with_row_ids=True)`` exposes stable ``_row_id`` /
+    ``_row_commit_version`` columns per the protocol's coalesce rule.
+    Clustered tables (``delta_set_clustering``): the
+    ``delta.clustering`` domain records the key; OPTIMIZE without an
+    explicit key z-orders by it;
   - single-writer commits: the version claim is put-if-absent via ``link(2)``
     (the same optimistic protocol Delta uses on filesystems with atomic
     put — losers raise, callers retry), but there is no LogStore
@@ -221,6 +231,20 @@ SUPPORTED_WRITER_FEATURES = {
     # writers — record delta.typeChanges when widening — can never trigger
     "typeWidening",
     "typeWidening-preview",
+    # domain metadata actions are replayed (latest per domain, removed
+    # tombstones honored), survive checkpointing, and are WRITTEN by the
+    # features below that store their state there
+    "domainMetadata",
+    # row tracking: appends stamp baseRowId/defaultRowCommitVersion on
+    # every add and advance the delta.rowTracking rowIdHighWaterMark
+    # domain; OPTIMIZE preserves row ids by materializing them into the
+    # compacted files; delta_read(..., with_row_ids=True) exposes
+    # _row_id/_row_commit_version per the protocol's coalesce rule
+    "rowTracking",
+    # clustered tables: delta.clustering domain records the clustering
+    # columns; delta_optimize with no explicit cluster key clusters by
+    # them (delta-spark's OPTIMIZE on a CLUSTER BY table)
+    "clustering",
 }
 
 #: Reader features implied by each legacy minReaderVersion (a v3 bump
@@ -248,6 +272,17 @@ _PHYS_KEY = "delta.columnMapping.physicalName"
 _ID_KEY = "delta.columnMapping.id"
 #: Table property tracking the highest minted column id.
 _MAX_ID_KEY = "delta.columnMapping.maxColumnId"
+#: Domain metadata domain holding the row-id high-water mark (row
+#: tracking, PROTOCOL.md "Row Tracking").
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+#: Table properties naming the PHYSICAL columns that carry materialized
+#: row ids / row commit versions inside data files (delta-spark mints
+#: UUID-suffixed names at enablement; any recorded name is legal).
+_ROW_ID_COL_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_ROW_CV_COL_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+#: Domain metadata domain recording a clustered table's clustering
+#: columns (PROTOCOL.md "Clustered Table").
+_CLUSTERING_DOMAIN = "delta.clustering"
 
 CHECKPOINT_INTERVAL = 10
 
@@ -317,6 +352,7 @@ class _Snapshot:
     tombstones: dict[str, dict] | None = None  # path -> remove payload
     txns: dict[str, int] | None = None  # appId -> highest committed version
     protocol: dict | None = None  # the table's protocol action payload
+    domains: dict[str, str] | None = None  # domain -> configuration (JSON)
 
     @property
     def physical_schema(self) -> StructType:
@@ -628,6 +664,17 @@ def _apply_action(snap: dict, action: dict, from_checkpoint: bool = False) -> No
         if t.get("appId") is not None and t.get("version") is not None:
             txns = snap.setdefault("txns", {})
             txns[t["appId"]] = max(int(t["version"]), txns.get(t["appId"], -1))
+    elif "domainMetadata" in action:
+        # latest action per domain wins; removed=true is a tombstone that
+        # clears the domain (checkpoints may carry such tombstones — they
+        # clear state there too, the add set of domains is NOT pre-netted
+        # the way file adds are)
+        dm = action["domainMetadata"]
+        domains = snap.setdefault("domains", {})
+        if dm.get("removed"):
+            domains.pop(dm["domain"], None)
+        else:
+            domains[dm["domain"]] = dm.get("configuration") or ""
     # commitInfo / cdc: no state
 
 
@@ -763,6 +810,7 @@ def _read_checkpoint(path: str, version: int, snap: dict, files: list[str]) -> N
                     "add",
                     "remove",
                     "txn",
+                    "domainMetadata",
                     "sidecar",
                 ):
                     if kind in cols and d.get(kind) is not None:
@@ -772,7 +820,9 @@ def _read_checkpoint(path: str, version: int, snap: dict, files: list[str]) -> N
             if a.get("sidecar") is not None:
                 sidecars.append(a["sidecar"]["path"])
                 continue
-            for kind in ("protocol", "metaData", "add", "remove", "txn"):
+            for kind in (
+                "protocol", "metaData", "add", "remove", "txn", "domainMetadata"
+            ):
                 if a.get(kind) is not None:
                     _apply_action(snap, {kind: a[kind]}, from_checkpoint=True)
         for sp in sidecars:
@@ -789,7 +839,9 @@ def _read_checkpoint(path: str, version: int, snap: dict, files: list[str]) -> N
         tbl = _pq.read_table(os.path.join(log, f))
         cols = set(tbl.column_names)
         for d in tbl.to_pylist():
-            for kind in ("protocol", "metaData", "add", "remove", "txn"):
+            for kind in (
+                "protocol", "metaData", "add", "remove", "txn", "domainMetadata"
+            ):
                 if kind in cols and d.get(kind) is not None:
                     _apply_action(
                         snap, {kind: _unmap(d[kind])}, from_checkpoint=True
@@ -840,6 +892,7 @@ def _replay(path: str, version: int | None) -> _Snapshot:
         "configuration": {},
         "protocol": None,
         "txns": {},
+        "domains": {},
     }
     start = 0
     cps = _checkpoint_files(log)
@@ -869,6 +922,7 @@ def _replay(path: str, version: int | None) -> _Snapshot:
         tombstones=snap["tombstones"],
         txns=snap["txns"],
         protocol=snap["protocol"],
+        domains=snap.get("domains") or {},
     )
 
 
@@ -1096,6 +1150,7 @@ def delta_read(
     version: int | None = None,
     timestamp_millis: int | None = None,
     where: list[tuple] | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Read a Delta table (any writer's) at ``version`` (default: latest),
     or as of ``timestamp_millis`` (Delta's ``timestampAsOf``: the last
@@ -1128,6 +1183,13 @@ def delta_read(
     add actions' partitionValues both key on physical names, per spec)
     and project back to logical names — nested struct fields included,
     via a positional struct cast.
+
+    ``with_row_ids=True`` (row-tracked tables — ``delta_enable_row_
+    tracking``) appends ``_row_id`` / ``_row_commit_version`` columns
+    computed by the protocol's rule: the file's materialized value when
+    present (rows OPTIMIZE copied), else ``baseRowId + row_index`` /
+    ``defaultRowCommitVersion``. Row ids are stable across OPTIMIZE and
+    deletion-vector DELETEs.
     """
     if timestamp_millis is not None:
         if version is not None:
@@ -1135,7 +1197,11 @@ def delta_read(
         version = version_at_timestamp(path, timestamp_millis)
     snap = _replay(path, version)
     active = _pruned_files(snap, where)
-    df = _scan_files(spark, path, snap, active)
+    df = (
+        _scan_files_rowids(spark, path, snap, active)
+        if with_row_ids
+        else _scan_files(spark, path, snap, active)
+    )
     if where:
         from lakehouse_architecture_for_realestatedata_spark.sources.tables import (
             ParquetTable,
@@ -1628,6 +1694,135 @@ def _scan_files(
     return to_logical(out)
 
 
+def _scan_files_rowids(
+    spark: SparkSession, path: str, snap: _Snapshot, active: dict[str, dict]
+) -> DataFrame:
+    """Scan of ``active`` under the LOGICAL schema plus the row-tracking
+    columns ``_row_id`` / ``_row_commit_version`` (PROTOCOL.md Row
+    Tracking read rule: the file's MATERIALIZED value when the row was
+    copied in by OPTIMIZE, else ``baseRowId + row_index`` /
+    ``defaultRowCommitVersion``). ONE scan relation for every file and
+    ONE broadcast join against the per-file (baseRowId,
+    defaultRowCommitVersion, partitionValues) table — a 10⁶-file table
+    joins a 10⁶-row broadcast side, never a 10⁶-way union plan or a
+    create_map literal that size. Deletion vectors apply exactly like
+    the main path (pair anti-join under the budget, per-file application
+    above it)."""
+    from pyspark.sql.types import LongType
+
+    logical = _strip_metadata(snap.schema)
+    empty = spark.createDataFrame([], logical)
+    if not active:
+        return empty.select(
+            "*",
+            F.lit(None).cast("bigint").alias("_row_id"),
+            F.lit(None).cast("bigint").alias("_row_commit_version"),
+        )
+    missing = sorted(
+        p for p, a in active.items() if a.get("baseRowId") is None
+    )
+    if missing:
+        raise DeltaProtocolError(
+            f"{path}: row-id read needs baseRowId on every active file; "
+            f"missing on {missing[:3]}{'...' if len(missing) > 3 else ''} "
+            "(enable row tracking with delta_enable_row_tracking — its "
+            "backfill stamps existing files)"
+        )
+    conf = snap.configuration or {}
+    rid_col = conf.get(_ROW_ID_COL_KEY)
+    rcv_col = conf.get(_ROW_CV_COL_KEY)
+    phys = snap.physical_schema
+    phys_parts = snap.physical_partition_columns
+    scan_fields = [f for f in phys.fields if f.name not in phys_parts]
+    # absent in pre-materialization files → Spark fills NULL, exactly the
+    # coalesce the protocol's read rule wants
+    if rid_col:
+        scan_fields.append(StructField(rid_col, LongType(), True))
+    if rcv_col:
+        scan_fields.append(StructField(rcv_col, LongType(), True))
+    base_of = {p: unquote(p).rsplit("/", 1)[-1] for p in active}
+    if len(set(base_of.values())) != len(base_of):
+        raise DeltaProtocolError(
+            f"{path}: row-id read addresses files by basename; this "
+            "layout has colliding basenames"
+        )
+    df = spark.read.schema(StructType(scan_fields)).parquet(
+        *[_abs_data_path(path, p) for p in sorted(active)]
+    ).select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "__fb"
+        ),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    info_schema = "__fb string, __base bigint, __dcv bigint" + "".join(
+        f", __pv{i} string" for i in range(len(phys_parts))
+    )
+    info_rows = [
+        (
+            base_of[p],
+            int(a["baseRowId"]),
+            (
+                int(a["defaultRowCommitVersion"])
+                if a.get("defaultRowCommitVersion") is not None
+                else None
+            ),
+            *[
+                (a.get("partitionValues") or {}).get(c)
+                for c in phys_parts
+            ],
+        )
+        for p, a in sorted(active.items())
+    ]
+    df = df.join(
+        F.broadcast(spark.createDataFrame(info_rows, info_schema)), "__fb"
+    )
+    dv_files = {p: a for p, a in active.items() if a.get("deletionVector")}
+    total_marked = sum(
+        int((a["deletionVector"] or {}).get("cardinality") or 0)
+        for a in dv_files.values()
+    )
+    if dv_files and total_marked <= _DV_READ_PAIRS_CAP:
+        pairs = [
+            (base_of[p], int(i))
+            for p, a in sorted(dv_files.items())
+            for i in _load_deletion_vector(path, a["deletionVector"])
+        ]
+        dv_df = spark.createDataFrame(pairs, "__fb string, __ri bigint")
+        df = df.join(F.broadcast(dv_df), ["__fb", "__ri"], "left_anti")
+    elif dv_files:
+        # over the pairs budget: one file's bitmap in (Python) driver
+        # memory at a time, applied as its own anti-join — same bounded
+        # discipline as the main DV read's per-file fallback
+        for p, a in sorted(dv_files.items()):
+            deleted = _load_deletion_vector(path, a["deletionVector"])
+            dv_df = spark.createDataFrame(
+                [(base_of[p], int(i)) for i in deleted],
+                "__fb string, __ri bigint",
+            )
+            df = df.join(F.broadcast(dv_df), ["__fb", "__ri"], "left_anti")
+    rid = F.col("__base") + F.col("__ri")
+    if rid_col:
+        rid = F.coalesce(F.col(rid_col), rid)
+    rcv = F.col("__dcv")
+    if rcv_col:
+        rcv = F.coalesce(F.col(rcv_col), rcv)
+    df = df.withColumn("_row_id", rid.cast("bigint")).withColumn(
+        "_row_commit_version", rcv.cast("bigint")
+    )
+    types = {f.name: f.dataType for f in phys.fields}
+    for i, c in enumerate(phys_parts):
+        df = df.withColumn(c, F.col(f"__pv{i}").cast(types[c]))
+    if snap.column_mapping != "none":
+        cols = [
+            F.col(pf.name).cast(lf.dataType).alias(lf.name)
+            for pf, lf in zip(phys.fields, logical.fields)
+        ]
+    else:
+        cols = [F.col(f.name) for f in phys.fields]
+    return df.select(*cols, "_row_id", "_row_commit_version")
+
+
 def _pruned_files(snap: _Snapshot, where: list[tuple] | None) -> dict[str, dict]:
     """The active file set minus every file whose stats/partitionValues
     prove ``where`` empty (all of it when ``where`` is None/empty)."""
@@ -1851,6 +2046,18 @@ def delta_clone(spark: SparkSession, src: str, dst: str) -> int:
                 "pathOrInlineDv": _dv_file_path(src, dv),
             }
         actions.append({"add": cloned})
+    # live domains carry into the clone (the spec's clone semantics): the
+    # row-id high-water mark and clustering columns keep governing writes
+    actions += [
+        {
+            "domainMetadata": {
+                "domain": dom,
+                "configuration": cfg,
+                "removed": False,
+            }
+        }
+        for dom, cfg in sorted((snap.domains or {}).items())
+    ]
     payload = (
         "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
     )
@@ -1972,6 +2179,86 @@ def _write_data_files(
     return adds
 
 
+def _row_tracking_enabled(snap: _Snapshot) -> bool:
+    """True when the table stores row ids: the config flag AND the
+    protocol feature (mirroring the ``_dv_write_path_ok`` invariant — a
+    flag without the feature must not make this writer emit fields a
+    protocol-honest reader ignores)."""
+    if (snap.configuration or {}).get(
+        "delta.enableRowTracking", ""
+    ).lower() != "true":
+        return False
+    return "rowTracking" in ((snap.protocol or {}).get("writerFeatures") or [])
+
+
+def _row_id_hwm(snap: _Snapshot) -> int:
+    """The table's rowIdHighWaterMark (highest row id ever assigned; -1
+    before any assignment), from the delta.rowTracking domain."""
+    cfg = (snap.domains or {}).get(_ROW_TRACKING_DOMAIN)
+    if not cfg:
+        return -1
+    try:
+        return int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+    except (ValueError, TypeError):
+        raise DeltaProtocolError(
+            f"unparseable {_ROW_TRACKING_DOMAIN} domain metadata: {cfg!r}"
+        ) from None
+
+
+def _num_records(path: str, add: dict) -> int:
+    """Row count of an add action's file: the stats' numRecords when
+    present (this writer and delta-spark always record it), else one
+    driver-local parquet footer read."""
+    s = add.get("stats")
+    if s:
+        try:
+            n = json.loads(s).get("numRecords")
+            if n is not None:
+                return int(n)
+        except (ValueError, TypeError):
+            pass
+    import pyarrow.parquet as _pq
+
+    return _pq.ParquetFile(_abs_data_path(path, add["path"])).metadata.num_rows
+
+
+def _stamp_row_ids(
+    path: str, snap: _Snapshot, adds: list[dict], version: int
+) -> dict | None:
+    """Row tracking (PROTOCOL.md): stamp ``baseRowId`` (a fresh,
+    non-overlapping row-id range starting past the table's high-water
+    mark) and ``defaultRowCommitVersion`` onto every new add action, and
+    return the domainMetadata action advancing the high-water mark —
+    None when the table doesn't track rows. Files are stamped in path
+    order so a commit's assignment is deterministic. Mutates ``adds``;
+    re-stamping after a lost commit race is safe (the retry re-reads the
+    winner's high-water mark and overwrites the fields)."""
+    if not _row_tracking_enabled(snap):
+        return None
+    hwm = _row_id_hwm(snap)
+    for a in sorted(adds, key=lambda a: a["path"]):
+        a["baseRowId"] = hwm + 1
+        a["defaultRowCommitVersion"] = version
+        hwm += _num_records(path, a)
+    return {
+        "domainMetadata": {
+            "domain": _ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False,
+        }
+    }
+
+
+def _carry_row_ids(rm: dict, add: dict) -> dict:
+    """remove actions on row-tracked tables carry the removed file's
+    baseRowId/defaultRowCommitVersion (the spec's recommendation, so
+    vacuum-window readers can still address the rows)."""
+    if "baseRowId" in add:
+        rm["baseRowId"] = add["baseRowId"]
+        rm["defaultRowCommitVersion"] = add.get("defaultRowCommitVersion")
+    return rm
+
+
 def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
     """Checkpoint ``version``: classic single-part parquet by default; a
     table carrying the ``v2Checkpoint`` feature (or
@@ -1987,6 +2274,7 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         "add": None,
         "remove": None,
         "txn": None,
+        "domainMetadata": None,
     }
     # The checkpoint MUST carry the table's ACTUAL protocol (snap.protocol,
     # incl. reader/writerFeatures), never a constant: constraints/CDF bump
@@ -2028,6 +2316,10 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
                 # deletion vectors MUST survive checkpointing, or log
                 # cleanup would silently resurrect DV-deleted rows
                 "deletionVector": add.get("deletionVector"),
+                # row tracking: fresh row ids are derived from these — a
+                # checkpoint that dropped them would renumber every row
+                "baseRowId": add.get("baseRowId"),
+                "defaultRowCommitVersion": add.get("defaultRowCommitVersion"),
             }
         }
         for add in snap.files.values()
@@ -2053,6 +2345,20 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         base | {"txn": {"appId": app, "version": v}}
         for app, v in sorted((snap.txns or {}).items())
     ]
+    # live domain metadata survives checkpointing per spec (row tracking's
+    # high-water mark, clustering columns — losing them after log cleanup
+    # would re-mint row ids from -1 / forget the clustering)
+    rows += [
+        base
+        | {
+            "domainMetadata": {
+                "domain": dom,
+                "configuration": cfg,
+                "removed": False,
+            }
+        }
+        for dom, cfg in sorted((snap.domains or {}).items())
+    ]
     schema = (
         "protocol struct<minReaderVersion:int,minWriterVersion:int,"
         "readerFeatures:array<string>,writerFeatures:array<string>>, "
@@ -2063,10 +2369,13 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         "size:bigint,modificationTime:bigint,dataChange:boolean,"
         "stats:string,deletionVector:struct<storageType:string,"
         "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
-        "cardinality:bigint>>, "
+        "cardinality:bigint>,baseRowId:bigint,"
+        "defaultRowCommitVersion:bigint>, "
         "remove struct<path:string,deletionTimestamp:bigint,"
         "dataChange:boolean>, "
-        "txn struct<appId:string,version:bigint>"
+        "txn struct<appId:string,version:bigint>, "
+        "domainMetadata struct<domain:string,configuration:string,"
+        "removed:boolean>"
     )
     proto_feats = set((proto.get("readerFeatures") or [])) | set(
         (proto.get("writerFeatures") or [])
@@ -2086,7 +2395,8 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             "size:bigint,modificationTime:bigint,dataChange:boolean,"
             "stats:string,deletionVector:struct<storageType:string,"
             "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
-            "cardinality:bigint>>, "
+            "cardinality:bigint>,baseRowId:bigint,"
+            "defaultRowCommitVersion:bigint>, "
             "remove struct<path:string,deletionTimestamp:bigint,"
             "dataChange:boolean>"
         )
@@ -2105,6 +2415,7 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             "protocol": None,
             "metaData": None,
             "txn": None,
+            "domainMetadata": None,
             "checkpointMetadata": None,
             "sidecar": None,
         }
@@ -2132,6 +2443,8 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             "options:map<string,string>>,schemaString:string,"
             "partitionColumns:array<string>,configuration:map<string,string>>, "
             "txn struct<appId:string,version:bigint>, "
+            "domainMetadata struct<domain:string,configuration:string,"
+            "removed:boolean>, "
             "checkpointMetadata struct<version:bigint>, "
             "sidecar struct<path:string,sizeInBytes:bigint,"
             "modificationTime:bigint>"
@@ -2638,14 +2951,27 @@ def delta_write(
             for p, add in prior_files.items():
                 actions.append(
                     {
-                        "remove": {
-                            "path": p,
-                            "deletionTimestamp": now,
-                            "dataChange": True,
-                            "partitionValues": add.get("partitionValues", {}),
-                        }
+                        "remove": _carry_row_ids(
+                            {
+                                "path": p,
+                                "deletionTimestamp": now,
+                                "dataChange": True,
+                                "partitionValues": add.get(
+                                    "partitionValues", {}
+                                ),
+                            },
+                            add,
+                        )
                     }
                 )
+        # row tracking: every add on a tracked table gets a fresh row-id
+        # range; the high-water-mark domain action rides the same commit.
+        # Stamped per attempt — a lost race re-reads the winner's mark.
+        dm = (
+            _stamp_row_ids(path, snap, adds, version) if existing else None
+        )
+        if dm is not None:
+            actions.append(dm)
         actions += [{"add": a} for a in adds]
         payload = (
             "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
@@ -2710,7 +3036,35 @@ def delta_optimize(
     # convention): the file is the pruning unit, so callers can size for
     # skipping granularity instead of bytes
     n = n_files or max(1, -(-total // target_bytes))  # ceil
-    df = delta_read(spark, path, version=latest)
+    if cluster_cols is None:
+        # a clustered table (ALTER TABLE CLUSTER BY / delta-spark liquid
+        # clustering) recorded its key in the delta.clustering domain —
+        # OPTIMIZE without an explicit key clusters by it
+        recorded = delta_clustering_columns(snap)
+        if recorded:
+            cluster_cols = recorded
+            zorder = zorder or len(recorded) > 1
+    tracked = _row_tracking_enabled(snap)
+    if tracked:
+        # row tracking: compaction copies rows, so their ids MUST ride
+        # along — materialize _row_id/_row_commit_version into the new
+        # files under the table's recorded physical column names (the
+        # protocol's preservation rule; readers coalesce these first)
+        rid_col = (snap.configuration or {}).get(_ROW_ID_COL_KEY)
+        rcv_col = (snap.configuration or {}).get(_ROW_CV_COL_KEY)
+        if not rid_col or not rcv_col:
+            raise DeltaProtocolError(
+                f"{path}: rowTracking without materialized column names "
+                f"({_ROW_ID_COL_KEY} / {_ROW_CV_COL_KEY}) — cannot "
+                "preserve row ids through OPTIMIZE"
+            )
+        df = delta_read(
+            spark, path, version=latest, with_row_ids=True
+        ).withColumnRenamed("_row_id", rid_col).withColumnRenamed(
+            "_row_commit_version", rcv_col
+        )
+    else:
+        df = delta_read(spark, path, version=latest)
     if cluster_cols:
         from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
             cluster_by,
@@ -2740,23 +3094,32 @@ def delta_optimize(
     ict = _ict_for_commit(path, snap.configuration, latest, now)
     if ict is not None:
         ci["inCommitTimestamp"] = ict
+    version = latest + 1
     actions: list[dict] = [{"commitInfo": ci}]
     actions += [
         {
-            "remove": {
-                "path": p,
-                "deletionTimestamp": now,
-                "dataChange": False,
-                "partitionValues": add.get("partitionValues", {}),
-            }
+            "remove": _carry_row_ids(
+                {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                    "partitionValues": add.get("partitionValues", {}),
+                },
+                add,
+            )
         }
         for p, add in snap.files.items()
     ]
+    # the compacted files still need fresh baseRowId ranges (every add on
+    # a tracked table must carry one, and materialized values take
+    # precedence on read — the fresh range is never observed)
+    dm = _stamp_row_ids(path, snap, adds, version)
+    if dm is not None:
+        actions.append(dm)
     actions += [{"add": a | {"dataChange": False}} for a in adds]
     payload = (
         "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
     )
-    version = latest + 1
     _claim_version(_log_dir(path), version, payload)
     if checkpoint_interval and version % checkpoint_interval == 0:
         _write_checkpoint(spark, path, version)
@@ -2921,21 +3284,33 @@ def _commit_rewrite(
         )
     actions += [
         {
-            "remove": {
-                "path": p,
-                "deletionTimestamp": now,
-                "dataChange": True,
-                "partitionValues": snap.files[p].get("partitionValues", {}),
-            }
+            "remove": _carry_row_ids(
+                {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                    "partitionValues": snap.files[p].get(
+                        "partitionValues", {}
+                    ),
+                },
+                snap.files[p],
+            )
         }
         for p in touched
     ]
+    version = latest + 1
+    # row tracking: rewritten rows get FRESH ids (protocol-legal — this
+    # writer does not preserve ids through data-changing rewrites; the
+    # DV paths, which delta.enableDeletionVectors routes these ops to,
+    # preserve untouched rows' ids by construction)
+    dm = _stamp_row_ids(path, snap, adds, version)
+    if dm is not None:
+        actions.append(dm)
     actions += [{"add": a} for a in adds]
     actions += [{"cdc": c} for c in cdcs]
     payload = (
         "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
     )
-    version = latest + 1
     _claim_version(_log_dir(path), version, payload)
     return version
 
@@ -3156,12 +3531,15 @@ def _dv_mark_actions(
         desc = _write_dv_file(path, union)
         actions.append(
             {
-                "remove": {
-                    "path": rel,
-                    "deletionTimestamp": now,
-                    "dataChange": True,
-                    "partitionValues": add.get("partitionValues", {}),
-                }
+                "remove": _carry_row_ids(
+                    {
+                        "path": rel,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": add.get("partitionValues", {}),
+                    },
+                    add,
+                )
             }
         )
         actions.append(
@@ -3388,12 +3766,18 @@ def _update_with_dvs(
         ci["inCommitTimestamp"] = ict
     actions: list[dict] = [{"commitInfo": ci}]
     actions += _dv_mark_actions(path, snap, touched, by_file, now)
+    version = latest + 1
+    # row tracking: the updated images are new rows id-wise (this writer
+    # assigns fresh ids on update); untouched rows keep theirs — the
+    # marked files' re-adds carry their original baseRowId
+    dm = _stamp_row_ids(path, snap, adds, version)
+    if dm is not None:
+        actions.append(dm)
     actions += [{"add": a} for a in adds]
     actions += [{"cdc": c} for c in cdcs]
     payload = (
         "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
     )
-    version = latest + 1
     _claim_version(_log_dir(path), version, payload)
     return version
 
@@ -3531,12 +3915,17 @@ def _merge_with_dvs(
             }
         )
     actions += _dv_mark_actions(path, snap, touched, by_file, now)
+    version = latest + 1
+    # row tracking: merged/inserted images get fresh ids; carried files'
+    # re-adds keep their original baseRowId (untouched rows' ids stable)
+    dm = _stamp_row_ids(path, snap, adds, version)
+    if dm is not None:
+        actions.append(dm)
     actions += [{"add": a} for a in adds]
     actions += [{"cdc": c} for c in cdcs]
     payload = (
         "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
     )
-    version = latest + 1
     _claim_version(_log_dir(path), version, payload)
     return version
 
@@ -3680,13 +4069,15 @@ def _commit_metadata_change(
     protocol: dict | None = None,
     schema_json: str | None = None,
     ict_value: int | None = None,
+    extra_actions: list[dict] | None = None,
 ) -> int:
     """Metadata-only commit: new table configuration and/or schema (and
     an optional writer-protocol bump in the SAME commit, per spec — a
     feature and the version that demands it must land together).
     ``ict_value`` pins the commit's inCommitTimestamp when the caller
     already derived it (the ICT-enabling commit must stamp the SAME
-    value into the enablement-provenance property)."""
+    value into the enablement-provenance property). ``extra_actions``
+    ride after the metaData (domainMetadata, backfill re-adds)."""
     now = int(time.time() * 1000)
     ci: dict[str, Any] = {
         "timestamp": now,
@@ -3729,6 +4120,7 @@ def _commit_metadata_change(
             }
         }
     )
+    actions += list(extra_actions or [])
     payload = (
         "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
     )
@@ -3901,6 +4293,158 @@ def delta_enable_dvs(spark: SparkSession, path: str) -> int:
     return _enable_table_feature(
         spark, path, "deletionVectors", "delta.enableDeletionVectors", "true"
     )
+
+
+def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
+    """SET TBLPROPERTIES delta.enableRowTracking=true with everything the
+    feature demands in ONE commit (PROTOCOL.md Row Tracking + the
+    delta-spark enablement shape): the writer-7 protocol upgrade listing
+    ``rowTracking`` and ``domainMetadata`` (plus legacy-implied
+    features), the materialized row-id / row-commit-version column names
+    minted into the table configuration, a BACKFILL that re-adds every
+    active file with a fresh ``baseRowId`` range and
+    ``defaultRowCommitVersion`` (dataChange:false — no rows change), and
+    the ``delta.rowTracking`` domain carrying the resulting
+    rowIdHighWaterMark. From this commit on every row has a stable id:
+    appends stamp fresh ranges, OPTIMIZE materializes ids into compacted
+    files, DV DELETEs never move surviving rows, and
+    ``delta_read(with_row_ids=True)`` exposes ``_row_id`` /
+    ``_row_commit_version``. Backfill cost is one pass over the add
+    actions' stats (numRecords) — metadata-scale, no data file is read
+    or written."""
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    _writer_gate(
+        snap, path, removes_data=False, op="SET TBLPROPERTIES",
+        generated_ok=True, identity_ok=True,  # metadata-only
+    )
+    if _row_tracking_enabled(snap):
+        return latest
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    mw = proto.get("minWriterVersion", 2)
+    wfeats = set(proto.get("writerFeatures") or [])
+    if mw < 7:
+        for v in range(2, mw + 1):
+            wfeats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
+    wfeats.update({"rowTracking", "domainMetadata"})
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wfeats),
+    }
+    if proto.get("readerFeatures") is not None:
+        new_proto["readerFeatures"] = proto["readerFeatures"]
+    conf = dict(snap.configuration or {})
+    conf["delta.enableRowTracking"] = "true"
+    conf.setdefault(_ROW_ID_COL_KEY, f"_row-id-col-{uuid.uuid4()}")
+    conf.setdefault(_ROW_CV_COL_KEY, f"_row-commit-version-col-{uuid.uuid4()}")
+    version = latest + 1
+    hwm = _row_id_hwm(snap)
+    extra: list[dict] = []
+    for p in sorted(snap.files):
+        add = snap.files[p]
+        if add.get("baseRowId") is not None:
+            hwm = max(hwm, int(add["baseRowId"]) + _num_records(path, add) - 1)
+            continue  # a prior enablement already stamped it
+        stamped = add | {
+            "baseRowId": hwm + 1,
+            "defaultRowCommitVersion": version,
+            "dataChange": False,
+        }
+        hwm += _num_records(path, add)
+        extra.append({"add": stamped})
+    extra.append(
+        {
+            "domainMetadata": {
+                "domain": _ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }
+        }
+    )
+    return _commit_metadata_change(
+        path,
+        snap,
+        latest,
+        conf,
+        op="SET TBLPROPERTIES",
+        params={"delta.enableRowTracking": "true"},
+        protocol=new_proto,
+        extra_actions=extra,
+    )
+
+
+def delta_set_clustering(
+    spark: SparkSession, path: str, cols: list[str]
+) -> int:
+    """ALTER TABLE CLUSTER BY (PROTOCOL.md Clustered Table): records
+    ``cols`` in the ``delta.clustering`` domain with the writer-7
+    protocol upgrade listing ``clustering`` + ``domainMetadata``.
+    Metadata-only — data moves at the next ``delta_optimize``, which
+    clusters by these columns when the caller names none (multi-column
+    keys interleave as a z-order). delta-spark's liquid-clustering
+    OPTIMIZE consumes the same domain."""
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    _writer_gate(
+        snap, path, removes_data=False, op="CLUSTER BY",
+        generated_ok=True, identity_ok=True,  # metadata-only
+    )
+    have = {f.name for f in snap.schema.fields}
+    bad = [c for c in cols if c not in have]
+    if bad:
+        raise ValueError(f"clustering columns not in schema: {bad}")
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    mw = proto.get("minWriterVersion", 2)
+    wfeats = set(proto.get("writerFeatures") or [])
+    if mw < 7:
+        for v in range(2, mw + 1):
+            wfeats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
+    wfeats.update({"clustering", "domainMetadata"})
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wfeats),
+    }
+    if proto.get("readerFeatures") is not None:
+        new_proto["readerFeatures"] = proto["readerFeatures"]
+    extra = [
+        {
+            "domainMetadata": {
+                "domain": _CLUSTERING_DOMAIN,
+                # the spec nests each name as a path array (nested columns)
+                "configuration": json.dumps(
+                    {"clusteringColumns": [[c] for c in cols]}
+                ),
+                "removed": False,
+            }
+        }
+    ]
+    return _commit_metadata_change(
+        path,
+        snap,
+        latest,
+        dict(snap.configuration or {}),
+        op="CLUSTER BY",
+        params={"clusterBy": list(cols)},
+        protocol=new_proto,
+        extra_actions=extra,
+    )
+
+
+def delta_clustering_columns(snap_or_path) -> list[str]:
+    """The table's recorded clustering columns ([] when none) — read from
+    the ``delta.clustering`` domain. Accepts a path or a snapshot."""
+    snap = (
+        _replay(snap_or_path, None)
+        if isinstance(snap_or_path, str)
+        else snap_or_path
+    )
+    cfg = (snap.domains or {}).get(_CLUSTERING_DOMAIN)
+    if not cfg:
+        return []
+    cols = json.loads(cfg).get("clusteringColumns") or []
+    return [".".join(c) if isinstance(c, list) else str(c) for c in cols]
 
 
 def delta_enable_v2_checkpoints(spark: SparkSession, path: str) -> int:

@@ -73,6 +73,7 @@ from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
     ConcurrentDeltaCommitError,
     DeltaProtocolError,
     _append_schema_delta,
+    _carry_row_ids,
     _claim_version,
     _ict_for_commit,
     _footer_stats_json,
@@ -80,6 +81,7 @@ from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
     _log_dir,
     _pruned_files,
     _replay,
+    _stamp_row_ids,
     _strip_metadata,
     _table_constraints,
     _write_checkpoint,
@@ -511,15 +513,29 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
             if self.overwrite and snap is not None:
                 actions += [
                     {
-                        "remove": {
-                            "path": p,
-                            "deletionTimestamp": now,
-                            "dataChange": True,
-                            "partitionValues": a.get("partitionValues", {}),
-                        }
+                        "remove": _carry_row_ids(
+                            {
+                                "path": p,
+                                "deletionTimestamp": now,
+                                "dataChange": True,
+                                "partitionValues": a.get(
+                                    "partitionValues", {}
+                                ),
+                            },
+                            a,
+                        )
                     }
                     for p, a in snap.files.items()
                 ]
+            # row tracking: stamped per attempt against the snapshot this
+            # commit rebases onto (same discipline as delta_write)
+            dm = (
+                _stamp_row_ids(self.path, snap, adds, version)
+                if snap is not None
+                else None
+            )
+            if dm is not None:
+                actions.append(dm)
             actions += [{"add": a} for a in adds]
             payload = (
                 "\n".join(_json.dumps(a, separators=(",", ":")) for a in actions)

@@ -1307,16 +1307,16 @@ def test_unknown_writer_version_and_features_refused_by_name(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 1,
                     "minWriterVersion": 7,
-                    # rowTracking is a real feature this writer does not
-                    # implement (generatedColumns moved to the
-                    # schema-inspection gate in r10)
-                    "writerFeatures": ["appendOnly", "rowTracking"],
+                    # defaultColumns is a real feature this writer does
+                    # not implement (rowTracking graduated in r11,
+                    # generatedColumns in r10)
+                    "writerFeatures": ["appendOnly", "defaultColumns"],
                 }
             }
         )
         + "\n",
     )
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(DeltaProtocolError, match="defaultColumns"):
         delta_write(df, t2, mode="append")
 
 
@@ -3233,3 +3233,266 @@ def test_identity_columns_minted_on_append(spark, tmp_path):
     delta_write(spark.createDataFrame([("r",)], "tag string"), t2, mode="append")
     got3 = sorted(r["rid"] for r in delta_read(spark, t2).collect())
     assert got3 == [260, 500, 510]
+
+
+def _rt_imports():
+    from lakehouse_architecture_for_realestatedata_spark.sources import (
+        delta_lite as dl,
+    )
+
+    return dl
+
+
+def test_row_tracking_stable_ids_through_dv_delete_and_optimize(
+    spark, tmp_path
+):
+    """Row tracking (PROTOCOL.md Row Tracking): enablement backfills
+    baseRowId onto existing files, appends mint fresh ranges, a DV
+    DELETE never moves surviving rows' ids, and OPTIMIZE preserves ids
+    by materializing them into the compacted files (read rule:
+    materialized value first, else baseRowId + row_index)."""
+    dl = _rt_imports()
+    t = str(tmp_path / "rt")
+
+    def mk(a, b):
+        return (
+            spark.range(a, b)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+            .sortWithinPartitions("k")
+        )
+
+    delta_write(mk(0, 10), t)  # v0, pre-enablement
+    v = dl.delta_enable_row_tracking(spark, t)  # v1: backfill
+    assert v == 1
+    snap = dl._replay(t, None)
+    # protocol carries the feature pair; every add is stamped
+    assert "rowTracking" in snap.protocol["writerFeatures"]
+    assert "domainMetadata" in snap.protocol["writerFeatures"]
+    assert all(a.get("baseRowId") is not None for a in snap.files.values())
+    assert dl._row_id_hwm(snap) == 9
+    delta_write(mk(10, 16), t, mode="append")  # v2: fresh range
+    got = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in delta_read(spark, t, with_row_ids=True).collect()
+    }
+    # ordered single-file writes -> row id == k; backfilled files carry
+    # the enablement commit's version, fresh files the append's
+    assert got == {k: (k, 1 if k < 10 else 2) for k in range(16)}
+    dl.delta_enable_dvs(spark, t)  # v3
+    dl.delta_delete_where(spark, t, ("k", "between", (3, 5)))  # v4: DV marks
+    after_dv = {
+        r["k"]: r["_row_id"]
+        for r in delta_read(spark, t, with_row_ids=True).collect()
+    }
+    assert after_dv == {k: k for k in range(16) if k not in (3, 4, 5)}
+    dl.delta_optimize(spark, t, n_files=1)  # v5: copy rows, materialize ids
+    after_opt = {
+        r["k"]: r["_row_id"]
+        for r in delta_read(spark, t, with_row_ids=True).collect()
+    }
+    assert after_opt == after_dv
+    # the compacted file physically carries the materialized columns
+    snap5 = dl._replay(t, None)
+    rid_col = snap5.configuration[
+        "delta.rowTracking.materializedRowIdColumnName"
+    ]
+    (p,) = snap5.files
+    pf = pq.ParquetFile(os.path.join(t, p))
+    assert rid_col in {c.name for c in pf.schema_arrow}
+    # high-water mark is monotone even though the compacted file's fresh
+    # range is shadowed by the materialized values
+    assert dl._row_id_hwm(snap5) >= 15
+
+
+def test_row_tracking_domains_survive_checkpoint_and_clone(spark, tmp_path):
+    """The delta.rowTracking domain (and every add's baseRowId) must
+    survive checkpoint-only replay — log cleanup would otherwise re-mint
+    ids from -1 — and shallow CLONE carries the domains so the clone's
+    appends continue past the source's high-water mark."""
+    dl = _rt_imports()
+    t = str(tmp_path / "rtc")
+    delta_write(
+        spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1), t
+    )
+    dl.delta_enable_row_tracking(spark, t)
+    for i in range(11):  # cross the checkpoint interval (10)
+        delta_write(
+            spark.range(100 + i, 101 + i).select(F.col("id").alias("k")), t,
+            mode="append",
+        )
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(t, "_delta_log", "*.checkpoint.parquet"))
+    hwm = dl._row_id_hwm(dl._replay(t, None))
+    for j in sorted(
+        _glob.glob(os.path.join(t, "_delta_log", "0*.json"))
+    )[:10]:
+        os.unlink(j)  # force checkpoint-only replay of the prefix
+    snap = dl._replay(t, None)
+    assert dl._row_id_hwm(snap) == hwm == 20
+    assert all(a.get("baseRowId") is not None for a in snap.files.values())
+    c = str(tmp_path / "clone")
+    dl.delta_clone(spark, t, c)
+    csnap = dl._replay(c, None)
+    assert dl._row_id_hwm(csnap) == hwm
+    src_ids = sorted(
+        map(tuple, delta_read(spark, t, with_row_ids=True)
+            .select("k", "_row_id").collect())
+    )
+    clone_ids = sorted(
+        map(tuple, delta_read(spark, c, with_row_ids=True)
+            .select("k", "_row_id").collect())
+    )
+    assert src_ids == clone_ids
+    # the clone's own append mints PAST the carried high-water mark
+    delta_write(
+        spark.range(900, 903).select(F.col("id").alias("k")), c, mode="append"
+    )
+    fresh = {
+        r["_row_id"]
+        for r in delta_read(spark, c, with_row_ids=True)
+        .where(F.col("k") >= 900).collect()
+    }
+    assert fresh == {hwm + 1, hwm + 2, hwm + 3}
+
+
+def test_row_tracking_dv_update_keeps_untouched_ids(spark, tmp_path):
+    """DV UPDATE on a tracked table: untouched rows keep their ids (their
+    file's re-add carries the original baseRowId), updated images are new
+    rows id-wise — fresh ids past the prior high-water mark."""
+    dl = _rt_imports()
+    t = str(tmp_path / "rtu")
+    delta_write(
+        spark.range(0, 8)
+        .select(F.col("id").alias("k"), F.lit(1).cast("bigint").alias("v"))
+        .coalesce(1)
+        .sortWithinPartitions("k"),
+        t,
+    )
+    dl.delta_enable_row_tracking(spark, t)
+    dl.delta_enable_dvs(spark, t)
+    before = {
+        r["k"]: r["_row_id"]
+        for r in delta_read(spark, t, with_row_ids=True).collect()
+    }
+    dl.delta_update_where(spark, t, {"v": F.lit(2).cast("bigint")}, ("k", "=", 6))
+    rows = delta_read(spark, t, with_row_ids=True).collect()
+    after = {r["k"]: (r["_row_id"], r["v"]) for r in rows}
+    for k in range(8):
+        if k == 6:
+            assert after[k][1] == 2 and after[k][0] > 7  # fresh id
+        else:
+            assert after[k] == (before[k], 1)  # untouched: id stable
+
+
+def test_clustering_domain_governs_optimize(spark, tmp_path):
+    """Clustered table (PROTOCOL.md Clustered Table): ALTER TABLE CLUSTER
+    BY records the key in the delta.clustering domain with the writer-7
+    protocol upgrade; OPTIMIZE with no explicit key clusters by it, so
+    the new files' per-column stats stay tight (the data-skipping payoff
+    a plain compaction would destroy)."""
+    dl = _rt_imports()
+    t = str(tmp_path / "cl")
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 97).alias("a"),
+        (F.col("id") % 89).alias("b"),
+        F.col("id").alias("v"),
+    )
+    delta_write(df.repartition(8), t)
+    with pytest.raises(ValueError, match="not in schema"):
+        dl.delta_set_clustering(spark, t, ["nope"])
+    dl.delta_set_clustering(spark, t, ["a", "b"])
+    assert dl.delta_clustering_columns(t) == ["a", "b"]
+    snap = dl._replay(t, None)
+    assert "clustering" in snap.protocol["writerFeatures"]
+    dl.delta_optimize(spark, t, n_files=4)
+    hist = delta_history(t)[-1]
+    assert hist["operationParameters"]["clusterBy"] == ["a", "b"]
+    assert hist["operationParameters"]["zOrder"] is True
+    snap2 = dl._replay(t, None)
+    assert len(snap2.files) == 4
+    # clustered files cover narrow a-ranges; an unclustered compaction
+    # would give every file the full [0, 96] span
+    widths = sorted(
+        json.loads(a["stats"])["maxValues"]["a"]
+        - json.loads(a["stats"])["minValues"]["a"]
+        for a in snap2.files.values()
+    )
+    assert widths[0] < 96
+    # domain survives its own checkpoint
+    dl._write_checkpoint(spark, t, snap2.version)
+    import glob as _glob
+
+    for j in _glob.glob(os.path.join(t, "_delta_log", "0*.json")):
+        os.unlink(j)
+    assert dl.delta_clustering_columns(t) == ["a", "b"]
+
+
+def test_domain_metadata_removed_tombstone_clears(spark, tmp_path):
+    """A domainMetadata action with removed=true clears the domain on
+    replay (latest action per domain wins) — exercised through a
+    hand-written foreign log line, not this module's writer."""
+    dl = _rt_imports()
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    t = str(tmp_path / "dm")
+    delta_write(spark.range(0, 3).select(F.col("id")), t)
+    _claim_version(
+        os.path.join(t, "_delta_log"), 1,
+        json.dumps(
+            {
+                "domainMetadata": {
+                    "domain": "com.example.widget",
+                    "configuration": json.dumps({"x": 1}),
+                    "removed": False,
+                }
+            }
+        )
+        + "\n",
+    )
+    snap = dl._replay(t, None)
+    assert json.loads(snap.domains["com.example.widget"]) == {"x": 1}
+    _claim_version(
+        os.path.join(t, "_delta_log"), 2,
+        json.dumps(
+            {
+                "domainMetadata": {
+                    "domain": "com.example.widget",
+                    "configuration": "",
+                    "removed": True,
+                }
+            }
+        )
+        + "\n",
+    )
+    assert "com.example.widget" not in dl._replay(t, None).domains
+    # time travel still sees the domain live at version 1
+    assert "com.example.widget" in dl._replay(t, 1).domains
+
+
+def test_row_tracking_format_sink_stamps(spark, tmp_path):
+    """The Python Data Source format sink stamps baseRowId and advances
+    the high-water mark too — a row-tracked table stays protocol-valid no
+    matter which front door wrote the commit."""
+    dl = _rt_imports()
+    spark.dataSource.register(
+        __import__(
+            "lakehouse_architecture_for_realestatedata_spark.sources.delta_source",
+            fromlist=["DeltaLiteDataSource"],
+        ).DeltaLiteDataSource
+    )
+    t = str(tmp_path / "rtf")
+    delta_write(spark.range(0, 5).select(F.col("id")), t)
+    dl.delta_enable_row_tracking(spark, t)
+    spark.range(5, 9).select(F.col("id")).write.format("delta_lite").mode(
+        "append"
+    ).save(t)
+    snap = dl._replay(t, None)
+    assert all(a.get("baseRowId") is not None for a in snap.files.values())
+    assert dl._row_id_hwm(snap) == 8
+    got = delta_read(spark, t, with_row_ids=True)
+    assert got.count() == 9
+    assert got.select("_row_id").distinct().count() == 9

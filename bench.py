@@ -149,6 +149,12 @@ HEADLINE = [
     # IDENTITY minting on append (writer v6): two appends, the second
     # continues past the first's committed high-water mark
     "delta_identity_append",
+    # row tracking: enable+backfill, append, DV delete, OPTIMIZE
+    # materializing the ids — stable _row_id surface end to end
+    "delta_row_tracking_ids",
+    # clustered table: ALTER CLUSTER BY domain -> OPTIMIZE z-orders by it,
+    # then a stats-pruned range read
+    "delta_clustered_optimize_read",
 ]
 
 

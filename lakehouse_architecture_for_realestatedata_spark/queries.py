@@ -264,6 +264,11 @@ def registry() -> dict[str, QuerySpec]:
         "delta_v2_checkpoint_roundtrip",
         "delta_type_widening_read",
         "delta_identity_append",
+        # new r11 late additions (start deferred; r12 rotation candidates —
+        # row tracking's stable-id surface and the clustered-table
+        # domain-driven OPTIMIZE):
+        "delta_row_tracking_ids",
+        "delta_clustered_optimize_read",
         # new r11 (starts deferred; per_source_doc_caps keeps the curation
         # family in-window; r12 rotation candidate — the alpha=1/2
         # temperature training-mix rebalance):

@@ -1720,3 +1720,146 @@ def q_delta_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta_write(b2, path, mode="append")
     return delta_read(spark, path).select("rid", "o_orderkey", "o_orderstatus")
+
+
+@register(
+    "delta_row_tracking_ids",
+    """
+    WITH b1 AS (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey <= 500
+    ), b2 AS (
+        SELECT o_orderkey,
+               (SELECT count(*) FROM b1)
+               + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 800
+    )
+    SELECT o_orderkey, cast(rid AS bigint) AS row_id,
+           cast(1 AS bigint) AS row_commit_version
+    FROM b1 WHERE o_orderkey NOT BETWEEN 100 AND 200
+    UNION ALL
+    SELECT o_orderkey, cast(rid AS bigint) AS row_id,
+           cast(2 AS bigint) AS row_commit_version
+    FROM b2
+    """,
+    doc="Row tracking end to end (sources/delta_lite.py "
+    "delta_enable_row_tracking / _stamp_row_ids / _scan_files_rowids — "
+    "PROTOCOL.md Row Tracking): orders keys <= 500 land as v0 in ONE "
+    "ordered file, enablement (v1) backfills baseRowId 0..n1-1 onto it "
+    "from its stats' numRecords, an ordered append of keys 501..800 "
+    "(v2) mints the next range, a deletion-vector DELETE of keys "
+    "100..200 (v4) marks rows without moving survivors, and OPTIMIZE "
+    "(v5) compacts everything into one file while MATERIALIZING the ids "
+    "— the read's coalesce(materialized, baseRowId + row_index) must "
+    "return the SAME ids as before the rewrite. Ordered single-file "
+    "batches make the assignment closed-form: row_id = rank of the key "
+    "within its batch (+ batch offset), row_commit_version = the "
+    "stamping commit (1 backfill, 2 append).",
+)
+def q_delta_row_tracking_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+        delta_enable_dvs,
+        delta_enable_row_tracking,
+        delta_optimize,
+        delta_read,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 800).select(
+        "o_orderkey"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_rowtrack_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_rowtrack"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    b1 = (
+        orders.filter(F.col("o_orderkey") <= 500)
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    delta_write(b1, path)                                          # v0
+    delta_enable_row_tracking(spark, path)                         # v1 backfill
+    b2 = (
+        orders.filter(F.col("o_orderkey") > 500)
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    delta_write(b2, path, mode="append")                           # v2
+    delta_enable_dvs(spark, path)                                  # v3
+    delta_delete_where(spark, path, ("o_orderkey", "between", (100, 200)))  # v4
+    delta_optimize(spark, path, n_files=1)                         # v5
+    got = delta_read(spark, path, with_row_ids=True)
+    return got.select(
+        "o_orderkey",
+        F.col("_row_id").alias("row_id"),
+        F.col("_row_commit_version").alias("row_commit_version"),
+    )
+
+
+@register(
+    "delta_clustered_optimize_read",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           cast(sum(cast(o_totalprice AS decimal(30,2))) AS double) AS revenue
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 5000
+    GROUP BY o_orderpriority
+    """,
+    doc="Clustered table end to end (sources/delta_lite.py "
+    "delta_set_clustering / delta_optimize — PROTOCOL.md Clustered "
+    "Table): orders land scattered across 8 files, ALTER TABLE CLUSTER "
+    "BY (o_orderpriority, o_orderkey) records the key in the "
+    "delta.clustering domain with the writer-7 upgrade, and OPTIMIZE "
+    "with NO explicit key reads the domain and z-orders by it — the "
+    "compacted files cover narrow key ranges, so the subsequent "
+    "delta_read(where=o_orderkey BETWEEN ...) prunes files by stats "
+    "before Spark lists them. The oracle is the plain filtered "
+    "aggregate; the clustering is the physical half (file-count and "
+    "stats-tightness pinned in pytest).",
+)
+def q_delta_clustered_optimize_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_optimize,
+        delta_read,
+        delta_set_clustering,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_clustered_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_clustered"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    delta_write(orders.repartition(8), path)                       # v0
+    delta_set_clustering(spark, path, ["o_orderpriority", "o_orderkey"])  # v1
+    delta_optimize(spark, path, n_files=6)                         # v2
+    got = delta_read(
+        spark, path, where=[("o_orderkey", "between", (1000, 5000))]
+    )
+    return got.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

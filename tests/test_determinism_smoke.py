@@ -1,9 +1,10 @@
 """Run-twice determinism smoke (the round-7 bug class): the queries built
 on global ordering / bucketing / sampling primitives must hash identically
 across two fresh plan compositions and executions. The full registry gets
-the same check from tools/check_determinism.py (205/205 stable, r11 — the
+the same check from tools/check_determinism.py (207/207 stable, r11 — the
 FULL registry incl. every late-module registration: 204 in the full
-round-close run plus the late delta_identity_append registration
+round-close run plus the late delta_identity_append /
+delta_row_tracking_ids / delta_clustered_optimize_read registrations
 checked by the same tool; re-run it over the whole registry at every
 round close and refresh this note); this pytest
 keeps the most at-risk family guarded on every run, and

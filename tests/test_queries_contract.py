@@ -134,6 +134,10 @@ def test_driver_window_fully_oracle_backed():
         "delta_type_widening_read",
         "delta_identity_append",
         "mixture_sample_by_lang",
+        # new r11 late additions (start deferred; r12 rotation candidates —
+        # row tracking + clustered-table OPTIMIZE):
+        "delta_row_tracking_ids",
+        "delta_clustered_optimize_read",
         # r11 rotation swap-outs (driver-green in r10; family twin in-window
         # — see the promoted list's r11 comment in queries.registry):
         "ohlc_daily_bars",

@@ -3452,15 +3452,30 @@ def delta_merge(
 
 
 def _scan_with_rowpos(
-    spark: SparkSession, path: str, snap: _Snapshot, files: dict[str, dict]
+    spark: SparkSession,
+    path: str,
+    snap: _Snapshot,
+    files: dict[str, dict],
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Logical-named scan of exactly ``files`` carrying ``__fb`` (file
     basename) and ``__ri`` (parquet row index), with any EXISTING deletion
     vectors already applied — the row-addressing scan DV writes build on.
-    One scan relation for all files, like the DV read path."""
+    One scan relation for all files, like the DV read path.
+
+    ``with_row_ids`` (row-tracked tables, every file stamped) adds a
+    ``__rowid`` column — the protocol's coalesce(materialized,
+    baseRowId + row_index) — so DV UPDATE/MERGE can PRESERVE matched
+    rows' ids by materializing them into the new image files."""
+    from pyspark.sql.types import LongType
+
     phys = snap.physical_schema
     phys_parts = snap.physical_partition_columns
-    data_schema = StructType([f for f in phys.fields if f.name not in phys_parts])
+    data_fields = [f for f in phys.fields if f.name not in phys_parts]
+    rid_col = (snap.configuration or {}).get(_ROW_ID_COL_KEY)
+    if with_row_ids and rid_col:
+        data_fields = data_fields + [StructField(rid_col, LongType(), True)]
+    data_schema = StructType(data_fields)
     base_of = {p: unquote(p).rsplit("/", 1)[-1] for p in files}
     flist = [_abs_data_path(path, p) for p in sorted(files)]
     df = spark.read.schema(data_schema).parquet(*flist).select(
@@ -3479,6 +3494,21 @@ def _scan_with_rowpos(
     if old_pairs:
         dv_df = spark.createDataFrame(old_pairs, "__fb string, __ri bigint")
         df = df.join(F.broadcast(dv_df), ["__fb", "__ri"], "left_anti")
+    if with_row_ids:
+        info = spark.createDataFrame(
+            [
+                (base_of[p], int(files[p]["baseRowId"]))
+                for p in sorted(files)
+            ],
+            "__fb string, __base bigint",
+        )
+        df = df.join(F.broadcast(info), "__fb")
+        rid = F.col("__base") + F.col("__ri")
+        if rid_col:
+            rid = F.coalesce(F.col(rid_col), rid)
+        df = df.withColumn("__rowid", rid.cast("bigint")).drop("__base")
+        if rid_col:
+            df = df.drop(rid_col)
     types = {f.name: f.dataType for f in phys.fields}
     for c in phys_parts:
         mapping = F.create_map(
@@ -3500,6 +3530,8 @@ def _scan_with_rowpos(
         ]
     else:
         cols = [F.col(f.name) for f in phys.fields]
+    if with_row_ids:
+        return df.select(*cols, "__fb", "__ri", "__rowid")
     return df.select(*cols, "__fb", "__ri")
 
 
@@ -3717,7 +3749,10 @@ def _update_with_dvs(
     )
 
     files = {p: snap.files[p] for p in touched}
-    scan = _scan_with_rowpos(spark, path, snap, files)
+    tracked = _row_tracking_enabled(snap) and all(
+        a.get("baseRowId") is not None for a in files.values()
+    )
+    scan = _scan_with_rowpos(spark, path, snap, files, with_row_ids=tracked)
     cond = ParquetTable._conds_filter(list(conds))
     matched = scan.filter(cond)
     by_file = _collect_dv_marks(matched)
@@ -3725,11 +3760,25 @@ def _update_with_dvs(
         return None  # over budget: fall back to the rewrite path
     if not by_file:
         return latest
-    pre = matched.drop("__fb", "__ri")
-    post = pre
+    version = latest + 1
+    logical_names = [f.name for f in _strip_metadata(snap.schema).fields]
+    pre = matched.drop("__fb", "__ri", "__rowid")
+    post = matched.drop("__fb", "__ri")
     for name, expr in assignments.items():
         post = post.withColumn(name, expr)
-    post = post.select(*[f.name for f in _strip_metadata(snap.schema).fields])
+    keep = list(logical_names)
+    if tracked:
+        # delta-spark UPDATE preserves row ids: materialize each updated
+        # row's OLD id (and this commit as its row commit version) into
+        # the new image file, shadowing the file's fresh baseRowId range
+        rid_col = (snap.configuration or {}).get(_ROW_ID_COL_KEY)
+        rcv_col = (snap.configuration or {}).get(_ROW_CV_COL_KEY)
+        if rid_col and rcv_col:
+            post = post.withColumn(rid_col, F.col("__rowid")).withColumn(
+                rcv_col, F.lit(version).cast("bigint")
+            )
+            keep += [rid_col, rcv_col]
+    post = post.select(*keep)
     post = _apply_generated(snap, post, recompute=True)
     _enforce_constraints(snap, post)
     adds = _write_data_files(
@@ -3742,7 +3791,9 @@ def _update_with_dvs(
             _to_physical_frame(
                 pre.withColumn("_change_type", F.lit("update_preimage"))
                 .unionByName(
-                    post.withColumn("_change_type", F.lit("update_postimage"))
+                    post.select(*logical_names).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
                 ),
                 snap.column_mapping,
                 snap.schema,
@@ -3766,10 +3817,10 @@ def _update_with_dvs(
         ci["inCommitTimestamp"] = ict
     actions: list[dict] = [{"commitInfo": ci}]
     actions += _dv_mark_actions(path, snap, touched, by_file, now)
-    version = latest + 1
-    # row tracking: the updated images are new rows id-wise (this writer
-    # assigns fresh ids on update); untouched rows keep theirs — the
-    # marked files' re-adds carry their original baseRowId
+    # row tracking: updated rows KEEP their ids (materialized above);
+    # the new file still needs a fresh baseRowId range per spec — the
+    # materialized values shadow it on read. Untouched rows keep theirs
+    # via the marked files' re-adds carrying the original baseRowId.
     dm = _stamp_row_ids(path, snap, adds, version)
     if dm is not None:
         actions.append(dm)
@@ -3801,22 +3852,27 @@ def _merge_with_dvs(
     counts exceed the DV write budget (the caller's rewrite path takes
     over)."""
     files = {p: snap.files[p] for p in touched}
+    tracked = _row_tracking_enabled(snap) and all(
+        a.get("baseRowId") is not None for a in files.values()
+    )
     logical = _strip_metadata(snap.schema)
     if files:
-        scan = _scan_with_rowpos(spark, path, snap, files)
+        scan = _scan_with_rowpos(spark, path, snap, files, with_row_ids=tracked)
     else:
         scan = (
             spark.createDataFrame([], logical)
             .withColumn("__fb", F.lit(None).cast("string"))
             .withColumn("__ri", F.lit(None).cast("bigint"))
         )
-    target = scan.drop("__fb", "__ri")
+        if tracked:
+            scan = scan.withColumn("__rowid", F.lit(None).cast("bigint"))
+    target = scan.drop("__fb", "__ri", "__rowid")
     changes = None
     if when_matched == "update_all":
         matched = scan.join(source.select(*keys), on=keys, how="left_semi")
         new_rows = source
         if _cdf_enabled(snap):
-            pre = matched.drop("__fb", "__ri")
+            pre = matched.drop("__fb", "__ri", "__rowid")
             post = source.join(target.select(*keys), on=keys, how="left_semi")
             ins = source.join(target.select(*keys), on=keys, how="left_anti")
             changes = (
@@ -3863,7 +3919,30 @@ def _merge_with_dvs(
             proj.append(F.col(f.name).cast(t).alias(f.name))
         else:  # source lacks a nullable target column: appended rows NULL
             proj.append(F.lit(None).cast(f.dataType).alias(f.name))
-    out_rows = _apply_generated(snap, new_rows.select(*proj), recompute=True)
+    version = latest + 1
+    out_rows = new_rows.select(*proj)
+    if tracked and when_matched == "update_all":
+        # delta-spark MERGE preserves matched rows' ids: join the source
+        # images back to the matched targets' old ids on the merge key
+        # and materialize them (inserts stay NULL — they take the file's
+        # fresh baseRowId range on read)
+        rid_col = (snap.configuration or {}).get(_ROW_ID_COL_KEY)
+        rcv_col = (snap.configuration or {}).get(_ROW_CV_COL_KEY)
+        if rid_col and rcv_col:
+            out_rows = (
+                out_rows.join(
+                    matched.select(*keys, "__rowid"), on=keys, how="left"
+                )
+                .withColumn(rid_col, F.col("__rowid"))
+                .drop("__rowid")
+                .withColumn(
+                    rcv_col,
+                    F.when(
+                        F.col(rid_col).isNotNull(), F.lit(version)
+                    ).cast("bigint"),
+                )
+            )
+    out_rows = _apply_generated(snap, out_rows, recompute=True)
     _enforce_constraints(snap, out_rows)
     adds = _write_data_files(
         _to_physical_frame(out_rows, snap.column_mapping, merged_schema),
@@ -3915,8 +3994,8 @@ def _merge_with_dvs(
             }
         )
     actions += _dv_mark_actions(path, snap, touched, by_file, now)
-    version = latest + 1
-    # row tracking: merged/inserted images get fresh ids; carried files'
+    # row tracking: matched images keep their ids (materialized above),
+    # inserts take the new file's fresh baseRowId range; carried files'
     # re-adds keep their original baseRowId (untouched rows' ids stable)
     dm = _stamp_row_ids(path, snap, adds, version)
     if dm is not None:
@@ -4865,6 +4944,133 @@ def delta_vacuum(spark: SparkSession, path: str) -> list[str]:
                 if rel not in keep_dv:
                     os.unlink(os.path.join(root, f))
                     deleted.append(rel)
+    return sorted(deleted)
+
+
+def _parse_retention_millis(s: str) -> int:
+    """Parse delta-spark's CalendarInterval-style retention strings
+    (``interval 30 days``, ``interval 1 week``, ``interval 12 hours``) to
+    milliseconds. Unknown units are refused by name — silently guessing a
+    retention would delete history."""
+    parts = s.strip().lower().split()
+    if parts and parts[0] == "interval":
+        parts = parts[1:]
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit():
+        raise ValueError(f"unparseable retention interval: {s!r}")
+    n = int(parts[0])
+    unit = parts[1].rstrip("s")
+    scale = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+        "week": 7 * 86_400_000,
+    }.get(unit)
+    if scale is None or n < 0:
+        raise ValueError(f"unparseable retention interval: {s!r}")
+    return n * scale
+
+
+def delta_cleanup_metadata(
+    spark: SparkSession, path: str, retention_millis: int | None = None
+) -> list[str]:
+    """Expired transaction-log cleanup (delta-spark's metadata cleanup,
+    the companion of VACUUM on the _delta_log side): delete log JSON
+    commits and checkpoints that are BOTH older than the retention window
+    (``delta.logRetentionDuration``, default 30 days, same default as
+    delta-spark) AND strictly below the newest retained checkpoint — the
+    replay of every surviving version is untouched because a checkpoint
+    at or below it still anchors the prefix. Returns the deleted file
+    names. Time travel to cleaned versions then fails (Delta's own
+    contract: logRetentionDuration bounds time travel).
+
+    Scale note: a long-lived table's log grows one JSON per commit
+    forever; cleanup keeps replay cost O(retained tail), which is what
+    makes 10⁶-commit tables readable. Nothing is deleted unless a
+    checkpoint ≥ the deleted range survives, so a reader holding
+    _last_checkpoint never loses its anchor."""
+    log = _log_dir(path)
+    snap = _replay(path, None)  # also validates the log before deleting
+    if retention_millis is None:
+        retention_millis = _parse_retention_millis(
+            (snap.configuration or {}).get(
+                "delta.logRetentionDuration", "interval 30 days"
+            )
+        )
+    cutoff = time.time() - retention_millis / 1000.0
+    cps = _checkpoint_files(log)
+    if not cps:
+        return []
+    anchor = max(cps)
+    # Deletable versions form a PREFIX ending at a checkpoint: find the
+    # first version still inside the retention window, clamp by the
+    # newest checkpoint, then cut at the newest checkpoint AT OR BELOW
+    # that point (cp_star). Every surviving version >= cp_star replays
+    # from cp_star (or a later checkpoint) — deleting an expired
+    # mid-range checkpoint while fresher commits above it survive would
+    # otherwise strand their time travel.
+    jsons = sorted(
+        _version_of(f)
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[0].isdigit()
+    )
+    first_kept = anchor
+    for v in jsons:
+        if v >= anchor:
+            break
+        if os.path.getmtime(os.path.join(log, f"{v:020d}.json")) >= cutoff:
+            first_kept = v
+            break
+    eligible = [c for c in cps if c <= min(first_kept, anchor)]
+    if not eligible:
+        return []
+    cp_star = max(eligible)
+    deleted: list[str] = []
+    for f in sorted(os.listdir(log)):
+        full = os.path.join(log, f)
+        if not os.path.isfile(full) or f == "_last_checkpoint":
+            continue
+        if f.endswith(".json") and f[0].isdigit():
+            v = _version_of(f)
+        elif ".checkpoint" in f and f.split(".")[0].isdigit():
+            v = int(f.split(".")[0])
+        else:
+            continue
+        if v >= cp_star:
+            continue  # cp_star and everything above it anchor the replay
+        if os.path.getmtime(full) >= cutoff:
+            continue  # inside the retention window
+        os.unlink(full)
+        deleted.append(f)
+    # v2 checkpoints keep their file actions in _sidecars/; a deleted
+    # manifest's sidecars are garbage unless a SURVIVING manifest still
+    # references them (equivalent manifests may share sidecars)
+    side_dir = os.path.join(log, "_sidecars")
+    if deleted and os.path.isdir(side_dir):
+        referenced: set[str] = set()
+        for f in os.listdir(log):
+            if not _is_v2_checkpoint(f):
+                continue
+            full = os.path.join(log, f)
+            if f.endswith(".json"):
+                with open(full) as fh:
+                    for line in fh:
+                        a = json.loads(line) if line.strip() else {}
+                        if a.get("sidecar"):
+                            referenced.add(a["sidecar"]["path"])
+            else:
+                import pyarrow.parquet as _pq
+
+                tbl = _pq.read_table(full)
+                if "sidecar" in tbl.column_names:
+                    for d in tbl.to_pylist():
+                        if d.get("sidecar"):
+                            referenced.add(d["sidecar"]["path"])
+        for f in sorted(os.listdir(side_dir)):
+            if f.endswith(".parquet") and f not in referenced:
+                os.unlink(os.path.join(side_dir, f))
+                deleted.append(os.path.join("_sidecars", f))
     return sorted(deleted)
 
 

@@ -3357,10 +3357,12 @@ def test_row_tracking_domains_survive_checkpoint_and_clone(spark, tmp_path):
     assert fresh == {hwm + 1, hwm + 2, hwm + 3}
 
 
-def test_row_tracking_dv_update_keeps_untouched_ids(spark, tmp_path):
-    """DV UPDATE on a tracked table: untouched rows keep their ids (their
-    file's re-add carries the original baseRowId), updated images are new
-    rows id-wise — fresh ids past the prior high-water mark."""
+def test_row_tracking_dv_update_preserves_ids(spark, tmp_path):
+    """DV UPDATE on a tracked table preserves EVERY row's id (delta-spark
+    semantics): untouched rows through their file's re-add carrying the
+    original baseRowId, updated rows through materialization into the new
+    image file — with the update commit as their new row commit version.
+    MERGE update_all preserves matched ids the same way."""
     dl = _rt_imports()
     t = str(tmp_path / "rtu")
     delta_write(
@@ -3370,20 +3372,31 @@ def test_row_tracking_dv_update_keeps_untouched_ids(spark, tmp_path):
         .sortWithinPartitions("k"),
         t,
     )
-    dl.delta_enable_row_tracking(spark, t)
-    dl.delta_enable_dvs(spark, t)
+    dl.delta_enable_row_tracking(spark, t)  # v1
+    dl.delta_enable_dvs(spark, t)  # v2
     before = {
         r["k"]: r["_row_id"]
         for r in delta_read(spark, t, with_row_ids=True).collect()
     }
-    dl.delta_update_where(spark, t, {"v": F.lit(2).cast("bigint")}, ("k", "=", 6))
+    dl.delta_update_where(
+        spark, t, {"v": F.lit(2).cast("bigint")}, ("k", "=", 6)
+    )  # v3
     rows = delta_read(spark, t, with_row_ids=True).collect()
-    after = {r["k"]: (r["_row_id"], r["v"]) for r in rows}
+    after = {r["k"]: (r["_row_id"], r["v"], r["_row_commit_version"]) for r in rows}
     for k in range(8):
         if k == 6:
-            assert after[k][1] == 2 and after[k][0] > 7  # fresh id
+            assert after[k] == (before[k], 2, 3)  # id kept, rcv bumped
         else:
-            assert after[k] == (before[k], 1)  # untouched: id stable
+            assert after[k] == (before[k], 1, 1)  # untouched
+    # MERGE update_all: matched keys keep ids, inserts mint fresh ones
+    src = spark.createDataFrame(
+        [(2, 30), (9, 90)], "k bigint, v bigint"
+    )
+    dl.delta_merge(src, t, key="k")  # v4
+    rows = delta_read(spark, t, with_row_ids=True).collect()
+    after = {r["k"]: (r["_row_id"], r["v"], r["_row_commit_version"]) for r in rows}
+    assert after[2] == (before[2], 30, 4)  # matched: id preserved
+    assert after[9][1] == 90 and after[9][0] > max(before.values())  # insert
 
 
 def test_clustering_domain_governs_optimize(spark, tmp_path):
@@ -3496,3 +3509,49 @@ def test_row_tracking_format_sink_stamps(spark, tmp_path):
     got = delta_read(spark, t, with_row_ids=True)
     assert got.count() == 9
     assert got.select("_row_id").distinct().count() == 9
+
+
+def test_cleanup_metadata_prunes_expired_log_prefix(spark, tmp_path):
+    """Expired-log cleanup (delta-spark's metadata cleanup): commits and
+    checkpoints older than delta.logRetentionDuration AND below the
+    newest eligible checkpoint are deleted as a PREFIX ending at a
+    checkpoint, so every surviving version still replays; time travel
+    into the cleaned range fails, which is Delta's own retention
+    contract."""
+    dl = _rt_imports()
+    t = str(tmp_path / "gc")
+    for i in range(25):  # checkpoints land at v10 and v20
+        delta_write(
+            spark.range(i, i + 1).select(F.col("id").alias("k")), t,
+            mode="append" if i else "append",
+        )
+    log = os.path.join(t, "_delta_log")
+    # nothing expired yet -> nothing deleted
+    assert dl.delta_cleanup_metadata(spark, t) == []
+    # age everything below v15 past the window; v15+ stays fresh
+    old = 1_000_000_000  # 2001
+    for f in os.listdir(log):
+        if f[0].isdigit() and int(f.split(".")[0]) < 15:
+            os.utime(os.path.join(log, f), (old, old))
+    deleted = dl.delta_cleanup_metadata(spark, t, retention_millis=86_400_000)
+    # prefix cut at checkpoint 10 (the newest checkpoint <= first kept):
+    # jsons 0..9 go, checkpoint 10 and every json >= 10 stay
+    assert deleted == [f"{v:020d}.json" for v in range(10)]
+    assert os.path.isfile(os.path.join(log, "00000000000000000010.checkpoint.parquet"))
+    assert delta_read(spark, t).count() == 25
+    assert sorted(r["k"] for r in delta_read(spark, t, version=12).collect()) == list(range(13))
+    with pytest.raises(Exception):
+        delta_read(spark, t, version=5).collect()
+    # age the rest below v20: the cut advances to checkpoint 20 and takes
+    # checkpoint 10 with it
+    for f in os.listdir(log):
+        if f[0].isdigit() and int(f.split(".")[0]) < 20:
+            os.utime(os.path.join(log, f), (old, old))
+    deleted2 = dl.delta_cleanup_metadata(spark, t, retention_millis=86_400_000)
+    assert "00000000000000000010.checkpoint.parquet" in deleted2
+    assert set(deleted2) >= {f"{v:020d}.json" for v in range(10, 20)}
+    assert delta_read(spark, t).count() == 25
+    assert sorted(r["k"] for r in delta_read(spark, t, version=22).collect()) == list(range(23))
+    # unparseable retention refused by name
+    with pytest.raises(ValueError, match="retention"):
+        dl._parse_retention_millis("interval 3 fortnights")

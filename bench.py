@@ -155,6 +155,9 @@ HEADLINE = [
     # clustered table: ALTER CLUSTER BY domain -> OPTIMIZE z-orders by it,
     # then a stats-pruned range read
     "delta_clustered_optimize_read",
+    # expired-log cleanup: prefix-to-checkpoint deletion, then a full
+    # replay from the surviving checkpoint + tail
+    "delta_log_cleanup_roundtrip",
 ]
 
 

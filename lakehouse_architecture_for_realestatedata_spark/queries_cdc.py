@@ -1863,3 +1863,66 @@ def q_delta_clustered_optimize_read(
         F.count(F.lit(1)).alias("n"),
         F.sum("price").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "delta_log_cleanup_roundtrip",
+    """
+    SELECT o_orderkey, 3 AS n_cleaned
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 800
+    """,
+    doc="Expired-log metadata cleanup end to end (sources/delta_lite.py "
+    "delta_cleanup_metadata — delta-spark's logRetentionDuration "
+    "cleanup): eight appends land with checkpoints at v3 and v6, the "
+    "commits below v5 are aged past the retention window, and cleanup "
+    "deletes EXACTLY the prefix ending at the newest eligible "
+    "checkpoint — JSONs 0..2, with checkpoint 3 anchoring everything "
+    "above (n_cleaned pins the count). The post-cleanup read must "
+    "still see every row (replay from the checkpoint + surviving "
+    "tail); time travel below the cut fails per Delta's retention "
+    "contract (pinned in pytest).",
+)
+def q_delta_log_cleanup_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_cleanup_metadata,
+        delta_read,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 800).select(
+        "o_orderkey"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_logclean_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_logclean"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    for i in range(8):  # v0..v7, checkpoints at v3 and v6
+        delta_write(
+            orders.filter(
+                (F.col("o_orderkey") > i * 100)
+                & (F.col("o_orderkey") <= (i + 1) * 100)
+            ),
+            path,
+            mode="append",
+            checkpoint_interval=3,
+        )
+    log = os.path.join(path, "_delta_log")
+    aged = 1_000_000_000  # far past any retention window
+    for f in os.listdir(log):
+        if f[0].isdigit() and int(f.split(".")[0]) < 5:
+            os.utime(os.path.join(log, f), (aged, aged))
+    deleted = delta_cleanup_metadata(
+        spark, path, retention_millis=86_400_000
+    )
+    return delta_read(spark, path).select(
+        "o_orderkey", F.lit(len(deleted)).alias("n_cleaned")
+    )

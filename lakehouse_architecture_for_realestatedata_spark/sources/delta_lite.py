@@ -2179,6 +2179,25 @@ def _write_data_files(
     return adds
 
 
+def _checkpoint_interval(conf: dict | None, default: int) -> int:
+    """The table's ``delta.checkpointInterval`` property when set (the
+    knob delta-spark honors), else the caller's default. Zero/negative
+    or unparseable values are refused by name — a writer that guessed
+    would either checkpoint every commit or never."""
+    v = (conf or {}).get("delta.checkpointInterval")
+    if v is None:
+        return default
+    try:
+        n = int(v)
+    except ValueError:
+        n = 0
+    if n <= 0:
+        raise DeltaProtocolError(
+            f"invalid delta.checkpointInterval={v!r} (need a positive int)"
+        )
+    return n
+
+
 def _row_tracking_enabled(snap: _Snapshot) -> bool:
     """True when the table stores row ids: the config flag AND the
     protocol feature (mirroring the ``_dv_write_path_ok`` invariant — a
@@ -2982,7 +3001,14 @@ def delta_write(
             if mode != "append" or attempt == max_retries:
                 raise
             continue  # blind append: rebase on the winner's state and re-claim
-        if checkpoint_interval and version and version % checkpoint_interval == 0:
+        # delta.checkpointInterval (the property delta-spark honors)
+        # overrides the caller's default when the table sets it
+        eff_interval = (
+            _checkpoint_interval(meta_configuration, checkpoint_interval)
+            if checkpoint_interval
+            else 0
+        )
+        if eff_interval and version and version % eff_interval == 0:
             _write_checkpoint(spark, path, version)
         return version
     raise ConcurrentDeltaCommitError(f"gave up after {max_retries} retries")
@@ -3121,7 +3147,12 @@ def delta_optimize(
         "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
     )
     _claim_version(_log_dir(path), version, payload)
-    if checkpoint_interval and version % checkpoint_interval == 0:
+    eff_interval = (
+        _checkpoint_interval(snap.configuration, checkpoint_interval)
+        if checkpoint_interval
+        else 0
+    )
+    if eff_interval and version % eff_interval == 0:
         _write_checkpoint(spark, path, version)
     return version
 

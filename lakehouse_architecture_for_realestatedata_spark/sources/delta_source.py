@@ -70,6 +70,7 @@ from pyspark.sql.types import StructType
 
 from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
     CHECKPOINT_INTERVAL,
+    _checkpoint_interval,
     ConcurrentDeltaCommitError,
     DeltaProtocolError,
     _append_schema_delta,
@@ -547,7 +548,11 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                 if self.overwrite or attempt == 20:
                     raise
                 continue  # blind append: rebase and re-claim
-            if version and version % CHECKPOINT_INTERVAL == 0:
+            eff_interval = _checkpoint_interval(
+                snap.configuration if snap is not None else None,
+                CHECKPOINT_INTERVAL,
+            )
+            if version and version % eff_interval == 0:
                 from pyspark.sql import SparkSession
 
                 spark = SparkSession.getActiveSession()
@@ -620,8 +625,8 @@ class _DeltaLiteStreamWriter(DataSourceStreamArrowWriter):
                 latest = _latest_version(self.path)
             except FileNotFoundError:
                 latest = None
-            if self.txn_app_id is not None and latest is not None:
-                snap = _replay(self.path, latest)
+            snap = _replay(self.path, latest) if latest is not None else None
+            if self.txn_app_id is not None and snap is not None:
                 if (snap.txns or {}).get(self.txn_app_id, -1) >= batchId:
                     # epoch already committed (this is the recovery replay):
                     # drop our duplicate files and do nothing — exactly-once
@@ -638,7 +643,7 @@ class _DeltaLiteStreamWriter(DataSourceStreamArrowWriter):
                 },
                 "engineInfo": "delta-lite",
             }
-            conf = _replay(self.path, latest).configuration if latest is not None else None
+            conf = snap.configuration if snap is not None else None
             ict = _ict_for_commit(self.path, conf, latest, now)
             if ict is not None:
                 ci["inCommitTimestamp"] = ict
@@ -663,6 +668,15 @@ class _DeltaLiteStreamWriter(DataSourceStreamArrowWriter):
                 actions.append(
                     {"txn": {"appId": self.txn_app_id, "version": batchId}}
                 )
+            # row tracking: the exactly-once sink stamps too (same
+            # per-attempt discipline as the batch sink)
+            dm = (
+                _stamp_row_ids(self.path, snap, adds, version)
+                if snap is not None
+                else None
+            )
+            if dm is not None:
+                actions.append(dm)
             actions += [{"add": a} for a in adds]
             payload = (
                 "\n".join(_json.dumps(a, separators=(",", ":")) for a in actions)
@@ -674,7 +688,11 @@ class _DeltaLiteStreamWriter(DataSourceStreamArrowWriter):
                 if attempt == 20:
                     raise
                 continue  # blind append: re-check the txn watermark, re-claim
-            if version and version % CHECKPOINT_INTERVAL == 0:
+            eff_interval = _checkpoint_interval(
+                snap.configuration if snap is not None else None,
+                CHECKPOINT_INTERVAL,
+            )
+            if version and version % eff_interval == 0:
                 from pyspark.sql import SparkSession
 
                 spark = SparkSession.getActiveSession()

@@ -3555,3 +3555,86 @@ def test_cleanup_metadata_prunes_expired_log_prefix(spark, tmp_path):
     # unparseable retention refused by name
     with pytest.raises(ValueError, match="retention"):
         dl._parse_retention_millis("interval 3 fortnights")
+
+
+def test_checkpoint_interval_property_honored(spark, tmp_path):
+    """delta.checkpointInterval (the property delta-spark honors)
+    overrides the writer's default cadence: with interval 3 the
+    checkpoints land at v3 and v6, not at the default 10."""
+    dl = _rt_imports()
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    t = str(tmp_path / "ci")
+    delta_write(spark.range(0, 3).select(F.col("id")), t)  # v0
+    # a foreign writer sets the property via a raw metaData commit
+    _claim_version(
+        os.path.join(t, "_delta_log"), 1,
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "x",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "name": "id",
+                                    "type": "long",
+                                    "nullable": True,
+                                    "metadata": {},
+                                }
+                            ],
+                        }
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {"delta.checkpointInterval": "3"},
+                }
+            }
+        )
+        + "\n",
+    )
+    for _ in range(5):  # v2..v6
+        delta_write(spark.range(0, 1).select(F.col("id")), t, mode="append")
+    import glob as _glob
+
+    cps = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(t, "_delta_log", "*.checkpoint.parquet"))
+    )
+    assert cps == [
+        "00000000000000000003.checkpoint.parquet",
+        "00000000000000000006.checkpoint.parquet",
+    ]
+    # a nonsense value is refused by name, not guessed
+    _claim_version(
+        os.path.join(t, "_delta_log"), 7,
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "y",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "name": "id",
+                                    "type": "long",
+                                    "nullable": True,
+                                    "metadata": {},
+                                }
+                            ],
+                        }
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {"delta.checkpointInterval": "zero"},
+                }
+            }
+        )
+        + "\n",
+    )
+    with pytest.raises(DeltaProtocolError, match="checkpointInterval"):
+        delta_write(spark.range(0, 1).select(F.col("id")), t, mode="append")

@@ -1958,12 +1958,17 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
         if t_add is None:
             actions.append(
                 {
-                    "remove": {
-                        "path": p2,
-                        "deletionTimestamp": now,
-                        "dataChange": True,
-                        "partitionValues": add_action.get("partitionValues", {}),
-                    }
+                    "remove": _carry_row_ids(
+                        {
+                            "path": p2,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                            "partitionValues": add_action.get(
+                                "partitionValues", {}
+                            ),
+                        },
+                        add_action,
+                    )
                 }
             )
         elif t_add.get("deletionVector") != add_action.get("deletionVector"):
@@ -1971,12 +1976,17 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
             # restored state must carry the TARGET's bitmap
             actions.append(
                 {
-                    "remove": {
-                        "path": p2,
-                        "deletionTimestamp": now,
-                        "dataChange": True,
-                        "partitionValues": add_action.get("partitionValues", {}),
-                    }
+                    "remove": _carry_row_ids(
+                        {
+                            "path": p2,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                            "partitionValues": add_action.get(
+                                "partitionValues", {}
+                            ),
+                        },
+                        add_action,
+                    )
                 }
             )
             actions.append({"add": t_add | {"dataChange": True}})
@@ -2208,6 +2218,37 @@ def _row_tracking_enabled(snap: _Snapshot) -> bool:
     ).lower() != "true":
         return False
     return "rowTracking" in ((snap.protocol or {}).get("writerFeatures") or [])
+
+
+def _require_stamped(files: dict[str, dict], path: str, op: str) -> None:
+    """Every touched file on a row-tracked table must carry baseRowId
+    (enablement backfills; every later write stamps). A half-stamped
+    foreign table cannot preserve ids — refused by name, never a silent
+    fall-through to fresh ids."""
+    unstamped = sorted(p for p, a in files.items() if a.get("baseRowId") is None)
+    if unstamped:
+        raise DeltaProtocolError(
+            f"{path}: rowTracking with unstamped files "
+            f"{unstamped[:3]}{'...' if len(unstamped) > 3 else ''} — "
+            f"cannot preserve row ids through {op} (re-run "
+            "delta_enable_row_tracking to backfill)"
+        )
+
+
+def _materialized_rt_cols(snap: _Snapshot, path: str, op: str) -> tuple[str, str]:
+    """The physical column names row ids/commit versions materialize
+    under. A row-tracked table missing them cannot preserve ids through
+    a copy — refused BY NAME (the codebase's policy), never a silent
+    fall-through to fresh ids that would break the stable-id contract."""
+    rid_col = (snap.configuration or {}).get(_ROW_ID_COL_KEY)
+    rcv_col = (snap.configuration or {}).get(_ROW_CV_COL_KEY)
+    if not rid_col or not rcv_col:
+        raise DeltaProtocolError(
+            f"{path}: rowTracking without materialized column names "
+            f"({_ROW_ID_COL_KEY} / {_ROW_CV_COL_KEY}) — cannot preserve "
+            f"row ids through {op}"
+        )
+    return rid_col, rcv_col
 
 
 def _row_id_hwm(snap: _Snapshot) -> int:
@@ -2995,19 +3036,22 @@ def delta_write(
         payload = (
             "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
         )
+        # delta.checkpointInterval (the property delta-spark honors)
+        # overrides the caller's default when the table sets it —
+        # validated BEFORE the claim, so a nonsense value fails the
+        # write cleanly instead of committing and then raising (a
+        # retrying caller would append twice)
+        eff_interval = (
+            _checkpoint_interval(meta_configuration, checkpoint_interval)
+            if checkpoint_interval
+            else 0
+        )
         try:
             _claim_version(_log_dir(path), version, payload)
         except ConcurrentDeltaCommitError:
             if mode != "append" or attempt == max_retries:
                 raise
             continue  # blind append: rebase on the winner's state and re-claim
-        # delta.checkpointInterval (the property delta-spark honors)
-        # overrides the caller's default when the table sets it
-        eff_interval = (
-            _checkpoint_interval(meta_configuration, checkpoint_interval)
-            if checkpoint_interval
-            else 0
-        )
         if eff_interval and version and version % eff_interval == 0:
             _write_checkpoint(spark, path, version)
         return version
@@ -3076,14 +3120,7 @@ def delta_optimize(
         # along — materialize _row_id/_row_commit_version into the new
         # files under the table's recorded physical column names (the
         # protocol's preservation rule; readers coalesce these first)
-        rid_col = (snap.configuration or {}).get(_ROW_ID_COL_KEY)
-        rcv_col = (snap.configuration or {}).get(_ROW_CV_COL_KEY)
-        if not rid_col or not rcv_col:
-            raise DeltaProtocolError(
-                f"{path}: rowTracking without materialized column names "
-                f"({_ROW_ID_COL_KEY} / {_ROW_CV_COL_KEY}) — cannot "
-                "preserve row ids through OPTIMIZE"
-            )
+        rid_col, rcv_col = _materialized_rt_cols(snap, path, "OPTIMIZE")
         df = delta_read(
             spark, path, version=latest, with_row_ids=True
         ).withColumnRenamed("_row_id", rid_col).withColumnRenamed(
@@ -3146,12 +3183,12 @@ def delta_optimize(
     payload = (
         "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
     )
-    _claim_version(_log_dir(path), version, payload)
-    eff_interval = (
+    eff_interval = (  # validated before the claim — see delta_write
         _checkpoint_interval(snap.configuration, checkpoint_interval)
         if checkpoint_interval
         else 0
     )
+    _claim_version(_log_dir(path), version, payload)
     if eff_interval and version % eff_interval == 0:
         _write_checkpoint(spark, path, version)
     return version
@@ -3780,9 +3817,9 @@ def _update_with_dvs(
     )
 
     files = {p: snap.files[p] for p in touched}
-    tracked = _row_tracking_enabled(snap) and all(
-        a.get("baseRowId") is not None for a in files.values()
-    )
+    tracked = _row_tracking_enabled(snap)
+    if tracked:
+        _require_stamped(files, path, "UPDATE")
     scan = _scan_with_rowpos(spark, path, snap, files, with_row_ids=tracked)
     cond = ParquetTable._conds_filter(list(conds))
     matched = scan.filter(cond)
@@ -3802,13 +3839,11 @@ def _update_with_dvs(
         # delta-spark UPDATE preserves row ids: materialize each updated
         # row's OLD id (and this commit as its row commit version) into
         # the new image file, shadowing the file's fresh baseRowId range
-        rid_col = (snap.configuration or {}).get(_ROW_ID_COL_KEY)
-        rcv_col = (snap.configuration or {}).get(_ROW_CV_COL_KEY)
-        if rid_col and rcv_col:
-            post = post.withColumn(rid_col, F.col("__rowid")).withColumn(
-                rcv_col, F.lit(version).cast("bigint")
-            )
-            keep += [rid_col, rcv_col]
+        rid_col, rcv_col = _materialized_rt_cols(snap, path, "UPDATE")
+        post = post.withColumn(rid_col, F.col("__rowid")).withColumn(
+            rcv_col, F.lit(version).cast("bigint")
+        )
+        keep += [rid_col, rcv_col]
     post = post.select(*keep)
     post = _apply_generated(snap, post, recompute=True)
     _enforce_constraints(snap, post)
@@ -3883,9 +3918,9 @@ def _merge_with_dvs(
     counts exceed the DV write budget (the caller's rewrite path takes
     over)."""
     files = {p: snap.files[p] for p in touched}
-    tracked = _row_tracking_enabled(snap) and all(
-        a.get("baseRowId") is not None for a in files.values()
-    )
+    tracked = _row_tracking_enabled(snap)
+    if tracked:
+        _require_stamped(files, path, "MERGE")
     logical = _strip_metadata(snap.schema)
     if files:
         scan = _scan_with_rowpos(spark, path, snap, files, with_row_ids=tracked)
@@ -3956,23 +3991,28 @@ def _merge_with_dvs(
         # delta-spark MERGE preserves matched rows' ids: join the source
         # images back to the matched targets' old ids on the merge key
         # and materialize them (inserts stay NULL — they take the file's
-        # fresh baseRowId range on read)
-        rid_col = (snap.configuration or {}).get(_ROW_ID_COL_KEY)
-        rcv_col = (snap.configuration or {}).get(_ROW_CV_COL_KEY)
-        if rid_col and rcv_col:
-            out_rows = (
-                out_rows.join(
-                    matched.select(*keys, "__rowid"), on=keys, how="left"
-                )
-                .withColumn(rid_col, F.col("__rowid"))
-                .drop("__rowid")
-                .withColumn(
-                    rcv_col,
-                    F.when(
-                        F.col(rid_col).isNotNull(), F.lit(version)
-                    ).cast("bigint"),
-                )
+        # fresh baseRowId range on read). One id PER KEY (min over the
+        # matched targets): duplicate target keys collapse into one
+        # upserted image, so a bare join would fan the source row out
+        # once per duplicate — surviving id = the smallest, the rest die
+        # with their DV marks.
+        rid_col, rcv_col = _materialized_rt_cols(snap, path, "MERGE")
+        old_ids = (
+            matched.select(*keys, "__rowid")
+            .groupBy(*keys)
+            .agg(F.min("__rowid").alias("__rowid"))
+        )
+        out_rows = (
+            out_rows.join(old_ids, on=keys, how="left")
+            .withColumn(rid_col, F.col("__rowid"))
+            .drop("__rowid")
+            .withColumn(
+                rcv_col,
+                F.when(
+                    F.col(rid_col).isNotNull(), F.lit(version)
+                ).cast("bigint"),
             )
+        )
     out_rows = _apply_generated(snap, out_rows, recompute=True)
     _enforce_constraints(snap, out_rows)
     adds = _write_data_files(
@@ -4294,6 +4334,30 @@ def delta_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
     )
 
 
+def _writer7_upgrade(proto: dict | None, *features: str) -> dict:
+    """Writer-7 table-features protocol upgrade: fold every feature the
+    table's legacy minWriterVersion implied (the protocol's upgrade rule
+    — implied features must be listed explicitly once the version goes
+    to 7), add ``features``, and leave the reader side untouched. Shared
+    by every SET TBLPROPERTIES-style enabler (code-review r11: the block
+    had been pasted four times)."""
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    mw = proto.get("minWriterVersion", 2)
+    feats = set(proto.get("writerFeatures") or [])
+    if mw < 7:
+        for v in range(2, mw + 1):
+            feats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
+    feats.update(features)
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(feats),
+    }
+    if proto.get("readerFeatures") is not None:
+        new_proto["readerFeatures"] = proto["readerFeatures"]
+    return new_proto
+
+
 def delta_enable_ict(spark: SparkSession, path: str) -> int:
     """SET TBLPROPERTIES delta.enableInCommitTimestamps=true with the
     TABLE-FEATURES protocol upgrade the feature demands: writer version 7
@@ -4315,20 +4379,7 @@ def delta_enable_ict(spark: SparkSession, path: str) -> int:
         snap, path, removes_data=False, op="SET TBLPROPERTIES",
         generated_ok=True, identity_ok=True,  # metadata-only
     )
-    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
-    mw = proto.get("minWriterVersion", 2)
-    feats = set(proto.get("writerFeatures") or [])
-    if mw < 7:
-        for v in range(2, mw + 1):
-            feats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
-    feats.add("inCommitTimestamp")
-    new_proto = {
-        "minReaderVersion": proto.get("minReaderVersion", 1),
-        "minWriterVersion": 7,
-        "writerFeatures": sorted(feats),
-    }
-    if proto.get("readerFeatures") is not None:
-        new_proto["readerFeatures"] = proto["readerFeatures"]
+    new_proto = _writer7_upgrade(snap.protocol, "inCommitTimestamp")
     conf = dict(snap.configuration or {})
     conf["delta.enableInCommitTimestamps"] = "true"
     now = int(time.time() * 1000)
@@ -4364,17 +4415,14 @@ def _enable_table_feature(
     )
     proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     mr = proto.get("minReaderVersion", 1)
-    mw = proto.get("minWriterVersion", 2)
     rfeats = set(proto.get("readerFeatures") or [])
     if mr < 3:
         for v in range(2, mr + 1):
             rfeats.update(_LEGACY_READER_FEATURES.get(v, ()))
     rfeats.add(feature)
-    wfeats = set(proto.get("writerFeatures") or [])
-    if mw < 7:
-        for v in range(2, mw + 1):
-            wfeats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
-    wfeats.add(feature)
+    new_proto = _writer7_upgrade(proto, feature)
+    new_proto["minReaderVersion"] = 3
+    new_proto["readerFeatures"] = sorted(rfeats)
     conf = dict(snap.configuration or {})
     conf[conf_key] = conf_val
     return _commit_metadata_change(
@@ -4384,12 +4432,7 @@ def _enable_table_feature(
         conf,
         op="SET TBLPROPERTIES",
         params={conf_key: conf_val},
-        protocol={
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": sorted(rfeats),
-            "writerFeatures": sorted(wfeats),
-        },
+        protocol=new_proto,
     )
 
 
@@ -4430,20 +4473,7 @@ def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
     )
     if _row_tracking_enabled(snap):
         return latest
-    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
-    mw = proto.get("minWriterVersion", 2)
-    wfeats = set(proto.get("writerFeatures") or [])
-    if mw < 7:
-        for v in range(2, mw + 1):
-            wfeats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
-    wfeats.update({"rowTracking", "domainMetadata"})
-    new_proto = {
-        "minReaderVersion": proto.get("minReaderVersion", 1),
-        "minWriterVersion": 7,
-        "writerFeatures": sorted(wfeats),
-    }
-    if proto.get("readerFeatures") is not None:
-        new_proto["readerFeatures"] = proto["readerFeatures"]
+    new_proto = _writer7_upgrade(snap.protocol, "rowTracking", "domainMetadata")
     conf = dict(snap.configuration or {})
     conf["delta.enableRowTracking"] = "true"
     conf.setdefault(_ROW_ID_COL_KEY, f"_row-id-col-{uuid.uuid4()}")
@@ -4504,20 +4534,7 @@ def delta_set_clustering(
     bad = [c for c in cols if c not in have]
     if bad:
         raise ValueError(f"clustering columns not in schema: {bad}")
-    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
-    mw = proto.get("minWriterVersion", 2)
-    wfeats = set(proto.get("writerFeatures") or [])
-    if mw < 7:
-        for v in range(2, mw + 1):
-            wfeats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
-    wfeats.update({"clustering", "domainMetadata"})
-    new_proto = {
-        "minReaderVersion": proto.get("minReaderVersion", 1),
-        "minWriterVersion": 7,
-        "writerFeatures": sorted(wfeats),
-    }
-    if proto.get("readerFeatures") is not None:
-        new_proto["readerFeatures"] = proto["readerFeatures"]
+    new_proto = _writer7_upgrade(snap.protocol, "clustering", "domainMetadata")
     extra = [
         {
             "domainMetadata": {

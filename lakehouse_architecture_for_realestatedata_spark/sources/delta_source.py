@@ -542,16 +542,16 @@ class _DeltaLiteWriter(DataSourceArrowWriter):
                 "\n".join(_json.dumps(a, separators=(",", ":")) for a in actions)
                 + "\n"
             )
+            eff_interval = _checkpoint_interval(  # pre-claim, see delta_write
+                snap.configuration if snap is not None else None,
+                CHECKPOINT_INTERVAL,
+            )
             try:
                 _claim_version(_log_dir(self.path), version, payload)
             except ConcurrentDeltaCommitError:
                 if self.overwrite or attempt == 20:
                     raise
                 continue  # blind append: rebase and re-claim
-            eff_interval = _checkpoint_interval(
-                snap.configuration if snap is not None else None,
-                CHECKPOINT_INTERVAL,
-            )
             if version and version % eff_interval == 0:
                 from pyspark.sql import SparkSession
 
@@ -682,16 +682,16 @@ class _DeltaLiteStreamWriter(DataSourceStreamArrowWriter):
                 "\n".join(_json.dumps(a, separators=(",", ":")) for a in actions)
                 + "\n"
             )
+            eff_interval = _checkpoint_interval(  # pre-claim, see delta_write
+                snap.configuration if snap is not None else None,
+                CHECKPOINT_INTERVAL,
+            )
             try:
                 _claim_version(_log_dir(self.path), version, payload)
             except ConcurrentDeltaCommitError:
                 if attempt == 20:
                     raise
                 continue  # blind append: re-check the txn watermark, re-claim
-            eff_interval = _checkpoint_interval(
-                snap.configuration if snap is not None else None,
-                CHECKPOINT_INTERVAL,
-            )
             if version and version % eff_interval == 0:
                 from pyspark.sql import SparkSession
 

@@ -3638,3 +3638,75 @@ def test_checkpoint_interval_property_honored(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="checkpointInterval"):
         delta_write(spark.range(0, 1).select(F.col("id")), t, mode="append")
+
+
+def test_row_tracking_merge_duplicate_target_keys_no_fanout(spark, tmp_path):
+    """Regression (code-review r11): preserving ids through MERGE must
+    not fan the source row out once per duplicate target key — duplicate
+    matches collapse into ONE upserted image carrying the smallest old
+    id, exactly the untracked result plus a stable id."""
+    dl = _rt_imports()
+    t = str(tmp_path / "rtdup")
+    delta_write(
+        spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20)], "k bigint, v bigint"
+        ).coalesce(1),
+        t,
+    )
+    dl.delta_enable_row_tracking(spark, t)
+    dl.delta_enable_dvs(spark, t)
+    dl.delta_merge(
+        spark.createDataFrame([(1, 99)], "k bigint, v bigint"), t, key="k"
+    )
+    rows = sorted(
+        map(tuple, delta_read(spark, t, with_row_ids=True)
+            .select("k", "v", "_row_id").collect())
+    )
+    # one image for k=1 (not two), carrying the min of the two old ids
+    assert rows == [(1, 99, 0), (2, 20, 2)]
+
+
+def test_row_tracking_refusals_are_by_name(spark, tmp_path):
+    """A tracked table missing its materialized column names, or carrying
+    unstamped files, refuses preservation BY NAME on every copy path —
+    never a silent fall-through to fresh ids (code-review r11)."""
+    dl = _rt_imports()
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    t = str(tmp_path / "rtrefuse")
+    delta_write(
+        spark.createDataFrame([(1, 10)], "k bigint, v bigint"), t
+    )
+    dl.delta_enable_row_tracking(spark, t)
+    dl.delta_enable_dvs(spark, t)
+    snap = dl._replay(t, None)
+    # strip the materialized-name properties the way a sloppy foreign
+    # writer might (raw metaData commit)
+    conf = {
+        k: v
+        for k, v in snap.configuration.items()
+        if not k.startswith("delta.rowTracking.materialized")
+    }
+    _claim_version(
+        os.path.join(t, "_delta_log"), snap.version + 1,
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "strip",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": conf,
+                }
+            }
+        )
+        + "\n",
+    )
+    with pytest.raises(DeltaProtocolError, match="materialized"):
+        dl.delta_optimize(spark, t, n_files=1)
+    with pytest.raises(DeltaProtocolError, match="materialized"):
+        dl.delta_update_where(
+            spark, t, {"v": F.lit(5).cast("bigint")}, ("k", "=", 1)
+        )

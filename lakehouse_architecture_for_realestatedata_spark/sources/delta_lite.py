@@ -5122,6 +5122,97 @@ def delta_cleanup_metadata(
     return sorted(deleted)
 
 
+def delta_fsck(path: str, check_files: bool = True) -> list[str]:
+    """Table-integrity audit (the ``fsck`` a 100 TB lakehouse runs before
+    trusting a foreign or long-lived log): replays the current snapshot
+    and checks every invariant this module's reader/writer relies on,
+    returning a list of human-readable findings — EMPTY means clean.
+    Metadata-scale: the log and parquet footers only, never a data scan.
+
+    Checks: protocol/feature/config coherence (DV or row-tracking config
+    flags without their protocol features — the silent-resurrection
+    trap), add-action stats that fail to parse, referenced data files
+    missing on disk (``check_files``), DV descriptors that fail to
+    decode or whose cardinality disagrees with the bitmap, row-tracking
+    stamps (missing baseRowId on an enabled table, OVERLAPPING row-id
+    ranges across files, a high-water mark below the highest stamped
+    id), and clustering columns absent from the schema."""
+    findings: list[str] = []
+    snap = _replay(path, None)
+    conf = snap.configuration or {}
+    proto = snap.protocol or {}
+    wfeats = set(proto.get("writerFeatures") or [])
+    rfeats = set(proto.get("readerFeatures") or [])
+    if conf.get("delta.enableDeletionVectors", "").lower() == "true" and (
+        "deletionVectors" not in wfeats or "deletionVectors" not in rfeats
+    ):
+        findings.append(
+            "delta.enableDeletionVectors=true but the protocol does not "
+            "list deletionVectors (reader+writer) — DV adds would be "
+            "invisible to protocol-honest readers"
+        )
+    if conf.get("delta.enableRowTracking", "").lower() == "true":
+        if "rowTracking" not in wfeats:
+            findings.append(
+                "delta.enableRowTracking=true but the protocol does not "
+                "list the rowTracking writer feature"
+            )
+        if not conf.get(_ROW_ID_COL_KEY) or not conf.get(_ROW_CV_COL_KEY):
+            findings.append(
+                "row tracking enabled without materialized column names "
+                f"({_ROW_ID_COL_KEY} / {_ROW_CV_COL_KEY})"
+            )
+    cluster_cols = delta_clustering_columns(snap)
+    have = {f.name for f in snap.schema.fields}
+    for c in cluster_cols:
+        if c.split(".")[0] not in have:
+            findings.append(f"clustering column {c!r} not in the schema")
+    tracked = _row_tracking_enabled(snap)
+    ranges: list[tuple[int, int, str]] = []
+    hwm = _row_id_hwm(snap) if tracked else None
+    for p, add in sorted(snap.files.items()):
+        s = add.get("stats")
+        n_records = None
+        if s:
+            try:
+                n_records = json.loads(s).get("numRecords")
+            except (ValueError, TypeError):
+                findings.append(f"{p}: unparseable stats JSON")
+        if check_files and not os.path.isfile(_abs_data_path(path, p)):
+            findings.append(f"{p}: referenced data file missing on disk")
+        dv = add.get("deletionVector")
+        if dv:
+            try:
+                marked = _load_deletion_vector(path, dv)
+                card = dv.get("cardinality")
+                if card is not None and int(card) != len(marked):
+                    findings.append(
+                        f"{p}: DV cardinality {card} != decoded bitmap "
+                        f"size {len(marked)}"
+                    )
+            except Exception as e:  # noqa: BLE001 — report, don't abort the audit
+                findings.append(f"{p}: deletion vector fails to decode ({e})")
+        if tracked:
+            base = add.get("baseRowId")
+            if base is None:
+                findings.append(f"{p}: row tracking enabled but no baseRowId")
+            elif n_records is not None:
+                ranges.append((int(base), int(base) + int(n_records) - 1, p))
+                if hwm is not None and int(base) + int(n_records) - 1 > hwm:
+                    findings.append(
+                        f"{p}: stamped range ends past the rowIdHighWaterMark "
+                        f"({int(base) + int(n_records) - 1} > {hwm})"
+                    )
+    ranges.sort()
+    for (lo1, hi1, p1), (lo2, hi2, p2) in zip(ranges, ranges[1:]):
+        if lo2 <= hi1:
+            findings.append(
+                f"overlapping row-id ranges: {p1} [{lo1},{hi1}] and "
+                f"{p2} [{lo2},{hi2}] — duplicate row ids"
+            )
+    return findings
+
+
 def export_table_to_delta(
     table, path: str, partition_by: list[str] | None = None
 ) -> int:

@@ -3710,3 +3710,79 @@ def test_row_tracking_refusals_are_by_name(spark, tmp_path):
         dl.delta_update_where(
             spark, t, {"v": F.lit(5).cast("bigint")}, ("k", "=", 1)
         )
+
+
+def test_delta_fsck_clean_and_injected_corruptions(spark, tmp_path):
+    """delta_fsck: a healthy table (row-tracked, DV'd, clustered,
+    optimized) audits CLEAN; injected corruptions — a flag without its
+    protocol feature, an overlapping row-id range, a lowered high-water
+    mark, a missing data file — are each named."""
+    dl = _rt_imports()
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    t = str(tmp_path / "fsck")
+    delta_write(
+        spark.range(0, 20).select(F.col("id").alias("k")).coalesce(1), t
+    )
+    dl.delta_enable_row_tracking(spark, t)
+    dl.delta_enable_dvs(spark, t)
+    dl.delta_set_clustering(spark, t, ["k"])
+    dl.delta_delete_where(spark, t, ("k", "between", (3, 5)))
+    dl.delta_optimize(spark, t, n_files=2)
+    assert dl.delta_fsck(t) == []
+    snap = dl._replay(t, None)
+    v = snap.version
+    # 1) overlapping row-id range: re-add one file with a clashing base
+    p0 = sorted(snap.files)[0]
+    clash = snap.files[sorted(snap.files)[1]]["baseRowId"]
+    _claim_version(
+        os.path.join(t, "_delta_log"), v + 1,
+        json.dumps({"add": snap.files[p0] | {"baseRowId": clash}}) + "\n",
+    )
+    finds = dl.delta_fsck(t)
+    assert any("overlapping row-id ranges" in f for f in finds)
+    # 2) high-water mark lowered below the stamped ranges
+    _claim_version(
+        os.path.join(t, "_delta_log"), v + 2,
+        json.dumps(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps({"rowIdHighWaterMark": 1}),
+                    "removed": False,
+                }
+            }
+        )
+        + "\n",
+    )
+    finds = dl.delta_fsck(t)
+    assert any("past the rowIdHighWaterMark" in f for f in finds)
+    # 3) missing data file
+    gone = sorted(snap.files)[0]
+    os.rename(os.path.join(t, gone), os.path.join(t, gone + ".hidden"))
+    finds = dl.delta_fsck(t)
+    assert any("missing on disk" in f for f in finds)
+    os.rename(os.path.join(t, gone + ".hidden"), os.path.join(t, gone))
+    # 4) DV flag without the protocol feature on a fresh table
+    t2 = str(tmp_path / "fsck2")
+    delta_write(spark.range(0, 3).select(F.col("id")), t2)
+    snap2 = dl._replay(t2, None)
+    _claim_version(
+        os.path.join(t2, "_delta_log"), 1,
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "flag",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap2.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {"delta.enableDeletionVectors": "true"},
+                }
+            }
+        )
+        + "\n",
+    )
+    finds = dl.delta_fsck(t2)
+    assert any("protocol-honest readers" in f for f in finds)

@@ -158,6 +158,9 @@ HEADLINE = [
     # expired-log cleanup: prefix-to-checkpoint deletion, then a full
     # replay from the surviving checkpoint + tail
     "delta_log_cleanup_roundtrip",
+    # real WAV synth -> RIFF decode -> integer-exact features (the
+    # multimodal family's hard-oracle row)
+    "audio_features_wav",
 ]
 
 

@@ -464,3 +464,153 @@ def phash_dedup_pairs(
         F.col("asset_id").alias("__id"), F.col("dhash").alias("__sig")
     )
     return hamming_band_pairs(sigs, max_hamming=max_hamming, bands=bands)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL WAV plumbing on the stdlib (struct-built RIFF/PCM16 — the one
+# media codec that needs no external library), with integer-exact features
+# so the whole synth → encode → decode → featurize pipeline carries a hard
+# DuckDB oracle (unlike float DSP, whose libm sin()/FFT differ per engine).
+
+_WAV_SR = 8_000  # fixed sample rate for the synthetic corpus
+
+
+def _lcg_samples(seed: int, n: int):
+    """The planted PCM16 waveform: x[i] = ((seed·48271 + i·16807) mod
+    65536) − 32768 — pure integer arithmetic, so any engine (numpy here,
+    SQL in the oracle) regenerates it bit-identically."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    return (((seed * 48271 + i * 16807) % 65536) - 32768).astype(np.int16)
+
+
+def wav_bytes(seed: int, n_samples: int, sample_rate: int = _WAV_SR) -> bytes:
+    """A complete, spec-valid RIFF/WAVE file (PCM16 mono) holding the
+    planted waveform — parseable by the stdlib ``wave`` module (pinned in
+    pytest), ffmpeg, or any audio tool."""
+    import struct
+
+    pcm = _lcg_samples(seed, n_samples).tobytes()
+    byte_rate = sample_rate * 2
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + len(pcm)),
+            b"WAVEfmt ",
+            struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16),
+            b"data",
+            struct.pack("<I", len(pcm)),
+            pcm,
+        ]
+    )
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, "object"]:
+    """Parse a RIFF/WAVE blob to (sample_rate, n_samples, int16 numpy
+    samples). Walks the chunk list (fmt may be followed by LIST/fact
+    chunks in real files); only PCM16 mono is implemented — anything else
+    raises NotImplementedError by name, the module's codec policy."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise NotImplementedError(
+                    f"only PCM16 mono implemented (fmt={fmt}, ch={ch}, "
+                    f"bits={bits}) — a production deployment adds a real "
+                    "audio library for the rest"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if sr is None or data is None:
+        raise ValueError("WAVE blob missing fmt/data chunks")
+    return sr, len(data) // 2, np.frombuffer(data, dtype="<i2")
+
+
+def synthesize_wav_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic audio corpus: one real WAV blob per row, length
+    800 + id mod 400 samples of the planted LCG waveform. mapInPandas
+    (the bytes must be built in Python — struct headers aren't JVM
+    expressions), Arrow-batched, ~2.4 KB/row."""
+    import pandas as pd
+
+    def _synth(batches):
+        for pdf in batches:
+            ids = pdf["__id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": "audio/wav",
+                    "blob": [
+                        wav_bytes(int(i), 800 + int(i) % 400) for i in ids
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias("__id")).mapInPandas(
+        _synth, schema="asset_id bigint, media_type string, blob binary"
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id bigint, sample_rate int, n_samples bigint, duration_us bigint, "
+    "energy bigint, zero_crossings bigint"
+)
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Integer-exact audio features over the binary column: duration in
+    µs (n·10⁶/rate — exact at 8 kHz), total energy Σx², and zero
+    crossings (sign flips across consecutive samples, x ≥ 0 counted
+    positive). All bigint arithmetic — the DuckDB oracle regenerates the
+    LCG waveform in SQL and must hash-match, proving the WAV bytes
+    round-tripped sample-exactly. Same mapInPandas shape as
+    ``extract_features``: blobs stay in their partition, 40 bytes/row
+    come out."""
+    import pandas as pd
+
+    def _features(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
+                sr, n, x = decode_wav(bytes(blob))
+                x64 = x.astype(np.int64)
+                nonneg = x64 >= 0
+                rows.append(
+                    (
+                        int(asset_id),
+                        sr,
+                        n,
+                        n * 1_000_000 // sr,
+                        int((x64 * x64).sum()),
+                        int((nonneg[1:] != nonneg[:-1]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_us",
+                    "energy",
+                    "zero_crossings",
+                ],
+            )
+
+    return assets.select("asset_id", "blob").mapInPandas(
+        _features, schema=AUDIO_FEATURE_SCHEMA
+    )

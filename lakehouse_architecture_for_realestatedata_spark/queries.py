@@ -273,6 +273,9 @@ def registry() -> dict[str, QuerySpec]:
         "delta_row_tracking_ids",
         "delta_clustered_optimize_read",
         "delta_log_cleanup_roundtrip",
+        # new r11 late addition (starts deferred; r12 rotation candidate —
+        # the multimodal family's FIRST hard-oracle row):
+        "audio_features_wav",
         # new r11 (starts deferred; per_source_doc_caps keeps the curation
         # family in-window; r12 rotation candidate — the alpha=1/2
         # temperature training-mix rebalance):

@@ -983,3 +983,54 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") < 20)
     return hard_negatives(emb, anchors, "vec_id", "embedding", "label", k=3)
+
+
+@register(
+    "audio_features_wav",
+    """
+    WITH d AS (
+        SELECT doc_id, 800 + doc_id % 400 AS n
+        FROM documents WHERE doc_id < 300
+    ), s AS (
+        SELECT doc_id, n, unnest(range(n)) AS i FROM d
+    ), x AS (
+        SELECT doc_id, n, i,
+               ((doc_id * 48271 + i * 16807) % 65536) - 32768 AS v
+        FROM s
+    ), z AS (
+        SELECT doc_id, n, v,
+               CASE WHEN (v >= 0) <>
+                         (lag(v) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+                    THEN 1 ELSE 0 END AS flip
+        FROM x
+    )
+    SELECT doc_id AS asset_id,
+           8000 AS sample_rate,
+           cast(any_value(n) AS bigint) AS n_samples,
+           cast(any_value(n) * 125 AS bigint) AS duration_us,
+           cast(sum(cast(v AS bigint) * v) AS bigint) AS energy,
+           cast(sum(flip) AS bigint) AS zero_crossings
+    FROM z
+    GROUP BY doc_id
+    """,
+    doc="Audio pipeline with a HARD oracle — the multimodal family's "
+    "first (operators/multimodal.py wav_bytes/decode_wav/audio_features): "
+    "each doc synthesizes a spec-valid RIFF/PCM16 WAV (stdlib struct; the "
+    "stdlib wave module parses it back, pinned in pytest) holding an "
+    "integer-LCG waveform, the decoder walks the RIFF chunk list, and the "
+    "features are integer-exact (duration_us, energy = sum of squares, "
+    "zero crossings) so DuckDB regenerates the waveform in SQL and must "
+    "hash-match — proving the bytes round-tripped sample-exactly, not "
+    "just that a decode ran. Blobs stay in their partitions (mapInPandas "
+    "both ways); 40 bytes/row cross the shuffle.",
+)
+def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+        audio_features,
+        synthesize_wav_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id"
+    )
+    return audio_features(synthesize_wav_blobs(docs, "doc_id"))

@@ -161,6 +161,9 @@ HEADLINE = [
     # real WAV synth -> RIFF decode -> integer-exact features (the
     # multimodal family's hard-oracle row)
     "audio_features_wav",
+    # audio near-dup: energy-gradient fingerprints through the shared
+    # banded-Hamming LSH (third modality on the 8-byte dedup engine)
+    "audio_dedup_pairs",
 ]
 
 

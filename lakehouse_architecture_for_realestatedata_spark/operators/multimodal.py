@@ -475,23 +475,31 @@ def phash_dedup_pairs(
 _WAV_SR = 8_000  # fixed sample rate for the synthetic corpus
 
 
-def _lcg_samples(seed: int, n: int):
+def _lcg_samples(seed: int, n: int, perturb: bool = False):
     """The planted PCM16 waveform: x[i] = ((seed·48271 + i·16807) mod
     65536) − 32768 — pure integer arithmetic, so any engine (numpy here,
-    SQL in the oracle) regenerates it bit-identically."""
+    SQL in the oracle) regenerates it bit-identically. ``perturb`` is the
+    near-duplicate variant: −1 on every 97th sample (guarded at the int16
+    floor), a tiny audible-noise edit that flips only a few fingerprint
+    bits."""
     import numpy as np
 
     i = np.arange(n, dtype=np.int64)
-    return (((seed * 48271 + i * 16807) % 65536) - 32768).astype(np.int16)
+    v = ((seed * 48271 + i * 16807) % 65536) - 32768
+    if perturb:
+        v = v - ((i % 97 == 0) & (v > -32768)).astype(np.int64)
+    return v.astype(np.int16)
 
 
-def wav_bytes(seed: int, n_samples: int, sample_rate: int = _WAV_SR) -> bytes:
+def wav_bytes(
+    seed: int, n_samples: int, sample_rate: int = _WAV_SR, perturb: bool = False
+) -> bytes:
     """A complete, spec-valid RIFF/WAVE file (PCM16 mono) holding the
     planted waveform — parseable by the stdlib ``wave`` module (pinned in
     pytest), ffmpeg, or any audio tool."""
     import struct
 
-    pcm = _lcg_samples(seed, n_samples).tobytes()
+    pcm = _lcg_samples(seed, n_samples, perturb).tobytes()
     byte_rate = sample_rate * 2
     return b"".join(
         [
@@ -613,4 +621,90 @@ def audio_features(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "blob").mapInPandas(
         _features, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def synthesize_wav_pairs(df: DataFrame, id_col: str) -> DataFrame:
+    """Near-duplicate audio corpus: TWO real WAVs per row — asset 2·id is
+    the planted waveform, asset 2·id+1 the perturbed variant (−1 on every
+    97th sample). The planted pairs are what ``audio_dedup_pairs`` must
+    recover; both engines regenerate the exact bytes, so recall is
+    oracle-checked, not spot-checked."""
+    import pandas as pd
+
+    def _synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["__id"].astype("int64"):
+                n = 800 + int(i) % 400
+                rows.append((2 * int(i), "audio/wav", wav_bytes(int(i), n)))
+                rows.append(
+                    (2 * int(i) + 1, "audio/wav", wav_bytes(int(i), n, perturb=True))
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "blob"]
+            )
+
+    return df.select(F.col(id_col).alias("__id")).mapInPandas(
+        _synth, schema="asset_id bigint, media_type string, blob binary"
+    )
+
+
+#: Fingerprint geometry: 60 energy-gradient bits over 61 windows of 12
+#: samples — 732 samples consumed, under the synthetic corpus's 800-sample
+#: minimum; 60 bits keeps the packed bigint positive (the simhash
+#: precedent), so >> and shiftrightunsigned agree across engines.
+_AFP_BITS = 60
+_AFP_WINDOW = 12
+
+
+def audio_fingerprints(assets: DataFrame) -> DataFrame:
+    """One 60-bit energy-gradient fingerprint per audio asset (the dHash
+    idea transposed to audio): window the first 732 samples into 61
+    windows of 12, bit b = (energy[b+1] > energy[b]). Small time-domain
+    edits move few window energies, so near-duplicates land within a few
+    Hamming bits — and the whole computation is integer-exact, so the
+    DuckDB oracle reproduces every bit. Returns ``(__id, __sig)``, the
+    ``hamming_band_pairs`` contract."""
+    import pandas as pd
+
+    def _fps(batches):
+        import numpy as np
+
+        need = (_AFP_BITS + 1) * _AFP_WINDOW
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
+                _sr, n, x = decode_wav(bytes(blob))
+                if n < need:
+                    raise ValueError(
+                        f"asset {asset_id}: {n} samples < {need} needed "
+                        "for the fingerprint"
+                    )
+                e = (
+                    x[:need].astype(np.int64) ** 2
+                ).reshape(_AFP_BITS + 1, _AFP_WINDOW).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                fp = int((bits << np.arange(_AFP_BITS, dtype=np.int64)).sum())
+                rows.append((int(asset_id), fp))
+            yield pd.DataFrame(rows, columns=["__id", "__sig"])
+
+    return assets.select("asset_id", "blob").mapInPandas(
+        _fps, schema="__id bigint, __sig bigint"
+    )
+
+
+def audio_dedup_pairs(
+    assets: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: energy-gradient fingerprints + the
+    banded Hamming LSH shared with SimHash (text) and dHash (images) —
+    the third modality on the same 8-bytes-per-asset dedup engine. Blobs
+    never shuffle; only (id, bigint) rows do."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    return hamming_band_pairs(
+        audio_fingerprints(assets), max_hamming=max_hamming, bands=bands
     )

@@ -276,6 +276,7 @@ def registry() -> dict[str, QuerySpec]:
         # new r11 late addition (starts deferred; r12 rotation candidate —
         # the multimodal family's FIRST hard-oracle row):
         "audio_features_wav",
+        "audio_dedup_pairs",
         # new r11 (starts deferred; per_source_doc_caps keeps the curation
         # family in-window; r12 rotation candidate — the alpha=1/2
         # temperature training-mix rebalance):

@@ -1034,3 +1034,70 @@ def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     return audio_features(synthesize_wav_blobs(docs, "doc_id"))
+
+
+@register(
+    "audio_dedup_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, 800 + doc_id % 400 AS n
+        FROM documents WHERE doc_id < 400
+    ), a AS (
+        SELECT doc_id, doc_id * 2 + var AS asset_id, var
+        FROM d, (SELECT unnest([0, 1]) AS var) vv
+    ), s AS (
+        SELECT asset_id, var, doc_id, unnest(range(732)) AS i FROM a
+    ), x AS (
+        SELECT asset_id, i, var,
+               ((doc_id * 48271 + i * 16807) % 65536) - 32768 AS v0
+        FROM s
+    ), xp AS (
+        SELECT asset_id, i,
+               CASE WHEN var = 1 AND i % 97 = 0 AND v0 > -32768
+                    THEN v0 - 1 ELSE v0 END AS v
+        FROM x
+    ), e AS (
+        SELECT asset_id, i // 12 AS w, sum(cast(v AS bigint) * v) AS e
+        FROM xp GROUP BY 1, 2
+    ), fp AS (
+        SELECT lo.asset_id,
+               sum(CASE WHEN hi.e > lo.e
+                        THEN (cast(1 AS bigint) << cast(lo.w AS int))
+                        ELSE 0 END) AS fp
+        FROM e lo JOIN e hi
+          ON hi.asset_id = lo.asset_id AND hi.w = lo.w + 1
+        WHERE lo.w < 60
+        GROUP BY 1
+    ), banded AS (
+        SELECT asset_id, fp, g, (fp >> (16 * g)) & 65535 AS bk
+        FROM fp, (SELECT unnest(range(4)) AS g) gg
+    ), cand AS (
+        SELECT DISTINCT a.asset_id AS id_a, a.fp AS fa,
+                        b.asset_id AS id_b, b.fp AS fb
+        FROM banded a JOIN banded b
+          ON a.g = b.g AND a.bk = b.bk AND a.asset_id < b.asset_id
+    )
+    SELECT id_a, id_b, cast(bit_count(xor(fa, fb)) AS int) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+    doc="Audio near-dup dedup with a HARD oracle (operators/multimodal.py "
+    "audio_fingerprints/audio_dedup_pairs): two real WAVs per doc — the "
+    "planted integer-LCG waveform and a −1-every-97th-sample perturbation "
+    "— fingerprint to 60 energy-gradient bits (61 windows x 12 samples, "
+    "bit = energy rises), then the banded Hamming LSH shared with SimHash "
+    "text and dHash image dedup recovers pairs within 3 bits. Every stage "
+    "is integer-exact, so the DuckDB twin regenerates waveforms, window "
+    "energies, fingerprints, bands, and XOR bit counts — recall is "
+    "oracle-checked, not spot-checked. Blobs never shuffle; 8-byte "
+    "signatures do.",
+)
+def q_audio_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+        audio_dedup_pairs,
+        synthesize_wav_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id"
+    )
+    return audio_dedup_pairs(synthesize_wav_pairs(docs, "doc_id"))

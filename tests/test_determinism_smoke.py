@@ -1,11 +1,12 @@
 """Run-twice determinism smoke (the round-7 bug class): the queries built
 on global ordering / bucketing / sampling primitives must hash identically
 across two fresh plan compositions and executions. The full registry gets
-the same check from tools/check_determinism.py (209/209 stable, r11 — the
+the same check from tools/check_determinism.py (210/210 stable, r11 — the
 FULL registry incl. every late-module registration: 204 in the full
 round-close run plus the late delta_identity_append /
 delta_row_tracking_ids / delta_clustered_optimize_read /
-delta_log_cleanup_roundtrip / audio_features_wav registrations
+delta_log_cleanup_roundtrip / audio_features_wav /
+audio_dedup_pairs registrations
 checked by the same tool;
 re-run it over the whole registry at every
 round close and refresh this note); this pytest

@@ -442,3 +442,21 @@ def test_wav_roundtrip_and_stdlib_parse(spark):
         assert got[i] == (
             nn, nn * 125, int((x * x).sum()), int((nonneg[1:] != nonneg[:-1]).sum())
         )
+
+
+def test_audio_dedup_recovers_planted_pairs(spark):
+    """Every planted (base, perturbed) WAV pair must come back from the
+    banded-Hamming audio dedup — the pigeonhole guarantee plus the
+    perturbation's bounded bit flips, asserted exactly (no sampling)."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+        audio_dedup_pairs,
+        synthesize_wav_pairs,
+    )
+
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in audio_dedup_pairs(synthesize_wav_pairs(docs, "doc_id")).collect()
+    }
+    for i in range(60):
+        assert (2 * i, 2 * i + 1) in pairs, f"planted pair for doc {i} lost"

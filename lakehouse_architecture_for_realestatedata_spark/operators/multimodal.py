@@ -479,15 +479,20 @@ def _lcg_samples(seed: int, n: int, perturb: bool = False):
     """The planted PCM16 waveform: x[i] = ((seed·48271 + i·16807) mod
     65536) − 32768 — pure integer arithmetic, so any engine (numpy here,
     SQL in the oracle) regenerates it bit-identically. ``perturb`` is the
-    near-duplicate variant: −1 on every 97th sample (guarded at the int16
-    floor), a tiny audible-noise edit that flips only a few fingerprint
-    bits."""
+    near-duplicate variant: a 6-sample dropout (samples 60..65 zeroed —
+    half of fingerprint window 5), an edit big enough to flip the
+    adjacent energy-gradient bits on most seeds (measured over the
+    synthetic corpus: Hamming 0/1/2 ≈ 31/38/31 %), so the banded-LSH
+    1..max_hamming recovery path is actually exercised — a code-review
+    r11 finding killed the original −1-per-97-samples edit, whose energy
+    deltas were ~5 orders of magnitude below the window gaps and never
+    flipped a bit."""
     import numpy as np
 
     i = np.arange(n, dtype=np.int64)
     v = ((seed * 48271 + i * 16807) % 65536) - 32768
     if perturb:
-        v = v - ((i % 97 == 0) & (v > -32768)).astype(np.int64)
+        v = np.where((i >= 60) & (i < 66), 0, v)
     return v.astype(np.int16)
 
 
@@ -530,6 +535,15 @@ def decode_wav(blob: bytes) -> tuple[int, int, "object"]:
         cid = blob[pos:pos + 4]
         (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
         body = blob[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            # a download cut short: the chunk declares more bytes than
+            # exist — reject with the real diagnosis instead of silently
+            # computing features over the truncated samples (or letting
+            # numpy raise an odd-byte-count error from deep inside)
+            raise ValueError(
+                f"truncated WAVE chunk {cid!r}: declares {size} bytes, "
+                f"{len(body)} present"
+            )
         if cid == b"fmt ":
             fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
             if (fmt, ch, bits) != (1, 1, 16):
@@ -626,8 +640,8 @@ def audio_features(assets: DataFrame) -> DataFrame:
 
 def synthesize_wav_pairs(df: DataFrame, id_col: str) -> DataFrame:
     """Near-duplicate audio corpus: TWO real WAVs per row — asset 2·id is
-    the planted waveform, asset 2·id+1 the perturbed variant (−1 on every
-    97th sample). The planted pairs are what ``audio_dedup_pairs`` must
+    the planted waveform, asset 2·id+1 the perturbed variant (6-sample
+    dropout). The planted pairs are what ``audio_dedup_pairs`` must
     recover; both engines regenerate the exact bytes, so recall is
     oracle-checked, not spot-checked."""
     import pandas as pd

@@ -1053,8 +1053,8 @@ def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     ), xp AS (
         SELECT asset_id, i,
-               CASE WHEN var = 1 AND i % 97 = 0 AND v0 > -32768
-                    THEN v0 - 1 ELSE v0 END AS v
+               CASE WHEN var = 1 AND i >= 60 AND i < 66
+                    THEN 0 ELSE v0 END AS v
         FROM x
     ), e AS (
         SELECT asset_id, i // 12 AS w, sum(cast(v AS bigint) * v) AS e
@@ -1082,7 +1082,9 @@ def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Audio near-dup dedup with a HARD oracle (operators/multimodal.py "
     "audio_fingerprints/audio_dedup_pairs): two real WAVs per doc — the "
-    "planted integer-LCG waveform and a −1-every-97th-sample perturbation "
+    "planted integer-LCG waveform and a 6-sample-dropout perturbation "
+    "(flips the adjacent gradient bits on ~2/3 of seeds, so the 1..3-bit "
+    "LSH tolerance path is really exercised) "
     "— fingerprint to 60 energy-gradient bits (61 windows x 12 samples, "
     "bit = energy rises), then the banded Hamming LSH shared with SimHash "
     "text and dHash image dedup recovers pairs within 3 bits. Every stage "

@@ -5162,14 +5162,23 @@ def delta_fsck(path: str, check_files: bool = True) -> list[str]:
                 "row tracking enabled without materialized column names "
                 f"({_ROW_ID_COL_KEY} / {_ROW_CV_COL_KEY})"
             )
-    cluster_cols = delta_clustering_columns(snap)
+    try:
+        cluster_cols = delta_clustering_columns(snap)
+    except (ValueError, TypeError) as e:
+        findings.append(f"unparseable {_CLUSTERING_DOMAIN} domain metadata ({e})")
+        cluster_cols = []
     have = {f.name for f in snap.schema.fields}
     for c in cluster_cols:
         if c.split(".")[0] not in have:
             findings.append(f"clustering column {c!r} not in the schema")
     tracked = _row_tracking_enabled(snap)
     ranges: list[tuple[int, int, str]] = []
-    hwm = _row_id_hwm(snap) if tracked else None
+    hwm = None
+    if tracked:
+        try:
+            hwm = _row_id_hwm(snap)
+        except DeltaProtocolError as e:
+            findings.append(str(e))
     for p, add in sorted(snap.files.items()):
         s = add.get("stats")
         n_records = None
@@ -5178,8 +5187,26 @@ def delta_fsck(path: str, check_files: bool = True) -> list[str]:
                 n_records = json.loads(s).get("numRecords")
             except (ValueError, TypeError):
                 findings.append(f"{p}: unparseable stats JSON")
-        if check_files and not os.path.isfile(_abs_data_path(path, p)):
-            findings.append(f"{p}: referenced data file missing on disk")
+        on_disk = None
+        if check_files:
+            try:
+                on_disk = os.path.isfile(_abs_data_path(path, p))
+            except DeltaProtocolError as e:
+                # remote-scheme path: not resolvable locally — report,
+                # keep auditing (fsck must REPORT on foreign logs, never
+                # abort mid-audit)
+                findings.append(f"{p}: cannot resolve locally ({e})")
+            if on_disk is False:
+                findings.append(f"{p}: referenced data file missing on disk")
+        if n_records is None and tracked and on_disk:
+            # stats are optional per protocol; the row-id checks below
+            # need the row count — one driver-local footer read
+            # (_num_records' fallback), never a silent skip that would
+            # pass overlapping ranges as clean
+            try:
+                n_records = _num_records(path, add)
+            except Exception as e:  # noqa: BLE001 — report, don't abort
+                findings.append(f"{p}: cannot determine row count ({e})")
         dv = add.get("deletionVector")
         if dv:
             try:

@@ -3786,3 +3786,59 @@ def test_delta_fsck_clean_and_injected_corruptions(spark, tmp_path):
     )
     finds = dl.delta_fsck(t2)
     assert any("protocol-honest readers" in f for f in finds)
+
+
+def test_delta_fsck_reports_instead_of_aborting(spark, tmp_path):
+    """fsck on exactly the logs it exists to audit — remote-scheme paths
+    it cannot resolve, stats-free add actions on a tracked table — must
+    REPORT findings, not crash, and must not silently pass overlapping
+    row ids hidden behind missing stats (code-review r11)."""
+    dl = _rt_imports()
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    t = str(tmp_path / "fsckr")
+    delta_write(
+        spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1), t
+    )
+    dl.delta_enable_row_tracking(spark, t)
+    snap = dl._replay(t, None)
+    v = snap.version
+    # a foreign add referencing an s3 URI: unresolvable locally -> finding
+    _claim_version(
+        os.path.join(t, "_delta_log"), v + 1,
+        json.dumps(
+            {
+                "add": {
+                    "path": "s3://bucket/part-x.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "baseRowId": 1_000,
+                    "defaultRowCommitVersion": 1,
+                    "stats": json.dumps({"numRecords": 5}),
+                }
+            }
+        )
+        + "\n",
+    )
+    finds = dl.delta_fsck(t)
+    assert any("cannot resolve locally" in f for f in finds)
+    # stats-free add whose footer-read row count exposes an OVERLAP with
+    # an existing range: the fallback must catch it (silent skip would
+    # return clean)
+    (p0,) = [p for p in snap.files]
+    stats_free = {
+        k: v2 for k, v2 in snap.files[p0].items() if k != "stats"
+    } | {"path": "copy-" + p0, "baseRowId": 0, "defaultRowCommitVersion": 1}
+    import shutil as _sh
+
+    _sh.copyfile(os.path.join(t, p0), os.path.join(t, "copy-" + p0))
+    _claim_version(
+        os.path.join(t, "_delta_log"), v + 2,
+        json.dumps({"add": stats_free}) + "\n",
+    )
+    finds = dl.delta_fsck(t)
+    assert any("overlapping row-id ranges" in f for f in finds)

@@ -454,9 +454,30 @@ def test_audio_dedup_recovers_planted_pairs(spark):
     )
 
     docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
-    pairs = {
-        (r["id_a"], r["id_b"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
         for r in audio_dedup_pairs(synthesize_wav_pairs(docs, "doc_id")).collect()
     }
     for i in range(60):
-        assert (2 * i, 2 * i + 1) in pairs, f"planted pair for doc {i} lost"
+        assert (2 * i, 2 * i + 1) in got, f"planted pair for doc {i} lost"
+    # the perturbation must actually flip bits on part of the corpus, or
+    # this test would pass with a plain equality join (code-review r11)
+    planted = [got[(2 * i, 2 * i + 1)] for i in range(60)]
+    assert max(planted) >= 1 and min(planted) == 0
+
+
+def test_decode_wav_truncated_rejected():
+    """A download cut short must be rejected with the real diagnosis —
+    not silently featurized over fewer samples, not an opaque numpy
+    buffer error (code-review r11)."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+        decode_wav,
+        wav_bytes,
+    )
+
+    blob = wav_bytes(3, 800)
+    try:
+        decode_wav(blob[: len(blob) - 100])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "truncated WAVE chunk" in str(e)

@@ -257,9 +257,13 @@ def registry() -> dict[str, QuerySpec]:
     #   decontaminate_ngram_verbatim / corpus_mixture_weights
     #                                 <-> mixture_sample_by_lang twin
     #   training_order_shuffle        <-> encode_documents_vocab
-    #   delta_row_tracking_ids / delta_clustered_optimize_read
-    #                                 <-> two more r11 delta rows (late-r11
-    #       additions: row tracking + clustered-table OPTIMIZE)
+    #   delta_row_tracking_ids / delta_clustered_optimize_read /
+    #   delta_log_cleanup_roundtrip   <-> three more r11 delta rows
+    #       (late-r11 additions: row tracking, clustered-table OPTIMIZE,
+    #       expired-log cleanup)
+    #   audio_features_wav / audio_dedup_pairs <-> multimodal_features /
+    #       image_dhash_dedup_pairs twins stay rows-only; these two are
+    #       the family's first HARD-oracle rows (late-r11 additions)
     deferred = {
         # new r11 (starts deferred; six delta rows in-window keep the
         # storage family; r12 rotation candidates — the v2-checkpoint

@@ -351,24 +351,79 @@ def _write_colmap_bronze(spark: SparkSession, path: str) -> None:
     ``_delta_log`` whose metaData carries ``delta.columnMapping.
     physicalName`` annotations, mode=name configuration, and a protocol-2
     reader requirement — a FOREIGN log this module's writer refuses to
-    produce, exercised read-only."""
+    produce, exercised read-only.
+
+    Written DRIVER-SIDE with pyarrow (the checkpoint-writer precedent): a
+    7-row local-relation Spark write costs ~0.15 s PER EXECUTOR THREAD in
+    empty-task commits on local[32] — five seconds of pure overhead for a
+    fixture pyarrow lays out in milliseconds. The Hive dirs, physical
+    column names, and percent-encoded log paths are byte-identical to
+    what the Spark writer produced."""
+    import datetime
     import json
     import os
     import shutil
     from urllib.parse import quote, unquote
 
+    import pyarrow as _pa
     import pyarrow.parquet as _pq
 
     from lakehouse_architecture_for_realestatedata_spark.queries_pipeline import (
-        _bronze_df,
+        _BRONZE_ROWS,
     )
 
     shutil.rmtree(path, ignore_errors=True)
-    bronze = _bronze_df(spark).drop("mtime")
+    norm_names = list(_COLMAP_RAW_NAMES)  # incl. file_modification_time
+    # rows keyed by normalized name; mtime string -> UTC timestamp
+    rows = [
+        dict(zip(norm_names[:-1], r[:-1]))
+        | {
+            "file_modification_time": datetime.datetime.strptime(
+                r[-1], "%Y-%m-%d %H:%M:%S"
+            ).replace(tzinfo=datetime.timezone.utc)
+        }
+        for r in _BRONZE_ROWS
+    ]
+
+    def hive_escape(v: str) -> str:
+        # Spark's ExternalCatalogUtils.escapePathName special set
+        out = []
+        for ch in v:
+            if ch in '"#%\'*/:=?\\\x7f{[]^' or ord(ch) < 0x20:
+                out.append(f"%{ord(ch):02X}")
+            else:
+                out.append(ch)
+        return "".join(out)
+
     part_phys = _COLMAP_PHYS_NAMES["province_raw"]
-    bronze.select(
-        *[F.col(n).alias(_COLMAP_PHYS_NAMES[n]) for n in _COLMAP_RAW_NAMES]
-    ).coalesce(1).write.mode("overwrite").partitionBy(part_phys).parquet(path)
+    by_prov: dict[str | None, list[dict]] = {}
+    for r in rows:
+        by_prov.setdefault(r["province_raw"], []).append(r)
+    data_names = [n for n in norm_names if n != "province_raw"]
+    for gi, prov in enumerate(sorted(by_prov, key=lambda v: (v is None, v))):
+        seg = (
+            "__HIVE_DEFAULT_PARTITION__" if prov is None else hive_escape(prov)
+        )
+        d = os.path.join(path, f"{part_phys}={seg}")
+        os.makedirs(d, exist_ok=True)
+        grp = by_prov[prov]
+        arrays, fields = [], []
+        for n in data_names:
+            phys = _COLMAP_PHYS_NAMES[n]
+            if n == "file_modification_time":
+                arrays.append(
+                    _pa.array(
+                        [r[n] for r in grp], _pa.timestamp("us", tz="UTC")
+                    )
+                )
+                fields.append(_pa.field(phys, _pa.timestamp("us", tz="UTC")))
+            else:
+                arrays.append(_pa.array([r[n] for r in grp], _pa.string()))
+                fields.append(_pa.field(phys, _pa.string()))
+        _pq.write_table(
+            _pa.table(arrays, schema=_pa.schema(fields)),
+            os.path.join(d, f"part-{gi:05d}.parquet"),
+        )
 
     adds = []
     for root, _dirs, files in os.walk(path):

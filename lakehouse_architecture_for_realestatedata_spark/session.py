@@ -40,6 +40,19 @@ _DEFAULT_CONF: dict[str, str] = {
     # non-ANSI; Spark 4 flipped it). Vietnamese price parsing relies on
     # cast('abc' as double) => NULL, not an error.
     "spark.sql.ansi.enabled": "false",
+    # FileOutputCommitter v2: tasks commit straight to the destination
+    # instead of the v1 double-rename through a job-temp dir. v1's
+    # job-commit renames serialize on the driver at ~0.15 s PER TASK on
+    # this filesystem — a 7-row local-relation write planned over 32
+    # executor threads paid ~5 s of empty-task commits (measured r11; the
+    # colmap fixture was the visible victim). Atomicity note: every
+    # engine write path that needs job atomicity already has it ABOVE the
+    # committer — delta_lite writes to a temp dir then claims the version
+    # put-if-absent, ParquetTable gates reads on its manifest — so v2's
+    # weaker failure story (partial files on task failure) is invisible
+    # behind those commit protocols, the same reasoning cloud-native
+    # committers use.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 
 

@@ -1,15 +1,10 @@
 """Run-twice determinism smoke (the round-7 bug class): the queries built
 on global ordering / bucketing / sampling primitives must hash identically
 across two fresh plan compositions and executions. The full registry gets
-the same check from tools/check_determinism.py (210/210 stable, r11 — the
-FULL registry incl. every late-module registration: 204 in the full
-round-close run plus the late delta_identity_append /
-delta_row_tracking_ids / delta_clustered_optimize_read /
-delta_log_cleanup_roundtrip / audio_features_wav /
-audio_dedup_pairs registrations
-checked by the same tool;
-re-run it over the whole registry at every
-round close and refresh this note); this pytest
+the same check from tools/check_determinism.py (210/210 stable, r11 —
+ONE full-registry round-close run over every registration incl. the
+late r11 additions; re-run it over the whole registry at every round
+close and refresh this note); this pytest
 keeps the most at-risk family guarded on every run, and
 test_full_registry_determinism_note_is_current makes a stale count FAIL
 instead of drifting silently (it hit 167 in r8 and 184 in r9)."""

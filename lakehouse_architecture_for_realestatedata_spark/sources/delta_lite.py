@@ -2076,8 +2076,10 @@ def delta_clone(spark: SparkSession, src: str, dst: str) -> int:
 
 
 def delta_history(path: str) -> list[dict]:
-    """(version, timestamp, operation, operationParameters) per commit —
-    the DESCRIBE HISTORY analogue, from commitInfo actions."""
+    """(version, timestamp, operation, operationParameters,
+    operationMetrics) per commit — the DESCRIBE HISTORY analogue, from
+    commitInfo actions (metrics are the delta-spark-style string-valued
+    counters every write site stamps since r11)."""
     out = []
     log = _log_dir(path)
     for f in sorted(os.listdir(log)):
@@ -2094,6 +2096,7 @@ def delta_history(path: str) -> list[dict]:
                             "timestamp": ci.get("timestamp"),
                             "operation": ci.get("operation"),
                             "operationParameters": ci.get("operationParameters", {}),
+                            "operationMetrics": ci.get("operationMetrics", {}),
                         }
                     )
                     break
@@ -2307,6 +2310,35 @@ def _stamp_row_ids(
             "removed": False,
         }
     }
+
+
+def _op_metrics(
+    adds: list[dict] | None = None,
+    removed: int = 0,
+    **extra: int,
+) -> dict[str, str]:
+    """delta-spark-style ``commitInfo.operationMetrics``: string-valued
+    counters (numFiles / numOutputRows from the new adds' stats —
+    already in hand, zero extra work — numRemovedFiles, plus op-specific
+    extras like numDeletedRows). DESCRIBE HISTORY parity: delta_history
+    surfaces them verbatim, so an ops dashboard reading this log sees
+    the same keys delta-spark writes."""
+    adds = adds or []
+    rows = 0
+    for a in adds:
+        s = a.get("stats")
+        if s:
+            try:
+                rows += int(json.loads(s).get("numRecords") or 0)
+            except (ValueError, TypeError):
+                pass
+    m = {
+        "numFiles": str(len(adds)),
+        "numOutputRows": str(rows),
+        "numRemovedFiles": str(removed),
+    }
+    m.update({k: str(v) for k, v in extra.items()})
+    return m
 
 
 def _carry_row_ids(rm: dict, add: dict) -> dict:
@@ -2972,6 +3004,10 @@ def delta_write(
             "timestamp": now,
             "operation": "WRITE",
             "operationParameters": {"mode": mode.upper()},
+            "operationMetrics": _op_metrics(
+                adds,
+                removed=len(prior_files) if mode == "overwrite" else 0,
+            ),
             "engineInfo": "delta-lite",
         }
         ict = _ict_for_commit(path, meta_configuration, latest, now)
@@ -3152,6 +3188,7 @@ def delta_optimize(
             "clusterBy": list(cluster_cols or []),
             "zOrder": bool(zorder and cluster_cols),
         },
+        "operationMetrics": _op_metrics(adds, removed=len(snap.files)),
         "engineInfo": "delta-lite",
     }
     ict = _ict_for_commit(path, snap.configuration, latest, now)
@@ -3328,6 +3365,7 @@ def _commit_rewrite(
         "timestamp": now,
         "operation": op,
         "operationParameters": operation_parameters or {},
+        "operationMetrics": _op_metrics(adds, removed=len(touched)),
         "engineInfo": "delta-lite",
     }
     ict = _ict_for_commit(path, snap.configuration, latest, now)
@@ -3781,6 +3819,10 @@ def _delete_with_dvs(
         "operationParameters": {
             "predicate": " AND ".join(f"{c} {o} {v!r}" for c, o, v in conds)
         },
+        "operationMetrics": _op_metrics(
+            numDeletedRows=sum(len(v) for v in by_file.values()),
+            numDeletionVectorsAdded=len(by_file),
+        ),
         "engineInfo": "delta-lite",
     }
     ict = _ict_for_commit(path, snap.configuration, latest, now)
@@ -3876,6 +3918,11 @@ def _update_with_dvs(
         "operationParameters": {
             "predicate": " AND ".join(f"{c} {o} {v!r}" for c, o, v in conds)
         },
+        "operationMetrics": _op_metrics(
+            adds,
+            numUpdatedRows=sum(len(v) for v in by_file.values()),
+            numDeletionVectorsAdded=len(by_file),
+        ),
         "engineInfo": "delta-lite",
     }
     ict = _ict_for_commit(path, snap.configuration, latest, now)
@@ -4042,6 +4089,11 @@ def _merge_with_dvs(
             "predicate": " AND ".join(f"t.{k} = s.{k}" for k in keys),
             "matchedAction": when_matched,
         },
+        "operationMetrics": _op_metrics(
+            adds,
+            numTargetRowsMatched=sum(len(v) for v in by_file.values()),
+            numDeletionVectorsAdded=len(by_file),
+        ),
         "engineInfo": "delta-lite",
     }
     ict = _ict_for_commit(path, snap.configuration, latest, now)

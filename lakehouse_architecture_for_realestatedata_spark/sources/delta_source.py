@@ -104,6 +104,10 @@ class _FilePartition(InputPartition):
     rel_path: str
     partition_values: dict = field(default_factory=dict)
     deletion_vector: dict | None = None
+    # row tracking (withRowIds reads): the file's fresh-id base and
+    # default commit version, per its add action
+    base_row_id: int | None = None
+    default_rcv: int | None = None
 
 
 def _file_batches(
@@ -113,6 +117,7 @@ def _file_batches(
     colspecs: list[tuple[str, str, bool, int | None]],
     target,
     dv: dict | None = None,
+    rowids: tuple[int, int | None, str | None, str | None] | None = None,
 ):
     """Arrow batches of one data file under the LOGICAL schema: scan the
     parquet file (physical names — or, for columnMapping.mode=id, by the
@@ -137,9 +142,11 @@ def _file_batches(
         fid_raw = (fld.metadata or {}).get(b"PARQUET:field_id")
         if fid_raw is not None:
             by_fid[int(fid_raw)] = fld.name
-    if dv:
-        import numpy as np
+    import numpy as np
 
+    # row index BEFORE any DV mask — row ids address pre-delete positions
+    idx = np.arange(tbl.num_rows, dtype=np.int64)
+    if dv:
         from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
             _load_deletion_vector,
         )
@@ -150,6 +157,7 @@ def _file_batches(
         mask = np.ones(tbl.num_rows, dtype=bool)
         mask[deleted[deleted < tbl.num_rows]] = False
         tbl = tbl.filter(pa.array(mask))
+        idx = idx[mask]
     n = tbl.num_rows
     arrays = []
     for (logical, physical, is_part, fid), f in zip(colspecs, target):
@@ -169,6 +177,33 @@ def _file_batches(
         else:
             # schema evolution: an old file predating the column reads NULL
             arrays.append(pa.nulls(n, f.type))
+    if rowids is not None:
+        # withRowIds: the protocol's coalesce rule — the file's
+        # MATERIALIZED value (rows OPTIMIZE/UPDATE copied in) first, else
+        # baseRowId + pre-mask row index / defaultRowCommitVersion.
+        # Stamped tables always carry both (the reader validated), so the
+        # fallbacks never leave int64.
+        base, dcv, rid_phys, rcv_phys = rowids
+
+        def coalesce_col(phys: str | None, fallback):
+            if not phys or phys not in tbl.column_names:
+                return fallback
+            col = tbl.column(phys)
+            nulls = pa.compute.is_null(col).to_numpy(zero_copy_only=False)
+            matv = np.nan_to_num(
+                col.to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            return np.where(nulls, fallback, matv)
+
+        arrays.append(pa.array(coalesce_col(rid_phys, base + idx), pa.int64()))
+        arrays.append(
+            pa.array(
+                coalesce_col(
+                    rcv_phys, np.full(n, -1 if dcv is None else dcv, np.int64)
+                ),
+                pa.int64(),
+            )
+        )
     out = pa.table(arrays, schema=target).combine_chunks()
     yield from out.to_batches()
 
@@ -216,12 +251,40 @@ class _DeltaLiteReaderBase(DataSourceReader):
     refuses any reader that merely DEFINES pushFilters under that conf,
     so the capability must live in a subclass)."""
 
-    def __init__(self, path: str, version: int | None, schema: StructType):
+    def __init__(
+        self,
+        path: str,
+        version: int | None,
+        schema: StructType,
+        with_row_ids: bool = False,
+    ):
         self.path = path
         self.snap = _replay(path, version)
         self.schema = schema
         self.colspecs = _colspecs_for(self.snap)
         self.conds: list[tuple] = []
+        self.with_row_ids = with_row_ids
+        self.rt_cols: tuple[str | None, str | None] = (None, None)
+        if with_row_ids:
+            conf = self.snap.configuration or {}
+            self.rt_cols = (
+                conf.get("delta.rowTracking.materializedRowIdColumnName"),
+                conf.get(
+                    "delta.rowTracking.materializedRowCommitVersionColumnName"
+                ),
+            )
+            missing = sorted(
+                p
+                for p, a in self.snap.files.items()
+                if a.get("baseRowId") is None
+            )
+            if missing:
+                raise DeltaProtocolError(
+                    f"{path}: withRowIds needs baseRowId on every active "
+                    f"file; missing on {missing[:3]} (enable row tracking "
+                    "with delta_enable_row_tracking — its backfill stamps "
+                    "existing files)"
+                )
 
     def partitions(self):
         active = _pruned_files(self.snap, self.conds)
@@ -230,6 +293,17 @@ class _DeltaLiteReaderBase(DataSourceReader):
                 p,
                 add.get("partitionValues") or {},
                 add.get("deletionVector"),
+                (
+                    int(add["baseRowId"])
+                    if self.with_row_ids
+                    else None
+                ),
+                (
+                    int(add["defaultRowCommitVersion"])
+                    if self.with_row_ids
+                    and add.get("defaultRowCommitVersion") is not None
+                    else None
+                ),
             )
             for p, add in sorted(active.items())
         ]
@@ -242,6 +316,16 @@ class _DeltaLiteReaderBase(DataSourceReader):
             self.colspecs,
             _arrow_schema(self.schema),
             dv=partition.deletion_vector,
+            rowids=(
+                (
+                    partition.base_row_id,
+                    partition.default_rcv,
+                    self.rt_cols[0],
+                    self.rt_cols[1],
+                )
+                if self.with_row_ids
+                else None
+            ),
         )
 
 
@@ -716,7 +800,11 @@ class DeltaLiteDataSource(DataSource):
     """``format("delta_lite")``. Options: ``path`` (or ``.load(path)``),
     ``version`` / ``timestampMillis`` for batch time travel,
     ``ignoreChanges`` for streaming past data-changing commits,
-    ``mergeSchema`` to widen the table on append (Delta's option)."""
+    ``mergeSchema`` to widen the table on append (Delta's option),
+    ``withRowIds`` to append ``_row_id``/``_row_commit_version`` on a
+    row-tracked table (the protocol's coalesce rule, computed per file
+    from its baseRowId + pre-DV row index and any materialized
+    columns — API parity with ``delta_read(with_row_ids=True)``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -737,8 +825,25 @@ class DeltaLiteDataSource(DataSource):
             return version_at_timestamp(self._path(), int(ts))
         return int(v) if v is not None else None
 
+    def _with_row_ids(self) -> bool:
+        return str(self.options.get("withrowids", "false")).lower() in (
+            "true",
+            "1",
+        )
+
     def schema(self) -> StructType:
-        return _strip_metadata(_replay(self._path(), self._version()).schema)
+        st = _strip_metadata(_replay(self._path(), self._version()).schema)
+        if self._with_row_ids():
+            from pyspark.sql.types import LongType, StructField
+
+            st = StructType(
+                list(st.fields)
+                + [
+                    StructField("_row_id", LongType(), True),
+                    StructField("_row_commit_version", LongType(), True),
+                ]
+            )
+        return st
 
     def reader(self, schema: StructType) -> _DeltaLiteReaderBase:
         # Spark refuses a reader that defines pushFilters when the Python
@@ -755,7 +860,10 @@ class DeltaLiteDataSource(DataSource):
             == "true"
         )
         cls = _DeltaLiteReader if enabled else _DeltaLiteReaderBase
-        return cls(self._path(), self._version(), schema)
+        return cls(
+            self._path(), self._version(), schema,
+            with_row_ids=self._with_row_ids(),
+        )
 
     def streamReader(self, schema: StructType) -> _DeltaLiteStreamReader:
         ignore = str(self.options.get("ignorechanges", "false")).lower() in (

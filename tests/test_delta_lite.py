@@ -3842,3 +3842,26 @@ def test_delta_fsck_reports_instead_of_aborting(spark, tmp_path):
     )
     finds = dl.delta_fsck(t)
     assert any("overlapping row-id ranges" in f for f in finds)
+
+
+def test_operation_metrics_in_history(spark, tmp_path):
+    """commitInfo.operationMetrics (DESCRIBE HISTORY parity): writes
+    carry numFiles/numOutputRows/numRemovedFiles from data already in
+    hand (the adds' stats), DV DELETE reports numDeletedRows and
+    numDeletionVectorsAdded, OPTIMIZE reports the full swap."""
+    dl = _rt_imports()
+    t = str(tmp_path / "om")
+    delta_write(
+        spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1), t
+    )
+    dl.delta_enable_dvs(spark, t)
+    dl.delta_delete_where(spark, t, ("k", "between", (2, 4)))
+    dl.delta_optimize(spark, t, n_files=1)
+    hist = {h["operation"]: h for h in delta_history(t)}
+    m = hist["WRITE"]["operationMetrics"]
+    assert (m["numFiles"], m["numOutputRows"], m["numRemovedFiles"]) == ("1", "10", "0")
+    m = hist["DELETE"]["operationMetrics"]
+    assert (m["numDeletedRows"], m["numDeletionVectorsAdded"]) == ("3", "1")
+    m = hist["OPTIMIZE"]["operationMetrics"]
+    assert m["numFiles"] == "1" and m["numRemovedFiles"] == "1"
+    assert m["numOutputRows"] == "7"  # materialized through the DV

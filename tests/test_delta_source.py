@@ -549,3 +549,61 @@ def test_format_reads_mode_id_by_field_id(spark, tmp_path):
     assert sorted((r["num"], r["tag"]) for r in got.collect()) == [
         (10, "a"), (20, "b"),
     ]
+
+
+def test_format_with_row_ids_matches_native(spark, tmp_path):
+    """option('withRowIds') on the format reader must equal
+    delta_read(with_row_ids=True) bit-for-bit through the whole
+    row-tracking life cycle — backfill, fresh append, DV delete (ids
+    address PRE-delete positions), and OPTIMIZE materialization — and
+    refuse unstamped tables by name."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.sources import (
+        delta_lite as dl,
+    )
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    t = str(tmp_path / "rtfmt")
+    dl.delta_write(
+        spark.range(0, 12)
+        .select(F.col("id").alias("k"))
+        .coalesce(1)
+        .sortWithinPartitions("k"),
+        t,
+    )
+    # pre-enablement: unstamped table refused by name
+    dl.delta_enable_dvs(spark, t)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="withRowIds"):
+        spark.read.format("delta_lite").option("withRowIds", "true").load(
+            t
+        ).collect()
+    dl.delta_enable_row_tracking(spark, t)
+    dl.delta_write(
+        spark.range(12, 18).select(F.col("id").alias("k")).coalesce(1),
+        t,
+        mode="append",
+    )
+    dl.delta_delete_where(spark, t, ("k", "between", (2, 4)))
+    dl.delta_optimize(spark, t, n_files=1)
+    native = sorted(
+        map(
+            tuple,
+            dl.delta_read(spark, t, with_row_ids=True)
+            .select("k", "_row_id", "_row_commit_version")
+            .collect(),
+        )
+    )
+    fmt = sorted(
+        map(
+            tuple,
+            spark.read.format("delta_lite")
+            .option("withRowIds", "true")
+            .load(t)
+            .select("k", "_row_id", "_row_commit_version")
+            .collect(),
+        )
+    )
+    assert native == fmt and len(fmt) == 15

@@ -164,6 +164,8 @@ HEADLINE = [
     # audio near-dup: energy-gradient fingerprints through the shared
     # banded-Hamming LSH (third modality on the 8-byte dedup engine)
     "audio_dedup_pairs",
+    # format-path twin of the row-tracking read (Arrow-side row ids)
+    "delta_row_tracking_format_read",
 ]
 
 

@@ -261,6 +261,8 @@ def registry() -> dict[str, QuerySpec]:
     #   delta_log_cleanup_roundtrip   <-> three more r11 delta rows
     #       (late-r11 additions: row tracking, clustered-table OPTIMIZE,
     #       expired-log cleanup)
+    #   delta_row_tracking_format_read <-> delta_row_tracking_ids twin
+    #       (format front door for the stable-id surface)
     #   audio_features_wav / audio_dedup_pairs <-> multimodal_features /
     #       image_dhash_dedup_pairs twins stay rows-only; these two are
     #       the family's first HARD-oracle rows (late-r11 additions)
@@ -281,6 +283,7 @@ def registry() -> dict[str, QuerySpec]:
         # the multimodal family's FIRST hard-oracle row):
         "audio_features_wav",
         "audio_dedup_pairs",
+        "delta_row_tracking_format_read",
         # new r11 (starts deferred; per_source_doc_caps keeps the curation
         # family in-window; r12 rotation candidate — the alpha=1/2
         # temperature training-mix rebalance):

@@ -1981,3 +1981,89 @@ def q_delta_log_cleanup_roundtrip(
     return delta_read(spark, path).select(
         "o_orderkey", F.lit(len(deleted)).alias("n_cleaned")
     )
+
+
+@register(
+    "delta_row_tracking_format_read",
+    """
+    WITH b1 AS (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey <= 500
+    ), b2 AS (
+        SELECT o_orderkey,
+               (SELECT count(*) FROM b1)
+               + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 800
+    )
+    SELECT o_orderkey, cast(rid AS bigint) AS row_id,
+           cast(1 AS bigint) AS row_commit_version
+    FROM b1 WHERE o_orderkey NOT BETWEEN 100 AND 200
+    UNION ALL
+    SELECT o_orderkey, cast(rid AS bigint) AS row_id,
+           cast(2 AS bigint) AS row_commit_version
+    FROM b2
+    """,
+    doc="The FORMAT-path twin of delta_row_tracking_ids "
+    "(sources/delta_source.py option('withRowIds') — per-file Arrow-side "
+    "coalesce(materialized, baseRowId + pre-DV row index)): the same "
+    "backfill → append → DV delete → OPTIMIZE fixture read through "
+    "spark.read.format('delta_lite') instead of the native scan, against "
+    "the identical closed-form oracle — the two front doors must hand "
+    "back the same stable ids bit-for-bit.",
+)
+def q_delta_row_tracking_format_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+        delta_enable_dvs,
+        delta_enable_row_tracking,
+        delta_optimize,
+        delta_write,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_source import (
+        register_delta_lite_source,
+    )
+
+    register_delta_lite_source(spark)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 800).select(
+        "o_orderkey"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_rowtrackfmt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_rowtrack_fmt"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    b1 = (
+        orders.filter(F.col("o_orderkey") <= 500)
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    delta_write(b1, path)                                          # v0
+    delta_enable_row_tracking(spark, path)                         # v1 backfill
+    b2 = (
+        orders.filter(F.col("o_orderkey") > 500)
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    delta_write(b2, path, mode="append")                           # v2
+    delta_enable_dvs(spark, path)                                  # v3
+    delta_delete_where(spark, path, ("o_orderkey", "between", (100, 200)))  # v4
+    delta_optimize(spark, path, n_files=1)                         # v5
+    got = (
+        spark.read.format("delta_lite")
+        .option("withRowIds", "true")
+        .load(path)
+    )
+    return got.select(
+        "o_orderkey",
+        F.col("_row_id").alias("row_id"),
+        F.col("_row_commit_version").alias("row_commit_version"),
+    )

@@ -141,6 +141,7 @@ def test_driver_window_fully_oracle_backed():
         "delta_log_cleanup_roundtrip",
         "audio_features_wav",
         "audio_dedup_pairs",
+        "delta_row_tracking_format_read",
         # r11 rotation swap-outs (driver-green in r10; family twin in-window
         # — see the promoted list's r11 comment in queries.registry):
         "ohlc_daily_bars",

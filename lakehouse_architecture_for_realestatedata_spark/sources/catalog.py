@@ -374,7 +374,10 @@ def serve_thrift(cat: Catalog, port: int | None = None):
     import socket
     import time as _time
 
-    deadline = _time.time() + 60
+    # 120 s: generous because a loaded JVM (a 200-query sweep in the same
+    # process) can push the async bind far past the usual ~2 s — the one
+    # observed flake was exactly this timeout under marathon load
+    deadline = _time.time() + 120
     while _time.time() < deadline:
         try:
             with socket.create_connection(("127.0.0.1", port), timeout=1):
@@ -382,7 +385,7 @@ def serve_thrift(cat: Catalog, port: int | None = None):
         except OSError:
             _time.sleep(0.5)
     else:
-        raise TimeoutError(f"thrift server did not bind :{port} within 60 s")
+        raise TimeoutError(f"thrift server did not bind :{port} within 120 s")
     return handle, port
 
 

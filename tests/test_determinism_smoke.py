@@ -2,9 +2,8 @@
 on global ordering / bucketing / sampling primitives must hash identically
 across two fresh plan compositions and executions. The full registry gets
 the same check from tools/check_determinism.py (211/211 stable, r11 —
-ONE full-registry round-close run over every registration incl. the
-late r11 additions, plus the post-close delta_row_tracking_format_read
-checked by the same tool; re-run it over the whole registry at every round
+ONE full-registry round-close run over every registration incl. every
+late r11 addition; re-run it over the whole registry at every round
 close and refresh this note); this pytest
 keeps the most at-risk family guarded on every run, and
 test_full_registry_determinism_note_is_current makes a stale count FAIL

@@ -142,11 +142,17 @@ def _file_batches(
         fid_raw = (fld.metadata or {}).get(b"PARQUET:field_id")
         if fid_raw is not None:
             by_fid[int(fid_raw)] = fld.name
-    import numpy as np
+    idx = None
+    if rowids is not None:
+        import numpy as np
 
-    # row index BEFORE any DV mask — row ids address pre-delete positions
-    idx = np.arange(tbl.num_rows, dtype=np.int64)
+        # row index BEFORE any DV mask — row ids address pre-delete
+        # positions (allocated only when asked: a plain scan of a 10M-row
+        # file must not pay 80 MB of discarded int64s)
+        idx = np.arange(tbl.num_rows, dtype=np.int64)
     if dv:
+        import numpy as np
+
         from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
             _load_deletion_vector,
         )
@@ -157,7 +163,8 @@ def _file_batches(
         mask = np.ones(tbl.num_rows, dtype=bool)
         mask[deleted[deleted < tbl.num_rows]] = False
         tbl = tbl.filter(pa.array(mask))
-        idx = idx[mask]
+        if idx is not None:
+            idx = idx[mask]
     n = tbl.num_rows
     arrays = []
     for (logical, physical, is_part, fid), f in zip(colspecs, target):
@@ -178,30 +185,39 @@ def _file_batches(
             # schema evolution: an old file predating the column reads NULL
             arrays.append(pa.nulls(n, f.type))
     if rowids is not None:
+        import numpy as np
+
         # withRowIds: the protocol's coalesce rule — the file's
         # MATERIALIZED value (rows OPTIMIZE/UPDATE copied in) first, else
-        # baseRowId + pre-mask row index / defaultRowCommitVersion.
-        # Stamped tables always carry both (the reader validated), so the
-        # fallbacks never leave int64.
+        # baseRowId + pre-mask row index / defaultRowCommitVersion. A
+        # missing defaultRowCommitVersion coalesces to NULL, exactly like
+        # the native path (the field is optional per protocol; -1 here
+        # would silently break the two front doors' bit-for-bit parity).
         base, dcv, rid_phys, rcv_phys = rowids
 
         def coalesce_col(phys: str | None, fallback):
+            """int64 column coalescing materialized values over
+            ``fallback`` (an ndarray, or None meaning NULL)."""
             if not phys or phys not in tbl.column_names:
-                return fallback
+                return (
+                    pa.nulls(n, pa.int64())
+                    if fallback is None
+                    else pa.array(fallback, pa.int64())
+                )
             col = tbl.column(phys)
+            if fallback is None:
+                return col.cast(pa.int64())  # materialized-or-NULL
             nulls = pa.compute.is_null(col).to_numpy(zero_copy_only=False)
             matv = np.nan_to_num(
                 col.to_numpy(zero_copy_only=False)
             ).astype(np.int64)
-            return np.where(nulls, fallback, matv)
+            return pa.array(np.where(nulls, fallback, matv), pa.int64())
 
-        arrays.append(pa.array(coalesce_col(rid_phys, base + idx), pa.int64()))
+        arrays.append(coalesce_col(rid_phys, base + idx))
         arrays.append(
-            pa.array(
-                coalesce_col(
-                    rcv_phys, np.full(n, -1 if dcv is None else dcv, np.int64)
-                ),
-                pa.int64(),
+            coalesce_col(
+                rcv_phys,
+                None if dcv is None else np.full(n, dcv, np.int64),
             )
         )
     out = pa.table(arrays, schema=target).combine_chunks()
@@ -273,21 +289,23 @@ class _DeltaLiteReaderBase(DataSourceReader):
                     "delta.rowTracking.materializedRowCommitVersionColumnName"
                 ),
             )
-            missing = sorted(
-                p
-                for p, a in self.snap.files.items()
-                if a.get("baseRowId") is None
-            )
-            if missing:
-                raise DeltaProtocolError(
-                    f"{path}: withRowIds needs baseRowId on every active "
-                    f"file; missing on {missing[:3]} (enable row tracking "
-                    "with delta_enable_row_tracking — its backfill stamps "
-                    "existing files)"
-                )
 
     def partitions(self):
         active = _pruned_files(self.snap, self.conds)
+        if self.with_row_ids:
+            # validate the files this read will actually touch (post-
+            # pruning — the native path's exact scope, so a filter that
+            # dodges unstamped files succeeds on both front doors)
+            missing = sorted(
+                p for p, a in active.items() if a.get("baseRowId") is None
+            )
+            if missing:
+                raise DeltaProtocolError(
+                    f"{self.path}: withRowIds needs baseRowId on every "
+                    f"scanned file; missing on {missing[:3]} (enable row "
+                    "tracking with delta_enable_row_tracking — its "
+                    "backfill stamps existing files)"
+                )
         return [
             _FilePartition(
                 p,
@@ -866,6 +884,13 @@ class DeltaLiteDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> _DeltaLiteStreamReader:
+        if self._with_row_ids():
+            raise ValueError(
+                "delta_lite: withRowIds is batch-only — the streaming "
+                "source does not compute row ids (read the table with "
+                "spark.read.format('delta_lite').option('withRowIds', "
+                "'true') instead)"
+            )
         ignore = str(self.options.get("ignorechanges", "false")).lower() in (
             "true",
             "1",

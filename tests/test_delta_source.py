@@ -607,3 +607,59 @@ def test_format_with_row_ids_matches_native(spark, tmp_path):
         )
     )
     assert native == fmt and len(fmt) == 15
+
+
+def test_format_row_ids_null_rcv_parity_and_stream_refusal(spark, tmp_path):
+    """Code-review r11: (a) a foreign add without defaultRowCommitVersion
+    must coalesce _row_commit_version to NULL on BOTH front doors (the
+    field is optional per protocol; -1 would silently break parity);
+    (b) withRowIds on a streaming read refuses upfront by name."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.sources import (
+        delta_lite as dl,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    t = str(tmp_path / "nullrcv")
+    dl.delta_write(
+        spark.range(0, 6).select(F.col("id").alias("k")).coalesce(1), t
+    )
+    dl.delta_enable_row_tracking(spark, t)
+    # strip defaultRowCommitVersion the way a minimal foreign writer might
+    snap = dl._replay(t, None)
+    (p0,) = snap.files
+    add = {k: v for k, v in snap.files[p0].items() if k != "defaultRowCommitVersion"}
+    _claim_version(
+        os.path.join(t, "_delta_log"), snap.version + 1,
+        _json.dumps({"add": add}) + "\n",
+    )
+    native = sorted(
+        map(tuple, dl.delta_read(spark, t, with_row_ids=True)
+            .select("k", "_row_id", "_row_commit_version").collect())
+    )
+    fmt = sorted(
+        map(tuple, spark.read.format("delta_lite")
+            .option("withRowIds", "true").load(t)
+            .select("k", "_row_id", "_row_commit_version").collect())
+    )
+    assert native == fmt
+    assert all(r[2] is None for r in fmt)  # NULL, never -1
+    import pytest as _pytest
+
+    stream_df = (
+        spark.readStream.format("delta_lite")
+        .option("withRowIds", "true")
+        .load(t)
+    )  # lazy: the refusal fires when the query starts planning the source
+    with _pytest.raises(Exception, match="batch-only"):
+        q = stream_df.writeStream.format("noop").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()

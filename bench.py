@@ -168,6 +168,15 @@ HEADLINE = [
     "delta_row_tracking_format_read",
 ]
 
+# Solo re-capture support (VERDICT r11 #3): SPARK_GRAFT_ONLY=a,b,c narrows
+# the run to those queries with the IDENTICAL warmup + interleaved best-of-3
+# methodology, so a regression suspect can be re-measured on an idle box
+# without a 70-query pass diluting the attempts.
+_ONLY = os.environ.get("SPARK_GRAFT_ONLY")
+if _ONLY:
+    _keep = {n.strip() for n in _ONLY.split(",") if n.strip()}
+    HEADLINE = [n for n in HEADLINE if n in _keep]
+
 
 def main() -> None:
     from lakehouse_architecture_for_realestatedata_spark.queries import registry

@@ -2224,7 +2224,7 @@ def q_important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END) AS low_line_count,
            count(*) AS n_late
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    WHERE date_diff('day', o_orderdate, l_shipdate) >= 60
     GROUP BY l_linestatus
     """,
     doc="TPC-H Q12 shape (late shipments split by priority class): the "
@@ -2232,8 +2232,14 @@ def q_important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is l_linestatus and 'late' is shipped >= 60 days after order date — "
     "a cross-table date predicate that must evaluate post-join (Catalyst "
     "cannot push it to either scan), then conditional integer sums. All "
-    "integer arithmetic: no float hazard. Physics: one shuffle join on "
-    "the order key, one tiny hash aggregate.",
+    "integer arithmetic: no float hazard. Environment-proofing (r12, the "
+    "quantile_sketch_weekly playbook): the predicate is integer day "
+    "arithmetic on BOTH sides — DuckDB date_diff / Spark datediff — so "
+    "no date+INTERVAL result type exists for a foreign DuckDB build to "
+    "evaluate differently (both fixture columns are midnight "
+    "timestamps, so day-boundary counting == calendar-day subtraction). "
+    "Physics: one shuffle join on the order key, one tiny hash "
+    "aggregate.",
 )
 def q_late_shipment_modes_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_for_realestatedata_spark.queries import _t
@@ -2247,9 +2253,7 @@ def q_late_shipment_modes_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(
-            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        )
+        .filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) >= 60)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),

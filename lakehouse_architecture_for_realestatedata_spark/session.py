@@ -51,7 +51,10 @@ _DEFAULT_CONF: dict[str, str] = {
     # put-if-absent, ParquetTable gates reads on its manifest — so v2's
     # weaker failure story (partial files on task failure) is invisible
     # behind those commit protocols, the same reasoning cloud-native
-    # committers use.
+    # committers use. v2's OTHER failure mode — duplicate task-attempt
+    # outputs surviving a stage/task retry — is handled where files are
+    # ingested: delta_lite._dedupe_task_attempts keeps one file per part
+    # number before any add action is minted.
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 

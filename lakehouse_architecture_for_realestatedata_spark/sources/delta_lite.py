@@ -48,9 +48,9 @@ Protocol subset (explicitly checked, honestly refused otherwise):
     ``delta.checkpointPolicy=v2`` (``delta_enable_v2_checkpoints``).
     In-commit timestamps are written monotonically
     when the table enables them and govern timestamp time travel. Mode
-    ``id`` column mapping READS via Spark's native parquet field-id
-    resolution (physical_schema carries parquet.field.id); mode=id
-    writes are refused with the feature named;
+    ``id`` column mapping reads AND writes via Spark's native parquet
+    field-id support (physical_schema carries parquet.field.id; writes
+    stamp the ids into every data file's schema per SPARK-38094);
   - actions: ``metaData``, ``protocol``, ``add``, ``remove``,
     ``commitInfo``, ``txn`` (replayed as per-appId idempotence
     watermarks and written by the exactly-once streaming sink), and
@@ -90,6 +90,7 @@ import decimal
 import json
 import math
 import os
+import re
 import struct
 import time
 import uuid
@@ -471,11 +472,26 @@ def _to_physical_frame(
     NULL for absent ones, per protocol)."""
     if mode == "none":
         return df
-    phys = _physical_struct(annotated)
+    # mode=id: the physical fields additionally carry parquet.field.id
+    # metadata, which Spark's parquet writer stamps into the file schema
+    # (spark.sql.parquet.fieldId.write.enabled, SPARK-38094) — the
+    # binding mode=id readers resolve by. alias(metadata=...) is what
+    # propagates the field metadata through the projection; nested ids
+    # ride the cast's target StructType.
+    with_ids = mode == "id"
+    if with_ids:
+        df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    phys = _physical_struct(annotated, with_field_ids=with_ids)
     m = {lf.name: pf for lf, pf in zip(annotated.fields, phys.fields)}
     return df.select(
         *[
-            F.col(c).cast(m[c].dataType).alias(m[c].name) if c in m else F.col(c)
+            (
+                F.col(c)
+                .cast(m[c].dataType)
+                .alias(m[c].name, metadata=dict(m[c].metadata or {}))
+                if c in m
+                else F.col(c)
+            )
             for c in df.columns
         ]
     )
@@ -963,16 +979,6 @@ def _writer_gate(
     ``removes_data``: True when the commit will carry dataChange removes,
     which ``delta.appendOnly`` tables forbid (compaction's
     dataChange:false removes are legal — no rows change)."""
-    if snap.column_mapping == "id":
-        # reads resolve by parquet field id (physical_schema carries
-        # parquet.field.id); writing would have to stamp field ids into
-        # every parquet file, which this writer does not do — refuse by
-        # name instead of producing files mode=id readers cannot bind
-        raise DeltaProtocolError(
-            f"{path}: columnMapping.mode=id is read-only here — writes "
-            "would need parquet field-id stamping (mode=name tables "
-            "write fully)"
-        )
     proto = snap.protocol or {}
     mw = proto.get("minWriterVersion", 1)
     if mw >= 7:
@@ -1728,6 +1734,14 @@ def _scan_files_rowids(
             "(enable row tracking with delta_enable_row_tracking — its "
             "backfill stamps existing files)"
         )
+    if snap.column_mapping == "id":
+        # mode=id: bind parquet columns by field id, exactly like
+        # _scan_files — the physical_schema fields below carry the
+        # parquet.field.id metadata, so without this conf the name-based
+        # binding silently NULL-fills every data column (the file's
+        # column names are opaque under mode=id) while the plain read
+        # and the Arrow format path return correct data.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     conf = snap.configuration or {}
     rid_col = conf.get(_ROW_ID_COL_KEY)
     rcv_col = conf.get(_ROW_CV_COL_KEY)
@@ -2106,7 +2120,9 @@ def delta_history(path: str) -> list[dict]:
 def _claim_version(log: str, version: int, payload: str) -> None:
     """Put-if-absent commit: write to a temp file, then ``link(2)`` it to
     the versioned name — creation is exclusive, exactly one writer wins
-    (the same optimistic protocol sources/tables.py pins for manifests)."""
+    (the same optimistic protocol sources/tables.py pins for manifests).
+    A best-effort ``<version>.crc`` VersionChecksum rides every won
+    claim (delta-spark interop; see _write_version_checksum)."""
     os.makedirs(log, exist_ok=True)
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
@@ -2119,6 +2135,89 @@ def _claim_version(log: str, version: int, payload: str) -> None:
         ) from e
     finally:
         os.unlink(tmp)
+    try:
+        _write_version_checksum(log, version, payload)
+    except Exception:  # noqa: BLE001 — the checksum is best-effort
+        # like delta-spark's: a commit must never fail (or be retried)
+        # because its advisory checksum could not be computed — e.g. a
+        # test fixture claiming a deliberately-corrupt payload
+        pass
+
+
+def _write_version_checksum(log: str, version: int, payload: str) -> None:
+    """``<version>.crc`` VersionChecksum (delta-spark interop,
+    VERDICT r11 #6): a per-commit summary of the POST-commit table state
+    — tableSizeBytes / numFiles / numDeletionVectorsOpt plus the
+    governing metadata and protocol — that delta-spark emits next to
+    every commit and uses to validate snapshot reconstruction.
+    ``delta_fsck`` verifies these against its own replay; foreign logs
+    without them are tolerated everywhere (the files are advisory).
+
+    Cost: commitInfo/txn-only commits copy the previous checksum
+    forward (O(1)); state-changing commits replay the just-committed
+    version — the same checkpoint-anchored O(retained tail) the commit
+    itself already paid for its pre-write snapshot, so the asymptotics
+    of a 10⁶-commit table are unchanged."""
+    crc_path = os.path.join(log, f"{version:020d}.crc")
+    if os.path.exists(crc_path):
+        return
+    actions = [json.loads(ln) for ln in payload.splitlines() if ln.strip()]
+    state_keys = {"add", "remove", "metaData", "protocol"}
+    prev_path = os.path.join(log, f"{version - 1:020d}.crc")
+    if (
+        version > 0
+        and os.path.isfile(prev_path)
+        and not any(state_keys & a.keys() for a in actions)
+    ):
+        # commitInfo/txn/domainMetadata-only commit: table files and
+        # governing metadata are unchanged — carry the summary forward
+        with open(prev_path) as fh:
+            crc = json.load(fh)
+        crc["txnId"] = None
+    else:
+        snap = _replay(os.path.dirname(log), version)
+        crc = {
+            "tableSizeBytes": sum(
+                int(a.get("size") or 0) for a in snap.files.values()
+            ),
+            "numFiles": len(snap.files),
+            "numDeletionVectorsOpt": sum(
+                1 for a in snap.files.values() if a.get("deletionVector")
+            ),
+            "numMetadata": 1,
+            "numProtocol": 1,
+        }
+        if snap.protocol is not None:
+            crc["protocol"] = snap.protocol
+        meta = next(
+            (a["metaData"] for a in actions if "metaData" in a), None
+        )
+        if meta is None and version > 0 and os.path.isfile(prev_path):
+            with open(prev_path) as fh:
+                meta = json.load(fh).get("metadata")
+        if meta is not None:
+            crc["metadata"] = meta
+    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.crc")
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(crc))
+    os.replace(tmp, crc_path)
+
+
+def _dedupe_task_attempts(root: str, files: list[str]) -> set[str]:
+    """Committer-v2 hygiene: a committed-then-retried task (stage retry,
+    speculation) can leave TWO outputs for the same task/part number in
+    the destination — v1's job-commit dedupes these, v2 does not, and
+    blindly ingesting both would double the task's rows. Keep exactly
+    one file per part number (newest mtime — the attempt that committed
+    last); non-Spark-named files pass through untouched."""
+    by_part: dict[str, list[str]] = {}
+    for f in files:
+        mpart = re.match(r"part-(\d+)-", f)
+        by_part.setdefault(mpart.group(1) if mpart else f, []).append(f)
+    return {
+        max(cands, key=lambda f: os.path.getmtime(os.path.join(root, f)))
+        for cands in by_part.values()
+    }
 
 
 def _write_data_files(
@@ -2137,9 +2236,12 @@ def _write_data_files(
     adds: list[dict] = []
     now = int(time.time() * 1000)
     for root, _dirs, files in os.walk(tmp):
+        keep = _dedupe_task_attempts(root, files)
         for f in files:
             if not f.endswith(".parquet"):
                 continue
+            if f not in keep:
+                continue  # superseded duplicate task attempt
             # Spark can emit zero-row part files for empty partitions; a
             # zero-row add pollutes the log (and foreign readers' stats)
             # for nothing — skip them (footer read: metadata-scale; the
@@ -2261,7 +2363,13 @@ def _row_id_hwm(snap: _Snapshot) -> int:
     if not cfg:
         return -1
     try:
-        return int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+        parsed = json.loads(cfg)
+        # a configuration that parses as non-dict JSON ('"7"', '[5]')
+        # must raise the SAME wrapper — .get() on it would escape as
+        # AttributeError past delta_fsck's except clause
+        if not isinstance(parsed, dict):
+            raise TypeError("domain configuration is not a JSON object")
+        return int(parsed.get("rowIdHighWaterMark", -1))
     except (ValueError, TypeError):
         raise DeltaProtocolError(
             f"unparseable {_ROW_TRACKING_DOMAIN} domain metadata: {cfg!r}"
@@ -2838,7 +2946,10 @@ def delta_write(
     reference's bronze writers do (load_bronze_to_table.py:93 —
     delta-spark's ``columnMapping.mode=name``): every field minted a
     ``col-<uuid>`` physicalName + id, protocol (2, 5), data files written
-    under physical names. Writes to an EXISTING column-mapped table
+    under physical names. ``column_mapping="id"`` additionally stamps
+    each field's delta.columnMapping.id into the parquet schema as
+    parquet.field.id (SPARK-38094), the binding mode=id readers resolve
+    by. Writes to an EXISTING column-mapped table
     (whatever engine created it) resolve logical→physical from the schema
     annotations automatically — the param only matters at creation.
 
@@ -2852,9 +2963,9 @@ def delta_write(
     (Delta's ConcurrentAppendException contract — caller re-runs)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    if column_mapping not in ("none", "name"):
+    if column_mapping not in ("none", "name", "id"):
         raise ValueError(
-            f"column_mapping must be none|name, got {column_mapping!r}"
+            f"column_mapping must be none|name|id, got {column_mapping!r}"
         )
     spark = df.sparkSession
     os.makedirs(path, exist_ok=True)
@@ -2962,13 +3073,16 @@ def delta_write(
         else:
             meta_schema_json = None
             eff_mapping = column_mapping
-            if eff_mapping == "name":
+            if eff_mapping in ("name", "id"):
                 annotated, max_id = _mint_column_mapping(df.schema)
                 meta_configuration = {
-                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.mode": eff_mapping,
                     _MAX_ID_KEY: str(max_id),
                 }
                 # what delta-spark 2.x mints for columnMapping tables
+                # (both modes are the legacy reader-2/writer-5 feature;
+                # mode=id additionally stamps parquet field ids into
+                # every data file — see _to_physical_frame)
                 create_protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
             else:
                 annotated = df.schema
@@ -4523,20 +4637,38 @@ def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
         snap, path, removes_data=False, op="SET TBLPROPERTIES",
         generated_ok=True, identity_ok=True,  # metadata-only
     )
-    if _row_tracking_enabled(snap):
-        return latest
-    new_proto = _writer7_upgrade(snap.protocol, "rowTracking", "domainMetadata")
+    already = _row_tracking_enabled(snap)
+    if already and all(
+        a.get("baseRowId") is not None for a in snap.files.values()
+    ):
+        return latest  # enabled AND fully stamped: true no-op
+    # already-enabled but with unstamped files (foreign/half-stamped log):
+    # the refusal errors advertise re-running this function as the
+    # remediation, so it must still BACKFILL — same commit shape, minus
+    # the (already-present) protocol/configuration changes.
+    new_proto = (
+        None
+        if already
+        else _writer7_upgrade(snap.protocol, "rowTracking", "domainMetadata")
+    )
     conf = dict(snap.configuration or {})
     conf["delta.enableRowTracking"] = "true"
     conf.setdefault(_ROW_ID_COL_KEY, f"_row-id-col-{uuid.uuid4()}")
     conf.setdefault(_ROW_CV_COL_KEY, f"_row-commit-version-col-{uuid.uuid4()}")
     version = latest + 1
+    # Two passes: recompute the high-water mark over ALL stamped files
+    # FIRST, then assign fresh ranges — interleaving the two lets an
+    # unstamped file that sorts first receive a range overlapping a
+    # later stamped file whenever the domain is absent but some files
+    # already carry ids.
     hwm = _row_id_hwm(snap)
+    for add in snap.files.values():
+        if add.get("baseRowId") is not None:
+            hwm = max(hwm, int(add["baseRowId"]) + _num_records(path, add) - 1)
     extra: list[dict] = []
     for p in sorted(snap.files):
         add = snap.files[p]
         if add.get("baseRowId") is not None:
-            hwm = max(hwm, int(add["baseRowId"]) + _num_records(path, add) - 1)
             continue  # a prior enablement already stamped it
         stamped = add | {
             "baseRowId": hwm + 1,
@@ -5135,6 +5267,8 @@ def delta_cleanup_metadata(
             v = _version_of(f)
         elif ".checkpoint" in f and f.split(".")[0].isdigit():
             v = int(f.split(".")[0])
+        elif f.endswith(".crc") and f[0].isdigit():
+            v = int(f.split(".")[0])  # checksum rides its commit's fate
         else:
             continue
         if v >= cp_star:
@@ -5289,6 +5423,34 @@ def delta_fsck(path: str, check_files: bool = True) -> list[str]:
                 f"overlapping row-id ranges: {p1} [{lo1},{hi1}] and "
                 f"{p2} [{lo2},{hi2}] — duplicate row ids"
             )
+    # <version>.crc VersionChecksum verification (advisory files, so a
+    # MISSING one is never a finding — foreign logs don't always carry
+    # them — but a PRESENT one that disagrees with the replay means the
+    # log or the checksum was corrupted after commit)
+    crc_file = os.path.join(_log_dir(path), f"{snap.version:020d}.crc")
+    if os.path.isfile(crc_file):
+        try:
+            with open(crc_file) as fh:
+                crc = json.load(fh)
+        except (OSError, json.JSONDecodeError) as e:
+            findings.append(f"{snap.version:020d}.crc: unreadable ({e})")
+        else:
+            expect = {
+                "tableSizeBytes": sum(
+                    int(a.get("size") or 0) for a in snap.files.values()
+                ),
+                "numFiles": len(snap.files),
+                "numDeletionVectorsOpt": sum(
+                    1 for a in snap.files.values() if a.get("deletionVector")
+                ),
+            }
+            for k, want in expect.items():
+                got = crc.get(k)
+                if got is not None and int(got) != want:
+                    findings.append(
+                        f"{snap.version:020d}.crc: {k} is {got}, replay "
+                        f"says {want} — checksum/log divergence"
+                    )
     return findings
 
 

@@ -406,13 +406,35 @@ def test_column_mapping_mode_id_reads_by_field_id(spark, tmp_path):
     ]
     # stats pruning on the LOGICAL name still applies
     assert delta_read(spark, t, where=[("num", ">", 15)]).count() == 1
-    # the write side stays refused, by name
-    with pytest.raises(DeltaProtocolError, match="mode=id"):
-        delta_write(
-            spark.createDataFrame([(1, "z")], "num bigint, tag string"),
-            t,
-            mode="append",
-        )
+    # r12: a foreign mode=id table is CONTINUED by delta_write — the
+    # appended file stamps parquet field ids so the id-binding read
+    # resolves it exactly like the alien-named foreign file
+    delta_write(
+        spark.createDataFrame([(30, "z")], "num bigint, tag string"),
+        t,
+        mode="append",
+    )
+    got2 = delta_read(spark, t)
+    assert sorted((r["num"], r["tag"]) for r in got2.collect()) == [
+        (10, "a"), (20, "b"), (30, "z"),
+    ]
+    # the new data file physically carries the field ids (1=num, 2=tag)
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import _replay
+
+    snap = _replay(t, None)
+    new_files = [p for p in snap.files if p != "part-0.parquet"]
+    assert len(new_files) == 1
+    sch = pq.ParquetFile(os.path.join(t, new_files[0])).schema_arrow
+    fids = {
+        f.name: int((f.metadata or {})[b"PARQUET:field_id"]) for f in sch
+    }
+    phys_of = {
+        f["metadata"]["delta.columnMapping.id"]: f["metadata"][
+            "delta.columnMapping.physicalName"
+        ]
+        for f in fields
+    }
+    assert fids == {phys_of[1]: 1, phys_of[2]: 2}
 
 
 def test_v3_unsupported_reader_feature_refused_by_name(spark, tmp_path):
@@ -3865,3 +3887,262 @@ def test_operation_metrics_in_history(spark, tmp_path):
     m = hist["OPTIMIZE"]["operationMetrics"]
     assert m["numFiles"] == "1" and m["numRemovedFiles"] == "1"
     assert m["numOutputRows"] == "7"  # materialized through the DV
+
+
+def test_column_mapping_mode_id_native_write_lifecycle(spark, tmp_path):
+    """VERDICT r11 #5 (the last column-mapping asymmetry): mode=id
+    WRITES. delta_write(column_mapping='id') mints ids on create and
+    stamps each field's delta.columnMapping.id into every data file's
+    parquet schema (SPARK-38094 field-id write), so the table is
+    readable by a strict id-binding reader; merge/delete/optimize flow
+    through the same physical projection."""
+    dl = _rt_imports()
+    t = str(tmp_path / "cmid")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k bigint, tag string, v double"
+    )
+    assert delta_write(df, t, column_mapping="id") == 0
+    snap = dl._replay(t, None)
+    assert snap.column_mapping == "id"
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "3"
+    # every data file carries parquet field ids matching the minted
+    # delta.columnMapping.id annotations
+    ids = {
+        f.name: int(f.metadata["delta.columnMapping.id"])
+        for f in snap.schema.fields
+    }
+    phys = {
+        f.name: f.metadata["delta.columnMapping.physicalName"]
+        for f in snap.schema.fields
+    }
+    for p in snap.files:
+        sch = pq.ParquetFile(os.path.join(t, p)).schema_arrow
+        fids = {
+            f.name: int((f.metadata or {})[b"PARQUET:field_id"]) for f in sch
+        }
+        assert fids == {phys[n]: ids[n] for n in ids}
+    # append + merge + DV delete + optimize round-trip under id binding
+    delta_write(
+        spark.createDataFrame([(3, "c", 30.0)], "k bigint, tag string, v double"),
+        t,
+        mode="append",
+    )
+    dl.delta_merge(
+        spark.createDataFrame(
+            [(2, "B", 22.0), (4, "d", 40.0)], "k bigint, tag string, v double"
+        ),
+        t,
+        key="k",
+    )
+    dl.delta_enable_dvs(spark, t)
+    dl.delta_delete_where(spark, t, ("k", "=", 1))
+    dl.delta_optimize(spark, t, n_files=1)
+    got = sorted(
+        (r["k"], r["tag"], r["v"]) for r in delta_read(spark, t).collect()
+    )
+    assert got == [(2, "B", 22.0), (3, "c", 30.0), (4, "d", 40.0)]
+
+
+def test_row_tracking_read_on_mode_id_table(spark, tmp_path):
+    """ADVICE r11 #1: delta_read(with_row_ids=True) on a columnMapping
+    mode=id table must bind data columns by parquet field id like the
+    plain read — without the conf the name-based binding NULL-fills
+    every data column."""
+    dl = _rt_imports()
+    t = str(tmp_path / "cmid_rt")
+    delta_write(
+        spark.range(0, 6)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1)
+        .sortWithinPartitions("k"),
+        t,
+        column_mapping="id",
+    )
+    dl.delta_enable_row_tracking(spark, t)
+    got = {
+        r["k"]: (r["v"], r["_row_id"])
+        for r in delta_read(spark, t, with_row_ids=True).collect()
+    }
+    # data columns must be REAL values (not the NULL fill of a failed
+    # name binding); single sorted file -> row id == k
+    assert got == {k: (2 * k, k) for k in range(6)}
+
+
+def test_enable_row_tracking_backfills_half_stamped_table(spark, tmp_path):
+    """ADVICE r11 #3: re-running delta_enable_row_tracking on an
+    already-enabled table with unstamped files (foreign/half-stamped
+    log) must BACKFILL instead of no-opping — the refusal errors
+    advertise exactly that remediation — and fresh ranges must not
+    overlap files stamped by the earlier enablement."""
+    dl = _rt_imports()
+    t = str(tmp_path / "half")
+    delta_write(
+        spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1), t
+    )
+    dl.delta_enable_row_tracking(spark, t)  # v1: stamps the v0 file
+    # foreign writer appends a file WITHOUT baseRowId (legal for a
+    # non-row-tracking-aware writer on a writer-7 table it refuses to
+    # touch... simulated by hand-writing the commit)
+    import shutil as _sh
+
+    snap = dl._replay(t, None)
+    (p0,) = snap.files
+    alien = "part-alien.parquet"
+    _sh.copyfile(os.path.join(t, p0), os.path.join(t, alien))
+    with open(os.path.join(t, "_delta_log", f"{2:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": alien,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(t, alien)),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": 10}),
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="delta_enable_row_tracking"):
+        delta_read(spark, t, with_row_ids=True).collect()
+    v = dl.delta_enable_row_tracking(spark, t)  # the advertised remediation
+    assert v == 3
+    snap = dl._replay(t, None)
+    ranges = sorted(
+        (int(a["baseRowId"]), int(a["baseRowId"]) + 10 - 1)
+        for a in snap.files.values()
+    )
+    assert all(
+        ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1)
+    ), f"overlapping ranges {ranges}"
+    assert dl._row_id_hwm(snap) == ranges[-1][1]
+    # and a fully-stamped enabled table stays a true no-op
+    assert dl.delta_enable_row_tracking(spark, t) == v
+
+
+def test_row_id_hwm_non_dict_domain_raises_protocol_error(spark, tmp_path):
+    """ADVICE r11 #4: a delta.rowTracking domain whose configuration
+    parses as non-dict JSON ('"7"', '[5]') must raise the promised
+    DeltaProtocolError, not escape as AttributeError past delta_fsck."""
+    dl = _rt_imports()
+
+    class _Snap:
+        domains = {"delta.rowTracking": json.dumps([5])}
+
+    with pytest.raises(DeltaProtocolError, match="unparseable"):
+        dl._row_id_hwm(_Snap())
+
+    class _Snap2:
+        domains = {"delta.rowTracking": json.dumps("7")}
+
+    with pytest.raises(DeltaProtocolError, match="unparseable"):
+        dl._row_id_hwm(_Snap2())
+
+
+def test_write_data_files_dedupes_duplicate_task_attempts(spark, tmp_path):
+    """ADVICE r11 #2: committer v2 can leave two committed outputs for
+    the same task/part number after a task retry; _dedupe_task_attempts
+    (applied by _write_data_files before ingest) must keep exactly one
+    — the newest attempt — and pass non-Spark-named files through."""
+    import time as _time
+
+    dl = _rt_imports()
+    d = str(tmp_path / "attempts")
+    os.makedirs(d)
+    tbl = pa.table({"k": pa.array([1, 2], pa.int64())})
+    pq.write_table(tbl, os.path.join(d, "part-00000-attempt0.parquet"))
+    _time.sleep(0.02)
+    pq.write_table(tbl, os.path.join(d, "part-00000-attempt1.parquet"))
+    pq.write_table(
+        pa.table({"k": pa.array([3], pa.int64())}),
+        os.path.join(d, "part-00001-xyz.parquet"),
+    )
+    with open(os.path.join(d, "random.parquet"), "wb") as fh:
+        fh.write(b"")
+    files = sorted(os.listdir(d))
+    keep = dl._dedupe_task_attempts(d, files)
+    assert keep == {
+        "part-00000-attempt1.parquet",
+        "part-00001-xyz.parquet",
+        "random.parquet",
+    }
+
+
+def test_version_checksum_emitted_and_fsck_verified(spark, tmp_path):
+    """VERDICT r11 #6: every won commit emits a <version>.crc
+    VersionChecksum (delta-spark interop) summarizing the POST-commit
+    state; delta_fsck verifies a present checksum against its replay and
+    flags divergence; foreign logs without checksums stay clean."""
+    dl = _rt_imports()
+    t = str(tmp_path / "crc")
+    delta_write(
+        spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1), t
+    )
+    delta_write(
+        spark.range(10, 14).select(F.col("id").alias("k")).coalesce(1),
+        t,
+        mode="append",
+    )
+    log = os.path.join(t, "_delta_log")
+    for v in (0, 1):
+        assert os.path.isfile(os.path.join(log, f"{v:020d}.crc")), v
+    with open(os.path.join(log, f"{1:020d}.crc")) as fh:
+        crc = json.load(fh)
+    snap = dl._replay(t, None)
+    assert crc["numFiles"] == len(snap.files) == 2
+    assert crc["tableSizeBytes"] == sum(
+        int(a["size"]) for a in snap.files.values()
+    )
+    assert crc["numDeletionVectorsOpt"] == 0
+    assert crc["protocol"] == snap.protocol
+    assert crc["metadata"] is not None  # v0 carried metaData; carried fwd
+    assert dl.delta_fsck(t) == []
+    # DV delete: the checksum tracks the deletion-vector count
+    dl.delta_enable_dvs(spark, t)
+    dl.delta_delete_where(spark, t, ("k", "between", (2, 4)))
+    latest = max(
+        int(f.split(".")[0]) for f in os.listdir(log) if f.endswith(".json")
+    )
+    with open(os.path.join(log, f"{latest:020d}.crc")) as fh:
+        crc = json.load(fh)
+    assert crc["numDeletionVectorsOpt"] == 1
+    assert dl.delta_fsck(t) == []
+    # corrupt the latest checksum -> fsck names the divergence
+    crc["numFiles"] = 99
+    with open(os.path.join(log, f"{latest:020d}.crc"), "w") as fh:
+        fh.write(json.dumps(crc))
+    finds = dl.delta_fsck(t)
+    assert any("checksum/log divergence" in f for f in finds)
+    # a foreign log with NO checksums is clean (advisory files)
+    for f in os.listdir(log):
+        if f.endswith(".crc"):
+            os.unlink(os.path.join(log, f))
+    assert dl.delta_fsck(t) == []
+
+
+def test_version_checksum_cleanup_rides_commit_fate(spark, tmp_path):
+    """Expired-log cleanup deletes a commit's .crc alongside its .json."""
+    import time as _time
+
+    dl = _rt_imports()
+    t = str(tmp_path / "crccl")
+    for i in range(4):
+        delta_write(
+            spark.range(i, i + 1).select(F.col("id").alias("k")).coalesce(1),
+            t,
+            mode="append" if i else "overwrite",
+        )
+    log = os.path.join(t, "_delta_log")
+    dl._write_checkpoint(spark, t, 3)
+    old = _time.time() - 90 * 86400
+    for f in os.listdir(log):
+        os.utime(os.path.join(log, f), (old, old))
+    deleted = dl.delta_cleanup_metadata(spark, t)
+    assert {f for f in deleted if f.endswith(".crc")} == {
+        f"{v:020d}.crc" for v in (0, 1, 2)
+    }
+    # survivors: the anchor checkpoint's version and above keep theirs
+    assert os.path.isfile(os.path.join(log, f"{3:020d}.crc"))
+    assert delta_read(spark, t).count() == 4

@@ -129,19 +129,32 @@ def test_driver_window_fully_oracle_backed():
     # block are post-§2 extensions registered last on purpose) — all
     # hard-checked by this module instead. Update CONSCIOUSLY when rotating.
     assert set(displaced) <= {
-        # new r11 (starts deferred; r12 rotation candidates):
-        "delta_v2_checkpoint_roundtrip",
-        "delta_type_widening_read",
+        # still-deferred r11 addition (r13 rotation candidate):
         "delta_identity_append",
-        "mixture_sample_by_lang",
-        # new r11 late additions (start deferred; r12 rotation candidates —
-        # row tracking + clustered-table OPTIMIZE):
-        "delta_row_tracking_ids",
-        "delta_clustered_optimize_read",
-        "delta_log_cleanup_roundtrip",
-        "audio_features_wav",
-        "audio_dedup_pairs",
-        "delta_row_tracking_format_read",
+        # r12 rotation swap-outs (driver-green in r11; family twin
+        # in-window — see the promoted list's r12 comment in
+        # queries.registry):
+        "quantile_sketch_weekly_bins",
+        "delta_restore_roundtrip",
+        "delta_generated_columns",
+        "delta_dv_purge_vacuum",
+        "delta_colmap_id_read",
+        "delta_dv_delete_roundtrip",
+        "delta_deletion_vector_read",
+        "delta_alter_columns_roundtrip",
+        "delta_clone_divergence",
+        "delta_native_front_door",
+        "delta_interop_roundtrip",
+        "min_cost_supplier_q2",
+        "product_profit_q9",
+        "important_parts_q11",
+        "top_supplier_q15",
+        "part_share_suppliers_q20",
+        "per_source_doc_caps",
+        "encode_documents_vocab",
+        "weekly_retention_cohorts",
+        "grouping_sets_revenue",
+        "capped_sessions_users",
         # r11 rotation swap-outs (driver-green in r10; family twin in-window
         # — see the promoted list's r11 comment in queries.registry):
         "ohlc_daily_bars",

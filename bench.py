@@ -166,6 +166,14 @@ HEADLINE = [
     "audio_dedup_pairs",
     # format-path twin of the row-tracking read (Arrow-side row ids)
     "delta_row_tracking_format_read",
+    # r12 additions: mode=id write lifecycle (field-id-stamped files),
+    # CDC-maintained IVF index (O(changed rows) per sync), and the image
+    # family's hard-oracle dedup (real PNG codec -> banded Hamming)
+    "delta_colmap_id_write",
+    "ivf_cdc_sync_maintenance",
+    "image_dhash_planted_pairs",
+    # real RIFF/AVI decode + sampled-frame dHash (the last modality)
+    "video_frame_dhash_sampled",
 ]
 
 # Solo re-capture support (VERDICT r11 #3): SPARK_GRAFT_ONLY=a,b,c narrows

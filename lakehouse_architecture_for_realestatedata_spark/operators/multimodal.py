@@ -392,6 +392,11 @@ def _area_means(gray, out_h: int, out_w: int):
     if w < out_w:
         gray = np.repeat(gray, -(-out_w // w), axis=1)
         w = gray.shape[1]
+    if (h, w) == (out_h, out_w):
+        # identity: skip the integral image — its float64 cumsum turns
+        # exact pixel TIES into ±1e-13 residues that flip gradient-sign
+        # bits (the planted 8×9 oracle images hit this on 2/1000 assets)
+        return gray
     ys = np.arange(out_h + 1) * h // out_h
     xs = np.arange(out_w + 1) * w // out_w
     ii = np.zeros((h + 1, w + 1))
@@ -638,6 +643,63 @@ def audio_features(assets: DataFrame) -> DataFrame:
     )
 
 
+#: Planted-image geometry: EXACTLY the dHash grid (8 rows × 9 cols), so
+#: the area-mean downsample is the identity and every gradient bit is a
+#: direct integer pixel comparison — the property that lets a SQL oracle
+#: regenerate the full 64-bit signature (the audio-LCG technique applied
+#: to images; VERDICT r11 #4).
+_IMG_H, _IMG_W = 8, 9
+
+
+def _planted_pixels(seed: int, perturb: bool = False):
+    """The planted image: pixel i (row-major over 8×9) has gray value
+    ((seed·48271 + i·16807) mod 251) — pure integer arithmetic, engine-
+    reproducible. ``perturb`` zeroes pixels 30 and 31 (row 3, cols 3-4):
+    at most 3 gradient bits flip, ≥1 on almost every seed, so the
+    banded-LSH 1..3-bit tolerance path is really exercised."""
+    import numpy as np
+
+    i = np.arange(_IMG_H * _IMG_W, dtype=np.int64)
+    v = (seed * 48271 + i * 16807) % 251
+    if perturb:
+        v = np.where((i == 30) | (i == 31), 0, v)
+    return v.astype(np.uint8)
+
+
+def synthesize_png_pairs(df: DataFrame, id_col: str) -> DataFrame:
+    """Near-duplicate image corpus: TWO real PNGs per row — asset 2·id is
+    the planted 8×9 image (RGB, equal channels, REAL encode_png bytes),
+    asset 2·id+1 the two-pixel perturbation. The planted pairs are what
+    ``phash_dedup_pairs`` must recover through the real decode → luma →
+    area-mean → gradient-bit path; both engines regenerate the exact
+    pixels, so recall is oracle-checked, not spot-checked."""
+    import pandas as pd
+
+    def _synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["__id"].astype("int64"):
+                for var, pert in ((0, False), (1, True)):
+                    px = _planted_pixels(int(i), perturb=pert)
+                    rgb = bytes(
+                        b for v in px for b in (int(v), int(v), int(v))
+                    )
+                    rows.append(
+                        (
+                            2 * int(i) + var,
+                            "image/png",
+                            encode_png(_IMG_W, _IMG_H, rgb),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "blob"]
+            )
+
+    return df.select(F.col(id_col).alias("__id")).mapInPandas(
+        _synth, schema="asset_id bigint, media_type string, blob binary"
+    )
+
+
 def synthesize_wav_pairs(df: DataFrame, id_col: str) -> DataFrame:
     """Near-duplicate audio corpus: TWO real WAVs per row — asset 2·id is
     the planted waveform, asset 2·id+1 the perturbed variant (6-sample
@@ -721,4 +783,185 @@ def audio_dedup_pairs(
 
     return hamming_band_pairs(
         audio_fingerprints(assets), max_hamming=max_hamming, bands=bands
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video: REAL AVI plumbing on the stdlib (struct-built RIFF — 'hdrl' with
+# avih/strh/strf, raw BI_RGB DIB frames in 'movi', an idx1 index — per the
+# public AVI RIFF File Reference), the second media container that needs no
+# external library. Frames are planted integer pixels on exactly the dHash
+# grid, so the whole synth → encode → decode → frame-sample → dHash
+# pipeline carries a hard DuckDB oracle (the WAV/PNG technique, third
+# modality).
+
+_VID_W, _VID_H = 9, 8  # one dHash grid per frame
+_VID_FPS = 10
+
+
+def _planted_frame(seed: int, frame: int):
+    """Planted per-frame pixels: pixel i of frame f has gray value
+    ((seed·48271 + f·7919 + i·16807) mod 251) — the image LCG with a
+    frame term, engine-reproducible."""
+    import numpy as np
+
+    i = np.arange(_VID_H * _VID_W, dtype=np.int64)
+    return ((seed * 48271 + frame * 7919 + i * 16807) % 251).astype(np.uint8)
+
+
+def avi_bytes(seed: int, n_frames: int, fps: int = _VID_FPS) -> bytes:
+    """A complete, spec-valid RIFF/AVI file: one 'vids' stream of
+    uncompressed 24-bit BI_RGB DIB frames ('00db' chunks — bottom-up
+    rows, 4-byte stride padding, BGR byte order, all per the DIB spec)
+    plus the idx1 index. Parseable by ffmpeg or any AVI reader; the
+    decoder below chunk-walks it back."""
+    import struct
+
+    stride = (_VID_W * 3 + 3) & ~3
+    frame_size = stride * _VID_H
+
+    def dib(seed: int, f: int) -> bytes:
+        px = _planted_frame(seed, f).reshape(_VID_H, _VID_W)
+        rows = []
+        for r in range(_VID_H - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for c in range(_VID_W):
+                v = int(px[r, c])
+                row += bytes((v, v, v))  # B, G, R (equal channels)
+            row += b"\x00" * (stride - len(row))
+            rows.append(bytes(row))
+        return b"".join(rows)
+
+    frames = [dib(seed, f) for f in range(n_frames)]
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, _VID_W, _VID_H, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n_frames, frame_size, 0xFFFFFFFF, 0)
+        + struct.pack("<hhhh", 0, 0, _VID_W, _VID_H)
+    )
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0x10,  # AVIF_HASINDEX
+        n_frames, 0, 1, frame_size, _VID_W, _VID_H, 0, 0, 0, 0,
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b"".join(chunk(b"00db", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    idx = b"".join(
+        b"00db" + struct.pack("<III", 0x10, 4 + i * (8 + frame_size), frame_size)
+        for i in range(n_frames)
+    )
+    body = hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def decode_avi(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a RIFF/AVI blob to (width, height, [top-down RGB frame
+    payloads]). Chunk-walks the RIFF tree (LIST recursion), reads the
+    stream format from strf (BITMAPINFOHEADER), collects '..db'/'..dc'
+    frame chunks in order, and undoes the DIB physics — bottom-up row
+    order, stride padding, BGR→RGB. Only uncompressed 24-bit BI_RGB is
+    implemented; anything else raises NotImplementedError by name (the
+    module's codec policy)."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI blob")
+    w = h = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h
+        while pos + 8 <= end:
+            cid = blob[pos:pos + 4]
+            (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError(
+                    f"truncated AVI chunk {cid!r}: declares {size} bytes, "
+                    f"{end - body_start} present"
+                )
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"strf":
+                (bi_size, bw, bh, _planes, bits, comp) = struct.unpack(
+                    "<IiiHHI", blob[body_start:body_start + 20]
+                )
+                if (bits, comp) != (24, 0):
+                    raise NotImplementedError(
+                        f"only uncompressed 24-bit BI_RGB implemented "
+                        f"(bits={bits}, compression={comp}) — a production "
+                        "deployment adds a real video library for the rest"
+                    )
+                w, h = bw, abs(bh)
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frames.append(blob[body_start:body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(blob))
+    if w is None or not frames:
+        raise ValueError("AVI blob missing strf/frame chunks")
+    stride = (w * 3 + 3) & ~3
+    out = []
+    for raw in frames:
+        rows = []
+        for r in range(h - 1, -1, -1):  # undo bottom-up
+            row = raw[r * stride : r * stride + w * 3]
+            rgb = bytearray()
+            for c in range(w):
+                b_, g_, r_ = row[c * 3 : c * 3 + 3]
+                rgb += bytes((r_, g_, b_))
+            rows.append(bytes(rgb))
+        out.append(b"".join(rows))
+    return w, h, out
+
+
+def synthesize_avi_blobs(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthetic video corpus: one real AVI per row, 6 + id % 4 planted
+    frames — both engines regenerate the exact pixels, so downstream
+    frame features are oracle-checked."""
+    import pandas as pd
+
+    def _synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["__id"].astype("int64"):
+                n = 6 + int(i) % 4
+                rows.append((int(i), "video/avi", avi_bytes(int(i), n)))
+            yield pd.DataFrame(rows, columns=["asset_id", "media_type", "blob"])
+
+    return df.select(F.col(id_col).alias("__id")).mapInPandas(
+        _synth, schema="asset_id bigint, media_type string, blob binary"
+    )
+
+
+def video_frame_dhash(assets: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame sampling: decode the AVI, keep every ``every``-th frame,
+    and dHash each sampled frame through the same grid path as images →
+    ``(asset_id, frame_idx, dhash bigint)``. Arrow-batched mapInPandas
+    (bytes must decode in Python); only (id, int, bigint) rows leave the
+    worker — a 100 TB video corpus shuffles 20 bytes per sampled frame,
+    never a blob."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
+                w, h, frames = decode_avi(bytes(blob))
+                for idx in range(0, len(frames), every):
+                    rows.append((asset_id, idx, _dhash64(w, h, frames[idx])))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "dhash"])
+
+    return assets.select("asset_id", "blob").mapInPandas(
+        _frames, schema="asset_id bigint, frame_idx int, dhash bigint"
     )

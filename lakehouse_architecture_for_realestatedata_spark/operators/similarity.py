@@ -17,6 +17,9 @@ The 100 TB design:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -398,6 +401,129 @@ def ivf_upsert(
     cell_type = dict(spark.read.parquet(f"{path}/assignments").dtypes)["cell"]
     assigned = assign_to_cells(new_vectors, F.broadcast(cents), vec_col, cell_type)
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/assignments")
+
+
+def ivf_sync_changes(
+    spark,
+    path: str,
+    table_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    initial_version: int | None = None,
+) -> int:
+    """Maintain a persisted IVF index off a Delta table's Change Data
+    Feed (VERDICT r11 #7): inserts/update-postimages are assigned to the
+    frozen centroids and APPENDED (the ``ivf_upsert`` path), deletes/
+    updates tombstone the superseded assignments — so an incremental
+    100 TB corpus drives the index from ``delta_read_changes`` at
+    O(changed rows) per sync, never a rebuild.
+
+    Mechanics: the net effect per key over the change range is the LAST
+    change (by commit version; postimage outranks preimage within a
+    commit). Every net key gets a tombstone at the new sync generation
+    (killing any older assignment of that key); net upserts are
+    re-assigned and appended carrying that generation. A live row is an
+    assignment with no tombstone of a LATER generation —
+    ``ivf_live_assignments`` applies that as one broadcast anti-join
+    (tombstones are O(deleted+updated keys), metadata-scale next to the
+    index). Sync state (``synced_through`` version + generation) lives
+    in ``_ivf_sync.json`` under the index root; the first sync of a
+    pre-generation index rewrites assignments once with ``gen=0``
+    (O(index), never O(corpus)).
+
+    ``initial_version``: the table version the index was BUILT from —
+    required on the first sync (changes replay from the next commit),
+    ignored once state exists. Returns the table version synced through.
+    """
+    import json as _json
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _latest_version,
+        delta_read_changes,
+    )
+
+    state_file = os.path.join(path, "_ivf_sync.json")
+    if os.path.isfile(state_file):
+        with open(state_file) as fh:
+            state = _json.load(fh)
+    elif initial_version is None:
+        raise ValueError(
+            f"{path}: first sync needs initial_version (the table version "
+            "the index was built from)"
+        )
+    else:
+        state = {"synced_through": int(initial_version), "gen": 0}
+    latest = _latest_version(table_path)
+    start = int(state["synced_through"]) + 1
+    if start > latest:
+        return int(state["synced_through"])  # nothing new
+    a_path = f"{path}/assignments"
+    a = spark.read.parquet(a_path)
+    if "gen" not in a.columns:
+        # one-time layout migration: stamp the build as generation 0
+        mig = f"{path}/assignments_migrating"
+        a.withColumn("gen", F.lit(0)).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(mig)
+        shutil.rmtree(a_path)
+        os.rename(mig, a_path)
+        a = spark.read.parquet(a_path)
+    gen_new = int(state["gen"]) + 1
+    ch = delta_read_changes(spark, table_path, start, latest)
+    is_upsert = F.col("_change_type").isin("insert", "update_postimage")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_commit_version").desc(),
+        F.when(is_upsert, 1).otherwise(0).desc(),
+    )
+    net = (
+        ch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "_change_type")
+        .localCheckpoint(eager=True)  # two consumers below, one CDF replay
+    )
+    # every net key tombstones its older assignments (an update's old cell
+    # row must die even though the key stays live at the new generation)
+    net.select(F.col(id_col), F.lit(gen_new).alias("gen")).write.mode(
+        "append"
+    ).parquet(f"{path}/tombstones")
+    cents = spark.read.parquet(f"{path}/centroids")
+    cell_type = dict(a.dtypes)["cell"]
+    assigned = assign_to_cells(
+        net.filter(is_upsert).select(id_col, vec_col),
+        F.broadcast(cents),
+        vec_col,
+        cell_type,
+    ).withColumn("gen", F.lit(gen_new))
+    assigned.write.mode("append").partitionBy("cell").parquet(a_path)
+    state = {"synced_through": latest, "gen": gen_new, "id_col": id_col}
+    tmp = state_file + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(_json.dumps(state))
+    os.replace(tmp, state_file)
+    return latest
+
+
+def ivf_live_assignments(
+    spark, path: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The index's LIVE assignment set: everything ``ivf_load`` returns
+    minus rows a later-generation CDC tombstone superseded (one
+    broadcast LEFT ANTI hash join — equi on the key plus the generation
+    inequality as the join residual). An index never synced (no ``gen``
+    column / no tombstones) passes through unchanged, so ``ivf_knn``
+    callers can adopt this unconditionally."""
+    a = spark.read.parquet(f"{path}/assignments")
+    t_path = f"{path}/tombstones"
+    if "gen" not in a.columns or not os.path.isdir(t_path):
+        return a
+    t = spark.read.parquet(t_path).select(
+        F.col(id_col).alias("__t_id"), F.col("gen").alias("__t_gen")
+    )
+    return a.join(
+        F.broadcast(t),
+        (a[id_col] == t["__t_id"]) & (t["__t_gen"] > a["gen"]),
+        "left_anti",
+    )
 
 
 def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:

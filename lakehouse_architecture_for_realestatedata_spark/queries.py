@@ -163,8 +163,25 @@ def registry() -> dict[str, QuerySpec]:
         "delta_colmap_merge_roundtrip",
         "simhash_pairs_md5",
         "medallion_two_batch_pipeline",
+        #   ivf_cdc_sync_maintenance IN (NEW r12 — the CDC-maintained ANN
+        #       index, VERDICT r11 #7) <-> json_extract_fields OUT
+        #       (driver-green since r4; json_props_rollup keeps the JSON
+        #       family sweep-checked, pytest pins extraction)
+        #   image_dhash_planted_pairs IN (NEW r12 — the image family's
+        #       first HARD-oracle recall, VERDICT r11 #4) <->
+        #       unpivot_priority_metrics OUT (driver-green since r5;
+        #       pivot_status_counts keeps the reshape family in-window)
         "winnow_plagiarism_pairs",
+        #   video_frame_dhash_sampled IN (NEW r12 — real RIFF/AVI codec +
+        #       sampled-frame dHash, the last modality's hard oracle) <->
+        #       embedding_near_dup OUT (driver-green since r5; the
+        #       near-dup family keeps knn_cosine_bruteforce,
+        #       ivf_cdc_sync_maintenance, image_dhash_planted_pairs and
+        #       simhash_pairs_md5 in-window)
         "delta_colmap_id_write",
+        "ivf_cdc_sync_maintenance",
+        "image_dhash_planted_pairs",
+        "video_frame_dhash_sampled",
         "delta_row_tracking_ids",
         "delta_row_tracking_format_read",
         "delta_clustered_optimize_read",
@@ -213,6 +230,9 @@ def registry() -> dict[str, QuerySpec]:
         "weekly_retention_cohorts",
         "grouping_sets_revenue",
         "capped_sessions_users",
+        "json_extract_fields",
+        "unpivot_priority_metrics",
+        "embedding_near_dup",
         # r11 rotation swap-outs (driver-green in r10; family twin in-window —
         # see git history for the r11 pairings):
         "ohlc_daily_bars",

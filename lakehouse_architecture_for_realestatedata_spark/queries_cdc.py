@@ -1986,7 +1986,7 @@ def q_delta_clustered_optimize_read(
 @register(
     "delta_log_cleanup_roundtrip",
     """
-    SELECT o_orderkey, 3 AS n_cleaned
+    SELECT o_orderkey, 6 AS n_cleaned
     FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 800
     """,
     doc="Expired-log metadata cleanup end to end (sources/delta_lite.py "
@@ -1994,11 +1994,12 @@ def q_delta_clustered_optimize_read(
     "cleanup): eight appends land with checkpoints at v3 and v6, the "
     "commits below v5 are aged past the retention window, and cleanup "
     "deletes EXACTLY the prefix ending at the newest eligible "
-    "checkpoint — JSONs 0..2, with checkpoint 3 anchoring everything "
-    "above (n_cleaned pins the count). The post-cleanup read must "
-    "still see every row (replay from the checkpoint + surviving "
-    "tail); time travel below the cut fails per Delta's retention "
-    "contract (pinned in pytest).",
+    "checkpoint — JSONs 0..2 plus their three <version>.crc "
+    "VersionChecksums (r12: checksums ride their commit's fate), with "
+    "checkpoint 3 anchoring everything above (n_cleaned pins the "
+    "count). The post-cleanup read must still see every row (replay "
+    "from the checkpoint + surviving tail); time travel below the cut "
+    "fails per Delta's retention contract (pinned in pytest).",
 )
 def q_delta_log_cleanup_roundtrip(
     spark: SparkSession, sf_dir: str

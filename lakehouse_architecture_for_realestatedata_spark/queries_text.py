@@ -439,6 +439,92 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_cdc_sync_maintenance",
+    """
+    WITH cur AS (
+        SELECT vec_id,
+               CASE WHEN vec_id >= 100 AND vec_id < 200
+                    THEN [cast(x AS double) + 1.0 for x in embedding]
+                    ELSE [cast(x AS double) for x in embedding] END AS v
+        FROM embeddings
+        WHERE vec_id < 3050 AND NOT (vec_id >= 300 AND vec_id < 400)
+    )
+    SELECT vec_id,
+           cast(list_sum([round(x * 1000000) * round(x * 1000000)
+                          for x in v]) AS bigint) AS qnorm
+    FROM cur
+    """,
+    doc="CDC-maintained ANN index (operators/similarity.py "
+    "ivf_sync_changes — closing VERDICT r11 #7): the corpus lives in a "
+    "CDF-enabled Delta table, the IVF index is built once at a pinned "
+    "version, then a mixed day lands — MERGE updating vectors 100-199 "
+    "(+1.0 per component) and inserting 3000-3049, then a DELETE of "
+    "300-399 — and the index syncs from delta_read_changes alone: "
+    "upserts re-assign against the frozen centroids and append, every "
+    "net key tombstones its superseded assignments at the new sync "
+    "generation. The output is the LIVE index content (vec_id + exact "
+    "quantized self-dot of the STORED vector), so the oracle checks the "
+    "index's vectors, not just its keys. O(changed rows) per sync — the "
+    "way a 100 TB incremental corpus maintains ANN without rebuilds "
+    "(tests/test_similarity.py pins live==rebuild cell-for-cell).",
+)
+def q_ivf_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        ivf_live_assignments,
+        ivf_persist,
+        ivf_sync_changes,
+        quantize,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+        delta_enable_cdf,
+        delta_merge,
+        delta_read,
+        delta_write,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_ivfcdc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    tbl = f"{root}/corpus"
+    idx = f"{root}/idx"
+    delta_write(emb.filter(F.col("vec_id") < 3000), tbl)  # v0
+    v_built = delta_enable_cdf(spark, tbl)  # v1: index snapshot version
+    assignments, centroids = ivf_assign(
+        delta_read(spark, tbl), "vec_id", "embedding", n_cells=16
+    )
+    ivf_persist(assignments, centroids, idx)
+    updated = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 200)
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(1.0)).alias("embedding"),
+    )
+    inserted = emb.filter((F.col("vec_id") >= 3000) & (F.col("vec_id") < 3050))
+    delta_merge(updated.unionByName(inserted), tbl, key="vec_id")  # v2
+    delta_delete_where(spark, tbl, ("vec_id", "between", (300, 399)))  # v3
+    ivf_sync_changes(spark, idx, tbl, initial_version=v_built)
+    live = ivf_live_assignments(spark, idx)
+    qv = quantize(F.col("embedding"))
+    return live.select(
+        "vec_id",
+        F.aggregate(
+            qv, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).alias("qnorm"),
+    )
+
+
+@register(
     "multimodal_features",
     None,  # binary-blob byte features aren't SQL-expressible in DuckDB;
     # correctness asserted in tests/test_multimodal.py against pure-python
@@ -510,6 +596,141 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assets = synthesize_blobs(docs, "doc_id", "seed")
     return phash_dedup_pairs(assets, max_hamming=3, bands=4)
+
+
+@register(
+    "image_dhash_planted_pairs",
+    """
+    WITH a AS (
+        SELECT doc_id, doc_id * 2 + var AS asset_id, var
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d,
+             (SELECT unnest([0, 1]) AS var) vv
+    ), px AS (
+        SELECT asset_id, var, doc_id, unnest(range(72)) AS i FROM a
+    ), g AS (
+        SELECT asset_id, i,
+               CASE WHEN var = 1 AND i IN (30, 31) THEN 0
+                    ELSE (doc_id * 48271 + i * 16807) % 251 END AS v
+        FROM px
+    ), b AS (
+        SELECT l.asset_id,
+               (l.i // 9) * 8 + (l.i % 9) AS j,
+               CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
+        FROM g l JOIN g r ON r.asset_id = l.asset_id AND r.i = l.i + 1
+        WHERE l.i % 9 < 8
+    ), fp AS (
+        -- MSB-first packing; bit j=0 is the SIGN bit of the int64, so it
+        -- lands as the exact two's-complement constant instead of a
+        -- 1<<63 shift whose overflow behavior could vary across builds
+        SELECT asset_id,
+               -- cast back to bigint: DuckDB sums bigint into HUGEINT,
+               -- and a 128-bit fp would give cross-sign pairs 64 extra
+               -- xor bits (the sign extensions stop cancelling)
+               cast(sum(CASE WHEN j > 0 AND bit = 1
+                             THEN (cast(1 AS bigint) << cast(63 - j AS int))
+                             ELSE 0 END)
+                    + sum(CASE WHEN j = 0 AND bit = 1
+                               THEN cast(-9223372036854775808 AS bigint)
+                               ELSE cast(0 AS bigint) END)
+                    AS bigint) AS fp
+        FROM b GROUP BY 1
+    ), banded AS (
+        -- arithmetic >> then & 65535 extracts the same 16 bits as Spark's
+        -- shiftrightunsigned for every band (the mask discards the sign
+        -- extension), so negative signatures band identically
+        SELECT asset_id, fp, g2, (fp >> (16 * g2)) & 65535 AS bk
+        FROM fp, (SELECT unnest(range(4)) AS g2) gg
+    ), cand AS (
+        SELECT DISTINCT x.asset_id AS id_a, x.fp AS fa,
+                        y.asset_id AS id_b, y.fp AS fb
+        FROM banded x JOIN banded y
+          ON x.g2 = y.g2 AND x.bk = y.bk AND x.asset_id < y.asset_id
+    )
+    SELECT id_a, id_b, cast(bit_count(xor(fa, fb)) AS int) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+    doc="Image near-dup dedup with a HARD oracle (VERDICT r11 #4 — the "
+    "audio-LCG technique applied to images): two REAL PNGs per doc "
+    "(multimodal.synthesize_png_pairs — planted integer-LCG pixels on "
+    "exactly the 8x9 dHash grid, so area-mean is the identity and every "
+    "gradient bit is a raw pixel comparison) flow through the REAL "
+    "decode_png -> luma -> dHash -> banded-Hamming path "
+    "(phash_dedup_pairs). The perturbed twin zeroes two pixels (<=3 bit "
+    "flips), exercising the LSH tolerance path. The DuckDB twin "
+    "regenerates pixels, bits, 64-bit signatures (sign bit as the exact "
+    "two's-complement constant), bands, and XOR bit counts — the "
+    "multimodal image family's first oracle-checked recall. Blobs never "
+    "shuffle; only 8-byte signatures do.",
+)
+def q_image_dhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+        phash_dedup_pairs,
+        synthesize_png_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        "doc_id"
+    )
+    return phash_dedup_pairs(synthesize_png_pairs(docs, "doc_id"), max_hamming=3, bands=4)
+
+
+@register(
+    "video_frame_dhash_sampled",
+    """
+    WITH a AS (
+        SELECT doc_id AS asset_id, 6 + doc_id % 4 AS n_frames
+        FROM documents WHERE doc_id < 300
+    ), fr AS (
+        SELECT asset_id, unnest(range(0, cast(n_frames AS int), 2)) AS frame_idx
+        FROM a
+    ), px AS (
+        SELECT asset_id, frame_idx, unnest(range(72)) AS i FROM fr
+    ), g AS (
+        SELECT asset_id, frame_idx, i,
+               (asset_id * 48271 + frame_idx * 7919 + i * 16807) % 251 AS v
+        FROM px
+    ), b AS (
+        SELECT l.asset_id, l.frame_idx,
+               (l.i // 9) * 8 + (l.i % 9) AS j,
+               CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
+        FROM g l JOIN g r
+          ON r.asset_id = l.asset_id AND r.frame_idx = l.frame_idx
+         AND r.i = l.i + 1
+        WHERE l.i % 9 < 8
+    )
+    SELECT asset_id, cast(frame_idx AS int) AS frame_idx,
+           cast(sum(CASE WHEN j > 0 AND bit = 1
+                         THEN (cast(1 AS bigint) << cast(63 - j AS int))
+                         ELSE 0 END)
+                + sum(CASE WHEN j = 0 AND bit = 1
+                           THEN cast(-9223372036854775808 AS bigint)
+                           ELSE cast(0 AS bigint) END)
+                AS bigint) AS dhash
+    FROM b GROUP BY 1, 2
+    """,
+    doc="Video frame sampling with a HARD oracle (operators/multimodal.py "
+    "avi_bytes/decode_avi/video_frame_dhash — the WAV/PNG planted-LCG "
+    "technique on the LAST modality): one spec-valid RIFF/AVI per doc "
+    "(struct-built 'hdrl' avih/strh/strf + uncompressed BI_RGB DIB "
+    "frames in 'movi' + idx1, per the public AVI RIFF File Reference; "
+    "6 + id%4 planted frames whose pixel LCG adds a frame term), "
+    "chunk-walked back through the REAL decoder (bottom-up rows, stride "
+    "padding, BGR→RGB all undone), every 2nd frame sampled and dHashed "
+    "on the 8x9 identity grid. The DuckDB twin regenerates the sampled "
+    "frames' pixels and 64-bit signatures. At 100 TB: only (id, idx, "
+    "bigint) rows leave the Python worker — 20 bytes per sampled frame, "
+    "never a blob.",
+)
+def q_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+        synthesize_avi_blobs,
+        video_frame_dhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id"
+    )
+    return video_frame_dhash(synthesize_avi_blobs(docs, "doc_id"), every=2)
 
 
 @register(

@@ -405,7 +405,7 @@ def attach_global(cat: Catalog) -> list[str]:
     return sorted(out)
 
 
-def thrift_sql(port: int, sql: str, timeout: int = 120) -> tuple[list[str], list[list[str]]]:
+def thrift_sql(port: int, sql: str, timeout: int = 240) -> tuple[list[str], list[list[str]]]:
     """Run ``sql`` against a running thrift server THROUGH THE WIRE using
     the bundled beeline JDBC client (a separate JVM process — nothing is
     shortcut through the in-process session). Returns (columns, rows) as

@@ -2162,18 +2162,37 @@ def _write_version_checksum(log: str, version: int, payload: str) -> None:
     if os.path.exists(crc_path):
         return
     actions = [json.loads(ln) for ln in payload.splitlines() if ln.strip()]
-    state_keys = {"add", "remove", "metaData", "protocol"}
+    adds = [a["add"] for a in actions if "add" in a]
+    has_removes = any("remove" in a for a in actions)
+    meta_act = next((a["metaData"] for a in actions if "metaData" in a), None)
+    proto_act = next((a["protocol"] for a in actions if "protocol" in a), None)
     prev_path = os.path.join(log, f"{version - 1:020d}.crc")
-    if (
-        version > 0
-        and os.path.isfile(prev_path)
-        and not any(state_keys & a.keys() for a in actions)
-    ):
-        # commitInfo/txn/domainMetadata-only commit: table files and
-        # governing metadata are unchanged — carry the summary forward
+    prev = None
+    if version > 0 and os.path.isfile(prev_path):
         with open(prev_path) as fh:
-            crc = json.load(fh)
-        crc["txnId"] = None
+            prev = json.load(fh)
+    if (
+        prev is not None
+        and not has_removes
+        and all(a.get("dataChange", True) for a in adds)
+    ):
+        # the common commit (append / metadata change, no removes):
+        # update the previous summary incrementally — O(actions), no
+        # replay. Removes don't carry sizes, and dataChange:false adds
+        # RE-reference existing paths (row-tracking backfill) — both
+        # take the exact replay branch below instead.
+        crc = dict(prev)
+        crc["tableSizeBytes"] = int(crc.get("tableSizeBytes") or 0) + sum(
+            int(a.get("size") or 0) for a in adds
+        )
+        crc["numFiles"] = int(crc.get("numFiles") or 0) + len(adds)
+        crc["numDeletionVectorsOpt"] = int(
+            crc.get("numDeletionVectorsOpt") or 0
+        ) + sum(1 for a in adds if a.get("deletionVector"))
+        if proto_act is not None:
+            crc["protocol"] = proto_act
+        if meta_act is not None:
+            crc["metadata"] = meta_act
     else:
         snap = _replay(os.path.dirname(log), version)
         crc = {
@@ -2189,12 +2208,9 @@ def _write_version_checksum(log: str, version: int, payload: str) -> None:
         }
         if snap.protocol is not None:
             crc["protocol"] = snap.protocol
-        meta = next(
-            (a["metaData"] for a in actions if "metaData" in a), None
-        )
-        if meta is None and version > 0 and os.path.isfile(prev_path):
-            with open(prev_path) as fh:
-                meta = json.load(fh).get("metadata")
+        meta = meta_act
+        if meta is None and prev is not None:
+            meta = prev.get("metadata")
         if meta is not None:
             crc["metadata"] = meta
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.crc")

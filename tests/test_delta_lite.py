@@ -3557,8 +3557,12 @@ def test_cleanup_metadata_prunes_expired_log_prefix(spark, tmp_path):
             os.utime(os.path.join(log, f), (old, old))
     deleted = dl.delta_cleanup_metadata(spark, t, retention_millis=86_400_000)
     # prefix cut at checkpoint 10 (the newest checkpoint <= first kept):
-    # jsons 0..9 go, checkpoint 10 and every json >= 10 stay
-    assert deleted == [f"{v:020d}.json" for v in range(10)]
+    # jsons 0..9 go — each with its r12 <version>.crc VersionChecksum —
+    # checkpoint 10 and every json >= 10 stay
+    assert deleted == sorted(
+        [f"{v:020d}.json" for v in range(10)]
+        + [f"{v:020d}.crc" for v in range(10)]
+    )
     assert os.path.isfile(os.path.join(log, "00000000000000000010.checkpoint.parquet"))
     assert delta_read(spark, t).count() == 25
     assert sorted(r["k"] for r in delta_read(spark, t, version=12).collect()) == list(range(13))

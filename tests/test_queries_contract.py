@@ -155,6 +155,9 @@ def test_driver_window_fully_oracle_backed():
         "weekly_retention_cohorts",
         "grouping_sets_revenue",
         "capped_sessions_users",
+        "json_extract_fields",
+        "unpivot_priority_metrics",
+        "embedding_near_dup",
         # r11 rotation swap-outs (driver-green in r10; family twin in-window
         # — see the promoted list's r11 comment in queries.registry):
         "ohlc_daily_bars",

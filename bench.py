@@ -174,6 +174,8 @@ HEADLINE = [
     "image_dhash_planted_pairs",
     # real RIFF/AVI decode + sampled-frame dHash (the last modality)
     "video_frame_dhash_sampled",
+    # XOR-of-frame-dHash video sketches through the shared banded engine
+    "video_dedup_pairs_planted",
 ]
 
 # Solo re-capture support (VERDICT r11 #3): SPARK_GRAFT_ONLY=a,b,c narrows

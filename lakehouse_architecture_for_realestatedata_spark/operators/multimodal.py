@@ -965,3 +965,146 @@ def video_frame_dhash(assets: DataFrame, every: int = 2) -> DataFrame:
     return assets.select("asset_id", "blob").mapInPandas(
         _frames, schema="asset_id bigint, frame_idx int, dhash bigint"
     )
+
+
+def synthesize_avi_pairs(df: DataFrame, id_col: str) -> DataFrame:
+    """Near-duplicate video corpus: TWO real AVIs per row — asset 2·id is
+    the planted clip, asset 2·id+1 the same clip with a two-pixel edit in
+    frame 2 (a mid-video touch-up, the video analogue of the image/audio
+    perturbations). Both engines regenerate the exact frames, so recall
+    is oracle-checked."""
+    import pandas as pd
+
+    def _synth(batches):
+        import struct as _struct
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["__id"].astype("int64"):
+                n = 6 + int(i) % 4
+                rows.append((2 * int(i), "video/avi", avi_bytes(int(i), n)))
+                # perturbed variant: rebuild with frame 2's pixels 30/31
+                # zeroed by patching the planted generator per-frame
+                blob = _avi_bytes_perturbed(int(i), n)
+                rows.append((2 * int(i) + 1, "video/avi", blob))
+            yield pd.DataFrame(rows, columns=["asset_id", "media_type", "blob"])
+
+    return df.select(F.col(id_col).alias("__id")).mapInPandas(
+        _synth, schema="asset_id bigint, media_type string, blob binary"
+    )
+
+
+def _avi_bytes_perturbed(seed: int, n_frames: int) -> bytes:
+    """``avi_bytes`` with frame 2's pixels 30 and 31 zeroed — built by
+    decoding the pristine clip, editing the raw frame, and re-encoding
+    through the same writer path (so the perturbed file is equally
+    spec-valid)."""
+    import numpy as np
+
+    blob = avi_bytes(seed, n_frames)
+    w, h, frames = decode_avi(blob)
+    edited = []
+    for idx, payload in enumerate(frames):
+        if idx == 2:
+            px = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3).copy()
+            for p in (30, 31):
+                px[p // w, p % w, :] = 0
+            payload = px.tobytes()
+        edited.append(payload)
+    return _avi_from_rgb_frames(w, h, edited)
+
+
+def _avi_from_rgb_frames(w: int, h: int, frames: list[bytes]) -> bytes:
+    """Re-encode top-down RGB frame payloads as the same spec-valid AVI
+    ``avi_bytes`` writes (bottom-up padded BGR DIB chunks + idx1)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+
+    def dib(rgb: bytes) -> bytes:
+        rows = []
+        for r in range(h - 1, -1, -1):
+            row = bytearray()
+            for c in range(w):
+                r_, g_, b_ = rgb[(r * w + c) * 3 : (r * w + c) * 3 + 3]
+                row += bytes((b_, g_, r_))
+            row += b"\x00" * (stride - len(row))
+            rows.append(bytes(row))
+        return b"".join(rows)
+
+    n_frames = len(frames)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, _VID_FPS, 0, n_frames, frame_size, 0xFFFFFFFF, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // _VID_FPS, frame_size * _VID_FPS, 0, 0x10,
+        n_frames, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    idx = b"".join(
+        b"00db" + struct.pack("<III", 0x10, 4 + i * (8 + frame_size), frame_size)
+        for i in range(n_frames)
+    )
+    body = hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def video_fingerprints(assets: DataFrame) -> DataFrame:
+    """One 64-bit fingerprint per VIDEO: XOR of every frame's dHash.
+    XOR is locality-preserving for frame-local edits — a k-bit change in
+    ONE frame's dHash flips exactly those k bits of the video signature
+    — so near-duplicate clips (same frames, one touched) land within a
+    few Hamming bits, while any reordering-with-identical-frames hashes
+    equal (XOR is order-free, the right semantics for a set-of-frames
+    sketch). Returns ``(__id, __sig)``, the hamming_band_pairs
+    contract."""
+
+    def _fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
+                w, h, frames = decode_avi(bytes(blob))
+                sig = 0
+                for payload in frames:
+                    sig ^= _dhash64(w, h, payload) & 0xFFFFFFFFFFFFFFFF
+                sig &= 0xFFFFFFFFFFFFFFFF
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                rows.append((asset_id, sig))
+            yield pd.DataFrame(rows, columns=["__id", "__sig"])
+
+    return assets.select("asset_id", "blob").mapInPandas(
+        _fps, schema="__id bigint, __sig bigint"
+    )
+
+
+def video_dedup_pairs(
+    assets: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs: XOR-of-frame-dHash fingerprints + the
+    banded Hamming LSH shared with SimHash (text), dHash (images), and
+    energy gradients (audio) — the FOURTH modality on the same
+    8-bytes-per-asset dedup engine. Blobs never shuffle."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    return hamming_band_pairs(
+        video_fingerprints(assets), max_hamming=max_hamming, bands=bands
+    )

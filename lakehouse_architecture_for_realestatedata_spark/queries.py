@@ -117,6 +117,26 @@ def registry() -> dict[str, QuerySpec]:
     # queries keep the identical hard oracle check in
     # tests/test_queries_contract.py (sf0.001) + tools/check_oracle.py
     # (sf0.01).
+    # r13 ROTATION CANDIDATES (pre-declared; 52 oracle-backed queries have
+    # never had a driver row after this round's 25 first-timers — swap
+    # each in against a driver-green same-family twin, ~12-17/round):
+    #   TPC-H tranche: customer_order_distribution_q13, promo_revenue_q14,
+    #       supplier_part_variety_q16, correlated_subquery_q17,
+    #       large_volume_customers_q18, disjunctive_revenue_q19,
+    #       idle_rich_customers_q22  <-> q3-q8 (r12 first-timers)
+    #   delta_identity_append / schema_evolution_roundtrip /
+    #       change_feed_roundtrip <-> three r12 delta first-timers
+    #   hard_negative_mining / label_centroids_embeddings
+    #       <-> ivf_cdc_sync_maintenance twin (similarity)
+    #   token_bigram_lm / vocab_coverage_curve <-> training_order_shuffle
+    #   stratified_sample_by_lang / weighted_doc_sample / eval_sample_per_lang
+    #       <-> mixture_sample_by_lang / sequence_packing twins (curation)
+    #   dq_schema_tests_report / profile_orders_columns / fk_orphan_audit
+    #       <-> quality_report keeps the DQ family
+    #   rolling_active_users_7d / rolling_hourly_user_value /
+    #       percent_rank_event_values <-> window_functions_daily twin
+    #   funnel_within_hour / funnel_step_latency / top_session_paths
+    #       <-> capped_sessions_users returns as the sessionization twin
     promoted = [
         # r12 ROTATION (executes the pre-declared r11 comment below; every
         # incoming row is sweep-MATCH in the r11 judge's independent 211-
@@ -178,10 +198,18 @@ def registry() -> dict[str, QuerySpec]:
         #       near-dup family keeps knn_cosine_bruteforce,
         #       ivf_cdc_sync_maintenance, image_dhash_planted_pairs and
         #       simhash_pairs_md5 in-window)
+        #   video_dedup_pairs_planted IN (NEW r12 — the FOURTH modality on
+        #       the shared banded-Hamming dedup engine, XOR-of-frame-dHash
+        #       sketches) <-> dedup_exact_documents OUT (driver-green
+        #       since r4; exact dedup stays pinned by pytest + sweep, and
+        #       the dedup family keeps simhash_pairs_md5,
+        #       winnow_plagiarism_pairs, image_dhash_planted_pairs and
+        #       video_dedup_pairs_planted in-window)
         "delta_colmap_id_write",
         "ivf_cdc_sync_maintenance",
         "image_dhash_planted_pairs",
         "video_frame_dhash_sampled",
+        "video_dedup_pairs_planted",
         "delta_row_tracking_ids",
         "delta_row_tracking_format_read",
         "delta_clustered_optimize_read",
@@ -233,6 +261,7 @@ def registry() -> dict[str, QuerySpec]:
         "json_extract_fields",
         "unpivot_priority_metrics",
         "embedding_near_dup",
+        "dedup_exact_documents",
         # r11 rotation swap-outs (driver-green in r10; family twin in-window —
         # see git history for the r11 pairings):
         "ohlc_daily_bars",

@@ -734,6 +734,82 @@ def q_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_dedup_pairs_planted",
+    """
+    WITH a AS (
+        SELECT doc_id, doc_id * 2 + var AS asset_id, var,
+               6 + doc_id % 4 AS n_frames
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 250) d,
+             (SELECT unnest([0, 1]) AS var) vv
+    ), fr AS (
+        SELECT doc_id, asset_id, var,
+               unnest(range(cast(n_frames AS int))) AS f
+        FROM a
+    ), px AS (
+        SELECT doc_id, asset_id, var, f, unnest(range(72)) AS i FROM fr
+    ), g AS (
+        SELECT asset_id, f, i,
+               CASE WHEN var = 1 AND f = 2 AND i IN (30, 31) THEN 0
+                    ELSE (doc_id * 48271 + f * 7919 + i * 16807) % 251
+               END AS v
+        FROM px
+    ), b AS (
+        SELECT l.asset_id, l.f,
+               (l.i // 9) * 8 + (l.i % 9) AS j,
+               CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
+        FROM g l JOIN g r
+          ON r.asset_id = l.asset_id AND r.f = l.f AND r.i = l.i + 1
+        WHERE l.i % 9 < 8
+    ), fp AS (
+        SELECT asset_id, f,
+               cast(sum(CASE WHEN j > 0 AND bit = 1
+                             THEN (cast(1 AS bigint) << cast(63 - j AS int))
+                             ELSE 0 END)
+                    + sum(CASE WHEN j = 0 AND bit = 1
+                               THEN cast(-9223372036854775808 AS bigint)
+                               ELSE cast(0 AS bigint) END)
+                    AS bigint) AS fp
+        FROM b GROUP BY 1, 2
+    ), sig AS (
+        SELECT asset_id, bit_xor(fp) AS sig FROM fp GROUP BY 1
+    ), banded AS (
+        SELECT asset_id, sig, g2, (sig >> (16 * g2)) & 65535 AS bk
+        FROM sig, (SELECT unnest(range(4)) AS g2) gg
+    ), cand AS (
+        SELECT DISTINCT x.asset_id AS id_a, x.sig AS fa,
+                        y.asset_id AS id_b, y.sig AS fb
+        FROM banded x JOIN banded y
+          ON x.g2 = y.g2 AND x.bk = y.bk AND x.asset_id < y.asset_id
+    )
+    SELECT id_a, id_b, cast(bit_count(xor(fa, fb)) AS int) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+    doc="Video near-dup dedup with a HARD oracle — the FOURTH modality "
+    "on the shared banded-Hamming engine (text SimHash, image dHash, "
+    "audio energy gradients, now video): per-clip fingerprint = XOR of "
+    "every frame's dHash (locality-preserving for frame-local edits — a "
+    "k-bit change in one frame flips exactly k signature bits; "
+    "order-free, the right set-of-frames semantics). Two real AVIs per "
+    "doc (multimodal.synthesize_avi_pairs — the perturbed twin re-"
+    "encodes frame 2 with a two-pixel edit through the same spec-valid "
+    "writer), decoded and hashed through the REAL codec path. The "
+    "DuckDB twin regenerates frames, per-frame signatures, bit_xor "
+    "video sketches, bands, and XOR bit counts. Blobs never shuffle; "
+    "only 8-byte signatures do.",
+)
+def q_video_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+        synthesize_avi_pairs,
+        video_dedup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250).select(
+        "doc_id"
+    )
+    return video_dedup_pairs(synthesize_avi_pairs(docs, "doc_id"), max_hamming=3, bands=4)
+
+
+@register(
     "embedding_near_dup",
     """
     WITH corpus AS (

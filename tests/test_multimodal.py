@@ -575,3 +575,33 @@ def test_png_planted_pairs_recall_and_identity_grid(spark):
 
         w, h, payload = decode_image(encode_png(_IMG_W, _IMG_H, rgb))
         assert _dhash64(w, h, payload) == _dhash64(_IMG_W, _IMG_H, rgb)
+
+
+def test_video_dedup_planted_pairs_recall(spark):
+    """Video near-dup pairs (fourth modality on hamming_band_pairs):
+    every planted (2i, 2i+1) pair — same clip, two-pixel edit in frame 2
+    — is recovered within Hamming 3; XOR-of-frame-dHash is locality-
+    preserving, so the pair's Hamming equals the edited frame's dHash
+    Hamming; the perturbed re-encode is equally spec-valid AVI."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
+        _avi_bytes_perturbed,
+        decode_avi,
+        synthesize_avi_pairs,
+        video_dedup_pairs,
+    )
+
+    blob = _avi_bytes_perturbed(11, 7)
+    assert blob[:4] == b"RIFF" and b"idx1" in blob
+    w, h, frames = decode_avi(blob)
+    assert (w, h, len(frames)) == (9, 8, 7)
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in video_dedup_pairs(
+            synthesize_avi_pairs(docs, "doc_id"), max_hamming=3, bands=4
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert planted <= set(pairs), sorted(planted - set(pairs))[:5]
+    assert all(pairs[p] <= 3 for p in planted)
+    assert sum(1 for p in planted if pairs[p] >= 1) >= 28  # the edit bites

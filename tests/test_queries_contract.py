@@ -158,6 +158,7 @@ def test_driver_window_fully_oracle_backed():
         "json_extract_fields",
         "unpivot_priority_metrics",
         "embedding_near_dup",
+        "dedup_exact_documents",
         # r11 rotation swap-outs (driver-green in r10; family twin in-window
         # — see the promoted list's r11 comment in queries.registry):
         "ohlc_daily_bars",

@@ -676,14 +676,14 @@ def synthesize_png_pairs(df: DataFrame, id_col: str) -> DataFrame:
     import pandas as pd
 
     def _synth(batches):
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for i in pdf["__id"].astype("int64"):
                 for var, pert in ((0, False), (1, True)):
                     px = _planted_pixels(int(i), perturb=pert)
-                    rgb = bytes(
-                        b for v in px for b in (int(v), int(v), int(v))
-                    )
+                    rgb = np.repeat(px, 3).tobytes()  # equal R,G,B
                     rows.append(
                         (
                             2 * int(i) + var,
@@ -817,20 +817,19 @@ def avi_bytes(seed: int, n_frames: int, fps: int = _VID_FPS) -> bytes:
     decoder below chunk-walks it back."""
     import struct
 
+    import numpy as np
+
     stride = (_VID_W * 3 + 3) & ~3
     frame_size = stride * _VID_H
 
     def dib(seed: int, f: int) -> bytes:
-        px = _planted_frame(seed, f).reshape(_VID_H, _VID_W)
-        rows = []
-        for r in range(_VID_H - 1, -1, -1):  # bottom-up
-            row = bytearray()
-            for c in range(_VID_W):
-                v = int(px[r, c])
-                row += bytes((v, v, v))  # B, G, R (equal channels)
-            row += b"\x00" * (stride - len(row))
-            rows.append(bytes(row))
-        return b"".join(rows)
+        # vectorized DIB: flip to bottom-up, repeat gray into B,G,R
+        # (equal channels), pad each row to the 4-byte stride
+        px = _planted_frame(seed, f).reshape(_VID_H, _VID_W)[::-1, :]
+        bgr = np.repeat(px[:, :, None], 3, axis=2).reshape(_VID_H, _VID_W * 3)
+        padded = np.zeros((_VID_H, stride), dtype=np.uint8)
+        padded[:, : _VID_W * 3] = bgr
+        return padded.tobytes()
 
     frames = [dib(seed, f) for f in range(n_frames)]
     strf = struct.pack(
@@ -911,18 +910,17 @@ def decode_avi(blob: bytes) -> tuple[int, int, list[bytes]]:
     walk(12, len(blob))
     if w is None or not frames:
         raise ValueError("AVI blob missing strf/frame chunks")
+    import numpy as np
+
     stride = (w * 3 + 3) & ~3
     out = []
     for raw in frames:
-        rows = []
-        for r in range(h - 1, -1, -1):  # undo bottom-up
-            row = raw[r * stride : r * stride + w * 3]
-            rgb = bytearray()
-            for c in range(w):
-                b_, g_, r_ = row[c * 3 : c * 3 + 3]
-                rgb += bytes((r_, g_, b_))
-            rows.append(bytes(rgb))
-        out.append(b"".join(rows))
+        # vectorized DIB undo: strip stride padding, flip bottom-up rows,
+        # swap BGR→RGB
+        arr = np.frombuffer(raw, dtype=np.uint8, count=h * stride).reshape(
+            h, stride
+        )[:, : w * 3].reshape(h, w, 3)
+        out.append(arr[::-1, :, ::-1].tobytes())
     return w, h, out
 
 
@@ -1019,19 +1017,18 @@ def _avi_from_rgb_frames(w: int, h: int, frames: list[bytes]) -> bytes:
     ``avi_bytes`` writes (bottom-up padded BGR DIB chunks + idx1)."""
     import struct
 
+    import numpy as np
+
     stride = (w * 3 + 3) & ~3
     frame_size = stride * h
 
     def dib(rgb: bytes) -> bytes:
-        rows = []
-        for r in range(h - 1, -1, -1):
-            row = bytearray()
-            for c in range(w):
-                r_, g_, b_ = rgb[(r * w + c) * 3 : (r * w + c) * 3 + 3]
-                row += bytes((b_, g_, r_))
-            row += b"\x00" * (stride - len(row))
-            rows.append(bytes(row))
-        return b"".join(rows)
+        # vectorized: top-down RGB → bottom-up padded BGR
+        arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        bgr = arr[::-1, :, ::-1].reshape(h, w * 3)
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : w * 3] = bgr
+        return padded.tobytes()
 
     n_frames = len(frames)
     strf = struct.pack(

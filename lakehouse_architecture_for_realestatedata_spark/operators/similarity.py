@@ -370,10 +370,14 @@ def ivf_persist(assignments: DataFrame, centroids: DataFrame, path: str) -> None
     """Persist an IVF index with the layout the probe path is designed for:
     assignments PARTITIONED BY cell (so ``ivf_knn`` against the loaded table
     scans only probed cells — dynamic partition pruning, pinned in
-    tests/test_plans.py), centroids as one small parquet."""
-    assignments.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/assignments"
-    )
+    tests/test_plans.py), centroids as one small parquet. The frame is
+    repartitioned ON cell first: without it every input task writes a
+    sliver into every cell directory — n_tasks × n_cells tiny files, a
+    layout that collapses under its own file-listing cost at 10⁶ cells ×
+    10³ tasks (here: one file per cell)."""
+    assignments.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/assignments")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -400,7 +404,11 @@ def ivf_upsert(
     cents = spark.read.parquet(f"{path}/centroids")
     cell_type = dict(spark.read.parquet(f"{path}/assignments").dtypes)["cell"]
     assigned = assign_to_cells(new_vectors, F.broadcast(cents), vec_col, cell_type)
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/assignments")
+    # repartition on cell: one appended file per touched cell, not
+    # n_tasks × n_cells slivers (same rationale as ivf_persist)
+    assigned.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/assignments")
 
 
 def ivf_sync_changes(
@@ -462,9 +470,9 @@ def ivf_sync_changes(
     if "gen" not in a.columns:
         # one-time layout migration: stamp the build as generation 0
         mig = f"{path}/assignments_migrating"
-        a.withColumn("gen", F.lit(0)).write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(mig)
+        a.withColumn("gen", F.lit(0)).repartition("cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(mig)
         shutil.rmtree(a_path)
         os.rename(mig, a_path)
         a = spark.read.parquet(a_path)
@@ -494,7 +502,10 @@ def ivf_sync_changes(
         vec_col,
         cell_type,
     ).withColumn("gen", F.lit(gen_new))
-    assigned.write.mode("append").partitionBy("cell").parquet(a_path)
+    # one appended file per touched cell (see ivf_persist's rationale)
+    assigned.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(a_path)
     state = {"synced_through": latest, "gen": gen_new, "id_col": id_col}
     tmp = state_file + ".tmp"
     with open(tmp, "w") as fh:

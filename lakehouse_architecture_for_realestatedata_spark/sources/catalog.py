@@ -418,21 +418,29 @@ def thrift_sql(port: int, sql: str, timeout: int = 240) -> tuple[list[str], list
     import pyspark
 
     beeline = os.path.join(os.path.dirname(pyspark.__file__), "bin", "beeline")
-    r = subprocess.run(
-        [
-            beeline,
-            "--outputformat=csv2",
-            "--silent=true",
-            "--showHeader=true",
-            "-u",
-            f"jdbc:hive2://localhost:{port}",
-            "-e",
-            sql,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=timeout,
-    )
+    cmd = [
+        beeline,
+        "--outputformat=csv2",
+        "--silent=true",
+        "--showHeader=true",
+        "-u",
+        f"jdbc:hive2://localhost:{port}",
+        "-e",
+        sql,
+    ]
+    try:
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout
+        )
+    except subprocess.TimeoutExpired:
+        # One retry: under heavy shared-JVM load (a long query sweep in
+        # the same process) the HiveServer2 handshake can stall past any
+        # reasonable single-attempt timeout while the server itself is
+        # healthy — the retry lands after the load burst. A genuine
+        # server failure times out twice and surfaces.
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout
+        )
     if r.returncode != 0:
         raise RuntimeError(f"beeline failed: {r.stderr[-2000:]}")
     # csv2 payload = the csv block in stdout; beeline glues its JDBC prompt

@@ -176,6 +176,9 @@ HEADLINE = [
     "video_frame_dhash_sampled",
     # XOR-of-frame-dHash video sketches through the shared banded engine
     "video_dedup_pairs_planted",
+    # type widening WRITE half: metadata-only column widen + mixed-
+    # generation read (narrow v0 file + wide append)
+    "delta_type_widening_write",
 ]
 
 # Solo re-capture support (VERDICT r11 #3): SPARK_GRAFT_ONLY=a,b,c narrows

@@ -125,7 +125,8 @@ def registry() -> dict[str, QuerySpec]:
     #       large_volume_customers_q18, disjunctive_revenue_q19,
     #       idle_rich_customers_q22  <-> q3-q8 (r12 first-timers)
     #   delta_identity_append / schema_evolution_roundtrip /
-    #       change_feed_roundtrip <-> three r12 delta first-timers
+    #       change_feed_roundtrip / delta_type_widening_write (NEW r12 —
+    #       the widening WRITE half) <-> four r12 delta first-timers
     #   hard_negative_mining / label_centroids_embeddings
     #       <-> ivf_cdc_sync_maintenance twin (similarity)
     #   token_bigram_lm / vocab_coverage_curve <-> training_order_shuffle
@@ -235,6 +236,10 @@ def registry() -> dict[str, QuerySpec]:
         # still-deferred r11 addition (identity-append is the one late-r11
         # delta row not promoted this round; r13 rotation candidate):
         "delta_identity_append",
+        # new r12 (starts deferred; delta_type_widening_read keeps the
+        # widening family in-window; r13 rotation candidate — the WRITE
+        # half: delta_widen_column_type):
+        "delta_type_widening_write",
         # r12 rotation swap-outs (driver-green in r11; family twin
         # in-window — see the promoted list's r12 comment for pairings):
         "quantile_sketch_weekly_bins",

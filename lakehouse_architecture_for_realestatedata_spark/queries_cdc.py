@@ -1650,6 +1650,74 @@ def q_delta_v2_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "delta_type_widening_write",
+    """
+    SELECT o_orderkey,
+           cast(cast(o_custkey % 100000 AS int) AS bigint)
+               + CASE WHEN o_orderkey > 600 THEN 5000000000 ELSE 0 END
+               AS cust_wide,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey <= 900
+    """,
+    doc="typeWidening WRITE (sources/delta_lite.py "
+    "delta_widen_column_type — the r12 symmetric half of the r11 read "
+    "support): orders land with cust as INT (v0), one metadata commit "
+    "widens it to BIGINT (delta.typeChanges provenance + the reader-3/"
+    "writer-7 typeWidening upgrade; no data file moves), then an append "
+    "writes values only a 64-bit column can hold (>2^32). The read must "
+    "serve BOTH file generations under the wide schema — the narrow v0 "
+    "file through Spark's native parquet widening, the new file "
+    "directly. The oracle derives the same final column relationally. "
+    "At 100 TB this is how a table outgrows an int key without "
+    "rewriting a byte.",
+)
+def q_delta_type_widening_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_read,
+        delta_widen_column_type,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 900)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_twwrite_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    path = f"{root}/orders_tw"
+    delta_write(
+        orders.filter(F.col("o_orderkey") <= 600).select(
+            "o_orderkey",
+            (F.col("o_custkey") % 100000).cast("int").alias("cust_wide"),
+            "o_orderstatus",
+        ),
+        path,
+    )  # v0: narrow INT column
+    delta_widen_column_type(spark, path, "cust_wide", "bigint")  # v1
+    delta_write(
+        orders.filter(F.col("o_orderkey") > 600).select(
+            "o_orderkey",
+            (
+                (F.col("o_custkey") % 100000).cast("bigint")
+                + F.lit(5_000_000_000)
+            ).alias("cust_wide"),
+            "o_orderstatus",
+        ),
+        path,
+        mode="append",
+    )  # v2: values only the wide type holds
+    return delta_read(spark, path).select(
+        "o_orderkey", "cust_wide", "o_orderstatus"
+    )
+
+
+@register(
     "delta_type_widening_read",
     """
     SELECT o_orderkey, cast(o_custkey % 1000000 AS double) AS cust_d,

@@ -4914,6 +4914,104 @@ def delta_add_column(
     )
 
 
+def delta_widen_column_type(
+    spark: SparkSession, path: str, name: str, new_type
+) -> int:
+    """ALTER TABLE ALTER COLUMN TYPE (PROTOCOL.md Type Widening) — the
+    WRITE half of the r11 read support: replace the column's type with a
+    WIDER one in ONE metadata commit, recording the promotion in the
+    field's ``delta.typeChanges`` metadata (tableVersion/fromType/toType,
+    the shape delta-spark writes) and upgrading the protocol to
+    reader-3/writer-7 with ``typeWidening`` in BOTH feature lists. No
+    data file moves: files written before the change keep the narrow
+    physical type and read correctly under the wide schema via Spark's
+    native parquet widening promotions (the exact matrix
+    ``_tw_supported`` gates — integer chain, (byte|short|integer|float)
+    -> double, decimal growth, date -> timestamp_ntz); files written
+    after carry the wide type. Promotions outside that matrix
+    (integer -> decimal is Delta-legal but not Spark-native) are refused
+    BY NAME here, exactly like the read side, so this writer never
+    produces a table it could not read back.
+
+    Partition columns are refused (their values live as strings in
+    partitionValues keyed by the narrow type's parse); nested fields are
+    not implemented — top-level columns only."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    latest = _latest_version(path)
+    snap = _replay(path, latest)
+    _writer_gate(
+        snap, path, removes_data=False, op="CHANGE COLUMN", generated_ok=True,
+        identity_ok=True,  # metadata-only
+    )
+    by_name = {f.name: f for f in snap.schema.fields}
+    if name not in by_name:
+        raise ValueError(f"no such column {name!r}")
+    if name in snap.partition_columns:
+        raise ValueError(
+            f"cannot widen partition column {name!r} (partitionValues "
+            "parse under the declared type)"
+        )
+    field = by_name[name]
+    dt = (
+        _parse_datatype_string(new_type)
+        if isinstance(new_type, str)
+        else new_type
+    )
+    frm = field.dataType.jsonValue()
+    to = dt.jsonValue()
+    if not (isinstance(frm, str) and isinstance(to, str)):
+        raise DeltaProtocolError(
+            f"{path}: type widening on nested/complex column {name!r} is "
+            "not implemented (top-level primitive columns only)"
+        )
+    if frm == to:
+        return latest  # no-op
+    if not _tw_supported(frm, to):
+        raise DeltaProtocolError(
+            f"{path}: typeWidening change {frm} -> {to} is not a "
+            "Spark-native parquet promotion; supported: integer "
+            "widening, (byte|short|integer|float) -> double, decimal "
+            "growth, date -> timestamp_ntz"
+        )
+    version = latest + 1
+    md = dict(field.metadata or {})
+    md["delta.typeChanges"] = list(md.get("delta.typeChanges") or []) + [
+        {"tableVersion": version, "fromType": frm, "toType": to}
+    ]
+    fields = [
+        StructField(name, dt, f.nullable, metadata=md)
+        if f.name == name
+        else f
+        for f in snap.schema.fields
+    ]
+    # reader-3/writer-7 upgrade with typeWidening in BOTH lists (the
+    # feature is readerWriter), legacy-implied features folded in — the
+    # same shape _enable_table_feature mints
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    mr = proto.get("minReaderVersion", 1)
+    rfeats = set(proto.get("readerFeatures") or [])
+    if mr < 3:
+        for v in range(2, mr + 1):
+            rfeats.update(_LEGACY_READER_FEATURES.get(v, ()))
+    rfeats.add("typeWidening")
+    new_proto = _writer7_upgrade(proto, "typeWidening")
+    new_proto["minReaderVersion"] = 3
+    new_proto["readerFeatures"] = sorted(rfeats)
+    conf = dict(snap.configuration or {})
+    conf["delta.enableTypeWidening"] = "true"
+    return _commit_metadata_change(
+        path,
+        snap,
+        latest,
+        conf,
+        op="CHANGE COLUMN",
+        params={"column": name, "fromType": frm, "toType": to},
+        protocol=new_proto,
+        schema_json=StructType(fields).json(),
+    )
+
+
 def _cdf_enabled(snap: _Snapshot) -> bool:
     return (
         (snap.configuration or {})

@@ -4150,3 +4150,73 @@ def test_version_checksum_cleanup_rides_commit_fate(spark, tmp_path):
     # survivors: the anchor checkpoint's version and above keep theirs
     assert os.path.isfile(os.path.join(log, f"{3:020d}.crc"))
     assert delta_read(spark, t).count() == 4
+
+
+def test_widen_column_type_roundtrip_and_refusals(spark, tmp_path):
+    """Type widening WRITES (the r12 symmetric half of the r11 read
+    support): ALTER COLUMN int -> bigint in one metadata commit records
+    delta.typeChanges and upgrades to reader-3/writer-7 typeWidening;
+    pre-change files read natively under the wide schema, post-change
+    appends write it; non-Spark-native promotions and partition columns
+    refuse by name."""
+    dl = _rt_imports()
+    t = str(tmp_path / "tw")
+    delta_write(
+        spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v int"), t
+    )
+    v = dl.delta_widen_column_type(spark, t, "v", "bigint")
+    assert v == 1
+    snap = dl._replay(t, None)
+    fld = {f.name: f for f in snap.schema.fields}["v"]
+    assert fld.dataType.simpleString() == "bigint"
+    ch = fld.metadata["delta.typeChanges"]
+    assert ch == [{"tableVersion": 1, "fromType": "integer", "toType": "long"}]
+    proto = snap.protocol
+    assert "typeWidening" in proto["readerFeatures"]
+    assert "typeWidening" in proto["writerFeatures"]
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (3, 7)
+    # wide append + mixed read: narrow old file widens natively
+    delta_write(
+        spark.createDataFrame(
+            [(3, 6_000_000_000)], "k bigint, v bigint"
+        ),
+        t,
+        mode="append",
+    )
+    got = {r["k"]: r["v"] for r in delta_read(spark, t).collect()}
+    assert got == {1: 10, 2: 20, 3: 6_000_000_000}
+    # widening again is a no-op; fsck clean; history carries the op
+    assert dl.delta_widen_column_type(spark, t, "v", "bigint") == 2
+    assert dl.delta_fsck(t) == []
+    assert any(h["operation"] == "CHANGE COLUMN" for h in delta_history(t))
+    # refusals, by name
+    with pytest.raises(DeltaProtocolError, match="not a Spark-native"):
+        dl.delta_widen_column_type(spark, t, "k", "decimal(20,0)")
+    with pytest.raises(ValueError, match="no such column"):
+        dl.delta_widen_column_type(spark, t, "zz", "bigint")
+    # narrowing is not widening
+    with pytest.raises(DeltaProtocolError, match="not a Spark-native"):
+        dl.delta_widen_column_type(spark, t, "v", "int")
+    # partition columns refuse
+    t2 = str(tmp_path / "twp")
+    delta_write(
+        spark.createDataFrame([(1, 10)], "k bigint, v int"),
+        t2,
+        partition_by=["v"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        dl.delta_widen_column_type(spark, t2, "v", "bigint")
+    # float -> double and decimal growth are in the matrix
+    t3 = str(tmp_path / "twf")
+    delta_write(
+        spark.createDataFrame(
+            [(1, 1.5, None)], "k bigint, f float, d decimal(10,2)"
+        ),
+        t3,
+    )
+    dl.delta_widen_column_type(spark, t3, "f", "double")
+    dl.delta_widen_column_type(spark, t3, "d", "decimal(20,4)")
+    snap3 = dl._replay(t3, None)
+    types = {f.name: f.dataType.simpleString() for f in snap3.schema.fields}
+    assert types["f"] == "double" and types["d"] == "decimal(20,4)"
+    assert delta_read(spark, t3).count() == 1

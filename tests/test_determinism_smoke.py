@@ -1,11 +1,11 @@
 """Run-twice determinism smoke (the round-7 bug class): the queries built
 on global ordering / bucketing / sampling primitives must hash identically
 across two fresh plan compositions and executions. The full registry gets
-the same check from tools/check_determinism.py (216/216 stable, r12 —
+the same check from tools/check_determinism.py (217/217 stable, r12 —
 ONE full-registry round-close run over every registration incl. the
-five r12 additions (colmap id write, ivf CDC sync, image/video planted
-rows); re-run it over the whole registry at every round
-close and refresh this note); this pytest
+six r12 additions (colmap id write, ivf CDC sync, image/video planted
+rows, type-widening write); re-run it over the whole registry at every
+round close and refresh this note); this pytest
 keeps the most at-risk family guarded on every run, and
 test_full_registry_determinism_note_is_current makes a stale count FAIL
 instead of drifting silently (it hit 167 in r8 and 184 in r9)."""

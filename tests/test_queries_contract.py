@@ -131,6 +131,9 @@ def test_driver_window_fully_oracle_backed():
     assert set(displaced) <= {
         # still-deferred r11 addition (r13 rotation candidate):
         "delta_identity_append",
+        # new r12, starts deferred (r13 rotation candidate — the type
+        # widening WRITE half):
+        "delta_type_widening_write",
         # r12 rotation swap-outs (driver-green in r11; family twin
         # in-window — see the promoted list's r12 comment in
         # queries.registry):

@@ -188,6 +188,13 @@ HEADLINE = [
 _ONLY = os.environ.get("SPARK_GRAFT_ONLY")
 if _ONLY:
     _keep = {n.strip() for n in _ONLY.split(",") if n.strip()}
+    _unknown = _keep - set(HEADLINE)
+    if _unknown:
+        # a typo'd name must fail loudly — silently measuring nothing
+        # defeats the whole point of a solo re-capture
+        raise SystemExit(
+            f"SPARK_GRAFT_ONLY names not in HEADLINE: {sorted(_unknown)}"
+        )
     HEADLINE = [n for n in HEADLINE if n in _keep]
 
 

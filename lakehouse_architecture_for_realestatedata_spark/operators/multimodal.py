@@ -809,59 +809,19 @@ def _planted_frame(seed: int, frame: int):
     return ((seed * 48271 + frame * 7919 + i * 16807) % 251).astype(np.uint8)
 
 
-def avi_bytes(seed: int, n_frames: int, fps: int = _VID_FPS) -> bytes:
-    """A complete, spec-valid RIFF/AVI file: one 'vids' stream of
-    uncompressed 24-bit BI_RGB DIB frames ('00db' chunks — bottom-up
-    rows, 4-byte stride padding, BGR byte order, all per the DIB spec)
-    plus the idx1 index. Parseable by ffmpeg or any AVI reader; the
-    decoder below chunk-walks it back."""
-    import struct
-
+def avi_bytes(seed: int, n_frames: int) -> bytes:
+    """A complete, spec-valid RIFF/AVI file of the planted frames: one
+    'vids' stream of uncompressed 24-bit BI_RGB DIB frames plus the idx1
+    index. Builds the top-down RGB payloads and delegates the entire
+    container layout to ``_avi_from_rgb_frames`` — ONE writer, so the
+    pristine and perturbed corpora can never desynchronize."""
     import numpy as np
 
-    stride = (_VID_W * 3 + 3) & ~3
-    frame_size = stride * _VID_H
-
-    def dib(seed: int, f: int) -> bytes:
-        # vectorized DIB: flip to bottom-up, repeat gray into B,G,R
-        # (equal channels), pad each row to the 4-byte stride
-        px = _planted_frame(seed, f).reshape(_VID_H, _VID_W)[::-1, :]
-        bgr = np.repeat(px[:, :, None], 3, axis=2).reshape(_VID_H, _VID_W * 3)
-        padded = np.zeros((_VID_H, stride), dtype=np.uint8)
-        padded[:, : _VID_W * 3] = bgr
-        return padded.tobytes()
-
-    frames = [dib(seed, f) for f in range(n_frames)]
-    strf = struct.pack(
-        "<IiiHHIIiiII", 40, _VID_W, _VID_H, 1, 24, 0, frame_size, 0, 0, 0, 0
-    )
-    strh = (
-        b"vids" + b"DIB "
-        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n_frames, frame_size, 0xFFFFFFFF, 0)
-        + struct.pack("<hhhh", 0, 0, _VID_W, _VID_H)
-    )
-    avih = struct.pack(
-        "<IIIIIIIIIIIIII",
-        1_000_000 // fps, frame_size * fps, 0, 0x10,  # AVIF_HASINDEX
-        n_frames, 0, 1, frame_size, _VID_W, _VID_H, 0, 0, 0, 0,
-    )
-
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
-
-    def lst(kind: bytes, body: bytes) -> bytes:
-        return b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
-
-    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
-    movi_body = b"".join(chunk(b"00db", f) for f in frames)
-    movi = lst(b"movi", movi_body)
-    idx = b"".join(
-        b"00db" + struct.pack("<III", 0x10, 4 + i * (8 + frame_size), frame_size)
-        for i in range(n_frames)
-    )
-    body = hdrl + movi + chunk(b"idx1", idx)
-    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    frames = [
+        np.repeat(_planted_frame(seed, f), 3).tobytes()  # equal R,G,B
+        for f in range(n_frames)
+    ]
+    return _avi_from_rgb_frames(_VID_W, _VID_H, frames)
 
 
 def decode_avi(blob: bytes) -> tuple[int, int, list[bytes]]:
@@ -974,15 +934,13 @@ def synthesize_avi_pairs(df: DataFrame, id_col: str) -> DataFrame:
     import pandas as pd
 
     def _synth(batches):
-        import struct as _struct
-
         for pdf in batches:
             rows = []
             for i in pdf["__id"].astype("int64"):
                 n = 6 + int(i) % 4
                 rows.append((2 * int(i), "video/avi", avi_bytes(int(i), n)))
-                # perturbed variant: rebuild with frame 2's pixels 30/31
-                # zeroed by patching the planted generator per-frame
+                # perturbed variant: frame 2's pixels 30/31 zeroed,
+                # re-encoded through the same writer
                 blob = _avi_bytes_perturbed(int(i), n)
                 rows.append((2 * int(i) + 1, "video/avi", blob))
             yield pd.DataFrame(rows, columns=["asset_id", "media_type", "blob"])

@@ -402,13 +402,41 @@ def ivf_upsert(
     ``partition_stats`` check in plans/layout.py)."""
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
-    cell_type = dict(spark.read.parquet(f"{path}/assignments").dtypes)["cell"]
+    existing = spark.read.parquet(f"{path}/assignments")
+    cell_type = dict(existing.dtypes)["cell"]
     assigned = assign_to_cells(new_vectors, F.broadcast(cents), vec_col, cell_type)
+    if "gen" in existing.columns:
+        # a CDC-synced (generation-stamped) index: stamp the batch at the
+        # current high generation so existing tombstones (gen <= that)
+        # never retro-kill it, and later syncs can still supersede it —
+        # appending WITHOUT gen would leave rows whose NULL generation no
+        # tombstone can ever beat (review r12)
+        assigned = assigned.withColumn(
+            "gen", F.lit(_index_max_gen(spark, path))
+        )
     # repartition on cell: one appended file per touched cell, not
     # n_tasks × n_cells slivers (same rationale as ivf_persist)
     assigned.repartition("cell").write.mode("append").partitionBy(
         "cell"
     ).parquet(f"{path}/assignments")
+
+
+def _index_max_gen(spark, path: str) -> int:
+    """The highest generation present anywhere in the index — assignments
+    AND tombstones — derived from the DATA, not the state file, so a
+    sync that crashed after appending but before writing its state can
+    never mint the same generation twice (crash idempotence). Parquet
+    column stats make both maxes metadata-scale reads."""
+    hi = 0
+    a = spark.read.parquet(f"{path}/assignments")
+    if "gen" in a.columns:
+        row = a.agg(F.max("gen")).first()
+        hi = max(hi, int(row[0] or 0))
+    t_path = f"{path}/tombstones"
+    if os.path.isdir(t_path):
+        row = spark.read.parquet(t_path).agg(F.max("gen")).first()
+        hi = max(hi, int(row[0] or 0))
+    return hi
 
 
 def ivf_sync_changes(
@@ -468,15 +496,26 @@ def ivf_sync_changes(
     a_path = f"{path}/assignments"
     a = spark.read.parquet(a_path)
     if "gen" not in a.columns:
-        # one-time layout migration: stamp the build as generation 0
+        # one-time layout migration: stamp the build as generation 0.
+        # Swap via TWO renames (old aside, new in) so a crash anywhere
+        # leaves either the original or the migrated directory intact —
+        # an rmtree-before-rename window would destroy the whole index.
         mig = f"{path}/assignments_migrating"
+        old = f"{path}/assignments_premigration"
         a.withColumn("gen", F.lit(0)).repartition("cell").write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(mig)
-        shutil.rmtree(a_path)
+        os.rename(a_path, old)
         os.rename(mig, a_path)
+        shutil.rmtree(old)
         a = spark.read.parquet(a_path)
-    gen_new = int(state["gen"]) + 1
+    # Generation from the DATA, not the state file: a sync that crashed
+    # after its appends but before its state write must not re-mint the
+    # same generation — the retry's HIGHER generation re-tombstones every
+    # net key (including the partial appends) and re-appends cleanly, so
+    # the live set converges to the same answer (crash idempotence;
+    # review r12). The state-file gen rides along only as a floor.
+    gen_new = max(int(state["gen"]), _index_max_gen(spark, path)) + 1
     ch = delta_read_changes(spark, table_path, start, latest)
     is_upsert = F.col("_change_type").isin("insert", "update_postimage")
     w = Window.partitionBy(id_col).orderBy(

@@ -51,10 +51,13 @@ _DEFAULT_CONF: dict[str, str] = {
     # put-if-absent, ParquetTable gates reads on its manifest — so v2's
     # weaker failure story (partial files on task failure) is invisible
     # behind those commit protocols, the same reasoning cloud-native
-    # committers use. v2's OTHER failure mode — duplicate task-attempt
-    # outputs surviving a stage/task retry — is handled where files are
-    # ingested: delta_lite._dedupe_task_attempts keeps one file per part
-    # number before any add action is minted.
+    # committers use. v2's OTHER failure mode — an uncommitted zombie
+    # attempt's files left under _temporary/ alongside the committed
+    # copy — is handled where files are ingested:
+    # delta_lite._is_committed_output path-filters the walk before any
+    # add action is minted (committed attempts share filenames, so
+    # renames collapse them; a part-number heuristic would drop
+    # legitimate -c000/-c001 multi-file task outputs).
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 

@@ -405,12 +405,19 @@ def attach_global(cat: Catalog) -> list[str]:
     return sorted(out)
 
 
-def thrift_sql(port: int, sql: str, timeout: int = 240) -> tuple[list[str], list[list[str]]]:
+def thrift_sql(
+    port: int, sql: str, timeout: int = 240, retry: bool = True
+) -> tuple[list[str], list[list[str]]]:
     """Run ``sql`` against a running thrift server THROUGH THE WIRE using
     the bundled beeline JDBC client (a separate JVM process — nothing is
     shortcut through the in-process session). Returns (columns, rows) as
     strings, csv2-parsed; callers cast. Serving-path plumbing for tests
-    and the oracle row, not a bulk transport."""
+    and the oracle row, not a bulk transport.
+
+    ``retry``: one re-execution after a timeout. A timeout during fetch
+    does NOT mean the server skipped the statement, so the retry can
+    DOUBLE-EXECUTE — fine for the SELECTs this serves, but pass
+    ``retry=False`` for any non-idempotent statement (INSERT/CTAS)."""
     import csv
     import io
     import subprocess
@@ -433,6 +440,8 @@ def thrift_sql(port: int, sql: str, timeout: int = 240) -> tuple[list[str], list
             cmd, capture_output=True, text=True, timeout=timeout
         )
     except subprocess.TimeoutExpired:
+        if not retry:
+            raise
         # One retry: under heavy shared-JVM load (a long query sweep in
         # the same process) the HiveServer2 handshake can stall past any
         # reasonable single-attempt timeout while the server itself is

@@ -2219,21 +2219,28 @@ def _write_version_checksum(log: str, version: int, payload: str) -> None:
     os.replace(tmp, crc_path)
 
 
-def _dedupe_task_attempts(root: str, files: list[str]) -> set[str]:
-    """Committer-v2 hygiene: a committed-then-retried task (stage retry,
-    speculation) can leave TWO outputs for the same task/part number in
-    the destination — v1's job-commit dedupes these, v2 does not, and
-    blindly ingesting both would double the task's rows. Keep exactly
-    one file per part number (newest mtime — the attempt that committed
-    last); non-Spark-named files pass through untouched."""
-    by_part: dict[str, list[str]] = {}
-    for f in files:
-        mpart = re.match(r"part-(\d+)-", f)
-        by_part.setdefault(mpart.group(1) if mpart else f, []).append(f)
-    return {
-        max(cands, key=lambda f: os.path.getmtime(os.path.join(root, f)))
-        for cands in by_part.values()
-    }
+def _is_committed_output(root: str, fname: str) -> bool:
+    """Committer-v2 hygiene: should this walked file be ingested?
+
+    Two committed attempts of the same task carry IDENTICAL filenames
+    (part number + the job's write UUID + file counter), so the final
+    rename can leave at most one — within a directory, name uniqueness
+    already guarantees no duplicate committed output. What v2 CAN leave
+    behind is an uncommitted zombie: a speculative or failed attempt's
+    files still sitting under a ``_temporary/.../attempt_*/`` subtree
+    when the job finishes — walking those alongside the committed copy
+    of the same file would double the task's rows. So the guard is a
+    PATH test (skip anything inside ``_temporary`` and dot-hidden
+    files), never an mtime heuristic: keying on the part number alone
+    would silently DROP legitimate multi-file task outputs
+    (``-c000``/``-c001`` splits from spark.sql.files.maxRecordsPerFile),
+    which is data loss."""
+    if fname.startswith(".") or fname.startswith("_"):
+        return False
+    parts = root.replace(os.sep, "/").split("/")
+    return "_temporary" not in parts and not any(
+        p.startswith("attempt_") for p in parts
+    )
 
 
 def _write_data_files(
@@ -2252,12 +2259,11 @@ def _write_data_files(
     adds: list[dict] = []
     now = int(time.time() * 1000)
     for root, _dirs, files in os.walk(tmp):
-        keep = _dedupe_task_attempts(root, files)
         for f in files:
             if not f.endswith(".parquet"):
                 continue
-            if f not in keep:
-                continue  # superseded duplicate task attempt
+            if not _is_committed_output(root, f):
+                continue  # zombie attempt output / hidden file
             # Spark can emit zero-row part files for empty partitions; a
             # zero-row add pollutes the log (and foreign readers' stats)
             # for nothing — skip them (footer read: metadata-scale; the
@@ -5548,7 +5554,17 @@ def delta_fsck(path: str, check_files: bool = True) -> list[str]:
                 crc = json.load(fh)
         except (OSError, json.JSONDecodeError) as e:
             findings.append(f"{snap.version:020d}.crc: unreadable ({e})")
-        else:
+            crc = None
+        if crc is not None and not isinstance(crc, dict):
+            # valid JSON of the wrong shape must be a FINDING, not an
+            # AttributeError escaping the audit (the _row_id_hwm bug
+            # class)
+            findings.append(
+                f"{snap.version:020d}.crc: not a JSON object "
+                f"({type(crc).__name__})"
+            )
+            crc = None
+        if crc is not None:
             expect = {
                 "tableSizeBytes": sum(
                     int(a.get("size") or 0) for a in snap.files.values()
@@ -5560,7 +5576,17 @@ def delta_fsck(path: str, check_files: bool = True) -> list[str]:
             }
             for k, want in expect.items():
                 got = crc.get(k)
-                if got is not None and int(got) != want:
+                if got is None:
+                    continue
+                try:
+                    got_i = int(got)
+                except (ValueError, TypeError):
+                    findings.append(
+                        f"{snap.version:020d}.crc: {k} is non-numeric "
+                        f"({got!r})"
+                    )
+                    continue
+                if got_i != want:
                     findings.append(
                         f"{snap.version:020d}.crc: {k} is {got}, replay "
                         f"says {want} — checksum/log divergence"

@@ -4045,33 +4045,45 @@ def test_row_id_hwm_non_dict_domain_raises_protocol_error(spark, tmp_path):
         dl._row_id_hwm(_Snap2())
 
 
-def test_write_data_files_dedupes_duplicate_task_attempts(spark, tmp_path):
-    """ADVICE r11 #2: committer v2 can leave two committed outputs for
-    the same task/part number after a task retry; _dedupe_task_attempts
-    (applied by _write_data_files before ingest) must keep exactly one
-    — the newest attempt — and pass non-Spark-named files through."""
-    import time as _time
-
+def test_write_data_files_skips_zombie_attempts_keeps_multifile_tasks(
+    spark, tmp_path
+):
+    """ADVICE r11 #2, corrected in review: the committer-v2 duplicate
+    vector is an UNCOMMITTED zombie attempt left under _temporary/ when
+    the job finishes (committed attempts share filenames, so renames
+    collapse them) — the guard is a path test. A part-number mtime
+    heuristic would silently DROP legitimate multi-file task outputs
+    (-c000/-c001 from maxRecordsPerFile), which is data loss."""
     dl = _rt_imports()
-    d = str(tmp_path / "attempts")
-    os.makedirs(d)
-    tbl = pa.table({"k": pa.array([1, 2], pa.int64())})
-    pq.write_table(tbl, os.path.join(d, "part-00000-attempt0.parquet"))
-    _time.sleep(0.02)
-    pq.write_table(tbl, os.path.join(d, "part-00000-attempt1.parquet"))
-    pq.write_table(
-        pa.table({"k": pa.array([3], pa.int64())}),
-        os.path.join(d, "part-00001-xyz.parquet"),
+    ok = dl._is_committed_output
+    # multi-file task outputs all ingest
+    assert ok("/tmp/x", "part-00000-8f3c-c000.snappy.parquet")
+    assert ok("/tmp/x", "part-00000-8f3c-c001.snappy.parquet")
+    # partition dirs ingest
+    assert ok("/tmp/x/cell=3", "part-00000-8f3c-c000.snappy.parquet")
+    # zombie attempt subtrees and hidden/underscore files do not
+    assert not ok(
+        "/tmp/x/_temporary/0/_temporary/attempt_2024_m_0/",
+        "part-00000-8f3c-c000.snappy.parquet",
     )
-    with open(os.path.join(d, "random.parquet"), "wb") as fh:
-        fh.write(b"")
-    files = sorted(os.listdir(d))
-    keep = dl._dedupe_task_attempts(d, files)
-    assert keep == {
-        "part-00000-attempt1.parquet",
-        "part-00001-xyz.parquet",
-        "random.parquet",
-    }
+    assert not ok("/tmp/x/_temporary/0", "part-00001-aa-c000.parquet")
+    assert not ok("/tmp/x", ".part-00000-crc.parquet")
+    assert not ok("/tmp/x", "_SUCCESS.parquet")
+    # end-to-end: maxRecordsPerFile splits one task into many files and
+    # every row must survive ingestion
+    t = str(tmp_path / "multi")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try:
+        delta_write(
+            spark.range(0, 250).select(F.col("id").alias("k")).coalesce(1),
+            t,
+        )
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    snap = dl._replay(t, None)
+    assert len(snap.files) == 3  # 100 + 100 + 50
+    assert delta_read(spark, t).count() == 250
+
 
 
 def test_version_checksum_emitted_and_fsck_verified(spark, tmp_path):
@@ -4220,3 +4232,24 @@ def test_widen_column_type_roundtrip_and_refusals(spark, tmp_path):
     types = {f.name: f.dataType.simpleString() for f in snap3.schema.fields}
     assert types["f"] == "double" and types["d"] == "decimal(20,4)"
     assert delta_read(spark, t3).count() == 1
+
+
+def test_fsck_crc_malformed_shapes_are_findings(spark, tmp_path):
+    """Review r12: a present .crc with valid-but-wrong-shape JSON (array,
+    scalar, non-numeric counters) must be a FINDING, never an exception
+    escaping the audit."""
+    dl = _rt_imports()
+    t = str(tmp_path / "crcshape")
+    delta_write(spark.range(0, 3).select(F.col("id").alias("k")), t)
+    log = os.path.join(t, "_delta_log")
+    crc = os.path.join(log, f"{0:020d}.crc")
+    for payload, needle in (
+        ("[1, 2]", "not a JSON object"),
+        ('"7"', "not a JSON object"),
+        ('{"numFiles": "abc"}', "non-numeric"),
+        ("{not json", "unreadable"),
+    ):
+        with open(crc, "w") as fh:
+            fh.write(payload)
+        finds = dl.delta_fsck(t)
+        assert any(needle in f for f in finds), (payload, finds)

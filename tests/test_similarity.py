@@ -729,3 +729,64 @@ def test_ivf_sync_changes_matches_rebuild(spark, tmp_path):
     _os.unlink(_os.path.join(idx, "_ivf_sync.json"))
     with _pytest.raises(ValueError, match="initial_version"):
         ivf_sync_changes(spark, idx, tbl)
+
+
+def test_ivf_sync_crash_idempotent_and_upsert_gen_aware(spark, tmp_path):
+    """Review r12: (a) a sync that crashed after its appends but before
+    its state write must converge on retry — the generation is derived
+    from the index DATA, so the retry re-tombstones at a higher gen and
+    the live set equals the clean-run answer; (b) ivf_upsert on a
+    gen-migrated index stamps the current generation, so its rows both
+    survive existing tombstones and stay supersedable."""
+    import json as _json
+    import os as _os
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        ivf_assign,
+        ivf_live_assignments,
+        ivf_persist,
+        ivf_sync_changes,
+        ivf_upsert,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+        delta_enable_cdf,
+        delta_read,
+        delta_write,
+    )
+
+    def vecs(ids):
+        return [(i, [float(i % 7), float(i % 5)]) for i in ids]
+
+    schema = "vec_id bigint, embedding array<double>"
+    tbl = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    delta_write(spark.createDataFrame(vecs(range(20)), schema), tbl)
+    v = delta_enable_cdf(spark, tbl)
+    a, c = ivf_assign(delta_read(spark, tbl), "vec_id", "embedding", n_cells=4)
+    ivf_persist(a, c, idx)
+    delta_delete_where(spark, tbl, ("vec_id", "between", (5, 9)))
+    ivf_sync_changes(spark, idx, tbl, initial_version=v)
+    # simulate the crash: state file lost AFTER the appends landed
+    _os.unlink(_os.path.join(idx, "_ivf_sync.json"))
+    ivf_sync_changes(spark, idx, tbl, initial_version=v)  # the retry
+    live = sorted(
+        r["vec_id"] for r in ivf_live_assignments(spark, idx).collect()
+    )
+    assert live == [i for i in range(20) if not 5 <= i <= 9]
+    with open(_os.path.join(idx, "_ivf_sync.json")) as fh:
+        assert _json.load(fh)["gen"] == 2  # retry minted a HIGHER gen
+    # (b) upsert on the migrated index: new keys carry the current gen
+    ivf_upsert(
+        spark.createDataFrame(vecs(range(100, 105)), schema), idx
+    )
+    live2 = sorted(
+        r["vec_id"] for r in ivf_live_assignments(spark, idx).collect()
+    )
+    assert live2 == live + list(range(100, 105))
+    a2 = spark.read.parquet(f"{idx}/assignments")
+    gens = {
+        r["gen"]
+        for r in a2.filter(F.col("vec_id") >= 100).select("gen").collect()
+    }
+    assert gens == {2}  # stamped, not NULL — tombstones can supersede

@@ -2166,11 +2166,39 @@ def _write_version_checksum(log: str, version: int, payload: str) -> None:
     has_removes = any("remove" in a for a in actions)
     meta_act = next((a["metaData"] for a in actions if "metaData" in a), None)
     proto_act = next((a["protocol"] for a in actions if "protocol" in a), None)
+    txn_acts = [a["txn"] for a in actions if "txn" in a]
+    dom_acts = [a["domainMetadata"] for a in actions if "domainMetadata" in a]
     prev_path = os.path.join(log, f"{version - 1:020d}.crc")
     prev = None
     if version > 0 and os.path.isfile(prev_path):
         with open(prev_path) as fh:
             prev = json.load(fh)
+
+    def _apply_txn_domains(crc: dict) -> None:
+        """Fold this commit's txn/domainMetadata actions onto whatever
+        setTransactions/domainMetadata the summary carries — delta-spark's
+        crc records both, replayed latest-per-key."""
+        if txn_acts or crc.get("setTransactions") is not None:
+            st = {e["appId"]: e for e in crc.get("setTransactions") or []}
+            for t in txn_acts:
+                st[t["appId"]] = {"appId": t["appId"], "version": t["version"]}
+            crc["setTransactions"] = sorted(
+                st.values(), key=lambda e: e["appId"]
+            )
+        if dom_acts or crc.get("domainMetadata") is not None:
+            dm = {e["domain"]: e for e in crc.get("domainMetadata") or []}
+            for d in dom_acts:
+                if d.get("removed"):
+                    dm.pop(d["domain"], None)
+                else:
+                    dm[d["domain"]] = {
+                        "domain": d["domain"],
+                        "configuration": d.get("configuration"),
+                        "removed": False,
+                    }
+            crc["domainMetadata"] = sorted(
+                dm.values(), key=lambda e: e["domain"]
+            )
     if (
         prev is not None
         and not has_removes
@@ -2193,6 +2221,7 @@ def _write_version_checksum(log: str, version: int, payload: str) -> None:
             crc["protocol"] = proto_act
         if meta_act is not None:
             crc["metadata"] = meta_act
+        _apply_txn_domains(crc)
     else:
         snap = _replay(os.path.dirname(log), version)
         crc = {
@@ -2213,6 +2242,17 @@ def _write_version_checksum(log: str, version: int, payload: str) -> None:
             meta = prev.get("metadata")
         if meta is not None:
             crc["metadata"] = meta
+        # replayed state already folds every txn/domain action in
+        if snap.txns:
+            crc["setTransactions"] = [
+                {"appId": k, "version": v}
+                for k, v in sorted(snap.txns.items())
+            ]
+        if snap.domains:
+            crc["domainMetadata"] = [
+                {"domain": d, "configuration": c, "removed": False}
+                for d, c in sorted(snap.domains.items())
+            ]
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.crc")
     with open(tmp, "w") as fh:
         fh.write(json.dumps(crc))
@@ -5590,6 +5630,33 @@ def delta_fsck(path: str, check_files: bool = True) -> list[str]:
                     findings.append(
                         f"{snap.version:020d}.crc: {k} is {got}, replay "
                         f"says {want} — checksum/log divergence"
+                    )
+            if crc.get("setTransactions") is not None:
+                want_st = {
+                    k: v for k, v in (snap.txns or {}).items()
+                }
+                got_st = {
+                    e.get("appId"): e.get("version")
+                    for e in crc["setTransactions"]
+                    if isinstance(e, dict)
+                }
+                if got_st != want_st:
+                    findings.append(
+                        f"{snap.version:020d}.crc: setTransactions "
+                        f"{got_st} != replay {want_st} — checksum/log "
+                        "divergence"
+                    )
+            if crc.get("domainMetadata") is not None:
+                want_dm = dict(snap.domains or {})
+                got_dm = {
+                    e.get("domain"): e.get("configuration")
+                    for e in crc["domainMetadata"]
+                    if isinstance(e, dict) and not e.get("removed")
+                }
+                if got_dm != want_dm:
+                    findings.append(
+                        f"{snap.version:020d}.crc: domainMetadata "
+                        "disagrees with replay — checksum/log divergence"
                     )
     return findings
 

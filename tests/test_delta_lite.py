@@ -4253,3 +4253,46 @@ def test_fsck_crc_malformed_shapes_are_findings(spark, tmp_path):
             fh.write(payload)
         finds = dl.delta_fsck(t)
         assert any(needle in f for f in finds), (payload, finds)
+
+
+def test_crc_carries_set_transactions_and_domains(spark, tmp_path):
+    """VersionChecksum completeness (r12): the .crc records
+    setTransactions (latest version per appId) and domainMetadata
+    (live domains), maintained incrementally on txn/domain commits and
+    verified by fsck against replay."""
+    dl = _rt_imports()
+    t = str(tmp_path / "crctd")
+    delta_write(
+        spark.range(0, 4).select(F.col("id").alias("k")).coalesce(1), t
+    )
+    # row tracking enablement writes a domainMetadata action
+    dl.delta_enable_row_tracking(spark, t)
+    log = os.path.join(t, "_delta_log")
+    latest = max(
+        int(f.split(".")[0]) for f in os.listdir(log) if f.endswith(".json")
+    )
+    with open(os.path.join(log, f"{latest:020d}.crc")) as fh:
+        crc = json.load(fh)
+    snap = dl._replay(t, None)
+    assert {e["domain"] for e in crc["domainMetadata"]} == set(snap.domains)
+    assert dl.delta_fsck(t) == []
+    # a txn-bearing commit (exactly-once sink style) folds into the crc
+    # incrementally; corrupting the recorded txn version is a finding
+    dl._claim_version(
+        log,
+        latest + 1,
+        json.dumps({"commitInfo": {"operation": "TXN", "timestamp": 1}})
+        + "\n"
+        + json.dumps({"txn": {"appId": "app-1", "version": 7}})
+        + "\n",
+    )
+    with open(os.path.join(log, f"{latest + 1:020d}.crc")) as fh:
+        crc2 = json.load(fh)
+    assert {e["appId"]: e["version"] for e in crc2["setTransactions"]} == {
+        "app-1": 7
+    }
+    assert dl.delta_fsck(t) == []
+    crc2["setTransactions"] = [{"appId": "app-1", "version": 99}]
+    with open(os.path.join(log, f"{latest + 1:020d}.crc"), "w") as fh:
+        fh.write(json.dumps(crc2))
+    assert any("setTransactions" in f for f in dl.delta_fsck(t))

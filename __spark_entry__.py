@@ -31,7 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from lakehouse_architecture_for_realestatedata_spark.operators.aggregates import daily_summary
     from lakehouse_architecture_for_realestatedata_spark.operators.dedup import dedup_latest
 
-    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events, pin_contract_confs
+
+    pin_contract_confs(spark)
 
     events = _events(spark, "/root/testdata/sf0.001")
     latest = dedup_latest(events, "user_id", [F.col("ts").desc(), F.col("event_id").desc()])

@@ -17,17 +17,22 @@ _NUMERIC_TOKEN = r"([\d,.]+)"
 
 def parse_numeric(col: Column | str) -> Column:
     """F1+F2+F4: extract first numeric token, Vietnamese decimal-comma → dot,
-    cast to double. NULL when no token (non-ANSI cast semantics).
-    reference: dbt/models/staging/stg_properties.sql:45-55."""
+    cast to double. NULL when no token. ``try_cast`` (not ``cast``) so the
+    NULL-on-malformed semantics hold under ANY session ANSI setting — the
+    extracted token is '' when the regex misses, which plain cast would
+    reject under ANSI mode. reference: dbt/models/staging/stg_properties.sql:45-55."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.regexp_extract(c, _NUMERIC_TOKEN, 1), ",", ".").cast("double")
+    return F.regexp_replace(
+        F.regexp_extract(c, _NUMERIC_TOKEN, 1), ",", "."
+    ).try_cast("double")
 
 
 def parse_int(col: Column | str) -> Column:
     """First digit run as int (floors/bedrooms/bathrooms: "2 phòng" → 2).
+    try_cast: '' (no digit run) → NULL under ANSI too.
     reference: dbt/models/staging/stg_properties.sql:57-59."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, r"(\d+)", 1).cast("int")
+    return F.regexp_extract(c, r"(\d+)", 1).try_cast("int")
 
 
 def parse_price_vnd(col: Column | str) -> Column:

@@ -45,25 +45,178 @@ def write_partitioned(
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def z_value(cols: list[Column | str], bits: int = 16) -> Column:
-    """Z-order (Morton) value: interleave the low ``bits`` bits of each
-    column. Callers pass non-negative integer-valued columns (days since
-    epoch, surrogate keys, bucketed doubles). Pure scalar bit ops —
-    codegen'd, no UDF, no shuffle of its own.
-
-    bits × len(cols) must fit in 63; 16 bits × 2 cols (65k distinct each) is
-    the standard BI sweet spot."""
-    cs = [F.col(c).cast("bigint") if isinstance(c, str) else c.cast("bigint") for c in cols]
-    n = len(cs)
+def _interleave_bits(cols: list[Column], bits: int) -> Column:
+    """Morton interleave of the low ``bits`` bits of each (already bigint,
+    already non-negative) column. Pure scalar bit ops — codegen'd, no UDF,
+    no shuffle of its own."""
+    n = len(cols)
     if bits * n > 63:
         raise ValueError("bits * len(cols) must be <= 63")
     mask_one = F.lit(1).cast("bigint")
     z = F.lit(0).cast("bigint")
     for b in range(bits):
-        for i, c in enumerate(cs):
+        for i, c in enumerate(cols):
             bit = F.shiftrightunsigned(c, b).bitwiseAND(mask_one)
             z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
     return z
+
+
+def z_value(cols: list[Column | str], bits: int = 16) -> Column:
+    """Z-order (Morton) value for columns the CALLER guarantees are
+    non-negative integer-valued (days since epoch, surrogate keys,
+    pre-bucketed ids). For arbitrary orderable columns — strings, dates,
+    skewed ints — use ``z_value_ranked``, which encodes each column to a
+    frequency-balanced range-bucket rank first; a blind cast here returns
+    NULL (non-ANSI) or throws (ANSI) on non-numeric text and gives skewed
+    interleaves on non-uniform ints.
+
+    bits × len(cols) must fit in 63; 16 bits × 2 cols (65k distinct each) is
+    the standard BI sweet spot."""
+    cs = [
+        F.col(c).cast("bigint") if isinstance(c, str) else c.cast("bigint")
+        for c in cols
+    ]
+    return _interleave_bits(cs, bits)
+
+
+#: dtypes ``column_range_bounds`` accepts — every atomic orderable type.
+#: Everything else (array/map/struct/binary/void) is refused BY NAME: a
+#: silent cast would either throw under ANSI or NULL-collapse every row
+#: into one range partition (one task rewrites the whole table, zero
+#: data skipping afterwards).
+_ORDERABLE_DTYPES = ("tinyint", "smallint", "int", "bigint", "float",
+                     "double", "decimal", "string", "date", "timestamp",
+                     "timestamp_ntz", "boolean")
+
+
+def column_range_bounds(
+    df: DataFrame, col_name: str, n_buckets: int, cap: int = 4096
+) -> list:
+    """Driver-collected literal boundary values splitting ``col_name`` into
+    at most ``n_buckets`` frequency-balanced range buckets — the delta-spark
+    OPTIMIZE ZORDER technique (range_partition_id per column) made
+    deterministic: partition assignment becomes a pure row function of the
+    value against literal boundaries, immune to task retries/re-execution,
+    and works for ANY orderable type (no casts — ANSI-safe).
+
+    Cost: one column-pruned stats pass + one bounded collect. Cardinality
+    ≤ ``cap`` → exact weighted quantiles over all distinct values; above
+    that, a deterministic content-hash sample (~8·cap rows) approximates
+    them — the same sampling delta-spark's RangePartitioner does, minus the
+    nondeterminism. Returns [] (single bucket) for empty/constant columns.
+    """
+    dtype = dict(df.dtypes).get(col_name)
+    if dtype is None:
+        raise KeyError(f"no such column: {col_name}")
+    base = dtype.split("(")[0]
+    if base not in _ORDERABLE_DTYPES:
+        raise TypeError(
+            f"cannot range-cluster on {col_name}: type {dtype} is not an "
+            "orderable atomic type"
+        )
+    if n_buckets <= 1:
+        return []
+    src = df.select(col_name).where(F.col(col_name).isNotNull())
+    stats = src.agg(
+        F.approx_count_distinct(col_name).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if not stats["n"]:
+        return []
+    if stats["d"] <= cap:
+        rows = (
+            src.groupBy(col_name)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(col_name)
+            .collect()
+        )
+    else:
+        mod = max(1, int(stats["n"]) // (cap * 8))
+        rows = (
+            src.where(
+                F.pmod(F.xxhash64(F.col(col_name).cast("string")), F.lit(mod))
+                == 0
+            )
+            .groupBy(col_name)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(col_name)
+            .collect()
+        )
+        if not rows:  # pathological sample miss: single bucket, still correct
+            return []
+    total = sum(r["__n"] for r in rows)
+    k = min(n_buckets, len(rows))
+    if k <= 1:
+        return []
+    targets = [total * i / k for i in range(1, k)]
+    bounds: list = []
+    cum, ti = 0, 0
+    for r in rows:
+        cum += r["__n"]
+        appended = False
+        while ti < len(targets) and cum >= targets[ti]:
+            ti += 1
+            if not appended:  # a heavy value spanning several targets
+                bv = r[col_name]
+                if not bounds or bounds[-1] != bv:
+                    bounds.append(bv)
+                appended = True
+    return bounds
+
+
+def range_bucket_id(col: Column | str, bounds: list) -> Column:
+    """Bucket id of ``col`` against sorted literal ``bounds``: the count of
+    boundaries strictly below the value (NULLs → bucket 0, i.e. first).
+    A pure row function of literals — retry-immune, no shuffle, no cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    if not bounds:
+        return F.lit(0).cast("bigint")
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.when(c > b, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def z_value_ranked(
+    df: DataFrame, cols: list[str], n_buckets: int = 256
+) -> Column:
+    """Z-order value over ARBITRARY orderable columns: encode each column to
+    its frequency-balanced range-bucket rank (``column_range_bounds`` +
+    ``range_bucket_id``) and Morton-interleave the rank bits. This is what
+    delta-spark's OPTIMIZE ZORDER does (interleaved range_partition_ids) —
+    rank encoding both supports non-numeric keys (the raw-cast path crashes
+    under ANSI on strings, reference-shaped priority/province keys) and
+    equalizes skewed numeric distributions so every z-cell carries similar
+    row weight."""
+    all_bounds = [column_range_bounds(df, c, n_buckets) for c in cols]
+    n = len(cols)
+    bits = max(1, max(len(b) for b in all_bounds).bit_length())
+    if bits * n > 63:  # trim boundary lists to what 63 bits can interleave
+        bits = 63 // n
+        limit = (1 << bits) - 1
+        all_bounds = [
+            # evenly spaced sub-selection; b is sorted-unique and
+            # len(b) > limit makes the picked indices strictly increasing
+            [b[i * len(b) // limit] for i in range(limit)]
+            if len(b) > limit
+            else b
+            for b in all_bounds
+        ]
+    full = (1 << bits) - 1
+    ranks = []
+    for c, b in zip(cols, all_bounds):
+        r = range_bucket_id(c, b)
+        # scale every column's rank onto the SAME bit width: a 5-value
+        # column interleaved raw against a 256-bucket one contributes only
+        # low-order bits and loses all file locality — stretching its ranks
+        # across [0, 2^bits) makes each dimension's high bits discriminate
+        # equally (values stay < 2^53, so the double division is exact)
+        if 0 < len(b) < full:
+            r = F.floor(r * F.lit(full) / F.lit(len(b))).cast("bigint")
+        ranks.append(r)
+    return _interleave_bits(ranks, bits)
 
 
 def cluster_by(
@@ -78,10 +231,18 @@ def cluster_by(
     file covers a narrow key range and parquet row-group stats prune reads.
 
     This is exactly one shuffle — the write-side cost that buys every future
-    read. ``n_partitions`` controls output file count (size for ~128 MB-1 GB
+    read (plus, for z-order, one column-pruned boundary pass per cluster
+    column — the sampling delta-spark's range partitioner also pays).
+    ``n_partitions`` controls output file count (size for ~128 MB-1 GB
     per file at scale)."""
     if zorder:
-        key = z_value(cols, bits).alias("__z")
+        # rank-encode every column before interleaving: works for strings/
+        # dates (a raw bigint cast throws under ANSI and NULL-collapses the
+        # range shuffle into ONE partition otherwise) and gives skew-balanced
+        # z-cells for numerics. ~4 buckets per output file keeps each file
+        # covering a narrow key range without oversizing the literal arrays.
+        n_buckets = max(16, min(1 << bits, 4 * (n_partitions or 64)))
+        key = z_value_ranked(df, [str(c) for c in cols], n_buckets)
         out = df.withColumn("__z", key)
         parts = [F.col("__z")]
         out = (

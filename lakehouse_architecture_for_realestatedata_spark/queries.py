@@ -52,10 +52,40 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# Runtime confs the correctness contract depends on, pinned at every query
+# entry (the driver's session is not ours — it runs ANSI-on, where the
+# engine's deliberate cast-to-NULL parsing semantics would throw
+# CAST_INVALID_INPUT, and a non-UTC session TZ would shift every hashed
+# timestamp). Both are runtime-settable; same set-at-entry pattern the
+# registry already uses for parquet.fieldId.read.enabled. Set-and-leave on
+# purpose: the returned DataFrame is analyzed/executed by the caller AFTER
+# this function returns, so restoring the conf here would re-break it.
+_CONTRACT_CONFS: dict[str, str] = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def pin_contract_confs(spark: SparkSession) -> None:
+    for k, v in _CONTRACT_CONFS.items():
+        try:
+            cur = spark.conf.get(k, None)
+        except Exception:
+            cur = None
+        if cur != v:
+            spark.conf.set(k, v)
+
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        import functools
+
+        @functools.wraps(fn)
+        def pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_contract_confs(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = QuerySpec(name, pinned, oracle, doc)
         return fn
 
     return wrap

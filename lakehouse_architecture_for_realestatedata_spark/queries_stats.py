@@ -2218,10 +2218,10 @@ def q_important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late_shipment_modes_q12",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count,
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+           cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS bigint) AS low_line_count,
            count(*) AS n_late
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE date_diff('day', o_orderdate, l_shipdate) >= 60

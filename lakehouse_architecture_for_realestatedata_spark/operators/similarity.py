@@ -425,18 +425,36 @@ def _index_max_gen(spark, path: str) -> int:
     """The highest generation present anywhere in the index — assignments
     AND tombstones — derived from the DATA, not the state file, so a
     sync that crashed after appending but before writing its state can
-    never mint the same generation twice (crash idempotence). Parquet
-    column stats make both maxes metadata-scale reads."""
-    hi = 0
-    a = spark.read.parquet(f"{path}/assignments")
-    if "gen" in a.columns:
-        row = a.agg(F.max("gen")).first()
-        hi = max(hi, int(row[0] or 0))
-    t_path = f"{path}/tombstones"
-    if os.path.isdir(t_path):
-        row = spark.read.parquet(t_path).agg(F.max("gen")).first()
-        hi = max(hi, int(row[0] or 0))
-    return hi
+    never mint the same generation twice (crash idempotence).
+
+    spark.sql.parquet.aggregatePushdown is enabled (and restored) around
+    the two reads: only with that conf does Spark serve agg(max) from the
+    parquet footer stats — without it each call scans the full gen column,
+    turning every sync O(index) and breaking the O(changed rows) claim
+    (ADVICE r12). Correctness never depends on the pushdown firing; it is
+    purely the metadata-scale fast path."""
+    key = "spark.sql.parquet.aggregatePushdown"
+    try:
+        prev = spark.conf.get(key, None)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "true")
+    try:
+        hi = 0
+        a = spark.read.parquet(f"{path}/assignments")
+        if "gen" in a.columns:
+            row = a.agg(F.max("gen")).first()
+            hi = max(hi, int(row[0] or 0))
+        t_path = f"{path}/tombstones"
+        if os.path.isdir(t_path):
+            row = spark.read.parquet(t_path).agg(F.max("gen")).first()
+            hi = max(hi, int(row[0] or 0))
+        return hi
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def ivf_sync_changes(
@@ -494,14 +512,25 @@ def ivf_sync_changes(
     if start > latest:
         return int(state["synced_through"])  # nothing new
     a_path = f"{path}/assignments"
+    mig = f"{path}/assignments_migrating"
+    old = f"{path}/assignments_premigration"
+    # Crash recovery for the one-time gen migration below (ADVICE r12):
+    # the two-rename swap has a window (after rename(a_path, old), before
+    # rename(mig, a_path)) where no assignments dir exists — roll it
+    # FORWARD here (mig is complete by construction: the first rename only
+    # runs after mig's write finished), and collect a leftover
+    # premigration copy from a crash before its rmtree, which would
+    # otherwise fail the next migration's rename.
+    if not os.path.isdir(a_path) and os.path.isdir(mig):
+        os.rename(mig, a_path)
+    if os.path.isdir(old) and os.path.isdir(a_path):
+        shutil.rmtree(old)
     a = spark.read.parquet(a_path)
     if "gen" not in a.columns:
         # one-time layout migration: stamp the build as generation 0.
-        # Swap via TWO renames (old aside, new in) so a crash anywhere
-        # leaves either the original or the migrated directory intact —
-        # an rmtree-before-rename window would destroy the whole index.
-        mig = f"{path}/assignments_migrating"
-        old = f"{path}/assignments_premigration"
+        # Swap via TWO renames (old aside, new in); combined with the
+        # entry recovery above, a crash at ANY point leaves the index
+        # readable on the next call without manual repair.
         a.withColumn("gen", F.lit(0)).repartition("cell").write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(mig)

@@ -33,6 +33,14 @@ _DEFAULT_CONF: dict[str, str] = {
     # Python Data Source pushdown: lets format("delta_lite") receive query
     # predicates and prune files by add-action stats (sources/delta_source).
     "spark.sql.python.filterPushdown.enabled": "true",
+    # Parquet field-id binding (SPARK-38094), set ONCE at session build so
+    # delta_lite's columnMapping.mode=id paths don't have to mutate shared
+    # session state mid-query (ADVICE r12). Both are scoped no-ops for
+    # schemas that carry no parquet.field.id metadata — every ordinary
+    # read/write is untouched. delta_lite still sets them defensively when
+    # handed a FOREIGN session (the driver's), documented there.
+    "spark.sql.parquet.fieldId.read.enabled": "true",
+    "spark.sql.parquet.fieldId.write.enabled": "true",
     # Quieter, faster local runs.
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",

@@ -458,6 +458,18 @@ def _mint_column_mapping(
     return StructType([conv_field(f) for f in schema.fields]), next_id
 
 
+def _ensure_conf(spark: SparkSession, key: str, value: str = "true") -> None:
+    """Set a runtime conf only when it differs — avoids churning shared
+    session state on every call (and keeps foreign-session mutation down
+    to the first mode=id touch)."""
+    try:
+        cur = spark.conf.get(key, None)
+    except Exception:
+        cur = None
+    if cur != value:
+        spark.conf.set(key, value)
+
+
 def _to_physical_frame(
     df: DataFrame, mode: str, annotated: StructType
 ) -> DataFrame:
@@ -480,7 +492,13 @@ def _to_physical_frame(
     # ride the cast's target StructType.
     with_ids = mode == "id"
     if with_ids:
-        df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        # Set-and-leave is DELIBERATE (ADVICE r12 considered): the frame is
+        # lazy — the conf is consulted when the caller's write executes, so
+        # a save/restore here would silently stop stamping ids. Our own
+        # session factory pins this conf at build (session.py); this set
+        # only fires on a foreign session (the driver's), and it is a
+        # scoped no-op for schemas without parquet.field.id metadata.
+        _ensure_conf(df.sparkSession, "spark.sql.parquet.fieldId.write.enabled")
     phys = _physical_struct(annotated, with_field_ids=with_ids)
     m = {lf.name: pf for lf, pf in zip(annotated.fields, phys.fields)}
     return df.select(
@@ -1548,8 +1566,11 @@ def _scan_files(
         # mode=id: bind parquet columns by field id, not name — Spark's
         # native resolution (SPARK-38094) keyed off the parquet.field.id
         # metadata physical_schema carries; scoped to schemas that carry
-        # it, so every other read is untouched by this session conf
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # it, so every other read is untouched by this session conf.
+        # Set-and-leave is deliberate: the scan is lazy, restoring before
+        # the caller collects would NULL-fill every column (session.py
+        # pins the conf at build for our own sessions).
+        _ensure_conf(spark, "spark.sql.parquet.fieldId.read.enabled")
     logical = _strip_metadata(snap.schema)
     phys = snap.physical_schema
     phys_parts = snap.physical_partition_columns
@@ -1740,8 +1761,9 @@ def _scan_files_rowids(
         # parquet.field.id metadata, so without this conf the name-based
         # binding silently NULL-fills every data column (the file's
         # column names are opaque under mode=id) while the plain read
-        # and the Arrow format path return correct data.
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # and the Arrow format path return correct data. Set-and-leave
+        # (lazy scan — see _scan_files); session.py pins it at build.
+        _ensure_conf(spark, "spark.sql.parquet.fieldId.read.enabled")
     conf = snap.configuration or {}
     rid_col = conf.get(_ROW_ID_COL_KEY)
     rcv_col = conf.get(_ROW_CV_COL_KEY)
@@ -2199,8 +2221,21 @@ def _write_version_checksum(log: str, version: int, payload: str) -> None:
             crc["domainMetadata"] = sorted(
                 dm.values(), key=lambda e: e["domain"]
             )
+    # A foreign (delta-spark) prev crc may legitimately OMIT
+    # setTransactions/domainMetadata even when the log already carries
+    # such actions; seeding incrementally from it would emit a crc
+    # listing only this commit's keys and delta_fsck would report a
+    # spurious divergence (ADVICE r12). When this commit carries the
+    # action kind and prev doesn't list that kind, we cannot tell "none
+    # existed" from "foreign crc left them out" — take the replay branch,
+    # whose state folds the full log.
+    prev_incomplete = prev is not None and (
+        (txn_acts and prev.get("setTransactions") is None)
+        or (dom_acts and prev.get("domainMetadata") is None)
+    )
     if (
         prev is not None
+        and not prev_incomplete
         and not has_removes
         and all(a.get("dataChange", True) for a in adds)
     ):

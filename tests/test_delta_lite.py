@@ -4355,3 +4355,50 @@ def test_crc_carries_set_transactions_and_domains(spark, tmp_path):
     with open(os.path.join(log, f"{latest + 1:020d}.crc"), "w") as fh:
         fh.write(json.dumps(crc2))
     assert any("setTransactions" in f for f in dl.delta_fsck(t))
+
+
+def test_crc_foreign_prev_without_txns_replays_full_log(spark, tmp_path):
+    """ADVICE r12: a foreign (delta-spark) prev crc may legitimately omit
+    setTransactions even when the log already carries txn actions.
+    Seeding the incremental branch from it would emit a crc listing only
+    the NEW commit's appId and fsck would report a spurious divergence —
+    the writer must fall through to the replay branch instead."""
+    dl = _rt_imports()
+    t = str(tmp_path / "fcrc")
+    delta_write(
+        spark.range(0, 3).select(F.col("id").alias("k")).coalesce(1), t
+    )
+    log = os.path.join(t, "_delta_log")
+    # v1: FOREIGN commit carrying a txn action…
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"commitInfo": {"operation": "STREAMING UPDATE", "timestamp": 1}}
+            )
+            + "\n"
+            + json.dumps({"txn": {"appId": "legacy-writer", "version": 3}})
+            + "\n"
+        )
+    # …whose foreign crc omits setTransactions (copy v0's summary)
+    with open(os.path.join(log, f"{0:020d}.crc")) as fh:
+        foreign = json.load(fh)
+    assert "setTransactions" not in foreign
+    with open(os.path.join(log, f"{1:020d}.crc"), "w") as fh:
+        fh.write(json.dumps(foreign))
+    # v2: an engine commit carrying ANOTHER txn — its crc must list BOTH
+    # appIds (replayed from the log), not just its own
+    dl._claim_version(
+        log,
+        2,
+        json.dumps({"commitInfo": {"operation": "TXN", "timestamp": 2}})
+        + "\n"
+        + json.dumps({"txn": {"appId": "mine", "version": 7}})
+        + "\n",
+    )
+    with open(os.path.join(log, f"{2:020d}.crc")) as fh:
+        crc = json.load(fh)
+    assert {e["appId"]: e["version"] for e in crc["setTransactions"]} == {
+        "legacy-writer": 3,
+        "mine": 7,
+    }
+    assert dl.delta_fsck(t) == []

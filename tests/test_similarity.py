@@ -790,3 +790,57 @@ def test_ivf_sync_crash_idempotent_and_upsert_gen_aware(spark, tmp_path):
         for r in a2.filter(F.col("vec_id") >= 100).select("gen").collect()
     }
     assert gens == {2}  # stamped, not NULL — tombstones can supersede
+
+
+def test_ivf_sync_migration_crash_rolls_forward(spark, tmp_path):
+    """ADVICE r12: a crash INSIDE the gen-migration's two-rename swap
+    (assignments renamed aside, migrated copy not yet renamed in) used to
+    leave no assignments dir at the expected path — the next sync failed
+    at spark.read.parquet and the leftover premigration dir broke the
+    retry's rename too. The entry recovery must roll the swap forward and
+    collect the leftover, no manual repair."""
+    import os as _os
+    import shutil as _shutil
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        ivf_assign,
+        ivf_live_assignments,
+        ivf_persist,
+        ivf_sync_changes,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+        delta_enable_cdf,
+        delta_read,
+        delta_write,
+    )
+
+    def vecs(ids):
+        return [(i, [float(i % 7), float(i % 5)]) for i in ids]
+
+    schema = "vec_id bigint, embedding array<double>"
+    tbl = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    delta_write(spark.createDataFrame(vecs(range(20)), schema), tbl)
+    v = delta_enable_cdf(spark, tbl)
+    a, c = ivf_assign(delta_read(spark, tbl), "vec_id", "embedding", n_cells=4)
+    ivf_persist(a, c, idx)
+    a_path = _os.path.join(idx, "assignments")
+    mig = _os.path.join(idx, "assignments_migrating")
+    old = _os.path.join(idx, "assignments_premigration")
+    # hand-build the mid-swap crash state: migrated copy fully written,
+    # original renamed aside, swap-in rename never happened
+    spark.read.parquet(a_path).withColumn("gen", F.lit(0)).repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(mig)
+    _os.rename(a_path, old)
+    assert not _os.path.isdir(a_path)
+    delta_delete_where(spark, tbl, ("vec_id", "between", (5, 9)))
+    ivf_sync_changes(spark, idx, tbl, initial_version=v)  # must not raise
+    live = sorted(
+        r["vec_id"] for r in ivf_live_assignments(spark, idx).collect()
+    )
+    assert live == [i for i in range(20) if not 5 <= i <= 9]
+    assert _os.path.isdir(a_path)
+    assert not _os.path.isdir(mig) and not _os.path.isdir(old)
+    _shutil.rmtree(idx)

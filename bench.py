@@ -179,6 +179,16 @@ HEADLINE = [
     # type widening WRITE half: metadata-only column widen + mixed-
     # generation read (narrow v0 file + wide append)
     "delta_type_widening_write",
+    # r13 additions: the rotation's new driver families stay
+    # perf-accountable — per-anchor top-k different-label mining (bounded
+    # candidates, broadcast anchors), the conversion-window funnel
+    # (max-anchor DP on one exchange), the sqrt-temperature stratified
+    # sample (tiny groupBy + broadcast + md5 filter), and the per-group
+    # percent-rank normalization (literal-boundary two-phase ranks)
+    "hard_negative_mining",
+    "funnel_within_hour",
+    "stratified_sample_by_lang",
+    "percent_rank_event_values",
 ]
 
 # Solo re-capture support (VERDICT r11 #3): SPARK_GRAFT_ONLY=a,b,c narrows

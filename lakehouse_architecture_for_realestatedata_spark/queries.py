@@ -147,27 +147,30 @@ def registry() -> dict[str, QuerySpec]:
     # queries keep the identical hard oracle check in
     # tests/test_queries_contract.py (sf0.001) + tools/check_oracle.py
     # (sf0.01).
-    # r13 ROTATION CANDIDATES (pre-declared; 52 oracle-backed queries have
-    # never had a driver row after this round's 25 first-timers — swap
-    # each in against a driver-green same-family twin, ~12-17/round):
-    #   TPC-H tranche: customer_order_distribution_q13, promo_revenue_q14,
-    #       supplier_part_variety_q16, correlated_subquery_q17,
-    #       large_volume_customers_q18, disjunctive_revenue_q19,
-    #       idle_rich_customers_q22  <-> q3-q8 (r12 first-timers)
-    #   delta_identity_append / schema_evolution_roundtrip /
-    #       change_feed_roundtrip / delta_type_widening_write (NEW r12 —
-    #       the widening WRITE half) <-> four r12 delta first-timers
-    #   hard_negative_mining / label_centroids_embeddings
-    #       <-> ivf_cdc_sync_maintenance twin (similarity)
-    #   token_bigram_lm / vocab_coverage_curve <-> training_order_shuffle
-    #   stratified_sample_by_lang / weighted_doc_sample / eval_sample_per_lang
-    #       <-> mixture_sample_by_lang / sequence_packing twins (curation)
-    #   dq_schema_tests_report / profile_orders_columns / fk_orphan_audit
-    #       <-> quality_report keeps the DQ family
-    #   rolling_active_users_7d / rolling_hourly_user_value /
-    #       percent_rank_event_values <-> window_functions_daily twin
-    #   funnel_within_hour / funnel_step_latency / top_session_paths
-    #       <-> capped_sessions_users returns as the sessionization twin
+    # r14 ROTATION CANDIDATES (pre-declared; exactly 28 oracle-backed
+    # queries have never had a driver row after r13's 25 first-timers —
+    # one more full tranche finishes the rotation, every oracle query
+    # driver-rowed at least once. Swap each in against a driver-green
+    # same-family twin):
+    #   stats/window: winsorized_event_values, cume_dist_event_values,
+    #       equi_depth_bands_events, rolling_anomaly_events,
+    #       shrunk_priority_price, daily_value_bands, value_drift_by_type,
+    #       heatmap_qty_price <-> the r13 stats first-timers
+    #   sessionization/behavior: funnel_step_latency,
+    #       session_cooccurrence_pairs, session_association_rules,
+    #       event_transition_matrix, rolling_active_users_7d,
+    #       activity_profile_dow_hour, user_feature_matrix
+    #       <-> funnel_within_hour / top_session_paths
+    #   curation/corpus: eval_sample_per_lang, weighted_doc_sample,
+    #       quality_quantile_filter, completeness_report_documents,
+    #       dup_ngram_spans, decontaminate_bloom_verbatim,
+    #       chunk_documents_fixed, vocab_coverage_curve,
+    #       langid_confusion_matrix <-> stratified_sample_by_lang /
+    #       token_bigram_lm and the r12 curation greens
+    #   aggregates/misc: heavy_hitters_recount_users,
+    #       resample_locf_weekly_global, triangle_count_user_graph,
+    #       json_props_rollup <-> quality_report / quantile_sketch_weekly
+    #       keep their families
     promoted = [
         # r13 ROTATION (executes the pre-declared r13 comment above; every
         # incoming row was MATCH in the r12 judge's independent 217-query

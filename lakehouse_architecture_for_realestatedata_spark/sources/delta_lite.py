@@ -5517,7 +5517,9 @@ def delta_fsck(path: str, check_files: bool = True) -> list[str]:
     decode or whose cardinality disagrees with the bitmap, row-tracking
     stamps (missing baseRowId on an enabled table, OVERLAPPING row-id
     ranges across files, a high-water mark below the highest stamped
-    id), and clustering columns absent from the schema."""
+    id), clustering columns absent from the schema, and a degenerate
+    clustered layout (every active file spanning the full leading-key
+    range — recorded clustering with zero data-skipping value)."""
     findings: list[str] = []
     snap = _replay(path, None)
     conf = snap.configuration or {}
@@ -5552,6 +5554,58 @@ def delta_fsck(path: str, check_files: bool = True) -> list[str]:
     for c in cluster_cols:
         if c.split(".")[0] not in have:
             findings.append(f"clustering column {c!r} not in the schema")
+    # clustering EFFECTIVENESS (r13, after the z-value NULL-collapse class
+    # degenerated silently in r12): a clustered table whose every active
+    # file spans the full leading-key range delivers zero data skipping —
+    # at scale that means one OPTIMIZE task rewrote the whole table and
+    # every pruned read still lists every file. Advisory, metadata-only
+    # (per-file stats already in the add actions).
+    if cluster_cols and len(snap.files) >= 2:
+        lead = cluster_cols[0].split(".")[0]
+        spans: list[tuple] = []
+        for a in snap.files.values():
+            try:
+                s = json.loads(a.get("stats") or "")
+                mn, mx = s["minValues"][lead], s["maxValues"][lead]
+            except (KeyError, TypeError, ValueError):
+                spans = []
+                break
+            if mn is None or mx is None:
+                spans = []
+                break
+            spans.append((mn, mx))
+        degenerate = False
+        lo = hi = None
+        if spans:
+            try:
+                lo = min(mn for mn, _ in spans)
+                hi = max(mx for _, mx in spans)
+                numeric = all(
+                    isinstance(v, (int, float)) and not isinstance(v, bool)
+                    for span in spans
+                    for v in span
+                )
+                if numeric and hi > lo:
+                    # every file covers >= 95% of the key domain: no range
+                    # predicate can ever exclude a file
+                    degenerate = all(
+                        (mx - mn) >= 0.95 * (hi - lo) for mn, mx in spans
+                    )
+                elif not numeric and lo != hi:
+                    # non-numeric stats: the exact full-span signature
+                    degenerate = all(
+                        mn == lo and mx == hi for mn, mx in spans
+                    )
+            except TypeError:  # mixed stat types in a foreign log
+                degenerate = False
+        if degenerate:
+            findings.append(
+                f"degenerate clustering layout: every active file "
+                f"({len(spans)}) spans ~the full {lead!r} range "
+                f"[{lo!r}, {hi!r}] — zero data-skipping value; re-run "
+                "OPTIMIZE (clustering is recorded but the layout does "
+                "not honor it)"
+            )
     tracked = _row_tracking_enabled(snap)
     ranges: list[tuple[int, int, str]] = []
     hwm = None

@@ -3509,6 +3509,28 @@ def test_clustered_optimize_string_key_ansi(spark, tmp_path):
     assert got.agg(F.sum("k")).first()[0] == sum(range(15000))
 
 
+def test_fsck_flags_degenerate_clustered_layout(spark, tmp_path):
+    """fsck r13: a clustered table whose every active file spans the full
+    leading-key range is a DEGENERATE layout (recorded clustering, zero
+    data-skipping value — the class that went unnoticed when r12's
+    z-values NULL-collapsed). Advisory finding until an OPTIMIZE honors
+    the key; clean afterward."""
+    dl = _rt_imports()
+    t = str(tmp_path / "degen")
+    df = spark.range(0, 4000).select((F.col("id") % 1000).alias("k"))
+    # four interleaved appends: every file spans k's full [0, 999] range
+    delta_write(df.filter(F.col("id") % 4 == 0).coalesce(1), t)
+    for r in (1, 2, 3):
+        delta_write(
+            df.filter(F.col("id") % 4 == r).coalesce(1), t, mode="append"
+        )
+    dl.delta_set_clustering(spark, t, ["k"])
+    finds = dl.delta_fsck(t)
+    assert any("degenerate clustering layout" in f for f in finds)
+    dl.delta_optimize(spark, t, n_files=4)
+    assert dl.delta_fsck(t) == []
+
+
 def test_range_bucket_rank_refuses_unorderable(spark):
     """column_range_bounds refuses non-atomic types BY NAME instead of
     casting (the silent-NULL degeneration class)."""

@@ -75,6 +75,42 @@ def test_z_value_orders_like_reference_morton(spark, xs):
         assert got[(x, y)] == morton(x, y)
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=200,
+    ),
+    n_buckets=st.integers(min_value=2, max_value=16),
+)
+def test_range_bounds_invariants(spark, vals, n_buckets):
+    """column_range_bounds invariants under arbitrary (skewed, duplicated,
+    negative) int multisets: boundaries strictly increasing, at most
+    n_buckets-1 of them, every bucket id within range, assignment is the
+    pure count-of-smaller-bounds function, and the whole thing is
+    deterministic (hypothesis-driven)."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
+        column_range_bounds,
+        range_bucket_id,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    bounds = column_range_bounds(df, "v", n_buckets)
+    assert bounds == sorted(set(bounds))
+    assert len(bounds) <= n_buckets - 1
+    assert bounds == column_range_bounds(df, "v", n_buckets)  # deterministic
+    got = {
+        (r["v"], r["b"])
+        for r in df.select(
+            "v", range_bucket_id("v", bounds).alias("b")
+        ).collect()
+    }
+    for v, b in got:
+        assert b == sum(1 for x in bounds if v > x)
+
+
 def test_blas_knn_bit_identical_across_partitionings(spark, sf_dir):
     """The mapInArrow local cut sees different batch boundaries under every
     partitioning; the merged global top-k must still be bit-identical —

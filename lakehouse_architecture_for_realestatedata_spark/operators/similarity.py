@@ -660,11 +660,20 @@ def ivf_knn(
 
 
 def label_centroids(
-    df: DataFrame, label_col: str, vec_col: str, qbits: int = 24
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    qbits: int = 24,
+    serialize: bool = False,
 ) -> DataFrame:
     """Per-label mean embedding (class centroids): posexplode the vectors,
     average per (label, position), reassemble position-sorted arrays.
     Output ``(label, n, centroid)`` with ``centroid: array<double>``.
+    With ``serialize=True``, output ``(label, n, centroid_qsums)`` where
+    the third column is the position-ordered comma-joined EXACT quantized
+    component sums (bigint digits — the hash-friendly form for array-less
+    consumers like the driver's scalar-only canonicalizer; the mean is
+    qsum / n / 2^qbits).
 
     Determinism by QUANTIZED-EXACT sums (the quantized-kNN policy):
     components scale by 2^qbits (an exact power-of-two multiply on the
@@ -691,14 +700,24 @@ def label_centroids(
         .groupBy("label", "__pos")
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            (
-                F.sum(F.round(F.col("__v").cast("double") * q).cast("bigint")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1))
-                / q
-            ).alias("__m"),
+            F.sum(F.round(F.col("__v").cast("double") * q).cast("bigint")).alias(
+                "__qsum"
+            ),
         )
+    )
+    if serialize:
+        return per_pos.groupBy("label").agg(
+            F.max("__n").alias("n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__qsum"))),
+                    lambda s: s["__qsum"].cast("string"),
+                ),
+                ",",
+            ).alias("centroid_qsums"),
+        )
+    per_pos = per_pos.withColumn(
+        "__m", F.col("__qsum").cast("double") / F.col("__n") / q
     )
     return per_pos.groupBy("label").agg(
         F.max("__n").alias("n"),

@@ -631,10 +631,10 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM read_parquet_embeddings,
                     LATERAL unnest(generate_series(1, len(embedding))) u(idx)),
     m AS (SELECT label, pos, count(*) AS n,
-                 cast(sum(round(cast(v AS double) * 16777216.0)::bigint) AS double)
-                     / count(*) / 16777216.0 AS mv
+                 sum(round(cast(v AS double) * 16777216.0)::bigint) AS qsum
           FROM e GROUP BY label, pos)
-    SELECT label, max(n) AS n, list(mv ORDER BY pos) AS centroid
+    SELECT label, max(n) AS n,
+           string_agg(cast(qsum AS varchar), ',' ORDER BY pos) AS centroid_qsums
     FROM m GROUP BY label
     """.replace("read_parquet_embeddings", "embeddings"),
     doc="Per-label mean embedding (class centroids; operators/similarity.py:"
@@ -643,7 +643,12 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groups — vectors never collect to the driver. Quantized-exact sums "
     "(round(v·2^24) as int64, the quantized-kNN policy) — partition-"
     "invariant and engine-identical where a float→decimal cast would hit "
-    "rounding-mode boundaries.",
+    "rounding-mode boundaries. Emitted in the serialized form (position-"
+    "ordered comma-joined EXACT bigint component sums; mean = qsum/n/2^24) "
+    "so the row is driver-window-eligible — the driver's canonicalizer "
+    "hashes scalar cells only, and integer digits dodge cross-engine float "
+    "formatting entirely. The array<double> form stays the library API "
+    "(tests/test_similarity.py).",
 )
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
@@ -651,7 +656,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
-    return label_centroids(emb, "label", "embedding", qbits=24)
+    return label_centroids(emb, "label", "embedding", qbits=24, serialize=True)
 
 
 @register(

@@ -142,6 +142,21 @@ HEADLINE = [
     "video_frame_dhash_sampled",
     "video_dedup_pairs_planted",
     "delta_type_widening_write",
+    # r13 additions (rotation first-timer families + the re-fixed
+    # clustered OPTIMIZE exercising the rank-encoded z-values)
+    "hard_negative_mining",
+    "label_centroids_embeddings",
+    "funnel_within_hour",
+    "top_session_paths",
+    "stratified_sample_by_lang",
+    "zscore_events_by_type",
+    "rolling_hourly_user_value",
+    "asof_nearest_click_anchor",
+    "scd2_point_in_time_purchases",
+    "dq_schema_tests_report",
+    "profile_orders_columns",
+    "fk_orphan_audit",
+    "token_bigram_lm",
 ]
 
 

@@ -428,17 +428,27 @@ def _index_max_gen(spark, path: str) -> int:
     never mint the same generation twice (crash idempotence).
 
     spark.sql.parquet.aggregatePushdown is enabled (and restored) around
-    the two reads: only with that conf does Spark serve agg(max) from the
-    parquet footer stats — without it each call scans the full gen column,
-    turning every sync O(index) and breaking the O(changed rows) claim
-    (ADVICE r12). Correctness never depends on the pushdown firing; it is
+    the two reads — AND the reads are routed through the V2 parquet
+    source (useV1SourceList without parquet), because only the v2 scan
+    builder implements aggregate pushdown at all: with the session-default
+    v1 path the conf is a silent no-op and each call scans the full gen
+    column, turning every sync O(index) and breaking the O(changed rows)
+    claim (ADVICE r12; v2 requirement verified against Spark 4.1 —
+    PushedAggregation: [MAX(gen)] appears only under v2). Save/restore is
+    safe HERE because both reads are eager (.first() executes before the
+    finally). Correctness never depends on the pushdown firing; it is
     purely the metadata-scale fast path."""
-    key = "spark.sql.parquet.aggregatePushdown"
-    try:
-        prev = spark.conf.get(key, None)
-    except Exception:
-        prev = None
-    spark.conf.set(key, "true")
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    prev: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k, None)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
     try:
         hi = 0
         a = spark.read.parquet(f"{path}/assignments")
@@ -451,10 +461,11 @@ def _index_max_gen(spark, path: str) -> int:
             hi = max(hi, int(row[0] or 0))
         return hi
     finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+        for k, p in prev.items():
+            if p is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, p)
 
 
 def ivf_sync_changes(

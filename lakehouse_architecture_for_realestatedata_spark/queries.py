@@ -244,6 +244,10 @@ def registry() -> dict[str, QuerySpec]:
         "scd2_point_in_time_purchases",
     ]
     deferred = {
+        # new r13 (starts deferred; r14 rotation candidate — the
+        # footer-stats metadata-scale profile; profile_orders_columns
+        # keeps the profiling family in-window):
+        "footer_profile_lineitem",
         # r13 rotation swap-outs (driver-green in r12; family twin
         # in-window or family freshly rotated — see the promoted list's
         # r13 comment for pairings):

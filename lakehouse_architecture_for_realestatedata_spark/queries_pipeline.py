@@ -621,3 +621,41 @@ def q_medallion_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "footer_profile_lineitem",
+    """
+    SELECT count(*) AS n_rows,
+           min(l_orderkey) AS min_l_orderkey,
+           max(l_orderkey) AS max_l_orderkey,
+           min(l_linenumber) AS min_l_linenumber,
+           max(l_linenumber) AS max_l_linenumber,
+           min(l_quantity) AS min_l_quantity,
+           max(l_quantity) AS max_l_quantity,
+           min(l_extendedprice) AS min_l_extendedprice,
+           max(l_extendedprice) AS max_l_extendedprice
+    FROM lineitem
+    """,
+    doc="Metadata-scale table profile (sources/readers.py:footer_profile): "
+    "n_rows + per-column min/max served from PARQUET FOOTER STATS — the "
+    "V2 scan plans PushedAggregation: [COUNT(*), MIN(..), MAX(..)] and "
+    "never reads a data page (require_pushdown=True makes that a runtime "
+    "guarantee, not a hope). At 100 TB this is the seconds-long 'what "
+    "landed today' pass a lakehouse runs before anything heavier; "
+    "non-stats-pushable types (string/timestamp/decimal) are refused BY "
+    "NAME so the metadata-scale claim can never silently degrade into "
+    "the full scan it exists to avoid. Footer min/max are exact, so the "
+    "oracle is the plain aggregate over the same parquet.",
+)
+def q_footer_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.sources.readers import (
+        footer_profile,
+    )
+
+    return footer_profile(
+        spark,
+        f"{sf_dir}/lineitem.parquet",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+        require_pushdown=True,
+    )

@@ -108,3 +108,88 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+#: dtypes whose MIN/MAX Spark's V2 parquet scan serves from footer stats
+#: (probed on Spark 4.1: integers, float/double, date, boolean push;
+#: string/binary, timestamp, decimal do NOT — Spark excludes them for
+#: truncated-stats / physical-encoding reasons).
+_FOOTER_PUSHABLE = ("tinyint", "smallint", "int", "bigint", "float",
+                    "double", "date", "boolean")
+
+
+def footer_profile(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    require_pushdown: bool = False,
+) -> DataFrame:
+    """Metadata-scale table profile: one row of ``n_rows`` + ``min_<c>`` /
+    ``max_<c>`` per requested column, computed so the V2 parquet scan
+    serves every aggregate from FOOTER STATS (``PushedAggregation:
+    [COUNT(*), MIN(..), MAX(..)]``) — the scan reads row-group metadata,
+    never data pages. At 100 TB this is the difference between a
+    seconds-long profiling pass and a full-table scan; it is how a
+    lakehouse answers "how many rows / what key range landed today"
+    before deciding anything heavier.
+
+    Only stats-pushable column types are accepted (refused BY NAME
+    otherwise — a silent fallback would quietly run the full scan this
+    function exists to avoid; string/timestamp/decimal min-max need the
+    ordinary aggregate path). Executes EAGERLY inside a saved/restored
+    conf window (aggregatePushdown + the V2 source routing are session
+    confs, and the pushdown decision happens at planning — returning a
+    lazy frame would plan after the restore and silently lose the
+    pushdown). Returns a 1-row local DataFrame.
+
+    ``require_pushdown=True`` raises if the planned scan does not carry
+    the pushed aggregation — the guard tests (and 100 TB callers) use to
+    keep this metadata-scale, not a hope.
+    """
+    probe = spark.read.parquet(path)
+    dtypes = dict(probe.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise KeyError(f"no such column(s): {missing}")
+    bad = [c for c in cols if dtypes[c].split("(")[0] not in _FOOTER_PUSHABLE]
+    if bad:
+        raise TypeError(
+            "footer_profile serves min/max from parquet footer stats; "
+            f"type(s) not stats-pushable: "
+            f"{ {c: dtypes[c] for c in bad} } — profile these through an "
+            "ordinary aggregate instead"
+        )
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    prev: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k, None)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        agg = spark.read.parquet(path).agg(*aggs)
+        if require_pushdown:
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            if "PushedAggregation: [COUNT" not in plan:
+                raise RuntimeError(
+                    "footer_profile scan did not push its aggregation — "
+                    "check the parquet layout / Spark version (plan head: "
+                    f"{plan.splitlines()[0][:120]})"
+                )
+        row = agg.first()
+        schema = agg.schema
+    finally:
+        for k, p in prev.items():
+            if p is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, p)
+    return spark.createDataFrame([row], schema)

@@ -198,3 +198,51 @@ def test_csv_backfill_into_bronze_spine(spark, tmp_path):
     shaped2 = csv_backfill(raw, mtime=F.to_timestamp(F.lit("2024-05-02")))
     ids2 = {r["list_id"] for r in shaped2.select("list_id").collect()}
     assert set(got) == ids2
+
+
+def test_footer_profile_pushes_aggregation(spark, sf_dir):
+    """footer_profile (r13): the profile must be served from parquet
+    footer stats — require_pushdown=True guarantees the plan carries
+    PushedAggregation — match the plain aggregate exactly, refuse
+    non-stats-pushable types BY NAME, and leave the session confs
+    (aggregatePushdown, useV1SourceList) untouched."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.readers import footer_profile
+
+    before = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.parquet.aggregatePushdown",
+            "spark.sql.sources.useV1SourceList",
+        )
+    }
+    path = f"{sf_dir}/lineitem.parquet"
+    got = footer_profile(
+        spark, path, ["l_orderkey", "l_quantity"], require_pushdown=True
+    ).first()
+    after = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.parquet.aggregatePushdown",
+            "spark.sql.sources.useV1SourceList",
+        )
+    }
+    assert before == after  # conf window restored
+    li = spark.read.parquet(path)
+    exact = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_orderkey").alias("a"),
+        F.max("l_orderkey").alias("b"),
+        F.min("l_quantity").alias("c"),
+        F.max("l_quantity").alias("d"),
+    ).first()
+    assert got["n_rows"] == exact["n"]
+    assert (got["min_l_orderkey"], got["max_l_orderkey"]) == (exact["a"], exact["b"])
+    assert (got["min_l_quantity"], got["max_l_quantity"]) == (exact["c"], exact["d"])
+    # refusals by name — never a silent full scan
+    with pytest.raises(TypeError, match="l_returnflag"):
+        footer_profile(spark, path, ["l_returnflag"])
+    with pytest.raises(KeyError, match="nope"):
+        footer_profile(spark, path, ["nope"])

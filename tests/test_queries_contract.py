@@ -142,6 +142,9 @@ def test_driver_window_fully_oracle_backed():
     # block are post-§2 extensions registered last on purpose) — all
     # hard-checked by this module instead. Update CONSCIOUSLY when rotating.
     assert set(displaced) <= {
+        # new r13, starts deferred (r14 rotation candidate — the
+        # footer-stats metadata-scale profile):
+        "footer_profile_lineitem",
         # r13 rotation swap-outs (driver-green in r12; family twin
         # in-window or family freshly rotated — see the promoted list's
         # r13 comment in queries.registry):

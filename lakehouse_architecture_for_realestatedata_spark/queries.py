@@ -248,6 +248,7 @@ def registry() -> dict[str, QuerySpec]:
         # footer-stats metadata-scale profile; profile_orders_columns
         # keeps the profiling family in-window):
         "footer_profile_lineitem",
+        "delta_log_profile",
         # r13 rotation swap-outs (driver-green in r12; family twin
         # in-window or family freshly rotated — see the promoted list's
         # r13 comment for pairings):

@@ -2199,3 +2199,52 @@ def q_delta_row_tracking_format_read(
         F.col("_row_id").alias("row_id"),
         F.col("_row_commit_version").alias("row_commit_version"),
     )
+
+
+@register(
+    "delta_log_profile",
+    """
+    SELECT count(*) AS n_rows,
+           min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+           min(cast(value AS double)) AS min_value,
+           max(cast(value AS double)) AS max_value
+    FROM events
+    WHERE user_id <= 4000
+    """,
+    doc="Metadata-ONLY Delta profile (sources/delta_lite.py:delta_profile): "
+    "events land in three appends, then n_rows + per-column min/max fold "
+    "from the active add actions' stats alone — zero data-file IO, not "
+    "even a footer; the log is why a 100 TB Delta table answers 'how "
+    "many rows / what key range' in milliseconds. Exactness contract: "
+    "numRecords sums are exact (DV cardinalities subtracted), stats "
+    "min/max are exact while no DV is active (refused otherwise unless "
+    "bounds_ok), string/timestamp columns refuse by name (foreign "
+    "writers truncate those stats), statless files refuse rather than "
+    "silently skew. The oracle is the plain aggregate over the same "
+    "source rows.",
+)
+def q_delta_log_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_profile,
+        delta_write,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") <= 4000).select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_logprof_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/events_delta"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    delta_write(ev.filter(F.col("event_id") % 3 == 0), path)
+    for r in (1, 2):
+        delta_write(ev.filter(F.col("event_id") % 3 == r), path, mode="append")
+    return delta_profile(spark, path, ["user_id", "value"])

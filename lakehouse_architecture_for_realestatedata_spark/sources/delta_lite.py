@@ -2111,6 +2111,124 @@ def delta_clone(spark: SparkSession, src: str, dst: str) -> int:
     return 0
 
 
+#: dtypes delta_profile serves exactly from add-action stats. Strings are
+#: excluded BY NAME: foreign writers (delta-spark) may truncate string
+#: maxValues with a tiebreaker suffix, so a string "max" from a foreign
+#: log is an upper BOUND, not the value. Timestamps/dates are ISO strings
+#: in stats JSON with writer-specific precision — same refusal.
+_PROFILE_DTYPES = ("tinyint", "smallint", "int", "bigint",
+                   "float", "double", "boolean")
+
+
+def delta_profile(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    version: int | None = None,
+    bounds_ok: bool = False,
+) -> DataFrame:
+    """Metadata-only table profile straight from the TRANSACTION LOG:
+    one row of ``n_rows`` + ``min_<c>`` / ``max_<c>`` per requested
+    column, folded from the active add actions' stats — zero data-file
+    IO, not even a parquet footer. The log is WHY a 100 TB Delta table
+    can answer "how many rows / what key range" in milliseconds; this is
+    the read-side payoff of every write path stamping per-file stats.
+
+    Exactness contract: ``n_rows`` is exact (numRecords summed, minus
+    each file's deletionVector cardinality). min/max are exact while no
+    active file carries a DV (a deleted row may have held the extremum);
+    with DVs present the call refuses unless ``bounds_ok=True``, which
+    returns the stats as conservative BOUNDS. Columns whose stats a
+    foreign writer may truncate (strings) or re-encode (timestamps) are
+    refused by name — see ``_PROFILE_DTYPES``. A file without stats (or
+    a requested column missing from them) refuses too: silently skipping
+    it would report a wrong profile, the one failure mode a
+    metadata-only answer must never have.
+
+    Logical names in, column-mapped tables resolved to physical stats
+    keys. Partition columns are refused (their values live in
+    partitionValues, an encoding question — filter + count instead)."""
+    v = version if version is not None else _latest_version(path)
+    snap = _replay(path, v)
+    dtypes = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise KeyError(f"no such column(s): {missing}")
+    parts = set(snap.partition_columns or [])
+    in_parts = [c for c in cols if c in parts]
+    if in_parts:
+        raise ValueError(
+            f"partition column(s) {in_parts} have no stats — their values "
+            "live in partitionValues; profile them with a filtered count"
+        )
+    bad = [c for c in cols if dtypes[c].split("(")[0] not in _PROFILE_DTYPES]
+    if bad:
+        raise TypeError(
+            "delta_profile serves exact min/max from log stats; type(s) "
+            f"not exactness-safe across writers: "
+            f"{ {c: dtypes[c] for c in bad} }"
+        )
+    l2p = {
+        lf.name: pf.name
+        for lf, pf in zip(snap.schema.fields, snap.physical_schema.fields)
+    }
+    n_rows = 0
+    has_dv = False
+    mins: dict[str, Any] = {c: None for c in cols}
+    maxs: dict[str, Any] = {c: None for c in cols}
+    for p, add in snap.files.items():
+        raw = add.get("stats")
+        try:
+            s = json.loads(raw) if isinstance(raw, str) else dict(raw or {})
+        except (ValueError, TypeError):
+            s = {}
+        nrec = s.get("numRecords")
+        if not isinstance(nrec, int):
+            raise DeltaProtocolError(
+                f"{path}: active file {p!r} carries no numRecords stat — "
+                "a metadata-only profile would be wrong; read the data"
+            )
+        dv = add.get("deletionVector") or {}
+        card = int(dv.get("cardinality") or 0)
+        has_dv = has_dv or bool(dv)
+        n_rows += nrec - card
+        fmins = s.get("minValues") or {}
+        fmaxs = s.get("maxValues") or {}
+        nulls = s.get("nullCount") or {}
+        for c in cols:
+            pc = l2p.get(c, c)
+            if pc not in fmins or pc not in fmaxs:
+                if nulls.get(pc) == nrec or nrec == card:
+                    continue  # all-null (or fully deleted) file: no extremum
+                raise DeltaProtocolError(
+                    f"{path}: active file {p!r} has no min/max stat for "
+                    f"{c!r} — a metadata-only profile would be wrong"
+                )
+            lo, hi = fmins[pc], fmaxs[pc]
+            if lo is None or hi is None:
+                continue
+            mins[c] = lo if mins[c] is None else min(mins[c], lo)
+            maxs[c] = hi if maxs[c] is None else max(maxs[c], hi)
+    if has_dv and not bounds_ok:
+        raise DeltaProtocolError(
+            f"{path}: active files carry deletion vectors — stats min/max "
+            "are bounds, not values (a deleted row may have held the "
+            "extremum); pass bounds_ok=True for conservative bounds or "
+            "REORG first"
+        )
+    from pyspark.sql.types import LongType, StructField as _SF, StructType as _ST
+
+    fields = [_SF("n_rows", LongType(), False)]
+    row: list[Any] = [n_rows]
+    by_name = {f.name: f for f in snap.schema.fields}
+    for c in cols:
+        fields.append(_SF(f"min_{c}", by_name[c].dataType, True))
+        fields.append(_SF(f"max_{c}", by_name[c].dataType, True))
+        row.append(mins[c])
+        row.append(maxs[c])
+    return spark.createDataFrame([tuple(row)], _ST(fields))
+
+
 def delta_history(path: str) -> list[dict]:
     """(version, timestamp, operation, operationParameters,
     operationMetrics) per commit — the DESCRIBE HISTORY analogue, from

@@ -4424,3 +4424,47 @@ def test_crc_foreign_prev_without_txns_replays_full_log(spark, tmp_path):
         "mine": 7,
     }
     assert dl.delta_fsck(t) == []
+
+
+def test_delta_profile_metadata_only(spark, tmp_path):
+    """delta_profile (r13): exact n_rows + min/max folded from add-action
+    stats alone; DV'd tables refuse exact mode (a deleted row may have
+    held the extremum) but keep n_rows exact via DV cardinality under
+    bounds_ok; statless files, partition columns, and non-exactness-safe
+    types refuse by name."""
+    dl = _rt_imports()
+    t = str(tmp_path / "prof")
+    df = spark.range(0, 900).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v"),
+        F.format_string("s%d", F.col("id")).alias("s"),
+    )
+    delta_write(df.filter(F.col("id") % 3 == 0).repartition(2), t)
+    for r in (1, 2):
+        delta_write(df.filter(F.col("id") % 3 == r).repartition(2), t, mode="append")
+    got = dl.delta_profile(spark, t, ["k", "v"]).first()
+    assert got["n_rows"] == 900
+    assert (got["min_k"], got["max_k"]) == (0, 899)
+    assert (got["min_v"], got["max_v"]) == (0.0, 96.0)
+    with pytest.raises(TypeError, match="'s'"):
+        dl.delta_profile(spark, t, ["s"])
+    with pytest.raises(KeyError):
+        dl.delta_profile(spark, t, ["nope"])
+    # time travel: profile of version 0 sees only the first slice
+    v0 = dl.delta_profile(spark, t, ["k"], version=0).first()
+    assert v0["n_rows"] == 300 and v0["max_k"] == 897
+    # DV delete: exact mode refuses, bounds mode keeps n_rows exact
+    dl.delta_enable_dvs(spark, t)
+    dl.delta_delete_where(spark, t, ("k", "between", (0, 9)))
+    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
+        dl.delta_profile(spark, t, ["k"])
+    b = dl.delta_profile(spark, t, ["k"], bounds_ok=True).first()
+    assert b["n_rows"] == 890  # exact despite DVs (cardinality subtracted)
+    assert b["min_k"] == 0  # bound, not value — 0..9 are deleted
+    # partitioned table: partition columns refuse by name
+    t2 = str(tmp_path / "prof2")
+    delta_write(
+        df.select("k", "v", (F.col("k") % 3).alias("p")), t2, partition_by=["p"]
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        dl.delta_profile(spark, t2, ["p"])
+    assert dl.delta_profile(spark, t2, ["k"]).first()["n_rows"] == 900

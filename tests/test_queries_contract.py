@@ -145,6 +145,7 @@ def test_driver_window_fully_oracle_backed():
         # new r13, starts deferred (r14 rotation candidate — the
         # footer-stats metadata-scale profile):
         "footer_profile_lineitem",
+        "delta_log_profile",
         # r13 rotation swap-outs (driver-green in r12; family twin
         # in-window or family freshly rotated — see the promoted list's
         # r13 comment in queries.registry):

@@ -157,6 +157,9 @@ HEADLINE = [
     "profile_orders_columns",
     "fk_orphan_audit",
     "token_bigram_lm",
+    # r13 metadata-scale profiles (footer-stats pushdown / log-stats fold)
+    "footer_profile_lineitem",
+    "delta_log_profile",
 ]
 
 

@@ -12,12 +12,18 @@ Three levers, in the order they pay off at scale:
      partition, co-locate rows by the secondary filter keys so parquet
      row-group min/max stats skip pages (data skipping). Range partitioning
      also fixes file-count/size (no 100k tiny files, no 10 GB monsters).
-  3. **Z-order interleave** (``z_value``) when TWO columns are filtered
-     independently: lexicographic sort favors the leading column only; the
-     interleaved-bit value gives both columns locality in the same file set.
+  3. **Space-filling-curve interleave** when TWO+ columns are filtered
+     independently: lexicographic sort favors the leading column only; a
+     curve index gives every column locality in the same file set. Two
+     curves, both over rank-encoded columns (``column_range_bounds`` —
+     any orderable type, skew-balanced, ANSI-safe): Morton/Z
+     (``z_value_ranked``, delta-spark OPTIMIZE ZORDER) and Hilbert
+     (``with_hilbert_value``, delta-spark liquid clustering's curve —
+     no diagonal jumps, so multi-dim range predicates touch fewer files).
 
 All plain parquet + built-in expressions — the same policy applies unchanged
-to Delta/Iceberg writers (their OPTIMIZE ZORDER is this, managed).
+to Delta/Iceberg writers (their OPTIMIZE ZORDER / liquid clustering is
+this, managed).
 """
 
 from __future__ import annotations
@@ -219,31 +225,144 @@ def z_value_ranked(
     return _interleave_bits(ranks, bits)
 
 
+def with_hilbert_value(
+    df: DataFrame, cols: list[str], bits: int = 8, out_col: str = "__h"
+) -> DataFrame:
+    """Append the HILBERT-curve index of ``cols`` (already non-negative
+    integers < 2^bits — rank-encode arbitrary columns first, see
+    ``cluster_by``) as ``out_col``. The Hilbert curve is what delta-spark's
+    liquid clustering orders by: unlike the Morton/Z curve it never makes
+    the long diagonal jumps that put spatially-adjacent cells in far-apart
+    files, so multi-dimensional range predicates touch fewer files at the
+    same file count.
+
+    Implementation: Skilling's axes→transpose transform ("Programming the
+    Hilbert curve", AIP Conf. Proc. 707, 2004 — the standard public
+    n-dimensional algorithm) unrolled over bit levels as pure built-in
+    column ops (AND/XOR/shift/CASE — codegen'd, no UDF, no shuffle). Each
+    unrolled step lands in its OWN projection (withColumns) so the
+    expression stays a DAG of named columns instead of an exponentially
+    duplicated tree; Catalyst keeps the steps because collapsing would
+    duplicate non-cheap expressions. bits × len(cols) must fit in 63."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("need at least one column")
+    if bits * n > 63:
+        raise ValueError("bits * len(cols) must be <= 63")
+    one = F.lit(1).cast("bigint")
+    names = [f"__hx{i}" for i in range(n)]
+    out = df.withColumns(
+        {nm: F.col(c).cast("bigint") for nm, c in zip(names, cols)}
+    )
+    # inverse-undo pass: top bit level down to 2
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            cond = F.col(names[i]).bitwiseAND(F.lit(q)) != 0
+            if i == 0:
+                out = out.withColumn(
+                    names[0],
+                    F.when(
+                        cond, F.col(names[0]).bitwiseXOR(F.lit(p))
+                    ).otherwise(F.col(names[0])),
+                )
+            else:
+                t = (
+                    F.col(names[0]).bitwiseXOR(F.col(names[i]))
+                ).bitwiseAND(F.lit(p))
+                out = out.withColumns(
+                    {
+                        names[0]: F.when(
+                            cond, F.col(names[0]).bitwiseXOR(F.lit(p))
+                        ).otherwise(F.col(names[0]).bitwiseXOR(t)),
+                        names[i]: F.when(cond, F.col(names[i])).otherwise(
+                            F.col(names[i]).bitwiseXOR(t)
+                        ),
+                    }
+                )
+        q >>= 1
+    # Gray-encode across axes
+    for i in range(1, n):
+        out = out.withColumn(
+            names[i], F.col(names[i]).bitwiseXOR(F.col(names[i - 1]))
+        )
+    t_expr = F.lit(0).cast("bigint")
+    q = 1 << (bits - 1)
+    while q > 1:
+        t_expr = F.when(
+            F.col(names[n - 1]).bitwiseAND(F.lit(q)) != 0,
+            t_expr.bitwiseXOR(F.lit(q - 1)),
+        ).otherwise(t_expr)
+        q >>= 1
+    out = out.withColumn("__ht", t_expr)
+    out = out.withColumns(
+        {nm: F.col(nm).bitwiseXOR(F.col("__ht")) for nm in names}
+    )
+    # transpose → integer: level by level, axis 0 most significant
+    h = F.lit(0).cast("bigint")
+    for lvl in range(bits - 1, -1, -1):
+        for i in range(n):
+            bit = F.shiftrightunsigned(F.col(names[i]), lvl).bitwiseAND(one)
+            h = F.shiftleft(h, 1).bitwiseOR(bit)
+    return out.withColumn(out_col, h).drop("__ht", *names)
+
+
 def cluster_by(
     df: DataFrame,
     cols: list[str],
     n_partitions: int | None = None,
     zorder: bool = False,
     bits: int = 16,
+    curve: str = "zorder",
 ) -> DataFrame:
     """Cluster rows for data skipping: range-repartition on the cluster key
     (or its z-value) and sort within each output partition, so every written
     file covers a narrow key range and parquet row-group stats prune reads.
 
     This is exactly one shuffle — the write-side cost that buys every future
-    read (plus, for z-order, one column-pruned boundary pass per cluster
-    column — the sampling delta-spark's range partitioner also pays).
-    ``n_partitions`` controls output file count (size for ~128 MB-1 GB
-    per file at scale)."""
-    if zorder:
-        # rank-encode every column before interleaving: works for strings/
+    read (plus, for curve clustering, one column-pruned boundary pass per
+    cluster column — the sampling delta-spark's range partitioner also
+    pays). ``n_partitions`` controls output file count (size for
+    ~128 MB-1 GB per file at scale). ``curve="hilbert"`` clusters by the
+    Hilbert index of the rank-encoded columns instead of the Morton
+    interleave (``zorder=True``) — delta-spark liquid clustering's curve,
+    same cost, better multi-dimensional locality."""
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r} (zorder | hilbert)")
+    if zorder or curve == "hilbert":
+        # rank-encode every column before curve-encoding: works for strings/
         # dates (a raw bigint cast throws under ANSI and NULL-collapses the
         # range shuffle into ONE partition otherwise) and gives skew-balanced
-        # z-cells for numerics. ~4 buckets per output file keeps each file
+        # cells for numerics. ~4 buckets per output file keeps each file
         # covering a narrow key range without oversizing the literal arrays.
         n_buckets = max(16, min(1 << bits, 4 * (n_partitions or 64)))
-        key = z_value_ranked(df, [str(c) for c in cols], n_buckets)
-        out = df.withColumn("__z", key)
+        if curve == "hilbert":
+            # delta-spark liquid clustering's curve: same rank encoding,
+            # Hilbert index instead of Morton — no diagonal discontinuities,
+            # so every dimension's range predicates touch fewer files
+            str_cols = [str(c) for c in cols]
+            all_bounds = [
+                column_range_bounds(df, c, n_buckets) for c in str_cols
+            ]
+            hb = max(1, max(len(b) for b in all_bounds).bit_length())
+            if hb * len(cols) > 63:
+                hb = 63 // len(cols)
+            full = (1 << hb) - 1
+            out = df
+            rank_names = []
+            for c, b in zip(str_cols, all_bounds):
+                r = range_bucket_id(c, b)
+                if 0 < len(b) < full:
+                    r = F.floor(r * F.lit(full) / F.lit(len(b))).cast("bigint")
+                nm = f"__hr_{c}"
+                out = out.withColumn(nm, r)
+                rank_names.append(nm)
+            out = with_hilbert_value(out, rank_names, bits=hb, out_col="__z")
+            out = out.drop(*rank_names)
+        else:
+            key = z_value_ranked(df, [str(c) for c in cols], n_buckets)
+            out = df.withColumn("__z", key)
         parts = [F.col("__z")]
         out = (
             out.repartitionByRange(n_partitions, *parts)

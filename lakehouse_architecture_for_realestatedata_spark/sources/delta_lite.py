@@ -3471,14 +3471,20 @@ def delta_optimize(
     # convention): the file is the pruning unit, so callers can size for
     # skipping granularity instead of bytes
     n = n_files or max(1, -(-total // target_bytes))  # ceil
+    curve = "zorder"
     if cluster_cols is None:
         # a clustered table (ALTER TABLE CLUSTER BY / delta-spark liquid
         # clustering) recorded its key in the delta.clustering domain —
-        # OPTIMIZE without an explicit key clusters by it
+        # OPTIMIZE without an explicit key clusters by it, and by the
+        # HILBERT curve (delta-spark liquid clustering's curve; explicit
+        # OPTIMIZE ZORDER keys keep the Morton interleave, also matching
+        # delta-spark). Same rank encoding + one range shuffle either way.
         recorded = delta_clustering_columns(snap)
         if recorded:
             cluster_cols = recorded
             zorder = zorder or len(recorded) > 1
+            if len(recorded) > 1:
+                curve = "hilbert"
     tracked = _row_tracking_enabled(snap)
     if tracked:
         # row tracking: compaction copies rows, so their ids MUST ride
@@ -3498,7 +3504,10 @@ def delta_optimize(
             cluster_by,
         )
 
-        df = cluster_by(df, cluster_cols, n_partitions=n, zorder=zorder, bits=bits)
+        df = cluster_by(
+            df, cluster_cols, n_partitions=n, zorder=zorder, bits=bits,
+            curve=curve,
+        )
     elif snap.partition_columns:
         df = df.repartition(n, *snap.partition_columns)
     else:
@@ -3516,6 +3525,7 @@ def delta_optimize(
             "targetBytes": target_bytes,
             "clusterBy": list(cluster_cols or []),
             "zOrder": bool(zorder and cluster_cols),
+            "curve": curve if cluster_cols else None,
         },
         "operationMetrics": _op_metrics(adds, removed=len(snap.files)),
         "engineInfo": "delta-lite",

@@ -75,6 +75,90 @@ def test_z_value_orders_like_reference_morton(spark, xs):
         assert got[(x, y)] == morton(x, y)
 
 
+def _hilbert_ref(coords: list[int], bits: int) -> int:
+    """Pure-python Skilling axes->Hilbert-index reference (AIP Conf. Proc.
+    707, 2004) — the ground truth with_hilbert_value must reproduce."""
+    X = list(coords)
+    n = len(X)
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    q = 1 << (bits - 1)
+    while q > 1:
+        if X[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    X = [x ^ t for x in X]
+    h = 0
+    for lvl in range(bits - 1, -1, -1):
+        for i in range(n):
+            h = (h << 1) | ((X[i] >> lvl) & 1)
+    return h
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_dims=st.integers(min_value=1, max_value=3),
+)
+def test_hilbert_value_matches_skilling_reference(spark, pts, n_dims):
+    """with_hilbert_value == the pure-python Skilling transform for any
+    8-bit point set in 1-3 dimensions (hypothesis-driven). Also pins the
+    curve's defining property on a fixed 2-D grid: consecutive Hilbert
+    indices are unit-distance neighbors (Morton/Z makes diagonal jumps)."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
+        with_hilbert_value,
+    )
+
+    cols = ["x", "y", "z"][:n_dims]
+    schema = ", ".join(f"{c} long" for c in cols)
+    df = spark.createDataFrame([p[:n_dims] for p in pts], schema)
+    got = {
+        tuple(r[c] for c in cols): r["__h"]
+        for r in with_hilbert_value(df, cols, bits=8).collect()
+    }
+    for p in pts:
+        key = p[:n_dims]
+        assert got[key] == _hilbert_ref(list(key), 8)
+
+
+def test_hilbert_consecutive_cells_are_adjacent(spark):
+    from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
+        with_hilbert_value,
+    )
+    from pyspark.sql import functions as F
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rows = sorted(
+        ((r["__h"], r["x"], r["y"])
+         for r in with_hilbert_value(grid, ["x", "y"], bits=4).collect())
+    )
+    assert [h for h, _, _ in rows] == list(range(256))  # a true space-filling curve
+    for (h1, x1, y1), (h2, x2, y2) in zip(rows, rows[1:]):
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit steps, never diagonal
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     vals=st.lists(

@@ -90,6 +90,37 @@ def test_zorder_clustering_preserves_rows(spark, sf_dir):
     assert set(clustered.columns) == set(orders.columns)
 
 
+def test_hilbert_clustering_narrows_both_dims(spark, sf_dir, tmp_path):
+    """cluster_by(curve='hilbert'): rank-encoded Hilbert clustering gives
+    every written file a narrow range in BOTH dimensions — the liquid-
+    clustering property — including on a string column (rank encoding,
+    no casts)."""
+    orders = _orders(spark, sf_dir)
+    path = str(tmp_path / "orders_hilbert")
+    cluster_by(
+        orders, ["o_orderpriority", "o_custkey"], n_partitions=8,
+        curve="hilbert",
+    ).write.mode("overwrite").parquet(path)
+    stats = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("o_custkey").alias("klo"), F.max("o_custkey").alias("khi"),
+            F.count_distinct("o_orderpriority").alias("nprio"),
+        )
+        .collect()
+    )
+    assert len(stats) >= 6
+    domain = max(r["khi"] for r in stats) - min(r["klo"] for r in stats)
+    spans = sorted(r["khi"] - r["klo"] for r in stats)
+    assert spans[len(spans) // 2] <= domain * 0.7, spans
+    # most files cover a strict subset of the 5 priorities
+    assert sum(1 for r in stats if r["nprio"] < 5) >= len(stats) // 2, stats
+    got = spark.read.parquet(path)
+    assert got.count() == orders.count()
+    assert set(got.columns) == set(orders.columns)
+
+
 def test_column_range_bounds_balances_buckets(spark):
     """Exact path (cardinality <= cap): boundaries split rows into
     frequency-balanced buckets, and range_bucket_id assigns by strict

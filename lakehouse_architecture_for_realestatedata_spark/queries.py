@@ -249,6 +249,7 @@ def registry() -> dict[str, QuerySpec]:
         # keeps the profiling family in-window):
         "footer_profile_lineitem",
         "delta_log_profile",
+        "delta_incremental_liquid_optimize",
         # r13 rotation swap-outs (driver-green in r12; family twin
         # in-window or family freshly rotated — see the promoted list's
         # r13 comment for pairings):

@@ -2248,3 +2248,68 @@ def q_delta_log_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in (1, 2):
         delta_write(ev.filter(F.col("event_id") % 3 == r), path, mode="append")
     return delta_profile(spark, path, ["user_id", "value"])
+
+
+@register(
+    "delta_incremental_liquid_optimize",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           cast(sum(cast(o_totalprice AS decimal(30,2))) AS double) AS revenue
+    FROM orders
+    WHERE o_orderkey BETWEEN 2000 AND 9000
+    GROUP BY o_orderpriority
+    """,
+    doc="INCREMENTAL liquid-clustering OPTIMIZE end to end "
+    "(sources/delta_lite.py delta_optimize(incremental=True) — "
+    "delta-spark incremental liquid clustering): half the orders land "
+    "and a clustering OPTIMIZE stamps its adds with the Clustered Table "
+    "spec's clusteringProvider marker; the other half appends later and "
+    "incremental OPTIMIZE rewrites ONLY those unmarked files into a "
+    "second Hilbert-clustered island — the already-clustered files' "
+    "paths never move, so a daily OPTIMIZE on a 100 TB table costs "
+    "O(today's data). The pruned read then skips by stats across BOTH "
+    "islands. Oracle = the plain filtered aggregate; the only-new-files "
+    "physics is pinned in pytest (test_delta_lite.py).",
+)
+def q_delta_incremental_liquid_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_optimize,
+        delta_read,
+        delta_set_clustering,
+        delta_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lakehouse_liquid_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    path = f"{root}/orders_liquid"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # versions accumulate; rebuild per run
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    delta_write(half.repartition(4), path)                              # v0
+    delta_set_clustering(spark, path, ["o_orderpriority", "o_orderkey"])  # v1
+    delta_optimize(spark, path, n_files=4)                              # v2
+    delta_write(
+        orders.filter(F.col("o_orderkey") % 2 == 1), path, mode="append"
+    )                                                                   # v3
+    delta_optimize(spark, path, n_files=4, incremental=True)            # v4
+    got = delta_read(
+        spark, path, where=[("o_orderkey", "between", (2000, 9000))]
+    )
+    return got.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

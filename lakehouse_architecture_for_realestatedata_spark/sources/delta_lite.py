@@ -2735,6 +2735,10 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
                 # checkpoint that dropped them would renumber every row
                 "baseRowId": add.get("baseRowId"),
                 "defaultRowCommitVersion": add.get("defaultRowCommitVersion"),
+                # Clustered Table spec marker: incremental OPTIMIZE skips
+                # files that carry it — dropping it at checkpoint time
+                # would make the next incremental run re-cluster the table
+                "clusteringProvider": add.get("clusteringProvider"),
             }
         }
         for add in snap.files.values()
@@ -2785,7 +2789,7 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         "stats:string,deletionVector:struct<storageType:string,"
         "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
         "cardinality:bigint>,baseRowId:bigint,"
-        "defaultRowCommitVersion:bigint>, "
+        "defaultRowCommitVersion:bigint,clusteringProvider:string>, "
         "remove struct<path:string,deletionTimestamp:bigint,"
         "dataChange:boolean>, "
         "txn struct<appId:string,version:bigint>, "
@@ -2811,7 +2815,7 @@ def _write_checkpoint(spark: SparkSession, path: str, version: int) -> None:
             "stats:string,deletionVector:struct<storageType:string,"
             "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
             "cardinality:bigint>,baseRowId:bigint,"
-            "defaultRowCommitVersion:bigint>, "
+            "defaultRowCommitVersion:bigint,clusteringProvider:string>, "
             "remove struct<path:string,deletionTimestamp:bigint,"
             "dataChange:boolean>"
         )
@@ -3432,6 +3436,7 @@ def delta_optimize(
     bits: int = 16,
     n_files: int | None = None,
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
+    incremental: bool = False,
 ) -> int:
     """Delta OPTIMIZE: rewrite the current snapshot's small files into
     ~``target_bytes`` files (bin-packing compaction), committing the swap
@@ -3448,6 +3453,16 @@ def delta_optimize(
     every range into one un-prunable file. This is why a 100 TB table is
     optimized WITH a cluster key: compaction is the one moment the data
     is rewritten anyway, so the clustering shuffle rides for free.
+
+    ``incremental=True`` (clustered tables only — the recorded
+    ``delta.clustering`` key): rewrite ONLY the active files not yet
+    stamped ``clusteringProvider: "liquid"`` (the Clustered Table spec's
+    marker, which this module's clustered OPTIMIZEs write on their adds)
+    — i.e. data appended since the last OPTIMIZE. This is how a daily
+    OPTIMIZE on a 100 TB table costs O(today's data), never a full-table
+    rewrite: each run adds one clustered "island"; per-file stats keep
+    skipping working across islands exactly as delta-spark's incremental
+    liquid clustering does. No unclustered files → no-op (no commit).
 
     Concurrency: the rewrite is computed against the latest snapshot and
     committed put-if-absent; a racing commit wins and this raises
@@ -3466,12 +3481,8 @@ def delta_optimize(
     )
     if not snap.files:
         return latest
-    total = sum(int(a.get("size") or 0) for a in snap.files.values())
-    # n_files overrides the size-derived count (the tables.py ``n_dirs``
-    # convention): the file is the pruning unit, so callers can size for
-    # skipping granularity instead of bytes
-    n = n_files or max(1, -(-total // target_bytes))  # ceil
     curve = "zorder"
+    liquid = False  # clustering by the RECORDED domain key
     if cluster_cols is None:
         # a clustered table (ALTER TABLE CLUSTER BY / delta-spark liquid
         # clustering) recorded its key in the delta.clustering domain —
@@ -3482,9 +3493,31 @@ def delta_optimize(
         recorded = delta_clustering_columns(snap)
         if recorded:
             cluster_cols = recorded
+            liquid = True
             zorder = zorder or len(recorded) > 1
             if len(recorded) > 1:
                 curve = "hilbert"
+    if incremental and not liquid:
+        raise ValueError(
+            "incremental OPTIMIZE clusters by the table's RECORDED "
+            "delta.clustering key (delta_set_clustering); this table has "
+            "none" + (" (explicit cluster_cols given)" if cluster_cols else "")
+        )
+    if incremental:
+        rewrite = {
+            p: a
+            for p, a in snap.files.items()
+            if a.get("clusteringProvider") != "liquid"
+        }
+        if not rewrite:
+            return latest  # everything already clustered: no-op, no commit
+    else:
+        rewrite = dict(snap.files)
+    total = sum(int(a.get("size") or 0) for a in rewrite.values())
+    # n_files overrides the size-derived count (the tables.py ``n_dirs``
+    # convention): the file is the pruning unit, so callers can size for
+    # skipping granularity instead of bytes
+    n = n_files or max(1, -(-total // target_bytes))  # ceil
     tracked = _row_tracking_enabled(snap)
     if tracked:
         # row tracking: compaction copies rows, so their ids MUST ride
@@ -3492,13 +3525,11 @@ def delta_optimize(
         # files under the table's recorded physical column names (the
         # protocol's preservation rule; readers coalesce these first)
         rid_col, rcv_col = _materialized_rt_cols(snap, path, "OPTIMIZE")
-        df = delta_read(
-            spark, path, version=latest, with_row_ids=True
-        ).withColumnRenamed("_row_id", rid_col).withColumnRenamed(
-            "_row_commit_version", rcv_col
-        )
+        df = _scan_files_rowids(spark, path, snap, rewrite).withColumnRenamed(
+            "_row_id", rid_col
+        ).withColumnRenamed("_row_commit_version", rcv_col)
     else:
-        df = delta_read(spark, path, version=latest)
+        df = _scan_files(spark, path, snap, rewrite)
     if cluster_cols:
         from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
             cluster_by,
@@ -3517,6 +3548,11 @@ def delta_optimize(
         path,
         snap.physical_partition_columns,
     )
+    if liquid:
+        # Clustered Table spec: adds written by a clustering OPTIMIZE
+        # carry clusteringProvider — the marker incremental runs use to
+        # skip already-clustered files
+        adds = [a | {"clusteringProvider": "liquid"} for a in adds]
     now = int(time.time() * 1000)
     ci: dict[str, Any] = {
         "timestamp": now,
@@ -3526,8 +3562,9 @@ def delta_optimize(
             "clusterBy": list(cluster_cols or []),
             "zOrder": bool(zorder and cluster_cols),
             "curve": curve if cluster_cols else None,
+            "incremental": bool(incremental),
         },
-        "operationMetrics": _op_metrics(adds, removed=len(snap.files)),
+        "operationMetrics": _op_metrics(adds, removed=len(rewrite)),
         "engineInfo": "delta-lite",
     }
     ict = _ict_for_commit(path, snap.configuration, latest, now)
@@ -3547,7 +3584,7 @@ def delta_optimize(
                 add,
             )
         }
-        for p, add in snap.files.items()
+        for p, add in rewrite.items()
     ]
     # the compacted files still need fresh baseRowId ranges (every add on
     # a tracked table must carry one, and materialized values take

@@ -3509,6 +3509,68 @@ def test_clustered_optimize_string_key_ansi(spark, tmp_path):
     assert got.agg(F.sum("k")).first()[0] == sum(range(15000))
 
 
+def test_incremental_liquid_optimize_rewrites_only_new_files(spark, tmp_path):
+    """Incremental clustered OPTIMIZE (r13 — delta-spark incremental
+    liquid clustering): a clustering OPTIMIZE stamps its adds with the
+    Clustered Table spec's clusteringProvider marker; incremental=True
+    rewrites ONLY unmarked files (data appended since), leaving clustered
+    files' paths untouched — a daily OPTIMIZE costs O(today's data) on a
+    100 TB table. Nothing unmarked → no-op without a commit. The marker
+    survives checkpoint + log cleanup."""
+    dl = _rt_imports()
+    t = str(tmp_path / "incr")
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 17).alias("a"), F.col("id").alias("b")
+    )
+    delta_write(df.filter(F.col("id") < 4000).repartition(4), t)
+    dl.delta_set_clustering(spark, t, ["a", "b"])
+    v_full = dl.delta_optimize(spark, t, n_files=4)
+    snap = dl._replay(t, None)
+    assert all(
+        a.get("clusteringProvider") == "liquid" for a in snap.files.values()
+    )
+    clustered_paths = set(snap.files)
+    # two unclustered appends land
+    delta_write(df.filter((F.col("id") >= 4000) & (F.col("id") < 5000)), t,
+                mode="append")
+    delta_write(df.filter(F.col("id") >= 5000), t, mode="append")
+    v_incr = dl.delta_optimize(spark, t, n_files=4, incremental=True)
+    assert v_incr == v_full + 3
+    snap2 = dl._replay(t, None)
+    # the originally clustered files are untouched — same paths active
+    assert clustered_paths <= set(snap2.files)
+    new_files = {p: a for p, a in snap2.files.items() if p not in clustered_paths}
+    assert len(new_files) == 4
+    assert all(a.get("clusteringProvider") == "liquid" for a in new_files.values())
+    # the rewritten island is Hilbert-clustered: with 4 cells each file is
+    # ~a quadrant — narrow in BOTH dimensions (b spans 4000..5999 here)
+    for a in new_files.values():
+        s = json.loads(a["stats"])
+        assert s["maxValues"]["b"] - s["minValues"]["b"] <= 1500, s
+        assert s["maxValues"]["a"] - s["minValues"]["a"] <= 12, s
+    # content unchanged end to end
+    got = delta_read(spark, t)
+    assert got.count() == 6000
+    assert got.agg(F.sum("b")).first()[0] == sum(range(6000))
+    # everything clustered -> no-op, no commit
+    assert dl.delta_optimize(spark, t, incremental=True) == v_incr
+    assert dl._latest_version(t) == v_incr
+    # the marker survives checkpoint + expired-log deletion
+    dl._write_checkpoint(spark, t, v_incr)
+    import glob as _glob
+
+    for j in _glob.glob(os.path.join(t, "_delta_log", "0*.json")):
+        os.unlink(j)
+    assert dl.delta_optimize(spark, t, incremental=True) == v_incr  # still no-op
+    # refusals: no recorded clustering / explicit keys
+    t2 = str(tmp_path / "plain")
+    delta_write(df.limit(10), t2)
+    with pytest.raises(ValueError, match="RECORDED"):
+        dl.delta_optimize(spark, t2, incremental=True)
+    with pytest.raises(ValueError, match="RECORDED"):
+        dl.delta_optimize(spark, t, cluster_cols=["a"], incremental=True)
+
+
 def test_fsck_flags_degenerate_clustered_layout(spark, tmp_path):
     """fsck r13: a clustered table whose every active file spans the full
     leading-key range is a DEGENERATE layout (recorded clustering, zero

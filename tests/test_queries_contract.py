@@ -146,6 +146,7 @@ def test_driver_window_fully_oracle_backed():
         # footer-stats metadata-scale profile):
         "footer_profile_lineitem",
         "delta_log_profile",
+        "delta_incremental_liquid_optimize",
         # r13 rotation swap-outs (driver-green in r12; family twin
         # in-window or family freshly rotated — see the promoted list's
         # r13 comment in queries.registry):

@@ -160,6 +160,7 @@ HEADLINE = [
     # r13 metadata-scale profiles (footer-stats pushdown / log-stats fold)
     "footer_profile_lineitem",
     "delta_log_profile",
+    "delta_incremental_liquid_optimize",
 ]
 
 

@@ -189,6 +189,12 @@ HEADLINE = [
     "funnel_within_hour",
     "stratified_sample_by_lang",
     "percent_rank_event_values",
+    # late-r13 additions: the metadata-scale profiles (footer-stats
+    # pushdown / log-stats fold — both should stay near-zero, that being
+    # the point) and the incremental liquid-clustering OPTIMIZE cycle
+    "footer_profile_lineitem",
+    "delta_log_profile",
+    "delta_incremental_liquid_optimize",
 ]
 
 # Solo re-capture support (VERDICT r11 #3): SPARK_GRAFT_ONLY=a,b,c narrows

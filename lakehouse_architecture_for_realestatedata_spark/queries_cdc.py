@@ -2291,17 +2291,33 @@ def q_delta_incremental_liquid_optimize(
         "o_orderpriority",
         F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
     )
-    root = os.path.join(
+    # The clustered FIRST island (v0-v2) builds once per sf and caches
+    # (the ivf_cdc_sync bench-fixture pattern: the row should time the
+    # INCREMENTAL maintenance — append + incremental OPTIMIZE + pruned
+    # read — not the initial build). Each call copies the small cached
+    # table and runs the incremental day on the copy; the _complete
+    # marker is written last so a crashed build rebuilds from scratch.
+    cache = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_liquid_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_liquid_v2_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    path = f"{root}/orders_liquid"
+    marker = os.path.join(cache, "_complete")
+    base = f"{cache}/orders_liquid"
+    if not os.path.isfile(marker):
+        if os.path.isdir(cache):
+            shutil.rmtree(cache)
+        half = orders.filter(F.col("o_orderkey") % 2 == 0)
+        delta_write(half.repartition(4), base)                           # v0
+        delta_set_clustering(
+            spark, base, ["o_orderpriority", "o_orderkey"]
+        )                                                                # v1
+        delta_optimize(spark, base, n_files=4)                           # v2
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    path = f"{cache}/work"
     if os.path.isdir(path):
-        shutil.rmtree(path)  # versions accumulate; rebuild per run
-    half = orders.filter(F.col("o_orderkey") % 2 == 0)
-    delta_write(half.repartition(4), path)                              # v0
-    delta_set_clustering(spark, path, ["o_orderpriority", "o_orderkey"])  # v1
-    delta_optimize(spark, path, n_files=4)                              # v2
+        shutil.rmtree(path)
+    shutil.copytree(base, path)
     delta_write(
         orders.filter(F.col("o_orderkey") % 2 == 1), path, mode="append"
     )                                                                   # v3

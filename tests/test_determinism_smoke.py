@@ -1,14 +1,14 @@
 """Run-twice determinism smoke (the round-7 bug class): the queries built
 on global ordering / bucketing / sampling primitives must hash identically
 across two fresh plan compositions and executions. The full registry gets
-the same check from tools/check_determinism.py (217/217 stable, r12 —
-ONE full-registry round-close run over every registration incl. the
-six r12 additions (colmap id write, ivf CDC sync, image/video planted
-rows, type-widening write); re-run it over the whole registry at every
-round close and refresh this note); this pytest
-keeps the most at-risk family guarded on every run, and
-test_full_registry_determinism_note_is_current makes a stale count FAIL
-instead of drifting silently (it hit 167 in r8 and 184 in r9)."""
+the same check from tools/check_determinism.py (220/220 stable, r13 —
+TWO full-registry round-close runs: one at 217 after the rotation +
+rank-encoded z-order landed, one at 220 covering the late-r13
+registrations (footer/log profiles, incremental liquid OPTIMIZE);
+re-run it over the whole registry at every round close and refresh this
+note); this pytest keeps the most at-risk family guarded on every run,
+and test_full_registry_determinism_note_is_current makes a stale count
+FAIL instead of drifting silently (it hit 167 in r8 and 184 in r9)."""
 
 from __future__ import annotations
 

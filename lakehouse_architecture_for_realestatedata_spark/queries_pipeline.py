@@ -507,7 +507,9 @@ def q_dq_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every-run (dbt fct_daily_summary full rebuild).",
 )
 def q_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
     import os
+    import shutil
     import tempfile
 
     from lakehouse_architecture_for_realestatedata_spark.plans.mviews import (
@@ -518,17 +520,37 @@ def q_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("ts", "user_id", "value")
     cutoff = "2024-01-16"
-    b1 = ev.filter(F.col("ts") < cutoff)
-    b2 = ev.filter(F.col("ts") >= cutoff)
-    root = os.path.join(
+    # Batch-1 state (base table + full-built summary at v1) builds once
+    # per sf and caches (the ivf_cdc_sync bench-fixture pattern, VERDICT
+    # r12 #5 applied here too: the row should time the INCREMENTAL
+    # refresh — append + touched-day recompute + keyed MERGE — not the
+    # initial build). Each call copies the versioned tables and runs the
+    # incremental day on the copy; _complete is written last so a crashed
+    # build rebuilds from scratch.
+    cache = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_mview_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_mview_v2_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    base = ParquetTable(spark, f"{root}/events_base")
-    summary = ParquetTable(spark, f"{root}/daily_summary")
-    base.overwrite(b1)
-    v1 = refresh_daily_summary(base, summary)
-    base.append(b2)
+    marker = os.path.join(cache, "_complete")
+    if not os.path.isfile(marker):
+        if os.path.isdir(cache):
+            shutil.rmtree(cache)
+        base0 = ParquetTable(spark, f"{cache}/events_base")
+        summary0 = ParquetTable(spark, f"{cache}/daily_summary")
+        base0.overwrite(ev.filter(F.col("ts") < cutoff))
+        v1 = refresh_daily_summary(base0, summary0)
+        with open(marker, "w") as fh:
+            json.dump({"v1": v1}, fh)
+    with open(marker) as fh:
+        v1 = json.load(fh)["v1"]
+    work = f"{cache}/work"
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    shutil.copytree(f"{cache}/events_base", f"{work}/events_base")
+    shutil.copytree(f"{cache}/daily_summary", f"{work}/daily_summary")
+    base = ParquetTable(spark, f"{work}/events_base")
+    summary = ParquetTable(spark, f"{work}/daily_summary")
+    base.append(ev.filter(F.col("ts") >= cutoff))
     refresh_daily_summary(base, summary, since_version=v1)
     return summary.read().select("day", "n_events", "n_users", "sum_value")
 

@@ -374,7 +374,16 @@ def ivf_persist(assignments: DataFrame, centroids: DataFrame, path: str) -> None
     repartitioned ON cell first: without it every input task writes a
     sliver into every cell directory — n_tasks × n_cells tiny files, a
     layout that collapses under its own file-listing cost at 10⁶ cells ×
-    10³ tasks (here: one file per cell)."""
+    10³ tasks (here: one file per cell).
+
+    New indexes are born GENERATION-STAMPED (gen=0): ``ivf_sync_changes``
+    keys its tombstone semantics on the gen column, and persisting
+    without it would make the FIRST sync pay the one-time O(index)
+    migration rewrite (review r13 — the bench fixture was paying that
+    rewrite inside every measured sync). The migration path stays for
+    pre-existing/foreign indexes only."""
+    if "gen" not in assignments.columns:
+        assignments = assignments.withColumn("gen", F.lit(0))
     assignments.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/assignments")

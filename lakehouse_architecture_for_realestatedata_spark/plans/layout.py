@@ -185,17 +185,17 @@ def range_bucket_id(col: Column | str, bounds: list) -> Column:
     )
 
 
-def z_value_ranked(
+def rank_encode(
     df: DataFrame, cols: list[str], n_buckets: int = 256
-) -> Column:
-    """Z-order value over ARBITRARY orderable columns: encode each column to
-    its frequency-balanced range-bucket rank (``column_range_bounds`` +
-    ``range_bucket_id``) and Morton-interleave the rank bits. This is what
-    delta-spark's OPTIMIZE ZORDER does (interleaved range_partition_ids) —
-    rank encoding both supports non-numeric keys (the raw-cast path crashes
-    under ANSI on strings, reference-shaped priority/province keys) and
-    equalizes skewed numeric distributions so every z-cell carries similar
-    row weight."""
+) -> tuple[list[Column], int]:
+    """The shared rank-encoding behind BOTH clustering curves: per-column
+    frequency-balanced bucket ids (``column_range_bounds`` +
+    ``range_bucket_id``), trimmed so ``bits × len(cols) <= 63`` and scaled
+    onto a COMMON bit width. Returns ``(rank_columns, bits)`` with every
+    rank guaranteed in ``[0, 2^bits)`` — the precondition of both
+    ``_interleave_bits`` and ``with_hilbert_value`` (an out-of-range rank
+    would silently alias into the low bits and interleave far-apart key
+    ranges into the same cells)."""
     all_bounds = [column_range_bounds(df, c, n_buckets) for c in cols]
     n = len(cols)
     bits = max(1, max(len(b) for b in all_bounds).bit_length())
@@ -222,6 +222,20 @@ def z_value_ranked(
         if 0 < len(b) < full:
             r = F.floor(r * F.lit(full) / F.lit(len(b))).cast("bigint")
         ranks.append(r)
+    return ranks, bits
+
+
+def z_value_ranked(
+    df: DataFrame, cols: list[str], n_buckets: int = 256
+) -> Column:
+    """Z-order value over ARBITRARY orderable columns: encode each column to
+    its frequency-balanced range-bucket rank (``rank_encode``) and
+    Morton-interleave the rank bits. This is what delta-spark's OPTIMIZE
+    ZORDER does (interleaved range_partition_ids) — rank encoding both
+    supports non-numeric keys (the raw-cast path crashes under ANSI on
+    strings, reference-shaped priority/province keys) and equalizes skewed
+    numeric distributions so every z-cell carries similar row weight."""
+    ranks, bits = rank_encode(df, cols, n_buckets)
     return _interleave_bits(ranks, bits)
 
 
@@ -337,31 +351,21 @@ def cluster_by(
         # cells for numerics. ~4 buckets per output file keeps each file
         # covering a narrow key range without oversizing the literal arrays.
         n_buckets = max(16, min(1 << bits, 4 * (n_partitions or 64)))
+        str_cols = [str(c) for c in cols]
         if curve == "hilbert":
-            # delta-spark liquid clustering's curve: same rank encoding,
-            # Hilbert index instead of Morton — no diagonal discontinuities,
-            # so every dimension's range predicates touch fewer files
-            str_cols = [str(c) for c in cols]
-            all_bounds = [
-                column_range_bounds(df, c, n_buckets) for c in str_cols
-            ]
-            hb = max(1, max(len(b) for b in all_bounds).bit_length())
-            if hb * len(cols) > 63:
-                hb = 63 // len(cols)
-            full = (1 << hb) - 1
-            out = df
-            rank_names = []
-            for c, b in zip(str_cols, all_bounds):
-                r = range_bucket_id(c, b)
-                if 0 < len(b) < full:
-                    r = F.floor(r * F.lit(full) / F.lit(len(b))).cast("bigint")
-                nm = f"__hr_{c}"
-                out = out.withColumn(nm, r)
-                rank_names.append(nm)
+            # delta-spark liquid clustering's curve: the SAME rank
+            # encoding (shared helper — review r13 caught a hand-rolled
+            # copy here that skipped the 63-bit boundary trimming), the
+            # Hilbert index instead of Morton — no diagonal
+            # discontinuities, so every dimension's range predicates
+            # touch fewer files
+            ranks, hb = rank_encode(df, str_cols, n_buckets)
+            rank_names = [f"__hr_{c}" for c in str_cols]
+            out = df.withColumns(dict(zip(rank_names, ranks)))
             out = with_hilbert_value(out, rank_names, bits=hb, out_col="__z")
             out = out.drop(*rank_names)
         else:
-            key = z_value_ranked(df, [str(c) for c in cols], n_buckets)
+            key = z_value_ranked(df, str_cols, n_buckets)
             out = df.withColumn("__z", key)
         parts = [F.col("__z")]
         out = (

@@ -2237,16 +2237,28 @@ def q_delta_log_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).filter(F.col("user_id") <= 4000).select(
         "event_id", "user_id", F.col("value").cast("double").alias("value")
     )
-    root = os.path.join(
+    # The 3-commit table builds once per sf and caches (review r13: the
+    # bench row should show the near-zero METADATA-ONLY cost — a per-call
+    # rebuild would time fixture construction and mask regressions in the
+    # profile path itself). Marker written atomically, last.
+    cache = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_logprof_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_logprof_v2_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    path = f"{root}/events_delta"
-    if os.path.isdir(path):
-        shutil.rmtree(path)  # versions accumulate; rebuild per run
-    delta_write(ev.filter(F.col("event_id") % 3 == 0), path)
-    for r in (1, 2):
-        delta_write(ev.filter(F.col("event_id") % 3 == r), path, mode="append")
+    marker = os.path.join(cache, "_complete")
+    path = f"{cache}/events_delta"
+    if not os.path.isfile(marker):
+        if os.path.isdir(cache):
+            shutil.rmtree(cache)
+        delta_write(ev.filter(F.col("event_id") % 3 == 0), path)
+        for r in (1, 2):
+            delta_write(
+                ev.filter(F.col("event_id") % 3 == r), path, mode="append"
+            )
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
+            fh.write("ok")
+        os.replace(tmp_marker, marker)
     return delta_profile(spark, path, ["user_id", "value"])
 
 
@@ -2312,8 +2324,11 @@ def q_delta_incremental_liquid_optimize(
             spark, base, ["o_orderpriority", "o_orderkey"]
         )                                                                # v1
         delta_optimize(spark, base, n_files=4)                           # v2
-        with open(marker, "w") as fh:
+        # atomic marker (review r13): never leave a partial marker behind
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
             fh.write("ok")
+        os.replace(tmp_marker, marker)
     path = f"{cache}/work"
     if os.path.isdir(path):
         shutil.rmtree(path)

@@ -539,8 +539,12 @@ def q_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         summary0 = ParquetTable(spark, f"{cache}/daily_summary")
         base0.overwrite(ev.filter(F.col("ts") < cutoff))
         v1 = refresh_daily_summary(base0, summary0)
-        with open(marker, "w") as fh:
+        # atomic marker (review r13): a partial marker would poison every
+        # later run's json.load instead of triggering a rebuild
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
             json.dump({"v1": v1}, fh)
+        os.replace(tmp_marker, marker)
     with open(marker) as fh:
         v1 = json.load(fh)["v1"]
     work = f"{cache}/work"

@@ -458,7 +458,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ivf_sync_changes — closing VERDICT r11 #7): the corpus lives in a "
     "CDF-enabled Delta table, the IVF index is built once at a pinned "
     "version, then a mixed day lands — MERGE updating vectors 100-199 "
-    "(+1.0 per component) and inserting 3000-3049, then a DELETE of "
+    "(+1.0 per component) and inserting 1000-1049, then a DELETE of "
     "300-399 — and the index syncs from delta_read_changes alone: "
     "upserts re-assign against the frozen centroids and append, every "
     "net key tombstones its superseded assignments at the new sync "
@@ -503,7 +503,7 @@ def q_ivf_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build rebuilds from scratch.
     cache = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_ivfcdc_v2_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_ivfcdc_v3_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     marker = os.path.join(cache, "_complete")
     tbl = f"{cache}/corpus"
@@ -528,8 +528,12 @@ def q_ivf_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         delta_merge(updated.unionByName(inserted), tbl, key="vec_id")  # v2
         delta_delete_where(spark, tbl, ("vec_id", "between", (300, 399)))  # v3
-        with open(marker, "w") as fh:
+        # atomic marker (review r13): a crash mid-write must leave NO
+        # marker — a partial one would poison every later run's json.load
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
             json.dump({"v_built": v_built}, fh)
+        os.replace(tmp_marker, marker)
     with open(marker) as fh:
         v_built = json.load(fh)["v_built"]
     work_idx = f"{cache}/idx_work"

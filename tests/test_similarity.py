@@ -792,6 +792,57 @@ def test_ivf_sync_crash_idempotent_and_upsert_gen_aware(spark, tmp_path):
     assert gens == {2}  # stamped, not NULL — tombstones can supersede
 
 
+def test_ivf_persist_born_stamped_and_legacy_migration(spark, tmp_path):
+    """Review r13: ivf_persist stamps gen=0 at build time, so the FIRST
+    sync never pays the O(index) migration rewrite; a LEGACY index
+    (assignments without gen — pre-r12 build or foreign writer) still
+    migrates once and syncs correctly."""
+    import os as _os
+    import shutil as _shutil
+
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        ivf_assign,
+        ivf_live_assignments,
+        ivf_persist,
+        ivf_sync_changes,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+        delta_enable_cdf,
+        delta_read,
+        delta_write,
+    )
+
+    def vecs(ids):
+        return [(i, [float(i % 7), float(i % 5)]) for i in ids]
+
+    schema = "vec_id bigint, embedding array<double>"
+    tbl = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    delta_write(spark.createDataFrame(vecs(range(20)), schema), tbl)
+    v = delta_enable_cdf(spark, tbl)
+    a, c = ivf_assign(delta_read(spark, tbl), "vec_id", "embedding", n_cells=4)
+    ivf_persist(a, c, idx)
+    persisted = spark.read.parquet(f"{idx}/assignments")
+    assert "gen" in persisted.columns  # born stamped
+    assert {r["gen"] for r in persisted.select("gen").distinct().collect()} == {0}
+    # legacy shape: rewrite the assignments WITHOUT gen, then sync — the
+    # one-time migration must run and converge to the same live set
+    legacy = str(tmp_path / "legacy_a")
+    persisted.drop("gen").repartition("cell").write.partitionBy("cell").parquet(
+        legacy
+    )
+    _shutil.rmtree(_os.path.join(idx, "assignments"))
+    _os.rename(legacy, _os.path.join(idx, "assignments"))
+    delta_delete_where(spark, tbl, ("vec_id", "between", (5, 9)))
+    ivf_sync_changes(spark, idx, tbl, initial_version=v)
+    live = sorted(
+        r["vec_id"] for r in ivf_live_assignments(spark, idx).collect()
+    )
+    assert live == [i for i in range(20) if not 5 <= i <= 9]
+    assert "gen" in spark.read.parquet(f"{idx}/assignments").columns
+
+
 def test_ivf_sync_migration_crash_rolls_forward(spark, tmp_path):
     """ADVICE r12: a crash INSIDE the gen-migration's two-rename swap
     (assignments renamed aside, migrated copy not yet renamed in) used to

@@ -446,9 +446,35 @@ def minhash_lsh_pairs_md5(
     ``explode(array(...))`` is the CollapseProject barrier: without it the
     per-band lambdas would each re-inline the whole tokenize+shingle
     build (lambda captures aren't counted as multi-references — the
-    winnowing lesson, operators/retrieval.py)."""
+    winnowing lesson, operators/retrieval.py).
+
+    Decomposed (r14) into ``minhash_md5_shingled`` → ``minhash_md5_band_buckets``
+    → ``minhash_lsh_verify_pairs`` so a pipeline can PERSIST the signed
+    corpus (the two stage frames are plain columnar tables) and re-run
+    only the pairing/verify step as the corpus is re-screened — at 100 TB
+    the shingle+md5 signing pass is the dominant cost and needs paying
+    once, not per dedup sweep."""
+    staged = minhash_md5_shingled(docs, id_col, text_col, k)
+    fp = minhash_md5_band_buckets(staged, id_col, bands)
+    return minhash_lsh_verify_pairs(fp, staged, id_col, threshold, max_bucket)
+
+
+def minhash_md5_shingled(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Stage 1 of ``minhash_lsh_pairs_md5``: ``(id, __sh)`` with the
+    distinct k-shingle array per document — persistable (array<string>
+    parquet column)."""
     sh = shingles(F.col(text_col), k)
-    staged = docs.select(F.col(id_col), F.explode(F.array(sh)).alias("__sh"))
+    return docs.select(F.col(id_col), F.explode(F.array(sh)).alias("__sh"))
+
+
+def minhash_md5_band_buckets(
+    staged: DataFrame, id_col: str = "doc_id", bands: int = 8
+) -> DataFrame:
+    """Stage 2 of ``minhash_lsh_pairs_md5``: ``(id, band, bucket)`` salted-
+    md5 band signatures (bucket = min md5 hex of ``"b:" + shingle``) — the
+    signed corpus, ``bands`` slim rows per document."""
     salted_min = [
         F.array_min(
             F.transform(
@@ -458,9 +484,21 @@ def minhash_lsh_pairs_md5(
         )
         for b in range(bands)
     ]
-    fp = staged.select(
+    return staged.select(
         F.col(id_col), F.posexplode(F.array(*salted_min)).alias("band", "bucket")
     )
+
+
+def minhash_lsh_verify_pairs(
+    fp: DataFrame,
+    staged: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Stage 3 of ``minhash_lsh_pairs_md5``: capped bucket self-join for
+    candidates, exact-Jaccard verification over the shingle sets. See the
+    composite's docstring for the physics."""
     members = (
         fp.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))

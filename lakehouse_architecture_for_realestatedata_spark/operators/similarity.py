@@ -679,6 +679,80 @@ def ivf_knn(
     return _topk_per_query(scored.dropDuplicates(["query_id", "neighbor_id"]), k)
 
 
+def ivf_knn_frozen_quantized(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF approximate top-k over caller-FROZEN centroids with the
+    quantized-exact scoring policy (``quantized_cosine``) and explicit
+    tie-breaks everywhere — every stage (cell assignment, probe routing,
+    final top-k) is a pure deterministic function of the inputs, so the
+    ENTIRE approximate pipeline is reproducible bit-for-bit in another
+    engine: this is the variant that carries the IVF family's hard
+    DuckDB-oracle row (VERDICT r13 #5; ``ivf_assign``'s sampled-centroid
+    build stays the production default, recall-pinned in pytest).
+
+    ``centroids`` is a bounded ``(cell, <vec_col>)`` frame (it is
+    broadcast twice — assignment and routing). Ties: assignment takes the
+    LOWEST cell id at equal similarity (max(struct(sim, -cell))); probe
+    routing and the final top-k order by (similarity DESC, id ASC).
+
+    Scale shape matches ``ivf_knn``: assignment is one broadcast join +
+    map-side-combinable groupBy over the corpus (no window over the
+    corpus), probes are a bounded broadcast driving a cell-key join, and
+    the top-k is the two-stage bounded merge (``_topk_per_query``)."""
+    qz = quantize(F.col(vec_col), scale)
+    cents = centroids.select(
+        F.col("cell"), quantize(F.col(vec_col), scale).alias("__cv")
+    )
+    sim = quantized_cosine(F.col("__qv"), F.col("__cv"), prequantized=True)
+    assigned = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), qz.alias("__qv"))
+        .join(F.broadcast(cents))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max(
+                F.struct(sim.alias("s"), (-F.col("cell")).alias("negc"))
+            ).alias("__best"),
+            F.first("__qv").alias("__nv"),  # constant within the group
+        )
+        .select(
+            "neighbor_id", "__nv", (-F.col("__best.negc")).alias("cell")
+        )
+    )
+    routed = (
+        queries.select(F.col(id_col).alias("query_id"), qz.alias("__qv"))
+        .join(F.broadcast(cents))
+        .select("query_id", "__qv", "cell", sim.alias("__sim"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("cell")
+    )
+    probes = (
+        routed.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantized_cosine(
+                F.col("__qv"), F.col("__nv"), prequantized=True
+            ).alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str,

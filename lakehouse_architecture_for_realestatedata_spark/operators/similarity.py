@@ -679,6 +679,90 @@ def ivf_knn(
     return _topk_per_query(scored.dropDuplicates(["query_id", "neighbor_id"]), k)
 
 
+def assign_cells_frozen_quantized(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic cell assignment against caller-FROZEN centroids
+    (``(cell, <vec_col>)``, bounded → broadcast) under the quantized-exact
+    cosine policy, ties to the LOWEST cell id (max(struct(sim, -cell))).
+    Returns ``(<id_col>, __qv, cell)`` with ``__qv`` the quantized vector,
+    ready for downstream scoring. One broadcast join + one map-side-
+    combinable groupBy — the corpus is never windowed or sorted. The
+    shared first stage of ``ivf_knn_frozen_quantized`` and
+    ``semantic_dedup_frozen``."""
+    qz = quantize(F.col(vec_col), scale)
+    cents = centroids.select(
+        F.col("cell"), quantize(F.col(vec_col), scale).alias("__cv")
+    )
+    sim = quantized_cosine(F.col("__qv"), F.col("__cv"), prequantized=True)
+    return (
+        corpus.select(F.col(id_col), qz.alias("__qv"))
+        .join(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(sim.alias("s"), (-F.col("cell")).alias("negc"))
+            ).alias("__best"),
+            F.first("__qv").alias("__qv"),  # constant within the group
+        )
+        .select(id_col, "__qv", (-F.col("__best.negc")).alias("cell"))
+    )
+
+
+def semantic_dedup_frozen(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:
+    2303.09540 — public method): assign every vector to a centroid cell,
+    form candidate pairs ONLY within a cell, and drop every vector that has
+    a same-cell neighbor with cosine ≥ ``threshold`` and a LOWER id (the
+    deterministic keep-lowest-id rule). Returns the survivors
+    ``(<id_col>, cell)``.
+
+    Frozen centroids + the quantized-exact cosine policy make the whole
+    pipeline a pure function of the inputs — reproducible bit-for-bit in
+    another engine, so the operator carries a hard oracle row
+    (``semantic_dedup_embeddings``).
+
+    Scale shape — why this beats pairwise dedup at 100 TB: candidate pairs
+    form inside cells only (cost Σ|cell|² ≪ corpus²; SemDeDup's core
+    trick), the cell-keyed self-join shuffles each side once on ``cell``,
+    the τ-filter cuts pairs before the distinct, and survivors come from a
+    broadcast-size anti-join (dropped ids ≪ corpus). Sub-bucket oversized
+    cells (re-cluster within cell) before pairing when a cell outgrows a
+    task — the same degenerate-bucket discipline as the LSH family's
+    ``max_bucket`` cap."""
+    assigned = assign_cells_frozen_quantized(
+        corpus, centroids, id_col, vec_col, scale
+    )
+    left = assigned.select(
+        F.col(id_col).alias("__ida"), F.col("__qv").alias("__va"), "cell"
+    )
+    right = assigned.select(
+        F.col(id_col).alias("__idb"), F.col("__qv").alias("__vb"), "cell"
+    )
+    dropped = (
+        left.join(right, "cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            quantized_cosine(F.col("__va"), F.col("__vb"), prequantized=True)
+            >= threshold
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")
+
+
 def ivf_knn_frozen_quantized(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -712,19 +796,12 @@ def ivf_knn_frozen_quantized(
         F.col("cell"), quantize(F.col(vec_col), scale).alias("__cv")
     )
     sim = quantized_cosine(F.col("__qv"), F.col("__cv"), prequantized=True)
-    assigned = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), qz.alias("__qv"))
-        .join(F.broadcast(cents))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max(
-                F.struct(sim.alias("s"), (-F.col("cell")).alias("negc"))
-            ).alias("__best"),
-            F.first("__qv").alias("__nv"),  # constant within the group
-        )
-        .select(
-            "neighbor_id", "__nv", (-F.col("__best.negc")).alias("cell")
-        )
+    assigned = assign_cells_frozen_quantized(
+        corpus, centroids, id_col, vec_col, scale
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__qv").alias("__nv"),
+        "cell",
     )
     routed = (
         queries.select(F.col(id_col).alias("query_id"), qz.alias("__qv"))

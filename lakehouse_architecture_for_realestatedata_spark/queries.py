@@ -55,15 +55,20 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Runtime confs the correctness contract depends on, pinned at every query
-# entry (the driver's session is not ours — it runs ANSI-on, where the
-# engine's deliberate cast-to-NULL parsing semantics would throw
-# CAST_INVALID_INPUT, and a non-UTC session TZ would shift every hashed
-# timestamp). Both are runtime-settable; same set-at-entry pattern the
+# entry (the driver's session is not ours — a non-UTC session TZ would shift
+# every hashed timestamp). Runtime-settable; same set-at-entry pattern the
 # registry already uses for parquet.fieldId.read.enabled. Set-and-leave on
 # purpose: the returned DataFrame is analyzed/executed by the caller AFTER
 # this function returns, so restoring the conf here would re-break it.
+#
+# NARROWED to timezone-only in r14 (ADVICE r13's end state): the ANSI pin
+# became unnecessary once every permissive parse moved to try_cast/try_*
+# (functions/parsing.py, r13) — the full registry MATCHes its oracles under
+# ANSI-ON at sf0.001/0.01/0.1, so the engine no longer mutates the host
+# session's cast/overflow semantics at all. tests/test_queries_contract.py
+# still flips ANSI on before every invocation; queries now genuinely RUN
+# under it rather than pinning it away.
 _CONTRACT_CONFS: dict[str, str] = {
-    "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
 }
 
@@ -255,6 +260,10 @@ def registry() -> dict[str, QuerySpec]:
         "json_props_rollup",
     ]
     deferred = {
+        # new r14 (starts deferred; r15 rotation candidate — the SemDeDup
+        # semantic-dedup row; knn_cosine_bruteforce keeps the similarity
+        # family in-window via auto-fill):
+        "semantic_dedup_embeddings",
         # r14 rotation swap-outs (every one driver-green in r13's 50/50
         # window; family twin in-window or the family completed its
         # rotation — see the promoted list's r14 comment for pairings):

@@ -527,6 +527,100 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_embeddings",
+    """
+    WITH base AS (
+        SELECT vec_id, [cast(x AS double) for x in embedding] AS e
+        FROM embeddings
+    ), twins AS (
+        -- planted near-dup twins: per-component drift of at most ±0.003
+        -- (cosine to the original ≈ 0.9999, vs ≤ 0.5 between any two
+        -- natural vectors); DuckDB's lambda index i is 1-BASED, Spark's
+        -- transform index is 0-based, hence (i - 1)
+        SELECT vec_id + 10000 AS vec_id,
+               list_transform(e, (x, i) ->
+                   x + ((vec_id + (i - 1)) % 7 - 3) * 0.001) AS e
+        FROM base WHERE vec_id < 200
+    ), corpus AS (
+        SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM twins
+    ), qz AS (
+        SELECT vec_id, [round(x * 1000000) for x in e] AS v FROM corpus
+    ), cents AS (
+        SELECT vec_id AS cell, v AS cv FROM qz WHERE vec_id < 32
+    ), sim_all AS (
+        SELECT z.vec_id, c.cell,
+               CASE WHEN list_dot_product(z.v, z.v) > 0 AND list_dot_product(c.cv, c.cv) > 0
+                    THEN list_dot_product(z.v, c.cv)
+                         / (sqrt(list_dot_product(z.v, z.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                    ELSE 0.0 END AS s
+        FROM qz z, cents c
+    ), assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+            FROM sim_all
+        ) WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a
+        JOIN assigned b ON b.cell = a.cell AND a.vec_id < b.vec_id
+        JOIN qz za ON za.vec_id = a.vec_id
+        JOIN qz zb ON zb.vec_id = b.vec_id
+        WHERE CASE WHEN list_dot_product(za.v, za.v) > 0 AND list_dot_product(zb.v, zb.v) > 0
+                   THEN list_dot_product(za.v, zb.v)
+                        / (sqrt(list_dot_product(za.v, za.v)) * sqrt(list_dot_product(zb.v, zb.v)))
+                   ELSE 0.0 END >= 0.98
+    )
+    SELECT vec_id, cell FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    doc="SemDeDup-style SEMANTIC dedup with a HARD oracle (new r14; "
+    "operators/similarity.py semantic_dedup_frozen — Abbas et al. 2023, "
+    "arXiv:2303.09540): 200 planted near-dup twins (deterministic "
+    "±0.003-per-component drift, cosine ≈ 0.9999 to their originals vs "
+    "≤ 0.5 between natural vectors) join the corpus; vectors are assigned "
+    "to frozen centroid cells (quantized-exact cosine, ties to the lowest "
+    "cell), candidate pairs form ONLY within a cell (Σ|cell|² ≪ corpus² — "
+    "SemDeDup's core trick), and every vector with a ≥0.98-cosine "
+    "lower-id same-cell neighbor drops. Survivors = the 500 originals "
+    "(each twin is caught in its original's cell). The whole approximate "
+    "pipeline is bit-reproducible in DuckDB, so the oracle checks recall "
+    "AND the keep-lowest-id canonicalization, not just row counts.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        semantic_dedup_frozen,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    # the drift is seeded by the ORIGINAL id — rename it first, because a
+    # bare F.col("vec_id") inside the transform lambda would resolve to the
+    # (vec_id + 10000) LATERAL alias in the same select (Spark 3.4+
+    # implicit lateral-column-alias resolution), silently diverging from
+    # the oracle's base-column binding
+    twins = (
+        emb.filter(F.col("vec_id") < 200)
+        .select(F.col("vec_id").alias("__orig"), "e")
+        .select(
+            (F.col("__orig") + 10000).alias("vec_id"),
+            F.transform(
+                "e",
+                lambda x, i: x
+                + (((F.col("__orig") + i) % 7) - 3) * F.lit(0.001),
+            ).alias("e"),
+        )
+    )
+    corpus = emb.unionByName(twins)
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cell"), "e"
+    )
+    return semantic_dedup_frozen(corpus, cents, "vec_id", "e", threshold=0.98)
+
+
+@register(
     "ivf_cdc_sync_maintenance",
     """
     WITH cur AS (
@@ -636,23 +730,70 @@ def q_ivf_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # binary-blob byte features aren't SQL-expressible in DuckDB;
-    # correctness asserted in tests/test_multimodal.py against pure-python
-    # recomputation
-    doc="Multimodal pipeline: synthetic binary media column + typed metadata "
-    "→ Arrow-batched mapInPandas feature extraction (size/mean/entropy/"
-    "histogram). Real codecs stubbed (operators/multimodal.py).",
+    """
+    WITH a AS (
+        SELECT doc_id, doc_id * 2 + var AS asset_id, var
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d,
+             (SELECT unnest([0, 1]) AS var) vv
+    ), px AS (
+        SELECT asset_id, var, doc_id, unnest(range(72)) AS i FROM a
+    ), g AS (
+        SELECT asset_id, i,
+               CASE WHEN var = 1 AND i IN (30, 31) THEN 0
+                    ELSE (doc_id * 48271 + i * 16807) % 251 END AS v
+        FROM px
+    ), h AS (
+        -- 16-bucket histogram over the DECODED RGB payload: each gray value
+        -- appears on all three channels, hence the *3
+        SELECT g.asset_id, b.b,
+               count(*) FILTER (WHERE g.v // 16 = b.b) * 3 AS c
+        FROM g, (SELECT unnest(range(16)) AS b) b
+        GROUP BY 1, 2
+    ), hist AS (
+        SELECT asset_id,
+               string_agg(cast(c AS varchar), ',' ORDER BY b) AS hist_csv
+        FROM h GROUP BY 1
+    ), m AS (
+        SELECT asset_id, cast(sum(v) * 3 AS double) / 216 AS byte_mean
+        FROM g GROUP BY 1
+    )
+    SELECT m.asset_id, 'image/png' AS media_type, 9 AS width, 8 AS height,
+           m.byte_mean, hist.hist_csv
+    FROM m JOIN hist ON hist.asset_id = m.asset_id
+    """,
+    doc="Multimodal decode→feature pipeline with a HARD oracle (VERDICT r13 "
+    "#5 — the planted-PNG technique from image_dhash_planted_pairs applied "
+    "to feature extraction): two REAL PNGs per doc (synthesize_png_pairs, "
+    "integer-LCG pixels) flow through the REAL decode_png → numpy feature "
+    "path (operators/multimodal.py extract_features — Arrow-batched "
+    "mapInPandas, the multimodal UDF shape), and the emitted width/height/"
+    "byte_mean/16-bucket histogram are recomputed arithmetically in DuckDB "
+    "from the same LCG — so codec correctness, not just plumbing, is "
+    "hash-checked. byte_mean is exact cross-engine (integer pixel sum < "
+    "2^53, one IEEE divide); byte_entropy stays OUT of the oracled "
+    "projection (libm log2 is not ulp-pinned across engines) and keeps its "
+    "pure-python pin in tests/test_multimodal.py, as do the container-byte "
+    "features (n_bytes depends on zlib output, not SQL-expressible).",
 )
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_for_realestatedata_spark.operators.multimodal import (
         extract_features,
-        synthesize_blobs,
+        synthesize_png_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    assets = synthesize_blobs(docs, "doc_id", "text")
-    return extract_features(assets).select(
-        "asset_id", "media_type", "n_bytes", "width", "height", "byte_mean", "byte_entropy"
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        "doc_id"
+    )
+    feats = extract_features(synthesize_png_pairs(docs, "doc_id"))
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "width",
+        "height",
+        "byte_mean",
+        F.array_join(
+            F.transform("histogram", lambda x: x.cast("string")), ","
+        ).alias("hist_csv"),
     )
 
 

@@ -44,10 +44,13 @@ _DEFAULT_CONF: dict[str, str] = {
     # Quieter, faster local runs.
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
-    # ANSI off: match the reference's permissive casts (Spark 3.3 default was
-    # non-ANSI; Spark 4 flipped it). Vietnamese price parsing relies on
-    # cast('abc' as double) => NULL, not an error.
-    "spark.sql.ansi.enabled": "false",
+    # ANSI: left at Spark 4's default (ON) since r14. The engine is
+    # ANSI-clean end to end: every permissive parse goes through
+    # try_cast/try_* (functions/parsing.py, r13), and the full 221-query
+    # registry MATCHes its DuckDB oracles under ANSI-on at sf0.001/0.01/0.1
+    # (r14 evidence; tests/test_queries_contract.py runs the registry
+    # ANSI-on). This also removes the engine/driver session divergence —
+    # the round driver runs ANSI-on.
     # FileOutputCommitter v2: tasks commit straight to the destination
     # instead of the v1 double-rename through a job-temp dir. v1's
     # job-commit renames serialize on the driver at ~0.15 s PER TASK on

@@ -54,22 +54,22 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 
     spec = registry()[name]
     # Driver-faithful session state: the driver runs ANSI-ON (proven by the
-    # r12 delta_clustered_optimize_read CAST_INVALID_INPUT crash), while the
-    # engine's contract assumes non-ANSI cast-to-NULL semantics. Every
-    # registered query pins the contract confs at entry
-    # (queries.pin_contract_confs) — so the whole registry must pass with
-    # ANSI flipped on immediately before each invocation, exactly the
-    # driver scenario. This ran the failure class behind 2 of the last 3
-    # rounds' driver-reds out of town: a query green here cannot crash at
-    # the driver on session-conf divergence. The timezone flip (r14,
-    # VERDICT r13 #3) proves the OTHER half of the same class: a hostile
-    # session TZ would shift every hashed timestamp; UTC+14 (Kiritimati)
-    # is the most hostile legal offset.
+    # r12 delta_clustered_optimize_read CAST_INVALID_INPUT crash). Since r14
+    # the engine no longer pins ANSI away (every permissive parse is
+    # try_cast/try_* — functions/parsing.py, r13), so flipping it on here
+    # makes every query genuinely RUN-and-MATCH under ANSI — exactly the
+    # driver scenario, with no session mutation hiding it. The timezone
+    # flip (r14, VERDICT r13 #3) proves the OTHER half of the
+    # session-divergence class: a hostile session TZ would shift every
+    # hashed timestamp; UTC+14 (Kiritimati) is the most hostile legal
+    # offset, and the TZ pin (the one conf still set at entry) must
+    # restore UTC.
     spark.conf.set("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
     sdf = spec.spark_fn(spark, sf_dir)
-    assert spark.conf.get("spark.sql.ansi.enabled") == "false", (
-        "query entry must pin spark.sql.ansi.enabled=false (driver runs ANSI-on)"
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true", (
+        "nothing may silently flip ANSI back off — the r14 contract is to "
+        "run ANSI-clean, not to mutate the host session"
     )
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
         "query entry must pin spark.sql.session.timeZone=UTC (hashed "
@@ -153,6 +153,15 @@ def test_driver_window_fully_oracle_backed():
     # r14 to exactly the displaced set (it previously accreted superset
     # cruft). Update CONSCIOUSLY when rotating.
     assert set(displaced) <= {
+        # new r14, starts deferred (r15 rotation candidate):
+        "semantic_dedup_embeddings",
+        # displaced by the r14 rows-only→oracle conversions (knn_cosine_ivf,
+        # multimodal_features take their auto-fill slots at first oracle
+        # eligibility; both of these are driver-green through r13 and their
+        # families stay in-window — the stats/rolling tranche for O2/F16
+        # windows, resample_locf_weekly_global for temporal):
+        "window_functions_daily",
+        "scd2_user_event_history",
         # r14 rotation swap-outs (each driver-green in the r13 50/50 window;
         # see the promoted list's r14 comment in queries.registry for pairings):
         "late_shipment_modes_q12",

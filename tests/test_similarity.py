@@ -895,3 +895,76 @@ def test_ivf_sync_migration_crash_rolls_forward(spark, tmp_path):
     assert _os.path.isdir(a_path)
     assert not _os.path.isdir(mig) and not _os.path.isdir(old)
     _shutil.rmtree(idx)
+
+
+def test_semantic_dedup_frozen_drops_planted_twins_keeps_lowest_id(spark):
+    """semantic_dedup_frozen (r14, SemDeDup shape): a planted near-identical
+    twin in the same cell is dropped, the LOWEST id of a dup group is the
+    keeper, near-but-below-threshold vectors survive, and cross-cell
+    near-dups are (by design) not compared."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        semantic_dedup_frozen,
+    )
+
+    schema = "vec_id bigint, embedding array<double>"
+    rows = [
+        (0, [1.0, 0.0]),        # centroid of cell 0
+        (1, [0.0, 1.0]),        # centroid of cell 1
+        (10, [1.0, 0.001]),     # cell 0
+        (11, [1.0, 0.0011]),    # near-dup of 10 (cos ≈ 1) → dropped
+        (12, [0.9, 0.45]),      # cell 0, far from 10 → kept
+        (20, [0.001, 1.0]),     # cell 1 — near-dup of 10 in VALUE? no:
+                                # orthogonal; kept
+    ]
+    corpus = spark.createDataFrame(rows, schema)
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell bigint, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in semantic_dedup_frozen(
+            corpus, cents, "vec_id", "embedding", threshold=0.999
+        ).collect()
+    }
+    # 11 dropped (10 is its lower-id twin); 0 dropped (10/0 cos≈1? no —
+    # [1,0]·[1,0.001] cos ≈ 0.9999995 ≥ 0.999 → 10 dropped too, 0 keeps)
+    assert 0 in got and got[0] == 0
+    assert 1 in got and got[1] == 1
+    assert 10 not in got  # 0 is its lower-id near-dup in cell 0
+    assert 11 not in got
+    assert 12 in got and got[12] == 0
+    assert 20 not in got or got[20] == 1  # near-dup of centroid 1 → dropped
+
+
+def test_ivf_knn_frozen_quantized_matches_bruteforce_within_probed_cells(spark):
+    """ivf_knn_frozen_quantized: with n_probe == n_cells (probe everything)
+    the result equals quantized brute force exactly — the approximation is
+    ONLY the cell restriction, never the scoring."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        ivf_knn_frozen_quantized,
+        knn_quantized,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    schema = "vec_id bigint, embedding array<double>"
+    corpus = spark.createDataFrame(rows, schema)
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in rows[:4]], "cell bigint, embedding array<double>"
+    )
+    queries = corpus.filter("vec_id < 3")
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ivf_knn_frozen_quantized(
+            corpus, cents, queries, k=5, n_probe=4
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in knn_quantized(corpus, queries, k=5).collect()
+    }
+    assert approx == exact

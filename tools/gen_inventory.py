@@ -26,20 +26,9 @@ ROWS_ONLY_WHY: dict[str, str] = {
     "hash-checked, and tests/test_dedup.py pins planted-pair recall here.",
     "simhash_dedup": "same xxhash64 gap; `simhash_pairs_md5` is the "
     "hash-checked md5 twin, tests/test_dedup.py pins recall.",
-    "knn_cosine_ivf": "APPROXIMATE by definition — IVF probes a subset of "
-    "cells, so the neighbor set is intentionally not equal to the exact "
-    "answer; hashing it against any SQL oracle would either fail or force "
-    "n_probe=all (testing nothing). tests/test_similarity.py pins "
-    "recall>=threshold vs the exact `knn_cosine_bruteforce`, which IS "
-    "oracle-hashed — the pair covers exact values AND approximation "
-    "quality, each with the right instrument.",
-    "multimodal_features": "byte_entropy is a float -p*log2(p) sum (libm "
-    "log2 is not correctly-rounded, so cross-engine bit-equality is not "
-    "guaranteed) and n_bytes counts zlib-compressed PNG bytes (not "
-    "SQL-expressible). The DECODE path itself is oracle-proven by "
-    "`image_dhash_planted_pairs` (planted-LCG pixels, hash-checked); "
-    "tests/test_multimodal.py pins these features against pure-python "
-    "recomputation.",
+    # knn_cosine_ivf and multimodal_features left this map in r14 (VERDICT
+    # r13 #5): frozen planted centroids / planted-PNG pixel features made
+    # both hard DuckDB-oracle rows.
     "knn_pq_adc": "k-means codebooks are an iterative argmin fit with no "
     "SQL twin, and ADC scores are approximate by construction; "
     "tests/test_similarity.py pins numpy code/score parity + planted "
@@ -51,7 +40,9 @@ ROWS_ONLY_WHY: dict[str, str] = {
     "recall vs exact kNN pinned in tests/test_similarity.py.",
     "semdedup_embedding_prune": "centroid-seeded greedy prune is "
     "order-dependent and approximate; planted-cluster behavior pinned in "
-    "tests/test_dedup.py (exact cosine twins are oracle-checked).",
+    "tests/test_dedup.py, and since r14 the deterministic sibling "
+    "`semantic_dedup_embeddings` (frozen centroids, keep-lowest-id) IS "
+    "oracle-hashed end to end.",
     "approx_sketches_by_type": "approx_count_distinct/percentile_approx are "
     "sketch estimates — DuckDB's sketches differ by construction; error "
     "bounds vs exact pinned in pytest, and the EXACT quantile/HLL/CMS "

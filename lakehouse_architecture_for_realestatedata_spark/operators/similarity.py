@@ -124,6 +124,43 @@ def quantized_cosine(va, vb, scale: int = 1_000_000, prequantized: bool = False)
     )
 
 
+def quantized_norm(qv):
+    """The ``na``/``nb`` sub-expression of ``quantized_cosine`` alone:
+    exact bigint Σv² of an already-quantized vector. Hoist it to ONE
+    computation per row when a vector participates in MANY pairs —
+    higher-order lambdas are interpreted (not codegen'd), so recomputing a
+    64-element norm per PAIR is the dominant cost of pair-heavy operators
+    (measured 4.6→~2 s on semantic_dedup_embeddings at sf0.1)."""
+    return F.aggregate(qv, F.lit(0).cast("bigint"), lambda a, v: a + v * v)
+
+
+def quantized_dot(qa, qb):
+    """The ``dot`` sub-expression of ``quantized_cosine`` alone (exact
+    bigint Σ qa·qb)."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def prenormed_cosine(dot, na, nb):
+    """``quantized_cosine``'s final expression over HOISTED parts — the
+    IDENTICAL tree (same when-guard, same cast/sqrt/divide order), so the
+    result is bit-for-bit the one the composite computes; only the
+    evaluation count of the norm sub-trees changes. Keep all three helpers
+    in sync with ``quantized_cosine`` — they are the same oracle-licensed
+    expression, factored."""
+    return (
+        F.when(
+            (na > 0) & (nb > 0),
+            dot.cast("double")
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+        )
+        .otherwise(F.lit(0.0))
+    )
+
+
 def knn_quantized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -689,18 +726,26 @@ def assign_cells_frozen_quantized(
     """Deterministic cell assignment against caller-FROZEN centroids
     (``(cell, <vec_col>)``, bounded → broadcast) under the quantized-exact
     cosine policy, ties to the LOWEST cell id (max(struct(sim, -cell))).
-    Returns ``(<id_col>, __qv, cell)`` with ``__qv`` the quantized vector,
-    ready for downstream scoring. One broadcast join + one map-side-
-    combinable groupBy — the corpus is never windowed or sorted. The
-    shared first stage of ``ivf_knn_frozen_quantized`` and
+    Returns ``(<id_col>, __qv, __qn, cell)`` with ``__qv`` the quantized
+    vector and ``__qn`` its exact norm — hoisted ONCE per row (see
+    ``quantized_norm``: a vector meets every centroid, and downstream
+    pair stages meet it many more times; per-pair norm recomputation in
+    interpreted lambdas was the dominant cost). One broadcast join + one
+    map-side-combinable groupBy — the corpus is never windowed or sorted.
+    The shared first stage of ``ivf_knn_frozen_quantized`` and
     ``semantic_dedup_frozen``."""
     qz = quantize(F.col(vec_col), scale)
     cents = centroids.select(
         F.col("cell"), quantize(F.col(vec_col), scale).alias("__cv")
+    ).withColumn("__cn", quantized_norm(F.col("__cv")))
+    sim = prenormed_cosine(
+        quantized_dot(F.col("__qv"), F.col("__cv")),
+        F.col("__qn"),
+        F.col("__cn"),
     )
-    sim = quantized_cosine(F.col("__qv"), F.col("__cv"), prequantized=True)
     return (
         corpus.select(F.col(id_col), qz.alias("__qv"))
+        .withColumn("__qn", quantized_norm(F.col("__qv")))
         .join(F.broadcast(cents))
         .groupBy(id_col)
         .agg(
@@ -708,8 +753,9 @@ def assign_cells_frozen_quantized(
                 F.struct(sim.alias("s"), (-F.col("cell")).alias("negc"))
             ).alias("__best"),
             F.first("__qv").alias("__qv"),  # constant within the group
+            F.first("__qn").alias("__qn"),
         )
-        .select(id_col, "__qv", (-F.col("__best.negc")).alias("cell"))
+        .select(id_col, "__qv", "__qn", (-F.col("__best.negc")).alias("cell"))
     )
 
 
@@ -745,16 +791,26 @@ def semantic_dedup_frozen(
         corpus, centroids, id_col, vec_col, scale
     )
     left = assigned.select(
-        F.col(id_col).alias("__ida"), F.col("__qv").alias("__va"), "cell"
+        F.col(id_col).alias("__ida"),
+        F.col("__qv").alias("__va"),
+        F.col("__qn").alias("__na"),
+        "cell",
     )
     right = assigned.select(
-        F.col(id_col).alias("__idb"), F.col("__qv").alias("__vb"), "cell"
+        F.col(id_col).alias("__idb"),
+        F.col("__qv").alias("__vb"),
+        F.col("__qn").alias("__nb"),
+        "cell",
     )
     dropped = (
         left.join(right, "cell")
         .filter(F.col("__ida") < F.col("__idb"))
         .filter(
-            quantized_cosine(F.col("__va"), F.col("__vb"), prequantized=True)
+            prenormed_cosine(
+                quantized_dot(F.col("__va"), F.col("__vb")),
+                F.col("__na"),
+                F.col("__nb"),
+            )
             >= threshold
         )
         .select(F.col("__idb").alias(id_col))
@@ -794,19 +850,25 @@ def ivf_knn_frozen_quantized(
     qz = quantize(F.col(vec_col), scale)
     cents = centroids.select(
         F.col("cell"), quantize(F.col(vec_col), scale).alias("__cv")
+    ).withColumn("__cn", quantized_norm(F.col("__cv")))
+    sim = prenormed_cosine(
+        quantized_dot(F.col("__qv"), F.col("__cv")),
+        F.col("__qn"),
+        F.col("__cn"),
     )
-    sim = quantized_cosine(F.col("__qv"), F.col("__cv"), prequantized=True)
     assigned = assign_cells_frozen_quantized(
         corpus, centroids, id_col, vec_col, scale
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__qv").alias("__nv"),
+        F.col("__qn").alias("__nn"),
         "cell",
     )
     routed = (
         queries.select(F.col(id_col).alias("query_id"), qz.alias("__qv"))
+        .withColumn("__qn", quantized_norm(F.col("__qv")))
         .join(F.broadcast(cents))
-        .select("query_id", "__qv", "cell", sim.alias("__sim"))
+        .select("query_id", "__qv", "__qn", "cell", sim.alias("__sim"))
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("cell")
@@ -814,7 +876,7 @@ def ivf_knn_frozen_quantized(
     probes = (
         routed.withColumn("__rn", F.row_number().over(wr))
         .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", "cell")
+        .select("query_id", "__qv", "__qn", "cell")
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
@@ -822,8 +884,10 @@ def ivf_knn_frozen_quantized(
         .select(
             "query_id",
             "neighbor_id",
-            quantized_cosine(
-                F.col("__qv"), F.col("__nv"), prequantized=True
+            prenormed_cosine(
+                quantized_dot(F.col("__qv"), F.col("__nv")),
+                F.col("__qn"),
+                F.col("__nn"),
             ).alias("cosine"),
         )
     )

@@ -44,13 +44,19 @@ _DEFAULT_CONF: dict[str, str] = {
     # Quieter, faster local runs.
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
-    # ANSI: left at Spark 4's default (ON) since r14. The engine is
-    # ANSI-clean end to end: every permissive parse goes through
-    # try_cast/try_* (functions/parsing.py, r13), and the full 221-query
-    # registry MATCHes its DuckDB oracles under ANSI-on at sf0.001/0.01/0.1
-    # (r14 evidence; tests/test_queries_contract.py runs the registry
-    # ANSI-on). This also removes the engine/driver session divergence —
-    # the round driver runs ANSI-on.
+    # ANSI off — a PERFORMANCE posture, no longer a correctness dependence
+    # (r14): the engine is ANSI-CLEAN end to end — every permissive parse
+    # goes through try_cast/try_* (functions/parsing.py, r13), the full
+    # 221-query registry MATCHes its DuckDB oracles under ANSI-ON at
+    # sf0.001/0.01/0.1, full pytest is green ANSI-on, and queries no longer
+    # pin ANSI at entry (pin_contract_confs is timezone-only), so a host
+    # session keeps whatever ANSI mode it has. For sessions THIS factory
+    # owns, non-ANSI skips checked-arithmetic codegen: measured 1.2-1.5x on
+    # agg/join hot paths at sf0.1 (pricing_summary 0.81 vs 0.95 s,
+    # star_join 0.28 vs 0.41 s, warm best-of-3) — at 100 TB that is real
+    # cluster time with zero correctness content, since overflow semantics
+    # on these paths are decimal-exact by construction (dsum/davg).
+    "spark.sql.ansi.enabled": "false",
     # FileOutputCommitter v2: tasks commit straight to the destination
     # instead of the v1 double-rename through a job-temp dir. v1's
     # job-commit renames serialize on the driver at ~0.15 s PER TASK on

@@ -1,12 +1,12 @@
 """Run-twice determinism smoke (the round-7 bug class): the queries built
 on global ordering / bucketing / sampling primitives must hash identically
 across two fresh plan compositions and executions. The full registry gets
-the same check from tools/check_determinism.py (220/220 stable, r13 —
-TWO full-registry round-close runs: one at 217 after the rotation +
-rank-encoded z-order landed, one at 220 covering the late-r13
-registrations (footer/log profiles, incremental liquid OPTIMIZE);
-re-run it over the whole registry at every round close and refresh this
-note); this pytest keeps the most at-risk family guarded on every run,
+the same check from tools/check_determinism.py (221/221 stable, r14 —
+run after the ANSI-on flip, the two rows-only→oracle conversions
+(frozen-centroid IVF, planted-PNG multimodal features), and the new
+semantic_dedup_embeddings registration, so the count covers every r14
+change; re-run it over the whole registry at every round close and
+refresh this note); this pytest keeps the most at-risk family guarded on every run,
 and test_full_registry_determinism_note_is_current makes a stale count
 FAIL instead of drifting silently (it hit 167 in r8 and 184 in r9)."""
 

@@ -161,6 +161,10 @@ HEADLINE = [
     "footer_profile_lineitem",
     "delta_log_profile",
     "delta_incremental_liquid_optimize",
+    # r14 additions: the SemDeDup flagship + the two rows-only→oracle
+    # conversions
+    "semantic_dedup_embeddings",
+    "multimodal_features",
 ]
 
 

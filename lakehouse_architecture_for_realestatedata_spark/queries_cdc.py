@@ -129,7 +129,7 @@ def q_time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_tt_cdc_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_tt_cdc_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     t = ParquetTable(spark, f"{root}/orders_tt")
     t.overwrite(v1)
@@ -166,7 +166,7 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = orders.filter((F.col("o_orderkey") > 800) & (F.col("o_orderkey") <= 1400))
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_cdf_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_cdf_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     t = ParquetTable(spark, f"{root}/orders_cdf")
     t.overwrite(b1)
@@ -204,7 +204,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_totalprice", "o_orderpriority")
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_schevo_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_schevo_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     t = ParquetTable(spark, f"{root}/orders_evo")
     t.overwrite(b1)
@@ -254,7 +254,7 @@ def q_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = orders.filter((F.col("o_orderkey") > 800) & (F.col("o_orderkey") <= 1400))
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_deltalite_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_deltalite_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_delta"
     v1 = delta_write(b1, path, mode="overwrite", partition_by=["o_orderstatus"])
@@ -303,7 +303,7 @@ def q_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_delete_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_delete_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     t = ParquetTable(spark, f"{root}/orders_del")
     t.overwrite(orders)
@@ -540,7 +540,7 @@ def q_delta_colmap_bronze_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_colmap_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_colmap_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
         "bronze_raw_properties",
     )
     _write_colmap_bronze(spark, path)
@@ -606,7 +606,7 @@ def q_delta_optimize_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_deltaopt_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_deltaopt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/events_delta"
     # interleaved slices: each append (hence each file) covers the whole
@@ -660,7 +660,7 @@ def q_delta_format_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_deltafmt_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_deltafmt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/events_delta"
     ev.write.format("delta_lite").mode("overwrite").save(path)
@@ -716,7 +716,7 @@ def q_delta_cdf_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_deltacdf_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_deltacdf_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_cdf"
     if os.path.isdir(path):
@@ -777,7 +777,7 @@ def q_delta_stream_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_deltapipe_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_deltapipe_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     if os.path.isdir(root):
         shutil.rmtree(root)  # fresh pipe per run (checkpoint offsets are stateful)
@@ -843,7 +843,7 @@ def q_delta_colmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_colmap_merge_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_colmap_merge_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_cm"
     if os.path.isdir(path):
@@ -919,7 +919,7 @@ def q_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_dv_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_dv_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_dv"
     if os.path.isdir(path):
@@ -1003,7 +1003,7 @@ def q_delta_native_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_deltanative_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_deltanative_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/events_delta"
     delta_write(ev, path, mode="overwrite")
@@ -1056,7 +1056,7 @@ def q_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_dvdel_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_dvdel_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_dvdel"
     if os.path.isdir(path):
@@ -1115,7 +1115,7 @@ def q_delta_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_alter_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_alter_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_alter"
     if os.path.isdir(path):
@@ -1180,7 +1180,7 @@ def q_delta_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_clone_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_clone_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     if os.path.isdir(root):
         shutil.rmtree(root)  # versions accumulate; rebuild per run
@@ -1236,7 +1236,7 @@ def q_delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_restore_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_restore_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_restore"
     if os.path.isdir(path):
@@ -1295,7 +1295,7 @@ def q_delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_gencol_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_gencol_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_gencol"
     if os.path.isdir(path):
@@ -1388,7 +1388,7 @@ def q_delta_dv_purge_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_dvpurge_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_dvpurge_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_dvpurge"
     if os.path.isdir(path):
@@ -1445,7 +1445,7 @@ def q_delta_colmap_id_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_colmapid_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_colmapid_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     if os.path.isdir(root):
         shutil.rmtree(root)
@@ -1559,7 +1559,7 @@ def q_delta_colmap_id_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_colmapidw_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_colmapidw_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     if os.path.isdir(root):
         shutil.rmtree(root)
@@ -1627,7 +1627,7 @@ def q_delta_v2_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_v2cp_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_v2cp_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_v2cp"
     if os.path.isdir(path):
@@ -1686,7 +1686,7 @@ def q_delta_type_widening_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 900)
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_twwrite_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_twwrite_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     if os.path.isdir(root):
         shutil.rmtree(root)
@@ -1758,7 +1758,7 @@ def q_delta_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_twread_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_twread_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     if os.path.isdir(root):
         shutil.rmtree(root)
@@ -1858,7 +1858,7 @@ def q_delta_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_ident_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_ident_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_ident"
     if os.path.isdir(path):
@@ -1962,7 +1962,7 @@ def q_delta_row_tracking_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_rowtrack_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_rowtrack_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_rowtrack"
     if os.path.isdir(path):
@@ -2097,7 +2097,7 @@ def q_delta_log_cleanup_roundtrip(
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_logclean_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_logclean_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_logclean"
     if os.path.isdir(path):
@@ -2178,7 +2178,7 @@ def q_delta_row_tracking_format_read(
     )
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_rowtrackfmt_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_rowtrackfmt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     path = f"{root}/orders_rowtrack_fmt"
     if os.path.isdir(path):

@@ -409,7 +409,7 @@ def q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ParquetTable auto-vacuums old versions, so the dir stays small)
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lakehouse_merge_rt_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"lakehouse_merge_rt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     t = ParquetTable(spark, f"{root}/orders_t")
     t.overwrite(b1.filter(F.col("o_orderkey") < 2000))

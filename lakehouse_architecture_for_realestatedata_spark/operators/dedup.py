@@ -583,12 +583,27 @@ def simhash_pairs_md5(
     docs share a fingerprint slice; 10⁶ of them in one bucket is 10¹²
     pair rows of noise) — then the capped member sets explode into a
     slim frame and self-join, spreading pair volume across tasks. All
-    built-ins, no Python."""
-    if n_bits % bands:
-        raise ValueError("bands must divide n_bits")
-    if max_hamming >= bands:
-        raise ValueError("pigeonhole needs max_hamming < bands")
-    band_bits = n_bits // bands
+    built-ins, no Python.
+
+    Decomposed (r14, the ``minhash_lsh_pairs_md5`` pattern): the
+    fingerprint pass (``simhash_md5_fingerprints``) produces a plain
+    ``(id, __fp)`` table a pipeline can PERSIST, and the band/verify pass
+    (``simhash_pairs_from_fps``) re-runs per sweep — at 100 TB the
+    per-token md5 signing is paid once, not per dedup run."""
+    fps = simhash_md5_fingerprints(docs, id_col, text_col, n_bits)
+    return simhash_pairs_from_fps(
+        fps, id_col, n_bits, bands, max_hamming, max_bucket
+    )
+
+
+def simhash_md5_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 60,
+) -> DataFrame:
+    """Stage 1 of ``simhash_pairs_md5``: ``(id, __fp)`` exact md5-keyed
+    SimHash fingerprints — persistable (one bigint per document)."""
     h = F.conv(
         F.substring(F.md5(F.col("__tok").cast("binary")), 1, 15), 16, 10
     ).cast("bigint")
@@ -615,7 +630,25 @@ def simhash_pairs_md5(
             F.lit(0).cast("bigint")
         )
         fp_expr = term if fp_expr is None else fp_expr + term
-    fps = bit_sums.select(F.col(id_col), fp_expr.alias("__fp"))
+    return bit_sums.select(F.col(id_col), fp_expr.alias("__fp"))
+
+
+def simhash_pairs_from_fps(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    n_bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Stage 2 of ``simhash_pairs_md5``: banded candidate generation over
+    persisted fingerprints + exact XOR-popcount verification. See the
+    composite's docstring for the physics."""
+    if n_bits % bands:
+        raise ValueError("bands must divide n_bits")
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole needs max_hamming < bands")
+    band_bits = n_bits // bands
     mask = (1 << band_bits) - 1
     banded = fps.select(
         F.col(id_col),
@@ -1073,8 +1106,10 @@ def semdedup_prune(
     """
     from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
         ivf_assign,
+        prenormed_cosine,
         quantize,
-        quantized_cosine,
+        quantized_dot,
+        quantized_norm,
     )
 
     assignments, _ = ivf_assign(
@@ -1089,15 +1124,21 @@ def semdedup_prune(
         "cell",
         F.col(id_col).alias("__id"),
         quantize(F.col(vec_col), quantize_scale).alias("__qv"),
-    )
+    ).withColumn("__qn", quantized_norm(F.col("__qv")))
     left = qa.select(
-        "cell", F.col("__id").alias("id_a"), F.col("__qv").alias("qv_a")
+        "cell", F.col("__id").alias("id_a"),
+        F.col("__qv").alias("qv_a"), F.col("__qn").alias("qn_a"),
     )
     right = qa.select(
-        "cell", F.col("__id").alias("id_b"), F.col("__qv").alias("qv_b")
+        "cell", F.col("__id").alias("id_b"),
+        F.col("__qv").alias("qv_b"), F.col("__qn").alias("qn_b"),
     )
-    sim = quantized_cosine(
-        F.col("qv_a"), F.col("qv_b"), quantize_scale, prequantized=True
+    # norms hoisted once per row (quantized_norm): a vector meets every
+    # same-cell vector, and per-pair norm lambdas dominated; bit-identical
+    sim = prenormed_cosine(
+        quantized_dot(F.col("qv_a"), F.col("qv_b")),
+        F.col("qn_a"),
+        F.col("qn_b"),
     )
     near = (
         left.join(right, "cell")

@@ -1518,17 +1518,22 @@ def hard_negatives(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("negative_label"),
         qz.alias("__cv"),
-    )
+    ).withColumn("__cn", quantized_norm(F.col("__cv")))
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q.withColumn("__qn", quantized_norm(F.col("__qv")))))
         .filter(~F.col("negative_label").eqNullSafe(F.col("anchor_label")))
         .select(
             "query_id",
             "anchor_label",
             "neighbor_id",
             "negative_label",
-            quantized_cosine(
-                F.col("__qv"), F.col("__cv"), scale, prequantized=True
+            # norms hoisted once per row/anchor (quantized_norm) — each
+            # corpus vector meets every anchor, and interpreted lambda
+            # norms per PAIR dominated; bit-identical (prenormed_cosine)
+            prenormed_cosine(
+                quantized_dot(F.col("__qv"), F.col("__cv")),
+                F.col("__qn"),
+                F.col("__cn"),
             ).alias("cosine"),
         )
     )

@@ -200,6 +200,15 @@ def registry() -> dict[str, QuerySpec]:
     # queries keep the identical hard oracle check in
     # tests/test_queries_contract.py (sf0.001) + tools/check_oracle.py
     # (sf0.01).
+    # r15 ROTATION CANDIDATES (pre-declared): the r14 tranche finished the
+    # backlog — after r14 the ONLY oracle-backed query without a driver row
+    # is semantic_dedup_embeddings (new this round, starts deferred). Swap
+    # it in against knn_cosine_ivf (same frozen-centroid family, in-window
+    # r14); window_functions_daily and scd2_user_event_history (displaced
+    # r14 by the rows-only→oracle conversions, driver-green through r13)
+    # are natural re-entries if slots open. From r15 on, rotation is pure
+    # maintenance: every NEW oracle row earns a window slot at first
+    # eligibility.
     promoted = [
         # r14 ROTATION (executes the r14 slate pre-declared in the r13
         # revision of this comment; this tranche FINISHES the rotation —

@@ -715,7 +715,7 @@ def q_thrift_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_for_realestatedata_spark.sources.catalog import (
         Catalog,
         ensure_thrift,
-        thrift_sql,
+        serve_sql,
     )
 
     root = os.path.join(tempfile.gettempdir(), f"lakecat_thrift_{os.getpid()}")
@@ -734,7 +734,7 @@ def q_thrift_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.create_table("wire", "orders_lite").overwrite(src)
     port = ensure_thrift(cat)
-    _cols, rows = thrift_sql(
+    _cols, rows = serve_sql(
         port,
         "SELECT o_orderstatus AS status, count(*) AS n, "
         "sum(cents) AS total_cents "

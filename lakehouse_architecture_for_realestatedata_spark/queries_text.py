@@ -286,42 +286,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zero Python, all codegen built-ins.",
 )
 def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
-        minhash_md5_band_buckets,
-        minhash_md5_shingled,
-        minhash_lsh_verify_pairs,
-    )
-    from lakehouse_architecture_for_realestatedata_spark.queries import cached_fixture
-
-    # The SIGNED corpus (shingle sets + salted-md5 band signatures) builds
-    # once per sf and caches (VERDICT r13 #7): at 100 TB the signing pass
-    # is paid once and persisted, and every dedup sweep re-runs only the
-    # capped bucket-join + exact-Jaccard verify — which is what the bench
-    # row should time. The oracle still recomputes the WHOLE pipeline from
-    # documents in DuckDB, so the cached signatures stay verified
-    # end-to-end on every correctness run.
-    cache = os.path.join(
-        tempfile.gettempdir(),
-        f"lakehouse_minhash_v1_{os.path.basename(sf_dir.rstrip('/'))}",
+        minhash_lsh_pairs_md5,
     )
 
-    def _build(b: str) -> None:
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-        staged = minhash_md5_shingled(docs, "doc_id", "text", k=3)
-        staged.write.parquet(f"{b}/shingled")
-        minhash_md5_band_buckets(
-            spark.read.parquet(f"{b}/shingled"), "doc_id", bands=8
-        ).write.parquet(f"{b}/band_buckets")
-
-    cached_fixture(cache, _build)
-    return minhash_lsh_verify_pairs(
-        spark.read.parquet(f"{cache}/band_buckets"),
-        spark.read.parquet(f"{cache}/shingled"),
-        "doc_id",
-        threshold=0.5,
+    # End-to-end EVERY invocation (optimization-round contract: no persisted
+    # intermediates of the measured query keyed on the sf dir — the r14-build
+    # per-sf signed-corpus cache skipped the signing pass on all but the
+    # first run, so the bench row and the driver's low-core scaling run no
+    # longer measured the same computation). The staged decomposition
+    # (minhash_md5_shingled → band_buckets → verify) remains available as
+    # library API for real pipelines that persist the signed corpus.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return minhash_lsh_pairs_md5(
+        docs, "doc_id", "text", k=3, bands=8, threshold=0.5
     )
 
 
@@ -379,39 +357,16 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_pairs_md5,
     )
 
-    import os
-    import tempfile
-
-    from lakehouse_architecture_for_realestatedata_spark.operators.dedup import (
-        simhash_md5_fingerprints,
-        simhash_pairs_from_fps,
-    )
-    from lakehouse_architecture_for_realestatedata_spark.queries import cached_fixture
-
-    # Fingerprints build once per sf and cache (the minhash signed-corpus
-    # pattern, VERDICT r13 #7): at 100 TB the per-token md5 signing pass is
-    # persisted and every dedup sweep re-runs only banding + XOR verify —
-    # which is what this bench row should time. The oracle still recomputes
-    # the WHOLE pipeline from documents, so the cached fingerprints stay
-    # verified end-to-end on every correctness run.
-    cache = os.path.join(
-        tempfile.gettempdir(),
-        f"lakehouse_simhash_v1_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-
-    def _build(b: str) -> None:
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-        simhash_md5_fingerprints(docs, "doc_id", "text", n_bits=60).write.parquet(
-            f"{b}/fps"
-        )
-
-    cached_fixture(cache, _build)
-    return simhash_pairs_from_fps(
-        spark.read.parquet(f"{cache}/fps"),
-        "doc_id",
-        n_bits=60,
-        bands=4,
-        max_hamming=3,
+    # End-to-end EVERY invocation (optimization-round contract: no persisted
+    # intermediates of the measured query keyed on the sf dir — the r14-build
+    # per-sf fingerprint cache skipped the signing pass on all but the first
+    # run, so the bench row and the driver's low-core scaling run no longer
+    # measured the same computation). The staged decomposition
+    # (simhash_md5_fingerprints → simhash_pairs_from_fps) remains available
+    # as library API for real pipelines that persist fingerprints.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return simhash_pairs_md5(
+        docs, "doc_id", "text", n_bits=60, bands=4, max_hamming=3
     )
 
 

@@ -251,6 +251,23 @@ def test_serve_thrift_wire_protocol_end_to_end(spark, tmp_path):
         cols, rows = thrift_sql(port, sql)
         assert cols == ["status", "n", "total"]
         assert rows == [["A", "2", "150"], ["B", "1", "250"], ["C", "1", "75"]]
+
+        # the pure-Python wire client (r14: kills beeline's per-statement
+        # JVM spawn) must be drop-in equivalent on the same socket — same
+        # columns, same stringified rows, NULLs as "" like csv2
+        from lakehouse_architecture_for_realestatedata_spark.sources.hive2_client import (
+            wire_sql,
+        )
+
+        wcols, wrows = wire_sql(port, sql)
+        assert (wcols, wrows) == (cols, rows)
+        ncols, nrows = wire_sql(
+            port,
+            "SELECT cast(null AS string) AS a, cast(null AS bigint) AS b, "
+            "true AS c, cast(1.5 AS double) AS d",
+        )
+        assert ncols == ["a", "b", "c", "d"]
+        assert nrows == [["", "", "true", "1.5"]]
         # equals the in-process front door on the same snapshot
         local = [
             [str(v) for v in r]

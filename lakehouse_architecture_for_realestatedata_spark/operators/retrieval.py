@@ -24,11 +24,11 @@ Cross-engine discipline (same rules as operators/textprep.py):
 
 Scale shape:
 
-* BM25 never materializes scores for the whole vocabulary: the query
-  term set broadcasts into the (doc, term) tf aggregate, so document
-  frequencies and contributions are computed only for queried terms.
-  One corpus-wide shuffle builds tf; everything after is
-  queried-terms-scale.
+* BM25 never materializes scores for the whole vocabulary: the literal
+  query term set filters each token array MAP-SIDE before the explode,
+  so only hit rows are aggregated — no corpus-wide shuffle exists;
+  everything past the scan is queried-terms-scale (r14; previously the
+  full (doc, term) corpus shuffled through term_frequencies first).
 * Winnowing samples ~2/(w+1) of each document's k-gram hashes with a
   bounded per-document window (partitioned by doc_id — high cardinality,
   never a single-task sort), so the pair join runs on the sampled
@@ -87,10 +87,11 @@ def bm25_topk(
     dequantized exact integer sum of per-term contributions (ties broken
     by ascending doc id — total order, rerun-identical).
 
-    Physics: tf is the only corpus-scale shuffle. The query-term frame is
-    a broadcast literal, so tf is cut to queried terms map-side; document
-    frequencies aggregate the CUT frame (queried-terms-scale); corpus
-    constants N / avgdl broadcast as a one-row frame. The final per-query
+    Physics (r14): NO corpus-scale shuffle at all — the literal query-term
+    set filters each document's token array map-side BEFORE the explode,
+    so only hit rows reach the tf aggregate; document frequencies
+    aggregate the cut frame (queried-terms-scale); corpus constants
+    N / avgdl broadcast as a one-row frame. The final per-query
     top-k windows over query_id — cardinality = number of queries, but
     the input is already (queried docs)-scale, AND the rank-filter
     rewrite plans a WindowGroupLimit(Partial) below the exchange (pinned
@@ -106,13 +107,8 @@ def bm25_topk(
         sorted({(qid, t) for qid, terms in queries for t in terms}),
         ["query_id", "term"],
     )
-    # distinct terms deduped DRIVER-side (queries is a literal list): a
-    # .distinct() here would cost a whole (if tiny) exchange in the plan
-    uterms = spark.createDataFrame(
-        [(t,) for t in sorted({t for _, terms in queries for t in terms})],
-        ["term"],
-    )
-    tf = term_frequencies(docs, id_col, text_col)
+    # distinct terms deduped DRIVER-side (queries is a literal list)
+    tset = sorted({t for _, terms in queries for t in terms})
     # corpus constants: N counts ALL input docs (empty ones contribute
     # length 0 to avgdl); both are exact ints -> one correctly-rounded
     # IEEE division, identical cross-engine. total_tokens sums the token-
@@ -124,16 +120,35 @@ def bm25_topk(
             F.sum(F.size(tokens(F.col(text_col)))).cast("bigint"), F.lit(0)
         ).alias("total_tokens"),
     )
-    # cut tf to queried terms ONCE (distinct term list), then attach each
-    # term's document frequency as a count window over the cut frame — ONE
-    # evaluation of the corpus-scale tf subtree (a separate
-    # dfreq = cut.groupBy(term) aggregate re-derives tf in a second
-    # subtree: Catalyst does not CTE-share it, so the corpus would shuffle
-    # twice). The window's exchange is queried-terms-scale. A term shared
-    # by several queries counts each document exactly once (tf is one row
-    # per (doc, term)); the per-query fanout joins AFTER, on the
-    # already-counted rows.
-    cut = tf.join(F.broadcast(uterms), "term")
+    # cut to queried terms BEFORE the explode and the shuffle (r14, guide
+    # §2.3 "shuffle fewer bytes"): the term list is a driver-side literal,
+    # so the token array filters map-side and only HITS ever explode or
+    # cross the tf exchange — the previous shape shuffled the whole
+    # (doc, term) corpus through ``term_frequencies`` and cut afterwards
+    # with a broadcast join (measured: every token row crossed the
+    # repartition exchange; now corpus-scale work is scan+tokenize only,
+    # which at 100 TB is the difference between a corpus shuffle and no
+    # corpus shuffle). ``dl`` is the size of the UNFILTERED token array,
+    # bound in a prior projection behind the explode_outer(array(...))
+    # fence so the tokenizer runs once per row; tf/dl values are
+    # bit-identical to the term_frequencies path. df then counts each
+    # document exactly once per term (cut is one row per (doc, term));
+    # the per-query fanout joins AFTER, on the already-counted rows.
+    cut = (
+        docs.select(
+            F.col(id_col),
+            F.explode_outer(F.array(tokens(F.col(text_col)))).alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__toks").alias("dl"),
+            F.explode(
+                F.filter("__toks", lambda t: t.isin(*tset))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     wdf = Window.partitionBy("term")
     hit = cut.withColumn("df", F.count(F.lit(1)).over(wdf)).join(
         F.broadcast(qterms), "term"

@@ -650,6 +650,14 @@ def simhash_md5_fingerprints(
 ) -> DataFrame:
     """Stage 1 of ``simhash_pairs_md5``: ``(id, __fp)`` exact md5-keyed
     SimHash fingerprints — persistable (one bigint per document)."""
+    # The wide stages are built from SQL-string expressions on purpose: the
+    # equivalent Column-API loop issues ~8 py4j round trips per bit × 60
+    # bits × two stages, which measured 2.5-5.5 s of pure DRIVER time per
+    # invocation at sf0.1 — more than the query's whole execution. One
+    # parsed string per expression collapses that to ~0.15 s. The parsed
+    # trees are node-for-node the ones the Column loop built (pinned by the
+    # oracle row), so the executed plan is unchanged (guide §1.2: per-task
+    # work includes the driver's plan-construction work).
     h = F.conv(
         F.substring(F.md5(F.col("__tok").cast("binary")), 1, 15), 16, 10
     ).cast("bigint")
@@ -661,22 +669,20 @@ def simhash_md5_fingerprints(
     )
     bit_sums = tf.groupBy(id_col).agg(
         *[
-            F.sum(
-                (
-                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1
-                )
-                * F.col("__tf")
-            ).alias(f"__s{b}")
+            F.expr(
+                f"sum(((shiftright(__h, {b}) & 1) * 2 - 1) * __tf) AS __s{b}"
+            )
             for b in range(n_bits)
         ]
     )
-    fp_expr = None
-    for b in range(n_bits):
-        term = F.when(F.col(f"__s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+    fp_sql = (
+        "CAST("
+        + " + ".join(
+            f"IF(__s{b} > 0, {1 << b}L, 0L)" for b in range(n_bits)
         )
-        fp_expr = term if fp_expr is None else fp_expr + term
-    return bit_sums.select(F.col(id_col), fp_expr.alias("__fp"))
+        + " AS BIGINT) AS __fp"
+    )
+    return bit_sums.selectExpr(f"`{id_col}`", fp_sql)
 
 
 def simhash_pairs_from_fps(

@@ -521,17 +521,27 @@ def minhash_md5_band_buckets(
     """Stage 2 of ``minhash_lsh_pairs_md5``: ``(id, band, bucket)`` salted-
     md5 band signatures (bucket = min md5 hex of ``"b:" + shingle``) — the
     signed corpus, ``bands`` slim rows per document."""
-    salted_min = [
-        F.array_min(
-            F.transform(
-                F.col("__sh"),
-                lambda s, b=b: F.md5(F.concat(F.lit(f"{b}:"), s).cast("binary")),
-            )
-        )
+    # SQL-string lambdas on purpose, for two reasons. (1) The previous
+    # Column-API form (``lambda s, b=b: ... F.lit(f"{b}:") ...``) was a
+    # LATENT BUG: a two-parameter Python lambda makes ``F.transform`` pass
+    # the array INDEX as the second argument, so ``b`` was a Column and the
+    # salt literal became the stringified Column object ("Column<'y_2'>:"),
+    # whose name comes from a session-global counter — a DIFFERENT salt
+    # every invocation. The verified-pairs output still matched the oracle
+    # (exact-Jaccard verification rescues any sane candidate set), but the
+    # bm stage disagreed with the oracle's ``md5(b || ':' || s)`` buckets,
+    # so the max_bucket cap could in principle fire differently from the
+    # oracle's cap. The parsed lambda below salts with the intended
+    # ``"{b}:"``, aligning candidate generation with the oracle CTE
+    # bit-for-bit. (2) Parsed strings skip the per-band py4j round trips
+    # (the simhash_md5_fingerprints lesson).
+    salted_min = ", ".join(
+        f"array_min(transform(__sh, s -> "
+        f"md5(cast(concat('{b}:', s) AS BINARY))))"
         for b in range(bands)
-    ]
-    return staged.select(
-        F.col(id_col), F.posexplode(F.array(*salted_min)).alias("band", "bucket")
+    )
+    return staged.selectExpr(
+        f"`{id_col}`", f"posexplode(array({salted_min})) AS (band, bucket)"
     )
 
 

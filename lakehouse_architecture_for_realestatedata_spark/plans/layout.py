@@ -105,22 +105,7 @@ _ORDERABLE_DTYPES = ("tinyint", "smallint", "int", "bigint", "float",
                      "timestamp_ntz", "boolean")
 
 
-def column_range_bounds(
-    df: DataFrame, col_name: str, n_buckets: int, cap: int = 4096
-) -> list:
-    """Driver-collected literal boundary values splitting ``col_name`` into
-    at most ``n_buckets`` frequency-balanced range buckets — the delta-spark
-    OPTIMIZE ZORDER technique (range_partition_id per column) made
-    deterministic: partition assignment becomes a pure row function of the
-    value against literal boundaries, immune to task retries/re-execution,
-    and works for ANY orderable type (no casts — ANSI-safe).
-
-    Cost: one column-pruned stats pass + one bounded collect. Cardinality
-    ≤ ``cap`` → exact weighted quantiles over all distinct values; above
-    that, a deterministic content-hash sample (~8·cap rows) approximates
-    them — the same sampling delta-spark's RangePartitioner does, minus the
-    nondeterminism. Returns [] (single bucket) for empty/constant columns.
-    """
+def _check_orderable(df: DataFrame, col_name: str) -> None:
     dtype = dict(df.dtypes).get(col_name)
     if dtype is None:
         raise KeyError(f"no such column: {col_name}")
@@ -130,24 +115,57 @@ def column_range_bounds(
             f"cannot range-cluster on {col_name}: type {dtype} is not an "
             "orderable atomic type"
         )
-    if n_buckets <= 1:
+
+
+def _multi_column_stats(
+    df: DataFrame, cols: list[str]
+) -> dict[str, tuple[int, int]]:
+    """``{col: (non-null count, approx distinct)}`` for every column in ONE
+    column-pruned aggregate job — the per-column stats pass of
+    ``column_range_bounds``, fused so N cluster columns pay one driver-
+    blocking job instead of N (guide §2.4: remove whole passes)."""
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__n{i}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"__d{i}"))
+    row = df.agg(*aggs).first()
+    return {
+        c: (int(row[f"__n{i}"]), int(row[f"__d{i}"]))
+        for i, c in enumerate(cols)
+    }
+
+
+def _bounds_from_stats(
+    df: DataFrame,
+    col_name: str,
+    n: int,
+    d: int,
+    n_buckets: int,
+    cap: int,
+) -> list:
+    """The boundary-collect half of ``column_range_bounds``, given the
+    column's precomputed (non-null count, approx distinct) stats.
+
+    The (value, count) rows are collected UNSORTED and ordered driver-side:
+    a Spark ``orderBy`` before ``collect`` costs a range-sample job plus a
+    sort exchange per column, for a result the driver (which holds the
+    whole bounded list anyway) can sort in microseconds. Python's sort on
+    the collected values matches Spark's ordering for every
+    ``_ORDERABLE_DTYPES`` member (ints/floats/decimals numerically, strings
+    by code point ≡ Spark's binary collation on valid UTF-8, dates and
+    timestamps as temporal values), so the boundary walk sees the identical
+    sequence."""
+    if n_buckets <= 1 or not n:
         return []
     src = df.select(col_name).where(F.col(col_name).isNotNull())
-    stats = src.agg(
-        F.approx_count_distinct(col_name).alias("d"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    if not stats["n"]:
-        return []
-    if stats["d"] <= cap:
+    if d <= cap:
         rows = (
             src.groupBy(col_name)
             .agg(F.count(F.lit(1)).alias("__n"))
-            .orderBy(col_name)
             .collect()
         )
     else:
-        mod = max(1, int(stats["n"]) // (cap * 8))
+        mod = max(1, n // (cap * 8))
         rows = (
             src.where(
                 F.pmod(F.xxhash64(F.col(col_name).cast("string")), F.lit(mod))
@@ -155,11 +173,11 @@ def column_range_bounds(
             )
             .groupBy(col_name)
             .agg(F.count(F.lit(1)).alias("__n"))
-            .orderBy(col_name)
             .collect()
         )
         if not rows:  # pathological sample miss: single bucket, still correct
             return []
+    rows.sort(key=lambda r: r[col_name])
     total = sum(r["__n"] for r in rows)
     k = min(n_buckets, len(rows))
     if k <= 1:
@@ -178,6 +196,59 @@ def column_range_bounds(
                     bounds.append(bv)
                 appended = True
     return bounds
+
+
+def column_range_bounds(
+    df: DataFrame, col_name: str, n_buckets: int, cap: int = 4096
+) -> list:
+    """Driver-collected literal boundary values splitting ``col_name`` into
+    at most ``n_buckets`` frequency-balanced range buckets — the delta-spark
+    OPTIMIZE ZORDER technique (range_partition_id per column) made
+    deterministic: partition assignment becomes a pure row function of the
+    value against literal boundaries, immune to task retries/re-execution,
+    and works for ANY orderable type (no casts — ANSI-safe).
+
+    Cost: one column-pruned stats pass + one bounded collect. Cardinality
+    ≤ ``cap`` → exact weighted quantiles over all distinct values; above
+    that, a deterministic content-hash sample (~8·cap rows) approximates
+    them — the same sampling delta-spark's RangePartitioner does, minus the
+    nondeterminism. Returns [] (single bucket) for empty/constant columns.
+
+    Multi-column callers (``rank_encode``) fuse the stats pass across
+    columns and run the boundary collects concurrently; this single-column
+    surface keeps the original two-job contract."""
+    _check_orderable(df, col_name)
+    if n_buckets <= 1:
+        return []
+    n, d = _multi_column_stats(df, [col_name])[col_name]
+    return _bounds_from_stats(df, col_name, n, d, n_buckets, cap)
+
+
+def multi_column_range_bounds(
+    df: DataFrame, cols: list[str], n_buckets: int, cap: int = 4096
+) -> list[list]:
+    """``column_range_bounds`` for several columns with the driver-blocking
+    jobs minimized (guide §2.4/§2.6): ONE fused stats aggregate for all
+    columns, then the per-column boundary collects submitted CONCURRENTLY
+    from a small thread pool — Spark schedules them side by side, so N
+    cluster columns cost ~2 job latencies instead of 2·N. Results are
+    identical to calling ``column_range_bounds`` per column."""
+    for c in cols:
+        _check_orderable(df, c)
+    if n_buckets <= 1:
+        return [[] for _ in cols]
+    stats = _multi_column_stats(df, cols)
+    if len(cols) == 1:
+        c = cols[0]
+        return [_bounds_from_stats(df, c, *stats[c], n_buckets, cap)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(cols))) as pool:
+        futs = [
+            pool.submit(_bounds_from_stats, df, c, *stats[c], n_buckets, cap)
+            for c in cols
+        ]
+        return [f.result() for f in futs]
 
 
 def range_bucket_id(col: Column | str, bounds: list) -> Column:
@@ -213,7 +284,7 @@ def rank_encode(
             f"too many cluster columns ({len(cols)}): each needs at least "
             "one of the 63 interleave bits"
         )
-    all_bounds = [column_range_bounds(df, c, n_buckets) for c in cols]
+    all_bounds = multi_column_range_bounds(df, cols, n_buckets)
     n = len(cols)
     bits = max(1, max(len(b) for b in all_bounds).bit_length())
     if bits * n > 63:  # trim boundary lists to what 63 bits can interleave
@@ -280,63 +351,80 @@ def with_hilbert_value(
         raise ValueError("need at least one column")
     if bits * n > 63:
         raise ValueError("bits * len(cols) must be <= 63")
-    one = F.lit(1).cast("bigint")
+    # Every step below is a parsed SQL string, not a Column-API chain: the
+    # unrolled transform touches each axis at each bit level, and the
+    # Column form paid hundreds of py4j round trips of pure driver time per
+    # call (the simhash_md5_fingerprints lesson). The projection-per-step
+    # DAG structure is unchanged — each selectExpr is the same named-column
+    # barrier the withColumns chain produced.
     names = [f"__hx{i}" for i in range(n)]
-    out = df.withColumns(
-        {nm: F.col(c).cast("bigint") for nm, c in zip(names, cols)}
+    passthrough = [f"`{c}`" for c in df.columns]
+    out = df.selectExpr(
+        *passthrough,
+        *[
+            f"CAST(`{c}` AS BIGINT) AS {nm}"
+            for nm, c in zip(names, cols)
+        ],
     )
+    keep = passthrough  # original columns ride along each step
+
+    def step(exprs: dict[str, str]):
+        nonlocal out
+        carried = [nm for nm in names if nm not in exprs]
+        out = out.selectExpr(
+            *keep,
+            *carried,
+            *[f"{e} AS {nm}" for nm, e in exprs.items()],
+        )
+
     # inverse-undo pass: top bit level down to 2
     q = 1 << (bits - 1)
     while q > 1:
         p = q - 1
         for i in range(n):
-            cond = F.col(names[i]).bitwiseAND(F.lit(q)) != 0
+            cond = f"({names[i]} & {q}) != 0"
             if i == 0:
-                out = out.withColumn(
-                    names[0],
-                    F.when(
-                        cond, F.col(names[0]).bitwiseXOR(F.lit(p))
-                    ).otherwise(F.col(names[0])),
+                step(
+                    {
+                        names[0]: (
+                            f"IF({cond}, {names[0]} ^ {p}, {names[0]})"
+                        )
+                    }
                 )
             else:
-                t = (
-                    F.col(names[0]).bitwiseXOR(F.col(names[i]))
-                ).bitwiseAND(F.lit(p))
-                out = out.withColumns(
+                t = f"(({names[0]} ^ {names[i]}) & {p})"
+                step(
                     {
-                        names[0]: F.when(
-                            cond, F.col(names[0]).bitwiseXOR(F.lit(p))
-                        ).otherwise(F.col(names[0]).bitwiseXOR(t)),
-                        names[i]: F.when(cond, F.col(names[i])).otherwise(
-                            F.col(names[i]).bitwiseXOR(t)
+                        names[0]: (
+                            f"IF({cond}, {names[0]} ^ {p}, {names[0]} ^ {t})"
+                        ),
+                        names[i]: (
+                            f"IF({cond}, {names[i]}, {names[i]} ^ {t})"
                         ),
                     }
                 )
         q >>= 1
     # Gray-encode across axes
     for i in range(1, n):
-        out = out.withColumn(
-            names[i], F.col(names[i]).bitwiseXOR(F.col(names[i - 1]))
-        )
-    t_expr = F.lit(0).cast("bigint")
+        step({names[i]: f"{names[i]} ^ {names[i - 1]}"})
+    t_expr = "CAST(0 AS BIGINT)"
     q = 1 << (bits - 1)
     while q > 1:
-        t_expr = F.when(
-            F.col(names[n - 1]).bitwiseAND(F.lit(q)) != 0,
-            t_expr.bitwiseXOR(F.lit(q - 1)),
-        ).otherwise(t_expr)
+        t_expr = (
+            f"IF(({names[n - 1]} & {q}) != 0, ({t_expr}) ^ {q - 1}, {t_expr})"
+        )
         q >>= 1
-    out = out.withColumn("__ht", t_expr)
-    out = out.withColumns(
-        {nm: F.col(nm).bitwiseXOR(F.col("__ht")) for nm in names}
+    out = out.selectExpr(*keep, *names, f"{t_expr} AS __ht")
+    out = out.selectExpr(
+        *keep, *[f"{nm} ^ __ht AS {nm}" for nm in names]
     )
     # transpose → integer: level by level, axis 0 most significant
-    h = F.lit(0).cast("bigint")
+    h = "CAST(0 AS BIGINT)"
     for lvl in range(bits - 1, -1, -1):
         for i in range(n):
-            bit = F.shiftrightunsigned(F.col(names[i]), lvl).bitwiseAND(one)
-            h = F.shiftleft(h, 1).bitwiseOR(bit)
-    return out.withColumn(out_col, h).drop("__ht", *names)
+            bit = f"(shiftrightunsigned({names[i]}, {lvl}) & 1)"
+            h = f"(shiftleft({h}, 1) | {bit})"
+    return out.selectExpr(*keep, f"{h} AS {out_col}")
 
 
 def cluster_by(

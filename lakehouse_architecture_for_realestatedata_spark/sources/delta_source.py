@@ -916,5 +916,16 @@ class DeltaLiteDataSource(DataSource):
 
 
 def register_delta_lite_source(spark) -> None:
-    """Idempotent format registration for the session."""
+    """Idempotent format registration for the session — registered at most
+    once per SparkSession: re-registration re-pickles the DataSource class
+    and ships it to the JVM on every call, pure per-query overhead when
+    every caller registers defensively (the delta_* query rows do)."""
+    key = "delta_lite_source_registered"
+    tags = getattr(spark, "_delta_lite_tags", None)
+    if tags is None:
+        tags = set()
+        spark._delta_lite_tags = tags
+    if key in tags:
+        return
     spark.dataSource.register(DeltaLiteDataSource)
+    tags.add(key)

@@ -421,10 +421,12 @@ def _dhash64(width: int, height: int, payload: bytes) -> int:
 
     grid = _area_means(_gray_matrix(width, height, payload), 8, 9)
     bits = (grid[:, :-1] > grid[:, 1:]).ravel()
-    packed = np.uint64(0)
-    for b in bits:
-        packed = np.uint64(packed << np.uint64(1)) | np.uint64(bool(b))
-    return int(packed.astype(np.int64))
+    # vectorized bit-pack (identical order to the old shift-left loop:
+    # bits[0] is the MSB) — 64 numpy-SCALAR ops per asset were ~70 µs of
+    # pure interpreter overhead, more than the decode itself (r14 opt,
+    # guide §4.2: hand whole arrays to vectorized kernels)
+    packed = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return packed - (1 << 64) if packed >= (1 << 63) else packed
 
 
 DHASH_SCHEMA = "asset_id long, dhash long"

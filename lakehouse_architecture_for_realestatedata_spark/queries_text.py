@@ -829,9 +829,9 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_blobs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(spark, _t(spark, sf_dir, "documents").select(
         "doc_id", (F.col("doc_id") % 50).cast("string").alias("seed")
-    )
+    ))
     assets = synthesize_blobs(docs, "doc_id", "seed")
     return phash_dedup_pairs(assets, max_hamming=3, bands=4)
 

@@ -41,6 +41,14 @@ _DEFAULT_CONF: dict[str, str] = {
     # handed a FOREIGN session (the driver's), documented there.
     "spark.sql.parquet.fieldId.read.enabled": "true",
     "spark.sql.parquet.fieldId.write.enabled": "true",
+    # Write timestamps as TIMESTAMP_MICROS instead of the legacy INT96
+    # default (r14 opt, guide §6): INT96 chunks carry NO parquet statistics
+    # — no row-group pruning for timestamp predicates, no footer-derived
+    # zonemaps (ParquetTable._dir_stats) or Delta per-file stats
+    # (_footer_stats_json) on ts columns. MICROS is what delta-spark and
+    # every modern engine (DuckDB included) writes and reads; the stored
+    # values are identical instants, only the physical encoding changes.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Quieter, faster local runs.
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",

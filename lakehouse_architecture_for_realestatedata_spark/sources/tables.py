@@ -434,10 +434,18 @@ class ParquetTable:
     def _dir_stats(self, rel: str) -> dict:
         """Zonemap for a freshly-written data dir: ``{col: [min, max]}`` over
         every orderable scalar column — the write-time stats Delta stores in
-        its log for data skipping. One narrow agg over the new dir only
-        (O(new data), amortized into the write); parquet row-group stats
-        still apply below this, zonemaps let ``read_where`` drop whole dirs
-        without opening a single footer."""
+        its log for data skipping. Served from the just-written files'
+        parquet FOOTERS (metadata-scale, no Spark job — r14 opt, guide §6:
+        the footer already holds exact chunk min/max for every type Spark
+        writes with MICROS timestamps); falls back to the original narrow
+        aggregate job only when a footer lacks usable stats (foreign INT96
+        files, stats dropped for oversized binaries) or the dir is
+        hive-partitioned (partition columns live in directory names, not
+        footers). Truncated string bounds stay a valid COVER (parquet-mr
+        adjusts a truncated max upward), which is all pruning needs."""
+        footer = None if self.partition_by else self._dir_stats_footers(rel)
+        if footer is not None:
+            return footer
         df = self.spark.read.parquet(os.path.join(self.root, rel))
         cols = self._stats_cols(df)
         if not cols:
@@ -447,6 +455,89 @@ class ParquetTable:
             *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
         ).collect()[0]
         return {c: [row[f"__lo_{i}"], row[f"__hi_{i}"]] for i, c in enumerate(cols)}
+
+    def _dir_stats_footers(self, rel: str) -> dict | None:
+        """``_dir_stats`` from parquet footers alone, or None when any
+        eligible column's stats are missing/undecodable (caller falls back
+        to the aggregate job — correctness never depends on this path).
+        Matches the aggregate's semantics: min/max over non-null values
+        folded across files, all-null columns → [None, None] (the 'no
+        comparison matches' marker), tz-aware timestamp stats normalized to
+        the naive session-UTC values the Spark collect produced."""
+        import datetime as _dt
+
+        import pyarrow.parquet as _pq
+
+        root = os.path.join(self.root, rel)
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        nulls: dict[str, int] = {}
+        rows: dict[str, int] = {}
+        eligible: set[str] | None = None
+
+        def norm(v):
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+
+        try:
+            for dirpath, _dirs, files in os.walk(root):
+                for fname in files:
+                    if not fname.endswith(".parquet"):
+                        continue
+                    md = _pq.ParquetFile(os.path.join(dirpath, fname)).metadata
+                    if eligible is None:
+                        sch = md.schema.to_arrow_schema()
+                        from pyspark.sql.pandas.types import from_arrow_type
+
+                        eligible = set()
+                        for fld in sch:
+                            try:
+                                st = from_arrow_type(fld.type).simpleString()
+                            except Exception:
+                                continue
+                            if st in self._STATS_TYPES or st.startswith(
+                                ("timestamp", "decimal")
+                            ):
+                                eligible.add(fld.name)
+                    for rg in range(md.num_row_groups):
+                        g = md.row_group(rg)
+                        for ci in range(g.num_columns):
+                            col = g.column(ci)
+                            name = col.path_in_schema
+                            if "." in name or name not in (eligible or ()):
+                                continue
+                            st = col.statistics
+                            nc = st.null_count if st is not None else None
+                            if nc is None:
+                                return None
+                            nulls[name] = nulls.get(name, 0) + nc
+                            rows[name] = rows.get(name, 0) + g.num_rows
+                            if st.has_min_max:
+                                lo, hi = norm(st.min), norm(st.max)
+                                if lo is None or hi is None:
+                                    return None
+                                mins[name] = (
+                                    lo if name not in mins else min(mins[name], lo)
+                                )
+                                maxs[name] = (
+                                    hi if name not in maxs else max(maxs[name], hi)
+                                )
+                            elif nc != g.num_rows:
+                                return None  # stats dropped on real data
+        except Exception:
+            return None  # unreadable/foreign footer: the agg job decides
+        if eligible is None:
+            return {}  # no files: caller's has_rows probe already handled
+        out: dict[str, list] = {}
+        for name in eligible:
+            if name in mins:
+                out[name] = [mins[name], maxs[name]]
+            elif name in nulls and nulls[name] == rows.get(name):
+                out[name] = [None, None]  # all-null dir, as the agg reported
+            else:
+                return None
+        return out
 
     # ---------------------------------------------------------- properties
     _PROPS = "_props.json"

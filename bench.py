@@ -340,6 +340,12 @@ def main() -> None:
             json.dump(
                 {"attempts": spread, "contention": contention, "sf": sf}, fh
             )
+        # The FULL headline object also lands on disk (VERDICT r14 #2): the
+        # r13→r14 PERF diff was lost to a truncated stdout capture, so the
+        # next round's comparison must never depend on the pipe alone.
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH.json"), "w") as fh:
+            json.dump(out, fh)
     except OSError:
         pass
     line = json.dumps(out)

@@ -177,7 +177,12 @@ def _bounds_from_stats(
         )
         if not rows:  # pathological sample miss: single bucket, still correct
             return []
-    rows.sort(key=lambda r: r[col_name])
+    # NaN-aware key: Spark's orderBy places NaN GREATEST; Python's float
+    # comparisons with NaN are all False, which would make the sort order
+    # depend on the nondeterministic collect order (ADVICE r14). At most
+    # one NaN row exists (Spark groupBy normalizes NaN), so the flag pair
+    # never compares NaN against NaN.
+    rows.sort(key=lambda r: (r[col_name] != r[col_name], r[col_name]))
     total = sum(r["__n"] for r in rows)
     k = min(n_buckets, len(rows))
     if k <= 1:
@@ -358,7 +363,15 @@ def with_hilbert_value(
     # DAG structure is unchanged — each selectExpr is the same named-column
     # barrier the withColumns chain produced.
     names = [f"__hx{i}" for i in range(n)]
-    passthrough = [f"`{c}`" for c in df.columns]
+    if set(names + ["__ht"]) & set(df.columns):
+        raise ValueError(
+            "with_hilbert_value scratch columns (__hx*/__ht) collide with "
+            f"input columns {sorted(set(names + ['__ht']) & set(df.columns))}"
+        )
+    # out_col is REPLACED when it already exists (the old withColumn
+    # semantics — ADVICE r14: passing it through would emit a duplicate
+    # column name)
+    passthrough = [f"`{c}`" for c in df.columns if c != out_col]
     out = df.selectExpr(
         *passthrough,
         *[

@@ -210,6 +210,15 @@ def registry() -> dict[str, QuerySpec]:
     # maintenance: every NEW oracle row earns a window slot at first
     # eligibility.
     promoted = [
+        # r15 ROTATION (executes the r15 slate pre-declared in the r14
+        # revision of this comment): semantic_dedup_embeddings — the one
+        # oracle-backed query without a driver hash row (new r14) — swaps
+        # in against knn_cosine_ivf (same frozen-centroid family, driver-
+        # green r14, now deferred; knn_cosine_bruteforce additionally
+        # keeps the similarity family in-window via auto-fill). The
+        # rotation backlog is empty again: every oracle-backed query has
+        # had a driver row at least once.
+        "semantic_dedup_embeddings",
         # r14 ROTATION (executes the r14 slate pre-declared in the r13
         # revision of this comment; this tranche FINISHES the rotation —
         # after it, every oracle-backed query in the registry has had a
@@ -269,10 +278,10 @@ def registry() -> dict[str, QuerySpec]:
         "json_props_rollup",
     ]
     deferred = {
-        # new r14 (starts deferred; r15 rotation candidate — the SemDeDup
-        # semantic-dedup row; knn_cosine_bruteforce keeps the similarity
-        # family in-window via auto-fill):
-        "semantic_dedup_embeddings",
+        # r15 rotation swap-out (driver-green r14; semantic_dedup_embeddings
+        # is the frozen-centroid family's in-window row now, and
+        # knn_cosine_bruteforce keeps the similarity family covered too):
+        "knn_cosine_ivf",
         # r14 rotation swap-outs (every one driver-green in r13's 50/50
         # window; family twin in-window or the family completed its
         # rotation — see the promoted list's r14 comment for pairings):

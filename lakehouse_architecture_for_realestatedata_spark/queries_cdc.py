@@ -2133,6 +2133,16 @@ def q_delta_log_cleanup_roundtrip(
     cached_fixture(cache, _build)
     path = os.path.join(fixture_work_dir(cache), "orders_logclean")
     shutil.copytree(f"{cache}/orders_logclean", path)
+    # Re-touch the NON-aged log files (version >= 5) to now: copytree
+    # preserves the cache's build-time mtimes, so once the cache is older
+    # than the retention window the v5..v7 files would ALSO look expired
+    # and cleanup would delete 13 files instead of the pinned 6 (ADVICE
+    # r14, verified: fresh copy -> 6, >24h-old copy -> 13). Touching only
+    # >= 5 restores the build-time state exactly: v0..v4 stay aged.
+    work_log = os.path.join(path, "_delta_log")
+    for f in os.listdir(work_log):
+        if f[0].isdigit() and int(f.split(".")[0]) >= 5:
+            os.utime(os.path.join(work_log, f), None)
     deleted = delta_cleanup_metadata(
         spark, path, retention_millis=86_400_000
     )

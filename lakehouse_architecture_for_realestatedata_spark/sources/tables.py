@@ -74,6 +74,12 @@ from pyspark.sql.types import StructType
 
 _LATEST = "_latest"
 
+#: Driver-side footer-walk budget for ``_dir_stats_footers`` (VERDICT r14
+#: #7): per-file footer reads are serial driver Python — bounded for a
+#: fresh write's file set, a stall on a large accumulated dir. Past this
+#: many files the distributed aggregate job is the right physics.
+_FOOTER_WALK_CAP = 1024
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed the version this transaction targeted.
@@ -465,6 +471,7 @@ class ParquetTable:
         comparison matches' marker), tz-aware timestamp stats normalized to
         the naive session-UTC values the Spark collect produced."""
         import datetime as _dt
+        import decimal as _dec
 
         import pyarrow.parquet as _pq
 
@@ -474,6 +481,8 @@ class ParquetTable:
         nulls: dict[str, int] = {}
         rows: dict[str, int] = {}
         eligible: set[str] | None = None
+        dec_scale: dict[str, int] = {}
+        n_files = 0
 
         def norm(v):
             if isinstance(v, _dt.datetime) and v.tzinfo is not None:
@@ -485,6 +494,13 @@ class ParquetTable:
                 for fname in files:
                     if not fname.endswith(".parquet"):
                         continue
+                    # Bounded walk (VERDICT r14 #7): per-file footer reads are
+                    # serial driver Python — fine for a fresh write's bounded
+                    # file set, a stall on a large accumulated dir. Past the
+                    # cap the distributed aggregate is the right physics.
+                    n_files += 1
+                    if n_files > _FOOTER_WALK_CAP:
+                        return None
                     md = _pq.ParquetFile(os.path.join(dirpath, fname)).metadata
                     if eligible is None:
                         sch = md.schema.to_arrow_schema()
@@ -500,6 +516,8 @@ class ParquetTable:
                                 ("timestamp", "decimal")
                             ):
                                 eligible.add(fld.name)
+                                if st.startswith("decimal"):
+                                    dec_scale[fld.name] = fld.type.scale
                     for rg in range(md.num_row_groups):
                         g = md.row_group(rg)
                         for ci in range(g.num_columns):
@@ -514,7 +532,24 @@ class ParquetTable:
                             nulls[name] = nulls.get(name, 0) + nc
                             rows[name] = rows.get(name, 0) + g.num_rows
                             if st.has_min_max:
-                                lo, hi = norm(st.min), norm(st.max)
+                                try:
+                                    lo, hi = norm(st.min), norm(st.max)
+                                except Exception:
+                                    # pyarrow 16 cannot decode the LOGICAL
+                                    # min/max of INT32/INT64-backed decimals
+                                    # (Spark writes decimal(<=18) that way);
+                                    # the RAW stat is the unscaled integer,
+                                    # so rescale it exactly (ADVICE r14 —
+                                    # one undecodable column must not kick
+                                    # the whole dir back to the agg job)
+                                    if name in dec_scale and isinstance(
+                                        st.min_raw, int
+                                    ):
+                                        s = dec_scale[name]
+                                        lo = _dec.Decimal(st.min_raw).scaleb(-s)
+                                        hi = _dec.Decimal(st.max_raw).scaleb(-s)
+                                    else:
+                                        return None
                                 if lo is None or hi is None:
                                     return None
                                 mins[name] = (

@@ -250,3 +250,44 @@ def test_partition_stats_reports_per_partition_counts(spark, sf_dir, tmp_path):
     write_partitioned(orders, path, ["order_month"])
     stats = partition_stats(spark, path, ["order_month"]).collect()
     assert sum(r["count"] for r in stats) == orders.count()
+
+
+def test_column_range_bounds_nan_deterministic(spark):
+    """r15 (ADVICE r14): a NaN in a float clustering column must not make
+    the driver-side boundary sort order collect-order-dependent — NaN
+    sorts GREATEST, matching Spark's orderBy, so boundaries are stable."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
+        column_range_bounds,
+    )
+
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") == 7, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v")
+    )
+    bounds = column_range_bounds(df, "v", 8)
+    assert bounds == column_range_bounds(df, "v", 8)
+    # every boundary except possibly the LAST is a finite float in sorted
+    # order; NaN (if it ever becomes a boundary) can only be last
+    finite = [b for b in bounds if b == b]
+    assert finite == sorted(finite)
+    assert all(b == b for b in bounds[:-1])
+
+
+def test_with_hilbert_value_replaces_existing_out_col(spark):
+    """r15 (ADVICE r14): with_hilbert_value(out_col=...) over a frame that
+    ALREADY has out_col must replace it (the old withColumn semantics),
+    not emit a duplicate column name."""
+    from lakehouse_architecture_for_realestatedata_spark.plans.layout import (
+        with_hilbert_value,
+    )
+
+    df = spark.range(0, 16).select(
+        (F.col("id") % 4).alias("a"),
+        (F.col("id") / F.lit(4)).cast("bigint").alias("b"),
+        F.lit(-1).cast("bigint").alias("__h"),
+    )
+    out = with_hilbert_value(df, ["a", "b"], bits=2, out_col="__h")
+    assert out.columns.count("__h") == 1
+    vals = {r["__h"] for r in out.collect()}
+    assert vals == set(range(16))  # a 2-bit 2-D Hilbert index is a bijection

@@ -153,8 +153,10 @@ def test_driver_window_fully_oracle_backed():
     # r14 to exactly the displaced set (it previously accreted superset
     # cruft). Update CONSCIOUSLY when rotating.
     assert set(displaced) <= {
-        # new r14, starts deferred (r15 rotation candidate):
-        "semantic_dedup_embeddings",
+        # r15 rotation swap-out (driver-green r14; its slot went to
+        # semantic_dedup_embeddings — the frozen-centroid family twin,
+        # which was the last never-driver-rowed oracle query):
+        "knn_cosine_ivf",
         # displaced by the r14 rows-only→oracle conversions (knn_cosine_ivf,
         # multimodal_features take their auto-fill slots at first oracle
         # eligibility; both of these are driver-green through r13 and their

@@ -696,3 +696,35 @@ def test_merge_schema_drift_update_all_with_constraints(spark, tmp_path):
     t.merge(spark.createDataFrame([(8, "b", "x")], "id int, val string, tag string"), key="id")
     out = {r["id"]: (r["score"], r["tag"]) for r in t.read().collect()}
     assert out[8] == (None, "x") and out[6] == (3.0, None)
+
+
+def test_footer_stats_decimal_and_walk_cap(spark, tmp_path, monkeypatch):
+    """r15: (a) narrow decimals (INT32/INT64-backed in Spark's layout) must
+    not kick the whole dir's footer zonemap back to the aggregate job —
+    the raw unscaled-int stat rescales exactly (ADVICE r14); (b) the
+    footer walk is bounded — past _FOOTER_WALK_CAP files the path yields
+    to the distributed aggregate instead of stalling the driver
+    (VERDICT r14 #7)."""
+    import decimal
+
+    from lakehouse_architecture_for_realestatedata_spark.sources import tables as T
+
+    t = ParquetTable(spark, str(tmp_path / "tdec"))
+    df = spark.createDataFrame(
+        [(1, decimal.Decimal("12.34"), decimal.Decimal("-3.500")),
+         (2, decimal.Decimal("99.99"), decimal.Decimal("1.500")),
+         (3, None, None)],
+        "id int, p decimal(9,2), q decimal(18,3)",
+    )
+    t.overwrite(df)
+    rel = t.data_dirs()[0].replace(str(tmp_path / "tdec"), "").lstrip("/")
+    footer = t._dir_stats_footers(rel)
+    assert footer is not None, "footer path must serve decimal dirs"
+    assert footer["p"] == [decimal.Decimal("12.34"), decimal.Decimal("99.99")]
+    assert footer["q"] == [decimal.Decimal("-3.500"), decimal.Decimal("1.500")]
+    # footer path agrees with the aggregate fallback bit-for-bit
+    monkeypatch.setattr(T, "_FOOTER_WALK_CAP", 0)
+    assert t._dir_stats_footers(rel) is None  # cap: yields to the agg job
+    agg = t._dir_stats(rel)
+    assert agg["p"] == footer["p"] and agg["q"] == footer["q"]
+    assert agg["id"] == footer["id"] == [1, 3]

@@ -306,11 +306,166 @@ def prof_semantic(p: P):
     p.mark("end-to-end")
 
 
+def prof_rowtrack(p: P):
+    """Native twin of rowtrack_fmt — the delta_row_tracking_ids bench body."""
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_read,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"prof_rowtrack_{os.getpid()}")
+    path = f"{root}/orders_rowtrack"
+    sub = _rowtrack_fixture(path)
+    p.rows.extend(sub.rows)
+    p.t0 = time.time()
+    got = delta_read(spark, path, with_row_ids=True)
+    out = got.select(
+        "o_orderkey",
+        F.col("_row_id").alias("row_id"),
+        F.col("_row_commit_version").alias("row_commit_version"),
+    )
+    noop(out)
+    p.mark("native read with_row_ids")
+
+
+def prof_dv_delete(p: P):
+    """delta_dv_delete_roundtrip bench body, phase-marked."""
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_for_realestatedata_spark.sources.delta_lite import (
+        delta_delete_where,
+        delta_enable_dvs,
+        delta_read,
+        delta_write,
+    )
+
+    orders = _t(spark, SF_DIR, "orders").filter(F.col("o_orderkey") <= 1500).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+    )
+    root = os.path.join(tempfile.gettempdir(), f"prof_dvdel_{os.getpid()}")
+    path = f"{root}/orders_dvdel"
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    p.mark("plan")
+    delta_write(orders, path)
+    p.mark("v0 write")
+    delta_enable_dvs(spark, path)
+    p.mark("v1 enable dvs")
+    delta_delete_where(
+        spark, path, ("o_orderstatus", "=", "F"), ("o_orderkey", "<=", 700)
+    )
+    p.mark("v2 dv delete 1")
+    delta_delete_where(spark, path, ("price", ">", 350000.0))
+    p.mark("v3 dv delete 2")
+    got = delta_read(spark, path)
+    out = got.select(
+        "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
+    )
+    noop(out)
+    p.mark("read (DV applied)")
+
+
+def prof_winnow(p: P):
+    from lakehouse_architecture_for_realestatedata_spark.operators.retrieval import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    docs = _t(spark, SF_DIR, "documents").select("doc_id", "text")
+    p.mark("setup")
+    fp = winnow_fingerprints(docs, k=4, w=5)
+    noop(fp)
+    p.mark("fingerprints alone (noop)")
+    out = winnow_overlap_pairs(docs, k=4, w=5, min_shared=2, max_df=64)
+    noop(out)
+    p.mark("end-to-end pairs (noop)")
+
+
+def prof_encode_vocab(p: P):
+    from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = _t(spark, SF_DIR, "documents").select("doc_id", "text")
+    p.mark("setup")
+    vocab = build_vocab(docs, "text", min_count=5)
+    noop(vocab)
+    p.mark("vocab alone (noop)")
+    enc = encode_documents(docs, build_vocab(docs, "text", min_count=5),
+                           "doc_id", "text", oov_id=-1)
+    out = enc.withColumn(
+        "ids", F.array_join(F.transform("ids", lambda i: i.cast("string")), ",")
+    )
+    noop(out)
+    p.mark("end-to-end encode (noop)")
+
+
+def prof_perplexity(p: P):
+    from lakehouse_architecture_for_realestatedata_spark.operators.textprep import (
+        score_doc_perplexity,
+        token_bigram_counts,
+    )
+    from lakehouse_architecture_for_realestatedata_spark.queries_text import _spread
+
+    docs = _spread(spark, _t(spark, SF_DIR, "documents"))
+    p.mark("setup")
+    lm = token_bigram_counts(docs, "text", min_count=2)
+    noop(lm)
+    p.mark("bigram LM alone (noop)")
+    out = score_doc_perplexity(docs, "doc_id", "text",
+                               lm=token_bigram_counts(docs, "text", min_count=2))
+    noop(out)
+    p.mark("end-to-end perplexity (noop)")
+
+
+def prof_pareto(p: P):
+    from lakehouse_architecture_for_realestatedata_spark.queries import registry
+
+    reg = registry()
+    out = reg["pareto_customer_revenue"].spark_fn(spark, SF_DIR)
+    p.mark("body (incl. eager localCheckpoint + boundary collects)")
+    noop(out)
+    p.mark("final exec (noop)")
+
+
+def prof_knn_ivf(p: P):
+    from lakehouse_architecture_for_realestatedata_spark.queries import registry
+
+    reg = registry()
+    out = reg["knn_cosine_ivf"].spark_fn(spark, SF_DIR)
+    p.mark("plan build")
+    noop(out)
+    p.mark("exec (noop)")
+
+
+def prof_ivf_cdc(p: P):
+    from lakehouse_architecture_for_realestatedata_spark.queries import registry
+
+    reg = registry()
+    out = reg["ivf_cdc_sync_maintenance"].spark_fn(spark, SF_DIR)
+    p.mark("body (fixture + copytree + sync)")
+    noop(out)
+    p.mark("live read (noop)")
+
+
 PROFILES = {
     "format_front_door": prof_format_front_door,
     "simhash": prof_simhash,
     "minhash": prof_minhash,
     "rowtrack_fmt": prof_rowtrack_fmt,
+    "rowtrack": prof_rowtrack,
+    "dv_delete": prof_dv_delete,
+    "winnow": prof_winnow,
+    "encode_vocab": prof_encode_vocab,
+    "perplexity": prof_perplexity,
+    "pareto": prof_pareto,
+    "knn_ivf": prof_knn_ivf,
+    "ivf_cdc": prof_ivf_cdc,
     "liquid": prof_liquid,
     "incr_summary": prof_incr_summary,
     "image_dedup": prof_image_dedup,

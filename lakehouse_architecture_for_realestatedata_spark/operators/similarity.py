@@ -497,14 +497,21 @@ def _index_max_gen(spark, path: str) -> int:
         spark.conf.set(k, v)
     try:
         hi = 0
+        # the two maxes are independent metadata-scale jobs — submit them
+        # side by side so the sync pays ONE job latency, not two (§2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = []
         a = spark.read.parquet(f"{path}/assignments")
         if "gen" in a.columns:
-            row = a.agg(F.max("gen")).first()
-            hi = max(hi, int(row[0] or 0))
+            jobs.append(a.agg(F.max("gen")))
         t_path = f"{path}/tombstones"
         if os.path.isdir(t_path):
-            row = spark.read.parquet(t_path).agg(F.max("gen")).first()
-            hi = max(hi, int(row[0] or 0))
+            jobs.append(spark.read.parquet(t_path).agg(F.max("gen")))
+        if jobs:
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                for row in pool.map(lambda d: d.first(), jobs):
+                    hi = max(hi, int(row[0] or 0))
         return hi
     finally:
         for k, p in prev.items():
@@ -616,9 +623,6 @@ def ivf_sync_changes(
     )
     # every net key tombstones its older assignments (an update's old cell
     # row must die even though the key stays live at the new generation)
-    net.select(F.col(id_col), F.lit(gen_new).alias("gen")).write.mode(
-        "append"
-    ).parquet(f"{path}/tombstones")
     cents = spark.read.parquet(f"{path}/centroids")
     cell_type = dict(a.dtypes)["cell"]
     assigned = assign_to_cells(
@@ -627,10 +631,29 @@ def ivf_sync_changes(
         vec_col,
         cell_type,
     ).withColumn("gen", F.lit(gen_new))
-    # one appended file per touched cell (see ivf_persist's rationale)
-    assigned.repartition("cell").write.mode("append").partitionBy(
-        "cell"
-    ).parquet(a_path)
+    # The tombstone append and the assignment append are independent
+    # writes off the SAME checkpointed `net` (different directories, no
+    # read-after-write between them) — submit them side by side so the
+    # sync pays one write-job latency instead of two (§2.6). Crash
+    # safety is unchanged: whichever subset lands, the retry's higher
+    # generation re-tombstones and re-appends (the crash-idempotence
+    # argument above covers partial appends in either order).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_tombstones() -> None:
+        net.select(F.col(id_col), F.lit(gen_new).alias("gen")).write.mode(
+            "append"
+        ).parquet(f"{path}/tombstones")
+
+    def _write_assignments() -> None:
+        # one appended file per touched cell (see ivf_persist's rationale)
+        assigned.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(a_path)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_write_tombstones), pool.submit(_write_assignments)]:
+            f.result()
     state = {"synced_through": latest, "gen": gen_new, "id_col": id_col}
     tmp = state_file + ".tmp"
     with open(tmp, "w") as fh:
@@ -716,47 +739,116 @@ def ivf_knn(
     return _topk_per_query(scored.dropDuplicates(["query_id", "neighbor_id"]), k)
 
 
+def _collect_frozen_centroids(
+    centroids: DataFrame, vec_col: str, scale: int
+):
+    """Driver-materialize a bounded frozen-centroid frame under the
+    quantized policy: ``(cells asc int64, quantized matrix (C,d) int64,
+    exact-norm sqrt (C,) float64)``. Cells sort ASCENDING so a first-max
+    argmax implements the family's ties-to-the-LOWEST-cell rule."""
+    import numpy as np
+
+    rows = centroids.select(F.col("cell"), F.col(vec_col)).collect()
+    rows.sort(key=lambda r: int(r[0]))
+    cells = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    cmat = np.array([r[1] for r in rows], dtype=np.float64)
+    qc = _half_away(cmat * scale)  # (C, d) int64
+    cn = (qc * qc).sum(axis=1)  # exact int64 Σv²
+    return cells, qc, np.sqrt(cn.astype(np.float64))
+
+
+def _quantize_batch(list_arr, dim: int, scale: int, what: str):
+    """Arrow list column → exact quantized (B, d) int64 matrix + its
+    float64 sqrt-norms, with the blas twin's per-row length validation
+    (a total count that divides evenly can still reshape misaligned
+    garbage, and flatten() silently drops null rows)."""
+    import numpy as np
+    import pyarrow as pa
+
+    lens = pa.compute.list_value_length(list_arr).to_numpy(zero_copy_only=False)
+    if list_arr.null_count or not np.all(lens == dim):
+        bad = (
+            "null rows"
+            if list_arr.null_count
+            else f"lengths {set(lens) - {dim}}"
+        )
+        raise ValueError(
+            f"{what} vectors are not uniform {dim}-dim float arrays "
+            f"({bad} in batch); clean the embedding column first"
+        )
+    flat = list_arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    qz = _half_away(flat.reshape(len(list_arr), dim) * scale)
+    qn = (qz * qz).sum(axis=1)  # exact int64 Σv²
+    return qz, qn
+
+
 def assign_cells_frozen_quantized(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
+    _cents=None,
 ) -> DataFrame:
     """Deterministic cell assignment against caller-FROZEN centroids
-    (``(cell, <vec_col>)``, bounded → broadcast) under the quantized-exact
-    cosine policy, ties to the LOWEST cell id (max(struct(sim, -cell))).
-    Returns ``(<id_col>, __qv, __qn, cell)`` with ``__qv`` the quantized
-    vector and ``__qn`` its exact norm — hoisted ONCE per row (see
-    ``quantized_norm``: a vector meets every centroid, and downstream
-    pair stages meet it many more times; per-pair norm recomputation in
-    interpreted lambdas was the dominant cost). One broadcast join + one
-    map-side-combinable groupBy — the corpus is never windowed or sorted.
+    (``(cell, <vec_col>)``, bounded → driver-collected) under the
+    quantized-exact cosine policy, ties to the LOWEST cell id. Returns
+    ``(<id_col>, __qv, __qn, cell)`` with ``__qv`` the quantized vector
+    and ``__qn`` its exact norm — hoisted ONCE per row.
+
+    Scored by BLAS, exactly like ``knn_quantized_blas`` (r15, guide §4.2):
+    Catalyst's higher-order lambdas are interpreted per array ELEMENT, so
+    the previous broadcast-join + groupBy spelling paid corpus × n_cells
+    interpreted d-element dots AND shuffled the full quantized vector
+    n_cells times through the exchange. Here each Arrow batch is ONE
+    int64 matmul against the centroid matrix and the corpus never
+    shuffles at all — same determinism argument as the blas twin: scaled
+    dots are integer-valued (< 2^53, exact in both int64 and double),
+    the division/sqrt tree is the identical IEEE expression, and a
+    first-max argmax over cells sorted ascending IS the
+    max(struct(sim, -cell)) tie rule. Requires integer ids and cells
+    (the family contract — see ``knn_quantized_blas``).
     The shared first stage of ``ivf_knn_frozen_quantized`` and
     ``semantic_dedup_frozen``."""
-    qz = quantize(F.col(vec_col), scale)
-    cents = centroids.select(
-        F.col("cell"), quantize(F.col(vec_col), scale).alias("__cv")
-    ).withColumn("__cn", quantized_norm(F.col("__cv")))
-    sim = prenormed_cosine(
-        quantized_dot(F.col("__qv"), F.col("__cv")),
-        F.col("__qn"),
-        F.col("__cn"),
+    import numpy as np
+    import pyarrow as pa
+
+    cells, qc, cn_sqrt = (
+        _cents
+        if _cents is not None
+        else _collect_frozen_centroids(centroids, vec_col, scale)
     )
-    return (
-        corpus.select(F.col(id_col), qz.alias("__qv"))
-        .withColumn("__qn", quantized_norm(F.col("__qv")))
-        .join(F.broadcast(cents))
-        .groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(sim.alias("s"), (-F.col("cell")).alias("negc"))
-            ).alias("__best"),
-            F.first("__qv").alias("__qv"),  # constant within the group
-            F.first("__qn").alias("__qn"),
-        )
-        .select(id_col, "__qv", "__qn", (-F.col("__best.negc")).alias("cell"))
-    )
+    dim = qc.shape[1]
+    out_schema = f"{id_col} long, __qv array<bigint>, __qn long, cell long"
+
+    def _assign(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) == 0:
+                continue
+            qz, qn = _quantize_batch(batch.column(1), dim, scale, "corpus")
+            dots = qz @ qc.T  # exact int64 (|v| <= scale, d << 2^63/scale²)
+            den = np.sqrt(qn.astype(np.float64))[:, None] * cn_sqrt[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(den > 0, dots.astype(np.float64) / den, 0.0)
+            best = cells[np.argmax(sim, axis=1)]  # first max = lowest cell
+            off = np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(off, pa.int32()),
+                        pa.array(qz.reshape(-1), pa.int64()),
+                    ),
+                    pa.array(qn, pa.int64()),
+                    pa.array(best, pa.int64()),
+                ],
+                names=[id_col, "__qv", "__qn", "cell"],
+            )
+
+    return corpus.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    ).mapInArrow(_assign, out_schema)
 
 
 def semantic_dedup_frozen(
@@ -787,36 +879,59 @@ def semantic_dedup_frozen(
     cells (re-cluster within cell) before pairing when a cell outgrows a
     task — the same degenerate-bucket discipline as the LSH family's
     ``max_bucket`` cap."""
+    import numpy as np
+    import pyarrow as pa
+
     assigned = assign_cells_frozen_quantized(
         corpus, centroids, id_col, vec_col, scale
     )
-    left = assigned.select(
-        F.col(id_col).alias("__ida"),
-        F.col("__qv").alias("__va"),
-        F.col("__qn").alias("__na"),
-        "cell",
-    )
-    right = assigned.select(
-        F.col(id_col).alias("__idb"),
-        F.col("__qv").alias("__vb"),
-        F.col("__qn").alias("__nb"),
-        "cell",
-    )
-    dropped = (
-        left.join(right, "cell")
-        .filter(F.col("__ida") < F.col("__idb"))
-        .filter(
-            prenormed_cosine(
-                quantized_dot(F.col("__va"), F.col("__vb")),
-                F.col("__na"),
-                F.col("__nb"),
-            )
-            >= threshold
+
+    # Survivors per cell in ONE grouped Arrow pass (r15, guide §4.2/§2.3):
+    # the previous cell-keyed SELF-join shuffled every quantized vector
+    # TWICE (left + right alias) and scored |cell|² pairs through
+    # interpreted per-element lambdas, then re-evaluated the whole
+    # assignment subtree a third time for the anti-join. Here each vector
+    # crosses the (cell-keyed) exchange once, the cell's Gram matrix is
+    # one int64 matmul, and survivors (= members with NO lower-id
+    # same-cell neighbor at cosine >= τ) are emitted directly — the
+    # anti-join disappears because "not dropped" is decidable inside the
+    # cell. The cosine is the identical IEEE tree (exact int dot, sqrt
+    # product, divide), so the surviving SET is bit-for-bit the
+    # self-join's (pinned by the semantic_dedup_embeddings oracle row and
+    # the planted-twin pytest). Same SemDeDup scale shape: cost Σ|cell|²,
+    # bounded per task by the cell-size discipline in the docstring.
+    def _survivors(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = tbl.column("cell")[0].as_py()
+        order = np.argsort(ids)  # ids unique: total order
+        ids = ids[order]
+        dim_arr = pa.compute.list_value_length(tbl.column("__qv"))
+        dim = int(dim_arr[0].as_py())
+        flat = tbl.column("__qv").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
         )
-        .select(F.col("__idb").alias(id_col))
-        .distinct()
+        qz = flat.reshape(len(ids), dim)[order]
+        qn = tbl.column("__qn").to_numpy(zero_copy_only=False)[order]
+        dots = qz @ qz.T  # exact int64
+        rt = np.sqrt(qn.astype(np.float64))
+        den = rt[:, None] * rt[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(den > 0, dots.astype(np.float64) / den, 0.0)
+        # dropped[j]: some i < j (lower id, ids sorted asc) has sim >= τ
+        dropped = np.triu(sim >= threshold, k=1).any(axis=0)
+        keep = ids[~dropped]
+        return pa.table(
+            {
+                id_col: pa.array(keep, pa.int64()),
+                "cell": pa.array(
+                    np.full(len(keep), cell, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInArrow(
+        _survivors, f"{id_col} long, cell long"
     )
-    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")
 
 
 def ivf_knn_frozen_quantized(
@@ -847,50 +962,101 @@ def ivf_knn_frozen_quantized(
     map-side-combinable groupBy over the corpus (no window over the
     corpus), probes are a bounded broadcast driving a cell-key join, and
     the top-k is the two-stage bounded merge (``_topk_per_query``)."""
-    qz = quantize(F.col(vec_col), scale)
-    cents = centroids.select(
-        F.col("cell"), quantize(F.col(vec_col), scale).alias("__cv")
-    ).withColumn("__cn", quantized_norm(F.col("__cv")))
-    sim = prenormed_cosine(
-        quantized_dot(F.col("__qv"), F.col("__cv")),
-        F.col("__qn"),
-        F.col("__cn"),
-    )
-    assigned = assign_cells_frozen_quantized(
-        corpus, centroids, id_col, vec_col, scale
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("__qv").alias("__nv"),
-        F.col("__qn").alias("__nn"),
-        "cell",
-    )
-    routed = (
-        queries.select(F.col(id_col).alias("query_id"), qz.alias("__qv"))
-        .withColumn("__qn", quantized_norm(F.col("__qv")))
-        .join(F.broadcast(cents))
-        .select("query_id", "__qv", "__qn", "cell", sim.alias("__sim"))
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("cell")
-    )
-    probes = (
-        routed.withColumn("__rn", F.row_number().over(wr))
-        .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", "__qn", "cell")
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            prenormed_cosine(
-                quantized_dot(F.col("__qv"), F.col("__nv")),
-                F.col("__qn"),
-                F.col("__nn"),
-            ).alias("cosine"),
+    import numpy as np
+    import pyarrow as pa
+
+    # Probe routing driver-side (r15, guide §4.2): queries are a bounded
+    # eval set (the same contract under which knn_quantized_blas collects
+    # them), so the query × centroid similarity matrix is a tiny exact
+    # matmul here instead of a broadcast join + per-query row_number
+    # window — and the scored stage below becomes one Arrow matmul per
+    # corpus batch instead of |probed corpus| × interpreted d-element
+    # lambdas. Every number is the identical IEEE expression (exact int64
+    # dots < 2^53, sqrt product, divide); routing ties break (sim desc,
+    # cell asc) via lexsort exactly like the window's order — pinned by
+    # the knn_cosine_ivf oracle row and the probe-everything ==
+    # brute-force pytest.
+    cents = _collect_frozen_centroids(centroids, vec_col, scale)
+    cells, qc, cn_sqrt = cents
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
         )
+    q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_qz = _half_away(q_mat * scale)
+    q_qn = (q_qz * q_qz).sum(axis=1)
+    q_rt = np.sqrt(q_qn.astype(np.float64))
+    dots = q_qz @ qc.T
+    den = q_rt[:, None] * cn_sqrt[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q_sim = np.where(den > 0, dots.astype(np.float64) / den, 0.0)
+    # per probed cell: the (ids, quantized matrix, sqrt-norms) of the
+    # queries routed there — the scorer's closure state
+    probe_of: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        order = np.lexsort((cells, -q_sim[qi]))[:n_probe]
+        for ci in order:
+            probe_of.setdefault(int(cells[ci]), []).append(qi)
+    probe_map = {
+        c: (q_ids[idx], q_qz[idx], q_rt[idx])
+        for c, idx in ((c, np.array(v)) for c, v in probe_of.items())
+    }
+    assigned = assign_cells_frozen_quantized(
+        corpus, centroids, id_col, vec_col, scale, _cents=cents
     )
+    probed_cells = sorted(probe_map)
+    dim = qc.shape[1]
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def _score(batches):
+        for batch in batches:
+            n_ids = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            if len(n_ids) == 0:
+                continue
+            flat = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            nz = flat.reshape(len(n_ids), dim)
+            nn = batch.column(2).to_numpy(zero_copy_only=False)
+            n_cell = batch.column(3).to_numpy(zero_copy_only=False)
+            n_rt = np.sqrt(nn.astype(np.float64))
+            out_q, out_n, out_c = [], [], []
+            for c in np.unique(n_cell):
+                qm = probe_map.get(int(c))
+                if qm is None:
+                    continue
+                pq_ids, pq_z, pq_rt = qm
+                m = n_cell == c
+                sub_ids, sub_z, sub_rt = n_ids[m], nz[m], n_rt[m]
+                d2 = sub_z @ pq_z.T  # exact int64
+                dn = sub_rt[:, None] * pq_rt[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cs = np.where(dn > 0, d2.astype(np.float64) / dn, 0.0)
+                keep = sub_ids[:, None] != pq_ids[None, :]
+                ii, jj = np.nonzero(keep)
+                out_q.append(pq_ids[jj])
+                out_n.append(sub_ids[ii])
+                out_c.append(cs[ii, jj])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), pa.int64()),
+                        pa.array(np.concatenate(out_n), pa.int64()),
+                        pa.array(np.concatenate(out_c), pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", "cosine"],
+                )
+
+    scored = assigned.filter(
+        F.col("cell").isin([int(c) for c in probed_cells])
+    ).mapInArrow(_score, out_schema)
     return _topk_per_query(scored, k)
 
 

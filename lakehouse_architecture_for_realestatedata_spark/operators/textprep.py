@@ -169,6 +169,11 @@ def build_vocab(df, text_col: str, min_count: int = 2) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
+        # materialized once (bounded: the min_count-filtered vocab, ≪
+        # corpus): consumed by the offsets collect below AND by the final
+        # plan — without this the corpus tokenize+count pass runs TWICE
+        # per invocation (r15, guide §2.4; the pareto per_cust pattern)
+        .localCheckpoint(eager=False)
     )
     # exact floor(log2(n)) = length of n's binary representation - 1;
     # bucket ascends as n descends so bucket ranges are contiguous in the

@@ -77,5 +77,12 @@ def refresh_daily_summary(
     touched = span.filter(
         F.date_trunc("day", F.col(ts_col)).cast("date").isin(days)
     )
-    summary.merge(_daily_agg(touched, ts_col, value_col), key="day")
+    # materialized once (bounded: one row per touched day): merge consumes
+    # the source TWICE — the distinct-key dir-pruning collect and the
+    # rewrite itself — and without this the span re-aggregates per
+    # consumer (r15, guide §2.4; the pareto per_cust pattern)
+    summary.merge(
+        _daily_agg(touched, ts_col, value_col).localCheckpoint(eager=False),
+        key="day",
+    )
     return current

@@ -1242,6 +1242,45 @@ _RBM_ARRAY_MAGIC = 1681511377
 #: filter joins instead of isin (a literal list that size would bloat the
 #: plan and the task closures).
 _DV_ISIN_CAP = 100_000
+#: File-count budget for attaching per-file metadata (baseRowId ranges,
+#: partitionValues, DV row indexes) as LITERAL basename-keyed maps in the
+#: plan instead of a createDataFrame + broadcast join. The literal form is
+#: a pure projection (no parallelize job, no broadcast exchange) — the
+#: right physics for the bounded file sets every small-table operation
+#: touches — while a 10⁶-file table must keep the broadcast-relation path
+#: (a create_map literal that size would be a planning-time stall).
+_FILE_INFO_MAP_CAP = 256
+
+
+def _dv_pairs_literal_hit(
+    path: str, dv_files: dict[str, dict], base_of: dict[str, str]
+):
+    """Predicate: this row's (file basename, row index) is deletion-vector
+    marked — spelled as per-file row-index ARRAY LITERALS behind one
+    basename-keyed map lookup, so small DV sets apply as a codegen'd
+    filter with no pair relation and no broadcast anti-join. Caller caps
+    total marked rows (``_DV_ISIN_CAP``)."""
+    entries = []
+    for p, a in sorted(dv_files.items()):
+        deleted = _load_deletion_vector(path, a["deletionVector"])
+        if not deleted:  # cardinality-0 descriptor: nothing to mark (and an
+            continue  # empty array literal would break the map's value type)
+        fb = base_of[p]
+        if "'" in fb or "\\" in fb:  # foreign layout with a hostile
+            return None  # basename: caller keeps the relation path
+        arr = ",".join(f"{int(i)}L" for i in deleted)
+        entries.append(f"'{fb}', array({arr})")
+    if not entries:
+        return F.lit(False)
+    # ONE parsed SQL expression, not a per-element Column loop: a Column
+    # API literal array pays a py4j round trip PER ELEMENT of pure driver
+    # time (the simhash_md5_fingerprints lesson, r14) — the parser builds
+    # the same tree in one call.
+    return F.expr(
+        "coalesce(array_contains(map("
+        + ", ".join(entries)
+        + ")[`__fb`], `__ri`), false)"
+    )
 #: Total-marked-rows budget for the single-scan DV read path, which unions
 #: every touched file's bitmap into one driver-side (file, row) pair list
 #: before broadcasting it. Above the budget the scan falls back to per-file
@@ -1651,6 +1690,13 @@ def _scan_files(
                     [(i,) for i in deleted], "__ri bigint"
                 )
                 df = df.join(F.broadcast(dv_df), "__ri", "left_anti")
+        elif total_marked <= _DV_ISIN_CAP and (
+            hit := _dv_pairs_literal_hit(path, dv_files, base_of)
+        ) is not None:
+            # small multi-file DV set: literal per-file row-index arrays —
+            # a codegen'd filter, no pair relation, no broadcast anti-join
+            # (r15, guide §4; the single-file branch above already isins)
+            df = df.filter(~hit)
         else:
             pairs = [
                 (base_of[p], int(i))
@@ -1791,34 +1837,92 @@ def _scan_files_rowids(
         ),
         F.col("_metadata.row_index").alias("__ri"),
     )
-    info_schema = "__fb string, __base bigint, __dcv bigint" + "".join(
-        f", __pv{i} string" for i in range(len(phys_parts))
-    )
-    info_rows = [
-        (
-            base_of[p],
-            int(a["baseRowId"]),
-            (
-                int(a["defaultRowCommitVersion"])
-                if a.get("defaultRowCommitVersion") is not None
-                else None
-            ),
+    if len(active) <= _FILE_INFO_MAP_CAP:
+        # Bounded file set: attach (baseRowId, defaultRowCommitVersion,
+        # partitionValues) as LITERAL basename-keyed map lookups — a pure
+        # projection, no local-relation build, no broadcast exchange, no
+        # join (r15, guide §4: the createDataFrame + broadcast attach paid
+        # a parallelize job + a broadcast stage per read). The big-table
+        # path below is unchanged: a 10⁶-file table still joins a
+        # 10⁶-row broadcast side, never a create_map literal that size.
+        base_map = F.create_map(
             *[
-                (a.get("partitionValues") or {}).get(c)
-                for c in phys_parts
-            ],
+                x
+                for p, a in sorted(active.items())
+                for x in (
+                    F.lit(base_of[p]),
+                    F.lit(int(a["baseRowId"])).cast("bigint"),
+                )
+            ]
         )
-        for p, a in sorted(active.items())
-    ]
-    df = df.join(
-        F.broadcast(spark.createDataFrame(info_rows, info_schema)), "__fb"
-    )
+        dcv_map = F.create_map(
+            *[
+                x
+                for p, a in sorted(active.items())
+                for x in (
+                    F.lit(base_of[p]),
+                    F.lit(
+                        int(a["defaultRowCommitVersion"])
+                        if a.get("defaultRowCommitVersion") is not None
+                        else None
+                    ).cast("bigint"),
+                )
+            ]
+        )
+        df = df.withColumn("__base", base_map[F.col("__fb")]).withColumn(
+            "__dcv", dcv_map[F.col("__fb")]
+        )
+        for i, c in enumerate(phys_parts):
+            pv_map = F.create_map(
+                *[
+                    x
+                    for p, a in sorted(active.items())
+                    for x in (
+                        F.lit(base_of[p]),
+                        F.lit((a.get("partitionValues") or {}).get(c)),
+                    )
+                ]
+            )
+            df = df.withColumn(f"__pv{i}", pv_map[F.col("__fb")])
+    else:
+        info_schema = "__fb string, __base bigint, __dcv bigint" + "".join(
+            f", __pv{i} string" for i in range(len(phys_parts))
+        )
+        info_rows = [
+            (
+                base_of[p],
+                int(a["baseRowId"]),
+                (
+                    int(a["defaultRowCommitVersion"])
+                    if a.get("defaultRowCommitVersion") is not None
+                    else None
+                ),
+                *[
+                    (a.get("partitionValues") or {}).get(c)
+                    for c in phys_parts
+                ],
+            )
+            for p, a in sorted(active.items())
+        ]
+        df = df.join(
+            F.broadcast(spark.createDataFrame(info_rows, info_schema)), "__fb"
+        )
     dv_files = {p: a for p, a in active.items() if a.get("deletionVector")}
     total_marked = sum(
         int((a["deletionVector"] or {}).get("cardinality") or 0)
         for a in dv_files.values()
     )
-    if dv_files and total_marked <= _DV_READ_PAIRS_CAP:
+    dv_hit = (
+        _dv_pairs_literal_hit(path, dv_files, base_of)
+        if dv_files and total_marked <= _DV_ISIN_CAP
+        else None
+    )
+    if dv_hit is not None:
+        # small DV set: per-file row-index array literals keyed by
+        # basename — a codegen'd filter, no pair relation, no broadcast
+        # anti-join (r15; the single-file main read already used isin)
+        df = df.filter(~dv_hit)
+    elif dv_files and total_marked <= _DV_READ_PAIRS_CAP:
         pairs = [
             (base_of[p], int(i))
             for p, a in sorted(dv_files.items())
@@ -3568,6 +3672,14 @@ def delta_optimize(
         )
     elif snap.partition_columns:
         df = df.repartition(n, *snap.partition_columns)
+    elif n == 1:
+        # single-file compaction needs no balancing: coalesce(1) merges
+        # the scan partitions WITHOUT the round-robin exchange (and its
+        # sort-before-repartition) that repartition(1) pays — one whole
+        # shuffle stage removed from the rewrite (r15, guide §2.4). Rows
+        # arrive in deterministic file order (coalesce concatenates
+        # parent partitions in index order over the sorted file list).
+        df = df.coalesce(1)
     else:
         df = df.repartition(n)
     adds = _write_data_files(
@@ -3994,24 +4106,52 @@ def _scan_with_rowpos(
         ),
         F.col("_metadata.row_index").alias("__ri"),
     )
-    old_pairs = [
-        (base_of[p], int(i))
-        for p, a in sorted(files.items())
-        if a.get("deletionVector")
-        for i in _load_deletion_vector(path, a["deletionVector"])
-    ]
-    if old_pairs:
+    dv_files = {p: a for p, a in files.items() if a.get("deletionVector")}
+    total_marked = sum(
+        int((a["deletionVector"] or {}).get("cardinality") or 0)
+        for a in dv_files.values()
+    )
+    dv_hit = (
+        _dv_pairs_literal_hit(path, dv_files, base_of)
+        if dv_files and total_marked <= _DV_ISIN_CAP
+        else None
+    )
+    if dv_hit is not None:
+        # small DV set: literal per-file row-index arrays, a codegen'd
+        # filter — no pair relation, no broadcast anti-join (r15, guide §4)
+        df = df.filter(~dv_hit)
+    elif dv_files:
+        old_pairs = [
+            (base_of[p], int(i))
+            for p, a in sorted(dv_files.items())
+            for i in _load_deletion_vector(path, a["deletionVector"])
+        ]
         dv_df = spark.createDataFrame(old_pairs, "__fb string, __ri bigint")
         df = df.join(F.broadcast(dv_df), ["__fb", "__ri"], "left_anti")
     if with_row_ids:
-        info = spark.createDataFrame(
-            [
-                (base_of[p], int(files[p]["baseRowId"]))
-                for p in sorted(files)
-            ],
-            "__fb string, __base bigint",
-        )
-        df = df.join(F.broadcast(info), "__fb")
+        if len(files) <= _FILE_INFO_MAP_CAP:
+            # literal basename→baseRowId map: pure projection, no
+            # parallelize job, no broadcast exchange (r15, guide §4)
+            base_map = F.create_map(
+                *[
+                    x
+                    for p in sorted(files)
+                    for x in (
+                        F.lit(base_of[p]),
+                        F.lit(int(files[p]["baseRowId"])).cast("bigint"),
+                    )
+                ]
+            )
+            df = df.withColumn("__base", base_map[F.col("__fb")])
+        else:
+            info = spark.createDataFrame(
+                [
+                    (base_of[p], int(files[p]["baseRowId"]))
+                    for p in sorted(files)
+                ],
+                "__fb string, __base bigint",
+            )
+            df = df.join(F.broadcast(info), "__fb")
         rid = F.col("__base") + F.col("__ri")
         if rid_col:
             rid = F.coalesce(F.col(rid_col), rid)
@@ -4141,7 +4281,18 @@ def _dv_write_path_ok(snap: _Snapshot, touched: list[str]) -> bool:
     return len({unquote(p).rsplit("/", 1)[-1] for p in touched}) == len(touched)
 
 
-def _collect_dv_marks(matched: DataFrame) -> dict[str, list[int]] | None:
+def _files_row_bound(path: str, files: dict[str, dict]) -> tuple[int, int]:
+    """(max rows in any file, total rows) of ``files`` from their add
+    actions' stats (one driver-local footer read per stats-less add —
+    this writer and delta-spark always record numRecords). An upper
+    bound on anything a pure FILTER over these files can match."""
+    counts = [_num_records(path, a) for a in files.values()]
+    return (max(counts) if counts else 0, sum(counts))
+
+
+def _collect_dv_marks(
+    matched: DataFrame, row_bound: tuple[int, int] | None = None
+) -> dict[str, list[int]] | None:
     """Collect the matched rows' (file basename, row index) positions for
     DV marking, GUARDED: a per-file count aggregate (one row per touched
     file) runs first, and if any file's matched count exceeds
@@ -4149,9 +4300,24 @@ def _collect_dv_marks(matched: DataFrame) -> dict[str, list[int]] | None:
     the collect never happens — returns None and the caller falls back to
     the rewrite path (where matched rows are that dense, rewriting is the
     cheaper physics anyway, and the driver never holds an unbounded
-    position list). Returns {} when nothing matched. The matched frame is
-    persisted across the probe and the collect so the touched-file scan
-    runs once, not twice."""
+    position list). Returns {} when nothing matched.
+
+    ``row_bound`` = (max rows in any touched file, total rows across the
+    touched files), when the caller already knows it from the add
+    actions' stats. Matched counts can never exceed the files' row
+    counts, so bounds inside the caps PROVE the probe redundant — the
+    positions collect becomes the only job (one scan, no persist) instead
+    of a persist + probe + collect pair of jobs (r15, guide §2.4 via
+    metadata the driver already holds). The probe path stays for
+    unbounded/unknown inputs — the 100 TB safety rail is unchanged."""
+    if row_bound is not None and (
+        row_bound[0] <= _DV_WRITE_FILE_CAP
+        and row_bound[1] <= _DV_WRITE_TOTAL_CAP
+    ):
+        by_file: dict[str, list[int]] = {}
+        for r in matched.select("__fb", "__ri").collect():
+            by_file.setdefault(r["__fb"], []).append(int(r["__ri"]))
+        return by_file
     matched = matched.persist()
     try:
         counts = (
@@ -4196,7 +4362,9 @@ def _delete_with_dvs(
     scan = _scan_with_rowpos(spark, path, snap, files)
     cond = ParquetTable._conds_filter(list(conds))
     matched = scan.filter(cond)
-    by_file = _collect_dv_marks(matched)
+    # matched ⊆ the touched files' rows (a pure filter), so the files'
+    # numRecords — already on the driver via stats — bound the probe
+    by_file = _collect_dv_marks(matched, row_bound=_files_row_bound(path, files))
     if by_file is None:
         return None  # over budget: fall back to the rewrite path
     if not by_file:
@@ -4268,7 +4436,8 @@ def _update_with_dvs(
     scan = _scan_with_rowpos(spark, path, snap, files, with_row_ids=tracked)
     cond = ParquetTable._conds_filter(list(conds))
     matched = scan.filter(cond)
-    by_file = _collect_dv_marks(matched)
+    # matched ⊆ the touched files' rows (a pure filter) — see _delete_with_dvs
+    by_file = _collect_dv_marks(matched, row_bound=_files_row_bound(path, files))
     if by_file is None:
         return None  # over budget: fall back to the rewrite path
     if not by_file:

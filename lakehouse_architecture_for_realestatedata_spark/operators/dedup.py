@@ -494,7 +494,17 @@ def minhash_lsh_pairs_md5(
     only the pairing/verify step as the corpus is re-screened — at 100 TB
     the shingle+md5 signing pass is the dominant cost and needs paying
     once, not per dedup sweep."""
-    staged = minhash_md5_shingled(docs, id_col, text_col, k)
+    # Materialized ONCE per invocation (r15, guide §2.4): the shingle-set
+    # frame is consumed FIVE times — the band signing plus the verify
+    # stage's two (id, shingle) explode joins and two size joins — and all
+    # five are narrow scans (no exchange below them, so AQE stage reuse
+    # cannot help; each join branch re-ran the whole tokenize+shingle
+    # projection). This is an intra-invocation checkpoint of a bounded
+    # frame (one row per doc), recomputed from the parquet input on every
+    # call — NOT the reverted r14 per-sf cache.
+    staged = minhash_md5_shingled(docs, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
     fp = minhash_md5_band_buckets(staged, id_col, bands)
     return minhash_lsh_verify_pairs(fp, staged, id_col, threshold, max_bucket)
 

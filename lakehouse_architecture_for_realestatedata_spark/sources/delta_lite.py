@@ -1631,8 +1631,14 @@ def _scan_files(
         # are keyed by BASENAME (UUID-named part files — unique by
         # construction for both this writer and delta-spark); the URI
         # spelling of _metadata.file_path is never reproduced driver-side.
+        # No union against an empty relation when EVERY file carries a DV:
+        # createDataFrame([], schema) is a defaultParallelism-partition
+        # PYTHON RDD, so the union added ~32 empty Python-worker partition
+        # evaluations to every DV read — and serialized them through ONE
+        # task under a downstream coalesce(1) (r15: delta_dv_purge_vacuum's
+        # OPTIMIZE went 0.3 → 8.5 s from exactly that).
         plain = {p: a for p, a in active.items() if p not in dv_files}
-        out = _scan_files(spark, path, snap, plain)
+        out = _scan_files(spark, path, snap, plain) if plain else None
         types = {f.name: f.dataType for f in phys.fields}
         base_of = {p: unquote(p).rsplit("/", 1)[-1] for p in dv_files}
         total_marked = sum(
@@ -1666,11 +1672,10 @@ def _scan_files(
                 pv = add.get("partitionValues") or {}
                 for c in phys_parts:
                     one = one.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
-                out = out.unionByName(
-                    _scan_to_logical(
-                        one.select(*[f.name for f in phys.fields]), snap
-                    )
+                piece = _scan_to_logical(
+                    one.select(*[f.name for f in phys.fields]), snap
                 )
+                out = piece if out is None else out.unionByName(piece)
             return out
         files = [_abs_data_path(path, p) for p in sorted(dv_files)]
         df = spark.read.schema(data_schema).parquet(*files).select(
@@ -1721,7 +1726,8 @@ def _scan_files(
                 )
                 df = df.withColumn(c, mapping[F.col("__fb")].cast(types[c]))
         df = df.drop("__fb", "__ri").select(*[f.name for f in phys.fields])
-        return out.unionByName(_scan_to_logical(df, snap))
+        dv_side = _scan_to_logical(df, snap)
+        return dv_side if out is None else out.unionByName(dv_side)
 
     def to_logical(df: DataFrame) -> DataFrame:
         return _scan_to_logical(df, snap)

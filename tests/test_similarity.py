@@ -968,3 +968,35 @@ def test_ivf_knn_frozen_quantized_matches_bruteforce_within_probed_cells(spark):
         for r in knn_quantized(corpus, queries, k=5).collect()
     }
     assert approx == exact
+
+
+def test_assign_cells_frozen_ties_lowest_cell_and_zero_norm(spark):
+    """r15 (BLAS rewrite of assign_cells_frozen_quantized): an exact
+    similarity tie assigns to the LOWEST cell id (the old
+    max(struct(sim, -cell)) rule, now a first-max argmax over cells
+    sorted ascending), and a zero-norm vector — cosine 0.0 to every
+    centroid — lands in the lowest cell too."""
+    from lakehouse_architecture_for_realestatedata_spark.operators.similarity import (
+        assign_cells_frozen_quantized,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),   # exactly equidistant from cells 3 and 7
+            (2, [0.0, 0.0]),   # zero norm: sim 0.0 everywhere
+            (3, [0.0, 1.0]),   # strictly nearest cell 9
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    # cells deliberately registered out of order, with 3 and 7 identical
+    cents = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (9, [0.0, 1.0]), (3, [1.0, 0.0])],
+        "cell bigint, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["__qn"])
+        for r in assign_cells_frozen_quantized(corpus, cents).collect()
+    }
+    assert got[1][0] == 3  # tie between 3 and 7 -> lowest
+    assert got[2] == (3, 0)  # zero norm -> 0.0 everywhere -> lowest cell
+    assert got[3][0] == 9
